@@ -1,0 +1,678 @@
+"""SURVEY.md §2.3/§2.4 relational-operator surface as (DataFrame, oracle) pairs.
+
+The reference forwards SELECT text to DuckDB (server/query/duckdb/engine.go:121)
+behind a parser that accepts: projection/aliases, arithmetic, WHERE with
+comparison/AND/OR/NOT/BETWEEN/IN/LIKE/IS NULL/EXISTS/subqueries, GROUP BY,
+HAVING, aggregates COUNT/SUM/AVG/MIN/MAX, DISTINCT, ORDER BY, LIMIT/OFFSET,
+UNION [ALL], CASE WHEN, CAST, comma-joins (no JOIN grammar —
+server/query/parser/parser.go:4829-4838), and the scalar functions of
+parser.go:5284-5755.  Every row of that inventory appears below as an
+idiomatic DataFrame plan; Catalyst supplies pushdown/pruning/join selection.
+
+Cross-engine determinism rules used throughout:
+- double aggregates rounded (sum→2dp on ~1e8 magnitudes, avg→4-6dp) on BOTH
+  sides; raw column values are read identically from parquet so unrounded
+  comparisons on them are safe;
+- DuckDB ``sum(INTEGER)`` yields HUGEINT and ``floor``/``year`` yield
+  DOUBLE/BIGINT — oracles cast to BIGINT/INTEGER to match Spark's types;
+- ORDER BY ... LIMIT always carries a unique-key tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ranger_spark.queries import register
+from ranger_spark.tables import load
+
+
+def _net(price="l_extendedprice", disc="l_discount"):
+    return F.col(price) * (F.lit(1.0) - F.col(disc))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation pipeline (TPC-H Q1 shape): filter → groupBy → multi-agg.
+# Scale note: partial aggregation (map-side combine) + 6-group cardinality
+# means the shuffle moves O(groups), not O(rows) — this survives 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                            AS sum_qty,
+           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           round(avg(l_quantity), 4)                                            AS avg_qty,
+           round(avg(l_extendedprice), 4)                                       AS avg_price,
+           round(avg(l_discount), 6)                                            AS avg_disc,
+           count(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "groupby"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: multi-aggregate groupBy with arithmetic
+    aggregate args (reference aggregate grammar parser.go:5801-5874)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(_net()), 2).alias("sum_disc_price"),
+        F.round(F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table equi-join (TPC-H Q3 shape). The reference expresses joins as
+# comma-lists + WHERE (no JOIN grammar); we declare explicit equi-joins and
+# let Catalyst pick shuffled-hash/sort-merge; AQE demotes to broadcast when a
+# filtered side turns out small.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "orderby", "limit"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-join + WHERE equi-join semantics (parser.go:4824-4897) as
+    explicit DataFrame joins; top-k with unique tiebreak."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_net()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join; nation/region are broadcast (fixed-size dims at any
+    scale factor — 25/5 rows even at 100 TB)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_net()), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-level operators: projection / arithmetic / filters.
+# ---------------------------------------------------------------------------
+@register(
+    "proj_arith_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_quantity + 1.0                   AS qty_plus_one,
+           l_extendedprice / 2.0              AS half_price
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    tags=("projection", "arithmetic"),
+)
+def proj_arith_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with aliases and +-*/ precedence (parser.go:5877-5913)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # raw IEEE arithmetic — bitwise identical across engines; rounding
+            # row-level 4-decimal products would hit half-rounding boundaries
+            # where Spark (decimal-string HALF_UP) and C-style rounding differ
+            _net().alias("net_price"),
+            (F.col("l_quantity") + F.lit(1.0)).alias("qty_plus_one"),
+            (F.col("l_extendedprice") / F.lit(2.0)).alias("half_price"),
+        )
+    )
+
+
+@register(
+    "filter_between",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31'
+    GROUP BY l_returnflag
+    """,
+    tags=("filter",),
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN on numeric and timestamp columns (ast.go:404-409)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity").between(10, 20))
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1999-12-31").cast("timestamp"),
+            )
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "filter_in_list",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND NOT (o_orderstatus = 'P')
+    GROUP BY o_orderstatus
+    """,
+    tags=("filter",),
+)
+def filter_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (value list) + NOT (ast.go:411-415, :294-322)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .filter(~(F.col("o_orderstatus") == "P"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%red%' OR p_type LIKE 'SMALL%'
+    """,
+    tags=("filter", "like"),
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE with %-wildcards (ast.go:417-421); OR of predicates."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%red%") | F.col("p_type").like("SMALL%")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT event_type,
+           count(*)                                                  AS total,
+           count(CASE WHEN value >= 50 THEN 1 END)                   AS high_cnt,
+           count(nullif(event_type, 'error'))                        AS non_error,
+           round(sum(coalesce(CASE WHEN value < 50 THEN value END, 0.0)), 2) AS low_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("filter", "null"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / COALESCE / NULLIF semantics (ast.go:423-426, scalar fns)."""
+    ev = load(spark, sf_dir, "events")
+    low = F.when(F.col("value") < 50, F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("value") >= 50, F.lit(1))).alias("high_cnt"),
+        F.count(F.nullif(F.col("event_type"), F.lit("error"))).alias("non_error"),
+        F.round(F.sum(F.coalesce(low, F.lit(0.0))), 2).alias("low_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries: IN / EXISTS / NOT EXISTS / scalar. Spark-first: semi/anti joins
+# instead of correlated re-execution; the scalar subquery is a broadcast of a
+# 1-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    tags=("subquery", "semijoin"),
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) (parser.go:4675-4688) as a left-semi join."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49.5)
+    """,
+    tags=("subquery", "semijoin"),
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (ast.go:428-432) as a left-semi join."""
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49.5)
+    return supp.join(
+        li, supp["s_suppkey"] == li["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "not_exists_anti",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 48)
+    """,
+    tags=("subquery", "antijoin"),
+)
+def not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (Spark-native anti join; the reference
+    would round-trip a correlated subquery through DuckDB)."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in WHERE (parser.go:4983-5014): 1-row aggregate
+    broadcast-joined against the fact scan (no driver-side collect)."""
+    p = load(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("__avg"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY / HAVING / DISTINCT / ORDER BY / LIMIT OFFSET / UNION / CASE / CAST
+# ---------------------------------------------------------------------------
+@register(
+    "group_having",
+    oracle="""
+    SELECT p_brand, count(*) AS cnt, round(avg(p_size), 4) AS avg_size
+    FROM part
+    GROUP BY p_brand
+    HAVING count(*) >= 5
+    """,
+    tags=("groupby", "having"),
+)
+def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (parser.go:5997-6016) = agg + post-filter."""
+    return (
+        load(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("p_size"), 4).alias("avg_size"),
+        )
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+@register(
+    "distinct_proj",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("distinct",),
+)
+def distinct_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (parser.go:4062-4066)."""
+    return load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "order_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 5
+    """,
+    tags=("orderby", "limit", "offset"),
+)
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT/OFFSET (parser.go:4176-4268) with unique tiebreak.
+    Spark's per-column asc/desc exceeds the reference's single-direction
+    ORDER BY list."""
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .offset(5)
+        .limit(20)
+    )
+
+
+@register(
+    "union_all_tagged",
+    oracle="""
+    SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer WHERE c_acctbal > 9900
+    UNION ALL
+    SELECT s_suppkey AS entity_id, 'supplier' AS kind FROM supplier WHERE s_acctbal > 9900
+    """,
+    tags=("union",),
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (chained; parser.go:4154-4169)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("kind"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9900)
+        .select(F.col("s_suppkey").alias("entity_id"), F.lit("supplier").alias("kind"))
+    )
+    return c.unionAll(s)
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("union", "distinct"),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) = union + distinct."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "case_when_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END            AS bucket,
+           count(*)                        AS cnt,
+           round(sum(o_totalprice), 2)     AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("case",),
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / ELSE (parser.go:5206-5282)."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "cast_ops",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)            AS key_str,
+           CAST(floor(o_totalprice) AS BIGINT)    AS price_floor,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    tags=("cast",),
+)
+def cast_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST(expr AS type) (ast.go:612-615). floor() is used instead of a raw
+    double→int cast because Spark truncates while DuckDB rounds — an
+    engine-semantics divergence the validation layer documents."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (parser.go:5284-5755): UPPER LOWER LENGTH SUBSTRING
+# TRIM REPLACE CONCAT REVERSE ROUND POSITION COALESCE — all JVM-side builtins.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                       AS name_upper,
+           lower(c_mktsegment)                 AS seg_lower,
+           CAST(length(c_name) AS INTEGER)     AS name_len,
+           substr(c_name, 1, 8)                AS name_prefix,
+           trim(concat('  ', c_name, '  '))    AS name_trimmed,
+           replace(c_name, '0', '#')           AS name_masked,
+           concat(c_name, '-', c_mktsegment)   AS name_seg,
+           reverse(c_mktsegment)               AS seg_rev,
+           round(c_acctbal, 1)                 AS bal_round,
+           CAST(position('1' IN c_name) AS INTEGER) AS pos_one,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'N/A') AS seg_or_na
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+    tags=("scalar",),
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full scalar-function set in one projection."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trimmed"),
+        F.replace(F.col("c_name"), F.lit("0"), F.lit("#")).alias("name_masked"),
+        F.concat(F.col("c_name"), F.lit("-"), F.col("c_mktsegment")).alias("name_seg"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.round(F.col("c_acctbal"), 1).alias("bal_round"),
+        F.instr(F.col("c_name"), "1").alias("pos_one"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("N/A")).alias(
+            "seg_or_na"
+        ),
+    )
+
+
+@register(
+    "comma_join_sql",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation, region
+    WHERE n_regionkey = r_regionkey
+    """,
+    tags=("join", "sql"),
+)
+def comma_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only join syntax — comma list + WHERE
+    (parser.go:4829-4838) — executed verbatim through spark.sql; Catalyst
+    rewrites the cross product into an equi-join."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        "SELECT n_name, r_name FROM nation, region WHERE n_regionkey = r_regionkey"
+    )
+
+
+@register(
+    "agg_minmax_countd",
+    oracle="""
+    SELECT l_linestatus,
+           round(min(l_quantity), 2)        AS min_qty,
+           round(max(l_extendedprice), 2)   AS max_price,
+           CAST(sum(l_linenumber) AS BIGINT) AS sum_linenum,
+           count(DISTINCT l_suppkey)        AS countd_supp,
+           round(avg(l_tax), 6)             AS avg_tax
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_minmax_countd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/SUM/AVG + COUNT(DISTINCT) (DISTINCT-in-agg exceeds the
+    reference parser, which never parses it — parser.go:5818)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.sum("l_linenumber").alias("sum_linenum"),
+            F.countDistinct("l_suppkey").alias("countd_supp"),
+            F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+        )
+    )
+
+
+@register(
+    "date_extract",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           count(*)                            AS cnt,
+           round(sum(o_totalprice), 2)         AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2
+    """,
+    tags=("date", "groupby"),
+)
+def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + grouping (exceeds the reference scalar set —
+    DuckDB executed these for it, the parser just never admitted them)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "regexp"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: regexp field extraction (kept to an
+    RE2-compatible pattern so Java and RE2 regex agree)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "proj_star_small",
+    oracle="SELECT * FROM region",
+    tags=("projection",),
+)
+def proj_star_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * wildcard (ast.go:334-352)."""
+    return load(spark, sf_dir, "region")

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM); the conf below is chosen so the *same* logical plans scale to a
+multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalesce of shuffle partitions, skew-join splitting,
+  dynamic join-strategy demotion to broadcast) — the single most important
+  knob for plans that must survive a 1000× scale-up without retuning.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster AQE's coalescing makes the initial number mostly irrelevant
+  as long as it is high enough, so deployments should raise it to
+  2–3× total cores.
+- Arrow enabled for the few Pandas-UDF operators (multimodal decode,
+  vectorized similarity) — everything else stays JVM-side.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and engine-independent (the reference's DuckDB runs naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ranger_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Reference caps a single DuckDB at 512 MB (server/query/engine.go:48);
+        # we size for the container but keep result-collection capped in the
+        # engine layer instead (engine.py), which is the scalable shape.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
