@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Results are materialized through the `noop` sink so the full plan executes
+(scan → shuffle → agg) without driver-side collection costs skewing the
+numbers — the same shape a cluster job would have.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ranger_spark.queries import load_all
+from ranger_spark.session import get_spark
+
+# Headline set: aggregation pipeline, top-k join, star join, semi-join,
+# plus the pipeline extensions that exist at bench time.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "in_subquery",
+    "agg_minmax_countd",
+    "date_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    registry = load_all()
+    spark = get_spark("ranger_spark_bench")
+    names = [n for n in HEADLINE if n in registry]
+    # warm the JVM + parquet footer caches once so per-query numbers measure
+    # execution, not first-touch setup
+    registry[names[0]].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        registry[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
