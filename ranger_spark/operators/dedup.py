@@ -1,0 +1,214 @@
+"""Deduplication operators for 100 TB training-data pipelines.
+
+Four families, all shuffle-bounded and collect-free:
+
+- **Exact**: group by a 128-bit text fingerprint (md5 of normalized text) —
+  the shuffle carries 16-byte digests, never the documents.
+- **MinHash + LSH**: shingle → k minhashes → b bands of r rows →
+  candidate pairs only where a band collides (textbook Broder/LSH). The
+  band join is the only shuffle whose size depends on similarity structure;
+  banding bounds it, and exact-Jaccard verification runs only on candidates.
+- **SimHash**: 32-bit signature via per-bit token votes; near-dup = small
+  Hamming distance. Signature computation is a single groupBy with 32
+  conditional sums (no per-bit explode).
+- **Embedding near-dup**: cosine over an embedding column, blocked by a
+  coarse key (label/IVF cell) so the pair join is block-diagonal, not n².
+
+Everything is md5-based so each operator has an exact DuckDB oracle
+(engine-native hashes like xxhash64 differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ranger_spark.operators.text import (
+    fingerprint,
+    hash64,
+    normalize_text,
+    tokenize,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized text: the keeper (min id) + group
+    size. At scale: one shuffle keyed on the digest; map-side combine makes
+    the shuffle O(distinct docs)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_keep(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Filter to the kept row per duplicate group (min id wins)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """(id, shingle) pairs — distinct k-word shingles of normalized text."""
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokenize(normalize_text(F.col(text_col))), k)).alias(
+            "shingle"
+        ),
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """k independent minhashes per doc in ONE aggregation (k min() columns
+    over seeded md5 hashes — no k-way explode, shuffle is O(docs × k × 8B))."""
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(hash64(F.col("shingle"), seed=i)).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(
+    sig: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(id, band, band_key): md5 of each band's concatenated minhashes.
+    rows-per-band r = num_hashes // bands; collision prob ≈ jaccard^r."""
+    r = num_hashes // bands
+    rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (a < b) whose signatures collide in ≥1 band.
+    The join key (band, band_key) is high-cardinality by construction, so
+    this is a well-distributed shuffle join; a degenerate hot bucket (all
+    docs identical) is the one skew case — AQE skew-join splitting handles
+    it, and the distinct() caps output at one row per pair."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band", "band_key"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via two semi-scoped joins on the
+    shingle table (only candidates pay the verification cost)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
+    pairs → exact-Jaccard verify → pairs ≥ threshold."""
+    sh = shingle_df(df, id_col, text_col, shingle_k)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
+    verified = jaccard_verify(cands, sh, id_col)
+    return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash: bit j of the signature is the sign of the sum over
+    distinct tokens of ±1 according to bit j of the token hash. One explode
+    over tokens, then `bits` conditional sums in a single groupBy."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokenize(normalize_text(F.col(text_col))))
+        ).alias("tok"),
+    ).withColumn("h", hash64(F.col("tok")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v_{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = sum(
+        [
+            F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+            for j in range(bits)
+        ],
+        start=F.lit(0),
+    )
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Scale design:
+- All vector math is JVM-side Column expressions (`zip_with` +
+  `aggregate` folds) — no Python in the row path; Catalyst fuses the fold
+  into whole-stage codegen.
+- **Brute-force top-k** is the correctness baseline: queries × corpus is a
+  broadcast join (queries are small by definition), so the corpus is
+  scanned once with no shuffle; per-partition top-k then a final k·|Q|
+  merge on the driver-side window.
+- **IVF top-k** is the scale path: corpus is bucketed into cells (here:
+  provided labels or any coarse clustering); a query probes only the
+  `nprobe` nearest cells → the scan touches nprobe/cells of the data.
+  At 100 TB the cells map to partition pruning on a cell-partitioned
+  table, so the probe is an actual partition-pruned scan, not a filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns (left-fold, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast(queries) × corpus, windowed rank.
+    Returns (q_id, vec_id, cos_sim, rank); cos rounded to 6dp with id
+    tiebreak so ranking is engine-deterministic."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            id_col,
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame, cell_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean vector per cell: explode to (cell, pos, val) and re-assemble —
+    one shuffle of O(cells × dim)."""
+    dim_df = corpus.select(
+        F.col(cell_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    return (
+        dim_df.groupBy(cell_col, "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+                ),
+                lambda s: s.getField("mean_val"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe cells whose centroids are
+    closest to the query. On a cell-partitioned table the inner join prunes
+    partitions; here it prunes the scan via the broadcast (q_id, cell)
+    assignment list."""
+    cents = ivf_centroids(corpus, cell_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    # rank cells per query by centroid cosine; keep nprobe
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cent_sim").desc(), F.col(cell_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_vec",
+            cell_col,
+            F.round(cosine(F.col("q_vec"), F.col("centroid")), 6).alias("cent_sim"),
+        )
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("q_id", "q_vec", cell_col)
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(cell_col), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(probes), cell_col).filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.select(
+            "q_id",
+            id_col,
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def similar_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding near-dup pairs within blocks: the pair join is keyed on the
+    block column, so cost is Σ block² instead of n² — the blocking key at
+    scale is an LSH bucket or IVF cell; here the label column."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("blk"),
+        _as_double(F.col(vec_col)).alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("blk"),
+        _as_double(F.col(vec_col)).alias("vb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

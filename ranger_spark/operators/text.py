@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, whole-stage codegen —
+no Python UDFs in any hot path), so they vectorize and scale linearly with
+executors. Cross-engine-deterministic building blocks only (md5-based
+hashing, regex limited to RE2-compatible patterns) so every operator has an
+exact ANSI-SQL oracle.
+
+The reference has no text operators (its scalar surface is
+parser.go:5284-5755); these are the north-star extensions from
+BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword sets for the n-gram/stopword language-ID heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in", "it", "that", "this"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人"),
+}
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenization (trim first so leading/trailing space doesn't
+    produce empty tokens)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count, as int."""
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count word pieces after splitting on
+    whitespace AND transitions into digits/punctuation — a cheap,
+    deterministic stand-in for a real tokenizer's piece count."""
+    return F.size(F.split(F.trim(col), r"[\s\p{Punct}]+"))
+
+
+def hash64(col: Column, seed: int | str = 0) -> Column:
+    """Deterministic 60-bit hash via md5 (first 15 hex chars), identical in
+    Spark (`conv`) and DuckDB (`'0x...'::BIGINT`). Used instead of
+    xxhash64/murmur because those are engine-specific."""
+    seeded = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(tokens: Column, k: int = 2) -> Column:
+    """Distinct k-word shingles from a token array (k consecutive tokens
+    joined by a single space)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tokens) - (k - 1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, i + F.lit(j)) for j in range(k)]
+            ),
+        )
+    )
+
+
+def char_ngrams(col: Column, n: int = 8) -> Column:
+    """Distinct character n-grams of a string."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(col) - (n - 1))),
+            lambda i: col.substr(i, F.lit(n)),
+        )
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse non-alphanumerics to single spaces + trim —
+    the canonical form used for fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (the reference has
+    no fingerprinting; this is the exact-dedup key for 100 TB pipelines —
+    grouping by a 128-bit digest shuffles 16 bytes/doc, not the text)."""
+    return F.md5(normalize_text(col))
+
+
+def lang_id(tokens: Column) -> Column:
+    """Stopword-vote language ID: the language whose stopword list hits the
+    most tokens wins; ties and zero hits → 'und' (undetermined).
+    Pure-expression argmax, deterministic tie-break by language order."""
+    scores = {
+        lang: F.size(F.filter(tokens, lambda t: t.isin(*words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so the FIRST language in the dict wins ties
+    for lang in reversed(list(scores)):
+        result = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Quality-scoring signals: token stats, punctuation/digit/whitespace
+    ratios, mean word length. Returns named Columns (caller aliases)."""
+    toks = tokenize(col)
+    n_chars = F.length(col)
+    non_alnum = F.length(F.regexp_replace(col, "[a-z0-9 ]", ""))
+    return {
+        "n_chars_m": n_chars.cast("long"),
+        "n_tokens": F.size(toks).cast("long"),
+        "mean_word_len": (
+            (n_chars - (F.size(toks) - 1)) / F.size(toks)
+        ),
+        "punct_ratio": non_alnum / n_chars.cast("double"),
+        "stopword_ratio": (
+            F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"])))
+            / F.size(toks).cast("double")
+        ),
+    }

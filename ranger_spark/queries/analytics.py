@@ -1,0 +1,259 @@
+"""Window/event-analytics queries — Spark-native surface that *exceeds* the
+reference: its parser names window functions in a dead dispatch branch but
+never lexes them (parser.go:5048-5051 vs keyword table :34-55), so
+ROW_NUMBER/RANK/LAG/... are unreachable there. Spark has them natively; we
+expose the full set with DuckDB oracles.
+
+Determinism: every window ORDER BY ends in a unique key; time arithmetic is
+truncate-to-second-then-subtract on both engines; the events table's
+nanosecond timestamps stay as integer nanos in Spark (see tables.py) and
+convert losslessly where a real timestamp is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ranger_spark.queries import register
+from ranger_spark.tables import events_with_ts, load
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+             ) AS INTEGER) AS rn
+      FROM customer
+    ) t WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ROW_NUMBER — the canonical window pattern; at
+    scale this is one hash-partitioned sort per group key, no global sort."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    tags=("window",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer (ordered frame → deterministic double
+    accumulation order on both engines)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(rank()       OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
+           percent_rank()    OVER w             AS pct_rank,
+           cume_dist()       OVER w             AS cdist
+    FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+    tags=("window",),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK / NTILE / PERCENT_RANK / CUME_DIST — the whole
+    family the reference's parser names but can never reach."""
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+    )
+
+
+@register(
+    "window_lead_lag",
+    oracle="""
+    SELECT user_id, event_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "events"),
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAD/LAG deltas per user ordered by event time (integer-nanos
+    ordering in Spark == timestamp ordering in the oracle)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        )
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "time"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregate — the batch shape of a streaming windowed
+    agg (see ranger_spark.streaming for the readStream variant)."""
+    ev = events_with_ts(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, ts_sec,
+             lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev
+      FROM e
+    ),
+    f AS (
+      SELECT user_id,
+             CASE WHEN prev IS NULL OR ts_sec - prev > 14400 THEN 1 ELSE 0 END AS new_s
+      FROM w
+    )
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM f GROUP BY user_id
+    """,
+    tags=("events", "session"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (4 h inactivity): lag → new-session flag →
+    per-user session count. One shuffle on user_id; the cumulative-flag
+    formulation avoids any iterative/driver-side loop."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("ts DIV 1000000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            F.lag("ts_sec").over(w).isNull()
+            | ((F.col("ts_sec") - F.lag("ts_sec").over(w)) > 14400),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "events_daily_unique",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           count(DISTINCT user_id) AS unique_users,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "distinct"),
+)
+def events_daily_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users: COUNT(DISTINCT) over a time bucket (two-phase
+    partial-distinct aggregation at scale)."""
+    ev = events_with_ts(spark, sf_dir)
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("rollup",),
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — subtotal hierarchy in one pass."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -1,0 +1,356 @@
+"""LLM-training-data pipeline queries (north-star extensions from
+BASELINE.json): dedup, similarity search, text analysis, multimodal
+plumbing — each a registered (DataFrame, oracle) pair over the
+`documents` / `embeddings` tables.
+
+Oracle-parity invariants (see operators/*): md5-based hashing only,
+DuckDB ``regexp_replace`` gets the ``'g'`` flag (Spark replaces globally by
+default), cosine/jaccard rounded to 6dp before thresholds/ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ranger_spark.operators import dedup as D
+from ranger_spark.operators import similarity as S
+from ranger_spark.operators import text as T
+from ranger_spark.queries import register
+from ranger_spark.tables import load
+
+# Shared SQL fragments for the oracles -------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"regexp_split_to_array({_NORM}, '\\s+')"
+
+
+def _hash64_sql(expr: str, seed) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang]) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM})  AS text_hash,
+           min(doc_id)   AS keeper_id,
+           count(*)      AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: 16-byte fingerprint shuffle, O(distinct docs)."""
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (full pipeline: shingle → sign → band → verify)
+# ---------------------------------------------------------------------------
+_NUM_HASHES, _BANDS, _JACCARD_T = 16, 8, 0.05
+_R = _NUM_HASHES // _BANDS
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"min({_hash64_sql('shingle', i)}) AS mh_{i}" for i in range(_NUM_HASHES)
+    )
+    band_parts = []
+    for b in range(_BANDS):
+        cols = ", ".join(f"mh_{b * _R + j}" for j in range(_R))
+        band_parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    band_selects = "\n      UNION ALL\n      ".join(band_parts)
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= {_JACCARD_T}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8 bands × r=2) candidates, exact-Jaccard verified."""
+    return D.minhash_lsh_dedup(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        shingle_k=2,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=_JACCARD_T,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks0 AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    toks AS (SELECT DISTINCT doc_id, tok FROM toks0),
+    h AS (SELECT doc_id, {_hash64_sql('tok', 0)} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (near-dup = small Hamming
+    distance between signatures)."""
+    return D.simhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '[\\s[:punct:]]+')) AS INTEGER) AS n_pieces
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(T.normalize_text(F.col("text"))).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)        AS n_chars_m,
+           CAST(len({_TOKS}) AS BIGINT)        AS n_tokens,
+           (length(text) - (len({_TOKS}) - 1)) / CAST(len({_TOKS}) AS DOUBLE) AS mean_word_len,
+           length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           len(list_filter({_TOKS}, x -> list_contains({_sw_list('en')}, x)))
+             / CAST(len({_TOKS}) AS DOUBLE)    AS stopword_ratio
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (length/punct/stopword ratios)."""
+    d = load(spark, sf_dir, "documents")
+    m = T.quality_metrics(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in m.items()])
+
+
+def _lang_oracle() -> str:
+    scores = ",\n        ".join(
+        f"len(list_filter(t, x -> list_contains({_sw_list(lang)}, x))) AS s_{lang}"
+        for lang in T.LANG_STOPWORDS
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in T.LANG_STOPWORDS) + ")"
+    cases = "\n             ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {g} THEN '{lang}'"
+        for lang in T.LANG_STOPWORDS
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    scores AS (SELECT doc_id, lang, {scores} FROM toks)
+    SELECT doc_id, lang,
+           CASE {cases}
+             ELSE 'und' END AS lang_pred
+    FROM scores
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle(), tags=("text", "langid"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID next to the ground-truth lang column."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokenize(T.normalize_text(F.col("text")))
+    return d.select("doc_id", "lang", T.lang_id(toks).alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fp, CAST(length({_NORM}) AS INTEGER) AS norm_len
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting over normalized text."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.length(T.normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+_COS_SQL = (
+    "round(list_dot_product(q.v, c.v) / "
+    "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, c.vec_id, {_COS_SQL.replace('c.v', 'c.v')} AS cos_sim
+      FROM q, e c WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (correctness baseline
+    for the IVF scale path)."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+@register(
+    "embedding_similar_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT q.label AS blk, q.vec_id AS id_a, c.vec_id AS id_b, {_COS_SQL} AS cos_sim
+    FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+    WHERE {_COS_SQL} >= 0.3
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (block-diagonal join)."""
+    return S.similar_pairs_blocked(
+        load(spark, sf_dir, "embeddings"), threshold=0.3
+    ).withColumnRenamed("label", "blk")
+
+
+@register(
+    "embedding_stats",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm
+    FROM e GROUP BY label
+    """,
+    tags=("similarity",),
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding count + mean L2 norm (array fold, JVM-side)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(S.l2_norm(v)), 6).alias("avg_norm"),
+    )
+
+
+@register("ann_ivf_topk", oracle=None, tags=("similarity", "ann", "approx"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (probe 3 of 10 label cells). Approximate by
+    design → no SQL oracle; recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + typed metadata)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           md5(text)                                   AS checksum,
+           'text/plain'                                AS mime
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary modeling: payload = utf-8 bytes of text, typed
+    metadata (byte length, checksum, mime) computed JVM-side. The payload
+    column itself is excluded from the comparison output (binary columns
+    hash differently across drivers)."""
+    d = load(spark, sf_dir, "documents")
+    from ranger_spark.operators.multimodal import with_payload_meta
+
+    return with_payload_meta(d, "text").select(
+        "doc_id", "byte_len", "checksum", "mime"
+    )
+
+
+@register("multimodal_decode_stub", oracle=None, tags=("multimodal", "pandas-udf"))
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode over binary payloads (deterministic
+    fake decoder — image libs are not in this container; see
+    operators/multimodal.py). Non-SQL op → rows-only check."""
+    d = load(spark, sf_dir, "documents")
+    from ranger_spark.operators.multimodal import decode_features
+
+    return decode_features(d, "doc_id", "text")
