@@ -1,0 +1,812 @@
+"""Query engine: the reference's statement lifecycle on Spark.
+
+Mirrors the behavior of reference server/query/engine.go (routing,
+result shape, result cap, query tracking/cancellation) and
+server/storage/storage.go (CREATE TABLE semantics, strict batch-reject
+INSERT validation), implemented on Spark's built-in catalog with managed
+Parquet tables (no Iceberg runtime jar ships in this environment; on a
+cluster with the Iceberg connector the same DDL maps to ``USING iceberg``
+and UPDATE/DELETE become native v2 row-level commits instead of the
+copy-on-write rewrite implemented here).
+
+Result shape ≈ reference QueryResult{Data, RowCount, Columns, Message,
+QueryID} (engine.go:32-39); result sets are capped at 100,000 rows like the
+reference's DuckDB reader (duckdb/engine.go:395-400).
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import time
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as st
+
+from ranger_spark import types as itypes
+from ranger_spark.errors import (
+    ALREADY_EXISTS,
+    DATABASE_NOT_FOUND,
+    TABLE_NOT_FOUND,
+    UNSUPPORTED_STATEMENT,
+    VALIDATION_FAILED,
+    RangerError,
+)
+from ranger_spark.router import Routed, StmtKind, route
+
+RESULT_CAP = 100_000  # reference duckdb/engine.go:395-400
+SCHEMA_PROP_VIEW_PREFIX = "ranger_schema_"  # per-table Iceberg schema registry
+
+
+@dataclass
+class QueryResult:
+    columns: list[str]
+    rows: list[tuple]
+    row_count: int
+    message: str = ""
+    query_id: str = ""
+    truncated: bool = False
+
+
+@dataclass
+class QueryInfo:
+    query_id: str
+    sql: str
+    status: str = "running"  # running | done | error | cancelled
+    started_at: float = field(default_factory=time.time)
+    finished_at: float | None = None
+
+
+class ExecutionManager:
+    """Query registration / tracking / cancellation
+    (≈ reference server/query/execution_manager.go:54-145)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._queries: dict[str, QueryInfo] = {}
+        self._lock = threading.Lock()
+
+    def start(self, sql: str) -> QueryInfo:
+        qi = QueryInfo(query_id=str(uuid_mod.uuid4()), sql=sql)
+        with self._lock:
+            self._queries[qi.query_id] = qi
+        self.spark.sparkContext.setJobGroup(qi.query_id, sql[:100], True)
+        return qi
+
+    def finish(self, qi: QueryInfo, status: str = "done") -> None:
+        with self._lock:
+            qi.status = status
+            qi.finished_at = time.time()
+        self.spark.sparkContext.setJobGroup("", "")
+
+    def cancel(self, query_id: str) -> bool:
+        with self._lock:
+            qi = self._queries.get(query_id)
+            if qi is None or qi.status != "running":
+                return False
+            qi.status = "cancelled"
+        self.spark.sparkContext.cancelJobGroup(query_id)
+        return True
+
+    def list_queries(self) -> list[QueryInfo]:
+        with self._lock:
+            return list(self._queries.values())
+
+
+class Engine:
+    """execute(sql) → QueryResult, with the reference's routing table."""
+
+    def __init__(self, spark: SparkSession, strict_gate: bool = False):
+        self.spark = spark
+        self.strict_gate = strict_gate
+        self.exec_mgr = ExecutionManager(spark)
+        # In-process registry of declared Iceberg schemas per table
+        # (≈ the reference's SQLite registry): "db.table" → [(name, type, nullable)]
+        self._schemas: dict[str, list[tuple[str, str, bool]]] = {}
+
+    # ------------------------------------------------------------------ api
+    def execute(self, sql: str, timeout_s: float | None = None) -> QueryResult:
+        routed = route(sql, strict=self.strict_gate)
+        qi = self.exec_mgr.start(routed.sql)
+        timer = None
+        if timeout_s:
+            timer = threading.Timer(
+                timeout_s, self.exec_mgr.cancel, args=(qi.query_id,)
+            )
+            timer.start()
+        try:
+            result = self._dispatch(routed)
+            result.query_id = qi.query_id
+            self.exec_mgr.finish(qi, "done")
+            return result
+        except Exception:
+            self.exec_mgr.finish(qi, "error")
+            raise
+        finally:
+            if timer:
+                timer.cancel()
+
+    def cancel(self, query_id: str) -> bool:
+        return self.exec_mgr.cancel(query_id)
+
+    # ------------------------------------------------------------- dispatch
+    def _dispatch(self, r: Routed) -> QueryResult:
+        k = r.kind
+        if k in (StmtKind.SELECT, StmtKind.WITH_SELECT):
+            return self._read(self._rewrite_system(r.sql))
+        if k == StmtKind.EXPLAIN:
+            return self._read(self._rewrite_system(r.sql))
+        if k == StmtKind.INSERT:
+            return self._insert(r.sql)
+        if k == StmtKind.UPDATE:
+            return self._update(r.sql)
+        if k == StmtKind.DELETE:
+            return self._delete(r.sql)
+        if k == StmtKind.CREATE_TABLE:
+            return self._create_table(r.sql)
+        if k == StmtKind.CREATE_DATABASE:
+            return self._create_database(r.sql)
+        if k == StmtKind.DROP_TABLE:
+            return self._drop_table(r.sql)
+        if k == StmtKind.DROP_DATABASE:
+            return self._drop_database(r.sql)
+        if k == StmtKind.USE:
+            return self._use(r.sql)
+        if k == StmtKind.SHOW_DATABASES:
+            return self._show_databases()
+        if k == StmtKind.SHOW_TABLES:
+            return self._show_tables(r.sql)
+        if k in (StmtKind.SHOW_COLUMNS, StmtKind.DESCRIBE):
+            return self._show_columns(r.sql)
+        if k == StmtKind.SHOW_CREATE_TABLE:
+            return self._show_create_table(r.sql)
+        if k == StmtKind.TXN_NOOP:
+            # reference parses BEGIN/COMMIT/ROLLBACK but has no txn engine
+            return QueryResult([], [], 0, message=f"{r.sql.upper()} is a no-op")
+        if k in (StmtKind.ALTER, StmtKind.PARSE_ONLY):
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"unsupported statement type (parsed but not executable): "
+                f"{r.sql.split()[0].upper()}",
+            )
+        raise RangerError(UNSUPPORTED_STATEMENT, f"unroutable: {r.sql[:60]}")
+
+    # ----------------------------------------------------------- read path
+    def _read(self, sql: str) -> QueryResult:
+        df = self.spark.sql(sql)
+        rows = df.limit(RESULT_CAP + 1).collect()
+        truncated = len(rows) > RESULT_CAP
+        if truncated:
+            rows = rows[:RESULT_CAP]
+        return QueryResult(
+            columns=list(df.columns),
+            rows=[tuple(r) for r in rows],
+            row_count=len(rows),
+            message=(
+                f"result truncated to {RESULT_CAP} rows" if truncated else ""
+            ),
+            truncated=truncated,
+        )
+
+    def _rewrite_system(self, sql: str) -> str:
+        """Route `system.X` references to registered system views
+        (≈ reference substring check, registry/system/manager.go:302-309)."""
+        if re.search(r"\bsystem\.", sql, re.I):
+            self.refresh_system_views()
+            sql = re.sub(r"\bsystem\.", "system_", sql, flags=re.I)
+        return sql
+
+    # ------------------------------------------------------------ DDL path
+    def _create_database(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"CREATE\s+(?:DATABASE|NAMESPACE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([A-Za-z_][\w]*)\s*$",
+            sql,
+            re.I,
+        )
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        if_not_exists, name = bool(m.group(1)), m.group(2)
+        exists = self._db_exists(name)
+        if exists and not if_not_exists:
+            raise RangerError(ALREADY_EXISTS, f"database '{name}' already exists")
+        if not exists:
+            self.spark.sql(f"CREATE DATABASE `{name}`")
+        return QueryResult([], [], 0, message=f"database '{name}' created")
+
+    def _drop_database(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"DROP\s+(?:DATABASE|NAMESPACE|SCHEMA)\s+(IF\s+EXISTS\s+)?"
+            r"([A-Za-z_][\w]*)\s*(CASCADE)?\s*$",
+            sql,
+            re.I,
+        )
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        if_exists, name, cascade = bool(m.group(1)), m.group(2), bool(m.group(3))
+        if not self._db_exists(name):
+            if if_exists:
+                return QueryResult([], [], 0, message=f"database '{name}' absent")
+            raise RangerError(DATABASE_NOT_FOUND, f"database '{name}' not found")
+        self.spark.sql(f"DROP DATABASE `{name}`" + (" CASCADE" if cascade else ""))
+        self._schemas = {
+            k: v for k, v in self._schemas.items() if not k.startswith(name + ".")
+        }
+        return QueryResult([], [], 0, message=f"database '{name}' dropped")
+
+    def _create_table(self, sql: str) -> QueryResult:
+        head = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(",
+            sql,
+            re.I,
+        )
+        if not head:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        if_not_exists = bool(head.group(1))
+        name = self._qualify(head.group(2))
+        # column list = balanced parens starting at head.end()-1
+        depth, i = 0, head.end() - 1
+        start = i
+        while i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise RangerError(UNSUPPORTED_STATEMENT, "unbalanced parens in DDL")
+        col_block, tail = sql[start + 1 : i], sql[i + 1 :]
+
+        columns = self._parse_columns(col_block)
+        opts = self._parse_table_options(tail)
+
+        if self._table_exists(name):
+            if if_not_exists:
+                return QueryResult([], [], 0, message=f"table '{name}' exists")
+            raise RangerError(ALREADY_EXISTS, f"table '{name}' already exists")
+
+        schema = itypes.to_spark_schema(columns)
+        spark_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        )
+        ddl = f"CREATE TABLE {name} ({spark_cols}) USING parquet"
+        if opts["partition_by"]:
+            ddl += " PARTITIONED BY (" + ", ".join(opts["partition_by"]) + ")"
+        props = dict(opts["settings"])
+        props["ranger.storage"] = opts["storage"]
+        if opts["order_by"]:
+            props["ranger.write_order"] = ",".join(opts["order_by"])
+        prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        ddl += f" TBLPROPERTIES ({prop_str})"
+        self.spark.sql(ddl)
+        self._schemas[name] = columns
+        return QueryResult([], [], 0, message=f"table '{name}' created")
+
+    def _parse_columns(self, block: str) -> list[tuple[str, str, bool]]:
+        cols = []
+        for part in itypes.split_top_level(block):
+            part = part.strip()
+            if not part:
+                continue
+            m = re.match(r"([A-Za-z_][\w]*)\s+(.+)$", part, re.S)
+            if not m:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT, f"cannot parse column def: {part!r}"
+                )
+            cname, rest = m.group(1), m.group(2).strip()
+            # strip advisory constraints (reference parses NOT NULL, UNIQUE,
+            # DEFAULT, CHECK, REFERENCES; only nullability+default are real)
+            nullable = not re.search(r"\bNOT\s+NULL\b", rest, re.I)
+            rest = re.sub(
+                r"\b(NOT\s+NULL|NULL|UNIQUE|PRIMARY\s+KEY|DEFAULT\s+\S+"
+                r"|CHECK\s*\(.*?\)|REFERENCES\s+\S+)\b",
+                "",
+                rest,
+                flags=re.I,
+            ).strip()
+            cols.append((cname, rest, nullable))
+        return cols
+
+    def _parse_table_options(self, tail: str) -> dict:
+        opts = {"storage": "filesystem", "partition_by": [], "order_by": [], "settings": {}}
+        m = re.search(r"\bSTORAGE\s+(\w+)", tail, re.I)
+        if m:
+            engine = m.group(1).lower()
+            if engine not in ("filesystem", "memory", "s3"):
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT, f"unknown storage engine '{engine}'"
+                )
+            opts["storage"] = engine
+        m = re.search(r"\bPARTITION\s+BY\s*\(([^)]*)\)", tail, re.I)
+        if m:
+            opts["partition_by"] = [c.strip() for c in m.group(1).split(",")]
+        m = re.search(r"\bORDER\s+BY\s*\(([^)]*)\)", tail, re.I)
+        if m:
+            opts["order_by"] = [c.strip() for c in m.group(1).split(",")]
+        m = re.search(r"\bSETTINGS\s+(.+)$", tail, re.I | re.S)
+        if m:
+            for kv in m.group(1).split(","):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    opts["settings"][k.strip()] = v.strip().strip("'\"")
+        return opts
+
+    def _drop_table(self, sql: str) -> QueryResult:
+        m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", sql, re.I)
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        if_exists, name = bool(m.group(1)), self._qualify(m.group(2))
+        if not self._table_exists(name):
+            if if_exists:
+                return QueryResult([], [], 0, message=f"table '{name}' absent")
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        self.spark.sql(f"DROP TABLE {name}")
+        self._schemas.pop(name, None)
+        return QueryResult([], [], 0, message=f"table '{name}' dropped")
+
+    def _use(self, sql: str) -> QueryResult:
+        name = sql.split()[1].strip()
+        if not self._db_exists(name):
+            raise RangerError(DATABASE_NOT_FOUND, f"database '{name}' not found")
+        self.spark.catalog.setCurrentDatabase(name)
+        return QueryResult([], [], 0, message=f"using database '{name}'")
+
+    # --------------------------------------------------------- insert path
+    _VALUE_TOKEN = re.compile(
+        r"""\s*(?:
+            '(?P<str>(?:[^']|'')*)'            |
+            (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?) |
+            (?P<kw>NULL|TRUE|FALSE|SYS_DATE|SYS_TIME|SYS_TIMESTAMP|GENERATE_UUID)
+        )\s*""",
+        re.X | re.I,
+    )
+
+    def _insert(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"INSERT\s+INTO\s+([\w.]+)\s*\(([^)]*)\)\s*VALUES\s*(.+)$",
+            sql,
+            re.I | re.S,
+        )
+        if not m:
+            # reference INSERT requires an explicit column list
+            # (parser.go:2959-3095); no INSERT...SELECT
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "INSERT must be: INSERT INTO t (cols) VALUES (...), ...",
+            )
+        name = self._qualify(m.group(1))
+        cols = [c.strip() for c in m.group(2).split(",")]
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        rows = self._parse_value_rows(m.group(3))
+
+        schema = self.spark.table(name).schema
+        declared = self._schemas.get(name)
+        nullability = (
+            {c: n for c, _, n in declared}
+            if declared
+            else {f.name: f.nullable for f in schema.fields}
+        )
+        field_by_name = {f.name: f for f in schema.fields}
+        for c in cols:
+            if c not in field_by_name:
+                raise RangerError(
+                    VALIDATION_FAILED, f"unknown column '{c}' in table '{name}'"
+                )
+
+        # Strict batch-reject validation (reference storage.go:440-465 +
+        # parquet/schema.go:327-446): collect ALL violations, commit nothing
+        # on any failure.
+        violations = self._validate_batch(rows, cols, field_by_name, nullability)
+        if violations:
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"batch rejected: {len(violations)} violation(s): "
+                + "; ".join(violations[:5]),
+                total=len(violations),
+            )
+
+        insert_schema = st.StructType([field_by_name[c] for c in cols])
+        evaluated = [
+            tuple(
+                _coerce(v, f.dataType)
+                for v, f in zip(self._materialize_row(r), insert_schema.fields)
+            )
+            for r in rows
+        ]
+        df = self.spark.createDataFrame(evaluated, insert_schema)
+        # fill unspecified columns with NULL, order to table schema
+        for f in schema.fields:
+            if f.name not in cols:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        df.select(*[f.name for f in schema.fields]).write.insertInto(name)
+        return QueryResult(
+            [], [], len(rows), message=f"inserted {len(rows)} row(s) into '{name}'"
+        )
+
+    def _parse_value_rows(self, text: str) -> list[list]:
+        rows, i, n = [], 0, len(text)
+        while i < n:
+            while i < n and text[i] in " \t\r\n,":
+                i += 1
+            if i >= n:
+                break
+            if text[i] != "(":
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT, f"expected '(' in VALUES at: {text[i:i+20]!r}"
+                )
+            depth, j = 0, i
+            while j < n:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif text[j] == "'":  # skip string literal
+                    j += 1
+                    while j < n and not (
+                        text[j] == "'" and (j + 1 >= n or text[j + 1] != "'")
+                    ):
+                        j += 2 if text[j] == "'" else 1
+                j += 1
+            row_text = text[i + 1 : j]
+            rows.append(self._parse_row_values(row_text))
+            i = j + 1
+        return rows
+
+    def _parse_row_values(self, row_text: str) -> list:
+        values = []
+        for tok in itypes.split_top_level(row_text):
+            tok = tok.strip()
+            m = self._VALUE_TOKEN.fullmatch(tok)
+            if not m:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    f"unsupported value literal {tok!r} (reference INSERT "
+                    "accepts literals, NULL, SYS_*, GENERATE_UUID only)",
+                )
+            if m.group("str") is not None:
+                values.append(m.group("str").replace("''", "'"))
+            elif m.group("num") is not None:
+                t = m.group("num")
+                values.append(float(t) if ("." in t or "e" in t.lower()) else int(t))
+            else:
+                kw = m.group("kw").upper()
+                values.append(
+                    None if kw == "NULL" else True if kw == "TRUE"
+                    else False if kw == "FALSE" else ("__GEN__", kw)
+                )
+        return values
+
+    def _validate_batch(self, rows, cols, field_by_name, nullability) -> list[str]:
+        violations = []
+        for ri, row in enumerate(rows):
+            if len(row) != len(cols):
+                violations.append(
+                    f"row {ri}: {len(row)} values for {len(cols)} columns"
+                )
+                continue
+            for c, v in zip(cols, row):
+                f = field_by_name[c]
+                if v is None:
+                    if not nullability.get(c, True):
+                        violations.append(f"row {ri}: NULL in NOT NULL column '{c}'")
+                    continue
+                if isinstance(v, tuple) and v and v[0] == "__GEN__":
+                    continue  # generator, typed at materialization
+                err = _cell_type_error(v, f.dataType)
+                if err:
+                    violations.append(f"row {ri}, column '{c}': {err}")
+        return violations
+
+    def _materialize_row(self, row: list) -> tuple:
+        import datetime as dt
+
+        out = []
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        for v in row:
+            if isinstance(v, tuple) and v and v[0] == "__GEN__":
+                kw = v[1]
+                if kw == "SYS_DATE":
+                    out.append(now.date())
+                elif kw == "SYS_TIME":
+                    # time convention: micros since midnight (types.py)
+                    out.append(
+                        (now.hour * 3600 + now.minute * 60 + now.second) * 1_000_000
+                        + now.microsecond
+                    )
+                elif kw == "SYS_TIMESTAMP":
+                    out.append(now)
+                else:  # GENERATE_UUID
+                    out.append(str(uuid_mod.uuid4()))
+            else:
+                out.append(v)
+        return tuple(out)
+
+    # --------------------------------------------- UPDATE / DELETE (CoW)
+    def _update(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$", sql, re.I | re.S
+        )
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        name = self._qualify(m.group(1))
+        sets, cond = m.group(2), m.group(3)
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        df = self.spark.table(name)
+        cond_col = F.expr(cond) if cond else F.lit(True)
+        n_hit = df.filter(cond_col).count()
+        for part in itypes.split_top_level(sets):
+            col, val = part.split("=", 1)
+            col = col.strip()
+            new_val = F.expr(val.strip())
+            df = df.withColumn(
+                col, F.when(cond_col, new_val.cast(dict(df.dtypes)[col])).otherwise(F.col(col))
+            )
+        self._rewrite_table(name, df)
+        return QueryResult([], [], n_hit, message=f"updated {n_hit} row(s)")
+
+    def _delete(self, sql: str) -> QueryResult:
+        m = re.match(r"DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+))?$", sql, re.I | re.S)
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        name = self._qualify(m.group(1))
+        cond = m.group(2)
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        df = self.spark.table(name)
+        cond_col = F.expr(cond) if cond else F.lit(True)
+        n_hit = df.filter(cond_col).count()
+        self._rewrite_table(name, df.filter(~cond_col))
+        return QueryResult([], [], n_hit, message=f"deleted {n_hit} row(s)")
+
+    def _rewrite_table(self, name: str, new_df: DataFrame) -> None:
+        """Copy-on-write rewrite via a staging table (Spark cannot overwrite
+        a Parquet table it is reading; Iceberg would make this one
+        snapshot commit — reference relies on DuckDB for the same ops)."""
+        staging = f"{name.split('.')[0]}.__staging_{name.split('.')[-1]}"
+        new_df.write.mode("overwrite").saveAsTable(staging)
+        staged = self.spark.table(staging)
+        staged.write.mode("overwrite").insertInto(name, overwrite=True)
+        self.spark.sql(f"DROP TABLE {staging}")
+
+    # ------------------------------------------------- SHOW / system views
+    def _show_databases(self) -> QueryResult:
+        dbs = sorted(d.name for d in self.spark.catalog.listDatabases())
+        return QueryResult(["database_name"], [(d,) for d in dbs], len(dbs))
+
+    def _show_tables(self, sql: str) -> QueryResult:
+        m = re.match(r"SHOW\s+TABLES(?:\s+(?:FROM|IN)\s+([\w]+))?\s*$", sql, re.I)
+        db = m.group(1) if m and m.group(1) else self.spark.catalog.currentDatabase()
+        if not self._db_exists(db):
+            raise RangerError(DATABASE_NOT_FOUND, f"database '{db}' not found")
+        ts = sorted(
+            t.name
+            for t in self.spark.catalog.listTables(db)
+            if not t.name.startswith("__staging_")
+        )
+        return QueryResult(
+            ["database_name", "table_name"], [(db, t) for t in ts], len(ts)
+        )
+
+    def _show_columns(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"(?:SHOW\s+COLUMNS\s+(?:FROM|IN)|DESCRIBE|DESC)\s+([\w.]+)\s*$", sql, re.I
+        )
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        name = self._qualify(m.group(1))
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        cols = self._column_info(name)
+        return QueryResult(
+            ["column_name", "data_type", "is_nullable", "ordinal_position"],
+            [(c, t, n, i + 1) for i, (c, t, n) in enumerate(cols)],
+            len(cols),
+        )
+
+    def _show_create_table(self, sql: str) -> QueryResult:
+        name = self._qualify(sql.split()[-1])
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        cols = self._column_info(name)
+        body = ",\n  ".join(
+            f"{c} {t}" + ("" if n else " NOT NULL") for c, t, n in cols
+        )
+        ddl = f"CREATE TABLE {name} (\n  {body}\n);"
+        return QueryResult(["create_table_ddl"], [(ddl,)], 1)
+
+    def _column_info(self, name: str) -> list[tuple[str, str, bool]]:
+        """(column, iceberg_type, nullable) — declared registry schema if the
+        table was created through the engine, else reverse-mapped."""
+        if name in self._schemas:
+            return self._schemas[name]
+        return [
+            (f.name, _spark_to_iceberg(f.dataType), f.nullable)
+            for f in self.spark.table(name).schema.fields
+        ]
+
+    def refresh_system_views(self) -> None:
+        """Register system_databases / system_tables / system_columns temp
+        views with the reference's column sets
+        (reference registry/system/views/*.sql)."""
+        cat = self.spark.catalog
+        dbs = [d.name for d in cat.listDatabases()]
+        tables = [
+            (db, t.name, t.tableType or "MANAGED", t.isTemporary)
+            for db in dbs
+            for t in cat.listTables(db)
+            if not t.name.startswith("__staging_") and not t.isTemporary
+        ]
+        db_rows = [
+            Row(
+                database_name=db,
+                is_system=False,
+                table_count=sum(1 for d, *_ in tables if d == db),
+            )
+            for db in dbs
+        ]
+        tbl_rows = [
+            Row(
+                database_name=db,
+                table_name=t,
+                table_type=tt,
+                is_temporary=tmp,
+            )
+            for db, t, tt, tmp in tables
+        ]
+        col_rows = [
+            Row(
+                database_name=db,
+                table_name=t,
+                column_name=c,
+                data_type=ty,
+                is_nullable=nu,
+                ordinal_position=i + 1,
+            )
+            for db, t, _, _ in tables
+            for i, (c, ty, nu) in enumerate(self._column_info(f"{db}.{t}"))
+        ]
+        s = self.spark
+        s.createDataFrame(
+            db_rows,
+            "database_name string, is_system boolean, table_count long",
+        ).createOrReplaceTempView("system_databases")
+        s.createDataFrame(
+            tbl_rows,
+            "database_name string, table_name string, table_type string, "
+            "is_temporary boolean",
+        ).createOrReplaceTempView("system_tables")
+        s.createDataFrame(
+            col_rows,
+            "database_name string, table_name string, column_name string, "
+            "data_type string, is_nullable boolean, ordinal_position int",
+        ).createOrReplaceTempView("system_columns")
+
+    # ------------------------------------------------------------- helpers
+    def _qualify(self, name: str) -> str:
+        if "." in name:
+            return name
+        return f"{self.spark.catalog.currentDatabase()}.{name}"
+
+    def _db_exists(self, name: str) -> bool:
+        return any(d.name == name for d in self.spark.catalog.listDatabases())
+
+    def _table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+
+def _coerce(v, dtype: st.DataType):
+    """Convert validated literals to the Python types createDataFrame
+    expects (ISO strings → date/datetime, integral floats → int, ...)."""
+    import datetime as dt
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(dtype, (st.IntegerType, st.LongType)) and isinstance(v, float):
+        return int(v)
+    if isinstance(dtype, (st.FloatType, st.DoubleType)) and isinstance(v, int):
+        return float(v)
+    if isinstance(dtype, st.DecimalType) and isinstance(v, (int, float)):
+        return decimal.Decimal(str(v))
+    if isinstance(dtype, st.DateType):
+        if isinstance(v, dt.datetime):
+            return v.date()
+        if isinstance(v, str):
+            return dt.date.fromisoformat(v)
+    if isinstance(dtype, (st.TimestampType, st.TimestampNTZType)) and isinstance(v, str):
+        return dt.datetime.fromisoformat(v)
+    if isinstance(dtype, st.BinaryType) and isinstance(v, str):
+        return v.encode("utf-8")
+    return v
+
+
+def _cell_type_error(v, dtype: st.DataType) -> str | None:
+    """Typed compat checks ≈ reference parquet/schema.go:463-694 (int32
+    accepts int; float64 accepts int/float-if-integral-ok; strict
+    otherwise)."""
+    import datetime as dt
+
+    if isinstance(dtype, (st.IntegerType, st.LongType)):
+        if isinstance(v, bool) or not isinstance(v, int):
+            if isinstance(v, float) and v.is_integer():
+                return None  # float64-if-integral accepted (reference)
+            return f"expected {dtype.simpleString()}, got {type(v).__name__} {v!r}"
+        if isinstance(dtype, st.IntegerType) and not (-(2**31) <= v < 2**31):
+            return f"int32 out of range: {v}"
+        return None
+    if isinstance(dtype, (st.FloatType, st.DoubleType)):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return f"expected {dtype.simpleString()}, got {type(v).__name__} {v!r}"
+        return None
+    if isinstance(dtype, st.BooleanType):
+        return None if isinstance(v, bool) else f"expected boolean, got {v!r}"
+    if isinstance(dtype, st.StringType):
+        return None if isinstance(v, str) else f"expected string, got {v!r}"
+    if isinstance(dtype, st.DateType):
+        if isinstance(v, (dt.date, dt.datetime)):
+            return None
+        if isinstance(v, str):
+            try:
+                dt.date.fromisoformat(v)
+                return None
+            except ValueError:
+                return f"invalid date literal {v!r}"
+        return f"expected date, got {v!r}"
+    if isinstance(dtype, (st.TimestampType, st.TimestampNTZType)):
+        if isinstance(v, dt.datetime):
+            return None
+        if isinstance(v, str):
+            try:
+                dt.datetime.fromisoformat(v)
+                return None
+            except ValueError:
+                return f"invalid timestamp literal {v!r}"
+        return f"expected timestamp, got {v!r}"
+    if isinstance(dtype, st.DecimalType):
+        return (
+            None
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+            else f"expected decimal, got {v!r}"
+        )
+    if isinstance(dtype, st.BinaryType):
+        return None if isinstance(v, (bytes, str)) else f"expected binary, got {v!r}"
+    return None
+
+
+def _spark_to_iceberg(t: st.DataType) -> str:
+    m = {
+        "boolean": "boolean",
+        "int": "int32",
+        "bigint": "int64",
+        "float": "float32",
+        "double": "float64",
+        "string": "string",
+        "binary": "binary",
+        "date": "date",
+        "timestamp": "timestamptz",
+        "timestamp_ntz": "timestamp",
+    }
+    s = t.simpleString()
+    if s in m:
+        return m[s]
+    if isinstance(t, st.DecimalType):
+        return f"decimal({t.precision},{t.scale})"
+    if isinstance(t, st.ArrayType):
+        return f"list<{_spark_to_iceberg(t.elementType)}>"
+    if isinstance(t, st.MapType):
+        return f"map<{_spark_to_iceberg(t.keyType)},{_spark_to_iceberg(t.valueType)}>"
+    if isinstance(t, st.StructType):
+        inner = ",".join(f"{f.name}:{_spark_to_iceberg(f.dataType)}" for f in t.fields)
+        return f"struct<{inner}>"
+    return s

@@ -1,0 +1,133 @@
+"""Statement router — the reference's parser *gate*, not its parser.
+
+The reference classifies every statement with a hand-written parser and
+routes: DDL/SHOW/USE natively, SELECT-family as raw SQL to DuckDB, and
+errors for everything else (reference server/query/engine.go:121-144,
+parser dispatch server/query/parser/parser.go:1130-1182). Spark SQL parses
+SQL itself, so our router only needs the reference's *routing semantics*:
+
+- every statement must end with ';' (parser.go:1125-1127);
+- statement-kind classification from the leading keywords;
+- reference-compatible "unsupported statement" behavior for the parse-only
+  surface (ALTER, cursors, procedures, GRANT/REVOKE, indexes);
+- BEGIN/COMMIT/ROLLBACK accepted as no-ops (parser.go:2636-2653).
+
+``strict`` mode replicates the reference gate exactly (rejects WITH, which
+is whitelisted for DuckDB but unparseable by the reference —
+engine.go:57 vs parser.go:1130-1182); the default accepts Spark SQL's
+superset (SURVEY §7 hard-part 3: accept-superset, recorded here).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from enum import Enum
+
+from ranger_spark.errors import (
+    EMPTY_STATEMENT,
+    MISSING_SEMICOLON,
+    UNSUPPORTED_STATEMENT,
+    RangerError,
+)
+
+
+class StmtKind(Enum):
+    SELECT = "select"
+    WITH_SELECT = "with_select"
+    INSERT = "insert"
+    UPDATE = "update"
+    DELETE = "delete"
+    EXPLAIN = "explain"
+    CREATE_TABLE = "create_table"
+    CREATE_DATABASE = "create_database"
+    DROP_TABLE = "drop_table"
+    DROP_DATABASE = "drop_database"
+    USE = "use"
+    SHOW_DATABASES = "show_databases"
+    SHOW_TABLES = "show_tables"
+    SHOW_COLUMNS = "show_columns"
+    SHOW_CREATE_TABLE = "show_create_table"
+    DESCRIBE = "describe"
+    TXN_NOOP = "txn_noop"  # BEGIN/COMMIT/ROLLBACK
+    PARSE_ONLY = "parse_only"  # GRANT/REVOKE/users/indexes/cursors/procedures
+    ALTER = "alter"  # parsed, not executable in the reference
+
+
+@dataclass
+class Routed:
+    kind: StmtKind
+    sql: str  # statement text without the trailing semicolon
+
+
+_PARSE_ONLY = re.compile(
+    r"^(GRANT|REVOKE|CREATE\s+USER|DROP\s+USER|ALTER\s+USER|CREATE\s+INDEX"
+    r"|DROP\s+INDEX|DECLARE|OPEN|FETCH|CLOSE|DEALLOCATE|WHILE|PRINT|EXEC"
+    r"|CREATE\s+PROCEDURE)\b",
+    re.I,
+)
+
+
+def route(statement: str, strict: bool = False) -> Routed:
+    """Classify one statement; raise RangerError for gate violations."""
+    s = statement.strip()
+    if not s:
+        raise RangerError(EMPTY_STATEMENT, "empty statement")
+    if not s.endswith(";"):
+        raise RangerError(
+            MISSING_SEMICOLON, "statement must end with a semicolon", sql=s[:80]
+        )
+    s = s[:-1].strip()
+    up = re.sub(r"\s+", " ", s.upper())
+
+    def m(prefix: str) -> bool:
+        return up.startswith(prefix)
+
+    if m("SELECT"):
+        return Routed(StmtKind.SELECT, s)
+    if m("WITH"):
+        if strict:
+            # the reference's gate has no WITH case → parse failure
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: WITH (reference gate rejects CTEs)",
+            )
+        return Routed(StmtKind.WITH_SELECT, s)
+    if m("INSERT"):
+        return Routed(StmtKind.INSERT, s)
+    if m("UPDATE"):
+        return Routed(StmtKind.UPDATE, s)
+    if m("DELETE"):
+        return Routed(StmtKind.DELETE, s)
+    if m("EXPLAIN"):
+        return Routed(StmtKind.EXPLAIN, s)
+    if m("CREATE TABLE"):
+        return Routed(StmtKind.CREATE_TABLE, s)
+    if m("CREATE DATABASE") or m("CREATE NAMESPACE") or m("CREATE SCHEMA"):
+        return Routed(StmtKind.CREATE_DATABASE, s)
+    if m("DROP TABLE"):
+        return Routed(StmtKind.DROP_TABLE, s)
+    if m("DROP DATABASE") or m("DROP NAMESPACE") or m("DROP SCHEMA"):
+        return Routed(StmtKind.DROP_DATABASE, s)
+    if m("USE "):
+        return Routed(StmtKind.USE, s)
+    if m("SHOW DATABASES") or m("SHOW NAMESPACES"):
+        return Routed(StmtKind.SHOW_DATABASES, s)
+    if m("SHOW TABLES"):
+        return Routed(StmtKind.SHOW_TABLES, s)
+    if m("SHOW COLUMNS"):
+        return Routed(StmtKind.SHOW_COLUMNS, s)
+    if m("SHOW CREATE TABLE"):
+        return Routed(StmtKind.SHOW_CREATE_TABLE, s)
+    if m("DESCRIBE") or m("DESC "):
+        return Routed(StmtKind.DESCRIBE, s)
+    if up in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):
+        return Routed(StmtKind.TXN_NOOP, s)
+    if m("ALTER"):
+        # reference: parsed but no engine case → "unsupported statement type"
+        return Routed(StmtKind.ALTER, s)
+    if _PARSE_ONLY.match(up):
+        return Routed(StmtKind.PARSE_ONLY, s)
+    raise RangerError(
+        UNSUPPORTED_STATEMENT, f"unsupported statement type: {up.split(' ')[0]}"
+    )

@@ -1,0 +1,173 @@
+"""End-to-end engine tests (≈ reference server/query/engine_test.go:
+construct engine, run statements, assert routing/results/errors)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ranger_spark.errors import RangerError
+
+
+@pytest.fixture(scope="module", autouse=True)
+def db(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS etest;")
+    engine.execute("USE etest;")
+    yield
+    engine.spark.sql("DROP DATABASE IF EXISTS etest CASCADE")
+
+
+def test_create_insert_select(engine):
+    engine.execute("DROP TABLE IF EXISTS users;")
+    r = engine.execute(
+        "CREATE TABLE users (id int32 NOT NULL, name string, "
+        "bal float64, created date);"
+    )
+    assert "created" in r.message
+    r = engine.execute(
+        "INSERT INTO users (id, name, bal, created) VALUES "
+        "(1, 'alice', 10.5, '2024-01-02'), (2, 'bob', NULL, '2024-02-03');"
+    )
+    assert r.row_count == 2
+    r = engine.execute("SELECT name FROM users WHERE id = 1;")
+    assert r.rows == [("alice",)]
+    assert r.query_id
+
+
+def test_create_if_not_exists_and_duplicate(engine):
+    engine.execute("CREATE TABLE IF NOT EXISTS dup_t (a int32);")
+    engine.execute("CREATE TABLE IF NOT EXISTS dup_t (a int32);")  # no error
+    with pytest.raises(RangerError) as ei:
+        engine.execute("CREATE TABLE dup_t (a int32);")
+    assert ei.value.code == "engine.already_exists"
+
+
+def test_legacy_type_rejected_in_ddl(engine):
+    with pytest.raises(RangerError) as ei:
+        engine.execute("CREATE TABLE bad_t (id INT);")
+    assert "Use Iceberg type 'int32' instead" in str(ei.value)
+
+
+def test_insert_batch_reject_on_any_violation(engine):
+    engine.execute("DROP TABLE IF EXISTS strict_t;")
+    engine.execute("CREATE TABLE strict_t (id int32 NOT NULL, name string);")
+    # one bad row poisons the whole batch (reference storage.go:440-465)
+    with pytest.raises(RangerError) as ei:
+        engine.execute(
+            "INSERT INTO strict_t (id, name) VALUES (1, 'ok'), (NULL, 'bad');"
+        )
+    assert ei.value.code == "storage.validation_failed"
+    assert engine.execute("SELECT count(*) AS n FROM strict_t;").rows == [(0,)]
+    # type mismatch also rejects
+    with pytest.raises(RangerError):
+        engine.execute("INSERT INTO strict_t (id, name) VALUES ('x', 'bad');")
+
+
+def test_insert_generators(engine):
+    engine.execute("DROP TABLE IF EXISTS gen_t;")
+    engine.execute(
+        "CREATE TABLE gen_t (id int32, u uuid, d date, ts timestamptz);"
+    )
+    engine.execute(
+        "INSERT INTO gen_t (id, u, d, ts) VALUES "
+        "(1, GENERATE_UUID, SYS_DATE, SYS_TIMESTAMP);"
+    )
+    (row,) = engine.execute("SELECT u, d, ts FROM gen_t;").rows
+    assert len(row[0]) == 36 and row[0].count("-") == 4
+    assert row[1] is not None and row[2] is not None
+
+
+def test_update_delete_cow(engine):
+    engine.execute("DROP TABLE IF EXISTS cow_t;")
+    engine.execute("CREATE TABLE cow_t (id int32, v string);")
+    engine.execute(
+        "INSERT INTO cow_t (id, v) VALUES (1, 'a'), (2, 'b'), (3, 'c');"
+    )
+    r = engine.execute("UPDATE cow_t SET v = 'z' WHERE id >= 2;")
+    assert r.row_count == 2
+    assert sorted(engine.execute("SELECT id, v FROM cow_t;").rows) == [
+        (1, "a"),
+        (2, "z"),
+        (3, "z"),
+    ]
+    r = engine.execute("DELETE FROM cow_t WHERE id = 1;")
+    assert r.row_count == 1
+    assert sorted(engine.execute("SELECT id FROM cow_t;").rows) == [(2,), (3,)]
+
+
+def test_show_and_describe(engine):
+    engine.execute("DROP TABLE IF EXISTS show_t;")
+    engine.execute(
+        "CREATE TABLE show_t (id int64 NOT NULL, tags list<string>, "
+        "meta struct<k:string,v:int32>);"
+    )
+    dbs = engine.execute("SHOW DATABASES;")
+    assert ("etest",) in dbs.rows
+    tabs = engine.execute("SHOW TABLES;")
+    assert ("etest", "show_t") in tabs.rows
+    cols = engine.execute("SHOW COLUMNS FROM show_t;")
+    by_name = {r[0]: r for r in cols.rows}
+    assert by_name["id"][1] == "int64" and by_name["id"][2] is False
+    assert by_name["tags"][1] == "list<string>"
+    ddl = engine.execute("SHOW CREATE TABLE show_t;").rows[0][0]
+    assert "id int64 NOT NULL" in ddl and "struct<k:string,v:int32>" in ddl
+
+
+def test_system_views(engine):
+    r = engine.execute(
+        "SELECT database_name, table_count FROM system.databases "
+        "WHERE database_name = 'etest';"
+    )
+    assert r.row_count == 1 and r.rows[0][1] >= 1
+    r = engine.execute(
+        "SELECT column_name, data_type FROM system.columns "
+        "WHERE table_name = 'show_t' ORDER BY ordinal_position;"
+    )
+    assert r.rows[0][0] == "id"
+
+
+def test_use_unknown_database(engine):
+    with pytest.raises(RangerError) as ei:
+        engine.execute("USE does_not_exist;")
+    assert ei.value.code == "engine.database_not_found"
+
+
+def test_txn_noops(engine):
+    assert "no-op" in engine.execute("BEGIN;").message
+    assert "no-op" in engine.execute("COMMIT;").message
+
+
+def test_alter_unsupported(engine):
+    with pytest.raises(RangerError) as ei:
+        engine.execute("ALTER TABLE users DROP COLUMN name;")
+    assert ei.value.code == "engine.unsupported_statement_type"
+
+
+def test_explain(engine):
+    r = engine.execute("EXPLAIN SELECT id FROM users WHERE id = 1;")
+    assert r.row_count >= 1
+
+
+def test_result_cap(engine):
+    import ranger_spark.engine as em
+
+    old = em.RESULT_CAP
+    em.RESULT_CAP = 5
+    try:
+        r = engine.execute("SELECT * FROM range(10);")
+        assert r.row_count == 5 and r.truncated and "truncated" in r.message
+    finally:
+        em.RESULT_CAP = old
+
+
+def test_partitioned_create(engine):
+    engine.execute("DROP TABLE IF EXISTS part_t;")
+    engine.execute(
+        "CREATE TABLE part_t (id int64, region string, amount float64) "
+        "PARTITION BY (region) SETTINGS write.format = 'parquet';"
+    )
+    engine.execute(
+        "INSERT INTO part_t (id, region, amount) VALUES "
+        "(1, 'eu', 1.0), (2, 'us', 2.0);"
+    )
+    r = engine.execute("SELECT region, amount FROM part_t WHERE region = 'eu';")
+    assert r.rows == [("eu", 1.0)]

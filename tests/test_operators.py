@@ -1,0 +1,125 @@
+"""Operator-level tests: dedup invariants, IVF recall vs brute force,
+multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_exact_dedup_keeps_one_per_group(spark):
+    from ranger_spark.operators.dedup import exact_dedup_groups, exact_dedup_keep
+
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "hello, world!"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    groups = exact_dedup_groups(df, "doc_id", "text").collect()
+    # normalization makes rows 1 and 2 the same group; min id kept
+    by_keeper = {r.keeper_id: r.dup_count for r in groups}
+    assert by_keeper == {1: 2, 3: 1}
+    kept = exact_dedup_keep(df, "doc_id", "text")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_identical_docs_collide(spark):
+    from ranger_spark.operators.dedup import minhash_lsh_dedup
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely unrelated words about spark engines here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard == 1.0
+
+
+def test_simhash_close_for_similar(spark):
+    from ranger_spark.operators.dedup import hamming32, simhash_signatures
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = simhash_signatures(df, "doc_id", "text")
+    a = sig.alias("a").join(sig.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+    d = {
+        (r.ida, r.idb): r.h
+        for r in a.select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            hamming32(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+        ).collect()
+    }
+    assert d[(1, 2)] < d[(1, 3)]
+    assert d[(1, 2)] < d[(2, 3)]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from ranger_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(q, e, k=10).collect()
+    approx = ivf_topk(q, e, k=10, nprobe=5).collect()
+    exact_set = {(r.q_id, r.vec_id) for r in exact}
+    approx_set = {(r.q_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random embeddings + label cells → recall is whatever nprobe/cells
+    # delivers; assert the harness wiring (shape + a sane floor)
+    assert len(approx_set) == len(exact_set)
+    assert recall >= 0.3
+
+
+def test_brute_force_topk_ranks_are_dense(spark):
+    from ranger_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = brute_force_topk(e.filter(F.col("vec_id") == 0), e, k=5).collect()
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+    assert all(r.vec_id != 0 for r in out)
+
+
+def test_multimodal_decode_plumbing(spark):
+    from ranger_spark.operators.multimodal import decode_features, with_payload_meta
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    meta = with_payload_meta(d, "text")
+    row = meta.select("byte_len", "checksum", "mime", "payload").first()
+    assert row.byte_len == len(row.payload)
+    assert row.mime == "text/plain"
+    feats = decode_features(d, "doc_id", "text")
+    assert feats.columns == ["doc_id", "width", "height", "n_frames", "format"]
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(64 <= r.width <= 319 and r.format in ("png", "jpeg", "webp") for r in rows)
+    # deterministic: same input → same fake features
+    again = {r.doc_id: (r.width, r.height) for r in decode_features(d, "doc_id", "text").collect()}
+    assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
+
+
+def test_real_decoder_is_explicit_stub():
+    import pytest
+
+    from ranger_spark.operators.multimodal import FakeDecoder
+
+    with pytest.raises(NotImplementedError):
+        FakeDecoder.decode(b"\x89PNG")
+
+
+def test_lang_id_prefers_matching_stopwords(spark):
+    from ranger_spark.operators.text import lang_id, normalize_text, tokenize
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here"), (2, "der hund und die katze ist da"),
+         (3, "xyz qqq zzz")],
+        ["id", "text"],
+    )
+    out = {
+        r.id: r.lang
+        for r in df.select(
+            "id", lang_id(tokenize(normalize_text(F.col("text")))).alias("lang")
+        ).collect()
+    }
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
