@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from ranger_spark.errors import RangerError
+from ranger_spark.sources.files import avro_available, ingest_file, read_file
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def fdb(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS ftest;")
+    yield
+    engine.spark.sql("DROP DATABASE IF EXISTS ftest CASCADE")
+
+
+def test_read_parquet(spark):
+    df = read_file(spark, f"{SF_DIR}/region.parquet", "parquet")
+    assert df.count() == 5
+
+
+def test_ingest_csv_roundtrip(spark):
+    tmp = Path(tempfile.mkdtemp(prefix="src_csv_"))
+    (tmp / "data.csv").write_text("id,name\n1,a\n2,b\n")
+    n = ingest_file(spark, str(tmp / "data.csv"), "csv", "ftest.from_csv", create=True)
+    assert n == 2
+    assert sorted(r.name for r in spark.table("ftest.from_csv").collect()) == ["a", "b"]
+    # append a second time
+    n = ingest_file(spark, str(tmp / "data.csv"), "csv", "ftest.from_csv")
+    assert spark.table("ftest.from_csv").count() == 4
+
+
+def test_ingest_json(spark):
+    tmp = Path(tempfile.mkdtemp(prefix="src_json_"))
+    (tmp / "d.json").write_text('{"id": 1, "v": 2.5}\n{"id": 2, "v": 3.5}\n')
+    ingest_file(spark, str(tmp / "d.json"), "json", "ftest.from_json", create=True)
+    assert spark.table("ftest.from_json").count() == 2
+
+
+def test_unknown_format(spark):
+    with pytest.raises(RangerError):
+        read_file(spark, "/tmp/x", "xml")
+
+
+def test_avro_gated(spark):
+    if avro_available(spark):
+        pytest.skip("avro module present")
+    with pytest.raises(RangerError) as ei:
+        read_file(spark, "/tmp/x.avro", "avro")
+    assert "spark-avro" in str(ei.value)

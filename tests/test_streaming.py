@@ -1,0 +1,159 @@
+"""Structured Streaming tests: file ingest with CDC feed, watermarked
+windows, streaming dedup (availableNow triggers → deterministic drains)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import time
+from pathlib import Path
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _drain(query, timeout=60):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+@pytest.fixture(scope="module", autouse=True)
+def sdb(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS stest;")
+    yield
+    engine.spark.sql("DROP DATABASE IF EXISTS stest CASCADE")
+
+
+def test_stream_ingest_with_cdc(spark, engine):
+    from ranger_spark.streaming.ingest import read_cdc_since, stream_ingest
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_src_"))
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    engine.execute("DROP TABLE IF EXISTS stest.ingested;")
+    engine.execute(
+        "CREATE TABLE stest.ingested "
+        "(event_id int64, user_id int64, event_type string, value float64);"
+    )
+    for i in range(3):
+        with open(tmp / f"f{i}.json", "w") as f:
+            for j in range(10):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": i * 10 + j,
+                            "user_id": j % 3,
+                            "event_type": "click",
+                            "value": float(j),
+                        }
+                    )
+                    + "\n"
+                )
+    q = stream_ingest(
+        spark,
+        str(tmp),
+        EVENT_SCHEMA,
+        "stest.ingested",
+        ckpt,
+        max_files_per_trigger=1,
+        cdc_table="stest.cdc_log",
+    )
+    _drain(q)
+    assert spark.table("stest.ingested").count() == 30
+    cdc = read_cdc_since(spark, "stest.cdc_log").collect()
+    assert sum(r.row_count for r in cdc) == 30
+    assert all(r.op == "INSERT" and r.table_name == "stest.ingested" for r in cdc)
+    # incremental subscriber: nothing new after the max seen batch
+    last = max(r.batch_id for r in cdc)
+    assert read_cdc_since(spark, "stest.cdc_log", last).count() == 0
+
+
+def test_windowed_counts_stream(spark):
+    from ranger_spark.streaming.ingest import windowed_counts
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_win_"))
+    with open(tmp / "events.json", "w") as f:
+        for h, n in [(0, 3), (1, 2)]:
+            for i in range(n):
+                f.write(
+                    json.dumps(
+                        {
+                            "ts": f"2024-01-01T0{h}:1{i}:00.000Z",
+                            "event_type": "view",
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(tmp))
+    out = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    # complete mode: append-mode emission waits for the watermark to pass a
+    # window's end, which a single availableNow drain never does
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.window_start.hour: r.cnt for r in spark.table("win_counts").collect()}
+    assert rows == {0: 3, 1: 2}
+
+
+def test_streaming_dedup(spark):
+    from ranger_spark.streaming.ingest import streaming_dedup
+
+    tmp = Path(tempfile.mkdtemp(prefix="stream_dd_"))
+    docs = [
+        {"ts": "2024-01-01T00:00:00.000Z", "doc_id": 1, "text": "Hello World"},
+        {"ts": "2024-01-01T00:01:00.000Z", "doc_id": 2, "text": "hello, world!"},
+        {"ts": "2024-01-01T00:02:00.000Z", "doc_id": 3, "text": "fresh content"},
+    ]
+    with open(tmp / "docs.json", "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(tmp))
+    deduped = streaming_dedup(stream, "ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    kept = sorted(r.doc_id for r in spark.table("dd_out").collect())
+    # docs 1 and 2 normalize identically → one survives; 3 survives
+    assert len(kept) == 2 and 3 in kept
