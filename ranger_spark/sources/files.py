@@ -2,10 +2,11 @@
 to catalog tables (≈ the reference's ingest tool, which reads Parquet/Avro
 fixtures into tables — reference scripts/testing/ingest/main.go).
 
-Avro: the spark-avro datasource module is not on this container's
-classpath (it is external since Spark 2.4), so `read_file` gates it behind
-a capability check instead of failing mid-job; deployments add
-``org.apache.spark:spark-avro_2.13`` and it lights up with no code change.
+Avro: the spark-avro classes ship in this container but the short
+``avro`` alias is not service-registered, so the reader resolves the full
+class name when the classes are present and raises a clear capability
+error otherwise (deployments with ``org.apache.spark:spark-avro_2.13``
+properly registered work either way).
 
 Scale notes: ingestion is a plain distributed read → validated append;
 ``schema`` should be passed for CSV/JSON at scale (inference is an extra
@@ -47,12 +48,14 @@ def read_file(
             UNSUPPORTED_STATEMENT,
             f"unsupported ingest format {fmt!r}; one of {FORMATS}",
         )
-    if fmt == "avro" and not avro_available(spark):
-        raise RangerError(
-            UNSUPPORTED_STATEMENT,
-            "avro requires the external spark-avro module "
-            "(org.apache.spark:spark-avro_2.13) on the classpath",
-        )
+    if fmt == "avro":
+        if not avro_available(spark):
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "avro requires the external spark-avro module "
+                "(org.apache.spark:spark-avro_2.13) on the classpath",
+            )
+        fmt = "org.apache.spark.sql.avro.AvroFileFormat"
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -45,9 +45,15 @@ def test_unknown_format(spark):
         read_file(spark, "/tmp/x", "xml")
 
 
-def test_avro_gated(spark):
-    if avro_available(spark):
-        pytest.skip("avro module present")
-    with pytest.raises(RangerError) as ei:
-        read_file(spark, "/tmp/x.avro", "avro")
-    assert "spark-avro" in str(ei.value)
+def test_avro_roundtrip_or_gated(spark):
+    if not avro_available(spark):
+        with pytest.raises(RangerError) as ei:
+            read_file(spark, "/tmp/x.avro", "avro")
+        assert "spark-avro" in str(ei.value)
+        return
+    tmp = tempfile.mkdtemp(prefix="src_avro_")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]).write.format(
+        "org.apache.spark.sql.avro.AvroFileFormat"
+    ).mode("overwrite").save(tmp)
+    df = read_file(spark, tmp, "avro")
+    assert sorted(r.name for r in df.collect()) == ["a", "b"]
