@@ -63,27 +63,65 @@ def exact_dedup_keep(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Affine minhash family over a 32-bit md5 base hash: h_i = (a_i*h + b_i) % P.
+# One md5 per shingle (not per shingle × per hash); a_i < 2^31 and h < 2^32
+# keep a_i*h inside signed-64 range. Constants are fixed (seeded once) so
+# Spark and the SQL oracle compute identical signatures.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, 2**31 - 1), rng.randrange(0, 2**32))
+        for _ in range(num_hashes)
+    ]
+
+
+def base_hash32(col: Column) -> Column:
+    """32-bit base hash: first 8 hex chars of md5 (cross-engine stable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def shingle_df(
     df: DataFrame, id_col: str, text_col: str, k: int = 2
 ) -> DataFrame:
-    """(id, shingle) pairs — distinct k-word shingles of normalized text."""
-    return df.select(
+    """(id, sh_hash) pairs — distinct k-word shingles of normalized text,
+    carried as 32-bit hashes so every downstream join/shuffle moves 8-byte
+    longs instead of shingle strings.
+
+    The token array is materialized as its own projection BEFORE the
+    shingle transform: Catalyst does not common-subexpression-eliminate
+    through higher-order-function lambdas, so inlining tokenize() there
+    would re-run the regex pipeline for every element_at() (measured 10×
+    slowdown). The repartition spreads the explode across cores when the
+    source is a single small file; on a real partitioned table it is a
+    cheap pre-explode rebalance of raw text."""
+    toks = df.select(
         F.col(id_col),
-        F.explode(word_shingles(tokenize(normalize_text(F.col(text_col))), k)).alias(
-            "shingle"
-        ),
-    )
+        tokenize(normalize_text(F.col(text_col))).alias("__toks"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    return toks.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col("__toks"), k)).alias("shingle"),
+    ).select(id_col, base_hash32(F.col("shingle")).alias("sh_hash"))
 
 
 def minhash_signatures(
     sh: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
     """k independent minhashes per doc in ONE aggregation (k min() columns
-    over seeded md5 hashes — no k-way explode, shuffle is O(docs × k × 8B))."""
+    over affine transforms of the base hash — no k-way explode; the
+    shuffle is O(docs × k × 8B))."""
+    params = _affine_params(num_hashes)
     return sh.groupBy(id_col).agg(
         *[
-            F.min(hash64(F.col("shingle"), seed=i)).alias(f"mh_{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * F.col("sh_hash") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(params)
         ]
     )
 
@@ -131,14 +169,14 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via two semi-scoped joins on the
-    shingle table (only candidates pay the verification cost)."""
+    """Exact Jaccard (over hashed shingle sets) for candidate pairs via two
+    joins on the shingle table — only candidates pay verification cost."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "sh_hash")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "sh_hash")
     inter = (
         pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
+        .join(sh_b, ["id_b", "sh_hash"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -166,10 +204,22 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
-    pairs → exact-Jaccard verify → pairs ≥ threshold."""
-    sh = shingle_df(df, id_col, text_col, shingle_k)
+    pairs → exact-Jaccard verify → pairs ≥ threshold.
+
+    The shingle table feeds three DAG branches (signatures + both sides of
+    the verify join) and the band table feeds a self-join, so both are
+    persisted (memory-and-disk: at 100 TB these are the intermediates you
+    would materialize to a scratch table anyway)."""
+    from pyspark import StorageLevel
+
+    sh = shingle_df(df, id_col, text_col, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
+    bands_df = lsh_bands(sig, id_col, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(bands_df, id_col)
     verified = jaccard_verify(cands, sh, id_col)
     return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
 

@@ -106,10 +106,14 @@ def lang_id(tokens: Column) -> Column:
     return result
 
 
-def quality_metrics(col: Column) -> dict[str, Column]:
+def quality_metrics(col: Column, toks: Column | None = None) -> dict[str, Column]:
     """Quality-scoring signals: token stats, punctuation/digit/whitespace
-    ratios, mean word length. Returns named Columns (caller aliases)."""
-    toks = tokenize(col)
+    ratios, mean word length. Returns named Columns (caller aliases).
+
+    Pass a *materialized* token-array column as ``toks`` when computing
+    several metrics at once — the expressions reference the token array
+    multiple times and Catalyst does not CSE repeated tokenize() chains."""
+    toks = tokenize(col) if toks is None else toks
     n_chars = F.length(col)
     non_alnum = F.length(F.regexp_replace(col, "[a-z0-9 ]", ""))
     return {

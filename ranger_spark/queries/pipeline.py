@@ -60,8 +60,11 @@ _R = _NUM_HASHES // _BANDS
 
 
 def _minhash_oracle() -> str:
+    from ranger_spark.operators.dedup import MINHASH_PRIME, _affine_params
+
     mins = ",\n           ".join(
-        f"min({_hash64_sql('shingle', i)}) AS mh_{i}" for i in range(_NUM_HASHES)
+        f"min(({a} * sh_hash + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(_affine_params(_NUM_HASHES))
     )
     band_parts = []
     for b in range(_BANDS):
@@ -72,9 +75,13 @@ def _minhash_oracle() -> str:
     band_selects = "\n      UNION ALL\n      ".join(band_parts)
     return f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS shingle
       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM sh0
     ),
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
     bands AS (
@@ -90,7 +97,7 @@ def _minhash_oracle() -> str:
       SELECT c.id_a, c.id_b, count(*) AS n_inter
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh_hash = sa.sh_hash
       GROUP BY c.id_a, c.id_b
     )
     SELECT i.id_a, i.id_b,
@@ -187,8 +194,10 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals (length/punct/stopword ratios)."""
-    d = load(spark, sf_dir, "documents")
-    m = T.quality_metrics(F.col("text"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", T.tokenize(T.normalize_text(F.col("text"))).alias("__toks")
+    )
+    m = T.quality_metrics(F.col("text"), toks=F.col("__toks"))
     return d.select("doc_id", *[c.alias(n) for n, c in m.items()])
 
 
@@ -215,9 +224,10 @@ def _lang_oracle() -> str:
 @register("text_lang_id", oracle=_lang_oracle(), tags=("text", "langid"))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID next to the ground-truth lang column."""
-    d = load(spark, sf_dir, "documents")
-    toks = T.tokenize(T.normalize_text(F.col("text")))
-    return d.select("doc_id", "lang", T.lang_id(toks).alias("lang_pred"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.tokenize(T.normalize_text(F.col("text"))).alias("__toks")
+    )
+    return d.select("doc_id", "lang", T.lang_id(F.col("__toks")).alias("lang_pred"))
 
 
 @register(
