@@ -46,6 +46,7 @@ _MODULES = (
     "ranger_spark.queries.core_sql",
     "ranger_spark.queries.analytics",
     "ranger_spark.queries.pipeline",
+    "ranger_spark.queries.tpch_like",
 )
 
 
