@@ -224,6 +224,58 @@ def minhash_lsh_dedup(
     return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
 
 
+def ngram_jaccard_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_k: int = 2,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard between all document pairs sharing a blocking
+    key: inverted-index join on (block, shingle-hash) so cost is
+    Σ_shingle df² *within blocks*, never all-pairs. The scale path for
+    unblocked corpora is the MinHash-LSH pipeline (candidates there are
+    similarity-bounded); this operator is the exact, block-scoped variant.
+    """
+    sh = shingle_df(df, id_col, text_col, shingle_k).join(
+        df.select(id_col, *block_cols), id_col
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), *block_cols, "sh_hash"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), *block_cols, "sh_hash"
+    )
+    inter = (
+        a.join(b, [*block_cols, "sh_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -238,6 +238,71 @@ def events_daily_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_value_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE over a full-partition frame
+    (the last third of the reference's dead window-function list)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+    )
+
+
+@register(
+    "percentiles_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6)        AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6)   AS p90_price,
+           quantile_disc(l_quantity, 0.25)                 AS q1_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("percentile", "agg"),
+)
+def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT / PERCENTILE_DISC (named in the reference's dead
+    dispatch branch; executable here). Exact percentiles — at 100 TB the
+    approx_percentile sketch is the scale path; this is the exact
+    semantics both engines agree on."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "q1_qty_disc"
+            ),
+        )
+    )
+
+
+@register(
     "rollup_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -123,6 +123,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, lang, source, concat_ws(' ', t[i], t[i+1]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sh AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM sh0
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= 0.05
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard within (lang, source) blocks."""
+    return D.ngram_jaccard_blocked(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_cols=["lang", "source"],
+        shingle_k=2,
+        threshold=0.05,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash signatures
 # ---------------------------------------------------------------------------

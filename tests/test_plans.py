@@ -1,0 +1,54 @@
+"""Plan-quality regression tests: assert Catalyst keeps doing what the
+100 TB design depends on — pushdown, pruning, broadcast of fixed-size
+dims, bounded shuffle counts."""
+
+from __future__ import annotations
+
+from ranger_spark.plans.inspect import (
+    join_strategies,
+    num_exchanges,
+    pushed_filters,
+    read_schemas,
+)
+from ranger_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+
+def test_q1_filter_reaches_scan(spark):
+    df = load_all()["q1_pricing_summary"].builder(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f and "LessThanOrEqual" in f for f in pf), pf
+
+
+def test_q1_column_pruning(spark):
+    df = load_all()["q1_pricing_summary"].builder(spark, SF_DIR)
+    (schema,) = read_schemas(df)
+    # only the 7 needed columns are read, not all 11
+    assert schema.count(":") == 7 and "l_orderkey" not in schema, schema
+
+
+def test_q5_broadcasts_fixed_dims(spark):
+    df = load_all()["q5_region_revenue"].builder(spark, SF_DIR)
+    js = join_strategies(df)
+    assert js["BroadcastHashJoin"] >= 2, js
+    assert js["CartesianProduct"] == 0 and js["BroadcastNestedLoopJoin"] == 0, js
+
+
+def test_q1_single_shuffle(spark):
+    df = load_all()["q1_pricing_summary"].builder(spark, SF_DIR)
+    # partial agg → one exchange → final agg
+    assert num_exchanges(df) == 1
+
+
+def test_semi_join_for_in_subquery(spark):
+    df = load_all()["in_subquery"].builder(spark, SF_DIR)
+    plan = str(df._jdf.queryExecution().executedPlan())
+    assert "LeftSemi" in plan
+
+
+def test_scalar_subquery_no_cartesian_blowup(spark):
+    df = load_all()["scalar_subquery"].builder(spark, SF_DIR)
+    js = join_strategies(df)
+    # 1-row aggregate side → broadcast nested loop is fine; a shuffled
+    # cartesian over the full table is not
+    assert js["CartesianProduct"] == 0, js
