@@ -79,6 +79,70 @@ def with_payload_meta(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_bytes", IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+
+def resize_stub(df: DataFrame, id_col: str, text_col: str, target: int = 224) -> DataFrame:
+    """Resize plumbing: mapInPandas that would call PIL's resize; the fake
+    derives output dims/bytes deterministically. Batch shape and schema are
+    the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                meta = FakeDecoder.decode_fake(p)
+                scale = target / max(meta["width"], meta["height"])
+                w, h = int(meta["width"] * scale), int(meta["height"] * scale)
+                rows.append((int(i), w, h, w * h * 3))
+            yield pd.DataFrame(rows, columns=[c.name for c in RESIZED_SCHEMA.fields])
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample_stub(
+    df: DataFrame, id_col: str, text_col: str, every_nth: int = 2
+) -> DataFrame:
+    """Frame sampling plumbing: one payload row fans out to n_frames /
+    every_nth rows (the 1→N shape of real video frame extraction; ffmpeg
+    would sit where the fake checksum derivation is)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                meta = FakeDecoder.decode_fake(p)
+                for fi in range(0, meta["n_frames"], every_nth):
+                    digest = hashlib.md5(p + fi.to_bytes(4, "big")).hexdigest()
+                    rows.append((int(i), fi, digest))
+            yield pd.DataFrame(rows, columns=[c.name for c in FRAMES_SCHEMA.fields])
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+    return src.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def decode_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (id, payload) yielding the
     typed DECODED_SCHEMA. Only id+payload are shipped to Python (column
