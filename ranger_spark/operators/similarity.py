@@ -54,18 +54,26 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast(queries) × corpus, windowed rank.
     Returns (q_id, vec_id, cos_sim, rank); cos rounded to 6dp with id
     tiebreak so ranking is engine-deterministic."""
+    # norms are computed once per side before the pair join — array folds
+    # are interpreted (not codegen'd), so per-pair norm recomputation
+    # triples the dominant cost
     q = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+        F.col(id_col).alias("q_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col(id_col))
         .select(
             "q_id",
             id_col,
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -117,7 +125,7 @@ def ivf_topk(
     cents = ivf_centroids(corpus, cell_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
     # rank cells per query by centroid cosine; keep nprobe
     w = Window.partitionBy("q_id").orderBy(
         F.col("cent_sim").desc(), F.col(cell_col)
@@ -127,16 +135,17 @@ def ivf_topk(
         .select(
             "q_id",
             "q_vec",
+            "q_norm",
             cell_col,
             F.round(cosine(F.col("q_vec"), F.col("centroid")), 6).alias("cent_sim"),
         )
         .withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= nprobe)
-        .select("q_id", "q_vec", cell_col)
+        .select("q_id", "q_vec", "q_norm", cell_col)
     )
     c = corpus.select(
         F.col(id_col), F.col(cell_col), _as_double(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_norm", l2_norm(F.col("c_vec")))
     scored = c.join(F.broadcast(probes), cell_col).filter(
         F.col("q_id") != F.col(id_col)
     )
@@ -145,7 +154,11 @@ def ivf_topk(
         scored.select(
             "q_id",
             id_col,
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
@@ -166,12 +179,12 @@ def similar_pairs_blocked(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("blk"),
         _as_double(F.col(vec_col)).alias("va"),
-    )
+    ).withColumn("na", l2_norm(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(block_col).alias("blk"),
         _as_double(F.col(vec_col)).alias("vb"),
-    )
+    ).withColumn("nb", l2_norm(F.col("vb")))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -179,7 +192,9 @@ def similar_pairs_blocked(
             "blk",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
