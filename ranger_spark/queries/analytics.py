@@ -303,6 +303,92 @@ def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_view",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           v.ts_us AS asof_ts_us, v.event_id AS asof_event_id
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+    """,
+    tags=("asof", "join", "events"),
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's most recent
+    prior view (union-then-window plan, one shuffle — see
+    operators/timeseries.py; a naive inequality join is O(|L|·|R|)/key)."""
+    from ranger_spark.operators.timeseries import asof_join
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return asof_join(
+        p, v, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_cols=["event_id"],
+    )
+
+
+@register(
+    "range_join_error_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
+           p.ts_sec - e.ts_sec AS delta_sec
+    FROM e JOIN p
+      ON e.user_id = p.user_id AND abs(e.ts_sec - p.ts_sec) <= 600
+    """,
+    tags=("rangejoin", "join", "events"),
+)
+def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (error, purchase) pairs of the same user within 10
+    minutes, via bucketized equi-join (operators/timeseries.py) — the
+    shuffle stays hash-partitioned instead of a quadratic theta-join."""
+    from ranger_spark.operators.timeseries import range_join_buckets
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("ts DIV 1000000000")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_sec").alias("e_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts_sec").alias("p_ts"),
+    )
+    return range_join_buckets(
+        e, p, on="user_id", left_ts="e_ts", right_ts="p_ts", max_distance=600
+    ).select(
+        "error_id",
+        "purchase_id",
+        "user_id",
+        (F.col("p_ts") - F.col("e_ts")).alias("delta_sec"),
+    )
+
+
+@register(
     "rollup_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

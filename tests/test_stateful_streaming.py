@@ -1,0 +1,60 @@
+"""applyInPandasWithState: state must carry across micro-batches."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+from pathlib import Path
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ts_ns", LongType()),
+    ]
+)
+
+
+def test_running_stats_across_batches(spark):
+    from ranger_spark.streaming.stateful import running_user_stats
+
+    tmp = Path(tempfile.mkdtemp(prefix="stateful_src_"))
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    for b, rows in enumerate(
+        [
+            [(1, 10.0, 100), (1, 5.0, 200), (2, 1.0, 150)],
+            [(1, 2.0, 300), (2, 3.0, 250)],
+        ]
+    ):
+        with open(tmp / f"b{b}.json", "w") as f:
+            for u, v, t in rows:
+                f.write(json.dumps({"user_id": u, "value": v, "ts_ns": t}) + "\n")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp))
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    rows = spark.table("running_stats").collect()
+    # last update per user reflects cumulative state across both batches
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.cnt > final[r.user_id].cnt:
+            final[r.user_id] = r
+    assert final[1].cnt == 3 and final[1].total == 17.0 and final[1].last_ts == 300
+    assert final[2].cnt == 2 and final[2].total == 4.0 and final[2].last_ts == 250
