@@ -676,3 +676,69 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def proj_star_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT * wildcard (ast.go:334-352)."""
     return load(spark, sf_dir, "region")
+
+
+@register(
+    "left_outer_join",
+    oracle="""
+    SELECT n.n_name, count(c.c_custkey) AS n_customers,
+           round(coalesce(sum(c.c_acctbal), 0.0), 2) AS total_bal
+    FROM nation n
+    LEFT JOIN customer c
+      ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+    GROUP BY n.n_name
+    """,
+    tags=("join", "outer"),
+)
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with a pre-join filter on the nullable side —
+    exceeds the reference (its grammar stops at comma-joins,
+    parser.go:4829-4838); count() over the null-extended column shows the
+    null semantics."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        n.join(c, c["c_nationkey"] == n["n_nationkey"], "left_outer")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS k, count(*) AS n_cust
+                FROM customer GROUP BY 1),
+    sn AS (SELECT s_nationkey AS k, count(*) AS n_supp
+           FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+    SELECT coalesce(cn.k, sn.k) AS nationkey,
+           coalesce(cn.n_cust, 0) AS n_cust,
+           coalesce(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+    """,
+    tags=("join", "outer"),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with coalesced keys."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c["k"] == s["k"], "full_outer")
+        .select(
+            F.coalesce(c["k"], s["k"]).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
