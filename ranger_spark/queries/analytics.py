@@ -152,7 +152,7 @@ def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_hourly_rollup",
     oracle="""
-    SELECT date_trunc('hour', ts) AS hour, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
            count(*) AS cnt, round(sum(value), 2) AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -164,7 +164,11 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg (see ranger_spark.streaming for the readStream variant)."""
     ev = events_with_ts(spark, sf_dir)
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        # string-formatted bucket (see q3 note on timestamp dtype parity)
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+            "hour"
+        ),
+        "event_type",
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"),
@@ -219,7 +223,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_daily_unique",
     oracle="""
-    SELECT date_trunc('day', ts) AS day,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(DISTINCT user_id) AS unique_users,
            count(*) AS cnt
     FROM events
@@ -231,7 +235,9 @@ def events_daily_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users: COUNT(DISTINCT) over a time bucket (two-phase
     partial-distinct aggregation at scale)."""
     ev = events_with_ts(spark, sf_dir)
-    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(
         F.countDistinct("user_id").alias("unique_users"),
         F.count(F.lit(1)).alias("cnt"),
     )

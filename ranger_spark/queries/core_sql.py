@@ -83,7 +83,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           o_orderdate, o_orderpriority
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
       AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -110,7 +110,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey",
+            "revenue",
+            # formatted date, not raw timestamp: Spark materializes
+            # timestamps as datetime64[us], DuckDB as [ns] — a strict
+            # dtype compare would flag identical values
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
