@@ -132,6 +132,14 @@ class Engine:
     def cancel(self, query_id: str) -> bool:
         return self.exec_mgr.cancel(query_id)
 
+    def execute_script(self, script: str) -> list[QueryResult]:
+        """Execute a multi-statement script in order (≈ the reference SDK's
+        batch execution, pkg/sdk/client.go Query/Exec surface). Statements
+        are split on semicolons outside string literals; execution stops at
+        the first error (the reference has no transactions to roll back —
+        BEGIN/COMMIT are no-ops there and here)."""
+        return [self.execute(stmt + ";") for stmt in split_statements(script)]
+
     # ------------------------------------------------------------- dispatch
     def _dispatch(self, r: Routed) -> QueryResult:
         k = r.kind
@@ -703,6 +711,40 @@ class Engine:
 
     def _table_exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(name)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script on semicolons, respecting single-quoted strings
+    (with '' escapes)."""
+    out, buf, i, n = [], [], 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            buf.append(ch)
+            i += 1
+            while i < n:
+                buf.append(script[i])
+                if script[i] == "'":
+                    if i + 1 < n and script[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def _coerce(v, dtype: st.DataType):
