@@ -202,9 +202,18 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → LSH bands → candidate
-    pairs → exact-Jaccard verify → pairs ≥ threshold.
+    """Full near-dup pipeline: exact-collapse → shingle → minhash → LSH
+    bands → candidate pairs → exact-Jaccard verify → pairs ≥ threshold.
+
+    ``collapse_exact`` runs exact dedup FIRST and minhashes only one
+    representative (min id) per distinct normalized text. This is the
+    standard production ordering and the LSH skew guard: exact-duplicate
+    groups otherwise all land in the same band buckets and the candidate
+    self-join goes quadratic in the group size (measured: 16× exact
+    replication at sf0.1 → 313 s without collapse, seconds with). Output
+    pairs are between representatives.
 
     The shingle table feeds three DAG branches (signatures + both sides of
     the verify join) and the band table feeds a self-join, so both are
@@ -212,6 +221,8 @@ def minhash_lsh_dedup(
     would materialize to a scratch table anyway)."""
     from pyspark import StorageLevel
 
+    if collapse_exact:
+        df = exact_dedup_keep(df, id_col, text_col)
     sh = shingle_df(df, id_col, text_col, shingle_k).persist(
         StorageLevel.MEMORY_AND_DISK
     )

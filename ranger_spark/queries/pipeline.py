@@ -74,7 +74,11 @@ def _minhash_oracle() -> str:
         )
     band_selects = "\n      UNION ALL\n      ".join(band_parts)
     return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    ),
+    reps AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM reps),
     sh0 AS (
       SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS shingle
       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g

@@ -30,9 +30,15 @@ def test_minhash_identical_docs_collide(spark):
             (2, "the quick brown fox jumps over the lazy dog"),
             (3, "entirely unrelated words about spark engines here")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.9).collect()
+    pairs = minhash_lsh_dedup(
+        df, "doc_id", "text", threshold=0.9, collapse_exact=False
+    ).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
     assert pairs[0].jaccard == 1.0
+    # default pipeline collapses exact dupes first (LSH skew guard): the
+    # identical pair disappears because only one representative survives
+    collapsed = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.9).collect()
+    assert collapsed == []
 
 
 def test_simhash_close_for_similar(spark):
