@@ -687,6 +687,111 @@ def proj_star_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+    tags=("setop",),
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (exceeds the reference's UNION-only surface)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+@register(
+    "except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+    tags=("setop",),
+)
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)  # subtract == EXCEPT DISTINCT (exceptAll is the multiset variant)
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube",),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations in one pass."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "listagg_types_per_brand",
+    oracle="""
+    WITH bt AS (SELECT DISTINCT p_brand, p_type FROM part)
+    SELECT p_brand, string_agg(p_type, ',' ORDER BY p_type) AS types
+    FROM bt GROUP BY p_brand
+    """,
+    tags=("agg", "listagg"),
+)
+def listagg_types_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP ≡ DuckDB
+    string_agg ORDER BY); input pre-distincted so both engines aggregate
+    the same multiset."""
+    bt = load(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+    return bt.groupBy("p_brand").agg(
+        F.expr("listagg(p_type, ',') WITHIN GROUP (ORDER BY p_type)").alias("types")
+    )
+
+
+@register(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val,
+           round(list_aggregate(CAST(list_slice(embedding, 1, 8) AS DOUBLE[]), 'sum'), 6) AS head_sum
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("array",),
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array accessors over a stored list column — the reference stores
+    list/map/struct but has no accessor operators (SURVEY §2.4); Spark's
+    element_at/slice/aggregate close that gap."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    head = F.slice(F.col("embedding"), 1, 8).cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head_sum"),
+    )
+
+
+@register(
     "left_outer_join",
     oracle="""
     SELECT n.n_name, count(c.c_custkey) AS n_customers,

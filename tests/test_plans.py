@@ -52,3 +52,23 @@ def test_scalar_subquery_no_cartesian_blowup(spark):
     # 1-row aggregate side → broadcast nested loop is fine; a shuffled
     # cartesian over the full table is not
     assert js["CartesianProduct"] == 0, js
+
+
+# Queries where a BroadcastNestedLoopJoin is the intended plan (inequality
+# join against a deliberately tiny broadcast side).
+_NL_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "scalar_subquery", "q22_idle_balances"}
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Registry-wide sweep: no operator may degenerate into a shuffled
+    cartesian product; nested-loop joins only where a tiny broadcast side
+    makes them the right plan."""
+    offenders = {}
+    for name, spec in load_all().items():
+        df = spec.builder(spark, SF_DIR)
+        js = join_strategies(df)
+        if js["CartesianProduct"]:
+            offenders[name] = js
+        if js["BroadcastNestedLoopJoin"] and name not in _NL_ALLOWED:
+            offenders[name] = js
+    assert not offenders, offenders
