@@ -1,0 +1,110 @@
+"""Minimal snapshot layer: Iceberg-style table versioning on plain
+Parquet + JSON manifests.
+
+The reference is built around Iceberg table metadata — every commit writes
+a new metadata JSON listing the table's data files (reference
+server/metadata/iceberg/metadata.go; its Avro manifests are JSON
+placeholders, so a JSON manifest is exactly what it ships). The Spark
+Iceberg connector provides this natively on a real deployment; this module
+supplies the same *semantics* for this jar-less environment:
+
+- ``append``            — write new parquet files + a new snapshot entry
+  (append-only; files are immutable, a snapshot is a file list).
+- ``read(version)``     — time travel: scan exactly the files of that
+  snapshot (≈ ``VERSION AS OF``).
+- ``incremental(v1,v2)``— read only files added between two snapshots —
+  the pull-based equivalent of the reference's Astha CDC fan-out
+  (subscribers track their last-seen snapshot id).
+
+Scale: a snapshot is O(files) metadata; reads construct a file-list scan so
+Spark still does footer pruning/pushdown per file; no data is rewritten on
+append (the commit is one JSON rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- commits
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.manifest.json")
+
+    def current_version(self) -> int:
+        versions = [
+            int(f[1:].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.endswith(".manifest.json")
+        ]
+        return max(versions, default=0)
+
+    def _load(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def append(self, df: DataFrame) -> int:
+        """Write df as new immutable files and commit snapshot N+1 whose
+        file list = previous list + new files. Returns the new version."""
+        commit_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self.path, "data", commit_id)
+        df.write.parquet(data_dir)
+        new_files = [
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+        prev_version = self.current_version()
+        prev_files = self._load(prev_version)["files"] if prev_version else []
+        version = prev_version + 1
+        manifest = {
+            "version": version,
+            "committed_at": time.time(),
+            "files": prev_files + sorted(new_files),
+            "added_files": sorted(new_files),
+            "parent": prev_version or None,
+        }
+        tmp = self._manifest_path(version) + f".tmp-{commit_id}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(version))  # atomic commit
+        return version
+
+    # --------------------------------------------------------------- reads
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Scan the table as of a snapshot (default: latest)."""
+        version = version or self.current_version()
+        if version == 0:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        files = self._load(version)["files"]
+        return spark.read.parquet(*files)
+
+    def incremental(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows added strictly after from_version up to to_version —
+        snapshot-diff CDC (files are immutable so the diff is exact)."""
+        to_version = to_version or self.current_version()
+        added: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            added.extend(self._load(v)["added_files"])
+        if not added:
+            return spark.read.parquet(*self._load(to_version)["files"]).limit(0)
+        return spark.read.parquet(*added)
+
+    def history(self) -> list[dict]:
+        return [
+            {k: m[k] for k in ("version", "committed_at", "parent")}
+            | {"num_files": len(m["files"]), "num_added": len(m["added_files"])}
+            for m in (self._load(v) for v in range(1, self.current_version() + 1))
+        ]
