@@ -106,6 +106,82 @@ class Engine:
         # In-process registry of declared Iceberg schemas per table
         # (≈ the reference's SQLite registry): "db.table" → [(name, type, nullable)]
         self._schemas: dict[str, list[tuple[str, str, bool]]] = {}
+        self._load_manifest()
+
+    # ------------------------------------------------ durable catalog
+    # Spark's in-memory catalog forgets tables across sessions; the
+    # reference keeps a durable SQLite registry. We persist a JSON manifest
+    # next to the warehouse and create tables with explicit LOCATIONs so
+    # `recover()` can re-register everything in a fresh session
+    # (≈ reference server/metadata/registry; storage cleanup on drop
+    # ≈ storage.go:687-723).
+    def _warehouse(self) -> str:
+        w = self.spark.conf.get("spark.sql.warehouse.dir")
+        return w[len("file:") :] if w.startswith("file:") else w
+
+    def _manifest_file(self) -> str:
+        import os
+
+        os.makedirs(self._warehouse(), exist_ok=True)
+        return os.path.join(self._warehouse(), "_ranger_catalog.json")
+
+    def _load_manifest(self) -> None:
+        import json
+        import os
+
+        self._manifest: dict = {"databases": [], "tables": {}}
+        if os.path.exists(self._manifest_file()):
+            with open(self._manifest_file()) as f:
+                self._manifest = json.load(f)
+        for name, entry in self._manifest["tables"].items():
+            self._schemas.setdefault(
+                name, [tuple(c) for c in entry["columns"]]
+            )
+
+    def _save_manifest(self) -> None:
+        import json
+
+        tmp = self._manifest_file() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1)
+        import os
+
+        os.rename(tmp, self._manifest_file())
+
+    def table_location(self, name: str) -> str:
+        import os
+
+        db, tbl = name.split(".", 1)
+        return os.path.join(self._warehouse(), f"{db}.db", tbl)
+
+    def recover(self) -> int:
+        """Re-register manifest databases/tables into a fresh session's
+        catalog; returns the number of tables recovered."""
+        import os
+
+        n = 0
+        for db in self._manifest["databases"]:
+            if not self._db_exists(db):
+                self.spark.sql(f"CREATE DATABASE `{db}`")
+        for name, entry in self._manifest["tables"].items():
+            if self._table_exists(name) or not os.path.isdir(entry["location"]):
+                continue
+            schema = itypes.to_spark_schema(
+                [tuple(c) for c in entry["columns"]]
+            )
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            ddl = f"CREATE TABLE {name} ({cols}) USING parquet"
+            if entry.get("partition_by"):
+                ddl += " PARTITIONED BY (" + ", ".join(entry["partition_by"]) + ")"
+            ddl += f" LOCATION '{entry['location']}'"
+            self.spark.sql(ddl)
+            if entry.get("partition_by"):
+                self.spark.catalog.recoverPartitions(name)
+            self._schemas[name] = [tuple(c) for c in entry["columns"]]
+            n += 1
+        return n
 
     # ------------------------------------------------------------------ api
     def execute(self, sql: str, timeout_s: float | None = None) -> QueryResult:
@@ -223,6 +299,9 @@ class Engine:
             raise RangerError(ALREADY_EXISTS, f"database '{name}' already exists")
         if not exists:
             self.spark.sql(f"CREATE DATABASE `{name}`")
+        if name not in self._manifest["databases"]:
+            self._manifest["databases"].append(name)
+            self._save_manifest()
         return QueryResult([], [], 0, message=f"database '{name}' created")
 
     def _drop_database(self, sql: str) -> QueryResult:
@@ -243,6 +322,14 @@ class Engine:
         self._schemas = {
             k: v for k, v in self._schemas.items() if not k.startswith(name + ".")
         }
+        if name in self._manifest["databases"]:
+            self._manifest["databases"].remove(name)
+            self._manifest["tables"] = {
+                k: v
+                for k, v in self._manifest["tables"].items()
+                if not k.startswith(name + ".")
+            }
+            self._save_manifest()
         return QueryResult([], [], 0, message=f"database '{name}' dropped")
 
     def _create_table(self, sql: str) -> QueryResult:
@@ -293,8 +380,20 @@ class Engine:
             props["ranger.write_order"] = ",".join(opts["order_by"])
         prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
         ddl += f" TBLPROPERTIES ({prop_str})"
+        # explicit LOCATION so the table survives catalog loss and
+        # recover() can re-register it (reference registry durability)
+        location = self.table_location(name)
+        ddl += f" LOCATION '{location}'"
         self.spark.sql(ddl)
         self._schemas[name] = columns
+        self._manifest["tables"][name] = {
+            "columns": columns,
+            "partition_by": opts["partition_by"],
+            "storage": opts["storage"],
+            "settings": opts["settings"],
+            "location": location,
+        }
+        self._save_manifest()
         return QueryResult([], [], 0, message=f"table '{name}' created")
 
     def _parse_columns(self, block: str) -> list[tuple[str, str, bool]]:
@@ -357,6 +456,14 @@ class Engine:
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
         self.spark.sql(f"DROP TABLE {name}")
         self._schemas.pop(name, None)
+        entry = self._manifest["tables"].pop(name, None)
+        if entry:
+            self._save_manifest()
+            # external table drop keeps files — the engine owns storage
+            # cleanup (reference storage.go:687-723)
+            import shutil
+
+            shutil.rmtree(entry["location"], ignore_errors=True)
         return QueryResult([], [], 0, message=f"table '{name}' dropped")
 
     def _use(self, sql: str) -> QueryResult:

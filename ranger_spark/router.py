@@ -68,6 +68,24 @@ _PARSE_ONLY = re.compile(
 )
 
 
+def validate_script(script: str, strict: bool = False) -> list[tuple[str, str]]:
+    """Multi-error validation: classify every statement in a script and
+    collect ALL gate violations instead of stopping at the first
+    (≈ the reference's multi-error recovery parsing,
+    parser.go:1188-1307 / parse_error_test.go). Returns
+    [(statement, error message)] — empty list means the script routes
+    cleanly."""
+    from ranger_spark.engine import split_statements
+
+    errors: list[tuple[str, str]] = []
+    for stmt in split_statements(script):
+        try:
+            route(stmt + ";", strict=strict)
+        except RangerError as e:
+            errors.append((stmt, str(e)))
+    return errors
+
+
 def route(statement: str, strict: bool = False) -> Routed:
     """Classify one statement; raise RangerError for gate violations."""
     s = statement.strip()

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) — a test family the reference lacks
+entirely (SURVEY §5 "Absent"): the type parser round-trips arbitrary
+nested types, and the statement splitter never loses content."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ranger_spark.engine import split_statements
+from ranger_spark.types import PRIMITIVES, parse_type
+
+primitive = st.sampled_from([p for p in PRIMITIVES])
+decimal = st.tuples(st.integers(1, 38), st.integers(0, 10)).map(
+    lambda ps: f"decimal({ps[0]},{min(ps[1], ps[0])})"
+)
+
+
+def type_strings(depth=2):
+    base = st.one_of(primitive, decimal)
+    if depth == 0:
+        return base
+    inner = type_strings(depth - 1)
+    name = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+    return st.one_of(
+        base,
+        inner.map(lambda t: f"list<{t}>"),
+        st.tuples(inner, inner).map(lambda kv: f"map<{kv[0]},{kv[1]}>"),
+        st.lists(st.tuples(name, inner), min_size=1, max_size=3).map(
+            lambda fs: "struct<" + ",".join(f"{n}:{t}" for n, t in fs) + ">"
+        ),
+    )
+
+
+@given(type_strings())
+@settings(max_examples=300, deadline=None)
+def test_type_parse_roundtrip(t):
+    parsed = parse_type(t)
+    # canonical text re-parses to the same Spark type
+    again = parse_type(parsed.text)
+    assert again.spark == parsed.spark
+    assert again.text == parsed.text
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters=";'", max_codepoint=0x7E),
+            min_size=1,
+            max_size=30,
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_preserves_content(stmts):
+    script = ";".join(stmts) + ";"
+    out = split_statements(script)
+    assert [s.strip() for s in out] == [s.strip() for s in stmts]
+
+
+@given(st.text(alphabet="abc'; ", max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_split_statements_never_crashes(script):
+    joined = "".join(split_statements(script))
+    # no content outside quotes is invented or dropped (modulo separators)
+    assert set(joined) <= set(script) | set()
+
+
+def test_validate_script_collects_all_errors():
+    from ranger_spark.router import validate_script
+
+    errs = validate_script(
+        "SELECT 1; VACUUM t; FLUSH x; CREATE TABLE t (a int32)"
+    )
+    assert len(errs) == 2
+    assert all("unsupported statement" in e for _, e in errs)
