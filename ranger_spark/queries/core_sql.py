@@ -691,7 +691,7 @@ def proj_star_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
     """,
     tags=("setop",),
 )
@@ -700,7 +700,7 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = (
         load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 8000)
+        .filter(F.col("s_acctbal") > 5000)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.intersect(s)
@@ -711,7 +711,7 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
     """,
     tags=("setop",),
 )
@@ -720,7 +720,7 @@ def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = (
         load(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 8000)
+        .filter(F.col("s_acctbal") > 5000)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)  # subtract == EXCEPT DISTINCT (exceptAll is the multiset variant)

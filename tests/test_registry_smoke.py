@@ -1,0 +1,18 @@
+"""Registry-wide smoke: every query builds and returns rows at sf0.001
+(the driver's smoke scale) — catches empty-result and schema regressions
+before the driver does."""
+
+from __future__ import annotations
+
+import pytest
+
+from ranger_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+
+@pytest.mark.parametrize("name", sorted(load_all()))
+def test_query_nonempty_at_smoke_scale(spark, name):
+    spec = load_all()[name]
+    df = spec.builder(spark, SF_DIR)
+    assert df.columns, name
+    assert df.count() > 0, f"{name} returned 0 rows at sf0.001"
