@@ -250,7 +250,17 @@ class Engine:
         if k == StmtKind.TXN_NOOP:
             # reference parses BEGIN/COMMIT/ROLLBACK but has no txn engine
             return QueryResult([], [], 0, message=f"{r.sql.upper()} is a no-op")
-        if k in (StmtKind.ALTER, StmtKind.PARSE_ONLY):
+        if k == StmtKind.ALTER:
+            # the reference parses ALTER but cannot execute it
+            # (engine.go:121-144 has no case); we exceed — SURVEY §2.2 —
+            # unless strict_gate replicates the reference exactly
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type (parsed but not executable): ALTER",
+                )
+            return self._alter_table(r.sql)
+        if k == StmtKind.PARSE_ONLY:
             raise RangerError(
                 UNSUPPORTED_STATEMENT,
                 f"unsupported statement type (parsed but not executable): "
@@ -693,6 +703,91 @@ class Engine:
         staged = self.spark.table(staging)
         staged.write.mode("overwrite").insertInto(name, overwrite=True)
         self.spark.sql(f"DROP TABLE {staging}")
+
+    # ----------------------------------------------------- ALTER (exceeds)
+    def _alter_table(self, sql: str) -> QueryResult:
+        """Schema evolution via copy-on-write rewrite (Iceberg does this as
+        a metadata-only commit; parquet tables need the rewrite). Supported:
+        ADD COLUMN name type, DROP COLUMN name, RENAME COLUMN a TO b."""
+        m = re.match(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+"
+            r"(?:(ADD)\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+)"
+            r"|(DROP)\s+COLUMN\s+([A-Za-z_]\w*)"
+            r"|(RENAME)\s+COLUMN\s+([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*))\s*$",
+            sql,
+            re.I,
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "ALTER supports: ADD COLUMN c type | DROP COLUMN c | "
+                "RENAME COLUMN a TO b",
+            )
+        name = self._qualify(m.group(1))
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        df = self.spark.table(name)
+        cols = self._column_info(name)
+        if m.group(2):  # ADD
+            cname, ctype = m.group(3), m.group(4).strip()
+            it = itypes.parse_type(ctype, column=cname)
+            if cname in df.columns:
+                raise RangerError(ALREADY_EXISTS, f"column '{cname}' exists")
+            new_df = df.withColumn(cname, F.lit(None).cast(it.spark))
+            new_cols = [*cols, (cname, it.text, True)]
+            action = f"added column '{cname} {it.text}'"
+        elif m.group(5):  # DROP
+            cname = m.group(6)
+            if cname not in df.columns:
+                raise RangerError(TABLE_NOT_FOUND, f"column '{cname}' not found")
+            new_df = df.drop(cname)
+            new_cols = [c for c in cols if c[0] != cname]
+            action = f"dropped column '{cname}'"
+        else:  # RENAME
+            old, new = m.group(8), m.group(9)
+            if old not in df.columns:
+                raise RangerError(TABLE_NOT_FOUND, f"column '{old}' not found")
+            if new in df.columns:
+                raise RangerError(ALREADY_EXISTS, f"column '{new}' exists")
+            new_df = df.withColumnRenamed(old, new)
+            new_cols = [
+                (new if c[0] == old else c[0], c[1], c[2]) for c in cols
+            ]
+            action = f"renamed column '{old}' to '{new}'"
+        self._replace_table(name, new_df, new_cols)
+        return QueryResult([], [], 0, message=f"table '{name}': {action}")
+
+    def _replace_table(
+        self, name: str, new_df: DataFrame, new_cols: list[tuple[str, str, bool]]
+    ) -> None:
+        """Drop + recreate the table with a new schema and rewritten data
+        (schema-changing CoW; plain overwrite keeps the old schema)."""
+        staging = f"{name.split('.')[0]}.__staging_{name.split('.')[-1]}"
+        new_df.write.mode("overwrite").saveAsTable(staging)
+        entry = self._manifest["tables"].get(name, {})
+        self.spark.sql(f"DROP TABLE {name}")
+        import shutil
+
+        location = self.table_location(name)
+        shutil.rmtree(location, ignore_errors=True)
+        schema = itypes.to_spark_schema(new_cols)
+        spark_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE {name} ({spark_cols}) USING parquet LOCATION '{location}'"
+        )
+        self.spark.table(staging).select(
+            *[f.name for f in schema.fields]
+        ).write.insertInto(name)
+        self.spark.sql(f"DROP TABLE {staging}")
+        self._schemas[name] = new_cols
+        if entry:
+            entry["columns"] = new_cols
+            self._manifest["tables"][name] = entry
+            self._save_manifest()
 
     # ------------------------------------------------- SHOW / system views
     def _show_databases(self) -> QueryResult:

@@ -136,10 +136,32 @@ def test_txn_noops(engine):
     assert "no-op" in engine.execute("COMMIT;").message
 
 
-def test_alter_unsupported(engine):
+def test_alter_unsupported_in_strict_mode(engine):
+    # reference behavior: ALTER parses but has no engine case
+    from ranger_spark.engine import Engine
+
+    strict = Engine(engine.spark, strict_gate=True)
     with pytest.raises(RangerError) as ei:
-        engine.execute("ALTER TABLE users DROP COLUMN name;")
+        strict.execute("ALTER TABLE users DROP COLUMN name;")
     assert ei.value.code == "engine.unsupported_statement_type"
+
+
+def test_alter_schema_evolution(engine):
+    engine.execute("DROP TABLE IF EXISTS alt_t;")
+    engine.execute("CREATE TABLE alt_t (id int32, name string);")
+    engine.execute("INSERT INTO alt_t (id, name) VALUES (1, 'a'), (2, 'b');")
+    engine.execute("ALTER TABLE alt_t ADD COLUMN score float64;")
+    assert engine.execute("SELECT id, name, score FROM alt_t;").row_count == 2
+    engine.execute("INSERT INTO alt_t (id, name, score) VALUES (3, 'c', 1.5);")
+    engine.execute("ALTER TABLE alt_t RENAME COLUMN name TO label;")
+    rows = sorted(engine.execute("SELECT id, label, score FROM alt_t;").rows)
+    assert rows == [(1, "a", None), (2, "b", None), (3, "c", 1.5)]
+    engine.execute("ALTER TABLE alt_t DROP COLUMN score;")
+    cols = engine.execute("SHOW COLUMNS FROM alt_t;")
+    assert [r[0] for r in cols.rows] == ["id", "label"]
+    # legacy type names rejected in ALTER too
+    with pytest.raises(RangerError):
+        engine.execute("ALTER TABLE alt_t ADD COLUMN bad INT;")
 
 
 def test_explain(engine):
