@@ -201,6 +201,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_oracle() -> str:
+    return f"""
+    WITH sig AS ({_simhash_oracle().strip()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_pairs_oracle(), tags=("dedup", "simhash"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates blocked on the signature's top
+    byte (LSH-on-simhash — pairs differing in the prefix are traded for a
+    hash-partitioned equi-join instead of an all-pairs scan), verified by
+    Hamming distance ≤ 6 of the full 32-bit signature."""
+    sig = D.simhash_signatures(
+        load(spark, sf_dir, "documents"), "doc_id", "text", bits=_SIMHASH_BITS
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        F.shiftright("simhash", 24).alias("blk"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        F.shiftright("simhash", 24).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            D.hamming32(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
