@@ -76,6 +76,22 @@ def test_insert_generators(engine):
     assert row[1] is not None and row[2] is not None
 
 
+def test_time_uuid_conventions(engine):
+    # time → long micros-since-midnight; uuid → canonical string (types.py)
+    engine.execute("DROP TABLE IF EXISTS tu_t;")
+    engine.execute("CREATE TABLE tu_t (id int32, t time, u uuid);")
+    engine.execute(
+        "INSERT INTO tu_t (id, t, u) VALUES "
+        "(1, 34200000000, 'a1b2c3d4-e5f6-7890-abcd-ef1234567890');"
+    )
+    (row,) = engine.execute("SELECT t, u FROM tu_t;").rows
+    assert row[0] == 34200000000  # 09:30:00 in micros
+    assert row[1] == "a1b2c3d4-e5f6-7890-abcd-ef1234567890"
+    cols = engine.execute("SHOW COLUMNS FROM tu_t;")
+    assert ("t", "time", True, 2) in cols.rows
+    assert ("u", "uuid", True, 3) in cols.rows
+
+
 def test_update_delete_cow(engine):
     engine.execute("DROP TABLE IF EXISTS cow_t;")
     engine.execute("CREATE TABLE cow_t (id int32, v string);")
