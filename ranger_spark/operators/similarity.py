@@ -165,6 +165,130 @@ def ivf_topk(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 4,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column, pure
+    DataFrame ops: assignment is a broadcast of k centroids (tiny) against
+    the corpus; the update is the posexplode-mean used by ivf_centroids.
+    Only the k×dim centroid table ever reaches the driver (per iteration),
+    so the loop is iteration-bounded driver control flow over fully
+    distributed jobs — the standard Lloyd-on-Spark shape.
+
+    Init: the k rows with the smallest md5(id) (pseudo-random but
+    deterministic — no rand(), so retries/oracles are stable).
+    Returns a (cell, centroid) DataFrame."""
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeds = (
+        c.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("__h")) - 1).alias("cell"),
+        F.col("v").alias("centroid"),
+    )
+    for _ in range(iters):
+        assigned = assign_cells(c, cents, id_col="vec_id" if id_col == "vec_id" else id_col)
+        cents = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean_val"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mean_val")))
+                    ),
+                    lambda s: s.getField("mean_val"),
+                ).alias("centroid")
+            )
+        )
+    return cents
+
+
+def assign_cells(
+    c: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Assign each vector (columns: id, v) to its nearest centroid by
+    squared L2 (broadcast of the centroid table; deterministic cell-id
+    tiebreak)."""
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d"), F.col("cell"))
+    return (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__d", sq_dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", "cell")
+    )
+
+
+def ivf_topk_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 10,
+    nprobe: int = 3,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF top-k over learned k-means cells (instead of a provided
+    blocking column): fit → assign corpus → probe the nprobe nearest
+    cells per query. At scale the assignment is materialized once as a
+    cell-partitioned table and probes become partition-pruned scans."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_fit(corpus, id_col, vec_col, k=nlist, iters=iters)
+    assigned = assign_cells(c, cents, id_col).withColumnRenamed("v", "c_vec")
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+    wc = Window.partitionBy("q_id").orderBy(F.col("cent_sim").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            "cell",
+            F.round(cosine(F.col("q_vec"), F.col("centroid")), 6).alias("cent_sim"),
+        )
+        .withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
+    scored = (
+        assigned.withColumn("c_norm", l2_norm(F.col("c_vec")))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col(id_col))
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.select(
+            "q_id",
+            id_col,
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def similar_pairs_blocked(
     df: DataFrame,
     id_col: str = "vec_id",
