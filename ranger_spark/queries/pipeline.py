@@ -407,6 +407,17 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_kmeans_topk", oracle=None, tags=("similarity", "ann", "approx"))
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over learned k-means cells (deterministic Lloyd, 3 iters,
+    nlist=8, nprobe=3). Approximate by design → rows-only check; recall
+    properties asserted in tests/test_operators.py."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk_kmeans(
+        e.filter(F.col("vec_id") < 5), e, k=10, nlist=8, nprobe=3, iters=3
+    )
+
+
 @register("ann_ivf_topk", oracle=None, tags=("similarity", "ann", "approx"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (probe 3 of 10 label cells). Approximate by

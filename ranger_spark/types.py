@@ -92,10 +92,29 @@ class IcebergType:
 
 
 def split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split on separators not nested inside <...> or (...) — the
-    behavior of the reference's top-level-comma splitter."""
+    """Split on separators not nested inside <...> or (...) — the behavior
+    of the reference's top-level-comma splitter. Content inside
+    single-quoted string literals (with '' escapes) is opaque: brackets
+    and separators there neither nest nor split (a VALUES row like
+    ``(1, 'a>b')`` must not trip bracket balancing)."""
     parts, depth, buf = [], 0, []
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            buf.append(ch)
+            i += 1
+            while i < n:
+                buf.append(s[i])
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
         if ch in "<(":
             depth += 1
         elif ch in ">)":
@@ -109,6 +128,7 @@ def split_top_level(s: str, sep: str = ",") -> list[str]:
             buf = []
         else:
             buf.append(ch)
+        i += 1
     if depth != 0:
         raise RangerError(COMPLEX_TYPE_PARSE_ERROR, f"unbalanced brackets in {s!r}")
     parts.append("".join(buf))

@@ -68,6 +68,33 @@ def test_split_statements_never_crashes(script):
     assert set(joined) <= set(script) | set()
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**31), 2**31 - 1),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=0x7E),
+                max_size=20,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_insert_values_lexer_roundtrip(rows):
+    """The INSERT VALUES lexer must recover exactly the literals that were
+    quoted in, for arbitrary printable strings (including quotes/commas)."""
+    from ranger_spark.engine import Engine
+
+    sql_rows = ", ".join(
+        f"({i}, '{s.replace(chr(39), chr(39) * 2)}')" for i, s in rows
+    )
+    eng = Engine.__new__(Engine)  # parsing methods don't touch Spark state
+    parsed = eng._parse_value_rows(sql_rows)
+    assert parsed == [[i, s] for i, s in rows]
+
+
 def test_validate_script_collects_all_errors():
     from ranger_spark.router import validate_script
 
