@@ -825,6 +825,9 @@ class Engine:
         )
 
     def _show_create_table(self, sql: str) -> QueryResult:
+        """Regenerate the full ranger-style DDL (columns + STORAGE /
+        PARTITION BY / SETTINGS) from the registry
+        (≈ reference registry/system/manager.go GenerateCreateTableDDL)."""
         name = self._qualify(sql.split()[-1])
         if not self._table_exists(name):
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
@@ -832,7 +835,16 @@ class Engine:
         body = ",\n  ".join(
             f"{c} {t}" + ("" if n else " NOT NULL") for c, t, n in cols
         )
-        ddl = f"CREATE TABLE {name} (\n  {body}\n);"
+        ddl = f"CREATE TABLE {name} (\n  {body}\n)"
+        entry = self._manifest["tables"].get(name)
+        if entry:
+            ddl += f"\nSTORAGE {entry.get('storage', 'filesystem')}"
+            if entry.get("partition_by"):
+                ddl += "\nPARTITION BY (" + ", ".join(entry["partition_by"]) + ")"
+            if entry.get("settings"):
+                kv = ", ".join(f"{k} = '{v}'" for k, v in entry["settings"].items())
+                ddl += f"\nSETTINGS {kv}"
+        ddl += ";"
         return QueryResult(["create_table_ddl"], [(ddl,)], 1)
 
     def _column_info(self, name: str) -> list[tuple[str, str, bool]]:

@@ -197,6 +197,28 @@ def test_result_cap(engine):
         em.RESULT_CAP = old
 
 
+def test_show_create_regenerates_clauses(engine):
+    engine.execute("DROP TABLE IF EXISTS ddl_t;")
+    engine.execute(
+        "CREATE TABLE ddl_t (id int64, region string) STORAGE filesystem "
+        "PARTITION BY (region) SETTINGS compression = 'snappy';"
+    )
+    ddl = engine.execute("SHOW CREATE TABLE ddl_t;").rows[0][0]
+    assert "STORAGE filesystem" in ddl
+    assert "PARTITION BY (region)" in ddl
+    assert "compression = 'snappy'" in ddl
+
+
+def test_query_tracking_and_cancel(engine):
+    # completed queries are tracked with status; cancel() on a finished id
+    # is a clean no-op (≈ reference execution_manager.go:115-145)
+    r = engine.execute("SELECT 1 AS one;")
+    infos = {q.query_id: q for q in engine.exec_mgr.list_queries()}
+    assert infos[r.query_id].status == "done"
+    assert engine.cancel(r.query_id) is False
+    assert engine.cancel("nonexistent-id") is False
+
+
 def test_partitioned_create(engine):
     engine.execute("DROP TABLE IF EXISTS part_t;")
     engine.execute(
