@@ -1,0 +1,66 @@
+"""End-to-end demo: the SQL engine surface + the training-data pipeline.
+
+    python examples/demo.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ranger_spark.engine import Engine
+from ranger_spark.operators import (
+    brute_force_topk,
+    minhash_lsh_dedup,
+    quality_metrics,
+)
+from ranger_spark.session import get_spark
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark(
+        "ranger_demo",
+        cpus=8,
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="demo_wh_")},
+    )
+    engine = Engine(spark)
+
+    print("== SQL engine (ranger statement surface) ==")
+    for stmt in (
+        "CREATE DATABASE demo;",
+        "USE demo;",
+        "CREATE TABLE users (id int32 NOT NULL, name string, "
+        "tags list<string>, bal decimal(10,2)) STORAGE filesystem;",
+        "INSERT INTO users (id, name, bal) VALUES "
+        "(1, 'alice', 10.50), (2, 'bob', 20.25), (3, 'carol', 3.75);",
+    ):
+        print(f"  {stmt.splitlines()[0][:60]:62s} -> {engine.execute(stmt).message}")
+    r = engine.execute("SELECT name, bal FROM users WHERE bal > 5 ORDER BY id;")
+    print("  SELECT ...                         ->", r.rows)
+    print("  SHOW CREATE TABLE users:")
+    print("   ", engine.execute("SHOW CREATE TABLE users;").rows[0][0].replace("\n", "\n    "))
+
+    print("\n== Training-data pipeline (documents/embeddings tables) ==")
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.05)
+    print("  near-dup pairs (minhash+LSH, jaccard>=0.05):", pairs.count())
+    q = docs.select(
+        "doc_id", *[c.alias(n) for n, c in quality_metrics(F.col("text")).items()]
+    )
+    q.orderBy("doc_id").show(3, truncate=False)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    topk = brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=3)
+    print("  cosine top-3 for vec 0:")
+    topk.show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

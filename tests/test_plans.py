@@ -56,7 +56,13 @@ def test_scalar_subquery_no_cartesian_blowup(spark):
 
 # Queries where a BroadcastNestedLoopJoin is the intended plan (inequality
 # join against a deliberately tiny broadcast side).
-_NL_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "scalar_subquery", "q22_idle_balances"}
+_NL_ALLOWED = {
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "scalar_subquery",
+    "q22_idle_balances",
+}
 
 
 def test_no_query_plans_a_cartesian_product(spark):
