@@ -22,3 +22,20 @@ provides the same capabilities on Spark:
 """
 
 __version__ = "0.1.0"
+
+# Primary entry points: a user of the reference switches to
+#   from ranger_spark import Engine, get_spark
+#   engine = Engine(get_spark()); engine.execute("SELECT ...;")
+# (imported lazily to keep `import ranger_spark` free of pyspark cost)
+
+
+def __getattr__(name):
+    if name == "Engine":
+        from ranger_spark.engine import Engine
+
+        return Engine
+    if name == "get_spark":
+        from ranger_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)
