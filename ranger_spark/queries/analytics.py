@@ -309,6 +309,69 @@ def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(sum(o_totalprice) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+           ), 2) AS nearby_sum
+    FROM orders
+    WHERE o_custkey < 30
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) window frame — ROWS vs RANGE is exactly the
+    distinction stranded in the reference's dead grammar
+    (parser.go:4233); here both are executable."""
+    w = (
+        Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 30)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_sum"),
+        )
+    )
+
+
+@register(
+    "token_frequencies",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(
+        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS freq
+    FROM toks
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+    tags=("text", "explode"),
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical distributed word count: explode → groupBy → top-k,
+    over the documents corpus (map-side combine keeps the shuffle at
+    O(vocabulary))."""
+    from ranger_spark.operators.text import normalize_text, tokenize
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokenize(normalize_text(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(20)
+    )
+
+
+@register(
     "asof_purchase_view",
     oracle="""
     WITH p AS (
