@@ -1,0 +1,104 @@
+"""HTTP JSON protocol: the reference's primary wire surface
+(reference server/protocols/http/server.go:55-64 — POST /query plus
+/status /info /health), fronted over our Engine. Stdlib-only
+(http.server), threaded, JSON-shaped like the reference's QueryResult
+{data, row_count, columns, message, query_id}.
+
+This is a dev/gateway surface; the cluster-grade network endpoint is the
+Spark Connect gRPC plugin (sources/connect_server.py). Both front the same
+Engine, mirroring the reference's one-engine-many-protocols layering
+(server/gateway/gateway.go).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ranger_spark import __version__
+from ranger_spark.engine import Engine
+from ranger_spark.errors import RangerError
+
+
+def _json_default(v):
+    return str(v)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine: Engine  # set by serve()
+
+    def _send(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload, default=_json_default).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # silence per-request stderr noise
+        pass
+
+    def do_GET(self):  # noqa: N802 (http.server API)
+        if self.path == "/health":
+            self._send(200, {"status": "ok"})
+        elif self.path == "/status":
+            qs = self.engine.exec_mgr.list_queries()
+            self._send(
+                200,
+                {
+                    "queries_total": len(qs),
+                    "queries_running": sum(1 for q in qs if q.status == "running"),
+                },
+            )
+        elif self.path == "/info":
+            self._send(
+                200,
+                {
+                    "engine": "ranger_spark",
+                    "version": __version__,
+                    "spark_version": self.engine.spark.version,
+                },
+            )
+        else:
+            self._send(404, {"error": "not found"})
+
+    def do_POST(self):  # noqa: N802
+        if self.path != "/query":
+            self._send(404, {"error": "not found"})
+            return
+        length = int(self.headers.get("Content-Length", "0"))
+        try:
+            req = json.loads(self.rfile.read(length) or b"{}")
+            sql = req["query"]
+        except (json.JSONDecodeError, KeyError):
+            self._send(400, {"error": "body must be JSON with a 'query' field"})
+            return
+        try:
+            r = self.engine.execute(sql)
+        except RangerError as e:
+            self._send(400, {"error": str(e), "code": e.code})
+            return
+        except Exception as e:  # executor errors (≈ DuckDB errors upstream)
+            self._send(400, {"error": str(e)[:500]})
+            return
+        self._send(
+            200,
+            {
+                "columns": r.columns,
+                "data": [list(row) for row in r.rows],
+                "row_count": r.row_count,
+                "message": r.message,
+                "query_id": r.query_id,
+            },
+        )
+
+
+def serve(engine: Engine, port: int = 0, host: str = "127.0.0.1"):
+    """Start the HTTP server on a daemon thread; returns (server, port).
+    port=0 picks a free port."""
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

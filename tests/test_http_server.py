@@ -1,0 +1,61 @@
+"""HTTP JSON protocol round-trip (≈ reference protocols/http tests)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+
+def _post(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/query",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_http_query_lifecycle(engine):
+    from ranger_spark.sources.http_server import serve
+
+    srv, port = serve(engine)
+    try:
+        assert _get(port, "/health")[1] == {"status": "ok"}
+        info = _get(port, "/info")[1]
+        assert info["engine"] == "ranger_spark" and info["spark_version"]
+
+        code, r = _post(port, {"query": "CREATE DATABASE IF NOT EXISTS htest;"})
+        assert code == 200
+        _post(port, {"query": "USE htest;"})
+        _post(port, {"query": "DROP TABLE IF EXISTS ht;"})
+        _post(port, {"query": "CREATE TABLE ht (id int32, name string);"})
+        code, r = _post(
+            port, {"query": "INSERT INTO ht (id, name) VALUES (1, 'a'), (2, 'b');"}
+        )
+        assert code == 200 and r["row_count"] == 2
+        code, r = _post(port, {"query": "SELECT name FROM ht ORDER BY id;"})
+        assert code == 200
+        assert r["columns"] == ["name"] and r["data"] == [["a"], ["b"]]
+        assert r["query_id"]
+
+        # error shapes: gate violation vs bad body
+        code, r = _post(port, {"query": "SELECT 1"})  # no semicolon
+        assert code == 400 and r["code"] == "parser.missing_semicolon"
+        code, r = _post(port, {"nope": 1})
+        assert code == 400 and "query" in r["error"]
+
+        status = _get(port, "/status")[1]
+        assert status["queries_total"] >= 5
+        engine.spark.sql("DROP DATABASE htest CASCADE")
+    finally:
+        srv.shutdown()
