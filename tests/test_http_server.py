@@ -25,6 +25,28 @@ def _get(port, path):
         return resp.status, json.loads(resp.read())
 
 
+def test_http_concurrent_queries(engine):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ranger_spark.sources.http_server import serve
+
+    srv, port = serve(engine)
+    try:
+        def run(i):
+            code, r = _post(
+                port, {"query": f"SELECT {i} AS n, count(*) AS c FROM range(100);"}
+            )
+            return code, r["data"][0]
+
+        with ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(run, range(16)))
+        assert all(code == 200 for code, _ in results)
+        assert sorted(row[0] for _, row in results) == list(range(16))
+        assert all(row[1] == 100 for _, row in results)
+    finally:
+        srv.shutdown()
+
+
 def test_http_query_lifecycle(engine):
     from ranger_spark.sources.http_server import serve
 
