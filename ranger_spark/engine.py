@@ -395,6 +395,12 @@ class Engine:
         location = self.table_location(name)
         ddl += f" LOCATION '{location}'"
         self.spark.sql(ddl)
+        if opts["storage"] == "memory":
+            # the reference's memory storage engine keeps table data in RAM
+            # (server/storage/memory); Spark equivalent: pin the table in
+            # the block-manager cache (lazy — materializes on first scan,
+            # auto-refreshes on insert)
+            self.spark.sql(f"CACHE LAZY TABLE {name}")
         self._schemas[name] = columns
         self._manifest["tables"][name] = {
             "columns": columns,

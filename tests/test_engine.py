@@ -219,6 +219,19 @@ def test_query_tracking_and_cancel(engine):
     assert engine.cancel("nonexistent-id") is False
 
 
+def test_memory_storage_engine(engine):
+    engine.execute("DROP TABLE IF EXISTS mem_t;")
+    engine.execute("CREATE TABLE mem_t (id int32, v string) STORAGE memory;")
+    engine.execute("INSERT INTO mem_t (id, v) VALUES (1, 'a'), (2, 'b');")
+    assert engine.execute("SELECT count(*) AS n FROM mem_t;").rows == [(2,)]
+    # the table is pinned in the cache (reference memory engine semantics)
+    df = engine.spark.table(f"{engine.spark.catalog.currentDatabase()}.mem_t")
+    plan = df._jdf.queryExecution().withCachedData().toString()
+    assert "InMemoryRelation" in plan, plan
+    ddl = engine.execute("SHOW CREATE TABLE mem_t;").rows[0][0]
+    assert "STORAGE memory" in ddl
+
+
 def test_partitioned_create(engine):
     engine.execute("DROP TABLE IF EXISTS part_t;")
     engine.execute(
