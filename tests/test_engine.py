@@ -185,6 +185,22 @@ def test_explain(engine):
     assert r.row_count >= 1
 
 
+def test_query_timeout_cancels(engine):
+    # ≈ reference 300 s query timeout (duckdb/engine.go:356-360), scaled
+    # down: a ~minutes-long aggregation with a 2 s timeout must abort via
+    # job-group cancellation well before finishing
+    import time
+
+    t0 = time.time()
+    with pytest.raises(Exception):
+        engine.execute(
+            "SELECT sum(id * 2) AS s FROM range(20000000000);", timeout_s=2.0
+        )
+    assert time.time() - t0 < 60
+    # engine stays healthy afterwards
+    assert engine.execute("SELECT 1 AS one;").rows == [(1,)]
+
+
 def test_result_cap(engine):
     import ranger_spark.engine as em
 
