@@ -458,3 +458,381 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost AS min_cost
+    FROM part, supplier, cost, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT min(c2.unit_cost) FROM cost c2, supplier s2, nation n2, region r2
+        WHERE c2.l_partkey = p_partkey AND c2.l_suppkey = s2.s_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+    tags=("subquery", "correlated", "join"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part within a region —
+    correlated MIN subquery decorrelated into a per-part min join. The
+    synthetic schema has no partsupp, so the part↔supplier offer relation
+    is derived from lineitem: unit_cost = min(l_extendedprice/l_quantity)
+    per (part, supplier) — min() is order-independent, so the double is
+    bitwise identical across engines and the equality join is exact.
+    At scale: cost table is a map-side-combined agg over lineitem; the
+    per-part min is a second small agg; region/nation dims broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    s_eu = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    eu_cost = cost.join(s_eu, F.col("l_suppkey") == F.col("s_suppkey"))
+    part_min = eu_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("m_cost")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eu_cost.join(
+            part_min,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("m_cost")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("unit_cost").alias("min_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN n_name = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume, n2.n_name
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            AND s_nationkey = n2.n_nationkey
+            AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                AND TIMESTAMP '1997-12-31'
+            AND p_type = 'ECONOMY') t
+    GROUP BY o_year
+    """,
+    tags=("join", "ratio", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a region's purchases
+    per year — conditional-sum ratio over a 6-table star join. Both nation
+    roles (customer side, supplier side) broadcast; the fact-side joins
+    shuffle on their keys. Share rounded to 6dp (sum order differs across
+    engines only in the last ulps)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    n1 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey"))
+    )
+    n2 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name"))
+    )
+    vol = _net()
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_7", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity) * 10000, 0) AS BIGINT))
+             / 10000.0 AS sum_profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation × year for a part-name
+    family. No partsupp in the synthetic schema, so supply cost is proxied
+    by 10% of part retail price (joined dim attribute, same join topology
+    as Q9: part-filter pushed into the lineitem join). Per-row profit is an
+    exact 4dp decimal (2dp × 2dp products), so it is integer-scaled ×10⁴
+    and summed as longs — the group sums are exact in both engines and no
+    boundary-sensitive final rounding is needed."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    profit = _net() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    profit4 = F.round(profit * 10000, 0).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit4) / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem, supplier, nation, region
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, round(val, 2) AS part_value
+    FROM v WHERE val > (SELECT 0.001 * sum(val) FROM v)
+    ORDER BY part_value DESC, partkey
+    LIMIT 50
+    """,
+    tags=("subquery", "having", "agg"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose regional revenue exceeds a fraction of
+    the global total — grouped agg compared against a scalar subquery over
+    the same agg. The per-part value table is computed once and reused for
+    both sides (broadcast 1-row threshold, no second scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    s_eu = (
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(s_eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_net()).alias("val"))
+    )
+    thresh = v.agg((F.lit(0.001) * F.sum("val")).alias("__thresh"))
+    return (
+        v.crossJoin(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("__thresh"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("val", 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+        .limit(50)
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 40
+    """,
+    tags=("antijoin", "distinct", "agg"),
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute triple,
+    excluding a supplier blacklist (NOT IN → left anti join; the part↔
+    supplier relation again derived from lineitem)."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(40)
+    )
+
+
+@register(
+    "q20_part_promo_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'large%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100)
+      AND s_nationkey = n_nationkey AND n_regionkey < 3
+    ORDER BY s_name
+    """,
+    tags=("subquery", "semijoin", "having"),
+)
+def q20_part_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a material volume of a
+    part-name family in a year — nested IN chain decorrelated to
+    semi-join → grouped HAVING → semi-join. l_quantity is integral-valued,
+    so the HAVING sum is exact across engines."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    big = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 100)
+        .select("l_suppkey")
+    )
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND o3.o_orderkey = l3.l_orderkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_nationkey < 13
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("subquery", "correlated", "antijoin"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier in multi-supplier orders.
+    The synthetic lineitem has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + 60 days. EXISTS/NOT-EXISTS pair
+    decorrelated into one per-order aggregate (distinct suppliers,
+    distinct late suppliers) — a single extra shuffle on orderkey instead
+    of two correlated scans; the filter keeps lines whose order has ≥2
+    suppliers and exactly one late supplier (necessarily l1's)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
+    )
+    n = F.broadcast(
+        load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        lo.filter(late)
+        .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
