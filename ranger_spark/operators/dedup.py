@@ -238,23 +238,82 @@ def minhash_lsh_dedup(
     replication at sf0.1 → 313 s without collapse, seconds with). Output
     pairs are between representatives.
 
-    The shingle table feeds three DAG branches (signatures + both sides of
-    the verify join) and the band table feeds a self-join, so both are
-    persisted (memory-and-disk: at 100 TB these are the intermediates you
-    would materialize to a scratch table anyway)."""
+    The pipeline is shuffle-fused: text is normalized ONCE (the exact
+    collapse groups directly on the normalized text and keeps it via
+    first(), all group members being byte-identical — no join-back, no
+    second regex pass), and ONE groupBy(id) over the exploded shingles
+    computes the minhash signature, the shingle-hash array, and the set
+    size together (signatures and the verify arrays previously each
+    re-shuffled the shingle table). Per-doc state feeds the band self-join
+    and both sides of the verify join, so it is persisted (memory-and-disk:
+    at 100 TB this is the intermediate you would materialize to a scratch
+    table anyway). Total shuffles: collapse, per-doc agg, band join,
+    pair-distinct, two id-keyed verify joins — each keyed on either a
+    128-bit digest or the doc id, never on raw text."""
     from pyspark import StorageLevel
 
+    base = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    )
     if collapse_exact:
-        df = exact_dedup_keep(df, id_col, text_col)
-    sh = shingle_df(df, id_col, text_col, shingle_k).persist(
-        StorageLevel.MEMORY_AND_DISK
+        base = base.groupBy(F.md5("__norm").alias("__fp")).agg(
+            F.min(id_col).alias(id_col),
+            F.first("__norm").alias("__norm"),
+        )
+    else:
+        # no collapse shuffle to spread the rows — rebalance before the
+        # explode so a single-file source doesn't serialize shingling
+        base = base.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    toks = base.select(F.col(id_col), tokenize(F.col("__norm")).alias("__toks"))
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col("__toks"), shingle_k)).alias("shingle"),
+    ).select(id_col, base_hash32(F.col("shingle")).alias("sh_hash"))
+    params = _affine_params(num_hashes)
+    doc = (
+        sh.groupBy(id_col)
+        .agg(
+            F.collect_list("sh_hash").alias("__shs"),
+            F.count(F.lit(1)).alias("n_sh"),
+            *[
+                F.min(
+                    (F.lit(a) * F.col("sh_hash") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(params)
+            ],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sig = minhash_signatures(sh, id_col, num_hashes)
-    bands_df = lsh_bands(sig, id_col, num_hashes, bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    bands_df = lsh_bands(doc, id_col, num_hashes, bands)
     cands = lsh_candidate_pairs(bands_df, id_col)
-    verified = jaccard_verify(cands, sh, id_col)
+    a = doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__shs").alias("__shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__shs").alias("__shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__shs_a", "__shs_b"))
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.size(F.array_intersect("__shs_a", "__shs_b"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
     return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
 
 
