@@ -119,6 +119,18 @@ def test_brute_force_topk_ranks_are_dense(spark):
     assert all(r.vec_id != 0 for r in out)
 
 
+def test_brute_force_topk_arrow_path_matches_fold(spark):
+    # the Arrow/einsum scoring path must agree with the fold path at the
+    # 6dp rounding the operator guarantees (values differ only in last ulps)
+    from ranger_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    fold = {tuple(r) for r in brute_force_topk(q, e, k=5).collect()}
+    arrow = {tuple(r) for r in brute_force_topk(q, e, k=5, arrow=True).collect()}
+    assert fold == arrow
+
+
 def test_multimodal_decode_plumbing(spark):
     from ranger_spark.operators.multimodal import decode_features, with_payload_meta
 
