@@ -138,15 +138,35 @@ class Engine:
                 name, [tuple(c) for c in entry["columns"]]
             )
 
-    def _save_manifest(self) -> None:
+    def _mutate_manifest(self, fn) -> None:
+        """Cross-process-safe registry update: exclusive flock over
+        reload → mutate → tmp-write → rename. Every mutation re-reads the
+        on-disk manifest before applying, so concurrent engines (other
+        sessions or processes sharing the warehouse) never lose each
+        other's entries to a read-modify-write race. The reference gets
+        the same guarantee from SQLite's locking in its metadata registry
+        (server/metadata/registry); the atomic rename keeps readers
+        crash-consistent."""
+        import fcntl
         import json
-
-        tmp = self._manifest_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._manifest, f, indent=1)
         import os
 
-        os.rename(tmp, self._manifest_file())
+        path = self._manifest_file()
+        with open(path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                current: dict = {"databases": [], "tables": {}}
+                if os.path.exists(path):
+                    with open(path) as f:
+                        current = json.load(f)
+                fn(current)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(current, f, indent=1)
+                os.rename(tmp, path)
+                self._manifest = current
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def table_location(self, name: str) -> str:
         import os
@@ -310,8 +330,11 @@ class Engine:
         if not exists:
             self.spark.sql(f"CREATE DATABASE `{name}`")
         if name not in self._manifest["databases"]:
-            self._manifest["databases"].append(name)
-            self._save_manifest()
+            self._mutate_manifest(
+                lambda m: None
+                if name in m["databases"]
+                else m["databases"].append(name)
+            )
         return QueryResult([], [], 0, message=f"database '{name}' created")
 
     def _drop_database(self, sql: str) -> QueryResult:
@@ -333,13 +356,17 @@ class Engine:
             k: v for k, v in self._schemas.items() if not k.startswith(name + ".")
         }
         if name in self._manifest["databases"]:
-            self._manifest["databases"].remove(name)
-            self._manifest["tables"] = {
-                k: v
-                for k, v in self._manifest["tables"].items()
-                if not k.startswith(name + ".")
-            }
-            self._save_manifest()
+
+            def _drop_db(m: dict) -> None:
+                if name in m["databases"]:
+                    m["databases"].remove(name)
+                m["tables"] = {
+                    k: v
+                    for k, v in m["tables"].items()
+                    if not k.startswith(name + ".")
+                }
+
+            self._mutate_manifest(_drop_db)
         return QueryResult([], [], 0, message=f"database '{name}' dropped")
 
     def _create_table(self, sql: str) -> QueryResult:
@@ -402,14 +429,14 @@ class Engine:
             # auto-refreshes on insert)
             self.spark.sql(f"CACHE LAZY TABLE {name}")
         self._schemas[name] = columns
-        self._manifest["tables"][name] = {
+        entry = {
             "columns": columns,
             "partition_by": opts["partition_by"],
             "storage": opts["storage"],
             "settings": opts["settings"],
             "location": location,
         }
-        self._save_manifest()
+        self._mutate_manifest(lambda m: m["tables"].__setitem__(name, entry))
         return QueryResult([], [], 0, message=f"table '{name}' created")
 
     def _parse_columns(self, block: str) -> list[tuple[str, str, bool]]:
@@ -472,9 +499,9 @@ class Engine:
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
         self.spark.sql(f"DROP TABLE {name}")
         self._schemas.pop(name, None)
-        entry = self._manifest["tables"].pop(name, None)
+        entry = self._manifest["tables"].get(name)
         if entry:
-            self._save_manifest()
+            self._mutate_manifest(lambda m: m["tables"].pop(name, None))
             # external table drop keeps files — the engine owns storage
             # cleanup (reference storage.go:687-723)
             import shutil
@@ -791,9 +818,13 @@ class Engine:
         self.spark.sql(f"DROP TABLE {staging}")
         self._schemas[name] = new_cols
         if entry:
-            entry["columns"] = new_cols
-            self._manifest["tables"][name] = entry
-            self._save_manifest()
+
+            def _set_cols(m: dict) -> None:
+                e = m["tables"].get(name, dict(entry))
+                e["columns"] = new_cols
+                m["tables"][name] = e
+
+            self._mutate_manifest(_set_cols)
 
     # ------------------------------------------------- SHOW / system views
     def _show_databases(self) -> QueryResult:

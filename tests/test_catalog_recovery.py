@@ -51,3 +51,53 @@ def test_engine_drop_cleans_storage(spark, engine):
     with pytest.raises(AnalysisException):
         engine.execute("SELECT * FROM rectest.gone;")
     spark.sql("DROP DATABASE rectest CASCADE")
+
+
+def test_two_engines_do_not_lose_each_others_tables(spark, engine):
+    """Read-modify-write race: a second engine instance (≈ second session
+    sharing the warehouse) that loaded the manifest EARLIER must not wipe
+    tables the first engine registered in the meantime."""
+    from ranger_spark.engine import Engine
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS conc;")
+    engine.execute("DROP TABLE IF EXISTS conc.a;")
+    engine.execute("DROP TABLE IF EXISTS conc.b;")
+    e2 = Engine(spark)  # snapshots the manifest now
+    engine.execute("CREATE TABLE conc.a (x int32);")
+    e2.execute("CREATE TABLE conc.b (y int32);")  # stale in-memory view
+    import json
+
+    with open(engine._manifest_file()) as f:
+        tables = json.load(f)["tables"]
+    assert "conc.a" in tables and "conc.b" in tables
+    # and a drop through one engine doesn't resurrect the other's state
+    engine.execute("DROP TABLE conc.a;")
+    with open(engine._manifest_file()) as f:
+        tables = json.load(f)["tables"]
+    assert "conc.a" not in tables and "conc.b" in tables
+
+
+def test_concurrent_create_storm_keeps_all_entries(spark, engine):
+    """N threads × separate Engine instances creating distinct tables
+    concurrently: every entry must survive (flock serializes the
+    read-modify-write; the reference gets this from SQLite)."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ranger_spark.engine import Engine
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS storm;")
+    for i in range(6):
+        engine.execute(f"DROP TABLE IF EXISTS storm.t{i};")
+
+    def mk(i: int) -> None:
+        Engine(spark).execute(f"CREATE TABLE storm.t{i} (v int32);")
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(mk, range(6)))
+    with open(engine._manifest_file()) as f:
+        tables = json.load(f)["tables"]
+    for i in range(6):
+        assert f"storm.t{i}" in tables
+    for i in range(6):
+        engine.execute(f"DROP TABLE storm.t{i};")
