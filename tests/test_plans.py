@@ -62,6 +62,7 @@ _NL_ALLOWED = {
     "ann_ivf_kmeans_topk",
     "scalar_subquery",
     "q22_idle_balances",
+    "q11_important_parts",  # val > (1-row broadcast global-sum threshold)
 }
 
 
