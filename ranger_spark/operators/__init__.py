@@ -8,6 +8,7 @@ Text:        tokenize, token_count, lang_id, quality_metrics, fingerprint
 Multimodal:  with_payload_meta, decode_features, resize_stub,
              frame_sample_stub
 Time series: asof_join, range_join_buckets
+Sampling:    stratified_sample, pack_sequences, contamination_check
 Skew:        salted_join, salted_agg
 Rollup:      compute_rollup, refresh_rollup
 """
@@ -27,6 +28,11 @@ from ranger_spark.operators.multimodal import (  # noqa: F401
     with_payload_meta,
 )
 from ranger_spark.operators.rollup import compute_rollup, refresh_rollup  # noqa: F401
+from ranger_spark.operators.sampling import (  # noqa: F401
+    contamination_check,
+    pack_sequences,
+    stratified_sample,
+)
 from ranger_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
     cosine,

@@ -1,0 +1,129 @@
+"""Sampling and sequence-assembly operators for training-data pipelines.
+
+Three ops a 100 TB corpus pipeline needs between "cleaned documents" and
+"training batches":
+
+- **Deterministic stratified sampling** — keep a fixed fraction per
+  stratum using a seeded md5-uniform on the row id. No rand(): reruns,
+  retries, and the SQL oracle all select the SAME rows, and the filter is
+  a pure row-local predicate (no shuffle, fully pushed into the scan
+  stage; the classic Bernoulli-per-stratum design).
+- **Sequence packing (contiguous token chunking)** — assign documents to
+  fixed-token-budget training sequences by a running token total within
+  each group. One window per stratum (single shuffle on the stratum key);
+  deterministic doc_id order. This is chunked first-fit over a defined
+  order — the oracle-checkable core of packing; true bin-packing
+  reorderings are heuristics layered on the same cumsum.
+- **Benchmark contamination check** — flag corpus documents whose k-word
+  shingle sets overlap an evaluation/benchmark set. Inverted-index join
+  on 32-bit shingle hashes: the benchmark side is tiny by definition →
+  broadcast; cost is O(corpus shingles), never corpus × benchmark.
+
+The reference has no sampling surface (SURVEY §2.4: no TABLESAMPLE in its
+parser) — these are north-star extensions per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ranger_spark.operators.dedup import base_hash32, shingle_df
+
+# 60-bit md5-uniform denominator (fits signed 64; see cross-engine notes:
+# DuckDB equivalent is ('0x' || substr(md5(...), 1, 15))::BIGINT)
+_UNIFORM_DENOM = 1 << 60
+
+
+def uniform_hash60(col: Column, seed: str = "samp") -> Column:
+    """Deterministic 60-bit uniform hash of a column (md5-based, so the
+    DuckDB oracle computes the identical value)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    seed: str = "samp",
+) -> DataFrame:
+    """Keep ~rate of rows, chosen deterministically by id hash. Applied
+    after a groupBy-free filter, the per-stratum rate is automatic: the
+    hash is independent of any stratum column, so each stratum retains
+    ~rate of its rows (exact Bernoulli). Integer threshold compare —
+    no float equality across engines."""
+    threshold = int(rate * _UNIFORM_DENOM)
+    return df.filter(uniform_hash60(F.col(id_col), seed) < F.lit(threshold))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each document a (seq_id, seq_offset) inside its group:
+    documents are laid out in id order and cut into contiguous chunks
+    whose token budget is ``budget`` — seq_id = floor(exclusive-cumsum /
+    budget). Adds ``seq_id`` and ``seq_offset`` (token offset within the
+    running layout). One window shuffle keyed on the group columns; at
+    100 TB the stratum (e.g. language × source) bounds window state."""
+    from pyspark.sql import Window
+
+    parts = group_cols or []
+    w = (
+        Window.partitionBy(*parts).orderBy(F.col(id_col))
+        if parts
+        else Window.partitionBy(F.lit(1)).orderBy(F.col(id_col))
+    )
+    cum_excl = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn("seq_offset", cum_excl.cast("long")).withColumn(
+        "seq_id", F.floor(F.col("seq_offset") / F.lit(budget)).cast("long")
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_overlap_frac: float = 0.2,
+) -> DataFrame:
+    """Fraction of each corpus document's distinct k-shingles that appear
+    anywhere in the benchmark set; rows with overlap ≥ threshold are the
+    contamination report. The benchmark shingle-hash set is distinct-ed
+    and broadcast (eval sets are small); the corpus pays one shingle pass
+    and one groupBy(id) — O(corpus tokens), no pair join."""
+    c_sh = shingle_df(corpus, id_col, text_col, shingle_k)
+    b_sh = F.broadcast(
+        benchmark.select(F.col(text_col))
+        .transform(lambda d: shingle_df(d.withColumn("__bid", F.lit(0)), "__bid", text_col, shingle_k))
+        .select("sh_hash")
+        .distinct()
+    )
+    flagged = c_sh.join(b_sh, "sh_hash", "left_semi")
+    n_shared = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared"))
+    n_total = c_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        n_total.join(n_shared, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            "n_sh",
+            F.round(
+                F.coalesce(F.col("n_shared"), F.lit(0))
+                / F.col("n_sh").cast("double"),
+                6,
+            ).alias("overlap_frac"),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+    )

@@ -463,3 +463,111 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranger_spark.operators.multimodal import decode_features
 
     return decode_features(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Sampling / sequence assembly / contamination (operators/sampling.py)
+# ---------------------------------------------------------------------------
+_SAMPLE_RATE_T = int(0.1 * (1 << 60))  # 10% as an integer hash threshold
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) < {_SAMPLE_RATE_T}
+    """,
+    tags=("sampling",),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample (md5-uniform on doc_id): a pure
+    row-local filter — no shuffle, no rand(), rerun-stable."""
+    from ranger_spark.operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(d, "doc_id", 0.1).select("doc_id", "lang")
+
+
+@register(
+    "pack_sequences_2k",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS seq_offset
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, seq_offset,
+           CAST(floor(seq_offset / 2048.0) AS BIGINT) AS seq_id
+    FROM c
+    """,
+    tags=("packing", "window"),
+)
+def pack_sequences_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous token chunking into 2048-token training sequences per
+    language (running-total window keyed on the stratum)."""
+    from ranger_spark.operators.sampling import pack_sequences
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        T.token_count(T.normalize_text(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", 2048, ["lang"])
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bmark AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    ct AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    csh0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM ct, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 2))) AS i) g
+    ),
+    csh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM csh0
+    ),
+    bt AS (SELECT doc_id, {_TOKS} AS t FROM bmark),
+    bsh0 AS (
+      SELECT DISTINCT concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+      FROM bt, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 2))) AS i) g
+    ),
+    bsh AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM bsh0
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM csh c JOIN bsh b ON c.sh_hash = b.sh_hash
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, coalesce(s.n_shared, 0) AS n_shared, t.n_sh,
+           round(coalesce(s.n_shared, 0) / CAST(t.n_sh AS DOUBLE), 6) AS overlap_frac
+    FROM tot t LEFT JOIN shared s ON t.doc_id = s.doc_id
+    WHERE round(coalesce(s.n_shared, 0) / CAST(t.n_sh AS DOUBLE), 6) >= 0.05
+    """,
+    tags=("contamination", "semijoin"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: corpus docs whose 3-word shingle
+    sets overlap the (broadcast) eval set by ≥5% (the synthetic corpus
+    contains exact copies of eval docs, which flag at 1.0). Eval set
+    here: every 97th doc_id."""
+    from ranger_spark.operators.sampling import contamination_check as cc
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bmark = d.filter(F.col("doc_id") % 97 == 0)
+    return cc(corpus, bmark, "doc_id", "text", shingle_k=3, min_overlap_frac=0.05)

@@ -173,3 +173,68 @@ def test_lang_id_prefers_matching_stopwords(spark):
         ).collect()
     }
     assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_stratified_sample_rate_and_determinism(spark):
+    from ranger_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = d.count()
+    s1 = stratified_sample(d, "doc_id", 0.2)
+    s2 = stratified_sample(d, "doc_id", 0.2)
+    k = s1.count()
+    assert abs(k / n - 0.2) < 0.1  # Bernoulli tolerance at smoke scale
+    assert k == s2.count()  # rerun-stable
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+    # a higher rate strictly contains the lower one (nested samples)
+    s5 = {r.doc_id for r in stratified_sample(d, "doc_id", 0.5).collect()}
+    assert {r.doc_id for r in s1.collect()} <= s5
+
+
+def test_pack_sequences_budget_and_order(spark):
+    from pyspark.sql import functions as SF
+
+    from ranger_spark.operators.sampling import pack_sequences
+    from ranger_spark.operators.text import normalize_text, token_count
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang",
+        token_count(normalize_text(SF.col("text"))).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(d, "doc_id", "n_tokens", 512, ["lang"]).collect()
+    by_group: dict = {}
+    for r in sorted(packed, key=lambda r: (r.lang, r.doc_id)):
+        by_group.setdefault(r.lang, []).append(r)
+    for rows in by_group.values():
+        # offsets are the exclusive running total in doc_id order
+        cum = 0
+        for r in rows:
+            assert r.seq_offset == cum
+            assert r.seq_id == cum // 512
+            cum += r.n_tokens
+        # seq ids are dense & nondecreasing
+        assert [r.seq_id for r in rows] == sorted(r.seq_id for r in rows)
+
+
+def test_contamination_flags_planted_copy(spark):
+    from pyspark.sql import functions as SF
+
+    from ranger_spark.operators.sampling import contamination_check
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bmark = d.filter(SF.col("doc_id") < 5).select("text")
+    # corpus contains the benchmark docs verbatim under other ids plus
+    # unrelated docs
+    planted = d.filter(SF.col("doc_id") < 5).select(
+        (SF.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    rest = d.filter((SF.col("doc_id") >= 200) & (SF.col("doc_id") < 250)).select(
+        "doc_id", "text"
+    )
+    report = contamination_check(
+        planted.union(rest), bmark, "doc_id", "text", shingle_k=3,
+        min_overlap_frac=0.99,
+    ).collect()
+    flagged = {r.doc_id for r in report}
+    assert {100000, 100001, 100002, 100003, 100004} <= flagged
+    assert all(r.overlap_frac >= 0.99 for r in report)
