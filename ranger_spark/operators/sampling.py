@@ -127,3 +127,30 @@ def contamination_check(
         )
         .filter(F.col("overlap_frac") >= min_overlap_frac)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in exactly one
+    named bucket according to its md5-uniform hash and the cumulative
+    fraction ranges. Row-local (no shuffle), rerun-stable, and adding
+    rows never moves existing rows between splits — the properties a
+    100 TB corpus split must have (re-splitting under growth would leak
+    eval data into training)."""
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1.0")
+    h = uniform_hash60(F.col(id_col), seed)
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = h < F.lit(int(cum * _UNIFORM_DENOM))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

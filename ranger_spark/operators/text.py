@@ -128,3 +128,46 @@ def quality_metrics(col: Column, toks: Column | None = None) -> dict[str, Column
             / F.size(toks).cast("double")
         ),
     }
+
+
+def tf_idf_terms(
+    df, id_col: str, text_col: str, min_df: int = 2
+):
+    """Per-(doc, term) TF-IDF over distinct whitespace tokens of the
+    normalized text: tf = occurrences/doc_len, idf = ln((N+1)/(df_t+1))+1
+    (smoothed). Two shuffles: token counts per (doc, term), then document
+    frequency per term; N is a 1-row broadcast. At 100 TB the term
+    dictionary is the big intermediate — it shuffles as (term-hash,
+    counts) pairs, never raw text beyond the term itself."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    per_doc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_raw"))
+    doc_len = per_doc.groupBy(id_col).agg(F.sum("tf_raw").alias("doc_len"))
+    df_t = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        per_doc.join(doc_len, id_col)
+        .join(df_t.filter(F.col("df_t") >= min_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf_raw",
+            "df_t",
+            F.round(
+                (F.col("tf_raw") / F.col("doc_len").cast("double"))
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1))
+                        / (F.col("df_t") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )

@@ -571,3 +571,74 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     bmark = d.filter(F.col("doc_id") % 97 == 0)
     return cc(corpus, bmark, "doc_id", "text", shingle_k=3, min_overlap_frac=0.05)
+
+
+_SPLIT_T80 = 922337203685477632  # int(0.8 * 2^60), matches hash_split's cumulative thresholds
+_SPLIT_T90 = 1037629354146162304
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN h < {_SPLIT_T80} THEN 'train'
+                  WHEN h < {_SPLIT_T90} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM documents) t
+    )
+    SELECT lang, split, count(*) AS n FROM s GROUP BY lang, split
+    """,
+    tags=("sampling", "split"),
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split: membership is a pure function of
+    doc_id, so corpus growth never moves existing rows between splits
+    (no eval leakage on re-split). Reported as counts per (lang, split)."""
+    from ranger_spark.operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    per_doc AS (SELECT doc_id, term, count(*) AS tf_raw FROM toks GROUP BY 1, 2),
+    doc_len AS (SELECT doc_id, CAST(sum(tf_raw) AS BIGINT) AS doc_len
+                FROM per_doc GROUP BY 1),
+    dft AS (SELECT term, count(*) AS df_t FROM per_doc
+            GROUP BY 1 HAVING count(*) >= 2),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT p.doc_id, p.term, p.tf_raw, d.df_t,
+           round((p.tf_raw / CAST(l.doc_len AS DOUBLE))
+                 * (ln((n.n_docs + 1) / CAST(d.df_t + 1 AS DOUBLE)) + 1.0),
+                 6) AS tfidf
+    FROM per_doc p
+    JOIN doc_len l USING (doc_id)
+    JOIN dft d USING (term), n
+    ORDER BY tfidf DESC, p.doc_id, p.term
+    LIMIT 20
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (doc, term) pairs by smoothed TF-IDF (min document
+    frequency 2); full tiebreak (doc_id, term) so the cut is
+    engine-deterministic."""
+    from ranger_spark.operators.text import tf_idf_terms
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        tf_idf_terms(d, "doc_id", "text", min_df=2)
+        .orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(20)
+    )

@@ -238,3 +238,46 @@ def test_contamination_flags_planted_copy(spark):
     flagged = {r.doc_id for r in report}
     assert {100000, 100001, 100002, 100003, 100004} <= flagged
     assert all(r.overlap_frac >= 0.99 for r in report)
+
+
+def test_hash_split_partitions_and_stability(spark):
+    from ranger_spark.operators.sampling import hash_split
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = d.count()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # total partition, no row lost/dup
+    assert counts["train"] > counts.get("val", 0)
+    # growth stability: splitting a subset assigns the same buckets
+    sub = hash_split(
+        d.filter(F.col("doc_id") < 100), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    full = {r.doc_id: r.split for r in out.filter(F.col("doc_id") < 100).collect()}
+    assert {r.doc_id: r.split for r in sub.collect()} == full
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(d, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from ranger_spark.operators.text import tf_idf_terms
+
+    rows = [
+        (1, "common rare"),
+        (2, "common common common"),
+        (3, "common filler words"),
+        (4, "rare common thing"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tf_idf_terms(d, "doc_id", "text", min_df=2).collect()
+    }
+    # 'rare' (df=2) must outrank 'common' (df=4) at equal tf within doc 1
+    assert out[(1, "rare")] > out[(1, "common")]
+    # min_df filter drops singletons
+    assert (3, "filler") not in out
