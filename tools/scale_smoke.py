@@ -86,10 +86,16 @@ def main() -> None:
         df = reg[name].builder(spark, OUT)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
+        cold = time.time() - t0
+        # steady state: codegen/JIT/GC noise dominates a single cold run
+        # (see bench.py); report the resident-engine number alongside
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        steady = time.time() - t0
         js = {k: v for k, v in join_strategies(df).items() if v}
         print(
-            f"{name}: {dt:.2f}s exchanges={num_exchanges(df)} joins={js}"
+            f"{name}: cold {cold:.2f}s steady {steady:.2f}s "
+            f"exchanges={num_exchanges(df)} joins={js}"
         )
     spark.stop()
 
