@@ -8,7 +8,8 @@ Text:        tokenize, token_count, lang_id, quality_metrics, fingerprint
 Multimodal:  with_payload_meta, decode_features, resize_stub,
              frame_sample_stub
 Time series: asof_join, range_join_buckets
-Sampling:    stratified_sample, pack_sequences, contamination_check
+Sampling:    stratified_sample, hash_split, pack_sequences,
+             pack_sequences_ffd, contamination_check
 Skew:        salted_join, salted_agg
 Rollup:      compute_rollup, refresh_rollup
 """
@@ -30,7 +31,9 @@ from ranger_spark.operators.multimodal import (  # noqa: F401
 from ranger_spark.operators.rollup import compute_rollup, refresh_rollup  # noqa: F401
 from ranger_spark.operators.sampling import (  # noqa: F401
     contamination_check,
+    hash_split,
     pack_sequences,
+    pack_sequences_ffd,
     stratified_sample,
 )
 from ranger_spark.operators.similarity import (  # noqa: F401

@@ -154,3 +154,64 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """True bin packing (first-fit-decreasing) per stratum via
+    applyInPandas: docs sorted by token count desc (id tiebreak) are
+    placed into the first open sequence with room, so every sequence
+    except stragglers is ≤ budget — tighter than contiguous chunking when
+    doc lengths vary. Deterministic given the sort, but inherently
+    order-dependent, hence no SQL oracle (tests assert the invariants).
+    Each stratum's state is a bin table in one python worker — at 100 TB
+    the stratum (language × source × shard) must bound group size, the
+    same contract as any applyInPandas stateful op."""
+    import pandas as pd
+
+    parts = group_cols or []
+    schema_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+    )
+    out_schema = f"{schema_fields}, seq_id long, seq_fill long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        seq_ids = []
+        seq_fill = []
+        for tok in pdf[token_col]:
+            placed = False
+            for i, f in enumerate(fills):
+                if f + tok <= budget:
+                    fills[i] = f + tok
+                    seq_ids.append(i)
+                    seq_fill.append(fills[i])
+                    placed = True
+                    break
+            if not placed:
+                fills.append(tok)
+                seq_ids.append(len(fills) - 1)
+                seq_fill.append(tok)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_fill"] = pd.Series(seq_fill, dtype="int64")
+        return pdf
+
+    if parts:
+        return df.groupBy(*parts).applyInPandas(pack, out_schema)
+    one = df.withColumn("__g", F.lit(1))
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in one.schema.fields
+        )
+        + ", seq_id long, seq_fill long"
+    )
+    return one.groupBy("__g").applyInPandas(pack, out_schema).drop("__g")

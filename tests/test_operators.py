@@ -281,3 +281,55 @@ def test_tfidf_rare_term_outranks_common(spark):
     assert out[(1, "rare")] > out[(1, "common")]
     # min_df filter drops singletons
     assert (3, "filler") not in out
+
+
+def test_pack_ffd_respects_budget_and_beats_chunking(spark):
+    from pyspark.sql import functions as SF
+
+    from ranger_spark.operators.sampling import pack_sequences, pack_sequences_ffd
+    from ranger_spark.operators.text import normalize_text, token_count
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang",
+        token_count(normalize_text(SF.col("text"))).cast("long").alias("n_tokens"),
+    )
+    budget = 256
+    ffd = pack_sequences_ffd(d, "doc_id", "n_tokens", budget, ["lang"])
+    rows = ffd.collect()
+    assert len(rows) == d.count()
+    # every sequence a doc was placed into stays within budget unless a
+    # single doc alone exceeds it
+    from collections import defaultdict
+
+    totals: dict = defaultdict(int)
+    singles: dict = defaultdict(int)
+    for r in rows:
+        totals[(r.lang, r.seq_id)] += r.n_tokens
+        singles[(r.lang, r.seq_id)] = max(singles[(r.lang, r.seq_id)], r.n_tokens)
+    for k, tot in totals.items():
+        assert tot <= budget or singles[k] > budget, (k, tot)
+    # deterministic
+    again = {(r.lang, r.doc_id): r.seq_id for r in ffd.collect()}
+    assert {(r.lang, r.doc_id): r.seq_id for r in rows} == again
+    # FFD never uses more sequences than contiguous chunking
+    chunked = pack_sequences(d, "doc_id", "n_tokens", budget, ["lang"]).collect()
+    n_ffd = len({(r.lang, r.seq_id) for r in rows})
+    n_chunk = len({(r.lang, r.seq_id) for r in chunked})
+    assert n_ffd <= n_chunk + 1  # +1 slack: chunking can straddle budgets
+
+
+def test_pack_ffd_ungrouped_single_stream(spark):
+    from ranger_spark.operators.sampling import pack_sequences_ffd
+
+    d = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 60), (4, 250), (5, 50)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences_ffd(d, "doc_id", "n_tokens", 300).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4, 5}
+    from collections import defaultdict
+
+    totals: dict = defaultdict(int)
+    for r in out:
+        totals[r.seq_id] += r.n_tokens
+    assert all(t <= 300 for t in totals.values())
+    assert "__g" not in pack_sequences_ffd(d, "doc_id", "n_tokens", 300).columns

@@ -63,6 +63,7 @@ _NL_ALLOWED = {
     "scalar_subquery",
     "q22_idle_balances",
     "q11_important_parts",  # val > (1-row broadcast global-sum threshold)
+    "tfidf_top_terms",  # idf needs N = 1-row broadcast corpus count
 }
 
 
