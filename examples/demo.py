@@ -59,6 +59,28 @@ def main() -> None:
     topk = brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=3)
     print("  cosine top-3 for vec 0:")
     topk.show()
+
+    print("== Corpus assembly: sample -> split -> pack ==")
+    from ranger_spark.operators.sampling import (
+        hash_split,
+        pack_sequences,
+        stratified_sample,
+    )
+    from ranger_spark.operators.text import normalize_text, token_count
+
+    sampled = stratified_sample(docs, "doc_id", 0.5)
+    split = hash_split(sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    print("  splits:", {r.split: r.n for r in split.groupBy("split")
+                        .agg(F.count(F.lit(1)).alias("n")).collect()})
+    packed = pack_sequences(
+        split.filter(F.col("split") == "train").select(
+            "doc_id", "lang",
+            token_count(normalize_text(F.col("text"))).cast("long").alias("n_tokens"),
+        ),
+        "doc_id", "n_tokens", 2048, ["lang"],
+    )
+    print("  training sequences (2048-token budget):",
+          packed.select("lang", "seq_id").distinct().count())
     spark.stop()
 
 
