@@ -58,12 +58,13 @@ def main() -> None:
         # compilation AND JVM JIT warm-up — measured to take 3-4 executions
         # to flatten out, which a resident engine (the reference is a
         # long-running server) pays once per plan shape, not per query.
-        # 2 untimed warm-ups, then min of 3 timed runs.
+        # 3 untimed warm-ups, then min of 3 timed runs.
         def run():
             registry[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
 
+        run()
         run()
         run()
         best = float("inf")
