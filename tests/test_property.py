@@ -103,3 +103,47 @@ def test_validate_script_collects_all_errors():
     )
     assert len(errs) == 2
     assert all("unsupported statement" in e for _, e in errs)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.05, max_value=1.0),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=200, deadline=None)
+def test_hash_split_thresholds_partition_the_hash_space(fracs, h):
+    """The cumulative integer thresholds hash_split builds must assign any
+    hash value to exactly one bucket, for arbitrary normalized fraction
+    vectors (pure threshold math — no Spark needed)."""
+    total = sum(fracs)
+    fractions = {f"b{i}": f / total for i, f in enumerate(fracs)}
+    # replicate hash_split's cumulative thresholds
+    denom = 1 << 60
+    cum, edges = 0.0, []
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        edges.append((name, int(cum * denom)))
+    hits = [n for n, t in edges if h < t]
+    bucket = hits[0] if hits else items[-1][0]
+    # exactly one bucket claims h, and buckets are monotone in the hash
+    assert bucket in fractions
+    prev = -1
+    for _, t in edges:
+        assert t >= prev  # thresholds nondecreasing → ranges disjoint
+        prev = t
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_uniform_hash60_python_reference_range(doc_id):
+    """The md5-uniform construction stays within [0, 2^60) — the integer
+    threshold compare in stratified_sample/hash_split can never overflow
+    (Python reference of the Spark/DuckDB expression)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"samp:{doc_id}".encode()).hexdigest()[:15], 16)
+    assert 0 <= h < (1 << 60)
