@@ -22,7 +22,7 @@ import time
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Observation, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as st
 
@@ -78,7 +78,11 @@ class ExecutionManager:
 
     def finish(self, qi: QueryInfo, status: str = "done") -> None:
         with self._lock:
-            qi.status = status
+            # A timeout cancel interrupts the collect, so execute()'s error
+            # path lands here after cancel() already marked the query —
+            # keep 'cancelled' so it stays distinguishable from failure.
+            if qi.status != "cancelled":
+                qi.status = status
             qi.finished_at = time.time()
         self.spark.sparkContext.setJobGroup("", "")
 
@@ -307,10 +311,21 @@ class Engine:
 
     def _rewrite_system(self, sql: str) -> str:
         """Route `system.X` references to registered system views
-        (≈ reference substring check, registry/system/manager.go:302-309)."""
-        if re.search(r"\bsystem\.", sql, re.I):
+        (≈ reference substring check, registry/system/manager.go:302-309).
+        Only identifier positions are rewritten: the text is split on
+        single-quoted literals first, so a string like 'system.users'
+        in a WHERE clause passes through untouched (the reference never
+        mutates literal content — it only substring-detects to route)."""
+        # odd indices of the split are quoted literals ('' = escaped quote)
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        if any(
+            re.search(r"\bsystem\.", p, re.I) for p in parts[::2]
+        ):
             self.refresh_system_views()
-            sql = re.sub(r"\bsystem\.", "system_", sql, flags=re.I)
+            sql = "".join(
+                p if i % 2 else re.sub(r"\bsystem\.", "system_", p, flags=re.I)
+                for i, p in enumerate(parts)
+            )
         return sql
 
     # ------------------------------------------------------------ DDL path
@@ -702,7 +717,13 @@ class Engine:
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
         df = self.spark.table(name)
         cond_col = F.expr(cond) if cond else F.lit(True)
-        n_hit = df.filter(cond_col).count()
+        # Fold the hit-count into the rewrite scan via an Observation node —
+        # one pass over the table instead of count()-then-rewrite (Iceberg
+        # would surface this as the commit summary's changed-row count).
+        obs = Observation()
+        df = df.observe(
+            obs, F.sum(F.when(cond_col, 1).otherwise(0)).alias("n_hit")
+        )
         for part in itypes.split_top_level(sets):
             col, val = part.split("=", 1)
             col = col.strip()
@@ -711,6 +732,7 @@ class Engine:
                 col, F.when(cond_col, new_val.cast(dict(df.dtypes)[col])).otherwise(F.col(col))
             )
         self._rewrite_table(name, df)
+        n_hit = int(obs.get["n_hit"] or 0)
         return QueryResult([], [], n_hit, message=f"updated {n_hit} row(s)")
 
     def _delete(self, sql: str) -> QueryResult:
@@ -723,8 +745,14 @@ class Engine:
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
         df = self.spark.table(name)
         cond_col = F.expr(cond) if cond else F.lit(True)
-        n_hit = df.filter(cond_col).count()
+        # Observation below the filter sees every scanned row → hit count
+        # comes out of the same single pass that performs the rewrite.
+        obs = Observation()
+        df = df.observe(
+            obs, F.sum(F.when(cond_col, 1).otherwise(0)).alias("n_hit")
+        )
         self._rewrite_table(name, df.filter(~cond_col))
+        n_hit = int(obs.get["n_hit"] or 0)
         return QueryResult([], [], n_hit, message=f"deleted {n_hit} row(s)")
 
     def _rewrite_table(self, name: str, new_df: DataFrame) -> None:
@@ -761,6 +789,7 @@ class Engine:
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
         df = self.spark.table(name)
         cols = self._column_info(name)
+        renamed: dict[str, str] = {}
         if m.group(2):  # ADD
             cname, ctype = m.group(3), m.group(4).strip()
             it = itypes.parse_type(ctype, column=cname)
@@ -787,41 +816,87 @@ class Engine:
                 (new if c[0] == old else c[0], c[1], c[2]) for c in cols
             ]
             action = f"renamed column '{old}' to '{new}'"
-        self._replace_table(name, new_df, new_cols)
+            renamed = {old: new}
+        self._replace_table(name, new_df, new_cols, renamed=renamed)
         return QueryResult([], [], 0, message=f"table '{name}': {action}")
 
     def _replace_table(
-        self, name: str, new_df: DataFrame, new_cols: list[tuple[str, str, bool]]
+        self,
+        name: str,
+        new_df: DataFrame,
+        new_cols: list[tuple[str, str, bool]],
+        renamed: dict[str, str] | None = None,
     ) -> None:
         """Drop + recreate the table with a new schema and rewritten data
-        (schema-changing CoW; plain overwrite keeps the old schema)."""
+        (schema-changing CoW; plain overwrite keeps the old schema).
+
+        Table options survive the rewrite: PARTITIONED BY is re-applied
+        (with renamed partition columns followed and dropped ones removed),
+        TBLPROPERTIES (ranger.storage / ranger.write_order / settings) are
+        carried over, and memory-storage tables are re-pinned in the cache —
+        otherwise a later recover() would recreate the table PARTITIONED BY
+        over unpartitioned files and the data would become invisible."""
+        renamed = renamed or {}
         staging = f"{name.split('.')[0]}.__staging_{name.split('.')[-1]}"
         new_df.write.mode("overwrite").saveAsTable(staging)
         entry = self._manifest["tables"].get(name, {})
+        # carry over user-facing props before the old table disappears
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+            if r["key"].startswith("ranger.")
+        }
+        for k, v in entry.get("settings", {}).items():
+            props.setdefault(k, v)
         self.spark.sql(f"DROP TABLE {name}")
         import shutil
 
         location = self.table_location(name)
         shutil.rmtree(location, ignore_errors=True)
         schema = itypes.to_spark_schema(new_cols)
+        new_names = {f.name for f in schema.fields}
+        part_by = [
+            renamed.get(c, c)
+            for c in entry.get("partition_by", [])
+        ]
+        part_by = [c for c in part_by if c in new_names]
+        if "ranger.write_order" in props:
+            order = [
+                renamed.get(c.strip(), c.strip())
+                for c in props["ranger.write_order"].split(",")
+            ]
+            order = [c for c in order if c in new_names]
+            if order:
+                props["ranger.write_order"] = ",".join(order)
+            else:
+                del props["ranger.write_order"]
         spark_cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             + ("" if f.nullable else " NOT NULL")
             for f in schema.fields
         )
-        self.spark.sql(
-            f"CREATE TABLE {name} ({spark_cols}) USING parquet LOCATION '{location}'"
-        )
-        self.spark.table(staging).select(
-            *[f.name for f in schema.fields]
-        ).write.insertInto(name)
+        ddl = f"CREATE TABLE {name} ({spark_cols}) USING parquet"
+        if part_by:
+            ddl += " PARTITIONED BY (" + ", ".join(part_by) + ")"
+        if props:
+            prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+            ddl += f" TBLPROPERTIES ({prop_str})"
+        ddl += f" LOCATION '{location}'"
+        self.spark.sql(ddl)
+        # partitioned tables re-order columns (partition cols last) — insert
+        # in the recreated table's canonical order, not the staging order
+        target_order = self.spark.table(name).columns
+        self.spark.table(staging).select(*target_order).write.insertInto(name)
         self.spark.sql(f"DROP TABLE {staging}")
+        if entry.get("storage") == "memory":
+            self.spark.sql(f"CACHE LAZY TABLE {name}")
         self._schemas[name] = new_cols
         if entry:
 
             def _set_cols(m: dict) -> None:
                 e = m["tables"].get(name, dict(entry))
                 e["columns"] = new_cols
+                e["partition_by"] = part_by
                 m["tables"][name] = e
 
             self._mutate_manifest(_set_cols)

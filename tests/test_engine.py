@@ -260,3 +260,106 @@ def test_partitioned_create(engine):
     )
     r = engine.execute("SELECT region, amount FROM part_t WHERE region = 'eu';")
     assert r.rows == [("eu", 1.0)]
+
+
+def test_system_literal_not_rewritten(engine):
+    # ADVICE r1: _rewrite_system must not mutate string literals — the
+    # reference only substring-detects 'system.' to route, never rewrites
+    # literal content (registry/system/manager.go IsSystemDatabaseQuery)
+    r = engine.execute("SELECT 'system.users' AS s;")
+    assert r.rows == [("system.users",)]
+    # mixed: identifier position rewritten, literal untouched
+    r = engine.execute(
+        "SELECT table_name, 'system.x' AS lit FROM system.tables "
+        "WHERE table_name = 'users';"
+    )
+    assert all(row[1] == "system.x" for row in r.rows)
+
+
+def test_update_delete_single_scan(engine):
+    # VERDICT r1: the hit-count is folded into the rewrite via an
+    # Observation — an UPDATE runs exactly the 2 write jobs of the CoW
+    # rewrite (staging save + insertInto), with no extra count() scan job
+    engine.execute("DROP TABLE IF EXISTS scan_t;")
+    engine.execute("CREATE TABLE scan_t (id int32, v string);")
+    engine.execute(
+        "INSERT INTO scan_t (id, v) VALUES (1, 'a'), (2, 'b'), (3, 'c');"
+    )
+    tracker = engine.spark.sparkContext.statusTracker()
+    r = engine.execute("UPDATE scan_t SET v = 'z' WHERE id > 1;")
+    assert r.row_count == 2
+    n_jobs = len(tracker.getJobIdsForGroup(r.query_id))
+    assert n_jobs <= 2, f"UPDATE ran {n_jobs} jobs (expected CoW's 2)"
+    r = engine.execute("DELETE FROM scan_t WHERE id = 3;")
+    assert r.row_count == 1
+    n_jobs = len(tracker.getJobIdsForGroup(r.query_id))
+    assert n_jobs <= 2, f"DELETE ran {n_jobs} jobs (expected CoW's 2)"
+
+
+def test_timeout_reports_cancelled_not_error(engine):
+    # ADVICE r1: a timed-out query must surface as 'cancelled', not be
+    # overwritten to 'error' by execute()'s exception path
+    # count() can't overflow, so the only way out before ~minutes is the
+    # timeout-driven job-group cancellation
+    with pytest.raises(Exception):
+        engine.execute(
+            "SELECT count(*) AS s FROM range(30000000000) WHERE id % 97 = 3;",
+            timeout_s=2.0,
+        )
+    statuses = [
+        q.status
+        for q in engine.exec_mgr.list_queries()
+        if "30000000000" in q.sql
+    ]
+    assert statuses == ["cancelled"], statuses
+
+
+def test_alter_preserves_partitioning_and_props(spark, engine):
+    # ADVICE r1: ALTER's CoW recreate must keep PARTITIONED BY and
+    # TBLPROPERTIES, so a later recover() in a fresh session still sees
+    # the data (previously: recreate dropped partitioning but left
+    # partition_by in the manifest -> data invisible after restart)
+    engine.execute("DROP TABLE IF EXISTS alt_part;")
+    engine.execute(
+        "CREATE TABLE alt_part (id int64, region string, amount float64) "
+        "PARTITION BY (region) SETTINGS compression = 'snappy';"
+    )
+    engine.execute(
+        "INSERT INTO alt_part (id, region, amount) VALUES "
+        "(1, 'eu', 1.0), (2, 'us', 2.0), (3, 'eu', 3.0);"
+    )
+    engine.execute("ALTER TABLE alt_part ADD COLUMN note string;")
+    db = spark.catalog.currentDatabase()
+    ddl = engine.execute("SHOW CREATE TABLE alt_part;").rows[0][0]
+    assert "PARTITION BY (region)" in ddl
+    assert "compression = 'snappy'" in ddl
+    # partition pruning still works post-ALTER
+    r = engine.execute("SELECT id FROM alt_part WHERE region = 'eu';")
+    assert sorted(r.rows) == [(1,), (3,)]
+    # simulate session restart: drop only the catalog entry, keep files +
+    # manifest, then recover with a fresh Engine
+    spark.sql(f"DROP TABLE {db}.alt_part")
+    from ranger_spark.engine import Engine
+
+    fresh = Engine(spark)
+    assert fresh.recover() >= 1
+    r = fresh.execute(f"SELECT id, note FROM {db}.alt_part WHERE region = 'us';")
+    assert r.rows == [(2, None)]
+
+
+def test_alter_rename_partition_column(spark, engine):
+    # renaming a partition column follows through to PARTITIONED BY and
+    # the manifest entry
+    engine.execute("DROP TABLE IF EXISTS alt_rn;")
+    engine.execute(
+        "CREATE TABLE alt_rn (id int64, region string) PARTITION BY (region);"
+    )
+    engine.execute(
+        "INSERT INTO alt_rn (id, region) VALUES (1, 'eu'), (2, 'us');"
+    )
+    engine.execute("ALTER TABLE alt_rn RENAME COLUMN region TO reg;")
+    db = spark.catalog.currentDatabase()
+    entry = engine._manifest["tables"][f"{db}.alt_rn"]
+    assert entry["partition_by"] == ["reg"]
+    r = engine.execute("SELECT id FROM alt_rn WHERE reg = 'eu';")
+    assert r.rows == [(1,)]
