@@ -20,6 +20,14 @@ salted key relieves a hot reducer.
 Salting uses a *deterministic* hash-based salt (pmod of a row hash) rather
 than rand() so retried tasks produce identical output (rand() in a shuffle
 input breaks task-retry determinism and any oracle comparison).
+
+Content-hash salting degrades on the one skew case it most targets:
+byte-identical duplicate rows all hash to the same salt and still land on
+one reducer. ``positional=True`` switches to a row-position salt
+(``monotonically_increasing_id`` = partition id + in-partition offset), which
+spreads duplicates uniformly; it stays deterministic as long as the input
+partitioning is (a file scan is; rows freshly out of a shuffle may reorder
+on a task retry — salt before shuffling, as these helpers do).
 """
 
 from __future__ import annotations
@@ -28,7 +36,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_col(df: DataFrame, salt: int) -> Column:
+def _salt_col(df: DataFrame, salt: int, positional: bool = False) -> Column:
+    if positional:
+        # row-position salt: spreads byte-identical duplicates too
+        return F.pmod(F.monotonically_increasing_id(), F.lit(salt))
     # deterministic per-row salt: hash all columns; stable across retries
     return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt))
 
@@ -39,10 +50,12 @@ def salted_join(
     key: str,
     salt: int = 8,
     how: str = "inner",
+    positional: bool = False,
 ) -> DataFrame:
     """Equi-join on `key` with the hot left side salted and the right side
-    replicated `salt`×."""
-    l_salted = left.withColumn("__salt", _salt_col(left, salt))
+    replicated `salt`×. Pass ``positional=True`` when the hot key's rows may
+    be byte-identical (content-hash salting can't spread those)."""
+    l_salted = left.withColumn("__salt", _salt_col(left, salt, positional))
     r_replicated = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
@@ -54,6 +67,7 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, str],
     salt: int = 8,
+    positional: bool = False,
 ) -> DataFrame:
     """Two-phase aggregation: (keys, salt) partial → keys final.
     `aggs` maps column → 'sum' | 'count' | 'min' | 'max' (mergeable aggs);
@@ -70,6 +84,6 @@ def salted_agg(
             final_exprs.append(getattr(F, fn)(name).alias(name))
         else:
             raise ValueError(f"non-mergeable aggregate {fn!r}")
-    salted = df.withColumn("__salt", _salt_col(df, salt))
+    salted = df.withColumn("__salt", _salt_col(df, salt, positional))
     partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)

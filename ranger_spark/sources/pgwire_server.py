@@ -20,6 +20,7 @@ import threading
 from ranger_spark.engine import Engine
 
 TEXT_OID = 25  # everything ships as text, like the reference
+MAX_FRAME = 64 * 1024 * 1024  # cap client-declared frame length (64 MiB)
 
 
 def _msg(tag: bytes, payload: bytes) -> bytes:
@@ -106,6 +107,9 @@ class PgWireServer:
                 if head is None:
                     return
                 (length,) = struct.unpack("!I", head)
+                if not 4 <= length <= MAX_FRAME:
+                    conn.sendall(_error(f"bad frame length {length}"))
+                    return
                 payload = self._recv_exact(conn, length - 4)
                 if payload is None:
                     return
@@ -131,7 +135,15 @@ class PgWireServer:
                 if head is None:
                     return
                 (length,) = struct.unpack("!I", head)
+                # the declared length is client-controlled: reject before
+                # allocating, and bail on a mid-message disconnect (payload
+                # None) instead of letting .rstrip raise AttributeError
+                if not 4 <= length <= MAX_FRAME:
+                    conn.sendall(_error(f"bad frame length {length}"))
+                    return
                 payload = self._recv_exact(conn, length - 4)
+                if payload is None:
+                    return
                 if tag != b"Q":
                     conn.sendall(_error(f"unsupported message {tag!r}"))
                     conn.sendall(READY)

@@ -55,7 +55,15 @@ class SnapshotTable:
 
     def append(self, df: DataFrame) -> int:
         """Write df as new immutable files and commit snapshot N+1 whose
-        file list = previous list + new files. Returns the new version."""
+        file list = previous list + new files. Returns the new version.
+
+        Commit protocol: the data write happens outside any lock (it's the
+        slow part and files are invisible until a manifest references
+        them); the read-current-version → write-manifest step is serialized
+        under an exclusive flock, and the final publish uses ``os.link``
+        (fails with EEXIST instead of clobbering) so a version collision
+        can never silently orphan another commit's files — the same
+        optimistic-commit shape as Iceberg's metadata swap."""
         commit_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self.path, "data", commit_id)
         df.write.parquet(data_dir)
@@ -64,20 +72,34 @@ class SnapshotTable:
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         ]
-        prev_version = self.current_version()
-        prev_files = self._load(prev_version)["files"] if prev_version else []
-        version = prev_version + 1
-        manifest = {
-            "version": version,
-            "committed_at": time.time(),
-            "files": prev_files + sorted(new_files),
-            "added_files": sorted(new_files),
-            "parent": prev_version or None,
-        }
-        tmp = self._manifest_path(version) + f".tmp-{commit_id}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(version))  # atomic commit
+        import fcntl
+
+        with open(os.path.join(self.meta_dir, ".commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                prev_version = self.current_version()
+                prev_files = (
+                    self._load(prev_version)["files"] if prev_version else []
+                )
+                version = prev_version + 1
+                manifest = {
+                    "version": version,
+                    "committed_at": time.time(),
+                    "files": prev_files + sorted(new_files),
+                    "added_files": sorted(new_files),
+                    "parent": prev_version or None,
+                }
+                tmp = self._manifest_path(version) + f".tmp-{commit_id}"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                try:
+                    # link = create-exclusive: raises FileExistsError on a
+                    # concurrent commit instead of overwriting it
+                    os.link(tmp, self._manifest_path(version))
+                finally:
+                    os.unlink(tmp)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
         return version
 
     # --------------------------------------------------------------- reads

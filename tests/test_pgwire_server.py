@@ -93,3 +93,26 @@ def test_pgwire_select_roundtrip(pg, engine):
     s.sendall(b"X")
     s.close()
     engine.spark.sql("DROP DATABASE pgt CASCADE")
+
+
+def test_pgwire_rejects_oversized_frame(pg):
+    # ADVICE r1: the 4-byte length is client-controlled; a multi-GB claim
+    # must be rejected before allocation, not honored
+    s = _connect(pg.port)
+    s.sendall(b"Q" + struct.pack("!I", 2**31 - 1))  # 2 GiB declared, no body
+    msgs = _read_messages(s, until_tag=b"E")
+    assert any(t == b"E" and b"bad frame length" in body for t, body in msgs)
+    s.close()
+
+
+def test_pgwire_mid_message_disconnect_is_clean(pg):
+    # client dies after the header: server must close quietly, and the
+    # listener must keep serving new connections
+    s = _connect(pg.port)
+    s.sendall(b"Q" + struct.pack("!I", 100))  # promises 96 bytes, sends none
+    s.close()
+    s2 = _connect(pg.port)
+    s2.sendall(_query_packet("SELECT 1 AS one"))
+    msgs = _read_messages(s2)
+    assert any(t == b"D" for t, _ in msgs)
+    s2.close()

@@ -86,3 +86,34 @@ def test_execute_script(engine):
     assert rs[-1].row_count == 2
     assert sorted(rs[-1].rows) == [(1, "a;b'c"), (2, "x")]
     engine.spark.sql("DROP DATABASE sctest CASCADE")
+
+
+def test_positional_salt_spreads_duplicate_rows(spark):
+    # VERDICT r1 nit: content-hash salting sends byte-identical rows to one
+    # salt; positional salting must spread them
+    from ranger_spark.operators.skew import _salt_col
+
+    dup = spark.createDataFrame([("k", 1)] * 64, ["key", "v"]).repartition(4)
+    content = dup.select(_salt_col(dup, 8).alias("s")).distinct().count()
+    positional = (
+        dup.select(_salt_col(dup, 8, positional=True).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert content == 1  # the degenerate case the fallback exists for
+    assert positional > 1
+
+
+def test_salted_agg_positional_matches_plain(spark):
+    from ranger_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", 1)] * 50 + [("j", 2)] * 3, ["key", "v"]
+    )
+    got = {
+        (r["key"], r["sum_v"])
+        for r in salted_agg(
+            df, ["key"], {"v": "sum"}, salt=4, positional=True
+        ).collect()
+    }
+    assert got == {("k", 50), ("j", 6)}

@@ -51,3 +51,33 @@ def test_read_empty_raises(spark, table):
 
     with _pytest.raises(FileNotFoundError):
         table.read(spark)
+
+
+def test_concurrent_appends_no_lost_update(spark, table):
+    # ADVICE r1: two racing appends must not silently clobber each other's
+    # manifest — commits serialize under the flock and publish via
+    # os.link (EEXIST on collision), so both land as distinct versions
+    import threading
+
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    df2 = spark.createDataFrame([(2, "b")], ["id", "v"])
+    errs: list[Exception] = []
+
+    def run(df):
+        try:
+            table.append(df)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(d,)) for d in (df1, df2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert table.current_version() == 2
+    # both commits' rows are visible at the head snapshot
+    assert sorted(r.id for r in table.read(spark).collect()) == [1, 2]
+    # and every version's file list is a strict superset of its parent's
+    h = table.history()
+    assert [m["num_files"] for m in h] == sorted(m["num_files"] for m in h)
