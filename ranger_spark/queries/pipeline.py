@@ -465,6 +465,42 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(d, "doc_id", "text")
 
 
+@register(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 64 AS INTEGER)       AS width,
+           CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+           'png'                                   AS format
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked: valid PNG headers are synthesized
+    JVM-side (signature + IHDR with dimensions derived from doc_id, all
+    concat/unhex column expressions), then `parse_image_header` reads the
+    dimensions back out of the raw bytes in an Arrow-batched mapInPandas.
+    The oracle recomputes the expected dimensions arithmetically — a wrong
+    byte order, offset, or chunk layout in the parser fails the hash."""
+    from ranger_spark.operators.multimodal import decode_image_headers
+
+    d = load(spark, sf_dir, "documents")
+
+    def _be32(col):  # int → 4-byte big-endian, as a column expression
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D49484452")),  # IHDR length + tag
+        _be32(F.lit(16) + F.col("doc_id") % 64),  # width
+        _be32(F.lit(16) + (F.col("doc_id") * 7) % 64),  # height
+        F.unhex(F.lit("080200000000000000")),  # depth/color/crc filler
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return decode_image_headers(imgs, "doc_id", "payload")
+
+
 # ---------------------------------------------------------------------------
 # Sampling / sequence assembly / contamination (operators/sampling.py)
 # ---------------------------------------------------------------------------
