@@ -172,11 +172,55 @@ class Engine:
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
-    def table_location(self, name: str) -> str:
+    # --------------------------------------------- storage engine roots
+    # The reference registers three storage engines — filesystem, memory,
+    # s3 — and routes a table's data root by its STORAGE clause
+    # (server/storage/storage.go:133-164; s3 backend server/storage/s3/
+    # fs.go with endpoint/region/bucket config). Spark-side equivalent:
+    # per-engine warehouse roots. `STORAGE s3` resolves its root from
+    # ``spark.ranger.storage.s3.root`` (an s3a:// URI on a real cluster,
+    # any Hadoop-FS URI — e.g. file:// — elsewhere); endpoint/credentials
+    # ride the standard ``fs.s3a.*`` Hadoop confs. Like the reference,
+    # the engine is "unavailable" (create errors) when unconfigured.
+    S3_ROOT_CONF = "spark.ranger.storage.s3.root"
+
+    def _storage_root(self, storage: str) -> str:
+        if storage == "s3":
+            root = self.spark.conf.get(self.S3_ROOT_CONF, None)
+            if not root:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "S3 storage engine not available (credentials missing "
+                    f"or invalid): set {self.S3_ROOT_CONF} to an s3a:// "
+                    "bucket root",
+                )
+            return root.rstrip("/")
+        return self._warehouse()
+
+    def table_location(self, name: str, storage: str = "filesystem") -> str:
+        db, tbl = name.split(".", 1)
+        root = self._storage_root(storage)
+        if "://" in root:
+            return f"{root}/{db}.db/{tbl}"
         import os
 
-        db, tbl = name.split(".", 1)
-        return os.path.join(self._warehouse(), f"{db}.db", tbl)
+        return os.path.join(root, f"{db}.db", tbl)
+
+    def _hadoop_path(self, location: str):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(location)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, path
+
+    def _location_exists(self, location: str) -> bool:
+        fs, path = self._hadoop_path(location)
+        return fs.exists(path)
+
+    def _delete_location(self, location: str) -> None:
+        """Scheme-agnostic storage cleanup (reference storage.go:687-723);
+        works for local paths and any configured Hadoop FS (s3a, file)."""
+        fs, path = self._hadoop_path(location)
+        fs.delete(path, True)
 
     def recover(self) -> int:
         """Re-register manifest databases/tables into a fresh session's
@@ -188,7 +232,9 @@ class Engine:
             if not self._db_exists(db):
                 self.spark.sql(f"CREATE DATABASE `{db}`")
         for name, entry in self._manifest["tables"].items():
-            if self._table_exists(name) or not os.path.isdir(entry["location"]):
+            if self._table_exists(name) or not self._location_exists(
+                entry["location"]
+            ):
                 continue
             schema = itypes.to_spark_schema(
                 [tuple(c) for c in entry["columns"]]
@@ -433,8 +479,9 @@ class Engine:
         prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
         ddl += f" TBLPROPERTIES ({prop_str})"
         # explicit LOCATION so the table survives catalog loss and
-        # recover() can re-register it (reference registry durability)
-        location = self.table_location(name)
+        # recover() can re-register it (reference registry durability);
+        # the root follows the STORAGE clause (s3 → configured bucket root)
+        location = self.table_location(name, opts["storage"])
         ddl += f" LOCATION '{location}'"
         self.spark.sql(ddl)
         if opts["storage"] == "memory":
@@ -519,9 +566,7 @@ class Engine:
             self._mutate_manifest(lambda m: m["tables"].pop(name, None))
             # external table drop keeps files — the engine owns storage
             # cleanup (reference storage.go:687-723)
-            import shutil
-
-            shutil.rmtree(entry["location"], ignore_errors=True)
+            self._delete_location(entry["location"])
         return QueryResult([], [], 0, message=f"table '{name}' dropped")
 
     def _use(self, sql: str) -> QueryResult:
@@ -849,10 +894,10 @@ class Engine:
         for k, v in entry.get("settings", {}).items():
             props.setdefault(k, v)
         self.spark.sql(f"DROP TABLE {name}")
-        import shutil
-
-        location = self.table_location(name)
-        shutil.rmtree(location, ignore_errors=True)
+        location = entry.get("location") or self.table_location(
+            name, entry.get("storage", "filesystem")
+        )
+        self._delete_location(location)
         schema = itypes.to_spark_schema(new_cols)
         new_names = {f.name for f in schema.fields}
         part_by = [
