@@ -110,6 +110,7 @@ class Engine:
         # In-process registry of declared Iceberg schemas per table
         # (≈ the reference's SQLite registry): "db.table" → [(name, type, nullable)]
         self._schemas: dict[str, list[tuple[str, str, bool]]] = {}
+        self.catalog_store = self._make_catalog_store()
         self._load_manifest()
 
     # ------------------------------------------------ durable catalog
@@ -124,53 +125,45 @@ class Engine:
         return w[len("file:") :] if w.startswith("file:") else w
 
     def _manifest_file(self) -> str:
+        # json-store default path (kept for tooling/tests that peek at it)
         import os
 
         os.makedirs(self._warehouse(), exist_ok=True)
         return os.path.join(self._warehouse(), "_ranger_catalog.json")
 
-    def _load_manifest(self) -> None:
-        import json
+    def _make_catalog_store(self):
+        """Catalog backend per the reference's three modes
+        (server/catalog/factory.go:23-36): json (default), sqlite, rest.
+        Selected by ``spark.ranger.catalog.type`` +
+        ``spark.ranger.catalog.uri``; see ranger_spark/catalog.py."""
         import os
 
-        self._manifest: dict = {"databases": [], "tables": {}}
-        if os.path.exists(self._manifest_file()):
-            with open(self._manifest_file()) as f:
-                self._manifest = json.load(f)
+        from ranger_spark.catalog import make_store
+
+        os.makedirs(self._warehouse(), exist_ok=True)
+        return make_store(
+            self.spark.conf.get("spark.ranger.catalog.type", "json"),
+            self.spark.conf.get("spark.ranger.catalog.uri", None),
+            self._warehouse(),
+        )
+
+    def _load_manifest(self) -> None:
+        self._manifest: dict = self.catalog_store.load()
         for name, entry in self._manifest["tables"].items():
             self._schemas.setdefault(
                 name, [tuple(c) for c in entry["columns"]]
             )
 
     def _mutate_manifest(self, fn) -> None:
-        """Cross-process-safe registry update: exclusive flock over
-        reload → mutate → tmp-write → rename. Every mutation re-reads the
-        on-disk manifest before applying, so concurrent engines (other
-        sessions or processes sharing the warehouse) never lose each
-        other's entries to a read-modify-write race. The reference gets
-        the same guarantee from SQLite's locking in its metadata registry
-        (server/metadata/registry); the atomic rename keeps readers
-        crash-consistent."""
-        import fcntl
-        import json
-        import os
-
-        path = self._manifest_file()
-        with open(path + ".lock", "w") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
-            try:
-                current: dict = {"databases": [], "tables": {}}
-                if os.path.exists(path):
-                    with open(path) as f:
-                        current = json.load(f)
-                fn(current)
-                tmp = path + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(current, f, indent=1)
-                os.rename(tmp, path)
-                self._manifest = current
-            finally:
-                fcntl.flock(lk, fcntl.LOCK_UN)
+        """Cross-process-safe registry update, delegated to the configured
+        catalog store: every mutation re-reads the durable state under the
+        store's concurrency control (flock for json, an IMMEDIATE
+        transaction for sqlite, per-op commits behind the REST service)
+        before applying, so concurrent engines never lose each other's
+        entries to a read-modify-write race — the reference gets the same
+        guarantee from SQLite's locking in its metadata registry
+        (server/metadata/registry)."""
+        self._manifest = self.catalog_store.mutate(fn)
 
     # --------------------------------------------- storage engine roots
     # The reference registers three storage engines — filesystem, memory,
