@@ -1080,10 +1080,23 @@ class Engine:
 def split_statements(script: str) -> list[str]:
     """Split a SQL script on semicolons, respecting single-quoted strings
     (with '' escapes)."""
-    out, buf, i, n = [], [], 0, len(script)
+    return [s for s, _ in split_statements_with_offsets(script)]
+
+
+def split_statements_with_offsets(script: str) -> list[tuple[str, int]]:
+    """Like :func:`split_statements`, but each statement carries the
+    0-based character offset of its first non-whitespace character in the
+    original script — the anchor for (line, column) error reporting
+    (≈ reference parser position tracking, parser/position.go)."""
+    out: list[tuple[str, int]] = []
+    buf: list[str] = []
+    start = -1  # offset of the first non-space char of the current stmt
+    i, n = 0, len(script)
     while i < n:
         ch = script[i]
         if ch == "'":
+            if start < 0:
+                start = i
             buf.append(ch)
             i += 1
             while i < n:
@@ -1100,14 +1113,17 @@ def split_statements(script: str) -> list[str]:
         if ch == ";":
             stmt = "".join(buf).strip()
             if stmt:
-                out.append(stmt)
+                out.append((stmt, start))
             buf = []
+            start = -1
         else:
+            if start < 0 and not ch.isspace():
+                start = i
             buf.append(ch)
         i += 1
     tail = "".join(buf).strip()
     if tail:
-        out.append(tail)
+        out.append((tail, start))
     return out
 
 

@@ -20,9 +20,11 @@ superset (SURVEY §7 hard-part 3: accept-superset, recorded here).
 
 from __future__ import annotations
 
+import bisect
 import re
 from dataclasses import dataclass
 from enum import Enum
+from typing import NamedTuple
 
 from ranger_spark.errors import (
     EMPTY_STATEMENT,
@@ -68,21 +70,72 @@ _PARSE_ONLY = re.compile(
 )
 
 
-def validate_script(script: str, strict: bool = False) -> list[tuple[str, str]]:
+class PositionTracker:
+    """1-based (line, column) from a character offset — the same contract
+    as the reference's parser position tracker
+    (server/query/parser/position.go:74-117: binary-search over line
+    starts, columns count characters not bytes, out-of-range offsets
+    clamp)."""
+
+    def __init__(self, source: str):
+        self.source = source
+        self._line_starts = [0]
+        for i, ch in enumerate(source):
+            if ch == "\n":
+                self._line_starts.append(i + 1)
+
+    def line_column(self, offset: int) -> tuple[int, int]:
+        offset = max(0, min(offset, len(self.source)))
+        li = bisect.bisect_right(self._line_starts, offset) - 1
+        return li + 1, offset - self._line_starts[li] + 1
+
+
+class ScriptError(NamedTuple):
+    """One gate violation with its source position (≈ the reference's
+    ParseError: message + Position.Offset resolved to line/column,
+    server/query/parser/errors.go:128-145)."""
+
+    statement: str
+    message: str
+    line: int
+    column: int
+    offset: int
+
+
+def validate_script(script: str, strict: bool = False) -> list[ScriptError]:
     """Multi-error validation: classify every statement in a script and
     collect ALL gate violations instead of stopping at the first
     (≈ the reference's multi-error recovery parsing,
-    parser.go:1188-1307 / parse_error_test.go). Returns
-    [(statement, error message)] — empty list means the script routes
-    cleanly."""
-    from ranger_spark.engine import split_statements
+    parser.go:1188-1307 / parse_error_test.go). Each error carries the
+    1-based (line, column) of its anchor: the statement's leading keyword
+    for classification failures, the end of the statement for a missing
+    terminating semicolon. Empty list means the script routes cleanly."""
+    from ranger_spark.engine import split_statements_with_offsets
 
-    errors: list[tuple[str, str]] = []
-    for stmt in split_statements(script):
+    tracker = PositionTracker(script)
+    errors: list[ScriptError] = []
+    stmts = split_statements_with_offsets(script)
+    script_terminated = script.rstrip().endswith(";")
+    for idx, (stmt, off) in enumerate(stmts):
+        if idx == len(stmts) - 1 and not script_terminated:
+            # the reference requires every statement to end with ';'
+            # (parser.go:1125-1127); anchor at the statement's end
+            end = off + len(stmt)
+            line, col = tracker.line_column(end)
+            errors.append(
+                ScriptError(
+                    stmt,
+                    "statement must end with a semicolon",
+                    line,
+                    col,
+                    end,
+                )
+            )
         try:
             route(stmt + ";", strict=strict)
         except RangerError as e:
-            errors.append((stmt, str(e)))
+            line, col = tracker.line_column(off)
+            errors.append(ScriptError(stmt, str(e), line, col, off))
     return errors
 
 

@@ -101,8 +101,11 @@ def test_validate_script_collects_all_errors():
     errs = validate_script(
         "SELECT 1; VACUUM t; FLUSH x; CREATE TABLE t (a int32)"
     )
-    assert len(errs) == 2
-    assert all("unsupported statement" in e for _, e in errs)
+    assert len(errs) == 3
+    assert sum("unsupported statement" in e.message for e in errs) == 2
+    # the unterminated tail statement is a gate violation too
+    # (reference parser.go:1125-1127)
+    assert sum("semicolon" in e.message for e in errs) == 1
 
 
 @given(

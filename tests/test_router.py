@@ -59,3 +59,103 @@ def test_unknown_statement():
     with pytest.raises(RangerError) as ei:
         route("VACUUM t;")
     assert ei.value.code == "engine.unsupported_statement_type"
+
+
+# --------------------------------------------------------------- positions
+# ≈ reference parser position tests (server/query/parser/position_test.go,
+# parse_error_test.go): every gate violation reports a 1-based
+# (line, column) anchored at the offending statement.
+
+_BAD_STATEMENTS = [
+    "VACUUM t",
+    "FLUSH x",
+    "TRUNCATE t",
+    "MERGE INTO t USING s ON t.id = s.id",
+    "CALL proc()",
+    "SET x = 1",
+    "COPY t FROM 'f.csv'",
+    "ATTACH DATABASE 'x' AS y",
+    "DETACH DATABASE y",
+    "PRAGMA table_info(t)",
+    "ANALYZE t",
+    "OPTIMIZE t",
+    "REFRESH TABLE t",
+    "RESET ALL",
+    "LOAD 'ext'",
+    "INSTALL 'ext'",
+    "EXPORT DATABASE 'd'",
+    "IMPORT DATABASE 'd'",
+    "KILL 42",
+    "CHECKPOINT",
+    "HANDSHAKE now",
+    "UPSERT INTO t VALUES (1)",
+]
+
+
+def test_error_positions_corpus():
+    from ranger_spark.router import validate_script
+
+    # one bad statement per line, each with its own indentation — the
+    # reported (line, column) must point at the leading keyword
+    script = ""
+    expected = []
+    for i, stmt in enumerate(_BAD_STATEMENTS):
+        indent = i % 7
+        expected.append((i + 1, indent + 1))
+        script += " " * indent + stmt + ";\n"
+    errs = validate_script(script)
+    assert len(errs) == len(_BAD_STATEMENTS)
+    for err, stmt, (line, col) in zip(errs, _BAD_STATEMENTS, expected):
+        assert err.statement == stmt
+        assert (err.line, err.column) == (line, col), stmt
+        assert "unsupported statement" in err.message
+        # offset round-trips: the script really has the statement there
+        assert script[err.offset : err.offset + len(stmt)] == stmt
+
+
+def test_error_position_missing_semicolon_anchors_at_end():
+    from ranger_spark.router import validate_script
+
+    errs = validate_script("SELECT 1;\n  SELECT 2")
+    assert len(errs) == 1
+    err = errs[0]
+    assert "semicolon" in err.message
+    # line 2, after "  SELECT 2" (statement starts col 3, len 8 → col 11)
+    assert (err.line, err.column) == (2, 11)
+
+
+def test_error_positions_multiline_and_strings():
+    from ranger_spark.router import validate_script
+
+    # a ';' inside a string literal must not split/shift positions, and a
+    # statement spanning lines anchors at its first keyword
+    script = "SELECT 'a;b' AS s;\n\n   VACUUM\n  t;\nSELECT 2;"
+    errs = validate_script(script)
+    assert len(errs) == 1
+    assert (errs[0].line, errs[0].column) == (3, 4)
+
+
+def test_strict_mode_with_position():
+    from ranger_spark.router import validate_script
+
+    errs = validate_script("SELECT 1;\nWITH c AS (SELECT 1) SELECT * FROM c;",
+                           strict=True)
+    assert len(errs) == 1
+    assert (errs[0].line, errs[0].column) == (2, 1)
+    assert "WITH" in errs[0].message
+
+
+def test_position_tracker_reference_semantics():
+    # the exact offsets from reference position_test.go:26-49
+    from ranger_spark.router import PositionTracker
+
+    tracker = PositionTracker("SELECT * FROM table;")
+    for offset, line, col in [
+        (0, 1, 1), (6, 1, 7), (8, 1, 9), (14, 1, 15), (19, 1, 20),
+    ]:
+        assert tracker.line_column(offset) == (line, col)
+    multi = PositionTracker("SELECT *\nFROM t\nWHERE x;")
+    assert multi.line_column(0) == (1, 1)
+    assert multi.line_column(9) == (2, 1)   # F of FROM
+    assert multi.line_column(16) == (3, 1)  # W of WHERE
+    assert multi.line_column(999) == (3, 9)  # clamps to end
