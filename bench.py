@@ -3,9 +3,23 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Two regimes:
+
+1. **Headline** (driver contract, unchanged): the 10 headline queries at
+   sf_dir. At sf0.1 these are dominated by Spark's ~0.2-0.3 s per-job
+   floor (scheduling + codegen), not by plan quality.
+2. **Data-dominated** (`scale16` key): the same queries against a
+   16×-replicated, key-shifted copy of sf_dir (~10M lineitem rows), with
+   a DuckDB baseline column — both engines timed warm (min of 3) on the
+   SAME parquet files, so the ratio reflects plan quality rather than the
+   job floor. Disable with SPARK_GRAFT_SKIP_SCALE=1; factor override via
+   SPARK_GRAFT_SCALE_FACTOR.
+
 Results are materialized through the `noop` sink so the full plan executes
 (scan → shuffle → agg) without driver-side collection costs skewing the
-numbers — the same shape a cluster job would have.
+numbers — the same shape a cluster job would have. DuckDB baselines run
+the oracle SQL as-is with fetchall() (see _bench_duckdb for why a
+COUNT(*) wrapper would under-report).
 """
 
 from __future__ import annotations
@@ -36,6 +50,105 @@ HEADLINE = [
     "ann_cosine_topk",
 ]
 
+WARMUPS = 3  # codegen + JVM JIT take 3-4 executions to flatten
+TIMED = 3
+
+
+def _steady(run) -> float:
+    for _ in range(WARMUPS):
+        run()
+    best = float("inf")
+    for _ in range(TIMED):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _bench_spark(spark, registry, names, sf_dir) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        def run():
+            registry[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        timings[name] = _steady(run)
+    return timings
+
+
+def _bench_duckdb(registry, names, sf_dir) -> dict[str, float]:
+    """Time each query's DuckDB oracle on the same files, warm min-of-3.
+    The oracle runs as-is with fetchall(): a COUNT(*) wrapper would let
+    DuckDB prune the aggregate expressions (unused columns) and under-
+    report the baseline; headline outputs are small, so client transfer
+    is noise."""
+    import duckdb
+
+    from ranger_spark.tables import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', 32)}")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written dataset directory
+            p += "/*.parquet"
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+        )
+    timings: dict[str, float] = {}
+    for name in names:
+        oracle = registry[name].oracle
+        if oracle is None:
+            continue
+
+        def run():
+            con.execute(oracle).fetchall()
+
+        timings[name] = _steady(run)
+    con.close()
+    return timings
+
+
+def _scale_section(spark, registry, names, sf_dir: str) -> dict:
+    """Build (once, cached) the 16× key-shifted replica and time Spark and
+    DuckDB on it."""
+    from ranger_spark.sources.replicate import build_replicated, is_built
+
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "16"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".benchcache",
+        f"{tag}_x{factor}",
+    )
+    if not is_built(out):
+        t0 = time.time()
+        build_replicated(spark, sf_dir, out, factor)
+        print(
+            f"built {factor}x replica at {out} in {time.time()-t0:.0f}s",
+            file=sys.stderr,
+        )
+    lineitem_rows = spark.read.parquet(f"{out}/lineitem.parquet").count()
+    spark_t = _bench_spark(spark, registry, names, out)
+    duck_t = _bench_duckdb(registry, names, out)
+    spark_total = round(sum(spark_t.values()), 3)
+    duck_total = round(sum(duck_t[n] for n in duck_t), 3)
+    return {
+        "factor": factor,
+        "lineitem_rows": lineitem_rows,
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "spark_total": spark_total,
+        "duckdb_total": duck_total,
+        "ratio": round(spark_total / duck_total, 3) if duck_total else None,
+        "per_query_ratio": {
+            n: round(spark_t[n] / duck_t[n], 2)
+            for n in spark_t
+            if duck_t.get(n)
+        },
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,39 +165,22 @@ def main() -> None:
 
     for t in TABLES:
         load(spark, sf_dir, t).cache().count()
-    timings: dict[str, float] = {}
-    for name in names:
-        # steady-state latency: the first executions pay whole-stage-codegen
-        # compilation AND JVM JIT warm-up — measured to take 3-4 executions
-        # to flatten out, which a resident engine (the reference is a
-        # long-running server) pays once per plan shape, not per query.
-        # 3 untimed warm-ups, then min of 3 timed runs.
-        def run():
-            registry[name].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-
-        run()
-        run()
-        run()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            run()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    timings = _bench_spark(spark, registry, names, sf_dir)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        try:
+            spark.catalog.clearCache()  # scale regime reads its own files
+            result["scale16"] = _scale_section(spark, registry, names, sf_dir)
+        except Exception as e:  # bench must still emit the contract line
+            result["scale16"] = {"error": str(e)[:300]}
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -10,63 +10,25 @@ Usage: python tools/scale_smoke.py [replication_factor]
 
 from __future__ import annotations
 
-import os
-import shutil
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F
-
 from ranger_spark.plans.inspect import join_strategies, num_exchanges
 from ranger_spark.queries import load_all
 from ranger_spark.session import get_spark
-from ranger_spark.tables import TABLES, load
+from ranger_spark.sources.replicate import build_replicated
 
 BASE = "/root/testdata/sf0.1"
 OUT = "/tmp/ranger_scale"
-# keys that must stay unique per replica for realistic join fan-out
-SHIFT_KEYS = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "events": ["event_id", "user_id"],
-    "supplier": [],
-    "part": [],
-    "nation": [],
-    "region": [],
-}
-KEY_STRIDE = 100_000_000
-
-
-def build(spark, factor: int) -> None:
-    shutil.rmtree(OUT, ignore_errors=True)
-    os.makedirs(OUT, exist_ok=True)
-    for t in TABLES:
-        df = load(spark, BASE, t)
-        if t in ("nation", "region", "supplier", "part"):
-            df.write.parquet(f"{OUT}/{t}.parquet")
-            continue
-        reps = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("__rep")
-        rdf = df.select("*", reps)
-        for k in SHIFT_KEYS[t]:
-            rdf = rdf.withColumn(
-                k, F.col(k) + F.col("__rep").cast("long") * KEY_STRIDE
-            )
-        # o_custkey/l_orderkey cross-references stay consistent because both
-        # sides shift by the same stride per replica
-        rdf.drop("__rep").repartition(32).write.parquet(f"{OUT}/{t}.parquet")
-    print("built", factor, "replicas at", OUT)
 
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spark = get_spark("scale_smoke")
     t0 = time.time()
-    build(spark, factor)
+    build_replicated(spark, BASE, OUT, factor)
     print(f"build took {time.time()-t0:.1f}s")
     reg = load_all()
     names = [
