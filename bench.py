@@ -51,7 +51,23 @@ HEADLINE = [
 ]
 
 WARMUPS = 3  # codegen + JVM JIT take 3-4 executions to flatten
-TIMED = 3
+TIMED = 4  # min-of-4: one extra sample guards against co-tenant CPU spikes
+
+
+def _warm_page_cache(sf_dir: str) -> None:
+    """Read every parquet byte once so OS page-cache state is identical for
+    both engines. Without this the engine timed first pays the cold-file
+    penalty (measured 2-4x on first-touch scans of the 16x replica) while
+    the engine timed second rides its warm cache — a methodology artifact,
+    not a plan difference."""
+    import pathlib
+
+    for p in pathlib.Path(sf_dir).rglob("*.parquet"):
+        if p.is_dir():  # Spark dataset dirs are themselves named *.parquet
+            continue
+        with open(p, "rb") as f:
+            while f.read(1 << 22):
+                pass
 
 
 def _steady(run) -> float:
@@ -130,6 +146,7 @@ def _scale_section(spark, registry, names, sf_dir: str) -> dict:
             file=sys.stderr,
         )
     lineitem_rows = spark.read.parquet(f"{out}/lineitem.parquet").count()
+    _warm_page_cache(out)
     spark_t = _bench_spark(spark, registry, names, out)
     duck_t = _bench_duckdb(registry, names, out)
     spark_total = round(sum(spark_t.values()), 3)
@@ -165,6 +182,7 @@ def main() -> None:
 
     for t in TABLES:
         load(spark, sf_dir, t).cache().count()
+    _warm_page_cache(sf_dir)
     timings = _bench_spark(spark, registry, names, sf_dir)
     total = round(sum(timings.values()), 3)
     result = {

@@ -407,3 +407,110 @@ def simhash_signatures(
 def hamming32(a: Column, b: Column) -> Column:
     """Hamming distance between two 32-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Collapse embedding near-duplicates: a row is removed when a lower-id
+    row in the same block has cosine similarity >= threshold; survivors are
+    returned with the count of higher-id near-dups they dominate.
+
+    The pair join is keyed on ``block_col`` so cost is Σ block² rather than
+    n² — at 100 TB the block key is an LSH bucket (``hyperplane_buckets``)
+    or IVF cell instead of a label, and the same plan shape applies.
+    Norms are computed once per side before the join (HOF expressions are
+    not CSE'd across filters), and the pair set is a 2×bigint shuffle.
+    """
+    from ranger_spark.operators.similarity import _as_double, dot, l2_norm
+
+    base = df.select(
+        F.col(id_col), F.col(block_col), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("blk"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("blk"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    counts = pairs.groupBy(F.col("id_a").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_dups")
+    )
+    return (
+        df.select(id_col, block_col)
+        .join(dominated, id_col, "left_anti")
+        .join(counts, id_col, "left")
+        .fillna(0, subset=["n_dups"])
+    )
+
+
+def hyperplane_buckets(
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> Column:
+    """Random-hyperplane LSH bucket id for the unblocked scale path: bit j
+    is the sign of <v, h_j> for a deterministic ±1 hyperplane derived from
+    md5(seed, j, index) — collision probability 1 - theta/pi per bit (sign
+    LSH). Used as the block key when no natural shard column exists; band
+    over several bucket columns (different seeds) for recall, exactly like
+    the MinHash banding above."""
+    v = F.col(vec_col)
+    size = F.lit(dim) if dim is not None else F.size(v)
+    buckets = F.lit(0).cast("long")
+    for j in range(bits):
+        # deterministic ±1 hyperplane component per (seed, bit, position)
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), size - 1),
+                    lambda i: F.when(
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws(":", F.lit(seed), F.lit(j), i)),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .bitwiseAND(1)
+                        == 1,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        buckets = buckets + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return buckets

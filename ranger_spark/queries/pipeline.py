@@ -244,6 +244,41 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (the fifth briefed dedup family)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT e1.vec_id AS id_a, e2.vec_id AS id_b
+      FROM embeddings e1, embeddings e2
+      WHERE e1.label = e2.label AND e1.vec_id < e2.vec_id
+        AND list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])
+            >= 0.35
+    )
+    SELECT e.vec_id, e.label, CAST(count(p.id_b) AS BIGINT) AS n_dups
+    FROM embeddings e LEFT JOIN pairs p ON p.id_a = e.vec_id
+    WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
+    GROUP BY e.vec_id, e.label
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup collapse: survivors (no lower-id neighbor
+    with cosine >= 0.35 in the same label block) plus the count of direct
+    near-dups each dominates. Block-diagonal pair join (Σ block², never n²);
+    the unblocked scale path swaps the label for
+    ``D.hyperplane_buckets`` sign-LSH buckets."""
+    return D.embedding_cosine_dedup(
+        load(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        "label",
+        threshold=0.35,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 @register(

@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Shuffle/spill dirs on tmpfs when available: /tmp here is disk-backed
+    # ext4, so shuffle writes otherwise pay ext4 journaling. The cluster
+    # analog is pointing spark.local.dir at local NVMe — a deployment knob,
+    # not a plan change. Shuffle volumes in this repo's workloads are MBs
+    # (digests/keys, never documents), so tmpfs capacity is not a concern.
+    if os.access("/dev/shm", os.W_OK):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
