@@ -130,6 +130,61 @@ def quality_metrics(col: Column, toks: Column | None = None) -> dict[str, Column
     }
 
 
+def repetition_metrics(df, id_col: str, text_col: str):
+    """Gopher/C4-style repetition signals per document: duplicate-token
+    fraction (1 - distinct/total) and top-bigram fraction (tokens covered
+    by the single most frequent bigram). Low-quality machine-generated or
+    boilerplate text scores high on both.
+
+    The bigram mode is found via explode → (doc, bigram) count → per-doc
+    max — linear in corpus tokens with map-side partial aggregation, unlike
+    a per-doc HOF count which is O(doc_len²) in Spark's *interpreted*
+    lambda evaluator and explodes on long documents at scale.
+    """
+    base = df.select(
+        F.col(id_col),
+        tokenize(normalize_text(F.col(text_col))).alias("toks"),
+    ).withColumn("n", F.size("toks").cast("long"))
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.col("n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n").cast("int") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + F.lit(1)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    top = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("mc"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n").alias("n_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("toks")) / F.col("n").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("mc"), F.lit(0)) / F.col("n"),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def tf_idf_terms(
     df, id_col: str, text_col: str, min_df: int = 2
 ):

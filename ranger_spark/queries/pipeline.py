@@ -371,6 +371,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    b AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+    ),
+    counts AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+    maxc AS (SELECT doc_id, max(c) AS mc FROM counts GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),
+                 6) AS dup_token_frac,
+           round(2.0 * coalesce(mc, 0) / len(toks), 6) AS top_bigram_frac,
+           (round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),
+                  6) <= 0.6
+            AND round(2.0 * coalesce(mc, 0) / len(toks), 6) <= 0.1) AS keep
+    FROM t LEFT JOIN maxc ON t.doc_id = maxc.doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filter: duplicate-token fraction and
+    top-bigram fraction per document plus the keep/drop verdict at the
+    (0.6, 0.1) thresholds. Linear explode→count→max plan (no quadratic
+    per-doc scan), partial-agg before the shuffle."""
+    m = T.repetition_metrics(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return m.withColumn(
+        "keep",
+        (F.col("dup_token_frac") <= 0.6) & (F.col("top_bigram_frac") <= 0.1),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -472,3 +472,21 @@ def test_hyperplane_buckets_lsh_recall(spark):
             break
     recall = len(found & truth) / len(truth)
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_repetition_metrics_hand_case(spark):
+    """'a a a b' → 4 tokens, 2 distinct → dup 0.5; bigrams ('a a' ×2,
+    'a b') → top bigram covers 2*2/4 = 1.0. Single-token doc → both 0."""
+    from pyspark.sql import Row
+
+    from ranger_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b"), Row(doc_id=2, text="solo")]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_bigram_frac"])
+        for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, 0.5, 1.0)
+    assert got[2] == (1, 0.0, 0.0)
