@@ -185,6 +185,39 @@ def repetition_metrics(df, id_col: str, text_col: str):
     )
 
 
+def _distribution_entropy(units, id_col: str, unit_col: str, out_col: str):
+    """Shannon entropy (bits) of the per-id unit distribution, via the
+    single-aggregate identity H = log2(N) - (Σ c·log2 c)/N — one count
+    shuffle (map-side combined) plus a tiny per-id agg, never a
+    driver-side histogram."""
+    counts = units.groupBy(id_col, unit_col).agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias(out_col)
+    )
+
+
+def entropy_metrics(df, id_col: str, text_col: str):
+    """Perplexity-proxy quality signals: character- and token-level Shannon
+    entropy per document. Low char entropy flags repeated-character junk;
+    low token entropy flags boilerplate/templated text (a cheap stand-in
+    for an LM perplexity filter when no model is available)."""
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("u"),
+    ).filter(F.col("u") != "")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize(normalize_text(F.col(text_col)))).alias("u"),
+    )
+    ce = _distribution_entropy(chars, id_col, "u", "char_entropy")
+    te = _distribution_entropy(toks, id_col, "u", "token_entropy")
+    return ce.join(te, id_col)
+
+
 def tf_idf_terms(
     df, id_col: str, text_col: str, min_df: int = 2
 ):

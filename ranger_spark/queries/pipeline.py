@@ -407,6 +407,37 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_entropy",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS u FROM documents
+    ),
+    cc AS (SELECT doc_id, u, count(*) AS c FROM ch WHERE u <> '' GROUP BY 1, 2),
+    ce AS (
+      SELECT doc_id,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS char_entropy
+      FROM cc GROUP BY doc_id
+    ),
+    tk AS (SELECT doc_id, unnest({_TOKS}) AS u FROM documents),
+    tc AS (SELECT doc_id, u, count(*) AS c FROM tk GROUP BY 1, 2),
+    te AS (
+      SELECT doc_id,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS token_entropy
+      FROM tc GROUP BY doc_id
+    )
+    SELECT ce.doc_id, char_entropy, token_entropy
+    FROM ce JOIN te ON ce.doc_id = te.doc_id
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/token Shannon entropy per document (perplexity-proxy filter).
+    Same identity on both engines (H = log2 N - Σ c·log2 c / N) so the
+    6dp rounding is the only float tolerance needed."""
+    return T.entropy_metrics(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

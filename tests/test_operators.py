@@ -490,3 +490,23 @@ def test_repetition_metrics_hand_case(spark):
     }
     assert got[1] == (4, 0.5, 1.0)
     assert got[2] == (1, 0.0, 0.0)
+
+
+def test_entropy_metrics_hand_case(spark):
+    """'aabb' → uniform over {a,b} → char entropy 1.0; 'aaaa' → 0.
+    Token entropy of 'x y x y' → 1.0."""
+    from pyspark.sql import Row
+
+    from ranger_spark.operators.text import entropy_metrics
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aabb"), Row(doc_id=2, text="aaaa"),
+         Row(doc_id=3, text="x y x y")]
+    )
+    got = {
+        r["doc_id"]: (r["char_entropy"], r["token_entropy"])
+        for r in entropy_metrics(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (1.0, 0.0)   # chars {a:2,b:2}; one token 'aabb'
+    assert got[2] == (0.0, 0.0)
+    assert got[3][1] == 1.0       # tokens {x:2,y:2}
