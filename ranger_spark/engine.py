@@ -580,6 +580,13 @@ class Engine:
     )
 
     def _insert(self, sql: str) -> QueryResult:
+        msel = re.match(
+            r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\b.+)$",
+            sql,
+            re.I | re.S,
+        )
+        if msel:
+            return self._insert_select(msel)
         m = re.match(
             r"INSERT\s+INTO\s+([\w.]+)\s*\(([^)]*)\)\s*VALUES\s*(.+)$",
             sql,
@@ -587,7 +594,7 @@ class Engine:
         )
         if not m:
             # reference INSERT requires an explicit column list
-            # (parser.go:2959-3095); no INSERT...SELECT
+            # (parser.go:2959-3095); SELECT sources handled above
             raise RangerError(
                 UNSUPPORTED_STATEMENT,
                 "INSERT must be: INSERT INTO t (cols) VALUES (...), ...",
@@ -640,6 +647,58 @@ class Engine:
         df.select(*[f.name for f in schema.fields]).write.insertInto(name)
         return QueryResult(
             [], [], len(rows), message=f"inserted {len(rows)} row(s) into '{name}'"
+        )
+
+    def _insert_select(self, m: "re.Match[str]") -> QueryResult:
+        """INSERT INTO t [(cols)] SELECT ... — exceeds the reference, whose
+        parser admits only VALUES (parser.go:2959-3095); strict mode keeps
+        the reference error. The SELECT runs as one distributed write (no
+        driver materialization); the inserted-row count is folded into the
+        write scan via an Observation node, same single-pass pattern as
+        UPDATE/DELETE."""
+        if self.strict_gate:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "INSERT must be: INSERT INTO t (cols) VALUES (...), ...",
+            )
+        name = self._qualify(m.group(1))
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        src = self.spark.sql(self._rewrite_system(m.group(3)))
+        schema = self.spark.table(name).schema
+        field_by_name = {f.name: f for f in schema.fields}
+        cols = (
+            [c.strip() for c in m.group(2).split(",")]
+            if m.group(2)
+            else [f.name for f in schema.fields]
+        )
+        for c in cols:
+            if c not in field_by_name:
+                raise RangerError(
+                    VALIDATION_FAILED, f"unknown column '{c}' in table '{name}'"
+                )
+        if len(src.columns) != len(cols):
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"SELECT produces {len(src.columns)} column(s) for "
+                f"{len(cols)} target column(s)",
+            )
+        # positional mapping, cast to the target types
+        df = src.select(
+            *[
+                F.col(sc).cast(field_by_name[tc].dataType).alias(tc)
+                for sc, tc in zip(src.columns, cols)
+            ]
+        )
+        for f in schema.fields:
+            if f.name not in cols:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        df.select(*[f.name for f in schema.fields]).write.insertInto(name)
+        n = obs.get["n"]
+        return QueryResult(
+            [], [], n, message=f"inserted {n} row(s) into '{name}'"
         )
 
     def _parse_value_rows(self, text: str) -> list[list]:

@@ -409,3 +409,61 @@ def test_s3_storage_engine_with_bucket_root(spark, engine):
         assert not os.path.exists(f"{bucket}/wh/{db}.db/s3_t")
     finally:
         spark.conf.unset("spark.ranger.storage.s3.root")
+
+
+def test_insert_select(engine):
+    engine.execute("DROP TABLE IF EXISTS ins_src;")
+    engine.execute("DROP TABLE IF EXISTS ins_dst;")
+    engine.execute("CREATE TABLE ins_src (id int32, name string, score float64);")
+    engine.execute(
+        "INSERT INTO ins_src (id, name, score) "
+        "VALUES (1, 'a', 1.5), (2, 'b', 2.5), (3, 'c', NULL);"
+    )
+    engine.execute("CREATE TABLE ins_dst (id int32, name string, score float64);")
+    # full-schema INSERT ... SELECT, distributed write, Observation count
+    r = engine.execute(
+        "INSERT INTO ins_dst SELECT id, name, score FROM ins_src WHERE id <= 2;"
+    )
+    assert r.row_count == 2 and "inserted 2" in r.message
+    assert engine.execute(
+        "SELECT id, name FROM ins_dst ORDER BY id;"
+    ).rows == [(1, "a"), (2, "b")]
+    # subset column list: unspecified columns become NULL
+    r = engine.execute(
+        "INSERT INTO ins_dst (id, name) SELECT id + 10, upper(name) FROM ins_src;"
+    )
+    assert r.row_count == 3
+    assert engine.execute(
+        "SELECT count(*) AS n FROM ins_dst WHERE score IS NULL;"
+    ).rows == [(3,)]
+    # positional cast: int source into float64 target
+    engine.execute("INSERT INTO ins_dst (score, id) SELECT id, id FROM ins_src;")
+    assert engine.execute(
+        "SELECT score FROM ins_dst WHERE name IS NULL ORDER BY score;"
+    ).rows == [(1.0,), (2.0,), (3.0,)]
+
+
+def test_insert_select_validation(engine):
+    import pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS ins_v;")
+    engine.execute("CREATE TABLE ins_v (id int32, name string);")
+    with pytest.raises(RangerError, match="unknown column"):
+        engine.execute("INSERT INTO ins_v (id, nope) SELECT 1, 'x';")
+    with pytest.raises(RangerError, match="column"):
+        engine.execute("INSERT INTO ins_v (id, name) SELECT 1;")
+
+
+def test_insert_select_strict_mode_keeps_reference_error(engine):
+    import pytest
+
+    from ranger_spark.engine import Engine
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS ins_strict;")
+    engine.execute("CREATE TABLE ins_strict (id int32);")
+    strict = Engine(engine.spark, strict_gate=True)
+    with pytest.raises(RangerError, match="INSERT must be"):
+        strict.execute("INSERT INTO ins_strict SELECT 1;")
