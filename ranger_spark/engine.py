@@ -424,6 +424,14 @@ class Engine:
         return QueryResult([], [], 0, message=f"database '{name}' dropped")
 
     def _create_table(self, sql: str) -> QueryResult:
+        mctas = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+"
+            r"((?:SELECT|WITH)\b.+)$",
+            sql,
+            re.I | re.S,
+        )
+        if mctas:
+            return self._create_table_as(mctas, sql)
         head = re.match(
             r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(",
             sql,
@@ -456,6 +464,11 @@ class Engine:
                 return QueryResult([], [], 0, message=f"table '{name}' exists")
             raise RangerError(ALREADY_EXISTS, f"table '{name}' already exists")
 
+        return self._materialize_table(name, columns, opts)
+
+    def _materialize_table(
+        self, name: str, columns: list[tuple[str, str, bool]], opts: dict
+    ) -> QueryResult:
         schema = itypes.to_spark_schema(columns)
         spark_cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
@@ -493,6 +506,45 @@ class Engine:
         }
         self._mutate_manifest(lambda m: m["tables"].__setitem__(name, entry))
         return QueryResult([], [], 0, message=f"table '{name}' created")
+
+    def _create_table_as(self, m: "re.Match[str]", sql: str) -> QueryResult:
+        """CREATE TABLE ... AS SELECT — exceeds the reference (its parser
+        has no CTAS production); strict mode keeps the reference parse
+        error. Declared column types are inferred from the SELECT schema
+        via types.from_spark_type, then the data lands through the same
+        distributed single-pass write as INSERT...SELECT."""
+        if self.strict_gate:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        if_not_exists = bool(m.group(1))
+        name = self._qualify(m.group(2))
+        if self._table_exists(name):
+            if if_not_exists:
+                return QueryResult([], [], 0, message=f"table '{name}' exists")
+            raise RangerError(ALREADY_EXISTS, f"table '{name}' already exists")
+        df = self.spark.sql(self._rewrite_system(m.group(3)))
+        columns = [
+            (f.name, itypes.from_spark_type(f.dataType, f.name), f.nullable)
+            for f in df.schema.fields
+        ]
+        self._materialize_table(
+            name,
+            columns,
+            {"storage": "filesystem", "partition_by": [], "order_by": [],
+             "settings": {}},
+        )
+        obs = Observation()
+        target = itypes.to_spark_schema(columns)
+        out = df.observe(obs, F.count(F.lit(1)).alias("n")).select(
+            *[
+                F.col(src).cast(f.dataType).alias(f.name)
+                for src, f in zip(df.columns, target.fields)
+            ]
+        )
+        out.write.insertInto(name)
+        n = obs.get["n"]
+        return QueryResult(
+            [], [], n, message=f"table '{name}' created with {n} row(s)"
+        )
 
     def _parse_columns(self, block: str) -> list[tuple[str, str, bool]]:
         cols = []

@@ -234,3 +234,36 @@ def to_spark_schema(columns: list[tuple[str, str, bool]]) -> st.StructType:
         it = parse_type(type_text, column=name)
         fields.append(st.StructField(name, it.spark, nullable))
     return st.StructType(fields)
+
+
+_SPARK_TO_ICEBERG = {
+    st.BooleanType(): "boolean",
+    st.IntegerType(): "int32",
+    st.LongType(): "int64",
+    st.FloatType(): "float32",
+    st.DoubleType(): "float64",
+    st.StringType(): "string",
+    st.BinaryType(): "binary",
+    st.DateType(): "date",
+    st.TimestampNTZType(): "timestamp",
+    st.TimestampType(): "timestamptz",
+}
+
+
+def from_spark_type(dt: st.DataType, column: str = "?") -> str:
+    """Spark type → Iceberg type text (inverse of parse_type, used by
+    CTAS to derive declared columns from a SELECT's schema). int64 wins
+    the time/uuid convention collisions — the lossy direction is fine for
+    inference; declared DDL keeps the precise text."""
+    if isinstance(dt, st.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, (st.ByteType, st.ShortType)):
+        return "int32"
+    t = _SPARK_TO_ICEBERG.get(dt)
+    if t is None:
+        raise RangerError(
+            INVALID_ICEBERG_TYPE,
+            f"column '{column}': type {dt.simpleString()!r} has no Iceberg "
+            "equivalent in the reference type system",
+        )
+    return t

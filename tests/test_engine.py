@@ -467,3 +467,37 @@ def test_insert_select_strict_mode_keeps_reference_error(engine):
     strict = Engine(engine.spark, strict_gate=True)
     with pytest.raises(RangerError, match="INSERT must be"):
         strict.execute("INSERT INTO ins_strict SELECT 1;")
+
+
+def test_create_table_as_select(engine):
+    import pytest
+
+    from ranger_spark.engine import Engine
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS ctas_src;")
+    engine.execute("DROP TABLE IF EXISTS ctas_t;")
+    engine.execute("CREATE TABLE ctas_src (id int32, name string);")
+    engine.execute("INSERT INTO ctas_src (id, name) VALUES (1, 'a'), (2, 'b');")
+    r = engine.execute(
+        "CREATE TABLE ctas_t AS SELECT id * 2 AS id2, upper(name) AS uname "
+        "FROM ctas_src;"
+    )
+    assert r.row_count == 2 and "created with 2" in r.message
+    assert engine.execute("SELECT id2, uname FROM ctas_t ORDER BY id2;").rows == [
+        (2, "A"),
+        (4, "B"),
+    ]
+    # inferred declared types round-trip through SHOW CREATE TABLE
+    ddl = engine.execute("SHOW CREATE TABLE ctas_t;").rows[0][0]
+    assert "id2 int32" in ddl and "uname string" in ddl
+    # IF NOT EXISTS no-op; plain re-create errors
+    assert "exists" in engine.execute(
+        "CREATE TABLE IF NOT EXISTS ctas_t AS SELECT 1 AS x;"
+    ).message
+    with pytest.raises(RangerError, match="already exists"):
+        engine.execute("CREATE TABLE ctas_t AS SELECT 1 AS x;")
+    # strict mode keeps the reference parse error
+    strict = Engine(engine.spark, strict_gate=True)
+    with pytest.raises(RangerError, match="cannot parse"):
+        strict.execute("CREATE TABLE ctas_strict AS SELECT 1 AS x;")
