@@ -42,6 +42,10 @@ def main() -> None:
         print(f"  {stmt.splitlines()[0][:60]:62s} -> {engine.execute(stmt).message}")
     r = engine.execute("SELECT name, bal FROM users WHERE bal > 5 ORDER BY id;")
     print("  SELECT ...                         ->", r.rows)
+    r = engine.execute("CREATE TABLE rich AS SELECT id, name FROM users WHERE bal > 5;")
+    print("  CTAS (exceeds reference)           ->", r.message)
+    r = engine.execute("INSERT INTO rich SELECT id + 10, upper(name) FROM users;")
+    print("  INSERT ... SELECT (exceeds)        ->", r.message)
     print("  SHOW CREATE TABLE users:")
     print("   ", engine.execute("SHOW CREATE TABLE users;").rows[0][0].replace("\n", "\n    "))
 
