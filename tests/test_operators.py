@@ -510,3 +510,53 @@ def test_entropy_metrics_hand_case(spark):
     assert got[1] == (1.0, 0.0)   # chars {a:2,b:2}; one token 'aabb'
     assert got[2] == (0.0, 0.0)
     assert got[3][1] == 1.0       # tokens {x:2,y:2}
+
+
+def test_repetition_and_entropy_match_python_reference(spark):
+    """50 seeded random docs: repetition_metrics and entropy_metrics agree
+    with a direct Python computation (collections.Counter + math.log2) at
+    the operators' 6dp rounding — one Spark job, deterministic corpus."""
+    import math
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from ranger_spark.operators.text import entropy_metrics, repetition_metrics
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2", "spark", "data"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(docs)])
+
+    def ref_entropy(counter):
+        n = sum(counter.values())
+        return round(
+            math.log2(n) - sum(c * math.log2(c) for c in counter.values()) / n, 6
+        )
+
+    rep = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_bigram_frac"])
+        for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+    ent = {
+        r["doc_id"]: (r["char_entropy"], r["token_entropy"])
+        for r in entropy_metrics(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(docs):
+        toks = t.split()
+        n = len(toks)
+        bigrams = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        top = max(bigrams.values()) if bigrams else 0
+        assert rep[i] == (
+            n,
+            round(1.0 - len(set(toks)) / n, 6),
+            round(2.0 * top / n, 6),
+        ), f"doc {i}"
+        chars = Counter(t)
+        assert ent[i] == (ref_entropy(chars), ref_entropy(Counter(toks))), f"doc {i}"
