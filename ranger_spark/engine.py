@@ -323,6 +323,15 @@ class Engine:
                     "unsupported statement type (parsed but not executable): ALTER",
                 )
             return self._alter_table(r.sql)
+        if k == StmtKind.MERGE:
+            # not in the reference grammar at all (parser.go keyword table);
+            # executing it exceeds the reference — strict mode keeps parity
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: MERGE",
+                )
+            return self._merge(r.sql)
         if k == StmtKind.PARSE_ONLY:
             raise RangerError(
                 UNSUPPORTED_STATEMENT,
@@ -904,15 +913,258 @@ class Engine:
         n_hit = int(obs.get["n_hit"] or 0)
         return QueryResult([], [], n_hit, message=f"deleted {n_hit} row(s)")
 
-    def _rewrite_table(self, name: str, new_df: DataFrame) -> None:
+    # ----------------------------------------------------- MERGE (exceeds)
+    def _merge(self, sql: str) -> QueryResult:
+        """MERGE INTO … USING … ON … WHEN [NOT] MATCHED [AND c] THEN
+        UPDATE SET / DELETE / INSERT — the statement Iceberg-native engines
+        ship that the reference lacks entirely (its parser has no MERGE
+        keyword; CDC upserts there require client-side read-modify-write).
+
+        Spark-first plan: ONE full-outer join of target and source on the
+        ON condition; clause resolution is a single action column
+        (first-match-wins, SQL:2003 semantics); the standard-mandated
+        cardinality check (a target row matching >1 source row is an
+        error, same check Iceberg's MERGE performs) rides a window count
+        over a skew-free coalesced row key. Updated/deleted/inserted
+        counts come from an Observation on the same pass — no extra scans.
+        On a cluster with the Iceberg runtime this maps 1:1 to native
+        ``MERGE INTO`` (storage-partitioned join + v2 row-level commit);
+        here the swap is the engine's copy-on-write rewrite, with the
+        cardinality check gating the swap so a failed MERGE leaves the
+        target untouched.
+        """
+        from pyspark.sql.window import Window
+
+        head = re.match(
+            r"MERGE\s+INTO\s+([\w.]+)"
+            r"(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+",
+            sql,
+            re.I,
+        )
+        if not head:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        name = self._qualify(head.group(1))
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        t_alias = head.group(2) or head.group(3) or name.split(".")[-1]
+
+        rest = sql[head.end():].lstrip()
+        if rest.startswith("("):  # subquery source — balanced-paren scan
+            depth, i, in_str = 0, 0, False
+            for i, ch in enumerate(rest):
+                if in_str:
+                    in_str = ch != "'"
+                    continue
+                if ch == "'":
+                    in_str = True
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            src_df = self.spark.sql(self._rewrite_system(rest[1:i]))
+            rest, s_default = rest[i + 1 :].lstrip(), "src"
+        else:
+            sm = re.match(r"([\w.]+)", rest)
+            src_name = self._qualify(sm.group(1))
+            if not self._table_exists(src_name):
+                raise RangerError(
+                    TABLE_NOT_FOUND, f"table '{src_name}' not found"
+                )
+            src_df = self.spark.table(src_name)
+            rest, s_default = rest[sm.end():].lstrip(), src_name.split(".")[-1]
+        am = re.match(r"(?:AS\s+(\w+)|(?!ON\b)(\w+))?\s*ON\s+", rest, re.I)
+        if not am:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        s_alias = am.group(1) or am.group(2) or s_default
+        rest = rest[am.end():]
+
+        # ON condition runs to the first top-level WHEN [NOT] MATCHED
+        # (CASE WHEN inside expressions is never followed by MATCHED)
+        clause_split = re.split(
+            r"(?i)\bWHEN\s+(?=MATCHED\b|NOT\s+MATCHED\b)", rest
+        )
+        cond_text, clause_texts = clause_split[0].strip(), clause_split[1:]
+        if not clause_texts:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "MERGE requires at least one WHEN clause"
+            )
+        matched_clauses: list[tuple] = []  # (cond|None, sets|None for DELETE)
+        insert_clauses: list[tuple] = []  # (cond|None, cols|None for *, vals)
+        for ct in clause_texts:
+            ct = ct.strip()
+            mm = re.match(
+                r"MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+                r"(?:UPDATE\s+SET\s+(.+)|DELETE)\s*$",
+                ct,
+                re.I | re.S,
+            )
+            if mm:
+                sets = None
+                if mm.group(2) is not None:
+                    sets = {}
+                    for part in itypes.split_top_level(mm.group(2)):
+                        col, val = part.split("=", 1)
+                        col = col.strip()
+                        if col.lower().startswith(t_alias.lower() + "."):
+                            col = col.split(".", 1)[1]
+                        sets[col.lower()] = val.strip()
+                matched_clauses.append((mm.group(1), sets))
+                continue
+            nm = re.match(
+                r"NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s*"
+                r"(?:\*|\(([^)]*)\)\s*VALUES\s*\((.+)\))\s*$",
+                ct,
+                re.I | re.S,
+            )
+            if nm:
+                cols = vals = None
+                if nm.group(2) is not None:
+                    cols = [c.strip() for c in nm.group(2).split(",")]
+                    vals = itypes.split_top_level(nm.group(3))
+                    if len(cols) != len(vals):
+                        raise RangerError(
+                            VALIDATION_FAILED,
+                            f"INSERT column/value count mismatch: "
+                            f"{len(cols)} vs {len(vals)}",
+                        )
+                insert_clauses.append((nm.group(1), cols, vals))
+                continue
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, f"cannot parse MERGE clause: WHEN {ct!r}"
+            )
+
+        target_df = self.spark.table(name)
+        tgt_names = {f.name.lower() for f in target_df.schema.fields}
+        for _c, sets in matched_clauses:
+            for cname in sets or ():
+                if cname not in tgt_names:
+                    raise RangerError(
+                        VALIDATION_FAILED, f"unknown column in SET: {cname}"
+                    )
+        for _c, cols, _v in insert_clauses:
+            for cname in cols or ():
+                if cname.lower() not in tgt_names:
+                    raise RangerError(
+                        VALIDATION_FAILED, f"unknown column in INSERT: {cname}"
+                    )
+        # even/odd row keys: distinct across the two sides, so the window
+        # below never lumps all source-only rows into one partition (skew)
+        t = target_df.withColumn(
+            "__rs_tid", F.monotonically_increasing_id() * 2
+        ).alias(t_alias)
+        s = src_df.withColumn(
+            "__rs_sid", F.monotonically_increasing_id() * 2 + 1
+        ).alias(s_alias)
+        j = t.join(s, F.expr(cond_text), "full_outer")
+
+        is_matched = F.col("__rs_tid").isNotNull() & F.col(
+            "__rs_sid"
+        ).isNotNull()
+        t_only = F.col("__rs_tid").isNotNull() & F.col("__rs_sid").isNull()
+        s_only = F.col("__rs_tid").isNull() & F.col("__rs_sid").isNotNull()
+        row_key = F.coalesce(F.col("__rs_tid"), F.col("__rs_sid"))
+        j = j.withColumn(
+            "__rs_nm",
+            F.sum(F.when(is_matched, 1).otherwise(0)).over(
+                Window.partitionBy(row_key)
+            ),
+        )
+
+        act = F.when(t_only, F.lit("K"))
+        for i, (c, sets) in enumerate(matched_clauses):
+            cc = is_matched & (F.expr(c) if c else F.lit(True))
+            act = act.when(cc, F.lit(f"U{i}" if sets is not None else f"D{i}"))
+        act = act.when(is_matched, F.lit("K"))
+        for i, (c, _cols, _vals) in enumerate(insert_clauses):
+            cc = s_only & (F.expr(c) if c else F.lit(True))
+            act = act.when(cc, F.lit(f"I{i}"))
+        j = j.withColumn("__rs_act", act)  # null → source row not inserted
+
+        out_cols = []
+        src_cols = {c.lower() for c in src_df.columns}
+        for fld in target_df.schema.fields:
+            col = F.col(f"{t_alias}.{fld.name}")
+            for i, (_c, sets) in enumerate(matched_clauses):
+                if sets is not None and fld.name.lower() in sets:
+                    col = F.when(
+                        F.col("__rs_act") == f"U{i}",
+                        F.expr(sets[fld.name.lower()]).cast(fld.dataType),
+                    ).otherwise(col)
+            for i, (_c, cols, vals) in enumerate(insert_clauses):
+                if cols is None:  # INSERT * — map source columns by name
+                    val = (
+                        F.col(f"{s_alias}.{fld.name}")
+                        if fld.name.lower() in src_cols
+                        else F.lit(None)
+                    )
+                else:
+                    by_name = {c.lower(): v for c, v in zip(cols, vals)}
+                    val = (
+                        F.expr(by_name[fld.name.lower()])
+                        if fld.name.lower() in by_name
+                        else F.lit(None)
+                    )
+                col = F.when(
+                    F.col("__rs_act") == f"I{i}", val.cast(fld.dataType)
+                ).otherwise(col)
+            out_cols.append(col.alias(fld.name))
+
+        first = F.substring(F.col("__rs_act"), 1, 1)
+        obs = Observation()
+        j = j.observe(
+            obs,
+            F.sum((first == "U").cast("long")).alias("n_upd"),
+            F.sum((first == "D").cast("long")).alias("n_del"),
+            F.sum((first == "I").cast("long")).alias("n_ins"),
+            F.max("__rs_nm").alias("max_match"),
+        )
+        final = j.filter(
+            F.col("__rs_act").isNotNull() & (first != "D")
+        ).select(*out_cols)
+
+        def _cardinality_check() -> None:
+            mm = obs.get["max_match"]
+            if mm is not None and mm > 1:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    "MERGE: a target row matched multiple source rows "
+                    "(ON condition is not unique on the source side)",
+                )
+
+        self._rewrite_table(name, final, pre_swap=_cardinality_check)
+        got = obs.get
+        n_upd = int(got["n_upd"] or 0)
+        n_del = int(got["n_del"] or 0)
+        n_ins = int(got["n_ins"] or 0)
+        return QueryResult(
+            [],
+            [],
+            n_upd + n_del + n_ins,
+            message=(
+                f"merged: {n_upd} updated, {n_del} deleted, {n_ins} inserted"
+            ),
+        )
+
+    def _rewrite_table(self, name: str, new_df: DataFrame, pre_swap=None) -> None:
         """Copy-on-write rewrite via a staging table (Spark cannot overwrite
         a Parquet table it is reading; Iceberg would make this one
-        snapshot commit — reference relies on DuckDB for the same ops)."""
+        snapshot commit — reference relies on DuckDB for the same ops).
+
+        ``pre_swap`` runs after the staging write but before the target is
+        overwritten; if it raises, the target table is untouched (used by
+        MERGE for its cardinality check — the staging job is where the
+        Observation metrics become available)."""
         staging = f"{name.split('.')[0]}.__staging_{name.split('.')[-1]}"
         new_df.write.mode("overwrite").saveAsTable(staging)
-        staged = self.spark.table(staging)
-        staged.write.mode("overwrite").insertInto(name, overwrite=True)
-        self.spark.sql(f"DROP TABLE {staging}")
+        try:
+            if pre_swap is not None:
+                pre_swap()
+            staged = self.spark.table(staging)
+            staged.write.mode("overwrite").insertInto(name, overwrite=True)
+        finally:
+            self.spark.sql(f"DROP TABLE {staging}")
 
     # ----------------------------------------------------- ALTER (exceeds)
     def _alter_table(self, sql: str) -> QueryResult:

@@ -54,6 +54,7 @@ class StmtKind(Enum):
     TXN_NOOP = "txn_noop"  # BEGIN/COMMIT/ROLLBACK
     PARSE_ONLY = "parse_only"  # GRANT/REVOKE/users/indexes/cursors/procedures
     ALTER = "alter"  # parsed, not executable in the reference
+    MERGE = "merge"  # not in the reference grammar; we exceed (CoW upsert)
 
 
 @dataclass
@@ -197,6 +198,10 @@ def route(statement: str, strict: bool = False) -> Routed:
     if m("ALTER"):
         # reference: parsed but no engine case → "unsupported statement type"
         return Routed(StmtKind.ALTER, s)
+    if m("MERGE INTO"):
+        # not even parsed by the reference (parser.go keyword table has no
+        # MERGE); we exceed like ALTER — strict mode rejects in the engine
+        return Routed(StmtKind.MERGE, s)
     if _PARSE_ONLY.match(up):
         return Routed(StmtKind.PARSE_ONLY, s)
     raise RangerError(

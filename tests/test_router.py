@@ -40,6 +40,11 @@ def test_empty():
         ("COMMIT;", StmtKind.TXN_NOOP),
         ("ROLLBACK;", StmtKind.TXN_NOOP),
         ("ALTER TABLE t DROP COLUMN a;", StmtKind.ALTER),
+        (
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE;",
+            StmtKind.MERGE,
+        ),
         ("GRANT SELECT ON t TO u;", StmtKind.PARSE_ONLY),
         ("CREATE INDEX i ON t (a);", StmtKind.PARSE_ONLY),
     ],
@@ -70,7 +75,7 @@ _BAD_STATEMENTS = [
     "VACUUM t",
     "FLUSH x",
     "TRUNCATE t",
-    "MERGE INTO t USING s ON t.id = s.id",
+    "REPLACE INTO t VALUES (1)",
     "CALL proc()",
     "SET x = 1",
     "COPY t FROM 'f.csv'",
