@@ -36,6 +36,7 @@ from ranger_spark.errors import (
     RangerError,
 )
 from ranger_spark.router import Routed, StmtKind, route
+from ranger_spark.sources.snapshots import VersionedTable, walk_parquet
 
 RESULT_CAP = 100_000  # reference duckdb/engine.go:395-400
 SCHEMA_PROP_VIEW_PREFIX = "ranger_schema_"  # per-table Iceberg schema registry
@@ -238,7 +239,15 @@ class Engine:
             ddl = f"CREATE TABLE {name} ({cols}) USING parquet"
             if entry.get("partition_by"):
                 ddl += " PARTITIONED BY (" + ", ".join(entry["partition_by"]) + ")"
-            ddl += f" LOCATION '{entry['location']}'"
+            location = entry["location"]
+            if entry.get("versioned"):
+                # versioned tables: the catalog points INTO the current
+                # snapshot dir, resolved from the manifest chain (this is
+                # also the forward-heal for a crash mid-repoint)
+                vt = VersionedTable(location)
+                if vt.current_version():
+                    location = vt.snapshot_dir()
+            ddl += f" LOCATION '{location}'"
             self.spark.sql(ddl)
             if entry.get("partition_by"):
                 self.spark.catalog.recoverPartitions(name)
@@ -282,10 +291,12 @@ class Engine:
     # ------------------------------------------------------------- dispatch
     def _dispatch(self, r: Routed) -> QueryResult:
         k = r.kind
-        if k in (StmtKind.SELECT, StmtKind.WITH_SELECT):
-            return self._read(self._rewrite_system(r.sql))
-        if k == StmtKind.EXPLAIN:
-            return self._read(self._rewrite_system(r.sql))
+        if k in (StmtKind.SELECT, StmtKind.WITH_SELECT, StmtKind.EXPLAIN):
+            sql = self._rewrite_system(r.sql)
+            if not self.strict_gate:
+                # VERSION AS OF / TIMESTAMP AS OF — exceeds the reference
+                sql = self._rewrite_time_travel(sql)
+            return self._read(sql)
         if k == StmtKind.INSERT:
             return self._insert(r.sql)
         if k == StmtKind.UPDATE:
@@ -323,6 +334,13 @@ class Engine:
                     "unsupported statement type (parsed but not executable): ALTER",
                 )
             return self._alter_table(r.sql)
+        if k == StmtKind.SHOW_SNAPSHOTS:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: SHOW SNAPSHOTS",
+                )
+            return self._show_snapshots(r.sql)
         if k == StmtKind.MERGE:
             # not in the reference grammar at all (parser.go keyword table);
             # executing it exceeds the reference — strict mode keeps parity
@@ -377,6 +395,134 @@ class Engine:
         return sql
 
     # ------------------------------------------------------------ DDL path
+    # ------------------------------------------------ time travel (exceeds)
+    def _rewrite_time_travel(self, sql: str) -> str:
+        """``FROM t VERSION AS OF n`` / ``FROM t TIMESTAMP AS OF 'ts'`` —
+        Iceberg time-travel syntax over the engine's snapshot manifests
+        (the reference is Iceberg-native but cannot time-travel either:
+        its DuckDB views always read current metadata). The table
+        reference is replaced by a temp view scanning exactly that
+        snapshot's file list. Only identifier positions are rewritten —
+        quoted literals pass through untouched."""
+        if "AS OF" not in sql.upper():
+            return sql
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        out: list[str] = []
+        i = 0
+        while i < len(parts):
+            seg = parts[i]
+            if i % 2 == 1:  # quoted literal
+                out.append(seg)
+                i += 1
+                continue
+            seg = re.sub(
+                r"\b([A-Za-z_][\w.]*)\s+VERSION\s+AS\s+OF\s+(\d+)",
+                lambda m: self._time_travel_view(
+                    m.group(1), version=int(m.group(2))
+                ),
+                seg,
+                flags=re.I,
+            )
+            m = re.search(
+                r"\b([A-Za-z_][\w.]*)\s+TIMESTAMP\s+AS\s+OF\s*$", seg, re.I
+            )
+            if m and i + 1 < len(parts):
+                # the timestamp is the next (quoted) segment
+                view = self._time_travel_view(
+                    m.group(1), ts=parts[i + 1][1:-1]
+                )
+                out.append(seg[: m.start()] + view)
+                i += 2
+                continue
+            out.append(seg)
+            i += 1
+        return "".join(out)
+
+    def _time_travel_view(
+        self, table: str, version: int | None = None, ts: str | None = None
+    ) -> str:
+        name = self._qualify(table)
+        vt = self._versioned_for(name)
+        if vt is None:
+            raise RangerError(
+                TABLE_NOT_FOUND,
+                f"time travel not available for '{table}' "
+                "(not a versioned table)",
+            )
+        if version is None:
+            from datetime import datetime
+
+            try:
+                epoch = datetime.fromisoformat(ts).timestamp()
+            except ValueError as e:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"bad TIMESTAMP AS OF literal: {ts!r}",
+                ) from e
+            version = vt.version_at(epoch)
+        if not 1 <= version <= vt.current_version():
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"snapshot version {version} does not exist for '{name}'",
+            )
+        try:
+            files = vt.files(version)
+        except FileNotFoundError:
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"snapshot version {version} of '{name}' has been expired",
+            ) from None
+        view = f"__tt_{name.replace('.', '_')}_v{version}"
+        if files:
+            # basePath keeps partition columns derivable from the paths
+            df = self.spark.read.option(
+                "basePath", vt.snapshot_dir(version)
+            ).parquet(*files)
+        else:
+            df = self.spark.table(name).limit(0)
+        df.createOrReplaceTempView(view)
+        return view
+
+    def _show_snapshots(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"SHOW\s+SNAPSHOTS\s+(?:FROM|IN)\s+([\w.]+)\s*$", sql, re.I
+        )
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        name = self._qualify(m.group(1))
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        vt = self._versioned_for(name)
+        if vt is None:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"table '{name}' is not snapshot-versioned",
+            )
+        cols = [
+            "version",
+            "committed_at",
+            "operation",
+            "parent",
+            "num_files",
+            "num_added",
+        ]
+        rows = [tuple(h[c] for c in cols) for h in vt.history()]
+        return QueryResult(cols, rows, len(rows))
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Reclaim storage from old snapshots (Iceberg
+        ``expire_snapshots`` procedure): keep the last ``keep_last``
+        versions, delete data dirs nothing retained references. Returns
+        the removed dirs."""
+        name = self._qualify(table)
+        vt = self._versioned_for(name)
+        if vt is None:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"table '{name}' is not snapshot-versioned",
+            )
+        return vt.expire(keep_last)
+
     def _create_database(self, sql: str) -> QueryResult:
         m = re.match(
             r"CREATE\s+(?:DATABASE|NAMESPACE|SCHEMA)\s+(IF\s+NOT\s+EXISTS\s+)?"
@@ -497,7 +643,22 @@ class Engine:
         # recover() can re-register it (reference registry durability);
         # the root follows the STORAGE clause (s3 → configured bucket root)
         location = self.table_location(name, opts["storage"])
-        ddl += f" LOCATION '{location}'"
+        # local roots get snapshot versioning (Iceberg-style manifests,
+        # reference metadata.go:91-155): the catalog LOCATION points INTO
+        # the current snapshot dir under the root; remote (s3a://) roots
+        # stay unversioned — their manifests would need a Hadoop-FS
+        # commit protocol this layer doesn't implement
+        versioned = "://" not in location
+        if versioned:
+            import os
+
+            vt = VersionedTable(location)
+            data_dir = os.path.join(location, "s1")
+            os.makedirs(data_dir, exist_ok=True)
+            vt.commit(files=[], data_dir=data_dir, operation="create")
+            ddl += f" LOCATION '{data_dir}'"
+        else:
+            ddl += f" LOCATION '{location}'"
         self.spark.sql(ddl)
         if opts["storage"] == "memory":
             # the reference's memory storage engine keeps table data in RAM
@@ -512,6 +673,7 @@ class Engine:
             "storage": opts["storage"],
             "settings": opts["settings"],
             "location": location,
+            "versioned": versioned,
         }
         self._mutate_manifest(lambda m: m["tables"].__setitem__(name, entry))
         return QueryResult([], [], 0, message=f"table '{name}' created")
@@ -549,7 +711,7 @@ class Engine:
                 for src, f in zip(df.columns, target.fields)
             ]
         )
-        out.write.insertInto(name)
+        self._append_commit(name, "append", lambda: out.write.insertInto(name))
         n = obs.get["n"]
         return QueryResult(
             [], [], n, message=f"table '{name}' created with {n} row(s)"
@@ -705,7 +867,8 @@ class Engine:
         for f in schema.fields:
             if f.name not in cols:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        df.select(*[f.name for f in schema.fields]).write.insertInto(name)
+        out = df.select(*[f.name for f in schema.fields])
+        self._append_commit(name, "append", lambda: out.write.insertInto(name))
         return QueryResult(
             [], [], len(rows), message=f"inserted {len(rows)} row(s) into '{name}'"
         )
@@ -756,7 +919,8 @@ class Engine:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        df.select(*[f.name for f in schema.fields]).write.insertInto(name)
+        out = df.select(*[f.name for f in schema.fields])
+        self._append_commit(name, "append", lambda: out.write.insertInto(name))
         n = obs.get["n"]
         return QueryResult(
             [], [], n, message=f"inserted {n} row(s) into '{name}'"
@@ -889,7 +1053,7 @@ class Engine:
             df = df.withColumn(
                 col, F.when(cond_col, new_val.cast(dict(df.dtypes)[col])).otherwise(F.col(col))
             )
-        self._rewrite_table(name, df)
+        self._rewrite_table(name, df, operation="update")
         n_hit = int(obs.get["n_hit"] or 0)
         return QueryResult([], [], n_hit, message=f"updated {n_hit} row(s)")
 
@@ -909,7 +1073,7 @@ class Engine:
         df = df.observe(
             obs, F.sum(F.when(cond_col, 1).otherwise(0)).alias("n_hit")
         )
-        self._rewrite_table(name, df.filter(~cond_col))
+        self._rewrite_table(name, df.filter(~cond_col), operation="delete")
         n_hit = int(obs.get["n_hit"] or 0)
         return QueryResult([], [], n_hit, message=f"deleted {n_hit} row(s)")
 
@@ -1133,7 +1297,9 @@ class Engine:
                     "(ON condition is not unique on the source side)",
                 )
 
-        self._rewrite_table(name, final, pre_swap=_cardinality_check)
+        self._rewrite_table(
+            name, final, pre_swap=_cardinality_check, operation="merge"
+        )
         got = obs.get
         n_upd = int(got["n_upd"] or 0)
         n_del = int(got["n_del"] or 0)
@@ -1147,15 +1313,172 @@ class Engine:
             ),
         )
 
-    def _rewrite_table(self, name: str, new_df: DataFrame, pre_swap=None) -> None:
-        """Copy-on-write rewrite via a staging table (Spark cannot overwrite
-        a Parquet table it is reading; Iceberg would make this one
-        snapshot commit — reference relies on DuckDB for the same ops).
+    # ------------------------------------------------ snapshot plumbing
+    def _versioned_for(self, name: str) -> VersionedTable | None:
+        entry = self._manifest["tables"].get(name)
+        if not entry or not entry.get("versioned"):
+            return None
+        return VersionedTable(entry["location"])
 
-        ``pre_swap`` runs after the staging write but before the target is
-        overwritten; if it raises, the target table is untouched (used by
-        MERGE for its cardinality check — the staging job is where the
-        Observation metrics become available)."""
+    def _append_commit(self, name: str, operation: str, write_fn) -> None:
+        """Run an appending write and publish it as a snapshot commit: new
+        files land in the *current* snapshot dir (insertInto), the commit
+        lists previous files + added ones — no data is rewritten, the
+        commit itself is one JSON link (an Iceberg fast-append)."""
+        vt = self._versioned_for(name)
+        if vt is None:
+            write_fn()
+            return
+        cur = vt.current_version()
+        data_dir = vt.snapshot_dir(cur) if cur else None
+        before = walk_parquet(data_dir) if data_dir else set()
+        write_fn()
+        if data_dir is None:
+            return
+        added = sorted(walk_parquet(data_dir) - before)
+        vt.commit(
+            files=vt.files(cur) + added,
+            data_dir=data_dir,
+            operation=operation,
+            added=added,
+        )
+
+    def _versioned_rewrite(
+        self,
+        name: str,
+        entry: dict,
+        vt: VersionedTable,
+        new_df: DataFrame,
+        part_by: list[str],
+        operation: str,
+        pre_swap=None,
+    ) -> str:
+        """Write the new table state ONCE into a fresh snapshot dir and
+        commit it; prior snapshot dirs are left untouched (time travel).
+        Returns the new dir. On any failure — including a ``pre_swap``
+        veto — the half-written dir is removed and the live table is
+        untouched. This replaces the old double-write staging dance
+        (staging saveAsTable + insertInto overwrite): one write, and the
+        'cannot overwrite a table being read' problem disappears because
+        the scan reads the old dir while the write targets the new one."""
+        import os
+
+        root = entry["location"]
+        new_dir = os.path.join(
+            root,
+            f"s{vt.current_version() + 1}-{uuid_mod.uuid4().hex[:6]}",
+        )
+        w = new_df.write.mode("overwrite")
+        if part_by:
+            w = w.partitionBy(*part_by)
+        try:
+            w.parquet(new_dir)
+            if pre_swap is not None:
+                pre_swap()
+        except Exception:
+            try:
+                self._delete_location(new_dir)
+            except Exception:
+                pass
+            raise
+        vt.commit(
+            files=sorted(walk_parquet(new_dir)),
+            data_dir=new_dir,
+            operation=operation,
+        )
+        return new_dir
+
+    def _recreate_at(
+        self,
+        name: str,
+        entry: dict,
+        columns: list[tuple[str, str, bool]],
+        location: str,
+        renamed: dict[str, str] | None = None,
+    ) -> list[str]:
+        """Repoint the catalog table at a new snapshot dir: drop +
+        recreate the same DDL with LOCATION swapped — metadata only, no
+        data moves (the Iceberg equivalent is the atomic metadata-pointer
+        swap; a crash between drop and create here is healed forward by
+        ``recover()``, which rebuilds the table from the catalog manifest
+        + current snapshot). Table options survive: PARTITIONED BY is
+        re-applied (renamed partition columns followed, dropped ones
+        removed), ranger.* TBLPROPERTIES carry over, memory-storage
+        tables are re-pinned in the cache."""
+        renamed = renamed or {}
+        props = {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+            if r["key"].startswith("ranger.")
+        }
+        for k, v in entry.get("settings", {}).items():
+            props.setdefault(k, v)
+        schema = itypes.to_spark_schema(columns)
+        new_names = {f.name for f in schema.fields}
+        part_by = [renamed.get(c, c) for c in entry.get("partition_by", [])]
+        part_by = [c for c in part_by if c in new_names]
+        if "ranger.write_order" in props:
+            order = [
+                renamed.get(c.strip(), c.strip())
+                for c in props["ranger.write_order"].split(",")
+            ]
+            order = [c for c in order if c in new_names]
+            if order:
+                props["ranger.write_order"] = ",".join(order)
+            else:
+                del props["ranger.write_order"]
+        spark_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        )
+        ddl = f"CREATE TABLE {name} ({spark_cols}) USING parquet"
+        if part_by:
+            ddl += " PARTITIONED BY (" + ", ".join(part_by) + ")"
+        if props:
+            prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+            ddl += f" TBLPROPERTIES ({prop_str})"
+        ddl += f" LOCATION '{location}'"
+        self.spark.sql(f"DROP TABLE {name}")
+        self.spark.sql(ddl)
+        if part_by:
+            self.spark.catalog.recoverPartitions(name)
+        if entry.get("storage") == "memory":
+            self.spark.sql(f"CACHE LAZY TABLE {name}")
+        return part_by
+
+    def _rewrite_table(
+        self,
+        name: str,
+        new_df: DataFrame,
+        pre_swap=None,
+        operation: str = "overwrite",
+    ) -> None:
+        """Copy-on-write rewrite. Versioned (local) tables: one write into
+        a fresh snapshot dir + a manifest commit + a metadata-only catalog
+        repoint — the previous version stays readable via VERSION AS OF.
+        Unversioned (remote-root) tables keep the staging-table dance
+        (Spark cannot overwrite a Parquet table it is reading).
+
+        ``pre_swap`` runs after the data write but before the swap; if it
+        raises, the target table is untouched (used by MERGE for its
+        cardinality check — the write is where Observation metrics become
+        available)."""
+        entry = self._manifest["tables"].get(name, {})
+        vt = self._versioned_for(name)
+        if vt is not None:
+            new_dir = self._versioned_rewrite(
+                name,
+                entry,
+                vt,
+                new_df,
+                entry.get("partition_by") or [],
+                operation,
+                pre_swap,
+            )
+            columns = self._schemas.get(name) or self._column_info(name)
+            self._recreate_at(name, entry, columns, new_dir)
+            return
         staging = f"{name.split('.')[0]}.__staging_{name.split('.')[-1]}"
         new_df.write.mode("overwrite").saveAsTable(staging)
         try:
@@ -1238,9 +1561,33 @@ class Engine:
         otherwise a later recover() would recreate the table PARTITIONED BY
         over unpartitioned files and the data would become invisible."""
         renamed = renamed or {}
+        entry = self._manifest["tables"].get(name, {})
+        vt = self._versioned_for(name)
+        if vt is not None:
+            new_names = {c[0] for c in new_cols}
+            part_by = [
+                renamed.get(c, c) for c in entry.get("partition_by", [])
+            ]
+            part_by = [c for c in part_by if c in new_names]
+            new_dir = self._versioned_rewrite(
+                name, entry, vt, new_df, part_by, "alter"
+            )
+            part_by = self._recreate_at(
+                name, entry, new_cols, new_dir, renamed=renamed
+            )
+            self._schemas[name] = new_cols
+            if entry:
+
+                def _set_cols_v(m: dict) -> None:
+                    e = m["tables"].get(name, dict(entry))
+                    e["columns"] = new_cols
+                    e["partition_by"] = part_by
+                    m["tables"][name] = e
+
+                self._mutate_manifest(_set_cols_v)
+            return
         staging = f"{name.split('.')[0]}.__staging_{name.split('.')[-1]}"
         new_df.write.mode("overwrite").saveAsTable(staging)
-        entry = self._manifest["tables"].get(name, {})
         # carry over user-facing props before the old table disappears
         props = {
             r["key"]: r["value"]

@@ -130,3 +130,169 @@ class SnapshotTable:
             | {"num_files": len(m["files"]), "num_added": len(m["added_files"])}
             for m in (self._load(v) for v in range(1, self.current_version() + 1))
         ]
+
+
+def walk_parquet(root: str) -> set[str]:
+    """All parquet data files under ``root``, recursively (partitioned
+    layouts nest files in key=value dirs). Metadata dirs (leading ``_``
+    or ``.``) are skipped, matching Spark's own file-listing rules."""
+    found: set[str] = set()
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        found.update(
+            os.path.join(dirpath, f)
+            for f in filenames
+            if f.endswith(".parquet")
+        )
+    return found
+
+
+class VersionedTable:
+    """Engine-side snapshot versioning for catalog tables: Iceberg-style
+    file-list manifests over the engine's own data writes (reference
+    server/metadata/iceberg/metadata.go — every commit is a new metadata
+    file listing the table's data files; its Avro manifests are JSON
+    placeholders, so JSON manifests match what the reference ships).
+
+    Unlike :class:`SnapshotTable` (which owns the data write), commits
+    here are **manifest-only** — the engine performs the writes:
+
+    - appends (INSERT) land new files in the *current* snapshot dir and
+      commit ``previous files + added``;
+    - copy-on-write rewrites (UPDATE/DELETE/MERGE/ALTER) write a fresh
+      ``s{N}-<id>`` dir and commit exactly its files, leaving prior dirs
+      untouched — so every historical version stays readable
+      (``VERSION AS OF``) until :meth:`expire` reclaims it.
+
+    The metadata dir is underscore-prefixed, so Spark's file listing
+    never sees it. Commit protocol = flock + ``os.link`` publish, same
+    optimistic-commit shape as :meth:`SnapshotTable.append`.
+    """
+
+    META = "_ranger_meta"
+
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, self.META)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.meta_dir)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version}.manifest.json")
+
+    def current_version(self) -> int:
+        if not self.exists():
+            return 0
+        return max(
+            (
+                int(f[1:].split(".")[0])
+                for f in os.listdir(self.meta_dir)
+                if f.endswith(".manifest.json")
+            ),
+            default=0,
+        )
+
+    def _load(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def commit(
+        self,
+        files: list[str],
+        data_dir: str,
+        operation: str,
+        added: list[str] | None = None,
+    ) -> int:
+        """Publish snapshot N+1 with the given full file list."""
+        import fcntl
+
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(os.path.join(self.meta_dir, ".commit.lock"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                prev = self.current_version()
+                version = prev + 1
+                manifest = {
+                    "version": version,
+                    "committed_at": time.time(),
+                    "operation": operation,
+                    "dir": data_dir,
+                    "files": sorted(files),
+                    "added_files": sorted(added if added is not None else files),
+                    "parent": prev or None,
+                }
+                tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                try:
+                    os.link(tmp, self._manifest_path(version))
+                finally:
+                    os.unlink(tmp)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+        return version
+
+    def files(self, version: int | None = None) -> list[str]:
+        version = version or self.current_version()
+        if version == 0:
+            return []
+        return self._load(version)["files"]
+
+    def snapshot_dir(self, version: int | None = None) -> str:
+        version = version or self.current_version()
+        if version == 0:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        return self._load(version)["dir"]
+
+    def version_at(self, epoch: float) -> int:
+        """Latest version committed at or before ``epoch`` (the resolution
+        rule of Iceberg's ``TIMESTAMP AS OF``)."""
+        best = 0
+        for v in range(1, self.current_version() + 1):
+            if self._load(v)["committed_at"] <= epoch:
+                best = v
+        if best == 0:
+            raise FileNotFoundError(
+                f"no snapshot at or before timestamp in {self.root}"
+            )
+        return best
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                k: m[k]
+                for k in ("version", "committed_at", "operation", "parent")
+            }
+            | {"num_files": len(m["files"]), "num_added": len(m["added_files"])}
+            for m in (self._load(v) for v in range(1, self.current_version() + 1))
+        ]
+
+    def expire(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete data
+        dirs no retained snapshot references (Iceberg
+        ``expire_snapshots``). Returns the removed data dirs."""
+        import shutil
+
+        current = self.current_version()
+        cutoff = max(1, current - keep_last + 1)
+        keep_dirs: set[str] = set()
+        keep_files: set[str] = set()
+        for v in range(cutoff, current + 1):
+            m = self._load(v)
+            keep_dirs.add(m["dir"])
+            keep_files.update(m["files"])
+        removed: list[str] = []
+        for v in range(1, cutoff):
+            m = self._load(v)
+            # a dir is reclaimable only if no kept snapshot references it
+            # or any file inside it
+            if m["dir"] not in keep_dirs and not any(
+                f.startswith(m["dir"] + os.sep) for f in keep_files
+            ):
+                if os.path.isdir(m["dir"]):
+                    shutil.rmtree(m["dir"], ignore_errors=True)
+                    removed.append(m["dir"])
+                keep_dirs.add(m["dir"])  # only attempt once
+            os.unlink(self._manifest_path(v))
+        return removed
