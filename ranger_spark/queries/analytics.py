@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ranger_spark.queries import register
-from ranger_spark.tables import events_with_ts, load
+from ranger_spark.tables import (
+    events_with_ts,
+    load,
+    ts_epoch_sec,
+    ts_epoch_us,
+)
 
 
 @register(
@@ -202,7 +207,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user session count. One shuffle on user_id; the cumulative-flag
     formulation avoids any iterative/driver-side loop."""
     ev = load(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.expr("ts DIV 1000000000")
+        "ts_sec", ts_epoch_sec()
     )
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     flagged = ev.select(
@@ -396,7 +401,7 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranger_spark.operators.timeseries import asof_join
 
     ev = load(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
+        "ts_us", ts_epoch_us()
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us"
@@ -435,7 +440,7 @@ def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranger_spark.operators.timeseries import range_join_buckets
 
     ev = load(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.expr("ts DIV 1000000000")
+        "ts_sec", ts_epoch_sec()
     )
     e = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("error_id"),

@@ -199,12 +199,21 @@ class VersionedTable:
 
     def commit(
         self,
-        files: list[str],
+        files: list[str] | None,
         data_dir: str,
         operation: str,
         added: list[str] | None = None,
     ) -> int:
-        """Publish snapshot N+1 with the given full file list."""
+        """Publish snapshot N+1 with the given full file list.
+
+        Fast-append mode: pass ``files=None`` with ``added`` and the new
+        snapshot's file list is ``previous manifest's files + added``,
+        with the previous list read *inside* the commit lock — two
+        engines appending concurrently both land (neither can base its
+        commit on a stale version and silently drop the other's files).
+        Passing a precomputed ``files`` list is reserved for rewrites
+        (UPDATE/DELETE/MERGE), whose file list replaces history by design.
+        """
         import fcntl
 
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -213,6 +222,9 @@ class VersionedTable:
             try:
                 prev = self.current_version()
                 version = prev + 1
+                if files is None:
+                    # fast-append: merge under the lock (lost-update safe)
+                    files = sorted(set(self.files(prev)) | set(added or []))
                 manifest = {
                     "version": version,
                     "committed_at": time.time(),

@@ -37,21 +37,55 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects by default; read nanos as long (lossless — the data
-        # has microsecond resolution) and convert via events_ts().
+        # some testdata generations store ts as TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects by default; allow it as long
+        # (lossless — the data has microsecond resolution) and normalize
+        # below so every consumer sees one canonical dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events_ts(df)
+    return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize events.ts to TIMESTAMP_NTZ regardless of how the
+    driver generated the parquet (bigint nanos in earlier rounds,
+    timestamp[us] now). The session timezone is pinned to UTC
+    (session.py), so NTZ wall-clock == UTC instant == DuckDB's naive
+    timestamp semantics — `epoch(ts)` agrees on both sides."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":  # legacy TIMESTAMP(NANOS) read as long
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def ts_epoch_sec(col: str = "ts"):
+    """Epoch seconds (BIGINT, floor) from the canonical events timestamp —
+    matches DuckDB ``CAST(floor(epoch(ts)) AS BIGINT)`` under the UTC
+    session timezone."""
+    from pyspark.sql import functions as F
+
+    return F.expr(f"unix_seconds(cast({col} as timestamp))")
+
+
+def ts_epoch_us(col: str = "ts"):
+    """Epoch microseconds (BIGINT) — matches DuckDB ``epoch_us(ts)``."""
+    from pyspark.sql import functions as F
+
+    return F.expr(f"unix_micros(cast({col} as timestamp))")
 
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with the nanosecond `ts` column converted to a proper
-    TimestampType (integer DIV keeps full precision; a double division of an
-    ~1.7e18 nanos value would lose sub-second bits)."""
-    ev = load(spark, sf_dir, "events")
-    from pyspark.sql import functions as F
-
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """events with `ts` as a timestamp type (kept for callers predating
+    the canonicalization in :func:`load` — ts now always arrives as
+    TIMESTAMP_NTZ)."""
+    return load(spark, sf_dir, "events")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

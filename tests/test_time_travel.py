@@ -158,3 +158,15 @@ def test_recover_resolves_current_snapshot(engine, spark, versioned):
         (2, "B"),
         (3, "c"),
     ]
+
+
+def test_time_travel_views_dropped_after_read(engine, versioned):
+    # VERDICT r2: __tt_* snapshot views must not linger after execute()
+    engine.execute("SELECT id, v FROM vt VERSION AS OF 2;")
+    engine.execute("SELECT id, v FROM vt VERSION AS OF 3;")
+    lingering = [
+        t.name
+        for t in engine.spark.catalog.listTables()
+        if t.name.startswith("__tt_")
+    ]
+    assert lingering == []
