@@ -509,22 +509,130 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_kmeans_topk", oracle=None, tags=("similarity", "ann", "approx"))
+# The IVF pipelines are *approximate* relative to brute force but fully
+# DETERMINISTIC algorithms (no rand(): md5-ordered seeding, fixed Lloyd
+# iteration count, explicit tie-breaks) — so the DuckDB oracle replays the
+# exact same algorithm in SQL and the value-hash must match (VERDICT r2
+# item 7: certify the no_oracle rows).
+def _kmeans_assign_sql(src: str, cents: str, out: str) -> str:
+    """One Lloyd assignment step as a CTE: nearest centroid by L2
+    (monotonic with the Spark side's squared-L2 fold), cell tie-break."""
+    return f"""
+{out} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT {src}.vec_id, {src}.v, s.cell,
+           row_number() OVER (PARTITION BY {src}.vec_id
+             ORDER BY list_distance({src}.v, s.centroid), s.cell) AS rn
+    FROM {src} CROSS JOIN {cents} s
+  ) WHERE rn = 1
+)"""
+
+
+def _kmeans_recompute_sql(assigned: str, out: str) -> str:
+    """Centroid update step: per-cell per-dimension mean, reassembled in
+    dimension order (mirrors similarity.ivf_centroids' posexplode-mean)."""
+    return f"""
+{out} AS (
+  SELECT cell, list(mean_val ORDER BY pos) AS centroid
+  FROM (
+    SELECT cell, pos, avg(val) AS mean_val
+    FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM {assigned})
+    GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
+
+
+_IVF_PROBE_SCORE_SQL = """
+, q AS (SELECT vec_id AS q_id, v AS q_vec, sqrt(list_dot_product(v, v)) AS q_norm
+        FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT q_id, q_vec, q_norm, {cell} FROM (
+    SELECT q.q_id, q.q_vec, q.q_norm, c.{cell},
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_dot_product(q.q_vec, c.centroid)
+                      / (q.q_norm * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                      c.{cell}
+           ) AS cr
+    FROM q CROSS JOIN {cents} c
+  ) WHERE cr <= 3
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_dot_product(p.q_vec, a.v)
+               / (p.q_norm * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+  FROM probes p JOIN {corpus} a ON p.{cell} = a.{cell} AND a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
+def _ivf_kmeans_oracle(nlist: int = 8, iters: int = 3) -> str:
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+         v AS centroid
+  FROM (SELECT vec_id, v FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {nlist})
+)"""
+    ]
+    for i in range(iters):
+        parts.append("," + _kmeans_assign_sql("e", f"c{i}", f"a{i + 1}"))
+        parts.append("," + _kmeans_recompute_sql(f"a{i + 1}", f"c{i + 1}"))
+    parts.append("," + _kmeans_assign_sql("e", f"c{iters}", "af"))
+    parts.append(
+        _IVF_PROBE_SCORE_SQL.format(cell="cell", cents=f"c{iters}", corpus="af")
+    )
+    return "".join(parts)
+
+
+_IVF_LABEL_ORACLE = (
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (
+  SELECT label, list(mean_val ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos, avg(val) AS mean_val
+    FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e)
+    GROUP BY label, pos
+  ) GROUP BY label
+)"""
+    + _IVF_PROBE_SCORE_SQL.format(cell="label", cents="cent", corpus="e")
+)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=_ivf_kmeans_oracle(),
+    tags=("similarity", "ann", "approx"),
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over learned k-means cells (deterministic Lloyd, 3 iters,
-    nlist=8, nprobe=3). Approximate by design → rows-only check; recall
-    properties asserted in tests/test_operators.py."""
+    nlist=8, nprobe=3). The oracle replays the identical algorithm —
+    md5-ordered seeding, 3 assignment/update rounds, cosine cell probe —
+    in DuckDB SQL, so this approximate operator is exact-checked.
+    Recall-vs-brute-force properties are additionally asserted in
+    tests/test_operators.py."""
     e = load(spark, sf_dir, "embeddings")
     return S.ivf_topk_kmeans(
         e.filter(F.col("vec_id") < 5), e, k=10, nlist=8, nprobe=3, iters=3
     )
 
 
-@register("ann_ivf_topk", oracle=None, tags=("similarity", "ann", "approx"))
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_LABEL_ORACLE,
+    tags=("similarity", "ann", "approx"),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (probe 3 of 10 label cells). Approximate by
-    design → no SQL oracle; recall vs brute force is asserted in
-    tests/test_similarity.py."""
+    """IVF approximate top-k (probe 3 of 10 label cells, per-label mean
+    centroids). Deterministic → the oracle recomputes centroids, probe
+    ranking, and within-cell scoring in SQL; recall vs brute force is
+    asserted in tests/test_operators.py."""
     e = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(e.filter(F.col("vec_id") < 5), e, k=10, nprobe=3)
 
@@ -598,6 +706,109 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         _be32(F.lit(16) + F.col("doc_id") % 64),  # width
         _be32(F.lit(16) + (F.col("doc_id") * 7) % 64),  # height
         F.unhex(F.lit("080200000000000000")),  # depth/color/crc filler
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return decode_image_headers(imgs, "doc_id", "payload")
+
+
+def _le16(col):
+    """int (< 65536) → 2-byte little-endian column expression."""
+    return F.unhex(
+        F.concat(
+            F.lpad(F.hex(col % 256), 2, "0"),
+            F.lpad(F.hex((col / 256).cast("long")), 2, "0"),
+        )
+    )
+
+
+def _le32(col):
+    """int (< 2^16 here) → 4-byte little-endian column expression."""
+    return F.concat(_le16(col), F.unhex(F.lit("0000")))
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 64 AS INTEGER)        AS width,
+           CAST(16 + (doc_id * 11) % 64 AS INTEGER) AS height,
+           'gif'                                    AS format
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF header decode, oracle-checked (see multimodal_decode_png):
+    GIF89a logical-screen descriptor with little-endian uint16 dimensions
+    synthesized JVM-side; `parse_image_header` must read them back with
+    the right endianness/offsets to match the arithmetic oracle."""
+    from ranger_spark.operators.multimodal import decode_image_headers
+
+    d = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.unhex(F.lit("474946383961")),  # "GIF89a"
+        _le16(F.lit(16) + F.col("doc_id") % 64),  # width (LE)
+        _le16(F.lit(16) + (F.col("doc_id") * 11) % 64),  # height (LE)
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return decode_image_headers(imgs, "doc_id", "payload")
+
+
+@register(
+    "multimodal_decode_bmp",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id * 3) % 64 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 5) % 64 AS INTEGER) AS height,
+           'bmp'                                   AS format
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP header decode, oracle-checked: BITMAPINFOHEADER int32
+    little-endian dimensions at byte offsets 18/22 behind the 'BM' magic
+    and 16 filler bytes of file header."""
+    from ranger_spark.operators.multimodal import decode_image_headers
+
+    d = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.unhex(F.lit("424D")),  # "BM"
+        F.unhex(F.lit("00" * 16)),  # file header + DIB size filler
+        _le32(F.lit(16) + (F.col("doc_id") * 3) % 64),  # width  (LE i32)
+        _le32(F.lit(16) + (F.col("doc_id") * 5) % 64),  # height (LE i32)
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return decode_image_headers(imgs, "doc_id", "payload")
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id * 13) % 64 AS INTEGER) AS width,
+           CAST(16 + (doc_id * 17) % 64 AS INTEGER) AS height,
+           'jpeg'                                   AS format
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG header decode, oracle-checked: SOI, then an APP0 segment
+    the parser must *skip* via its length field, then SOF0 with big-endian
+    height/width — exercises the marker-walk, not just a fixed offset."""
+    from ranger_spark.operators.multimodal import decode_image_headers
+
+    def _be16(col):
+        return F.unhex(F.lpad(F.hex(col), 4, "0"))
+
+    d = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.unhex(F.lit("FFD8")),  # SOI
+        F.unhex(F.lit("FFE00004AABB")),  # APP0, len 4 (2 payload bytes)
+        F.unhex(F.lit("FFC0001108")),  # SOF0, len + precision
+        _be16(F.lit(16) + (F.col("doc_id") * 17) % 64),  # height (BE)
+        _be16(F.lit(16) + (F.col("doc_id") * 13) % 64),  # width  (BE)
     )
     imgs = d.select("doc_id", payload.alias("payload"))
     return decode_image_headers(imgs, "doc_id", "payload")
