@@ -20,10 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ranger_spark.queries import load_all  # noqa: E402
 
 # The driver's correctness gate checks the first ~50 registry entries per
-# round. Round 1 certified these 50 (CORRECTNESS_r01.json, all green); they
-# rotate to the back so the round-2 window reaches the 37 queries the
-# driver's file did not cover (the judge re-ran them green, but driver
-# certification is the stronger record).
+# round. Rotation policy: put the queries with the STALEST (or no) driver
+# certification at the front each round. Rounds 2/3 certified the
+# pipeline/tpch set (CORRECTNESS_r02/r03, all green), so round 4 rotates
+# the round-1-certified 50 back to the front — they were last
+# driver-checked on round-1 code and the events.ts dtype change touches
+# several of them — preceded by the queries that have never been
+# driver-certified with an oracle at all (new this round).
+_NEVER_CERTIFIED = (
+    "ann_ivf_topk",            # oracle added round 4 (was rows-only)
+    "ann_ivf_kmeans_topk",     # oracle added round 4 (was rows-only)
+    "multimodal_decode_gif",   # new round 4
+    "multimodal_decode_bmp",   # new round 4
+    "multimodal_decode_jpeg",  # new round 4
+)
+
 _R1_CERTIFIED = (
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "proj_arith_alias", "filter_between", "filter_in_list", "filter_like",
@@ -45,9 +56,10 @@ _R1_CERTIFIED = (
 
 def _ordered():
     reg = load_all()
-    back = [n for n in _R1_CERTIFIED if n in reg]
-    front = [n for n in reg if n not in _R1_CERTIFIED]
-    return {n: reg[n] for n in front + back}
+    first = [n for n in _NEVER_CERTIFIED if n in reg]
+    second = [n for n in _R1_CERTIFIED if n in reg]
+    rest = [n for n in reg if n not in first and n not in second]
+    return {n: reg[n] for n in first + second + rest}
 
 
 def entry(spark: SparkSession) -> DataFrame:
