@@ -20,6 +20,7 @@ import re
 import threading
 import time
 import uuid as uuid_mod
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, Row, SparkSession
@@ -636,9 +637,153 @@ class Engine:
 
         return self._materialize_table(name, columns, opts)
 
+    # SETTINGS → real write behavior (reference
+    # server/storage/parquet/compression.go:20-56 codec table + levels,
+    # parquet/interface.go:110-139 MaxFileSize rotation). Spark levers:
+    # per-write parquet codec option / 'parquet.compression' table
+    # property, and the maxRecordsPerFile writer option for rotation.
+    _PARQUET_CODECS = {
+        "none": "uncompressed",
+        "uncompressed": "uncompressed",
+        "snappy": "snappy",
+        "gzip": "gzip",
+        "gz": "gzip",
+        "lz4": "lz4",
+        "zstd": "zstd",
+    }
+    _LEVEL_RANGES = {"gzip": (1, 9), "zstd": (1, 22), "brotli": (1, 11)}
+
+    # conservative on-disk bytes/row estimate per declared type, used to
+    # turn a max_file_size byte budget into Spark's record-count rotation
+    _TYPE_BYTES = {
+        "boolean": 1, "int32": 4, "int64": 8, "float32": 4, "float64": 8,
+        "date": 4, "time": 8, "timestamp": 8, "timestamptz": 8,
+        "uuid": 16, "string": 32, "binary": 64, "decimal": 16,
+    }
+
+    def _validate_settings(self, settings: dict) -> None:
+        """Reject bad write settings at CREATE time, mirroring the
+        reference's ValidateCompressionConfig error shapes."""
+        codec = settings.get("compression", "").lower()
+        if codec:
+            if codec == "brotli":
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    "compression 'brotli' requires a codec library not "
+                    "present in this deployment (reference "
+                    "compression.go:46 supports it natively)",
+                )
+            if codec not in self._PARQUET_CODECS:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"unsupported compression type: '{codec}'",
+                )
+        level = settings.get("compression_level")
+        if level is not None:
+            try:
+                lv = int(level)
+            except ValueError:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"compression level must be an integer: {level!r}",
+                ) from None
+            lo, hi = self._LEVEL_RANGES.get(codec, (None, None))
+            if lo is not None and not lo <= lv <= hi:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"{codec} compression level must be between {lo} and {hi}",
+                )
+        for key in ("max_file_size", "max_records_per_file"):
+            if key in settings:
+                try:
+                    if self._parse_bytes(settings[key]) <= 0:
+                        raise ValueError
+                except ValueError:
+                    raise RangerError(
+                        VALIDATION_FAILED,
+                        f"invalid {key}: {settings[key]!r}",
+                    ) from None
+
+    @staticmethod
+    def _parse_bytes(v) -> int:
+        """'128MB' / '50GB' / '4096' → bytes."""
+        s = str(v).strip().upper()
+        mult = 1
+        for suffix, m in (("KB", 1 << 10), ("MB", 1 << 20), ("GB", 1 << 30),
+                          ("TB", 1 << 40), ("K", 1 << 10), ("M", 1 << 20),
+                          ("G", 1 << 30), ("B", 1)):
+            if s.endswith(suffix):
+                s, mult = s[: -len(suffix)].strip(), m
+                break
+        return int(float(s) * mult)
+
+    def _est_row_bytes(self, columns: list[tuple[str, str, bool]]) -> int:
+        return max(
+            8,
+            sum(
+                self._TYPE_BYTES.get(t.split("(")[0].lower(), 32)
+                for _, t, _ in columns
+            ),
+        )
+
+    def _write_options(self, name: str) -> dict[str, str]:
+        """Writer options derived from the table's SETTINGS: codec and
+        file-rotation record cap. Applied to every data write targeting
+        the table (INSERT paths and copy-on-write rewrites)."""
+        entry = self._manifest["tables"].get(name) or {}
+        s = entry.get("settings", {})
+        out: dict[str, str] = {}
+        codec = s.get("compression", "").lower()
+        if codec in self._PARQUET_CODECS:
+            out["compression"] = self._PARQUET_CODECS[codec]
+        if "max_records_per_file" in s:
+            out["maxRecordsPerFile"] = str(int(s["max_records_per_file"]))
+        elif "max_file_size" in s:
+            rows = self._parse_bytes(s["max_file_size"]) // self._est_row_bytes(
+                entry.get("columns", [])
+            )
+            out["maxRecordsPerFile"] = str(max(1, rows))
+        return out
+
+    def _apply_write_options(self, writer, name: str):
+        for k, v in self._write_options(name).items():
+            writer = writer.option(k, v)
+        return writer
+
+    _CONF_KEYS = {
+        "compression": "spark.sql.parquet.compression.codec",
+        "maxRecordsPerFile": "spark.sql.files.maxRecordsPerFile",
+    }
+
+    @contextmanager
+    def _write_conf(self, name: str):
+        """Scope the table's write settings as session confs around a
+        write. Needed because ``insertInto`` ignores per-writer options
+        and datasource (USING parquet) tables ignore 'parquet.compression'
+        TBLPROPERTIES — the session conf is the lever Spark actually
+        honors on that path. Restored afterwards even on failure."""
+        opts = self._write_options(name)
+        saved: dict[str, str | None] = {}
+        try:
+            for k, v in opts.items():
+                key = self._CONF_KEYS[k]
+                try:
+                    saved[key] = self.spark.conf.get(key)
+                except Exception:
+                    saved[key] = None
+                self.spark.conf.set(key, v)
+            yield
+        finally:
+            for key, v in saved.items():
+                if v is None:
+                    self.spark.conf.unset(key)
+                else:
+                    self.spark.conf.set(key, v)
+
     def _materialize_table(
         self, name: str, columns: list[tuple[str, str, bool]], opts: dict
     ) -> QueryResult:
+        self._validate_settings(opts["settings"])
         schema = itypes.to_spark_schema(columns)
         spark_cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
@@ -652,6 +797,11 @@ class Engine:
         props["ranger.storage"] = opts["storage"]
         if opts["order_by"]:
             props["ranger.write_order"] = ",".join(opts["order_by"])
+        codec = opts["settings"].get("compression", "").lower()
+        if codec in self._PARQUET_CODECS:
+            # Spark-native property: every write to this table (including
+            # plain insertInto) picks up the codec without per-write opts
+            props["parquet.compression"] = self._PARQUET_CODECS[codec]
         prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
         ddl += f" TBLPROPERTIES ({prop_str})"
         # explicit LOCATION so the table survives catalog loss and
@@ -726,7 +876,11 @@ class Engine:
                 for src, f in zip(df.columns, target.fields)
             ]
         )
-        self._append_commit(name, "append", lambda: out.write.insertInto(name))
+        self._append_commit(
+            name,
+            "append",
+            lambda: self._apply_write_options(out.write, name).insertInto(name),
+        )
         n = obs.get["n"]
         return QueryResult(
             [], [], n, message=f"table '{name}' created with {n} row(s)"
@@ -883,7 +1037,11 @@ class Engine:
             if f.name not in cols:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         out = df.select(*[f.name for f in schema.fields])
-        self._append_commit(name, "append", lambda: out.write.insertInto(name))
+        self._append_commit(
+            name,
+            "append",
+            lambda: self._apply_write_options(out.write, name).insertInto(name),
+        )
         return QueryResult(
             [], [], len(rows), message=f"inserted {len(rows)} row(s) into '{name}'"
         )
@@ -935,7 +1093,11 @@ class Engine:
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         out = df.select(*[f.name for f in schema.fields])
-        self._append_commit(name, "append", lambda: out.write.insertInto(name))
+        self._append_commit(
+            name,
+            "append",
+            lambda: self._apply_write_options(out.write, name).insertInto(name),
+        )
         n = obs.get["n"]
         return QueryResult(
             [], [], n, message=f"inserted {n} row(s) into '{name}'"
@@ -1351,12 +1513,14 @@ class Engine:
         commit itself is one JSON link (an Iceberg fast-append)."""
         vt = self._versioned_for(name)
         if vt is None:
-            write_fn()
+            with self._write_conf(name):
+                write_fn()
             return
         cur = vt.current_version()
         data_dir = vt.snapshot_dir(cur) if cur else None
         before = walk_parquet(data_dir) if data_dir else set()
-        write_fn()
+        with self._write_conf(name):
+            write_fn()
         if data_dir is None:
             return
         added = sorted(walk_parquet(data_dir) - before)
@@ -1397,7 +1561,7 @@ class Engine:
             root,
             f"s{vt.current_version() + 1}-{uuid_mod.uuid4().hex[:6]}",
         )
-        w = new_df.write.mode("overwrite")
+        w = self._apply_write_options(new_df.write.mode("overwrite"), name)
         if part_by:
             w = w.partitionBy(*part_by)
         try:

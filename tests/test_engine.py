@@ -515,3 +515,64 @@ def test_update_unknown_column_typed_error(engine):
     assert ei.value.code == VALIDATION_FAILED
     assert "nope" in str(ei.value)
     engine.execute("DROP TABLE upd_err;")
+
+
+def test_settings_map_to_write_behavior(engine):
+    # VERDICT r2 item 6: SETTINGS must change actual writes, not just
+    # TBLPROPERTIES — codec lands in the parquet footers, max file size
+    # rotates files (reference parquet/compression.go, interface.go:125-139)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ranger_spark.errors import VALIDATION_FAILED
+
+    engine.execute(
+        "CREATE TABLE wset (id int64, v string) "
+        "SETTINGS compression = 'zstd', max_records_per_file = '3';"
+    )
+    vals = ", ".join(f"({i}, 'row{i}')" for i in range(10))
+    engine.execute(f"INSERT INTO wset (id, v) VALUES {vals};")
+    entry = engine._manifest["tables"][engine._qualify("wset")]
+    files = glob.glob(entry["location"] + "/**/*.parquet", recursive=True)
+    assert files, "no parquet files written"
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in files
+    }
+    assert codecs == {"ZSTD"}
+    # 10 rows at 3 records/file → at least 4 files
+    assert len(files) >= 4
+    assert all(
+        pq.ParquetFile(f).metadata.num_rows <= 3 for f in files
+    )
+    # rows all present and correct
+    assert engine.execute("SELECT count(*) AS n FROM wset;").rows == [(10,)]
+    engine.execute("DROP TABLE wset;")
+
+    # max_file_size byte budget variant: rotation via estimated row width
+    engine.execute(
+        "CREATE TABLE wsize (id int64, v string) "
+        "SETTINGS compression = 'gzip', max_file_size = '80B';"
+    )
+    engine.execute(f"INSERT INTO wsize (id, v) VALUES {vals};")
+    entry = engine._manifest["tables"][engine._qualify("wsize")]
+    files = glob.glob(entry["location"] + "/**/*.parquet", recursive=True)
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+        for f in files
+    }
+    assert codecs == {"GZIP"}
+    assert len(files) >= 2  # 80B budget / 40B-ish rows → rotation kicked in
+    engine.execute("DROP TABLE wsize;")
+
+    # validation parity with the reference's ValidateCompressionConfig
+    for bad in (
+        "CREATE TABLE wbad (id int32) SETTINGS compression = 'lzma';",
+        "CREATE TABLE wbad (id int32) SETTINGS compression = 'brotli';",
+        "CREATE TABLE wbad (id int32) SETTINGS compression = 'gzip', compression_level = '15';",
+        "CREATE TABLE wbad (id int32) SETTINGS max_file_size = 'huge';",
+    ):
+        with pytest.raises(RangerError) as ei:
+            engine.execute(bad)
+        assert ei.value.code == VALIDATION_FAILED
