@@ -1,0 +1,652 @@
+"""Native TCP signal protocol over the Engine — a stdlib-socket port of
+the reference's custom framed protocol (reference
+server/protocols/native/connection.go:121-248 connection loop, framing
+server/protocols/native/protocol/codec.go: ``[4B BE length][1B type]
+[payload]`` with length = 1 + len(payload), signal layouts
+server/protocols/native/protocol/signals/*.go, type constants
+protocol/constants.go — ClickHouse-style numbering, client 0-4 / server
+100-116).
+
+Implemented signals (the set the reference's connection loop handles):
+
+client → server
+  0 ClientHello   u8-len strings (name, db, user, password) + LEB128
+                  varints (major, minor, protocol, idle_timeout,
+                  read_timeout)                       [client_hello.go]
+  1 ClientQuery   five (u32BE-len + str): query, query_id, database,
+                  user, password                      [client_query.go]
+  2 ClientData    table (u32BE+str), col_count u32BE, row_count u32BE,
+                  col names (u32BE+str)*, values row-major (u32BE+str)*
+                  — all values travel as strings; the engine's schema
+                  coerces (reference "Ranger knows the schema")
+                                                      [client_data.go]
+  3 ClientCancel  query_id (u32BE+str)                [client_cancel.go]
+  4 ClientPing    empty                               [client_ping.go]
+
+server → client
+  100 ServerHello      name (u32BE+str), major u8, minor u8, revision
+                       varint, tz (u32BE+str), display (u32BE+str),
+                       patch varint                   [server_hello.go]
+  101 ServerData       uvarint col_count; per column uvarint-len name +
+                       uvarint-len type; uvarint data_block(=1); uvarint
+                       row_count; per COLUMN one uvarint-len string of
+                       comma-joined values (the reference's columnar
+                       text block)                    [server_data.go]
+  102 ServerException  uvarint-len strings (code, message, stack)
+                                                      [server_exception.go]
+  104 ServerPong       u64BE timestamp                [server_pong.go]
+  105 ServerEndOfStream empty                         [server_end_of_stream.go]
+  116 ServerClose      reason (u32BE+str)             [server_close.go]
+
+Behavior parity with connection.go:
+- query → ServerData + ServerEndOfStream (one data frame;
+  sendQueryEngineResultsSignal), errors → ServerException, connection
+  stays open;
+- cancel → engine cancel; success sends the reference's "simple
+  acknowledgment" shape (sendTableResult: a columns-only ServerData,
+  then a data ServerData with synthesized ``col_N`` names, then
+  EndOfStream); failure → ServerException;
+- data (batch insert) → engine insert; success sends no response
+  (processDataBlock returns silently), failure closes the connection
+  after an exception — same as the reference returning err from Handle;
+- ping → ServerPong; unknown type → ServerException then disconnect.
+
+Scale note: this is a control-plane surface (statements in, ≤100k-row
+text results out). Bulk data movement at 100 TB goes through the
+storage layer (parquet/Iceberg appends), exactly as in the reference —
+the native protocol's ClientData is its chunked-ingest path, which maps
+here to one INSERT statement per frame.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import time
+
+from ranger_spark.engine import Engine
+
+# protocol/constants.go (ClickHouse-compatible numbering)
+CLIENT_HELLO = 0
+CLIENT_QUERY = 1
+CLIENT_DATA = 2
+CLIENT_CANCEL = 3
+CLIENT_PING = 4
+SERVER_HELLO = 100
+SERVER_DATA = 101
+SERVER_EXCEPTION = 102
+SERVER_PONG = 104
+SERVER_END_OF_STREAM = 105
+SERVER_CLOSE = 116
+
+DBMS_TCP_PROTOCOL_VERSION = 54460
+MAX_FRAME = 64 * 1024 * 1024  # cap client-declared frame length
+
+
+# ------------------------------------------------------------ primitives
+def write_uvarint(n: int) -> bytes:
+    """LEB128 (7-bit groups, LSB first) — the Go loop in every signal."""
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0xFF) | 0x80)
+        n >>= 7
+    out.append(n & 0x7F)
+    return bytes(out)
+
+
+def read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    value, shift = 0, 0
+    for i in range(pos, len(data)):
+        b = data[i]
+        value |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return value, i + 1
+        shift += 7
+        if shift >= 64:
+            raise ValueError("uvarint overflow")
+    raise ValueError("incomplete uvarint")
+
+
+def _s32(s: str) -> bytes:
+    b = s.encode()
+    return struct.pack("!I", len(b)) + b
+
+
+def _r32(data: bytes, pos: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from("!I", data, pos)
+    pos += 4
+    if pos + n > len(data):
+        raise ValueError("truncated string")
+    return data[pos : pos + n].decode(), pos + n
+
+
+def _s8(s: str) -> bytes:
+    b = s.encode()
+    if len(b) > 255:
+        raise ValueError("u8-length string too long")
+    return bytes([len(b)]) + b
+
+
+def _r8(data: bytes, pos: int) -> tuple[str, int]:
+    n = data[pos]
+    pos += 1
+    return data[pos : pos + n].decode(), pos + n
+
+
+def _suv(s: str) -> bytes:
+    b = s.encode()
+    return write_uvarint(len(b)) + b
+
+
+def _ruv(data: bytes, pos: int) -> tuple[str, int]:
+    n, pos = read_uvarint(data, pos)
+    if pos + n > len(data):
+        raise ValueError("truncated uvarint string")
+    return data[pos : pos + n].decode(), pos + n
+
+
+# --------------------------------------------------------------- framing
+def encode_frame(sig_type: int, payload: bytes) -> bytes:
+    """codec.go EncodeMessage/WriteMessage: [len u32BE][type u8][payload],
+    len = 1 + len(payload)."""
+    return struct.pack("!IB", 1 + len(payload), sig_type) + payload
+
+
+def read_frame(recv_exact) -> tuple[int, bytes] | None:
+    head = recv_exact(5)
+    if head is None:
+        return None
+    length, sig_type = struct.unpack("!IB", head)
+    if not 1 <= length <= MAX_FRAME:
+        raise ValueError(f"bad frame length {length}")
+    payload = recv_exact(length - 1) if length > 1 else b""
+    if payload is None:
+        return None
+    return sig_type, payload
+
+
+# ------------------------------------------------------ signal pack/unpack
+def pack_client_hello(
+    name: str,
+    database: str = "",
+    user: str = "",
+    password: str = "",
+    idle_timeout: int = 0,
+    read_timeout: int = 0,
+) -> bytes:
+    return (
+        _s8(name)
+        + write_uvarint(1)  # major
+        + write_uvarint(0)  # minor
+        + write_uvarint(DBMS_TCP_PROTOCOL_VERSION)
+        + _s8(database)
+        + _s8(user)
+        + _s8(password)
+        + write_uvarint(idle_timeout)
+        + write_uvarint(read_timeout)
+    )
+
+
+def unpack_client_hello(data: bytes) -> dict:
+    pos = 0
+    name, pos = _r8(data, pos)
+    major, pos = read_uvarint(data, pos)
+    minor, pos = read_uvarint(data, pos)
+    proto, pos = read_uvarint(data, pos)
+    db, pos = _r8(data, pos)
+    user, pos = _r8(data, pos)
+    pwd, pos = _r8(data, pos)
+    idle = rd = 0
+    if pos < len(data):
+        idle, pos = read_uvarint(data, pos)
+    if pos < len(data):
+        rd, pos = read_uvarint(data, pos)
+    return {
+        "client_name": name,
+        "major": major,
+        "minor": minor,
+        "protocol": proto,
+        "database": db,
+        "user": user,
+        "password": pwd,
+        "idle_timeout": idle,
+        "read_timeout": rd,
+    }
+
+
+def pack_client_query(
+    query: str, query_id: str = "", database: str = "", user: str = "",
+    password: str = "",
+) -> bytes:
+    return (
+        _s32(query) + _s32(query_id) + _s32(database) + _s32(user)
+        + _s32(password)
+    )
+
+
+def unpack_client_query(data: bytes) -> dict:
+    pos = 0
+    query, pos = _r32(data, pos)
+    qid, pos = _r32(data, pos)
+    db, pos = _r32(data, pos)
+    user, pos = _r32(data, pos)
+    pwd, pos = _r32(data, pos)
+    return {"query": query, "query_id": qid, "database": db, "user": user,
+            "password": pwd}
+
+
+def pack_client_data(table: str, columns: list[str], rows: list[tuple]) -> bytes:
+    out = bytearray(_s32(table))
+    out += struct.pack("!II", len(columns), len(rows))
+    for c in columns:
+        out += _s32(c)
+    for row in rows:
+        for v in row:
+            out += _s32("" if v is None else str(v))
+    return bytes(out)
+
+
+def unpack_client_data(data: bytes) -> dict:
+    pos = 0
+    table, pos = _r32(data, pos)
+    ncols, nrows = struct.unpack_from("!II", data, pos)
+    pos += 8
+    cols = []
+    for _ in range(ncols):
+        c, pos = _r32(data, pos)
+        cols.append(c)
+    rows = []
+    for _ in range(nrows):
+        row = []
+        for _ in range(ncols):
+            v, pos = _r32(data, pos)
+            row.append(v)
+        rows.append(tuple(row))
+    return {"table": table, "columns": cols, "rows": rows}
+
+
+def pack_client_cancel(query_id: str) -> bytes:
+    return _s32(query_id)
+
+
+def pack_server_hello(
+    name: str = "Ranger Server",
+    timezone: str = "UTC",
+    display: str = "Ranger Database Server",
+) -> bytes:
+    return (
+        _s32(name)
+        + bytes([1, 0])  # major, minor (single bytes in server_hello.go)
+        + write_uvarint(DBMS_TCP_PROTOCOL_VERSION)
+        + _s32(timezone)
+        + _s32(display)
+        + write_uvarint(0)  # version patch
+    )
+
+
+def unpack_server_hello(data: bytes) -> dict:
+    pos = 0
+    name, pos = _r32(data, pos)
+    major, minor = data[pos], data[pos + 1]
+    pos += 2
+    rev, pos = read_uvarint(data, pos)
+    tz, pos = _r32(data, pos)
+    display, pos = _r32(data, pos)
+    patch, pos = read_uvarint(data, pos)
+    return {"server_name": name, "major": major, "minor": minor,
+            "revision": rev, "timezone": tz, "display_name": display,
+            "patch": patch}
+
+
+def pack_server_data(columns: list[tuple[str, str]], rows: list[tuple]) -> bytes:
+    """server_data.go Pack: columnar text block, per-column comma-joined."""
+    out = bytearray(write_uvarint(len(columns)))
+    for name, typ in columns:
+        out += _suv(name) + _suv(typ)
+    out += write_uvarint(1)  # data block marker
+    out += write_uvarint(len(rows))
+    for ci in range(len(columns)):
+        vals = [
+            "" if (ci >= len(r) or r[ci] is None) else str(r[ci]) for r in rows
+        ]
+        out += _suv(",".join(vals))
+    return bytes(out)
+
+
+def unpack_server_data(data: bytes) -> dict:
+    pos = 0
+    ncols, pos = read_uvarint(data, pos)
+    columns = []
+    for _ in range(ncols):
+        name, pos = _ruv(data, pos)
+        typ, pos = _ruv(data, pos)
+        columns.append((name, typ))
+    _block, pos = read_uvarint(data, pos)
+    nrows, pos = read_uvarint(data, pos)
+    col_blobs = []
+    for _ in range(ncols):
+        blob, pos = _ruv(data, pos)
+        col_blobs.append(blob)
+    # transpose the comma-joined columnar text back to rows
+    rows: list[tuple] = []
+    if nrows:
+        split = [b.split(",") for b in col_blobs]
+        rows = [
+            tuple(split[c][r] if r < len(split[c]) else "" for c in range(ncols))
+            for r in range(nrows)
+        ]
+    return {"columns": columns, "rows": rows, "row_count": nrows}
+
+
+def pack_server_exception(code: str, message: str, stack: str = "") -> bytes:
+    return _suv(code) + _suv(message) + _suv(stack)
+
+
+def unpack_server_exception(data: bytes) -> dict:
+    pos = 0
+    code, pos = _ruv(data, pos)
+    msg, pos = _ruv(data, pos)
+    stack, pos = _ruv(data, pos)
+    return {"code": code, "message": msg, "stack": stack}
+
+
+# ---------------------------------------------------------------- server
+class NativeServer:
+    """The reference's native TCP endpoint (server.go + connection.go),
+    one thread per connection, engine shared (its execution manager is
+    thread-safe)."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind((host, port))
+        self.sock.listen(8)
+        self.port = self.sock.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+
+    def start(self) -> "NativeServer":
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    # ------------------------------------------------------------ internals
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._handle, args=(conn,), daemon=True
+            ).start()
+
+    @staticmethod
+    def _recv_exact(conn: socket.socket, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            try:
+                chunk = conn.recv(n - len(buf))
+            except OSError:
+                return None
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def _send(self, conn: socket.socket, sig_type: int, payload: bytes) -> None:
+        conn.sendall(encode_frame(sig_type, payload))
+
+    def _send_exception(self, conn: socket.socket, exc: Exception) -> None:
+        code = getattr(exc, "code", None) or "common.internal"
+        self._send(
+            conn, SERVER_EXCEPTION, pack_server_exception(str(code), str(exc))
+        )
+
+    def _handle(self, conn: socket.socket) -> None:
+        database = ""
+        try:
+            while not self._stop.is_set():
+                frame = read_frame(lambda n: self._recv_exact(conn, n))
+                if frame is None:
+                    return  # client disconnected (io.EOF path)
+                sig_type, payload = frame
+
+                if sig_type == CLIENT_HELLO:
+                    hello = unpack_client_hello(payload)
+                    database = hello["database"] or database
+                    self._send(conn, SERVER_HELLO, pack_server_hello())
+                elif sig_type == CLIENT_QUERY:
+                    q = unpack_client_query(payload)
+                    self._run_query(conn, q)
+                elif sig_type == CLIENT_DATA:
+                    d = unpack_client_data(payload)
+                    try:
+                        self._insert_block(d, database)
+                    except Exception as e:
+                        # connection.go returns err from Handle on a data
+                        # failure → connection terminates
+                        self._send_exception(conn, e)
+                        return
+                elif sig_type == CLIENT_PING:
+                    self._send(
+                        conn, SERVER_PONG, struct.pack("!Q", int(time.time()))
+                    )
+                elif sig_type == CLIENT_CANCEL:
+                    qid, _ = _r32(payload, 0)
+                    self._cancel(conn, qid)
+                else:
+                    self._send(
+                        conn,
+                        SERVER_EXCEPTION,
+                        pack_server_exception(
+                            "protocol.unknown_message_type",
+                            f"Unknown message type: {sig_type}",
+                        ),
+                    )
+                    return  # connection.go returns the error → disconnect
+        except (OSError, ValueError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _run_query(self, conn: socket.socket, q: dict) -> None:
+        sql = q["query"].rstrip()
+        if not sql.endswith(";"):
+            sql += ";"
+        try:
+            if q["database"]:
+                self.engine.execute(f"USE {q['database']};")
+            r = self.engine.execute(sql)
+        except Exception as e:
+            self._send_exception(conn, e)
+            return  # connection stays open (handleClientQuerySignal)
+        # sendQueryEngineResultsSignal: one ServerData + EndOfStream;
+        # every column ships as String, like the reference
+        columns = [(c, "String") for c in r.columns]
+        rows = r.rows
+        if not columns and r.message:
+            columns, rows = [("result", "String")], [(r.message,)]
+        self._send(conn, SERVER_DATA, pack_server_data(columns, rows))
+        self._send(conn, SERVER_END_OF_STREAM, b"")
+
+    def _insert_block(self, d: dict, database: str) -> None:
+        """queryEngine.InsertData parity: values arrived as strings; the
+        engine's INSERT path validates and coerces against the declared
+        schema."""
+        if not d["rows"]:
+            return
+        table = d["table"]
+        if database and "." not in table:
+            table = f"{database}.{table}"
+        # values travel as strings; render them against the declared
+        # column types (the reference's "Ranger knows the schema")
+        qualified = self.engine._qualify(d["table"]) if "." not in d["table"] else d["table"]
+        entry = self.engine._manifest["tables"].get(
+            table if "." in table else qualified
+        )
+        types = {
+            c[0]: c[1].lower() for c in (entry or {}).get("columns", [])
+        }
+        numeric = ("int", "float", "double", "decimal", "bool")
+        lits = []
+        for row in d["rows"]:
+            parts = []
+            for col, v in zip(d["columns"], row):
+                t = types.get(col, "string")
+                if v == "" and not t.startswith("string"):
+                    parts.append("NULL")
+                elif t.startswith(numeric):
+                    parts.append(str(v))  # validated by the insert path
+                else:
+                    parts.append(_sql_lit(v))
+            lits.append("(" + ", ".join(parts) + ")")
+        cols = ", ".join(d["columns"])
+        self.engine.execute(
+            f"INSERT INTO {table} ({cols}) VALUES {', '.join(lits)};"
+        )
+
+    def _cancel(self, conn: socket.socket, query_id: str) -> None:
+        ok = False
+        try:
+            ok = self.engine.cancel(query_id)
+        except Exception:
+            ok = False
+        if not ok:
+            self._send(
+                conn,
+                SERVER_EXCEPTION,
+                pack_server_exception(
+                    "query.cancellation_failed",
+                    f"Query {query_id} cancellation failed: unknown query",
+                ),
+            )
+            return
+        # sendSimpleAcknowledgment → sendTableResult: columns-only
+        # ServerData, then data ServerData with synthesized col_N names,
+        # then EndOfStream (connection.go:297-352)
+        msg = f"Query {query_id} cancelled successfully"
+        self._send(
+            conn, SERVER_DATA, pack_server_data([("result", "String")], [])
+        )
+        self._send(
+            conn, SERVER_DATA, pack_server_data([("col_0", "String")], [(msg,)])
+        )
+        self._send(conn, SERVER_END_OF_STREAM, b"")
+
+
+def _sql_lit(v: str) -> str:
+    if v is None:
+        return "NULL"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+# ---------------------------------------------------------------- client
+class NativeClient:
+    """Minimal client speaking the signal protocol (the shape of the
+    reference SDK's native connection, pkg/sdk) — used by tests and as a
+    working example."""
+
+    def __init__(self, host: str, port: int, database: str = "",
+                 user: str = "", password: str = ""):
+        self.sock = socket.create_connection((host, port), timeout=60)
+        self._send(
+            CLIENT_HELLO,
+            pack_client_hello(
+                "ranger-spark-client", database, user, password
+            ),
+        )
+        sig, payload = self._read()
+        if sig != SERVER_HELLO:
+            raise ConnectionError(f"expected ServerHello, got {sig}")
+        self.server_info = unpack_server_hello(payload)
+
+    # -------------------------------------------------------------- plumbing
+    def _send(self, sig_type: int, payload: bytes) -> None:
+        self.sock.sendall(encode_frame(sig_type, payload))
+
+    def _recv_exact(self, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def _read(self) -> tuple[int, bytes]:
+        frame = read_frame(self._recv_exact)
+        if frame is None:
+            raise ConnectionError("server closed connection")
+        return frame
+
+    # ------------------------------------------------------------------ API
+    def query(self, sql: str, query_id: str = "") -> dict:
+        """Run a statement; returns {'columns': [(name, type)...],
+        'rows': [...]} from the ServerData/EndOfStream stream. Raises
+        RuntimeError on a ServerException."""
+        self._send(CLIENT_QUERY, pack_client_query(sql, query_id))
+        columns: list[tuple[str, str]] = []
+        rows: list[tuple] = []
+        while True:
+            sig, payload = self._read()
+            if sig == SERVER_DATA:
+                d = unpack_server_data(payload)
+                columns = d["columns"] or columns
+                rows.extend(d["rows"])
+            elif sig == SERVER_END_OF_STREAM:
+                return {"columns": columns, "rows": rows}
+            elif sig == SERVER_EXCEPTION:
+                e = unpack_server_exception(payload)
+                raise RuntimeError(f"{e['code']}: {e['message']}")
+            else:
+                raise ConnectionError(f"unexpected signal {sig}")
+
+    def insert(self, table: str, columns: list[str], rows: list[tuple]) -> None:
+        """Batch insert via ClientData (no response on success, matching
+        the reference's processDataBlock)."""
+        self._send(CLIENT_DATA, pack_client_data(table, columns, rows))
+
+    def cancel(self, query_id: str) -> dict:
+        self._send(CLIENT_CANCEL, pack_client_cancel(query_id))
+        rows: list[tuple] = []
+        while True:
+            sig, payload = self._read()
+            if sig == SERVER_DATA:
+                rows.extend(unpack_server_data(payload)["rows"])
+            elif sig == SERVER_END_OF_STREAM:
+                return {"rows": rows}
+            elif sig == SERVER_EXCEPTION:
+                e = unpack_server_exception(payload)
+                raise RuntimeError(f"{e['code']}: {e['message']}")
+            else:
+                raise ConnectionError(f"unexpected signal {sig}")
+
+    def ping(self) -> int:
+        self._send(CLIENT_PING, b"")
+        sig, payload = self._read()
+        if sig != SERVER_PONG:
+            raise ConnectionError(f"expected ServerPong, got {sig}")
+        return struct.unpack("!Q", payload)[0]
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def serve(engine: Engine, port: int = 0) -> NativeServer:
+    return NativeServer(engine, port=port).start()

@@ -1,0 +1,200 @@
+"""Native TCP signal-protocol round-trips over a raw socket — the analog
+of the reference's connection/batch-insert tests
+(server/protocols/native/batch_insert_test.go, signal *_test.go files):
+handshake, query, batch insert, cancel, ping, exception handling, and
+pack/unpack symmetry for every signal layout."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from ranger_spark.sources import native_server as ns
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS nat;")
+    engine.execute("USE nat;")
+    engine.execute(
+        "CREATE TABLE IF NOT EXISTS people (id int32, name string, score float64);"
+    )
+    srv = ns.serve(engine)
+    yield srv
+    srv.shutdown()
+    engine.spark.sql("DROP DATABASE IF EXISTS nat CASCADE")
+
+
+@pytest.fixture()
+def client(server):
+    c = ns.NativeClient("127.0.0.1", server.port, database="nat")
+    yield c
+    c.close()
+
+
+# ------------------------------------------------------------ wire codec
+def test_signal_pack_unpack_symmetry():
+    h = ns.pack_client_hello("cli", "db1", "u", "pw", 30, 60)
+    d = ns.unpack_client_hello(h)
+    assert d["client_name"] == "cli" and d["database"] == "db1"
+    assert d["protocol"] == ns.DBMS_TCP_PROTOCOL_VERSION
+    assert (d["idle_timeout"], d["read_timeout"]) == (30, 60)
+
+    q = ns.unpack_client_query(ns.pack_client_query("SELECT 1", "qid7", "db"))
+    assert q == {"query": "SELECT 1", "query_id": "qid7", "database": "db",
+                 "user": "", "password": ""}
+
+    cd = ns.unpack_client_data(
+        ns.pack_client_data("t", ["a", "b"], [("1", "x"), ("2", "y")])
+    )
+    assert cd["table"] == "t" and cd["rows"] == [("1", "x"), ("2", "y")]
+
+    sh = ns.unpack_server_hello(ns.pack_server_hello())
+    assert sh["server_name"] == "Ranger Server"
+    assert sh["revision"] == ns.DBMS_TCP_PROTOCOL_VERSION
+
+    sd = ns.unpack_server_data(
+        ns.pack_server_data([("a", "String"), ("b", "String")],
+                            [(1, "x"), (2, "y")])
+    )
+    assert sd["columns"] == [("a", "String"), ("b", "String")]
+    assert sd["rows"] == [("1", "x"), ("2", "y")]
+
+    ex = ns.unpack_server_exception(
+        ns.pack_server_exception("code.x", "boom", "trace")
+    )
+    assert ex == {"code": "code.x", "message": "boom", "stack": "trace"}
+
+
+def test_uvarint_multibyte():
+    # values that need 1, 2, and 3 LEB128 groups (54460 needs 3)
+    for v in (0, 0x7F, 0x80, 300, 54460, 10**9):
+        data = ns.write_uvarint(v)
+        got, used = ns.read_uvarint(data, 0)
+        assert (got, used) == (v, len(data))
+
+
+# --------------------------------------------------------- live round-trips
+def test_handshake(client):
+    assert client.server_info["server_name"] == "Ranger Server"
+    assert client.server_info["timezone"] == "UTC"
+    assert client.server_info["revision"] == ns.DBMS_TCP_PROTOCOL_VERSION
+
+
+def test_query_roundtrip(client, engine):
+    engine.execute("INSERT INTO nat.people (id, name, score) "
+                   "VALUES (1, 'ann', 9.5), (2, 'bob', 7.25);")
+    r = client.query("SELECT id, name FROM nat.people ORDER BY id")
+    assert [c[0] for c in r["columns"]] == ["id", "name"]
+    assert r["rows"] == [("1", "ann"), ("2", "bob")]
+
+
+def test_query_error_keeps_connection(client):
+    with pytest.raises(RuntimeError) as ei:
+        client.query("SELECT * FROM nat.does_not_exist")
+    assert "does_not_exist" in str(ei.value)
+    # the connection survives an exception (connection.go keeps looping)
+    r = client.query("SELECT 1 AS one")
+    assert r["rows"] == [("1",)]
+
+
+def test_batch_insert_roundtrip(client):
+    client.insert(
+        "people",
+        ["id", "name", "score"],
+        [("10", "carol", "3.5"), ("11", "dave", ""), ("12", "o'hara", "1.0")],
+    )
+    # ClientData sends no ack — confirm via a query on the same connection
+    r = client.query(
+        "SELECT id, name, score FROM nat.people WHERE id >= 10 ORDER BY id"
+    )
+    assert r["rows"] == [
+        ("10", "carol", "3.5"),
+        ("11", "dave", ""),  # empty → NULL → empty string on the text wire
+        ("12", "o'hara", "1.0"),
+    ]
+
+
+def test_batch_insert_bad_table_closes_connection(server):
+    c = ns.NativeClient("127.0.0.1", server.port, database="nat")
+    c.insert("no_such_table", ["id"], [("1",)])
+    # server sends an exception then terminates (connection.go returns err)
+    sig, payload = c._read()
+    assert sig == ns.SERVER_EXCEPTION
+    assert "not found" in ns.unpack_server_exception(payload)["message"]
+    with pytest.raises(ConnectionError):
+        c.query("SELECT 1")
+    c.close()
+
+
+def test_ping_pong(client):
+    ts = client.ping()
+    assert abs(ts - time.time()) < 60
+
+
+def test_cancel_unknown_query_fails(client):
+    with pytest.raises(RuntimeError) as ei:
+        client.cancel("no-such-query-id")
+    assert "cancellation failed" in str(ei.value)
+
+
+def test_cancel_running_query(server, engine, client):
+    # drive a genuinely running query through the engine, then cancel it
+    # over the wire by its tracked id (reference CancelQuery path)
+    done = threading.Event()
+
+    def slow():
+        try:
+            engine.execute(
+                "SELECT count(*) AS n FROM "
+                "(SELECT a.id FROM RANGE(300000) a, RANGE(30000) b);"
+            )
+        except Exception:
+            pass
+        finally:
+            done.set()
+
+    t = threading.Thread(target=slow, daemon=True)
+    t.start()
+    qid = None
+    for _ in range(100):
+        running = [
+            q for q in engine.exec_mgr.list_queries() if q.status == "running"
+            and "RANGE" in q.sql
+        ]
+        if running:
+            qid = running[0].query_id
+            break
+        time.sleep(0.05)
+    assert qid, "slow query never showed up as running"
+    ack = client.cancel(qid)
+    assert any("cancelled successfully" in str(r) for r in ack["rows"])
+    done.wait(timeout=60)
+    status = {
+        q.query_id: q.status for q in engine.exec_mgr.list_queries()
+    }[qid]
+    assert status == "cancelled"
+
+
+def test_unknown_signal_type_disconnects(server):
+    import socket
+    import struct
+
+    s = socket.create_connection(("127.0.0.1", server.port), timeout=10)
+    s.sendall(ns.encode_frame(99, b""))  # not a client signal type
+    head = b""
+    while len(head) < 5:
+        chunk = s.recv(5 - len(head))
+        if not chunk:
+            break
+        head += chunk
+    length, sig = struct.unpack("!IB", head)
+    payload = b""
+    while len(payload) < length - 1:
+        payload += s.recv(length - 1 - len(payload))
+    assert sig == ns.SERVER_EXCEPTION
+    assert "Unknown message type" in ns.unpack_server_exception(payload)["message"]
+    assert s.recv(1) == b""  # server closed the connection
+    s.close()
