@@ -1,0 +1,142 @@
+"""Iceberg v2 spec metadata projection (reference storage.go:748-787
+metadata map, metadata.go:91-155 manifests): structural validation of
+required spec fields, per-commit manifests with footer-true record
+counts, and SHOW SNAPSHOTS served from the projection."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ranger_spark.sources import iceberg_meta
+from ranger_spark.sources.snapshots import VersionedTable
+
+REQUIRED_V2_FIELDS = (
+    "format-version", "table-uuid", "location", "last-sequence-number",
+    "last-updated-ms", "last-column-id", "schemas", "current-schema-id",
+    "partition-specs", "default-spec-id", "sort-orders",
+    "default-sort-order-id", "snapshots", "current-snapshot-id",
+    "snapshot-log", "metadata-log", "refs", "properties",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def db(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS icm;")
+    engine.execute("USE icm;")
+    yield
+    engine.spark.sql("DROP DATABASE IF EXISTS icm CASCADE")
+
+
+@pytest.fixture()
+def table(engine):
+    engine.execute("DROP TABLE IF EXISTS it;")
+    engine.execute("CREATE TABLE it (id int32, v string, amt float64);")
+    engine.execute(
+        "INSERT INTO it (id, v, amt) VALUES (1, 'a', 1.5), (2, 'b', 2.5);"
+    )
+    engine.execute("INSERT INTO it (id, v, amt) VALUES (3, 'c', 3.5);")
+    engine.execute("UPDATE it SET v = 'B' WHERE id = 2;")
+    return engine._qualify("it")
+
+
+def _vt(engine, name) -> VersionedTable:
+    return VersionedTable(engine._manifest["tables"][name]["location"])
+
+
+def test_metadata_has_required_spec_fields(engine, table):
+    meta = iceberg_meta.read_metadata(_vt(engine, table))
+    assert meta is not None
+    for f in REQUIRED_V2_FIELDS:
+        assert f in meta, f"missing spec field {f}"
+    assert meta["format-version"] == 2
+    schema = meta["schemas"][meta["current-schema-id"]]
+    assert [(f["name"], f["type"]) for f in schema["fields"]] == [
+        ("id", "int"), ("v", "string"), ("amt", "double"),
+    ]
+    assert all("id" in f for f in schema["fields"])
+    assert meta["last-column-id"] == 3
+    assert meta["current-snapshot-id"] == 4  # create + 2 inserts + update
+    assert meta["refs"]["main"]["snapshot-id"] == 4
+
+
+def test_snapshot_chain_and_summaries(engine, table):
+    meta = iceberg_meta.read_metadata(_vt(engine, table))
+    snaps = meta["snapshots"]
+    assert [s["snapshot-id"] for s in snaps] == [1, 2, 3, 4]
+    assert [s["parent-snapshot-id"] for s in snaps] == [None, 1, 2, 3]
+    ops = [s["summary"]["operation"] for s in snaps]
+    assert ops == ["append", "append", "append", "overwrite"]
+    # footer-true record counts: 2 added, then 1; the overwrite rewrites 3
+    assert snaps[1]["summary"]["added-records"] == "2"
+    assert snaps[2]["summary"]["added-records"] == "1"
+    assert snaps[1]["summary"]["total-records"] == "2"
+    assert snaps[2]["summary"]["total-records"] == "3"
+    assert snaps[3]["summary"]["total-records"] == "3"
+    # timestamps monotone non-decreasing
+    ts = [s["timestamp-ms"] for s in snaps]
+    assert ts == sorted(ts)
+
+
+def test_manifests_and_lists_exist_with_real_files(engine, table):
+    vt = _vt(engine, table)
+    meta = iceberg_meta.read_metadata(vt)
+    for s in meta["snapshots"]:
+        mlist = json.load(open(s["manifest-list"]))
+        assert mlist, "empty manifest list"
+        for entry in mlist:
+            manifest = json.load(open(entry["manifest-path"]))
+            for e in manifest["entries"]:
+                df = e["data-file"]
+                assert df["file-format"] == "PARQUET"
+                if s["summary"]["ranger-operation"] != "create":
+                    assert os.path.exists(df["file-path"])
+                    assert df["file-size-in-bytes"] > 0
+    # the append snapshot's manifest list carries the parent's manifests
+    assert len(json.load(open(meta["snapshots"][2]["manifest-list"]))) == 3
+    # the copy-on-write rewrite starts a fresh manifest list
+    assert len(json.load(open(meta["snapshots"][3]["manifest-list"]))) == 1
+    # version-hint points at the current metadata file
+    d = iceberg_meta.meta_dir(vt)
+    assert open(os.path.join(d, "version-hint.text")).read() == "4"
+
+
+def test_table_uuid_stable_across_commits(engine, table):
+    vt = _vt(engine, table)
+    before = iceberg_meta.read_metadata(vt)["table-uuid"]
+    engine.execute("INSERT INTO it (id, v, amt) VALUES (9, 'z', 0.5);")
+    after = iceberg_meta.read_metadata(vt)["table-uuid"]
+    assert before == after
+
+
+def test_show_snapshots_served_from_projection(engine, table):
+    vt = _vt(engine, table)
+    meta = iceberg_meta.read_metadata(vt)
+    r = engine.execute("SHOW SNAPSHOTS FROM it;")
+    assert [row[0] for row in r.rows] == [
+        s["snapshot-id"] for s in meta["snapshots"]
+    ]
+    # operations are the ENGINE names (carried in the summary), not the
+    # coarser spec operations
+    assert [row[2] for row in r.rows] == ["create", "append", "append", "update"]
+    # full-precision commit times round-trip through the summary
+    assert [row[1] for row in r.rows] == [
+        float(s["summary"]["ranger-committed-at"]) for s in meta["snapshots"]
+    ]
+
+
+def test_partitioned_table_spec(engine):
+    engine.execute("DROP TABLE IF EXISTS itp;")
+    engine.execute(
+        "CREATE TABLE itp (id int32, cat string) PARTITION BY (cat);"
+    )
+    engine.execute("INSERT INTO itp (id, cat) VALUES (1, 'x'), (2, 'y');")
+    meta = iceberg_meta.read_metadata(_vt(engine, engine._qualify("itp")))
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    assert spec["fields"] == [
+        {"name": "cat", "transform": "identity", "source-id": 2,
+         "field-id": 1000}
+    ]
+    engine.execute("DROP TABLE itp;")
