@@ -33,6 +33,8 @@ _NEVER_CERTIFIED = (
     "multimodal_decode_gif",   # new round 4
     "multimodal_decode_bmp",   # new round 4
     "multimodal_decode_jpeg",  # new round 4
+    "multimodal_bmp_pixel_stats",   # new round 4 (real pixel decode)
+    "multimodal_gif_frame_count",   # new round 4 (real frame walk)
 )
 
 _R1_CERTIFIED = (

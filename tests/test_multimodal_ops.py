@@ -97,3 +97,71 @@ def test_decode_image_headers_real(spark):
     }
     # unrecognized payloads are dropped; real ones parsed exactly
     assert got == {(1, 10, 20, "png"), (2, 300, 77, "png")}
+
+
+def test_parse_bmp_pixels_layout():
+    from ranger_spark.operators.multimodal import parse_bmp_pixels
+
+    def bmp(width, height, pixels, height_sign=1):
+        # pixels: list of rows (bottom-up), each row list of (b,g,r)
+        row_size = (width * 3 + 3) & ~3
+        head = (
+            b"BM" + b"\x00" * 8 + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + (height_sign * height).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little") + b"\x00" * 20
+        )
+        body = b""
+        for row in pixels:
+            r = b"".join(bytes(p) for p in row)
+            body += r + b"\x00" * (row_size - len(r))
+        return head + body
+
+    # 3x1: odd row → 3 pad bytes; distinct channels prove BGR order
+    s = parse_bmp_pixels(bmp(3, 1, [[(10, 20, 30), (40, 50, 60), (70, 80, 90)]]))
+    assert (s["n_pixels"], s["mean_b"], s["mean_g"], s["mean_r"]) == (3, 40, 50, 60)
+    # top-down (negative height) BMPs decode identically for means
+    s2 = parse_bmp_pixels(
+        bmp(3, 1, [[(10, 20, 30), (40, 50, 60), (70, 80, 90)]], height_sign=-1)
+    )
+    assert s2["n_pixels"] == 3 and s2["mean_b"] == 40
+    # rejections: wrong magic, 8bpp, truncated pixel array
+    assert parse_bmp_pixels(b"XX" + b"\x00" * 60) is None
+    bad_bpp = bytearray(bmp(1, 1, [[(1, 2, 3)]]))
+    bad_bpp[28] = 8
+    assert parse_bmp_pixels(bytes(bad_bpp)) is None
+    assert parse_bmp_pixels(bmp(3, 1, [[(1, 2, 3)]])[:-4]) is None
+
+
+def test_parse_gif_frames_walk():
+    from ranger_spark.operators.multimodal import parse_gif_frames
+
+    lsd = (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00\x00\x00"
+    frame = (
+        b"\x2c" + b"\x00" * 4
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + b"\x00"            # no local color table
+        + b"\x02"            # LZW min code
+        + b"\x01\x00\x00"    # one 1-byte sub-block + terminator
+    )
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    gct_flags = 0x80 | 0x01  # global color table, 2^(1+1)=4 entries
+    gct = bytes([gct_flags]) + b"\x00\x00" + b"\xaa" * (3 * 4)
+
+    assert parse_gif_frames(b"GIF89a" + lsd + frame + b"\x3b") == 1
+    assert parse_gif_frames(b"GIF89a" + lsd + ext + frame * 3 + b"\x3b") == 3
+    # global color table is skipped correctly
+    wid = (2).to_bytes(2, "little")
+    assert parse_gif_frames(b"GIF89a" + wid + wid + gct + frame * 2 + b"\x3b") == 2
+    # local color table inside a frame
+    lct_frame = bytearray(frame)
+    lct_frame[9] = 0x80  # LCT flag set, size field 0 → 2<<0 = 2 entries
+    lct = b"\xbb" * (3 * 2)
+    with_lct = bytes(lct_frame[:10]) + lct + bytes(frame[10:])
+    assert parse_gif_frames(b"GIF89a" + lsd + with_lct + b"\x3b") == 1
+    # rejections: missing trailer, unknown block, not a GIF
+    assert parse_gif_frames(b"GIF89a" + lsd + frame) is None
+    assert parse_gif_frames(b"GIF89a" + lsd + b"\x7f" + b"\x3b") is None
+    assert parse_gif_frames(b"PNG") is None
