@@ -554,10 +554,53 @@ def _sql_lit(v: str) -> str:
 
 
 # ---------------------------------------------------------------- client
+def parse_dsn(dsn: str) -> dict:
+    """Parse the reference SDK's DSN format (pkg/sdk/client.go:360-430):
+    ``ranger://[username:password@]host:port/database?param=value``.
+    Returns {host, port, database, user, password, settings}."""
+    from urllib.parse import parse_qs
+
+    if not dsn.startswith("ranger://"):
+        raise ValueError("invalid DSN format, must start with ranger://")
+    rest = dsn[len("ranger://"):]
+    user = password = ""
+    if "@" in rest:
+        auth, rest = rest.split("@", 1)
+        if auth:
+            if ":" in auth:
+                user, password = auth.split(":", 1)
+            else:
+                user = auth
+    database, settings = "", {}
+    host_part, _, tail = rest.partition("/")
+    if tail:
+        database, _, params = tail.partition("?")
+        if params:
+            settings = {k: v[0] for k, v in parse_qs(params).items()}
+    host, _, port_s = host_part.partition(":")
+    return {
+        "host": host or "127.0.0.1",
+        "port": int(port_s) if port_s else 9000,
+        "database": database,
+        "user": user,
+        "password": password,
+        "settings": settings,
+    }
+
+
 class NativeClient:
     """Minimal client speaking the signal protocol (the shape of the
     reference SDK's native connection, pkg/sdk) — used by tests and as a
-    working example."""
+    working example. ``NativeClient.from_dsn("ranger://u:p@h:port/db")``
+    mirrors the SDK's DSN constructor."""
+
+    @classmethod
+    def from_dsn(cls, dsn: str) -> "NativeClient":
+        o = parse_dsn(dsn)
+        return cls(
+            o["host"], o["port"], database=o["database"], user=o["user"],
+            password=o["password"],
+        )
 
     def __init__(self, host: str, port: int, database: str = "",
                  user: str = "", password: str = ""):
