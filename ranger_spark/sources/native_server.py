@@ -395,6 +395,10 @@ class NativeServer:
         while len(buf) < n:
             try:
                 chunk = conn.recv(n - len(buf))
+            except socket.timeout:
+                if not buf:
+                    raise  # between frames: the loop's read-timeout path
+                continue  # mid-frame: keep waiting, never desync the stream
             except OSError:
                 return None
             if not chunk:
@@ -413,16 +417,38 @@ class NativeServer:
 
     def _handle(self, conn: socket.socket) -> None:
         database = ""
+        idle_timeout = 0.0  # set by ClientHello (0 = none), like connection.go
+        last_activity = time.monotonic()
         try:
             while not self._stop.is_set():
-                frame = read_frame(lambda n: self._recv_exact(conn, n))
+                try:
+                    frame = read_frame(lambda n: self._recv_exact(conn, n))
+                except socket.timeout:
+                    # read timeout: connection still usable (connection.go
+                    # continues the loop) — unless the idle budget is gone,
+                    # then notify with ServerClose and drop (idle timer)
+                    if idle_timeout and (
+                        time.monotonic() - last_activity > idle_timeout
+                    ):
+                        self._send(
+                            conn, SERVER_CLOSE, _s32("idle timeout exceeded")
+                        )
+                        return
+                    continue
                 if frame is None:
                     return  # client disconnected (io.EOF path)
+                last_activity = time.monotonic()
                 sig_type, payload = frame
 
                 if sig_type == CLIENT_HELLO:
                     hello = unpack_client_hello(payload)
                     database = hello["database"] or database
+                    idle_timeout = float(hello["idle_timeout"] or 0)
+                    if hello["read_timeout"]:
+                        # poll granularity: bounded so the idle check runs
+                        conn.settimeout(min(float(hello["read_timeout"]), 5.0))
+                    elif idle_timeout:
+                        conn.settimeout(min(idle_timeout / 2, 5.0))
                     self._send(conn, SERVER_HELLO, pack_server_hello())
                 elif sig_type == CLIENT_QUERY:
                     q = unpack_client_query(payload)

@@ -282,3 +282,37 @@ try:
         assert d["rows"] == [tuple(r) for r in rows]
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_idle_timeout_sends_server_close(server):
+    import socket as socket_mod
+
+    s = socket_mod.create_connection(("127.0.0.1", server.port), timeout=30)
+    s.sendall(ns.encode_frame(
+        ns.CLIENT_HELLO,
+        ns.pack_client_hello("idle-cli", "nat", idle_timeout=1, read_timeout=1),
+    ))
+    # consume ServerHello
+    def read_frame_raw():
+        import struct
+        head = b""
+        while len(head) < 5:
+            chunk = s.recv(5 - len(head))
+            if not chunk:
+                return None
+            head += chunk
+        length, sig = struct.unpack("!IB", head)
+        payload = b""
+        while len(payload) < length - 1:
+            payload += s.recv(length - 1 - len(payload))
+        return sig, payload
+
+    sig, _ = read_frame_raw()
+    assert sig == ns.SERVER_HELLO
+    # go silent past the declared idle budget → ServerClose, then EOF
+    got = read_frame_raw()
+    assert got is not None and got[0] == ns.SERVER_CLOSE
+    reason, _ = ns._r32(got[1], 0)
+    assert "idle" in reason
+    assert s.recv(1) == b""
+    s.close()
