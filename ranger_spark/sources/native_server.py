@@ -717,5 +717,104 @@ class NativeClient:
             pass
 
 
+class NativePool:
+    """Connection pool over :class:`NativeClient` — the reference SDK's
+    pooled client shape (pkg/sdk/client.go:168-245: MaxOpenConns /
+    MaxIdleConns, acquire blocks when the pool is exhausted, idle
+    connections are reused in LIFO order).
+
+    Usage::
+
+        pool = NativePool("ranger://127.0.0.1:9000/db", max_open=4)
+        with pool.acquire() as c:
+            c.query("SELECT 1 AS one")
+    """
+
+    def __init__(self, dsn: str, max_open: int = 10, max_idle: int = 5):
+        self._opts = parse_dsn(dsn)
+        self.max_open = max_open
+        self.max_idle = max_idle
+        self._idle: list[NativeClient] = []
+        self._lock = threading.Lock()
+        self._slots = threading.Semaphore(max_open)
+        self._closed = False
+
+    def _connect(self) -> NativeClient:
+        o = self._opts
+        return NativeClient(
+            o["host"], o["port"], database=o["database"], user=o["user"],
+            password=o["password"],
+        )
+
+    def acquire(self, timeout: float | None = 30.0) -> "_PooledConn":
+        if self._closed:
+            raise RuntimeError("pool is closed")
+        if not self._slots.acquire(timeout=timeout):
+            raise TimeoutError("pool exhausted (MaxOpenConns reached)")
+        with self._lock:
+            conn = self._idle.pop() if self._idle else None
+        try:
+            if conn is None:
+                conn = self._connect()
+        except Exception:
+            self._slots.release()
+            raise
+        return _PooledConn(self, conn)
+
+    def _release(self, conn: NativeClient, broken: bool) -> None:
+        with self._lock:
+            keep = (
+                not broken
+                and not self._closed
+                and len(self._idle) < self.max_idle
+            )
+            if keep:
+                self._idle.append(conn)
+        if not keep:
+            conn.close()
+        self._slots.release()
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            idle, self._idle = self._idle, []
+        for c in idle:
+            c.close()
+
+
+class _PooledConn:
+    """Checkout handle: proxies the client API, returns the connection on
+    exit (broken connections are dropped, not reused)."""
+
+    def __init__(self, pool: NativePool, conn: NativeClient):
+        self._pool = pool
+        self._conn = conn
+        self._broken = False
+
+    def __enter__(self) -> "_PooledConn":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self._pool._release(
+            self._conn, self._broken or isinstance(exc, ConnectionError)
+        )
+
+    def _guard(self, fn, *args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ConnectionError:
+            self._broken = True
+            raise
+
+    def query(self, sql: str, query_id: str = "") -> dict:
+        return self._guard(self._conn.query, sql, query_id)
+
+    def insert(self, table: str, columns: list[str], rows: list[tuple]) -> None:
+        return self._guard(self._conn.insert, table, columns, rows)
+
+    def ping(self) -> int:
+        return self._guard(self._conn.ping)
+
+
 def serve(engine: Engine, port: int = 0) -> NativeServer:
     return NativeServer(engine, port=port).start()

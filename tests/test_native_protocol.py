@@ -316,3 +316,32 @@ def test_idle_timeout_sends_server_close(server):
     assert "idle" in reason
     assert s.recv(1) == b""
     s.close()
+
+
+def test_connection_pool(server):
+    pool = ns.NativePool(
+        f"ranger://127.0.0.1:{server.port}/nat", max_open=2, max_idle=1
+    )
+    with pool.acquire() as c:
+        assert c.query("SELECT 3 AS three")["rows"] == [("3",)]
+        underlying = c._conn
+    # idle connection is reused (LIFO)
+    with pool.acquire() as c2:
+        assert c2._conn is underlying
+        assert c2.ping() > 0
+    # exhaustion blocks then times out
+    h1 = pool.acquire()
+    h2 = pool.acquire()
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        pool.acquire(timeout=0.2)
+    h1.__exit__(None, None, None)
+    h3 = pool.acquire(timeout=5)  # freed slot is acquirable again
+    h3.__exit__(None, None, None)
+    h2.__exit__(None, None, None)
+    # max_idle=1 → only one idle kept; the rest were closed
+    assert len(pool._idle) == 1
+    pool.close()
+    with _pytest.raises(RuntimeError):
+        pool.acquire()
