@@ -82,12 +82,14 @@ def _as_double(col: Column) -> Column:
 
 # Auto-select threshold for the Arrow partial-top-k kernel. Measured on
 # local[32], 64-dim vectors, 5 queries, min-of-3 warm:
-#   corpus  32k rows (8 MB):  fold 0.64s | kernel 0.75s  → fold wins
-#   corpus   1M rows (160 MB): fold 2.75s | kernel 0.90s → kernel wins 3×
+#   corpus  32k rows (8 MB):   fold 0.64s | kernel 0.75s → fold wins
+#   corpus 128k rows (22 MB):  fold 1.06s | kernel 0.51s → kernel 2×
+#   corpus   1M rows (160 MB): fold 2.75s | kernel 0.90s → kernel 3×
 # and the kernel is nearly scale-flat (einsum + batch-local top-k — the
 # final shuffle is O(partitions·|Q|·k), independent of corpus size), so
-# the gap keeps widening. Crossover ≈ 100-300k rows; 32 MB splits it.
-ARROW_KERNEL_MIN_CORPUS_BYTES = 32 << 20
+# the gap keeps widening. Crossover sits between 8 and 22 MB; 12 MB
+# splits it.
+ARROW_KERNEL_MIN_CORPUS_BYTES = 12 << 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
