@@ -779,6 +779,13 @@ class Engine:
         "maxRecordsPerFile": "spark.sql.files.maxRecordsPerFile",
     }
 
+    # serializes writes that scope session confs (see _write_conf): the
+    # conf is session-global, so two concurrent writes to tables with
+    # DIFFERENT settings could otherwise cross-apply codecs. Only writes
+    # to tables that declare settings take this lock — plain writes are
+    # unaffected.
+    _write_conf_lock = threading.Lock()
+
     @contextmanager
     def _write_conf(self, name: str):
         """Scope the table's write settings as session confs around a
@@ -787,22 +794,26 @@ class Engine:
         TBLPROPERTIES — the session conf is the lever Spark actually
         honors on that path. Restored afterwards even on failure."""
         opts = self._write_options(name)
-        saved: dict[str, str | None] = {}
-        try:
-            for k, v in opts.items():
-                key = self._CONF_KEYS[k]
-                try:
-                    saved[key] = self.spark.conf.get(key)
-                except Exception:
-                    saved[key] = None
-                self.spark.conf.set(key, v)
+        if not opts:
             yield
-        finally:
-            for key, v in saved.items():
-                if v is None:
-                    self.spark.conf.unset(key)
-                else:
+            return
+        saved: dict[str, str | None] = {}
+        with self._write_conf_lock:
+            try:
+                for k, v in opts.items():
+                    key = self._CONF_KEYS[k]
+                    try:
+                        saved[key] = self.spark.conf.get(key)
+                    except Exception:
+                        saved[key] = None
                     self.spark.conf.set(key, v)
+                yield
+            finally:
+                for key, v in saved.items():
+                    if v is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, v)
 
     def _materialize_table(
         self, name: str, columns: list[tuple[str, str, bool]], opts: dict
