@@ -35,6 +35,8 @@ _NEVER_CERTIFIED = (
     "multimodal_decode_jpeg",  # new round 4
     "multimodal_bmp_pixel_stats",   # new round 4 (real pixel decode)
     "multimodal_gif_frame_count",   # new round 4 (real frame walk)
+    "text_bigram_pmi",              # new round 4 (phrase mining)
+    "text_length_histogram",        # new round 4
 )
 
 _R1_CERTIFIED = (

@@ -259,3 +259,73 @@ def tf_idf_terms(
             ).alias("tfidf"),
         )
     )
+
+
+def bigram_pmi(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+):
+    """Top-k adjacent-bigram PMI over a corpus — the phrase-mining /
+    vocabulary-induction step of tokenizer training (no reference
+    analog; 100 TB pipeline extension).
+
+    Plan shape: one explode for unigram counts, one arrays_zip+explode
+    for bigram counts (both map-side combined down to vocabulary-sized
+    aggregates), then the bigram table joins two BROADCAST copies of the
+    unigram counts plus two broadcast 1-row totals — no shuffle scales
+    with corpus size beyond the two counting aggregations, and at 100 TB
+    the vocabulary (not the corpus) bounds every join input."""
+    from pyspark.sql import functions as F
+
+    toks = tokenize(normalize_text(F.col(text_col)))
+    t = df.select(toks.alias("toks"))
+    n = F.size("toks")
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("a"),
+                F.slice(F.col("toks"), 2, n - 1).alias("b"),
+            )
+        ).alias("z")
+    ).select(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+    bcnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    ucnt = (
+        t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ut = ucnt.agg(F.sum("n").alias("t"))
+    bt = bcnt.agg(F.sum("nab").alias("tb"))
+    return (
+        bcnt.join(
+            F.broadcast(
+                ucnt.withColumnRenamed("tok", "a").withColumnRenamed("n", "na")
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                ucnt.withColumnRenamed("tok", "b").withColumnRenamed("n", "nb")
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+        .filter(F.col("nab") >= min_count)
+        .select(
+            "a",
+            "b",
+            F.col("nab").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("nab") / F.col("tb"))
+                    / ((F.col("na") / F.col("t")) * (F.col("nb") / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(top_k)
+    )

@@ -438,6 +438,74 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.entropy_metrics(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "text_bigram_pmi",
+    oracle="""
+    WITH d AS (
+      SELECT regexp_split_to_array(
+        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+      FROM documents
+    ),
+    ucnt AS (SELECT tok, count(*) AS n
+             FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+    ut AS (SELECT sum(n) AS t FROM ucnt),
+    bcnt AS (
+      SELECT z[1] AS a, z[2] AS b, count(*) AS nab
+      FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+            FROM d)
+      GROUP BY 1, 2
+    ),
+    bt AS (SELECT sum(nab) AS tb FROM bcnt)
+    SELECT a, b, CAST(nab AS BIGINT) AS pair_count,
+           round(ln((nab / bt.tb) / ((ua.n / ut.t) * (ub.n / ut.t))), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt ua ON bcnt.a = ua.tok
+    JOIN ucnt ub ON bcnt.b = ub.tok
+    CROSS JOIN ut CROSS JOIN bt
+    WHERE nab >= 5
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+    tags=("text", "pmi", "phrase-mining"),
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram PMI (phrase mining for tokenizer/vocab
+    training). Counting aggregates are map-side combined to vocabulary
+    size; PMI joins broadcast the unigram table — see
+    operators/text.bigram_pmi for the 100 TB shape."""
+    return T.bigram_pmi(load(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "text_length_histogram",
+    oracle=f"""
+    SELECT CAST(len({_TOKS}) // 10 * 10 AS INTEGER) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "histogram"),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-token buckets) with char mass per
+    bucket — the length-filter diagnostic of a pretraining pipeline.
+    Map-only derivation + one tiny aggregate."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (
+                F.floor(T.token_count(T.normalize_text(F.col("text"))) / 10) * 10
+            ).cast("int").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
