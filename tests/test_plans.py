@@ -64,6 +64,7 @@ _NL_ALLOWED = {
     "q22_idle_balances",
     "q11_important_parts",  # val > (1-row broadcast global-sum threshold)
     "tfidf_top_terms",  # idf needs N = 1-row broadcast corpus count
+    "text_bigram_pmi",  # PMI needs the 1-row broadcast unigram/bigram totals
 }
 
 
