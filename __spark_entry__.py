@@ -37,6 +37,7 @@ _NEVER_CERTIFIED = (
     "multimodal_gif_frame_count",   # new round 4 (real frame walk)
     "text_bigram_pmi",              # new round 4 (phrase mining)
     "text_length_histogram",        # new round 4
+    "source_quality_report",        # new round 4 (per-source health)
 )
 
 _R1_CERTIFIED = (

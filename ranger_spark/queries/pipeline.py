@@ -476,6 +476,47 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_quality_report",
+    oracle=f"""
+    WITH fp AS (
+      SELECT source, md5({_NORM.replace('text', 'text')}) AS fp, n_chars,
+             CAST(len({_TOKS}) AS INTEGER) AS n_toks
+      FROM documents
+    )
+    SELECT source,
+           count(*)                                    AS n_docs,
+           count(DISTINCT fp)                          AS n_unique,
+           round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_rate,
+           CAST(sum(n_chars) AS BIGINT)                AS total_chars,
+           round(avg(n_toks), 4)                       AS avg_tokens
+    FROM fp GROUP BY source
+    """,
+    tags=("text", "dedup", "report"),
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — docs, exact-dup rate (normalized
+    md5 fingerprints), char mass, mean length. The first diagnostic a
+    pretraining pipeline runs per crawl source; one shuffle on
+    (source, fingerprint)-sized aggregates."""
+    d = load(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    n_toks = T.token_count(T.normalize_text(F.col("text")))
+    return (
+        d.select("source", fp.alias("fp"), "n_chars", n_toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
     "text_length_histogram",
     oracle=f"""
     SELECT CAST(len({_TOKS}) // 10 * 10 AS INTEGER) AS bucket,
