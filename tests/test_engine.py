@@ -576,3 +576,35 @@ def test_settings_map_to_write_behavior(engine):
         with pytest.raises(RangerError) as ei:
             engine.execute(bad)
         assert ei.value.code == VALIDATION_FAILED
+
+
+def test_parse_bytes_units(engine):
+    pb = engine._parse_bytes
+    assert pb("4096") == 4096
+    assert pb("128MB") == 128 << 20
+    assert pb("50GB") == 50 << 30
+    assert pb("1.5K") == 1536
+    assert pb("2tb") == 2 << 40
+    assert pb("7B") == 7
+    with pytest.raises(ValueError):
+        pb("huge")
+
+
+try:
+    from hypothesis import given
+    from hypothesis import strategies as hst
+
+    @given(
+        n=hst.integers(1, 10**6),
+        suffix=hst.sampled_from(["", "B", "KB", "MB", "GB", "K", "M", "G"]),
+    )
+    def test_parse_bytes_roundtrip_property(n, suffix):
+        from ranger_spark.engine import Engine
+
+        mult = {"": 1, "B": 1, "KB": 1 << 10, "K": 1 << 10,
+                "MB": 1 << 20, "M": 1 << 20, "GB": 1 << 30, "G": 1 << 30}
+        assert Engine._parse_bytes(f"{n}{suffix}") == n * mult[suffix]
+        assert Engine._parse_bytes(f" {n} {suffix} ".replace("  ", " ")) \
+            == n * mult[suffix]
+except ImportError:  # pragma: no cover
+    pass

@@ -140,3 +140,21 @@ def test_partitioned_table_spec(engine):
          "field-id": 1000}
     ]
     engine.execute("DROP TABLE itp;")
+
+
+def test_metadata_survives_catalog_recovery(engine):
+    # the spec projection lives next to the data, so a catalog wipe +
+    # recover() leaves SHOW SNAPSHOTS (served from it) fully intact
+    engine.execute("DROP TABLE IF EXISTS itr;")
+    engine.execute("CREATE TABLE itr (id int32);")
+    engine.execute("INSERT INTO itr (id) VALUES (1), (2);")
+    name = engine._qualify("itr")
+    before = engine.execute("SHOW SNAPSHOTS FROM itr;").rows
+    meta_before = iceberg_meta.read_metadata(_vt(engine, name))
+    engine.spark.sql("DROP TABLE itr")  # catalog loss, data intact
+    assert engine.recover() >= 1
+    after = engine.execute("SHOW SNAPSHOTS FROM itr;").rows
+    assert after == before
+    assert iceberg_meta.read_metadata(_vt(engine, name)) == meta_before
+    assert engine.execute("SELECT count(*) AS n FROM itr;").rows == [(2,)]
+    engine.execute("DROP TABLE itr;")
