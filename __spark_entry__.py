@@ -38,6 +38,7 @@ _NEVER_CERTIFIED = (
     "text_bigram_pmi",              # new round 4 (phrase mining)
     "text_length_histogram",        # new round 4
     "source_quality_report",        # new round 4 (per-source health)
+    "contamination_fuzzy",          # new round 4 (near-dup split leak)
 )
 
 _R1_CERTIFIED = (

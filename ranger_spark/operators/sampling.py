@@ -215,3 +215,64 @@ def pack_sequences_ffd(
         + ", seq_id long, seq_fill long"
     )
     return one.groupBy("__g").applyInPandas(pack, out_schema).drop("__g")
+
+
+def fuzzy_contamination(
+    df,
+    id_col: str,
+    text_col: str,
+    train_frac: float = 0.8,
+    shingle_k: int = 2,
+    threshold: float = 0.05,
+    seed: str = "split",
+):
+    """FUZZY train/test contamination: near-duplicate pairs that straddle
+    the hash-split boundary — the leak an exact-match contamination check
+    (contamination_check) misses when eval text is lightly paraphrased.
+
+    Plan: deterministic split (row-local, no shuffle) → distinct word
+    shingles per doc → inverted-index equi-join on shingle hash with the
+    train side left / test side right → exact Jaccard filter. Cost is
+    Σ_shingle df_train·df_test, never |train|×|test|; at 100 TB the
+    shingle join is the same banded/blocked shape as the dedup pipeline
+    and the split predicate prunes each side before the join."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark.operators.dedup import shingle_df
+
+    split = hash_split(df, id_col, {"train": train_frac, "test": 1 - train_frac}, seed)
+    sh = shingle_df(df, id_col, text_col, shingle_k).join(
+        split.select(id_col, "split"), id_col
+    )
+    a = sh.filter(F.col("split") == "train").select(
+        F.col(id_col).alias("train_id"), "sh_hash"
+    )
+    b = sh.filter(F.col("split") == "test").select(
+        F.col(id_col).alias("test_id"), "sh_hash"
+    )
+    inter = (
+        a.join(b, "sh_hash")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("train_id"), F.col("n_sh").alias("n_a")),
+            "train_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("test_id"), F.col("n_sh").alias("n_b")),
+            "test_id",
+        )
+        .select(
+            "train_id",
+            "test_id",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

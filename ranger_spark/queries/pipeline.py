@@ -1163,6 +1163,55 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_fuzzy",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) < {_SPLIT_T80}
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sh AS (
+      SELECT s.doc_id, sp.split,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM sh0 s JOIN split sp ON s.doc_id = sp.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS train_id, b.doc_id AS test_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh_hash = b.sh_hash
+      WHERE a.split = 'train' AND b.split = 'test'
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT i.train_id, i.test_id,
+           round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.train_id
+    JOIN sizes nb ON nb.doc_id = i.test_id
+    WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= 0.05
+    """,
+    tags=("sampling", "dedup", "contamination"),
+)
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/test contamination: near-dup pairs (word-bigram
+    Jaccard ≥ 0.05) straddling the deterministic 80/20 hash split — the
+    paraphrase leak an exact-match check misses. Inverted-index shingle
+    join, Σ df_train·df_test cost (operators/sampling.fuzzy_contamination)."""
+    from ranger_spark.operators.sampling import fuzzy_contamination
+
+    return fuzzy_contamination(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        train_frac=0.8, shingle_k=2, threshold=0.05,
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
     WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
