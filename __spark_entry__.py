@@ -39,6 +39,7 @@ _NEVER_CERTIFIED = (
     "text_length_histogram",        # new round 4
     "source_quality_report",        # new round 4 (per-source health)
     "contamination_fuzzy",          # new round 4 (near-dup split leak)
+    "dedup_cluster_assign",         # new round 4 (CC over dup graph)
 )
 
 _R1_CERTIFIED = (

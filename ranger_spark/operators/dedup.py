@@ -514,3 +514,57 @@ def hyperplane_buckets(
         )
         buckets = buckets + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
     return buckets
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Cluster assignment over a near-dup pair graph: min-label
+    propagation to a fixpoint, returning (id, cluster_rep) where the
+    representative is the component's minimum id — the step after
+    pairwise dedup that picks ONE survivor per duplicate CLUSTER
+    (pairwise keep-rules break on transitive chains a~b~c).
+
+    Each iteration is one join + one aggregate, fully distributed;
+    the driver only checks the converged count (iteration-bounded
+    control flow, same shape as kmeans_fit). Converges in O(component
+    diameter) rounds — near-dup clusters are shallow (dups of a common
+    source), so single digits in practice. At petabyte edge counts the
+    same loop is the textbook Spark CC; the large-star/small-star
+    variant halves rounds if diameters ever grow. ``localCheckpoint``
+    truncates the lineage each round (an iterative plan would otherwise
+    grow exponentially)."""
+    edges = pairs.select(id_a, id_b).union(
+        pairs.select(F.col(id_b).alias(id_a), F.col(id_a).alias(id_b))
+    )
+    labels = (
+        edges.select(F.col(id_a).alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges[id_b] == labels["id"])
+            .groupBy(F.col(id_a).alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))

@@ -715,6 +715,47 @@ cent AS (
 
 
 @register(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b
+      FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+      WHERE {_COS_SQL} >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    )
+    SELECT n.id, least(n.id, min(r.dst)) AS cluster_rep
+    FROM nodes n JOIN reach r ON r.src = n.id
+    GROUP BY n.id
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the embedding near-dup pair graph
+    (cos ≥ 0.3 within label blocks): every node mapped to its cluster
+    representative (component min id). Distributed min-label
+    propagation to a fixpoint — the oracle computes the same components
+    via a recursive transitive-closure CTE, so the iterative algorithm
+    is exact-checked, not rows-only."""
+    from ranger_spark.operators.dedup import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = S.similar_pairs_blocked(e, threshold=0.3).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+@register(
     "ann_ivf_kmeans_topk",
     oracle=_ivf_kmeans_oracle(),
     tags=("similarity", "ann", "approx"),
