@@ -40,6 +40,7 @@ _NEVER_CERTIFIED = (
     "source_quality_report",        # new round 4 (per-source health)
     "contamination_fuzzy",          # new round 4 (near-dup split leak)
     "dedup_cluster_assign",         # new round 4 (CC over dup graph)
+    "quality_filter_verdict",       # new round 4 (composite keep/drop)
 )
 
 _R1_CERTIFIED = (

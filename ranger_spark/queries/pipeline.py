@@ -476,6 +476,101 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter_verdict",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             (length(text) - (len({_TOKS}) - 1)) / CAST(len({_TOKS}) AS DOUBLE) AS mean_word_len,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             len(list_filter({_TOKS}, x -> list_contains({_sw_list('en')}, x)))
+               / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio
+      FROM documents
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+    ),
+    counts AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+    maxc AS (SELECT doc_id, max(c) AS mc FROM counts GROUP BY 1),
+    r AS (
+      SELECT t.doc_id,
+             round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_frac,
+             round(2.0 * coalesce(mc, 0) / len(toks), 6) AS top_bigram_frac
+      FROM t LEFT JOIN maxc ON t.doc_id = maxc.doc_id
+    ),
+    f AS (
+      SELECT q.doc_id,
+             (q.n_tokens BETWEEN 20 AND 100000)            AS len_ok,
+             (q.mean_word_len BETWEEN 2.0 AND 12.0)        AS word_ok,
+             (q.punct_ratio <= 0.3)                        AS punct_ok,
+             (q.stopword_ratio >= 0.01)                    AS stop_ok,
+             (r.dup_token_frac <= 0.6 AND r.top_bigram_frac <= 0.1) AS rep_ok
+      FROM q JOIN r ON q.doc_id = r.doc_id
+    )
+    SELECT doc_id, len_ok, word_ok, punct_ok, stop_ok, rep_ok,
+           (len_ok AND word_ok AND punct_ok AND stop_ok AND rep_ok) AS keep,
+           CASE WHEN NOT len_ok   THEN 'length'
+                WHEN NOT word_ok  THEN 'word_len'
+                WHEN NOT punct_ok THEN 'punctuation'
+                WHEN NOT stop_ok  THEN 'stopwords'
+                WHEN NOT rep_ok   THEN 'repetition'
+                ELSE '' END AS drop_reason
+    FROM f
+    """,
+    tags=("text", "quality", "filter"),
+)
+def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite filter verdict: every certified metric
+    (length, mean word length, punctuation, stopword ratio, repetition)
+    folded into per-rule booleans, a keep flag, and the first failing
+    rule as drop_reason — the single-pass keep/drop decision a
+    pretraining pipeline applies per document. Pure composition of the
+    already-oracled metric expressions; map-side except the bigram-mode
+    aggregate."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        T.tokenize(T.normalize_text(F.col("text"))).alias("__toks"),
+    )
+    m = T.quality_metrics(F.col("text"), toks=F.col("__toks"))
+    q = d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    )
+    r = T.repetition_metrics(load(spark, sf_dir, "documents"), "doc_id", "text")
+    j = q.join(r.select("doc_id", "dup_token_frac", "top_bigram_frac"), "doc_id")
+    len_ok = F.col("n_tokens").between(20, 100000)
+    word_ok = F.col("mean_word_len").between(2.0, 12.0)
+    punct_ok = F.col("punct_ratio") <= 0.3
+    stop_ok = F.col("stopword_ratio") >= 0.01
+    rep_ok = (F.col("dup_token_frac") <= 0.6) & (F.col("top_bigram_frac") <= 0.1)
+    keep = len_ok & word_ok & punct_ok & stop_ok & rep_ok
+    reason = (
+        F.when(~len_ok, "length")
+        .when(~word_ok, "word_len")
+        .when(~punct_ok, "punctuation")
+        .when(~stop_ok, "stopwords")
+        .when(~rep_ok, "repetition")
+        .otherwise("")
+    )
+    return j.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        word_ok.alias("word_ok"),
+        punct_ok.alias("punct_ok"),
+        stop_ok.alias("stop_ok"),
+        rep_ok.alias("rep_ok"),
+        keep.alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+@register(
     "source_quality_report",
     oracle=f"""
     WITH fp AS (
