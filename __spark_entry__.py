@@ -44,20 +44,26 @@ _NEVER_CERTIFIED = (
 )
 
 _R1_CERTIFIED = (
+    # first: the r1 queries whose CODE changed in round 4 (events.ts dtype
+    # normalization; agg_minmax two-level rewrite) — these must fall
+    # inside the driver's ~50-query window for re-certification
+    "events_hourly_rollup", "events_sessionization", "events_daily_unique",
+    "window_lead_lag", "asof_purchase_view", "range_join_error_purchase",
+    "null_handling", "json_extract_props", "agg_minmax_countd",
+    # then the rest of the round-1 set, stalest certification first
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "proj_arith_alias", "filter_between", "filter_in_list", "filter_like",
-    "null_handling", "in_subquery", "exists_subquery", "not_exists_anti",
+    "in_subquery", "exists_subquery", "not_exists_anti",
     "scalar_subquery", "group_having", "distinct_proj", "order_limit_offset",
     "union_all_tagged", "union_distinct", "case_when_buckets", "cast_ops",
-    "scalar_functions", "comma_join_sql", "agg_minmax_countd", "date_extract",
-    "json_extract_props", "proj_star_small", "intersect_nations",
+    "scalar_functions", "comma_join_sql", "date_extract",
+    "proj_star_small", "intersect_nations",
     "except_nations", "cube_status_priority", "listagg_types_per_brand",
     "array_ops_embeddings", "left_outer_join", "full_outer_join",
     "window_topn_per_group", "window_running_total", "window_rank_family",
-    "window_lead_lag", "events_hourly_rollup", "events_sessionization",
-    "events_daily_unique", "window_value_family", "percentiles_by_group",
-    "window_range_frame", "token_frequencies", "asof_purchase_view",
-    "range_join_error_purchase", "rollup_status_priority", "dedup_exact",
+    "window_value_family", "percentiles_by_group",
+    "window_range_frame", "token_frequencies",
+    "rollup_status_priority", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
 )
 
