@@ -356,6 +356,13 @@ class Engine:
                     "unsupported statement type: SHOW SNAPSHOTS",
                 )
             return self._show_snapshots(r.sql)
+        if k == StmtKind.OPTIMIZE:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: OPTIMIZE",
+                )
+            return self._optimize(r.sql)
         if k == StmtKind.MERGE:
             # not in the reference grammar at all (parser.go keyword table);
             # executing it exceeds the reference — strict mode keeps parity
@@ -546,6 +553,66 @@ class Engine:
         else:
             rows = [tuple(h[c] for c in cols) for h in vt.history()]
         return QueryResult(cols, rows, len(rows))
+
+    def _optimize(self, sql: str) -> QueryResult:
+        """``OPTIMIZE t [TARGET n]`` — small-file compaction, the Iceberg
+        ``rewrite_data_files`` action (exceeds the reference, which has no
+        maintenance surface). The current snapshot's data is rewritten
+        into ``max(1, ceil(rows / target))`` files as a NEW snapshot
+        (operation='replace'); prior snapshots keep their small files
+        until expire_snapshots reclaims them, so time travel is
+        unaffected. At 100 TB this is the nightly job that keeps scan
+        task counts sane after streaming/chunked ingest; the rewrite is
+        one distributed write, no driver materialization."""
+        m = re.match(
+            r"OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+))?\s*$", sql, re.I
+        )
+        if not m:
+            raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
+        name = self._qualify(m.group(1))
+        target_rows = int(m.group(2)) if m.group(2) else 1_000_000
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        entry = self._manifest["tables"].get(name)
+        vt = self._versioned_for(name)
+        if vt is None or entry is None:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"table '{name}' is not snapshot-versioned",
+            )
+        files_before = len(vt.files())
+        df = self.spark.table(name)
+        n_rows = df.count()
+        n_files = max(1, -(-n_rows // target_rows))  # ceil division
+        part_by = entry.get("partition_by") or []
+        if part_by:
+            # co-locate rows of each partition value; file count per
+            # partition follows from the shuffle, small values coalesce
+            out = df.repartition(n_files, *[F.col(c) for c in part_by])
+        else:
+            out = df.repartition(n_files)
+        # the compaction write must not inherit the table's own rotation
+        # cap (it would re-fragment); keep only the codec
+        entry_opts = {
+            k: v
+            for k, v in self._write_options(name).items()
+            if k == "compression"
+        }
+        self._write_opts_override = entry_opts
+        try:
+            self._rewrite_table(name, out, operation="optimize")
+        finally:
+            self._write_opts_override = None
+        files_after = len(vt.files())
+        return QueryResult(
+            [],
+            [],
+            0,
+            message=(
+                f"optimized '{name}': {files_before} -> {files_after} "
+                f"file(s), {n_rows} row(s)"
+            ),
+        )
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Reclaim storage from old snapshots (Iceberg
@@ -750,10 +817,17 @@ class Engine:
             ),
         )
 
+    # per-statement override of the derived writer options (OPTIMIZE
+    # must escape the table's own rotation cap or it re-fragments its
+    # output); None = derive from SETTINGS as usual
+    _write_opts_override: dict[str, str] | None = None
+
     def _write_options(self, name: str) -> dict[str, str]:
         """Writer options derived from the table's SETTINGS: codec and
         file-rotation record cap. Applied to every data write targeting
         the table (INSERT paths and copy-on-write rewrites)."""
+        if self._write_opts_override is not None:
+            return dict(self._write_opts_override)
         entry = self._manifest["tables"].get(name) or {}
         s = entry.get("settings", {})
         out: dict[str, str] = {}

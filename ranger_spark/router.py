@@ -51,6 +51,7 @@ class StmtKind(Enum):
     SHOW_COLUMNS = "show_columns"
     SHOW_CREATE_TABLE = "show_create_table"
     SHOW_SNAPSHOTS = "show_snapshots"  # exceeds (engine snapshot history)
+    OPTIMIZE = "optimize"  # exceeds (small-file compaction, Iceberg rewrite_data_files)
     DESCRIBE = "describe"
     TXN_NOOP = "txn_noop"  # BEGIN/COMMIT/ROLLBACK
     PARSE_ONLY = "parse_only"  # GRANT/REVOKE/users/indexes/cursors/procedures
@@ -194,6 +195,8 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.SHOW_CREATE_TABLE, s)
     if m("SHOW SNAPSHOTS"):
         return Routed(StmtKind.SHOW_SNAPSHOTS, s)
+    if m("OPTIMIZE "):
+        return Routed(StmtKind.OPTIMIZE, s)
     if m("DESCRIBE") or m("DESC "):
         return Routed(StmtKind.DESCRIBE, s)
     if up in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):

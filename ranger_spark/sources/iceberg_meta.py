@@ -44,6 +44,7 @@ _ICEBERG_OPS = {
     "update": "overwrite",
     "merge": "overwrite",
     "alter": "replace",
+    "optimize": "replace",  # rewrite_data_files: same rows, fewer files
     "delete": "delete",
 }
 

@@ -608,3 +608,46 @@ try:
             == n * mult[suffix]
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_optimize_compacts_small_files(engine):
+    # OPTIMIZE = Iceberg rewrite_data_files: rotation-fragmented files
+    # compact into one new snapshot; history stays time-travelable
+    import glob
+
+    engine.execute(
+        "CREATE TABLE opt_t (id int64, v string) "
+        "SETTINGS max_records_per_file = '2';"
+    )
+    vals = ", ".join(f"({i}, 'r{i}')" for i in range(12))
+    engine.execute(f"INSERT INTO opt_t (id, v) VALUES {vals};")
+    entry = engine._manifest["tables"][engine._qualify("opt_t")]
+    before = len(glob.glob(entry["location"] + "/**/*.parquet", recursive=True))
+    assert before >= 6  # rotation produced many small files
+
+    r = engine.execute("OPTIMIZE opt_t TARGET 1000;")
+    assert "optimized" in r.message
+    from ranger_spark.sources.snapshots import VersionedTable
+
+    vt = VersionedTable(entry["location"])
+    assert len(vt.files()) == 1  # 12 rows / 1000 target → one file
+    # data identical, history intact (pre-optimize snapshot readable)
+    assert engine.execute("SELECT count(*) AS n FROM opt_t;").rows == [(12,)]
+    pre = vt.current_version() - 1
+    old = engine.execute(
+        f"SELECT count(*) AS n FROM opt_t VERSION AS OF {pre};"
+    )
+    assert old.rows == [(12,)]
+    # spec projection records the replace
+    from ranger_spark.sources import iceberg_meta
+
+    meta = iceberg_meta.read_metadata(vt)
+    assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+    assert meta["snapshots"][-1]["summary"]["ranger-operation"] == "optimize"
+    # strict mode refuses (reference has no OPTIMIZE)
+    from ranger_spark.engine import Engine
+
+    strict = Engine(engine.spark, strict_gate=True)
+    with pytest.raises(RangerError):
+        strict.execute("OPTIMIZE opt_t;")
+    engine.execute("DROP TABLE opt_t;")

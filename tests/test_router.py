@@ -83,7 +83,9 @@ _BAD_STATEMENTS = [
     "DETACH DATABASE y",
     "PRAGMA table_info(t)",
     "ANALYZE t",
-    "OPTIMIZE t",
+    # (OPTIMIZE left out: round 4 implements it as the compaction
+    # statement — exceeds the reference; strict mode still rejects it)
+    "VACUUM INTO 'x'",
     "REFRESH TABLE t",
     "RESET ALL",
     "LOAD 'ext'",
