@@ -363,6 +363,28 @@ class Engine:
                     "unsupported statement type: OPTIMIZE",
                 )
             return self._optimize(r.sql)
+        if k == StmtKind.EXPIRE_SNAPSHOTS:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: EXPIRE SNAPSHOTS",
+                )
+            m = re.match(
+                r"EXPIRE\s+SNAPSHOTS\s+([\w.]+)(?:\s+KEEP\s+(\d+))?\s*$",
+                r.sql,
+                re.I,
+            )
+            if not m:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT, f"cannot parse: {r.sql!r}"
+                )
+            removed = self.expire_snapshots(
+                m.group(1), keep_last=int(m.group(2) or 1)
+            )
+            return QueryResult(
+                [], [], 0,
+                message=f"expired {len(removed)} snapshot data dir(s)",
+            )
         if k == StmtKind.MERGE:
             # not in the reference grammar at all (parser.go keyword table);
             # executing it exceeds the reference — strict mode keeps parity

@@ -52,6 +52,7 @@ class StmtKind(Enum):
     SHOW_CREATE_TABLE = "show_create_table"
     SHOW_SNAPSHOTS = "show_snapshots"  # exceeds (engine snapshot history)
     OPTIMIZE = "optimize"  # exceeds (small-file compaction, Iceberg rewrite_data_files)
+    EXPIRE_SNAPSHOTS = "expire_snapshots"  # exceeds (Iceberg expire_snapshots)
     DESCRIBE = "describe"
     TXN_NOOP = "txn_noop"  # BEGIN/COMMIT/ROLLBACK
     PARSE_ONLY = "parse_only"  # GRANT/REVOKE/users/indexes/cursors/procedures
@@ -197,6 +198,8 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.SHOW_SNAPSHOTS, s)
     if m("OPTIMIZE "):
         return Routed(StmtKind.OPTIMIZE, s)
+    if m("EXPIRE SNAPSHOTS"):
+        return Routed(StmtKind.EXPIRE_SNAPSHOTS, s)
     if m("DESCRIBE") or m("DESC "):
         return Routed(StmtKind.DESCRIBE, s)
     if up in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):

@@ -170,3 +170,15 @@ def test_time_travel_views_dropped_after_read(engine, versioned):
         if t.name.startswith("__tt_")
     ]
     assert lingering == []
+
+
+def test_expire_snapshots_sql_statement(engine, versioned):
+    # EXPIRE SNAPSHOTS t KEEP n — SQL surface over engine.expire_snapshots
+    r = engine.execute("EXPIRE SNAPSHOTS vt KEEP 2;")
+    assert "expired" in r.message
+    hist = engine.execute("SHOW SNAPSHOTS FROM vt;")
+    assert len(hist.rows) == 2  # only the last two survive
+    with pytest.raises(RangerError):
+        engine.execute("SELECT id FROM vt VERSION AS OF 1;")
+    # head still reads fine
+    assert engine.execute("SELECT count(*) AS n FROM vt;").rows[0][0] == 2
