@@ -41,6 +41,7 @@ _NEVER_CERTIFIED = (
     "contamination_fuzzy",          # new round 4 (near-dup split leak)
     "dedup_cluster_assign",         # new round 4 (CC over dup graph)
     "quality_filter_verdict",       # new round 4 (composite keep/drop)
+    "multimodal_wav_audio_stats",   # new round 4 (real PCM audio decode)
 )
 
 _R1_CERTIFIED = (

@@ -165,3 +165,44 @@ def test_parse_gif_frames_walk():
     assert parse_gif_frames(b"GIF89a" + lsd + frame) is None
     assert parse_gif_frames(b"GIF89a" + lsd + b"\x7f" + b"\x3b") is None
     assert parse_gif_frames(b"PNG") is None
+
+
+def test_parse_wav_pcm_walk():
+    from ranger_spark.operators.multimodal import parse_wav_pcm
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def fmt_chunk(audio_format=1, channels=1, rate=8000, bits=16):
+        return chunk(
+            b"fmt ",
+            audio_format.to_bytes(2, "little")
+            + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little")
+            + bits.to_bytes(2, "little"),
+        )
+
+    def wav(samples, **kw):
+        data = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+        body = fmt_chunk(**kw) + chunk(b"data", data)
+        return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+    s = parse_wav_pcm(wav([0, 100, -200, 300]))
+    assert (s["n_samples"], s["peak"], s["channels"], s["sample_rate"]) == (
+        4, 300, 1, 8000)
+    assert abs(s["rms"] - (((100**2 + 200**2 + 300**2) / 4) ** 0.5)) < 1e-9
+    # odd-sized chunk before fmt: word alignment must be honored
+    body = chunk(b"JUNK", b"\xaa\xbb\xcc") + fmt_chunk() + chunk(
+        b"data", (7).to_bytes(2, "little"))
+    aligned = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    s2 = parse_wav_pcm(aligned)
+    assert s2 is not None and s2["n_samples"] == 1 and s2["peak"] == 7
+    # rejections: not RIFF, non-PCM format tag, 8-bit, no data chunk
+    assert parse_wav_pcm(b"FORM" + b"\x00" * 60) is None
+    assert parse_wav_pcm(wav([1], audio_format=3)) is None
+    assert parse_wav_pcm(wav([1], bits=8)) is None
+    nodata = b"RIFF" + (4 + len(fmt_chunk())).to_bytes(4, "little") + b"WAVE" + fmt_chunk()
+    assert parse_wav_pcm(nodata) is None
