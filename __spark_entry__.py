@@ -42,6 +42,7 @@ _NEVER_CERTIFIED = (
     "dedup_cluster_assign",         # new round 4 (CC over dup graph)
     "quality_filter_verdict",       # new round 4 (composite keep/drop)
     "multimodal_wav_audio_stats",   # new round 4 (real PCM audio decode)
+    "embedding_quantize_int8",      # new round 4 (ANN serving quantization)
 )
 
 _R1_CERTIFIED = (

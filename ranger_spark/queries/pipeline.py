@@ -851,6 +851,50 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_max(qv) AS INTEGER) AS q_max,
+           CAST(list_min(qv) AS INTEGER) AS q_min,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sq_sum
+    FROM q
+    """,
+    tags=("similarity", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the ANN
+    serving memory-reduction step), reported as per-vector scale and
+    exact integer invariants of the quantized array (max / min / sum of
+    squares) so the whole codebook is value-checked without shipping
+    arrays through the hash compare."""
+    q = S.quantize_int8(load(spark, sf_dir, "embeddings"))
+    qv = F.col("q")
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.array_max(qv).cast("int").alias("q_max"),
+        F.array_min(qv).cast("int").alias("q_min"),
+        F.aggregate(
+            F.transform(qv, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("q_sq_sum"),
+    )
+
+
+@register(
     "ann_ivf_kmeans_topk",
     oracle=_ivf_kmeans_oracle(),
     tags=("similarity", "ann", "approx"),
