@@ -21,61 +21,55 @@ from ranger_spark.queries import load_all  # noqa: E402
 
 # The driver's correctness gate checks the first ~50 registry entries per
 # round. Rotation policy: put the queries with the STALEST (or no) driver
-# certification at the front each round. Rounds 2/3 certified the
-# pipeline/tpch set (CORRECTNESS_r02/r03, all green), so round 4 rotates
-# the round-1-certified 50 back to the front — they were last
-# driver-checked on round-1 code and the events.ts dtype change touches
-# several of them — preceded by the queries that have never been
-# driver-certified with an oracle at all (new this round).
-_NEVER_CERTIFIED = (
-    "ann_ivf_topk",            # oracle added round 4 (was rows-only)
-    "ann_ivf_kmeans_topk",     # oracle added round 4 (was rows-only)
-    "multimodal_decode_gif",   # new round 4
-    "multimodal_decode_bmp",   # new round 4
-    "multimodal_decode_jpeg",  # new round 4
-    "multimodal_bmp_pixel_stats",   # new round 4 (real pixel decode)
-    "multimodal_gif_frame_count",   # new round 4 (real frame walk)
-    "text_bigram_pmi",              # new round 4 (phrase mining)
-    "text_length_histogram",        # new round 4
-    "source_quality_report",        # new round 4 (per-source health)
-    "contamination_fuzzy",          # new round 4 (near-dup split leak)
-    "dedup_cluster_assign",         # new round 4 (CC over dup graph)
-    "quality_filter_verdict",       # new round 4 (composite keep/drop)
-    "multimodal_wav_audio_stats",   # new round 4 (real PCM audio decode)
-    "embedding_quantize_int8",      # new round 4 (ANN serving quantization)
-)
-
-_R1_CERTIFIED = (
-    # first: the r1 queries whose CODE changed in round 4 (events.ts dtype
-    # normalization; agg_minmax two-level rewrite) — these must fall
-    # inside the driver's ~50-query window for re-certification
-    "events_hourly_rollup", "events_sessionization", "events_daily_unique",
-    "window_lead_lag", "asof_purchase_view", "range_join_error_purchase",
-    "null_handling", "json_extract_props", "agg_minmax_countd",
-    # then the rest of the round-1 set, stalest certification first
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "proj_arith_alias", "filter_between", "filter_in_list", "filter_like",
-    "in_subquery", "exists_subquery", "not_exists_anti",
-    "scalar_subquery", "group_having", "distinct_proj", "order_limit_offset",
-    "union_all_tagged", "union_distinct", "case_when_buckets", "cast_ops",
-    "scalar_functions", "comma_join_sql", "date_extract",
-    "proj_star_small", "intersect_nations",
-    "except_nations", "cube_status_priority", "listagg_types_per_brand",
+# certification at the front each round. Round 4 certified the 50 queries
+# of CORRECTNESS_r04 (new-in-r4 + the r1-certified set); round 5 rotates
+# in everything whose last driver certification is round 3 or older:
+# the 15 queries last certified in round 1 first, then the 37 oracled
+# queries last certified in round 3, then the rows-only stub, then
+# queries new in round 5 (never certified), then the r4-certified tail.
+_STALE_R1 = (
+    # last driver-certified round 1 — 4 rounds stale, go first
     "array_ops_embeddings", "left_outer_join", "full_outer_join",
     "window_topn_per_group", "window_running_total", "window_rank_family",
-    "window_value_family", "percentiles_by_group",
-    "window_range_frame", "token_frequencies",
-    "rollup_status_priority", "dedup_exact",
+    "window_value_family", "percentiles_by_group", "window_range_frame",
+    "token_frequencies", "rollup_status_priority", "dedup_exact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+)
+
+_STALE_R3 = (
+    # last driver-certified round 3 (CORRECTNESS_r03)
+    "dedup_simhash_pairs", "dedup_embedding_cosine", "text_tokens",
+    "text_quality", "text_lang_id", "text_fingerprint", "text_repetition",
+    "text_entropy", "ann_cosine_topk", "embedding_similar_pairs",
+    "embedding_stats", "multimodal_meta", "multimodal_decode_png",
+    "sample_stratified", "pack_sequences_2k", "contamination_check",
+    "train_val_test_split", "tfidf_top_terms", "q6_forecast_revenue",
+    "q4_order_priority", "q10_returned_items", "q12_priority_split",
+    "q14_promo_share", "q18_large_orders", "q19_disjunctive",
+    "q7_nation_volume", "q13_count_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q2_min_cost_supplier", "q8_market_share",
+    "q9_product_profit", "q11_important_parts", "q20_part_promo_suppliers",
+    "q21_waiting_suppliers",
+    # positions 51-53: simplest/most-stable queries take the overflow risk
+    # if the driver window is exactly 50 (q16/q22 are plain aggregations;
+    # the stub is rows-only and carries no oracle slot)
+    "q16_supplier_count", "q22_idle_balances", "multimodal_decode_stub",
+)
+
+_NEW_R5 = (
+    # never driver-certified — new in round 5
+    "multimodal_png_pixel_stats",
+    "dedup_incremental",
 )
 
 
 def _ordered():
     reg = load_all()
-    first = [n for n in _NEVER_CERTIFIED if n in reg]
-    second = [n for n in _R1_CERTIFIED if n in reg]
-    rest = [n for n in reg if n not in first and n not in second]
-    return {n: reg[n] for n in first + second + rest}
+    front: list[str] = []
+    for block in (_STALE_R1, _STALE_R3, _NEW_R5):
+        front.extend(n for n in block if n in reg and n not in front)
+    rest = [n for n in reg if n not in front]
+    return {n: reg[n] for n in front + rest}
 
 
 def entry(spark: SparkSession) -> DataFrame:

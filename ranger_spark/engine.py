@@ -115,6 +115,15 @@ class Engine:
         # time-travel temp views created while rewriting the current
         # statement; dropped after its eager read completes (no leak)
         self._tt_views: list[str] = []
+        # One statement at a time per Engine: the wire servers run execute()
+        # from many connection threads, but per-statement state (the
+        # time-travel view list, the OPTIMIZE write-opts override, and the
+        # session current-database used for name resolution) is engine-
+        # scoped, so interleaved statements would corrupt each other.
+        # The reference shares one embedded DuckDB the same way
+        # (server/query/duckdb/engine.go) — statement execution is the
+        # cheap part; Spark still parallelizes each job across cores.
+        self._stmt_lock = threading.RLock()
         self.catalog_store = self._make_catalog_store()
         self._load_manifest()
 
@@ -260,7 +269,21 @@ class Engine:
         return n
 
     # ------------------------------------------------------------------ api
-    def execute(self, sql: str, timeout_s: float | None = None) -> QueryResult:
+    def execute(
+        self,
+        sql: str,
+        timeout_s: float | None = None,
+        database: str | None = None,
+    ) -> QueryResult:
+        """Execute one statement.
+
+        ``database`` scopes unqualified table names to that database for
+        THIS statement only (≈ the reference's per-query
+        ``QueryContext.Database``, connection.go handleClientQuerySignal):
+        the session current-database is saved/restored around the
+        statement, under the engine statement lock so no concurrent
+        statement can observe the temporary switch.
+        """
         routed = route(sql, strict=self.strict_gate)
         qi = self.exec_mgr.start(routed.sql)
         timer = None
@@ -270,7 +293,23 @@ class Engine:
             )
             timer.start()
         try:
-            result = self._dispatch(routed)
+            with self._stmt_lock:
+                saved_db = None
+                if database:
+                    if not self._db_exists(database):
+                        raise RangerError(
+                            DATABASE_NOT_FOUND,
+                            f"database '{database}' not found",
+                        )
+                    saved_db = self.spark.catalog.currentDatabase()
+                    self.spark.catalog.setCurrentDatabase(database)
+                try:
+                    result = self._dispatch(routed)
+                finally:
+                    # a USE inside a database-scoped query is statement-
+                    # local too: the saved session database always wins
+                    if saved_db is not None:
+                        self.spark.catalog.setCurrentDatabase(saved_db)
             result.query_id = qi.query_id
             self.exec_mgr.finish(qi, "done")
             return result
@@ -556,7 +595,15 @@ class Engine:
         from ranger_spark.sources import iceberg_meta
 
         meta = iceberg_meta.read_metadata(vt)
-        if meta and meta.get("snapshots"):
+        # _emit_iceberg is best-effort (a failed emission must not fail the
+        # commit), so the projection can lag the engine manifests — the
+        # source of truth. Serve it only when its head matches the current
+        # version; otherwise fall back to vt.history().
+        if (
+            meta
+            and meta.get("snapshots")
+            and meta.get("current-snapshot-id") == vt.current_version()
+        ):
             rows = [
                 (
                     s["snapshot-id"],

@@ -168,7 +168,25 @@ def emit(
         added = m.get("added_files", [])
         op = _ICEBERG_OPS.get(m.get("operation", "append"), "append")
 
-        manifest_path = os.path.join(d, f"manifest-{v}.json")
+        # First retained snapshot after expiration: its expired ancestors'
+        # manifests no longer appear in the chain, but their data files are
+        # still live (listed in this manifest's full `files`). Emit a
+        # consolidated base manifest from the full file list so external
+        # Iceberg readers of this and later snapshots see every live file,
+        # and seed the running totals from it. When nothing was expired,
+        # files == added for v=1 and this is the ordinary first manifest.
+        entry_files = added
+        is_base = not snapshots and m.get("operation", "append") == "append"
+        carried: list[str] = []
+        if is_base:
+            full = m.get("files", added)
+            if set(full) != set(added):
+                entry_files = full
+                carried = [f for f in full if f not in set(added)]
+
+        manifest_path = os.path.join(
+            d, f"manifest-{v}-base.json" if carried else f"manifest-{v}.json"
+        )
         if not os.path.exists(manifest_path):
             _write_json(
                 manifest_path,
@@ -177,7 +195,7 @@ def emit(
                     "content": 0,
                     "sequence-number": v,
                     "min-sequence-number": v,
-                    "entries": _manifest_entries(added, v),
+                    "entries": _manifest_entries(entry_files, v),
                 },
             )
 
@@ -202,6 +220,13 @@ def emit(
             )
 
         added_records = sum(_cached_rows(d, v, added))
+        if carried:
+            # live files inherited from expired ancestors count toward the
+            # totals, not toward this snapshot's added-* summary keys
+            # (footer reads, not _cached_rows: manifest-{v}.json caches the
+            # added files' counts, not the carried ones)
+            total_records += sum(_file_stats(f)[0] for f in carried)
+            total_files += len(carried)
         if op == "append":
             total_records += added_records
             total_files = total_files + len(added)

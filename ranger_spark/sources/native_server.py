@@ -60,6 +60,7 @@ here to one INSERT statement per frame.
 
 from __future__ import annotations
 
+import re
 import socket
 import struct
 import threading
@@ -492,9 +493,11 @@ class NativeServer:
         if not sql.endswith(";"):
             sql += ";"
         try:
-            if q["database"]:
-                self.engine.execute(f"USE {q['database']};")
-            r = self.engine.execute(sql)
+            # per-query database scoping (connection.go passes
+            # query.Database in the QueryContext; it never mutates the
+            # shared session) — engine.execute saves/restores the current
+            # database around this one statement under its statement lock
+            r = self.engine.execute(sql, database=q["database"] or None)
         except Exception as e:
             self._send_exception(conn, e)
             return  # connection stays open (handleClientQuerySignal)
@@ -533,8 +536,12 @@ class NativeServer:
                 t = types.get(col, "string")
                 if v == "" and not t.startswith("string"):
                     parts.append("NULL")
-                elif t.startswith(numeric):
-                    parts.append(str(v))  # validated by the insert path
+                elif t.startswith(numeric) and _NUM_LIT.fullmatch(str(v)):
+                    # only a verified bare literal may be spliced unquoted;
+                    # anything else (e.g. "1), (999") goes through _sql_lit
+                    # so the engine's cast/validation rejects it as a value
+                    # instead of it reshaping the VALUES list
+                    parts.append(str(v))
                 else:
                     parts.append(_sql_lit(v))
             lits.append("(" + ", ".join(parts) + ")")
@@ -570,6 +577,13 @@ class NativeServer:
             conn, SERVER_DATA, pack_server_data([("col_0", "String")], [(msg,)])
         )
         self._send(conn, SERVER_END_OF_STREAM, b"")
+
+
+# bare literal shapes that may be spliced into a VALUES list unquoted:
+# signed int/float/scientific, or boolean keywords
+_NUM_LIT = re.compile(
+    r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?|true|false", re.I
+)
 
 
 def _sql_lit(v: str) -> str:
@@ -630,6 +644,7 @@ class NativeClient:
 
     def __init__(self, host: str, port: int, database: str = "",
                  user: str = "", password: str = ""):
+        self.database = database
         self.sock = socket.create_connection((host, port), timeout=60)
         self._send(
             CLIENT_HELLO,
@@ -666,7 +681,12 @@ class NativeClient:
         """Run a statement; returns {'columns': [(name, type)...],
         'rows': [...]} from the ServerData/EndOfStream stream. Raises
         RuntimeError on a ServerException."""
-        self._send(CLIENT_QUERY, pack_client_query(sql, query_id))
+        # the connection's database rides in every query frame (the Go SDK
+        # fills query.Database from the client options); the server scopes
+        # name resolution to it per statement, never via a sticky USE
+        self._send(
+            CLIENT_QUERY, pack_client_query(sql, query_id, self.database)
+        )
         columns: list[tuple[str, str]] = []
         rows: list[tuple] = []
         while True:

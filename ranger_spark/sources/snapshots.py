@@ -271,14 +271,23 @@ class VersionedTable:
         return best
 
     def history(self) -> list[dict]:
-        return [
-            {
-                k: m[k]
-                for k in ("version", "committed_at", "operation", "parent")
-            }
-            | {"num_files": len(m["files"]), "num_added": len(m["added_files"])}
-            for m in (self._load(v) for v in range(1, self.current_version() + 1))
-        ]
+        out: list[dict] = []
+        for v in range(1, self.current_version() + 1):
+            try:
+                m = self._load(v)
+            except FileNotFoundError:
+                continue  # expired snapshot — manifest reclaimed
+            out.append(
+                {
+                    k: m[k]
+                    for k in ("version", "committed_at", "operation", "parent")
+                }
+                | {
+                    "num_files": len(m["files"]),
+                    "num_added": len(m["added_files"]),
+                }
+            )
+        return out
 
     def expire(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete data

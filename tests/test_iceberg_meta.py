@@ -158,3 +158,60 @@ def test_metadata_survives_catalog_recovery(engine):
     assert iceberg_meta.read_metadata(_vt(engine, name)) == meta_before
     assert engine.execute("SELECT count(*) AS n FROM itr;").rows == [(2,)]
     engine.execute("DROP TABLE itr;")
+
+
+def test_expire_reseeds_base_manifest_with_live_files(engine):
+    """After expire_snapshots, the first retained append's manifest chain
+    must still cover every live data file (the expired ancestors'
+    manifests are gone but their files live on in retained snapshots),
+    and running totals must not restart from zero."""
+    engine.execute("DROP TABLE IF EXISTS exp;")
+    engine.execute("CREATE TABLE exp (id int32, v string);")
+    for i in range(3):
+        engine.execute(f"INSERT INTO exp (id, v) VALUES ({i}, 'x{i}');")
+    engine.expire_snapshots("exp", keep_last=2)
+    engine.execute("INSERT INTO exp (id, v) VALUES (99, 'tail');")
+
+    name = engine._qualify("exp")
+    vt = _vt(engine, name)
+    meta = iceberg_meta.read_metadata(vt)
+    cur = vt.current_version()
+    assert meta["current-snapshot-id"] == cur
+    # expired snapshot ids are absent from the projection
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == list(
+        range(cur - 2, cur + 1)
+    )
+    head = meta["snapshots"][-1]
+    # walk manifest-list → manifests → data files: all live files visible
+    seen: set[str] = set()
+    with open(head["manifest-list"]) as f:
+        mlist = json.load(f)
+    for entry in mlist:
+        with open(entry["manifest-path"]) as f:
+            man = json.load(f)
+        seen |= {e["data-file"]["file-path"] for e in man["entries"]}
+    assert seen == set(vt.files())
+    # totals seeded from the full retained file list, not just added
+    assert int(head["summary"]["total-records"]) == 4
+    assert int(head["summary"]["total-data-files"]) == len(vt.files())
+
+
+def test_show_snapshots_falls_back_when_projection_stale(engine):
+    """SHOW SNAPSHOTS serves the engine manifests (source of truth) when
+    the best-effort Iceberg projection lags the current version."""
+    engine.execute("DROP TABLE IF EXISTS st;")
+    engine.execute("CREATE TABLE st (id int32);")
+    engine.execute("INSERT INTO st (id) VALUES (1);")
+    engine.execute("INSERT INTO st (id) VALUES (2);")
+    name = engine._qualify("st")
+    vt = _vt(engine, name)
+    # simulate a failed emission: roll the projection hint back one version
+    hint = os.path.join(iceberg_meta.meta_dir(vt), "version-hint.text")
+    with open(hint, "w") as f:
+        f.write(str(vt.current_version() - 1))
+    r = engine.execute("SHOW SNAPSHOTS FROM st;")
+    versions = [row[0] for row in r.rows]
+    # current head present despite the stale projection (which stops one
+    # version short); the projection alone would have omitted it
+    assert versions[-1] == vt.current_version()
+    assert versions == list(range(1, vt.current_version() + 1))

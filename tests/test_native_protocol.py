@@ -345,3 +345,93 @@ def test_connection_pool(server):
     pool.close()
     with _pytest.raises(RuntimeError):
         pool.acquire()
+
+
+# ------------------------------------------- per-query database scoping
+def test_query_database_not_sticky(server, engine, client):
+    """The query frame's database scopes name resolution for that
+    statement only (connection.go passes query.Database in a per-query
+    QueryContext) — it must not mutate the shared session database."""
+    engine.spark.catalog.setCurrentDatabase("default")
+    # client's connection database is 'nat'; unqualified name resolves there
+    r = client.query("SELECT count(*) AS n FROM people")
+    assert int(r["rows"][0][0]) >= 2
+    # ...and the engine's session database is untouched afterwards
+    assert engine.spark.catalog.currentDatabase() == "default"
+
+
+def test_query_unknown_database_is_typed_error(client):
+    with pytest.raises(RuntimeError) as ei:
+        ns_client = client  # connection db is valid; override per query
+        ns_client._send(
+            ns.CLIENT_QUERY,
+            ns.pack_client_query("SELECT 1 AS one", "", "no_such_db"),
+        )
+        while True:
+            sig, payload = ns_client._read()
+            if sig == ns.SERVER_EXCEPTION:
+                e = ns.unpack_server_exception(payload)
+                raise RuntimeError(e["message"])
+            if sig == ns.SERVER_END_OF_STREAM:
+                break
+    assert "no_such_db" in str(ei.value)
+
+
+def test_batch_insert_rejects_non_literal_numeric(server):
+    """A numeric-typed value that is not a bare literal must not be
+    spliced into the VALUES list (it would reshape the statement); it is
+    quoted and rejected by the engine's validation instead."""
+    c = ns.NativeClient("127.0.0.1", server.port, database="nat")
+    c.insert(
+        "people",
+        ["id", "name", "score"],
+        [("1), (999", "mallory", "1.0")],
+    )
+    sig, payload = c._read()
+    assert sig == ns.SERVER_EXCEPTION
+    # data failure terminates the connection (connection.go returns err)
+    with pytest.raises(ConnectionError):
+        c.query("SELECT 1")
+    c.close()
+    # and nothing landed — neither the malformed row nor a phantom id=999
+    c2 = ns.NativeClient("127.0.0.1", server.port, database="nat")
+    r = c2.query(
+        "SELECT count(*) AS n FROM nat.people WHERE name = 'mallory' OR id = 999"
+    )
+    assert r["rows"] == [("0",)]
+    c2.close()
+
+
+def test_concurrent_database_scoping_no_crosstalk(server, engine):
+    """Two connections with different query databases racing unqualified
+    queries: each must resolve in its own database every time (the old
+    sticky-USE implementation fails this)."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS natb;")
+    engine.execute(
+        "CREATE TABLE IF NOT EXISTS natb.people (id int32, name string, score float64);"
+    )
+    engine.execute("INSERT INTO natb.people (id, name, score) VALUES (500, 'only-b', 0.0);")
+    errs: list[str] = []
+
+    def worker(db: str, pred: str) -> None:
+        c = ns.NativeClient("127.0.0.1", server.port, database=db)
+        try:
+            for _ in range(5):
+                r = c.query(f"SELECT count(*) AS n FROM people WHERE {pred}")
+                if r["rows"][0][0] != "1":
+                    errs.append(f"{db}: got {r['rows']}")
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"{db}: {e}")
+        finally:
+            c.close()
+
+    threads = [
+        threading.Thread(target=worker, args=("nat", "id = 1")),
+        threading.Thread(target=worker, args=("natb", "id = 500")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    engine.spark.sql("DROP DATABASE IF EXISTS natb CASCADE")
+    assert not errs, errs
