@@ -203,6 +203,112 @@ def parse_bmp_pixels(payload: bytes) -> dict | None:
     }
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor from the public PNG spec (RFC 2083 §6.6):
+    pick whichever of left/up/up-left is closest to a+b-c, ties
+    resolving left, then up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def parse_png_pixels(payload: bytes) -> dict | None:
+    """REAL pixel-level PNG decode with only stdlib zlib (no media
+    library): walks the chunk stream (BE32 length + tag + data + CRC),
+    reads IHDR (dims, bit depth, color type), concatenates IDAT chunks,
+    inflates the zlib stream, then unfilters each scanline — filter
+    types 0-4 per RFC 2083 §6, Paeth included — and returns per-channel
+    means over the reconstructed pixels. 8-bit non-interlaced images
+    only (the dominant layout); chunk CRCs are not verified — the zlib
+    adler32 already integrity-checks the pixel stream.
+
+    The image analog of parse_wav_pcm: PNG is deflate all the way down,
+    so the full decode is feasible in pure Python, unlike JPEG's DCT
+    (still library-gated in `decode`)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = 0
+    channels = 0
+    idat = b""
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if tag == b"IHDR":
+            if ln < 13:
+                return None
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+            channels = _PNG_CHANNELS.get(color, 0)
+            if not channels:
+                return None
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # length + tag + data + CRC
+    if not (width and height and channels and idat):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        return None
+    prev = bytes(stride)  # row above the first row is all zeros (spec)
+    sums = [0] * channels
+    rp = 0
+    for _y in range(height):
+        ftype = raw[rp]
+        rp += 1
+        line = bytearray(raw[rp : rp + stride])
+        rp += stride
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ftype != 0:
+            return None  # undefined filter type
+        for i in range(stride):
+            sums[i % channels] += line[i]
+        prev = bytes(line)
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "n_pixels": n,
+        "means": [s / n for s in sums],
+    }
+
+
 def parse_gif_frames(payload: bytes) -> int | None:
     """REAL GIF block walk (public GIF89a spec): header + logical screen
     descriptor (+ global color table if flagged), then a block stream of
@@ -376,6 +482,37 @@ def decode_bmp_pixel_stats(
                             f"{s['mean_r']:.4f}",
                             f"{s['mean_g']:.4f}",
                             f"{s['mean_b']:.4f}",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in BMP_PIXEL_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, BMP_PIXEL_SCHEMA)
+
+
+def decode_png_pixel_stats(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Arrow-batched real PNG decode (inflate + unfilter) → per-image
+    RGB channel means. Non-RGB or undecodable payloads are dropped."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = parse_png_pixels(bytes(p))
+                if s is not None and s["channels"] == 3:
+                    rows.append(
+                        (
+                            int(i),
+                            s["n_pixels"],
+                            f"{s['means'][0]:.4f}",
+                            f"{s['means'][1]:.4f}",
+                            f"{s['means'][2]:.4f}",
                         )
                     )
             yield pd.DataFrame(

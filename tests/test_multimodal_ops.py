@@ -206,3 +206,123 @@ def test_parse_wav_pcm_walk():
     assert parse_wav_pcm(wav([1], bits=8)) is None
     nodata = b"RIFF" + (4 + len(fmt_chunk())).to_bytes(4, "little") + b"WAVE" + fmt_chunk()
     assert parse_wav_pcm(nodata) is None
+
+
+def _make_png(width, height, px, row_filters, color=2, depth=8):
+    """Build a real PNG (zlib-compressed, correct CRCs) with a chosen
+    filter type per row; px[y][x] = channel tuple."""
+    import struct
+    import zlib
+
+    chans = len(px[0][0])
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(height):
+        cur = b"".join(bytes(p) for p in px[y])
+        prev = (
+            b"".join(bytes(p) for p in px[y - 1])
+            if y > 0
+            else bytes(width * chans)
+        )
+        ftype = row_filters[y]
+        raw.append(ftype)
+        for i in range(len(cur)):
+            a = cur[i - chans] if i >= chans else 0
+            b = prev[i]
+            c = prev[i - chans] if i >= chans else 0
+            pred = [0, a, b, (a + b) >> 1, paeth(a, b, c)][ftype]
+            raw.append((cur[i] - pred) & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_parse_png_pixels_all_filters():
+    """Round-trip through every scanline filter type (0-4) on a real
+    zlib-compressed PNG; means must equal the pre-filter pixels'."""
+    from ranger_spark.operators.multimodal import parse_png_pixels
+
+    W, H = 3, 5
+    px = [
+        [
+            ((13 * y + 7 * x) % 256, (91 * y + 3 * x) % 256, (201 * y + 57 * x) % 256)
+            for x in range(W)
+        ]
+        for y in range(H)
+    ]
+    s = parse_png_pixels(_make_png(W, H, px, row_filters=[0, 1, 2, 3, 4]))
+    exp = [
+        sum(px[y][x][c] for y in range(H) for x in range(W)) / (W * H)
+        for c in range(3)
+    ]
+    assert s is not None
+    assert (s["width"], s["height"], s["n_pixels"]) == (W, H, W * H)
+    assert s["means"] == exp
+
+
+def test_parse_png_pixels_paeth_branches():
+    """Pixel values chosen so the Paeth predictor takes all three
+    branches (left / up / up-left) across the second row."""
+    from ranger_spark.operators.multimodal import parse_png_pixels
+
+    # grayscale (1 channel) keeps the neighbor geometry easy to steer
+    px = [
+        [(10,), (90,), (200,)],
+        [(12,), (88,), (150,)],
+    ]
+    s = parse_png_pixels(_make_png(3, 2, px, row_filters=[0, 4], color=0))
+    exp = [(10 + 90 + 200 + 12 + 88 + 150) / 6]
+    assert s is not None and s["channels"] == 1 and s["means"] == exp
+
+
+def test_parse_png_pixels_split_idat_and_rejects():
+    from ranger_spark.operators.multimodal import parse_png_pixels
+    import struct
+    import zlib
+
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    whole = _make_png(2, 2, px, row_filters=[0, 0])
+    # split the IDAT payload into two chunks — decoders must concatenate
+    sig, rest = whole[:8], whole[8:]
+    ln = struct.unpack(">I", rest[:4])[0]
+    ihdr, rest = rest[: 12 + ln], rest[12 + ln :]
+    ln = struct.unpack(">I", rest[:4])[0]
+    z = rest[8 : 8 + ln]
+    iend = rest[12 + ln :]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    split = sig + ihdr + chunk(b"IDAT", z[:5]) + chunk(b"IDAT", z[5:]) + iend
+    s = parse_png_pixels(split)
+    assert s is not None and s["means"] == [5.5, 6.5, 7.5]
+
+    assert parse_png_pixels(b"not a png") is None
+    # corrupt zlib stream → None, not an exception
+    bad = sig + ihdr + chunk(b"IDAT", b"\x00garbage") + iend
+    assert parse_png_pixels(bad) is None
+    # 16-bit depth unsupported → None
+    px1 = [[(1,)]]
+    assert parse_png_pixels(_make_png(1, 1, px1, [0], color=0, depth=16)) is None
