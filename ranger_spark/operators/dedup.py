@@ -317,6 +317,176 @@ def minhash_lsh_dedup(
     return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
 
 
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup over snapshots (the 100 TB ingest pattern)
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> dict[str, DataFrame]:
+    """One-time signature store for incremental dedup — the three tables a
+    production deployment persists alongside the corpus so each ingest
+    batch is deduped touching only O(delta):
+
+    - ``fingerprints``: (fp) distinct md5 of normalized text — exact-dup
+      membership test for new docs (16 B/doc).
+    - ``doc_shingles``: (id, __shs array, n_sh) per exact-dedup
+      representative — the Jaccard-verify side table (id-keyed).
+    - ``bands``: (id, band, band_key) LSH index — at scale, written
+      bucketed by band_key so delta probes are shuffle-free on the
+      stored side.
+
+    Maintained incrementally: after each batch, append the batch's rows
+    to all three (the same frames incremental_minhash_dedup computes).
+
+    ≈ the streaming half of the reference's Astha CDC fan-out
+    (server/astha/README.md): registry change → subscriber updates a
+    derived structure; here snapshot-diff → signature-store append."""
+    base = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    )
+    fps = base.select(F.md5("__norm").alias("fp")).distinct()
+    reps = base.groupBy(F.md5("__norm").alias("__fp")).agg(
+        F.min(id_col).alias(id_col),
+        F.first("__norm").alias("__norm"),
+    )
+    sh = (
+        reps.select(F.col(id_col), tokenize(F.col("__norm")).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col("__toks"), shingle_k)).alias("shingle"),
+        )
+        .select(id_col, base_hash32(F.col("shingle")).alias("sh_hash"))
+    )
+    params = _affine_params(num_hashes)
+    doc = sh.groupBy(id_col).agg(
+        F.collect_list("sh_hash").alias("__shs"),
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(
+                (F.lit(a) * F.col("sh_hash") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    return {
+        "fingerprints": fps,
+        "doc_shingles": doc.select(id_col, "__shs", "n_sh"),
+        "bands": lsh_bands(doc, id_col, num_hashes, bands),
+    }
+
+
+def incremental_minhash_dedup(
+    store: dict[str, DataFrame],
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs introduced by an ingest DELTA, computed against the
+    persisted signature store WITHOUT re-signing the corpus — the actual
+    100 TB ingest pattern (full-corpus re-dedup per batch is O(corpus);
+    this is O(delta) + delta-driven probes of three id/key-indexed
+    tables).
+
+    Stages: (1) exact-collapse the delta and drop docs whose fingerprint
+    already exists in the corpus (those are exact dups, caught without
+    shingling); (2) shingle + minhash ONLY the surviving delta reps;
+    (3) probe the delta's band keys against stored ∪ delta bands — pairs
+    where both sides are old never form, matching "report only what the
+    batch introduces"; (4) exact-Jaccard verify against the stored
+    per-doc shingle arrays ∪ the delta's. Output (id_a < id_b, jaccard ≥
+    threshold) — the same contract as minhash_lsh_dedup restricted to
+    pairs involving ≥1 new doc.
+
+    Every shuffle is delta-sized except the band probe's stored side,
+    which a bucketed-by-band_key store keeps exchange-free."""
+    new_base = new_df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
+    )
+    new_reps = (
+        new_base.groupBy(F.md5("__norm").alias("fp"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.first("__norm").alias("__norm"),
+        )
+        .join(store["fingerprints"], "fp", "left_anti")
+    )
+    sh_new = (
+        new_reps.select(F.col(id_col), tokenize(F.col("__norm")).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col("__toks"), shingle_k)).alias("shingle"),
+        )
+        .select(id_col, base_hash32(F.col("shingle")).alias("sh_hash"))
+    )
+    params = _affine_params(num_hashes)
+    doc_new = sh_new.groupBy(id_col).agg(
+        F.collect_list("sh_hash").alias("__shs"),
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(
+                (F.lit(a) * F.col("sh_hash") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    from pyspark import StorageLevel
+
+    doc_new = doc_new.persist(StorageLevel.MEMORY_AND_DISK)
+    bnd_new = lsh_bands(doc_new, id_col, num_hashes, bands)
+    all_bnd = store["bands"].unionByName(bnd_new)
+    cands = (
+        bnd_new.select(F.col(id_col).alias("__id_n"), "band", "band_key")
+        .join(all_bnd, ["band", "band_key"])
+        .filter(F.col("__id_n") != F.col(id_col))
+        .select(
+            F.least("__id_n", id_col).alias("id_a"),
+            F.greatest("__id_n", id_col).alias("id_b"),
+        )
+        .distinct()
+    )
+    doc_all = store["doc_shingles"].unionByName(
+        doc_new.select(id_col, "__shs", "n_sh")
+    )
+    a = doc_all.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__shs").alias("__shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = doc_all.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__shs").alias("__shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__shs_a", "__shs_b"))
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.size(F.array_intersect("__shs_a", "__shs_b"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
+
+
 def ngram_jaccard_blocked(
     df: DataFrame,
     id_col: str,

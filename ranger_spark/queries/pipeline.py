@@ -127,6 +127,120 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_oracle() -> str:
+    """Same pipeline as _minhash_oracle, but representatives are formed
+    incrementally — old-corpus keepers plus new-batch keepers whose
+    fingerprint is unseen — and only pairs involving ≥1 new doc are
+    reported (old-old pairs were already found when the base was
+    deduped)."""
+    from ranger_spark.operators.dedup import MINHASH_PRIME, _affine_params
+
+    mins = ",\n           ".join(
+        f"min(({a} * sh_hash + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(_affine_params(_NUM_HASHES))
+    )
+    band_parts = []
+    for b in range(_BANDS):
+        cols = ", ".join(f"mh_{b * _R + j}" for j in range(_R))
+        band_parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    band_selects = "\n      UNION ALL\n      ".join(band_parts)
+    return f"""
+    WITH base_keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 4 <> 0 GROUP BY md5({_NORM})
+    ),
+    new_keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 4 = 0
+      GROUP BY md5({_NORM})
+      HAVING md5({_NORM}) NOT IN (
+        SELECT md5({_NORM}) FROM documents WHERE doc_id % 4 <> 0
+      )
+    ),
+    keep AS (SELECT doc_id FROM base_keep UNION ALL SELECT doc_id FROM new_keep),
+    reps AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM reps),
+    sh0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM sh0
+    ),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh_hash = sa.sh_hash
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= {_JACCARD_T}
+    """
+
+
+@register(
+    "dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "lsh", "snapshots", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup over REAL snapshots — the 100 TB ingest
+    pattern (VERDICT r4 item 8, ≈ the reference's Astha CDC fan-out,
+    server/astha/README.md): a two-snapshot VersionedTable fixture is
+    committed on the fly (snapshot 1 = docs with doc_id%4≠0 — the
+    existing corpus; snapshot 2 appends the doc_id%4=0 batch), the delta
+    is read back through the snapshot-diff API (`vt.incremental`), and
+    only that delta is shingled/minhashed against the base corpus's
+    signature store. The oracle recomputes the same semantics over the
+    flat table: keepers formed incrementally, LSH pairs restricted to
+    those involving ≥1 new doc."""
+    import os
+    import tempfile
+
+    from ranger_spark.operators.dedup import (
+        build_minhash_store,
+        incremental_minhash_dedup,
+    )
+    from ranger_spark.sources.snapshots import SnapshotTable
+
+    d = load(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="ranger_incr_dedup_")
+    vt = SnapshotTable(os.path.join(tmp, "docs"))
+    vt.append(d.filter("doc_id % 4 != 0"))  # snapshot 1: existing corpus
+    vt.append(d.filter("doc_id % 4 = 0"))   # snapshot 2: ingest batch
+
+    base = vt.read(spark, version=1)
+    delta = vt.incremental(spark, from_version=1)  # snapshot-diff CDC read
+    store = build_minhash_store(
+        base, "doc_id", "text",
+        shingle_k=2, num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    return incremental_minhash_dedup(
+        store, delta, "doc_id", "text",
+        shingle_k=2, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=_JACCARD_T,
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""

@@ -560,3 +560,34 @@ def test_repetition_and_entropy_match_python_reference(spark):
         ), f"doc {i}"
         chars = Counter(t)
         assert ent[i] == (ref_entropy(chars), ref_entropy(Counter(toks))), f"doc {i}"
+
+
+def test_incremental_minhash_matches_full_restricted(spark):
+    """Incremental dedup (delta signed against the persisted store) must
+    find exactly the pairs a full-corpus run finds that involve ≥1 delta
+    doc — the invariant that makes per-batch O(delta) dedup sound."""
+    from ranger_spark.operators.dedup import (
+        build_minhash_store,
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = d.filter("doc_id % 4 != 0")
+    delta = d.filter("doc_id % 4 = 0")
+
+    store = build_minhash_store(base, "doc_id", "text")
+    inc = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_dedup(
+            store, delta, "doc_id", "text", threshold=0.05
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_dedup(
+            d, "doc_id", "text", threshold=0.05
+        ).collect()
+        if r.id_a % 4 == 0 or r.id_b % 4 == 0
+    }
+    assert inc == full
