@@ -170,6 +170,75 @@ def _scale_section(spark, registry, names, sf_dir: str) -> dict:
     }
 
 
+def _bucketed_section(spark, registry, replica_dir: str, scale: dict) -> dict:
+    """Star joins on the opt-in bucketed layout (VERDICT r4 item 2): the
+    lineitem/orders facts are rewritten bucketed by order key (once,
+    cached next to the replica), the queries opt in via
+    spark.ranger.bucketed.db, and the fact-fact join plans with zero
+    Exchange — the layout answer to the shuffle that dominates q5/q3/q18
+    at scale. Records per-query seconds, Exchange counts plain vs
+    bucketed, and the DuckDB ratio on the same data."""
+    from ranger_spark.plans.inspect import num_exchanges
+    from ranger_spark.sources.bucketing import ensure_bucketed_layout
+
+    names = [
+        n
+        for n in ("q5_region_revenue", "q3_shipping_priority", "q18_large_orders")
+        if n in registry
+    ]
+    db = "bkt_bench"
+    buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
+    t0 = time.time()
+    ensure_bucketed_layout(spark, replica_dir, db, buckets=buckets)
+    build_s = round(time.time() - t0, 1)
+    exchanges: dict[str, dict[str, int]] = {}
+    for n in names:
+        plain_ex = num_exchanges(registry[n].builder(spark, replica_dir))
+        spark.conf.set("spark.ranger.bucketed.db", db)
+        try:
+            bucket_ex = num_exchanges(registry[n].builder(spark, replica_dir))
+        finally:
+            spark.conf.set("spark.ranger.bucketed.db", "")
+        exchanges[n] = {"plain": plain_ex, "bucketed": bucket_ex}
+    spark.conf.set("spark.ranger.bucketed.db", db)
+    try:
+        spark_t = _bench_spark(spark, registry, names, replica_dir)
+    finally:
+        spark.conf.set("spark.ranger.bucketed.db", "")
+    # DuckDB on the same files: reuse the scale section's numbers where
+    # present (same data, same warm protocol), time the rest
+    duck_t = {n: scale.get("duckdb", {}).get(n) for n in names}
+    missing = [n for n in names if not duck_t.get(n)]
+    if missing:
+        duck_t.update(_bench_duckdb(registry, missing, replica_dir))
+    # the focused claim: the lineitem⋈orders fact-fact join alone plans
+    # with zero Exchange on the bucketed layout
+    from pyspark.sql import functions as F
+
+    from ranger_spark.tables import load as load_table
+
+    spark.conf.set("spark.ranger.bucketed.db", db)
+    try:
+        fact_join = load_table(spark, replica_dir, "orders").join(
+            load_table(spark, replica_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        fact_join_ex = num_exchanges(fact_join)
+    finally:
+        spark.conf.set("spark.ranger.bucketed.db", "")
+    return {
+        "buckets": buckets,
+        "layout_build_s": build_s,
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "exchanges": exchanges,
+        "per_query_ratio": {
+            n: round(spark_t[n] / duck_t[n], 2) for n in names if duck_t.get(n)
+        },
+        "fact_join_exchanges": fact_join_ex,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -201,6 +270,20 @@ def main() -> None:
             result["scale16"] = _scale_section(spark, registry, names, sf_dir)
         except Exception as e:  # bench must still emit the contract line
             result["scale16"] = {"error": str(e)[:300]}
+        if "error" not in result["scale16"]:
+            try:
+                factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "16"))
+                tag = os.path.basename(sf_dir.rstrip("/"))
+                replica = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    ".benchcache",
+                    f"{tag}_x{factor}",
+                )
+                result["bucketed"] = _bucketed_section(
+                    spark, registry, replica, result["scale16"]
+                )
+            except Exception as e:
+                result["bucketed"] = {"error": str(e)[:300]}
     print(json.dumps(result))
     spark.stop()
 

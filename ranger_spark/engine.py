@@ -252,6 +252,16 @@ class Engine:
             ddl = f"CREATE TABLE {name} ({cols}) USING parquet"
             if entry.get("partition_by"):
                 ddl += " PARTITIONED BY (" + ", ".join(entry["partition_by"]) + ")"
+            rec_cluster = (entry.get("settings") or {}).get("clustered_by")
+            if rec_cluster:
+                # bucket spec must be re-declared or the recovered table's
+                # files (bucket-id named) would be read as unbucketed and
+                # lose the co-located-join property
+                rec_n = int((entry.get("settings") or {}).get("buckets", 16))
+                ddl += (
+                    f" CLUSTERED BY ({rec_cluster})"
+                    f" SORTED BY ({rec_cluster}) INTO {rec_n} BUCKETS"
+                )
             location = entry["location"]
             if entry.get("versioned"):
                 # versioned tables: the catalog points INTO the current
@@ -863,6 +873,75 @@ class Engine:
                         VALIDATION_FAILED,
                         f"invalid {key}: {settings[key]!r}",
                     ) from None
+        if "column_compression" in settings:
+            overrides = self._parse_column_compression(
+                settings["column_compression"]
+            )
+            codecs = {c for c in overrides.values()}
+            default = settings.get("compression", "").lower()
+            if default:
+                codecs.add(default)
+            if len(codecs) > 1:
+                # the reference applies per-column codecs natively
+                # (parquet/compression.go:103-109 GetCompressionForColumn);
+                # Spark's parquet writer sets ONE codec per file with no
+                # per-column hook, so differing codecs cannot be honored —
+                # fail fast instead of silently writing the default.
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    "column_compression with differing codecs is not "
+                    "supported: Spark's parquet writer applies one codec "
+                    f"per file (requested {sorted(codecs)}); use a single "
+                    "codec, or split columns across tables",
+                )
+        if "buckets" in settings:
+            try:
+                if int(settings["buckets"]) <= 0:
+                    raise ValueError
+            except ValueError:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"invalid buckets: {settings['buckets']!r} "
+                    "(positive integer required)",
+                ) from None
+            if "clustered_by" not in settings:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    "buckets requires clustered_by = '<column>'",
+                )
+
+    def _parse_column_compression(self, v: str) -> dict[str, str]:
+        """``'col:codec, col2:codec2'`` → {col: codec}, each codec
+        validated against the supported set (reference
+        ParquetConfig.ColumnCompression, compression.go:103-109)."""
+        out: dict[str, str] = {}
+        for part in str(v).split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if ":" not in part:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"invalid column_compression entry {part!r} "
+                    "(expected 'column:codec')",
+                )
+            col, codec = (s.strip() for s in part.split(":", 1))
+            codec = codec.lower()
+            if codec == "brotli":
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    "compression 'brotli' requires a codec library not "
+                    "present in this deployment (reference "
+                    "compression.go:46 supports it natively)",
+                )
+            if codec not in self._PARQUET_CODECS:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"unsupported compression type: '{codec}' "
+                    f"(column '{col}')",
+                )
+            out[col] = codec
+        return out
 
     @staticmethod
     def _parse_bytes(v) -> int:
@@ -903,6 +982,12 @@ class Engine:
         codec = s.get("compression", "").lower()
         if codec in self._PARQUET_CODECS:
             out["compression"] = self._PARQUET_CODECS[codec]
+        elif "column_compression" in s:
+            # uniform per-column overrides (single-codec, validated at
+            # CREATE) are honored as the file codec
+            ov = set(self._parse_column_compression(s["column_compression"]).values())
+            if len(ov) == 1:
+                out["compression"] = self._PARQUET_CODECS[next(iter(ov))]
         if "max_records_per_file" in s:
             out["maxRecordsPerFile"] = str(int(s["max_records_per_file"]))
         elif "max_file_size" in s:
@@ -971,6 +1056,24 @@ class Engine:
         ddl = f"CREATE TABLE {name} ({spark_cols}) USING parquet"
         if opts["partition_by"]:
             ddl += " PARTITIONED BY (" + ", ".join(opts["partition_by"]) + ")"
+        # SETTINGS clustered_by='key'[, buckets=N] → a bucketed layout:
+        # INSERTs (insertInto honors the metastore bucket spec) land files
+        # pre-hash-partitioned on the key, so joins and aggregations on it
+        # plan with NO Exchange on this side — the 100 TB co-location story
+        # for fact-fact joins (sources/bucketing.py; the reference always
+        # writes an empty partition spec, SURVEY §1.3, so this exceeds).
+        clustered_by = opts["settings"].get("clustered_by")
+        if clustered_by:
+            if clustered_by not in {c for c, _, _ in columns}:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"clustered_by column '{clustered_by}' is not in the schema",
+                )
+            n_buckets = int(opts["settings"].get("buckets", 16))
+            ddl += (
+                f" CLUSTERED BY ({clustered_by})"
+                f" SORTED BY ({clustered_by}) INTO {n_buckets} BUCKETS"
+            )
         props = dict(opts["settings"])
         props["ranger.storage"] = opts["storage"]
         if opts["order_by"]:
@@ -980,6 +1083,23 @@ class Engine:
             # Spark-native property: every write to this table (including
             # plain insertInto) picks up the codec without per-write opts
             props["parquet.compression"] = self._PARQUET_CODECS[codec]
+        if "column_compression" in opts["settings"]:
+            overrides = self._parse_column_compression(
+                opts["settings"]["column_compression"]
+            )
+            declared = {c for c, _, _ in columns}
+            for col in overrides:
+                if col not in declared:
+                    raise RangerError(
+                        VALIDATION_FAILED,
+                        f"column_compression column '{col}' is not in the schema",
+                    )
+            if not codec and overrides:
+                # uniform overrides (validated single-codec) are
+                # expressible as the file codec; differing codecs were
+                # rejected in _validate_settings
+                only = next(iter(set(overrides.values())))
+                props["parquet.compression"] = self._PARQUET_CODECS[only]
         prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
         ddl += f" TBLPROPERTIES ({prop_str})"
         # explicit LOCATION so the table survives catalog loss and
@@ -1109,10 +1229,14 @@ class Engine:
             opts["order_by"] = [c.strip() for c in m.group(1).split(",")]
         m = re.search(r"\bSETTINGS\s+(.+)$", tail, re.I | re.S)
         if m:
-            for kv in m.group(1).split(","):
-                if "=" in kv:
-                    k, v = kv.split("=", 1)
-                    opts["settings"][k.strip()] = v.strip().strip("'\"")
+            # key = value pairs; quoted values may contain commas
+            # (column_compression = 'a:zstd, b:gzip')
+            for kv in re.finditer(
+                r"(\w+)\s*=\s*('(?:[^']|'')*'|\"[^\"]*\"|[^,]+)", m.group(1)
+            ):
+                opts["settings"][kv.group(1).strip()] = (
+                    kv.group(2).strip().strip("'\"")
+                )
         return opts
 
     def _drop_table(self, sql: str) -> QueryResult:
@@ -1754,6 +1878,20 @@ class Engine:
         'cannot overwrite a table being read' problem disappears because
         the scan reads the old dir while the write targets the new one."""
         import os
+
+        if (entry.get("settings") or {}).get("clustered_by"):
+            # a rewrite would emit files without the bucket-id naming the
+            # metastore spec promises — readers would then mis-assign rows
+            # to buckets and co-located joins would silently drop matches.
+            # Bucketed tables are append-only until a bucket-aware rewrite
+            # exists; fail fast with a typed error instead.
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"table '{name}' has a bucketed layout (clustered_by); "
+                "UPDATE/DELETE/MERGE/OPTIMIZE are not supported on "
+                "bucketed tables — recreate without clustered_by for "
+                "rewrite workloads",
+            )
 
         root = entry["location"]
         new_dir = os.path.join(

@@ -105,9 +105,18 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
+    if spark.conf.get("spark.ranger.bucketed.db", ""):
+        # co-located fact-fact join first (zero Exchange on both sides),
+        # then one shuffle of the joined stream by custkey
+        joined = orders.join(
+            li, F.col("l_orderkey") == F.col("o_orderkey")
+        ).join(cust, F.col("c_custkey") == F.col("o_custkey"))
+    else:
+        joined = cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey")
+        ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        joined
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_net()), 2).alias("revenue"))
         .select(
@@ -150,10 +159,20 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     nation = F.broadcast(load(spark, sf_dir, "nation"))
     region = F.broadcast(load(spark, sf_dir, "region"))
+    if spark.conf.get("spark.ranger.bucketed.db", ""):
+        # bucketed layout: lineitem⋈orders are co-located on the order
+        # key, so joining the two FACT tables first runs with zero
+        # Exchange on either side — the shuffle that dominates this query
+        # at scale (VERDICT r4 item 2). The dimension joins after it move
+        # the (already filtered+joined) fact stream once by custkey.
+        facts = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        joined = facts.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+    else:
+        joined = cust.join(
+            orders, F.col("c_custkey") == F.col("o_custkey")
+        ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
+        joined.join(
             supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),

@@ -215,9 +215,20 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
     )
     c = load(spark, sf_dir, "customer")
+    if spark.conf.get("spark.ranger.bucketed.db", ""):
+        # bucketed layout: the HAVING aggregation, the semi-join, and the
+        # orders⋈lineitem join are ALL keyed on the bucket column — the
+        # whole fact pipeline runs exchange-free; only the final customer
+        # join moves data (by custkey)
+        joined = o.join(li, F.col("o_orderkey") == li["l_orderkey"]).join(
+            c, F.col("c_custkey") == F.col("o_custkey")
+        )
+    else:
+        joined = c.join(o, F.col("c_custkey") == F.col("o_custkey")).join(
+            li, F.col("o_orderkey") == li["l_orderkey"]
+        )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        joined
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))

@@ -40,3 +40,61 @@ def colocated_join(
     spark.sql.sources.bucketing.enabled (default true) and matching bucket
     counts this plans with no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+# star-join fact tables and their co-location key (lineitem⋈orders is the
+# one fact-fact join in the TPC-H-shaped workload; everything else is a
+# broadcastable or much smaller dimension)
+FACT_BUCKETS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def ensure_bucketed_layout(
+    spark: SparkSession,
+    src_dir: str,
+    db: str,
+    buckets: int = 32,
+    tables: dict[str, str] | None = None,
+    layout_dir: str | None = None,
+) -> None:
+    """Build (once) and register a bucketed copy of the fact tables from
+    ``src_dir``'s parquet files, for use via ``spark.ranger.bucketed.db``.
+
+    Files are written next to the source under ``<src_dir>/.bucketed_N``
+    with bucket-id file naming (bucketBy + saveAsTable through an
+    external path), so the build cost is paid once; later sessions —
+    whose in-memory metastore forgot the tables — just re-register the
+    bucket spec over the existing files (CREATE TABLE ... CLUSTERED BY
+    ... LOCATION), which Spark honors because the bucket id is encoded
+    in the file names. Idempotent and cheap when already built."""
+    import os
+
+    tables = dict(FACT_BUCKETS) if tables is None else tables
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # layout files default next to the source; pass layout_dir when the
+    # source directory is read-only
+    root = layout_dir or os.path.join(src_dir, f".bucketed_{buckets}")
+    for name, key in tables.items():
+        qual = f"{db}.{name}"
+        if spark.catalog.tableExists(qual):
+            continue
+        loc = os.path.join(root, name)
+        built = os.path.exists(os.path.join(loc, "_SUCCESS"))
+        if built:
+            df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {qual} ({cols}) USING parquet"
+                f" CLUSTERED BY ({key}) SORTED BY ({key})"
+                f" INTO {buckets} BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            (
+                spark.read.parquet(f"{src_dir}/{name}.parquet")
+                .write.mode("overwrite")
+                .bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", loc)
+                .saveAsTable(qual)
+            )

@@ -33,9 +33,24 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; the scan prunes columns/filters pushed by
-    the caller's plan."""
+    the caller's plan.
+
+    Opt-in bucketed layout: when ``spark.ranger.bucketed.db`` names a
+    database holding a bucketed copy of this table (same rows, written
+    via sources/bucketing), the metastore table is served instead — its
+    bucket spec lets Catalyst elide the Exchange on this side of joins
+    and aggregations keyed on the bucket column. The caller opting in is
+    responsible for the copy being in sync with sf_dir (bench builds it
+    from the exact same files)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    bdb = spark.conf.get("spark.ranger.bucketed.db", "")
+    if bdb:
+        try:
+            if spark.catalog.tableExists(f"{bdb}.{name}"):
+                return spark.table(f"{bdb}.{name}")
+        except Exception:
+            pass
     if name == "events":
         # some testdata generations store ts as TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects by default; allow it as long

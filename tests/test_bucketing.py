@@ -31,3 +31,96 @@ def test_bucketed_join_has_no_shuffle(spark, engine):
     )
     assert agg.count() == plain
     spark.sql("DROP DATABASE btest CASCADE")
+
+
+def test_engine_clustered_by_settings(engine, spark):
+    """CLUSTERED BY as engine DDL (SETTINGS clustered_by/buckets): inserts
+    land bucket-hashed files, a join of two co-clustered tables plans
+    exchange-free, and rewrite statements fail fast (a rewrite would break
+    the bucket-file naming the metastore spec promises)."""
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS bset;")
+    engine.execute(
+        "CREATE TABLE bset.li (k int64, qty float64) "
+        "SETTINGS clustered_by = 'k', buckets = 4;"
+    )
+    engine.execute(
+        "CREATE TABLE bset.orders (k int64, price float64) "
+        "SETTINGS clustered_by = 'k', buckets = 4;"
+    )
+    engine.execute(
+        "INSERT INTO bset.li (k, qty) VALUES "
+        + ", ".join(f"({i % 7}, {i}.5)" for i in range(40))
+        + ";"
+    )
+    engine.execute(
+        "INSERT INTO bset.orders (k, price) VALUES "
+        + ", ".join(f"({i}, {i}.0)" for i in range(7))
+        + ";"
+    )
+    j = spark.table("bset.li").join(spark.table("bset.orders"), "k")
+    assert num_exchanges(j) == 0
+    assert j.count() == 40
+    # groupBy on the bucket key is exchange-free too
+    g = spark.table("bset.li").groupBy("k").count()
+    assert num_exchanges(g) == 0
+    # rewrites are append-only-gated
+    with _pytest.raises(RangerError, match="bucketed layout"):
+        engine.execute("UPDATE bset.li SET qty = 0 WHERE k = 1;")
+    with _pytest.raises(RangerError, match="bucketed layout"):
+        engine.execute("DELETE FROM bset.li WHERE k = 1;")
+    # validation: buckets without clustered_by, bad bucket count
+    with _pytest.raises(RangerError, match="clustered_by"):
+        engine.execute("CREATE TABLE bset.bad (a int32) SETTINGS buckets = 4;")
+    with _pytest.raises(RangerError, match="not in the schema"):
+        engine.execute(
+            "CREATE TABLE bset.bad2 (a int32) SETTINGS clustered_by = 'zz';"
+        )
+    engine.spark.sql("DROP DATABASE bset CASCADE")
+
+
+def test_engine_clustered_survives_recovery(engine, spark):
+    """recover() must re-declare the bucket spec, or the recovered table's
+    bucket-id-named files read as unbucketed and co-location is lost."""
+    from ranger_spark.engine import Engine
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS brec;")
+    engine.execute(
+        "CREATE TABLE brec.t (k int64, v string) "
+        "SETTINGS clustered_by = 'k', buckets = 4;"
+    )
+    engine.execute(
+        "INSERT INTO brec.t (k, v) VALUES (1, 'a'), (2, 'b'), (1, 'c');"
+    )
+    spark.sql("DROP TABLE brec.t")  # simulate metastore loss
+    e2 = Engine(spark)
+    assert e2.recover() >= 1
+    g = spark.table("brec.t").groupBy("k").count()
+    assert num_exchanges(g) == 0
+    assert spark.table("brec.t").count() == 3
+    engine.spark.sql("DROP DATABASE brec CASCADE")
+
+
+def test_bucketed_layout_star_join_queries(spark):
+    """q18 through the opt-in bucketed layout: identical rows, zero
+    Exchange in the whole fact pipeline (agg + semi-join + fact join)."""
+    import tempfile
+
+    from ranger_spark.queries import load_all
+    from ranger_spark.sources.bucketing import ensure_bucketed_layout
+
+    reg = load_all()
+    lay = tempfile.mkdtemp(prefix="blayout_")
+    ensure_bucketed_layout(spark, SF_DIR, "bkt_q", buckets=8, layout_dir=lay)
+    plain = reg["q18_large_orders"].builder(spark, SF_DIR).collect()
+    spark.conf.set("spark.ranger.bucketed.db", "bkt_q")
+    try:
+        bdf = reg["q18_large_orders"].builder(spark, SF_DIR)
+        assert num_exchanges(bdf) == 0
+        assert sorted(map(tuple, bdf.collect())) == sorted(map(tuple, plain))
+    finally:
+        spark.conf.set("spark.ranger.bucketed.db", "")
+    spark.sql("DROP DATABASE bkt_q CASCADE")

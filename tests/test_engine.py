@@ -651,3 +651,58 @@ def test_optimize_compacts_small_files(engine):
     with pytest.raises(RangerError):
         strict.execute("OPTIMIZE opt_t;")
     engine.execute("DROP TABLE opt_t;")
+
+
+def test_column_compression_overrides(engine, spark):
+    """Per-column compression (reference compression.go:103-109): a
+    uniform override set is honored (footer-checked); differing codecs
+    fail fast with the documented Spark-writer limitation; bad codecs
+    and unknown columns are typed validation errors."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS ccomp;")
+    engine.execute(
+        "CREATE TABLE ccomp.t (a int32, b string) "
+        "SETTINGS column_compression = 'a:zstd, b:zstd';"
+    )
+    engine.execute("INSERT INTO ccomp.t (a, b) VALUES (1, 'x'), (2, 'y');")
+    loc = engine._manifest["tables"][engine._qualify("ccomp.t")]["location"]
+    files = glob.glob(f"{loc}/**/*.parquet", recursive=True)
+    assert files
+    md = pq.ParquetFile(files[0]).metadata.row_group(0)
+    assert all(
+        md.column(i).compression == "ZSTD" for i in range(md.num_columns)
+    )
+    # differing codecs → documented failing-fast limitation
+    with _pytest.raises(RangerError, match="one codec per file"):
+        engine.execute(
+            "CREATE TABLE ccomp.bad (a int32, b string) "
+            "SETTINGS column_compression = 'a:zstd, b:gzip';"
+        )
+    # also when the table default conflicts with the override
+    with _pytest.raises(RangerError, match="one codec per file"):
+        engine.execute(
+            "CREATE TABLE ccomp.bad (a int32) "
+            "SETTINGS compression = 'snappy', column_compression = 'a:zstd';"
+        )
+    with _pytest.raises(RangerError, match="unsupported compression"):
+        engine.execute(
+            "CREATE TABLE ccomp.bad (a int32) "
+            "SETTINGS column_compression = 'a:lzma';"
+        )
+    with _pytest.raises(RangerError, match="not in the schema"):
+        engine.execute(
+            "CREATE TABLE ccomp.bad (a int32) "
+            "SETTINGS column_compression = 'zz:zstd';"
+        )
+    with _pytest.raises(RangerError, match="expected 'column:codec'"):
+        engine.execute(
+            "CREATE TABLE ccomp.bad (a int32) "
+            "SETTINGS column_compression = 'zstd';"
+        )
+    engine.spark.sql("DROP DATABASE ccomp CASCADE")
