@@ -136,10 +136,59 @@ def validate_script(script: str, strict: bool = False) -> list[ScriptError]:
                 )
             )
         try:
-            route(stmt + ";", strict=strict)
+            routed = route(stmt + ";", strict=strict)
         except RangerError as e:
             line, col = tracker.line_column(off)
             errors.append(ScriptError(stmt, str(e), line, col, off))
+            continue
+        # WITHIN-statement multi-error recovery (parser.go:1188-1307 /
+        # parse_error_test.go corpus shape): a CREATE TABLE with several
+        # invalid column types reports EVERY bad type with its own
+        # position, not just the first — the reference's error collector
+        # resynchronizes at the next column and keeps parsing.
+        if routed.kind == StmtKind.CREATE_TABLE:
+            errors.extend(_column_type_errors(stmt, off, tracker))
+    return errors
+
+
+def _column_type_errors(
+    stmt: str, stmt_off: int, tracker: PositionTracker
+) -> list[ScriptError]:
+    """One positioned error per invalid column type in a CREATE TABLE
+    column list (typed like the reference's 'use Iceberg type X instead'
+    rejections, ast.go:163-169). Each error anchors at the type token."""
+    from ranger_spark.types import parse_type, split_top_level
+
+    m = re.search(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[\w.]+\s*\(", stmt, re.I)
+    if not m:
+        return []
+    start = m.end()  # just past the opening paren
+    depth, end = 1, None
+    for i in range(start, len(stmt)):
+        if stmt[i] == "(":
+            depth += 1
+        elif stmt[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end is None:
+        return []
+    block = stmt[start:end]
+    errors: list[ScriptError] = []
+    pos = 0
+    for coldef in split_top_level(block):
+        col_start = pos
+        pos += len(coldef) + 1  # past the comma
+        cm = re.match(r"\s*`?(\w+)`?\s+(.+?)(?:\s+NOT\s+NULL)?\s*$", coldef, re.S)
+        if not cm:
+            continue
+        try:
+            parse_type(cm.group(2).strip(), cm.group(1))
+        except RangerError as e:
+            type_off = stmt_off + start + col_start + cm.start(2)
+            line, col = tracker.line_column(type_off)
+            errors.append(ScriptError(stmt, str(e), line, col, type_off))
     return errors
 
 

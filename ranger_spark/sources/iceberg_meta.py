@@ -35,6 +35,7 @@ import os
 import time
 import uuid
 
+from ranger_spark.sources import avro_ocf
 from ranger_spark.sources.snapshots import VersionedTable
 
 # engine operation → Iceberg snapshot summary operation
@@ -198,6 +199,36 @@ def emit(
                     "entries": _manifest_entries(entry_files, v),
                 },
             )
+        # REAL Avro twin of the manifest (the spec's actual file format —
+        # the reference only ever writes the JSON placeholder,
+        # metadata.go:99,130-146); external Iceberg readers walk these
+        avro_manifest = manifest_path[: -len(".json")] + ".avro"
+        if not os.path.exists(avro_manifest):
+            with open(manifest_path) as mf:
+                m_entries = json.load(mf)["entries"]
+            avro_ocf.write_ocf(
+                avro_manifest,
+                avro_ocf.MANIFEST_ENTRY_SCHEMA,
+                [
+                    {
+                        "status": e["status"],
+                        "snapshot_id": e["snapshot-id"],
+                        "sequence_number": e["snapshot-id"],
+                        "file_sequence_number": e["snapshot-id"],
+                        "data_file": {
+                            "content": e["data-file"]["content"],
+                            "file_path": e["data-file"]["file-path"],
+                            "file_format": e["data-file"]["file-format"],
+                            "partition": {},
+                            "record_count": e["data-file"]["record-count"],
+                            "file_size_in_bytes": e["data-file"][
+                                "file-size-in-bytes"
+                            ],
+                        },
+                    }
+                    for e in m_entries
+                ],
+            )
 
         if m.get("operation") in ("append",) and prev_manifests:
             manifests = prev_manifests + [manifest_path]
@@ -217,6 +248,16 @@ def emit(
                     }
                     for p in manifests
                 ],
+            )
+        # Avro twin of the manifest-list (the spec's real format; entries
+        # point at the .avro manifests so an external reader can walk the
+        # whole chain); metadata.json references this path
+        avro_list = list_path[: -len(".json")] + ".avro"
+        if not os.path.exists(avro_list):
+            avro_ocf.write_ocf(
+                avro_list,
+                avro_ocf.MANIFEST_FILE_SCHEMA,
+                [_manifest_file_record(p) for p in manifests],
             )
 
         added_records = sum(_cached_rows(d, v, added))
@@ -240,7 +281,10 @@ def emit(
                 "parent-snapshot-id": m.get("parent"),
                 "sequence-number": v,
                 "timestamp-ms": ts_ms,
-                "manifest-list": list_path,
+                # spec-true pointer: the Avro manifest-list (the JSON twin
+                # with the same basename is kept for debuggability and the
+                # engine's own tooling)
+                "manifest-list": list_path[: -len(".json")] + ".avro",
                 "schema-id": 0,
                 "summary": {
                     "operation": op,
@@ -293,6 +337,35 @@ def emit(
     with open(os.path.join(d, "version-hint.text"), "w") as f:
         f.write(str(current))
     return path
+
+
+def _manifest_file_record(manifest_json_path: str) -> dict:
+    """One manifest_file record (Iceberg spec v2) for the manifest-list,
+    derived from the JSON manifest's own stats. The length recorded is
+    the AVRO twin's size — that's the file the list points to."""
+    with open(manifest_json_path) as f:
+        m = json.load(f)
+    seq = m.get("sequence-number", 0)
+    entries = m.get("entries", [])
+    rows = sum(e["data-file"]["record-count"] for e in entries)
+    avro_path = manifest_json_path[: -len(".json")] + ".avro"
+    return {
+        "manifest_path": avro_path,
+        "manifest_length": (
+            os.path.getsize(avro_path) if os.path.exists(avro_path) else 0
+        ),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": m.get("min-sequence-number", seq),
+        "added_snapshot_id": seq,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
 
 
 def _cached_rows(d: str, version: int, added: list[str]) -> list[int]:

@@ -358,8 +358,18 @@ class NativeServer:
     one thread per connection, engine shared (its execution manager is
     thread-safe)."""
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: Engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        block_rows: int = 1000,
+    ):
         self.engine = engine
+        # results stream as a sequence of ServerData blocks of up to
+        # block_rows rows each; 1000 mirrors the reference's chunked
+        # ingest batch size (storage.go:500-528)
+        self.block_rows = max(1, block_rows)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.sock.bind((host, port))
@@ -501,13 +511,23 @@ class NativeServer:
         except Exception as e:
             self._send_exception(conn, e)
             return  # connection stays open (handleClientQuerySignal)
-        # sendQueryEngineResultsSignal: one ServerData + EndOfStream;
-        # every column ships as String, like the reference
+        # sendQueryEngineResultsSignal shape, block-streamed: results ship
+        # as a SEQUENCE of ServerData blocks (≤ block_rows rows each)
+        # followed by EndOfStream — the ClickHouse-style framing the
+        # reference SDK already consumes (it loops on data signals until
+        # EOS; the reference server's single frame is the one-block
+        # degenerate case). Every column ships as String, like the
+        # reference (connection.go:471-481).
         columns = [(c, "String") for c in r.columns]
         rows = r.rows
         if not columns and r.message:
             columns, rows = [("result", "String")], [(r.message,)]
-        self._send(conn, SERVER_DATA, pack_server_data(columns, rows))
+        first = True
+        while first or rows:
+            block = rows[: self.block_rows]
+            rows = rows[self.block_rows :]
+            self._send(conn, SERVER_DATA, pack_server_data(columns, block))
+            first = False
         self._send(conn, SERVER_END_OF_STREAM, b"")
 
     def _insert_block(self, d: dict, database: str) -> None:

@@ -84,7 +84,7 @@ def test_manifests_and_lists_exist_with_real_files(engine, table):
     vt = _vt(engine, table)
     meta = iceberg_meta.read_metadata(vt)
     for s in meta["snapshots"]:
-        mlist = json.load(open(s["manifest-list"]))
+        mlist = json.load(open(s["manifest-list"].replace(".avro", ".json")))
         assert mlist, "empty manifest list"
         for entry in mlist:
             manifest = json.load(open(entry["manifest-path"]))
@@ -95,9 +95,9 @@ def test_manifests_and_lists_exist_with_real_files(engine, table):
                     assert os.path.exists(df["file-path"])
                     assert df["file-size-in-bytes"] > 0
     # the append snapshot's manifest list carries the parent's manifests
-    assert len(json.load(open(meta["snapshots"][2]["manifest-list"]))) == 3
+    assert len(json.load(open(meta["snapshots"][2]["manifest-list"].replace(".avro", ".json")))) == 3
     # the copy-on-write rewrite starts a fresh manifest list
-    assert len(json.load(open(meta["snapshots"][3]["manifest-list"]))) == 1
+    assert len(json.load(open(meta["snapshots"][3]["manifest-list"].replace(".avro", ".json")))) == 1
     # version-hint points at the current metadata file
     d = iceberg_meta.meta_dir(vt)
     assert open(os.path.join(d, "version-hint.text")).read() == "4"
@@ -184,7 +184,7 @@ def test_expire_reseeds_base_manifest_with_live_files(engine):
     head = meta["snapshots"][-1]
     # walk manifest-list → manifests → data files: all live files visible
     seen: set[str] = set()
-    with open(head["manifest-list"]) as f:
+    with open(head["manifest-list"].replace(".avro", ".json")) as f:
         mlist = json.load(f)
     for entry in mlist:
         with open(entry["manifest-path"]) as f:
@@ -215,3 +215,34 @@ def test_show_snapshots_falls_back_when_projection_stale(engine):
     # version short); the projection alone would have omitted it
     assert versions[-1] == vt.current_version()
     assert versions == list(range(1, vt.current_version() + 1))
+
+
+def test_avro_manifests_decode_and_match_commits(engine, spark, table):
+    """The emitted manifests/manifest-lists are REAL Avro (the spec's
+    format; the reference writes JSON placeholders, metadata.go:99):
+    decode them back with spark-avro — an independent Avro
+    implementation — walk the chain from metadata.json, and the file set
+    must equal the committed snapshot's file list with footer-true
+    record counts."""
+    vt = _vt(engine, table)
+    meta = iceberg_meta.read_metadata(vt)
+    head = meta["snapshots"][-1]
+    assert head["manifest-list"].endswith(".avro")
+    fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    mlist = spark.read.format(fmt).load(head["manifest-list"]).collect()
+    assert mlist
+    seen: dict[str, int] = {}
+    for mf in mlist:
+        assert mf.manifest_path.endswith(".avro")
+        assert mf.manifest_length == os.path.getsize(mf.manifest_path)
+        entries = spark.read.format(fmt).load(mf.manifest_path).collect()
+        assert len(entries) == mf.added_files_count
+        assert sum(e.data_file.record_count for e in entries) == mf.added_rows_count
+        for e in entries:
+            assert e.status == 1 and e.data_file.file_format == "PARQUET"
+            seen[e.data_file.file_path] = e.data_file.record_count
+    assert set(seen) == set(vt.files())
+    import pyarrow.parquet as pq
+
+    for f, rc in seen.items():
+        assert pq.ParquetFile(f).metadata.num_rows == rc

@@ -435,3 +435,39 @@ def test_concurrent_database_scoping_no_crosstalk(server, engine):
         t.join()
     engine.spark.sql("DROP DATABASE IF EXISTS natb CASCADE")
     assert not errs, errs
+
+
+def test_large_result_streams_in_blocks(engine):
+    """A result beyond block_rows ships as MULTIPLE ServerData blocks
+    before EndOfStream, and the client reassembles them in order."""
+    srv = ns.NativeServer(engine, block_rows=100).start()
+    engine.execute("CREATE DATABASE IF NOT EXISTS natstream;")
+    engine.execute("CREATE TABLE IF NOT EXISTS natstream.seq (n int32);")
+    engine.execute(
+        "INSERT INTO natstream.seq (n) VALUES "
+        + ", ".join(f"({i})" for i in range(350))
+        + ";"
+    )
+    c = ns.NativeClient("127.0.0.1", srv.port, database="natstream")
+    # count the raw frames: 4 data blocks (100+100+100+50) + EOS
+    c._send(
+        ns.CLIENT_QUERY,
+        ns.pack_client_query("SELECT n FROM seq ORDER BY n", "", "natstream"),
+    )
+    blocks = []
+    while True:
+        sig, payload = c._read()
+        if sig == ns.SERVER_END_OF_STREAM:
+            break
+        assert sig == ns.SERVER_DATA
+        blocks.append(ns.unpack_server_data(payload))
+    assert [len(b["rows"]) for b in blocks] == [100, 100, 100, 50]
+    assert all(b["columns"] == [("n", "String")] for b in blocks)
+    rows = [r for b in blocks for r in b["rows"]]
+    assert rows == [(str(i),) for i in range(350)]
+    # the client API reassembles identically
+    r = c.query("SELECT n FROM seq ORDER BY n")
+    assert len(r["rows"]) == 350 and r["rows"][-1] == ("349",)
+    c.close()
+    engine.spark.sql("DROP DATABASE natstream CASCADE")
+    srv.shutdown()

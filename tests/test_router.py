@@ -166,3 +166,41 @@ def test_position_tracker_reference_semantics():
     assert multi.line_column(9) == (2, 1)   # F of FROM
     assert multi.line_column(16) == (3, 1)  # W of WHERE
     assert multi.line_column(999) == (3, 9)  # clamps to end
+
+
+def test_multi_error_within_one_statement():
+    """The reference's error collector reports EVERY invalid column type
+    in one CREATE TABLE with its own (line, column), resynchronizing at
+    the next column (parser.go:1188-1307, parse_error_test.go shapes)."""
+    from ranger_spark.router import validate_script
+
+    script = (
+        "CREATE TABLE t (a varchar(10), b int32,\n"
+        "                c datetime, d string);"
+    )
+    errs = validate_script(script)
+    assert len(errs) == 2
+    assert [(e.line, e.column) for e in errs] == [(1, 19), (2, 19)]
+    assert "varchar" in errs[0].message and "Iceberg type" in errs[0].message
+    assert "datetime" in errs[1].message
+
+
+def test_multi_error_across_and_within_statements():
+    from ranger_spark.router import validate_script
+
+    errs = validate_script(
+        "FROBNICATE x;\nCREATE TABLE u (x text, y bigint);"
+    )
+    assert len(errs) == 3
+    assert "unsupported statement type" in errs[0].message
+    assert (errs[0].line, errs[0].column) == (1, 1)
+    # two positioned type errors from the single CREATE TABLE
+    assert [(e.line, e.column) for e in errs[1:]] == [(2, 19), (2, 27)]
+
+
+def test_valid_create_table_yields_no_errors():
+    from ranger_spark.router import validate_script
+
+    assert validate_script(
+        "CREATE TABLE ok (a int32, b list<string>, c decimal(10,2));"
+    ) == []
