@@ -60,6 +60,10 @@ _NEW_R5 = (
     # never driver-certified — new in round 5
     "multimodal_png_pixel_stats",
     "dedup_incremental",
+    "doc_chunk_sliding",
+    "cross_doc_ngram_dup",
+    "pii_redact",
+    "json_extract_events",
 )
 
 

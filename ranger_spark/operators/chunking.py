@@ -1,0 +1,117 @@
+"""Document chunking and cross-document duplication metrics — the RAG /
+pretraining preprocessing ops a 100 TB text pipeline needs next to dedup.
+
+Reference parity note: the reference (gear6io/ranger) has no chunking
+operator; these extend the LLM-pipeline surface (BASELINE.json north-star)
+the same way operators/dedup.py and operators/text.py do.
+
+Scale design:
+
+- ``chunk_sliding`` is map-only (tokenize → computed start offsets →
+  ``posexplode``): no shuffle, no Python, output rows ≈ tokens/stride per
+  doc. At 100 TB this is embarrassingly parallel and bounded by the scan.
+- ``cross_doc_ngram_dup`` is the cross-corpus twin of
+  ``text.repetition_metrics`` (within-doc): one shuffle on the 64-bit
+  n-gram hash with map-side combine (distinct per doc first), then one
+  per-doc aggregate. Gram cardinality, not corpus size, drives the
+  shuffle; grams travel as 8-byte hashes, never as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ranger_spark.operators import text as T
+
+
+def chunk_starts(n_tokens: Column, chunk_size: int, overlap: int) -> Column:
+    """0-based chunk start offsets: 0, stride, 2*stride, … while
+    ``start <= n_tokens - overlap - 1`` (so every token is covered and no
+    chunk is a suffix-duplicate of the previous one); one chunk for docs
+    shorter than ``overlap``."""
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    return F.sequence(
+        F.lit(0),
+        F.greatest(n_tokens - F.lit(overlap + 1), F.lit(0)),
+        F.lit(stride),
+    )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunks per document.
+
+    Returns (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_fp) where
+    chunk_fp is the md5 of the space-rejoined chunk text (the id a vector
+    store / dedup pass would key on). Map-only: see module docstring.
+    """
+    toks = T.tokenize(T.normalize_text(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    d = d.select(
+        id_col,
+        "__toks",
+        F.posexplode(chunk_starts(F.col("__n"), chunk_size, overlap)).alias(
+            "chunk_idx", "chunk_start"
+        ),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_start") + 1, chunk_size)
+    return d.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document cross-corpus duplication: the fraction of a document's
+    DISTINCT word n-grams that also occur in at least one other document
+    (the corpus-level contamination signal used to rank near-dup docs).
+
+    Returns (id, n_grams, n_dup_grams, dup_frac). Two shuffles, both on
+    8-byte hashes: distinct (doc, gram-hash), then gram-hash → doc-count,
+    then a per-doc aggregate.
+    """
+    toks = T.tokenize(T.normalize_text(F.col(text_col)))
+    grams = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.explode(T.word_shingles(F.col("__toks"), k=n)).alias("__gram"),
+        )
+        .select(id_col, T.hash64(F.col("__gram")).alias("__g"))
+        .distinct()
+    )
+    counts = grams.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__docs")
+    )
+    return (
+        grams.join(counts, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_grams"
+            ),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        )
+    )

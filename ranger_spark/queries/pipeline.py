@@ -1654,3 +1654,193 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), "doc_id", "term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / cross-corpus duplication / PII / JSON extraction (round 5)
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 16
+_CHUNK_OVERLAP = 4
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@register(
+    "doc_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t, CAST(s AS INTEGER) AS chunk_start
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(
+            0, greatest(len(t) - {_CHUNK_OVERLAP + 1}, 0), {_CHUNK_STRIDE}
+        )) AS s
+      ) g
+    )
+    SELECT doc_id,
+           CAST(chunk_start / {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           chunk_start,
+           CAST(len(list_slice(t, chunk_start + 1, chunk_start + {_CHUNK_SIZE}))
+                AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, chunk_start + 1, chunk_start + {_CHUNK_SIZE}), ' '
+           )) AS chunk_fp
+    FROM starts
+    """,
+    tags=("chunking", "rag"),
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 16-token chunks, 4-token overlap,
+    map-only (posexplode of computed starts — no shuffle, no Python)."""
+    from ranger_spark.operators.chunking import chunk_sliding
+
+    return chunk_sliding(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+@register(
+    "cross_doc_ngram_dup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(1, len(t) - 2))) AS i
+      ) s
+    ),
+    g AS (SELECT DISTINCT doc_id, {_hash64_sql('gram', 0)} AS gh FROM g0),
+    c AS (SELECT gh, count(*) AS docs FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           round(sum(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM g JOIN c USING (gh)
+    GROUP BY g.doc_id
+    """,
+    tags=("dedup", "contamination"),
+)
+def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct word 3-grams shared with any other
+    document — grams shuffle as 8-byte hashes, cardinality-bounded."""
+    from ranger_spark.operators.chunking import cross_doc_ngram_dup as op
+
+    return op(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+# synthesized PII suffix appended to each doc (the corpus itself is
+# synthetic word-salad, so the redaction targets are injected identically
+# on both engines — the op under test is the redaction, not the synth)
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.com call +1-555-' "
+    "|| CAST(1000 + doc_id % 9000 AS INTEGER) || ' from 10.0.' "
+    "|| CAST(doc_id % 256 AS INTEGER) || '.7'"
+)
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH synth AS (SELECT doc_id, {_PII_SYNTH_SQL} AS s FROM documents),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(s, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g') AS r
+      FROM synth
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(len(regexp_extract_all(r, '<IP>')) AS INTEGER) AS n_ips,
+           CAST(length(r) AS INTEGER) AS red_len,
+           md5(r) AS redacted_fp
+    FROM red
+    """,
+    tags=("text", "pii"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (email/phone/IPv4 → typed placeholders) with
+    per-class counts — map-only, pure JVM regexp, no Python in the path."""
+    d = load(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("int").cast("string"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("int").cast("string"),
+        F.lit(".7"),
+    )
+    d = d.select(F.col("doc_id"), synth.alias("s"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("s"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        red.alias("r"),
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.regexp_count(F.col("r"), F.lit("<IP>")).cast("int").alias("n_ips"),
+        F.length("r").cast("int").alias("red_len"),
+        F.md5("r").alias("redacted_fp"),
+    )
+
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+             AS avg_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "semi-structured"),
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column JVM-side
+    (get_json_object) and aggregate per event type — the scan + one
+    map-side-combined shuffle on a low-cardinality key."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

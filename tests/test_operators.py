@@ -591,3 +591,64 @@ def test_incremental_minhash_matches_full_restricted(spark):
         if r.id_a % 4 == 0 or r.id_b % 4 == 0
     }
     assert inc == full
+
+
+def test_chunk_sliding_covers_all_tokens_and_overlaps(spark):
+    from ranger_spark.operators.chunking import chunk_sliding
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "a b"),  # shorter than overlap
+            (3, " ".join(f"t{i}" for i in range(8))),  # exactly chunk_size
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_sliding(docs, "doc_id", "text", chunk_size=8, overlap=2)
+    rows = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens)
+        for r in out.collect()
+    }
+    # doc 1: starts 0 and 6 (stride 6, last start <= 10-3=7)
+    assert rows[(1, 0)] == (0, 8)
+    assert rows[(1, 1)] == (6, 4)
+    # doc 2: single chunk, shorter than chunk_size
+    assert rows[(2, 0)] == (0, 2)
+    # doc 3: one full chunk exactly chunk_size long, no ghost 2nd chunk
+    assert rows[(3, 0)] == (0, 8)
+    assert (3, 1) not in rows
+    # every token of doc 1 is covered: union of [start, start+8) = [0, 10)
+    covered = set()
+    for (d, _), (s, n) in rows.items():
+        if d == 1:
+            covered |= set(range(s, s + n))
+    assert covered == set(range(10))
+
+
+def test_chunk_starts_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from ranger_spark.operators.chunking import chunk_starts
+
+    with _pytest.raises(ValueError):
+        chunk_starts(F.lit(10), chunk_size=4, overlap=4)
+
+
+def test_cross_doc_ngram_dup_hand_case(spark):
+    from ranger_spark.operators.chunking import cross_doc_ngram_dup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # 3-grams: "a b c", "b c d"
+            (2, "a b c x"),   # 3-grams: "a b c", "b c x"
+            (3, "p q r s"),   # no overlap with others
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac)
+        for r in cross_doc_ngram_dup(docs, "doc_id", "text", n=3).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
