@@ -785,9 +785,23 @@ _COS_SQL = (
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors (correctness baseline
-    for the IVF scale path)."""
+    for the IVF scale path). The query vectors are fetched with one
+    driver-side row-group-pruned pyarrow read — the ANN-serving shape
+    (queries arrive at the driver) — so only the corpus side launches a
+    Spark job."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    qpairs = [
+        (int(i), [float(x) for x in v])
+        for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    ]
     e = load(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+    return S.brute_force_topk(qpairs, e, k=10)
 
 
 @register(
