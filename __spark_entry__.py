@@ -64,6 +64,7 @@ _NEW_R5 = (
     "cross_doc_ngram_dup",
     "pii_redact",
     "json_extract_events",
+    "dedup_span_removal",
 )
 
 

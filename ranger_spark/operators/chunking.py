@@ -115,3 +115,76 @@ def cross_doc_ngram_dup(
             F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Exact duplicated-span removal (the substring-dedup pretraining
+    cleanup of Lee et al. 2021, re-expressed relationally): any n-token
+    window whose exact content occurs more than once in the corpus is
+    marked, and every token covered by a marked window is dropped; the
+    survivors are reassembled in order.
+
+    Returns (id, n_tokens, n_removed, cleaned_fp) with cleaned_fp the md5
+    of the space-rejoined surviving tokens.
+
+    Scale shape: positioned gram hashes shuffle as 8 bytes + position
+    (O(tokens) rows, the unavoidable floor for exact substring semantics);
+    the occurrence count is one map-side-combined aggregate; covered
+    indexes collapse to one small per-doc array (dup spans only), applied
+    back with an indexed JVM ``filter`` — the full token stream is never
+    re-shuffled for reassembly.
+    """
+    toks = T.tokenize(T.normalize_text(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    # positioned n-gram hashes: pos in [0, n_tok - n]
+    grams = (
+        d.filter(F.col("__n") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        T.hash64(
+                            F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__cnt"))
+    covered = (
+        grams.join(counts, "gh")
+        .filter(F.col("__cnt") > 1)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("__cov"))
+    )
+    out = d.join(covered, id_col, "left").withColumn(
+        "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.array_contains(F.col("__cov"), i.cast("int")),
+    )
+    return out.select(
+        id_col,
+        F.col("__n").alias("n_tokens"),
+        F.size("__cov").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
+    )

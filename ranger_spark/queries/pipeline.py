@@ -1858,3 +1858,60 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+_SPAN_N = 3
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             {_hash64_sql(f"array_to_string(list_slice(t, i + 1, i + {_SPAN_N}), ' ')", 0)} AS gh
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, len(t) - {_SPAN_N})) AS i
+      ) g
+      WHERE len(t) >= {_SPAN_N}
+    ),
+    c AS (SELECT gh, count(*) AS cnt FROM pos GROUP BY gh),
+    cov AS (
+      SELECT DISTINCT p.doc_id, p.pos + j AS idx
+      FROM pos p JOIN c USING (gh), LATERAL (
+        SELECT unnest(generate_series(0, {_SPAN_N - 1})) AS j
+      ) jj
+      WHERE c.cnt > 1
+    ),
+    tokrows AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx, t[i] AS tok
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+    ),
+    kept AS (
+      SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.idx) AS cleaned
+      FROM tokrows tr
+      LEFT JOIN cov ON cov.doc_id = tr.doc_id AND cov.idx = tr.idx
+      WHERE cov.idx IS NULL
+      GROUP BY tr.doc_id
+    ),
+    ncov AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens,
+           CAST(coalesce(n.n_removed, 0) AS INTEGER) AS n_removed,
+           md5(coalesce(k.cleaned, '')) AS cleaned_fp
+    FROM toks t
+    LEFT JOIN ncov n ON n.doc_id = t.doc_id
+    LEFT JOIN kept k ON k.doc_id = t.doc_id
+    """,
+    tags=("dedup", "substring"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (substring dedup, Lee et al. 2021
+    style): corpus-duplicated 3-token windows are erased from every doc,
+    survivors reassembled in place — gram hashes shuffle as 8 bytes,
+    reassembly is an indexed JVM array filter, never a token re-shuffle."""
+    from ranger_spark.operators.chunking import remove_dup_spans
+
+    return remove_dup_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=_SPAN_N
+    )

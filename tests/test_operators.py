@@ -652,3 +652,32 @@ def test_cross_doc_ngram_dup_hand_case(spark):
     assert out[1] == (2, 1, 0.5)
     assert out[2] == (2, 1, 0.5)
     assert out[3] == (2, 0, 0.0)
+
+
+def test_remove_dup_spans_hand_case(spark):
+    from ranger_spark.operators.chunking import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x y z"),      # "a b c" also in doc 2 → drop a,b,c
+            (2, "q a b c r s"),      # same span at pos 1 → drop a,b,c
+            (3, "u v w p q r"),      # no duplicated 3-gram anywhere
+            (4, "m m m m"),          # "m m m" at pos 0 and 1 → all covered
+            (5, "xx"),               # shorter than n → untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_fp)
+        for r in remove_dup_spans(docs, "doc_id", "text", n=3).collect()
+    }
+    import hashlib
+
+    def fp(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[1] == (6, 3, fp("x y z"))
+    assert out[2] == (6, 3, fp("q r s"))
+    assert out[3] == (6, 0, fp("u v w p q r"))
+    assert out[4] == (4, 4, fp(""))
+    assert out[5] == (1, 0, fp("xx"))
