@@ -85,9 +85,13 @@ def cross_doc_ngram_dup(
     (the corpus-level contamination signal used to rank near-dup docs).
 
     Returns (id, n_grams, n_dup_grams, dup_frac). Two shuffles, both on
-    8-byte hashes: distinct (doc, gram-hash), then gram-hash → doc-count,
-    then a per-doc aggregate.
+    8-byte hashes: a windowed doc-count per gram hash (``word_shingles``
+    is already per-doc distinct, so no distinct shuffle; the unordered
+    window is one hash exchange with no sort-and-join round trip), then a
+    per-doc aggregate.
     """
+    from pyspark.sql import Window
+
     toks = T.tokenize(T.normalize_text(F.col(text_col)))
     grams = (
         df.select(F.col(id_col), toks.alias("__toks"))
@@ -96,13 +100,10 @@ def cross_doc_ngram_dup(
             F.explode(T.word_shingles(F.col("__toks"), k=n)).alias("__gram"),
         )
         .select(id_col, T.hash64(F.col("__gram")).alias("__g"))
-        .distinct()
     )
-    counts = grams.groupBy("__g").agg(
-        F.count(F.lit(1)).alias("__docs")
-    )
+    docs_per_gram = F.count(F.lit(1)).over(Window.partitionBy("__g"))
     return (
-        grams.join(counts, "__g")
+        grams.withColumn("__docs", docs_per_gram)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
