@@ -163,9 +163,11 @@ def remove_dup_spans(
         )
         .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     )
-    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__cnt"))
+    from pyspark.sql import Window
+
+    occurrences = F.count(F.lit(1)).over(Window.partitionBy("gh"))
     covered = (
-        grams.join(counts, "gh")
+        grams.withColumn("__cnt", occurrences)
         .filter(F.col("__cnt") > 1)
         .select(
             id_col,
