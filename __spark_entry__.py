@@ -65,6 +65,8 @@ _NEW_R5 = (
     "pii_redact",
     "json_extract_events",
     "dedup_span_removal",
+    "approx_sketches",
+    "sample_reservoir_per_source",
 )
 
 

@@ -1915,3 +1915,90 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=_SPAN_N
     )
+
+
+@register(
+    "approx_sketches",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             count(DISTINCT user_id)               AS nd_exact,
+             approx_count_distinct(user_id)        AS nd_approx,
+             quantile_cont(value, 0.5)             AS p50_exact,
+             approx_quantile(value, 0.5)           AS p50_approx,
+             quantile_cont(value, 0.9)             AS p90_exact,
+             approx_quantile(value, 0.9)           AS p90_approx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(nd_exact AS BIGINT) AS nd_exact,
+           abs(nd_approx - nd_exact) <= 0.1 * nd_exact           AS nd_ok,
+           round(p50_exact, 6) AS p50_exact,
+           abs(p50_approx - p50_exact) <= 0.1 * abs(p50_exact)   AS p50_ok,
+           round(p90_exact, 6) AS p90_exact,
+           abs(p90_approx - p90_exact) <= 0.1 * abs(p90_exact)   AS p90_ok
+    FROM agg
+    """,
+    tags=("sketch", "approx"),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates, the 100 TB path for distincts and
+    quantiles: each engine runs its OWN HLL / quantile sketch and the
+    oracle compares the deterministic within-10%-of-exact verdict (the
+    sketches themselves differ across engines by design), alongside the
+    hash-compared exact values."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd_exact"),
+        F.approx_count_distinct("user_id").alias("nd_approx"),
+        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+        F.percentile_approx("value", F.lit(0.5)).alias("p50_approx"),
+        F.percentile("value", F.lit(0.9)).alias("p90_exact"),
+        F.percentile_approx("value", F.lit(0.9)).alias("p90_approx"),
+    )
+    tol = lambda a, x: F.abs(F.col(a) - F.col(x)) <= 0.1 * F.abs(F.col(x))  # noqa: E731
+    return agg.select(
+        "event_type",
+        "nd_exact",
+        tol("nd_approx", "nd_exact").alias("nd_ok"),
+        F.round("p50_exact", 6).alias("p50_exact"),
+        tol("p50_approx", "p50_exact").alias("p50_ok"),
+        F.round("p90_exact", 6).alias("p90_exact"),
+        tol("p90_approx", "p90_exact").alias("p90_ok"),
+    )
+
+
+_RESERVOIR_K = 3
+
+
+@register(
+    "sample_reservoir_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5('rsv:' || doc_id), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= {_RESERVOIR_K}
+    """,
+    tags=("sampling",),
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir sample: k docs per source chosen
+    by hash order (seeded md5 — reproducible across runs and engines,
+    unlike rand()-based reservoirs). One shuffle on the group key; the
+    window's sort is on the 32-char hash, not the payload."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )
