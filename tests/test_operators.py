@@ -681,3 +681,38 @@ def test_remove_dup_spans_hand_case(spark):
     assert out[3] == (6, 0, fp("u v w p q r"))
     assert out[4] == (4, 4, fp(""))
     assert out[5] == (1, 0, fp("xx"))
+
+
+def test_chunk_sliding_matches_python_mirror(spark):
+    import hashlib
+    import random
+
+    from ranger_spark.operators.chunking import chunk_sliding
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("abcdefgh") for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    size, ov = 8, 3
+    expected = {}
+    for i, text in docs:
+        # Spark's split (and DuckDB's regexp_split_to_array, used by the
+        # oracle) yield [''] for an empty string — one empty token
+        toks = text.split() or [""]
+        n = len(toks)
+        stride = size - ov
+        starts = list(range(0, max(n - ov - 1, 0) + 1, stride))
+        for ci, s in enumerate(starts):
+            chunk = toks[s : s + size]
+            expected[(i, ci)] = (
+                s,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_start, r.n_chunk_tokens, r.chunk_fp)
+        for r in chunk_sliding(df, "doc_id", "text", chunk_size=size, overlap=ov).collect()
+    }
+    assert got == expected

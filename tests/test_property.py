@@ -150,3 +150,40 @@ def test_uniform_hash60_python_reference_range(doc_id):
 
     h = int(hashlib.md5(f"samp:{doc_id}".encode()).hexdigest()[:15], 16)
     assert 0 <= h < (1 << 60)
+
+
+def _starts(n: int, size: int, overlap: int) -> list[int]:
+    # python mirror of operators/chunking.chunk_starts
+    stride = size - overlap
+    last = max(n - overlap - 1, 0)
+    return list(range(0, last + 1, stride))
+
+
+@given(
+    st.integers(0, 500),
+    st.integers(2, 64),
+    st.integers(0, 32),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_starts_invariants(n, size, overlap):
+    if overlap >= size:
+        overlap = size - 1
+    ss = _starts(n, size, overlap)
+    assert ss and ss[0] == 0
+    # fixed stride
+    assert all(b - a == size - overlap for a, b in zip(ss, ss[1:]))
+    # full coverage: every token index < n falls in some [s, s+size)
+    covered = set()
+    for s in ss:
+        covered |= set(range(s, min(s + size, n)))
+    assert covered == set(range(n))
+    # no chunk is a suffix-duplicate: each non-first chunk contributes
+    # at least one token index beyond the previous chunk's end
+    for a, b in zip(ss, ss[1:]):
+        assert b + (size - 1) >= a + size
+    # stitchability: dropping each non-first chunk's first `overlap`
+    # tokens reconstructs [0, n) exactly once, in order
+    stitched = list(range(ss[0], min(ss[0] + size, n)))
+    for s in ss[1:]:
+        stitched += list(range(s + overlap, min(s + size, n)))
+    assert stitched == list(range(n))
