@@ -1948,13 +1948,26 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches themselves differ across engines by design), alongside the
     hash-compared exact values."""
     e = load(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("nd_exact"),
-        F.approx_count_distinct("user_id").alias("nd_approx"),
-        F.percentile("value", F.lit(0.5)).alias("p50_exact"),
-        F.percentile_approx("value", F.lit(0.5)).alias("p50_approx"),
-        F.percentile("value", F.lit(0.9)).alias("p90_exact"),
-        F.percentile_approx("value", F.lit(0.9)).alias("p90_approx"),
+    # COUNT DISTINCT computed two-level and joined back (the
+    # agg_minmax_countd pattern): mixing it into the same aggregate would
+    # plan an Expand that streams every row through the percentile
+    # buffers twice — measured 29.8 s vs 3.0 s at 64× for the split form
+    nd = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.lit(1))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("nd_exact"))
+    )
+    agg = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("nd_approx"),
+            F.percentile("value", F.lit(0.5)).alias("p50_exact"),
+            F.percentile_approx("value", F.lit(0.5)).alias("p50_approx"),
+            F.percentile("value", F.lit(0.9)).alias("p90_exact"),
+            F.percentile_approx("value", F.lit(0.9)).alias("p90_approx"),
+        )
+        .join(F.broadcast(nd), "event_type")
     )
     tol = lambda a, x: F.abs(F.col(a) - F.col(x)) <= 0.1 * F.abs(F.col(x))  # noqa: E731
     return agg.select(
