@@ -20,7 +20,16 @@ from pyspark.sql.types import StructType
 
 from ranger_spark.errors import UNSUPPORTED_STATEMENT, RangerError
 
-FORMATS = ("parquet", "csv", "json", "orc", "avro", "text")
+FORMATS = (
+    "parquet",
+    "csv",
+    "json",
+    "orc",
+    "avro",
+    "text",
+    "xml",
+    "binaryfile",
+)
 
 
 def avro_available(spark: SparkSession) -> bool:
@@ -56,6 +65,14 @@ def read_file(
                 "(org.apache.spark:spark-avro_2.13) on the classpath",
             )
         fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    if fmt == "binaryfile":
+        # opaque-payload ingestion (images/audio/video as binary columns
+        # with path/length/modificationTime metadata) — the entry point
+        # of the multimodal pipeline (operators/multimodal.py)
+        fmt = "binaryFile"
+    if fmt == "xml":
+        # Spark 4 ships the XML source natively; a rowTag is required
+        options.setdefault("rowTag", "row")
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

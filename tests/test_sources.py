@@ -42,7 +42,44 @@ def test_ingest_json(spark):
 
 def test_unknown_format(spark):
     with pytest.raises(RangerError):
-        read_file(spark, "/tmp/x", "xml")
+        read_file(spark, "/tmp/x", "hdf5")
+
+
+def test_read_xml(spark):
+    tmp = Path(tempfile.mkdtemp(prefix="src_xml_"))
+    (tmp / "d.xml").write_text(
+        "<rows><row><id>1</id><name>a</name></row>"
+        "<row><id>2</id><name>b</name></row></rows>"
+    )
+    df = read_file(spark, str(tmp / "d.xml"), "xml")
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_binaryfile_feeds_multimodal_decode(spark):
+    from pyspark.sql import functions as F
+
+    from ranger_spark.operators.multimodal import decode_image_headers
+
+    tmp = Path(tempfile.mkdtemp(prefix="src_bin_"))
+    # minimal real BMP (2x1, 24bpp) — same synthesis as the decode tests
+    import struct
+
+    px = b"\x01\x02\x03\x04\x05\x06\x00\x00"  # one padded row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(px), 0, 0, 0, 0)
+    (tmp / "img.bmp").write_bytes(header + dib + px)
+    (tmp / "junk.bin").write_bytes(b"\x00\x01\x02")
+    raw = read_file(spark, str(tmp), "binaryfile")
+    assert {"path", "length", "content"} <= set(raw.columns)
+    # length doubles as a numeric id here (bmp=62 bytes, junk=3);
+    # unrecognized payloads are dropped by the decoder
+    decoded = decode_image_headers(
+        raw.select(F.col("length").alias("fid"), F.col("content").alias("payload")),
+        id_col="fid",
+        payload_col="payload",
+    )
+    rows = {r.doc_id: (r.format, r.width, r.height) for r in decoded.collect()}
+    assert rows == {62: ("bmp", 2, 1)}
 
 
 def test_avro_roundtrip_or_gated(spark):
