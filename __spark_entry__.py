@@ -67,6 +67,7 @@ _NEW_R5 = (
     "dedup_span_removal",
     "approx_sketches",
     "sample_reservoir_per_source",
+    "sample_quality_weighted",
 )
 
 

@@ -276,3 +276,21 @@ def fuzzy_contamination(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    seed: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli: keep a row iff its md5-uniform
+    hash falls below weight × 2^60, so P(keep) equals the row's weight
+    (clamped to [0, 1]) — the quality-weighted downsampling step of a
+    pretraining pipeline, reproducible across runs and engines. The
+    threshold goes through an explicit floor() (Spark's double→long cast
+    truncates, DuckDB's rounds — floor on both sides keeps the oracle
+    exact). Map-only."""
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    threshold = F.floor(w * F.lit(float(_UNIFORM_DENOM))).cast("long")
+    return df.filter(uniform_hash60(F.col(id_col), seed) < threshold)

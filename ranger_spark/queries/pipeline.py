@@ -2015,3 +2015,43 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _RESERVOIR_K)
     )
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             least(1.0, greatest(0.0, len({_TOKS}) / 60.0)) AS keep_w
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, round(keep_w, 6) AS keep_w
+    FROM w
+    WHERE CAST(('0x' || substr(md5('wsamp:' || doc_id), 1, 15)) AS BIGINT)
+          < CAST(floor(keep_w * {1 << 60}) AS BIGINT)
+    """,
+    tags=("sampling", "weighted"),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: P(keep) = clamp(n_tokens/60, 0, 1),
+    decided by the seeded md5-uniform — deterministic across runs and
+    engines (no rand()), map-only."""
+    from ranger_spark.operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        T.token_count(T.normalize_text(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    out = weighted_sample(
+        d, "doc_id", F.col("n_tokens") / F.lit(60.0), seed="wsamp"
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("n_tokens") / 60.0)), 6
+        ).alias("keep_w"),
+    )
