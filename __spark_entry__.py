@@ -68,6 +68,7 @@ _NEW_R5 = (
     "approx_sketches",
     "sample_reservoir_per_source",
     "sample_quality_weighted",
+    "multimodal_jpeg_pixel_stats",
 )
 
 

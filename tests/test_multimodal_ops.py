@@ -326,3 +326,155 @@ def test_parse_png_pixels_split_idat_and_rejects():
     # 16-bit depth unsupported → None
     px1 = [[(1,)]]
     assert parse_png_pixels(_make_png(1, 1, px1, [0], color=0, depth=16)) is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (pure-numpy decode vs an independent encoder + reference)
+# ---------------------------------------------------------------------------
+
+
+def _encode_baseline_jpeg_gray(pixels, quant):
+    """Independent test-side baseline JPEG encoder (variable-length
+    huffman, standard Annex K tables) for validating parse_jpeg_pixels."""
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        JPEG_AC_LUM_COUNTS,
+        JPEG_AC_LUM_SYMBOLS,
+        JPEG_DC_LUM_COUNTS,
+        JPEG_DC_LUM_SYMBOLS,
+        _idct_matrix,
+        _jpeg_huff_table,
+    )
+
+    h, w = pixels.shape
+    m = _idct_matrix()  # orthonormal: forward DCT = m @ x @ m.T
+
+    def enc_table(counts, symbols):
+        # symbol -> (code, length), inverse of the decoder's table
+        return {
+            sym: (code, ln)
+            for (ln, code), sym in _jpeg_huff_table(counts, symbols).items()
+        }
+
+    dc_enc = enc_table(JPEG_DC_LUM_COUNTS, JPEG_DC_LUM_SYMBOLS)
+    ac_enc = enc_table(JPEG_AC_LUM_COUNTS, JPEG_AC_LUM_SYMBOLS)
+    bits = []
+
+    def put(code, ln):
+        bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+
+    def category(v):
+        return int(v).bit_length() if v else 0
+
+    def put_value(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    padded = np.full((by * 8, bx * 8), 0.0)
+    padded[:h, :w] = pixels.astype(np.float64)
+    pred = 0
+    for b in range(bx * by):
+        r0, c0 = (b // bx) * 8, (b % bx) * 8
+        block = padded[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+        coef = m @ block @ m.T
+        zz = np.array(
+            [int(round(coef[r, c] / quant[k])) for k, (r, c) in enumerate(_JPEG_ZIGZAG)]
+        )
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        t = category(abs(diff)) if diff else 0
+        put(dc_enc[t][0], dc_enc[t][1])
+        put_value(diff, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(ac_enc[0xF0][0], ac_enc[0xF0][1])
+                run -= 16
+            s = category(abs(v))
+            rs = (run << 4) | s
+            put(ac_enc[rs][0], ac_enc[rs][1])
+            put_value(v, s)
+            run = 0
+        if run:
+            put(ac_enc[0x00][0], ac_enc[0x00][1])  # EOB
+    while len(bits) % 8:
+        bits.append(1)
+    entropy = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)  # byte stuffing
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(q) for q in quant))
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]),
+    )
+    dht_dc = seg(
+        0xC4, bytes([0x00]) + bytes(JPEG_DC_LUM_COUNTS) + bytes(JPEG_DC_LUM_SYMBOLS)
+    )
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes(JPEG_AC_LUM_COUNTS) + bytes(JPEG_AC_LUM_SYMBOLS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(entropy) + b"\xff\xd9"
+    )
+
+
+def test_parse_jpeg_pixels_matches_numpy_reference():
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+        parse_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(3)
+    pixels = rng.integers(0, 256, (16, 24)).astype(np.float64)
+    quant = np.array([16] * 64)
+    payload = _encode_baseline_jpeg_gray(pixels, quant)
+    got = parse_jpeg_pixels(payload)
+    assert got is not None and (got["width"], got["height"]) == (24, 16)
+
+    # independent reference: encode's own quantized coefficients -> dequant
+    # -> IDCT -> +128 -> round/clip (what a conformant decoder must produce)
+    m = _idct_matrix()
+    ref = np.zeros((16, 24))
+    for b in range(6):
+        r0, c0 = (b // 3) * 8, (b % 3) * 8
+        block = pixels[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+        coef = m @ block @ m.T
+        deq = np.zeros((8, 8))
+        for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+            deq[r, c] = round(coef[r, c] / quant[k]) * quant[k]
+        ref[r0 : r0 + 8, c0 : c0 + 8] = m.T @ deq @ m
+    ref = np.clip(np.round(ref + 128), 0, 255)
+    assert abs(got["mean"] - ref.mean()) < 1e-9
+    assert (got["min"], got["max"]) == (int(ref.min()), int(ref.max()))
+
+
+def test_parse_jpeg_pixels_rejects_bad_payloads():
+    from ranger_spark.operators.multimodal import parse_jpeg_pixels
+
+    assert parse_jpeg_pixels(b"\x00\x01") is None
+    assert parse_jpeg_pixels(b"\xff\xd8\xff\xd9") is None  # no SOS
+    # truncated entropy data
+    import numpy as np
+
+    payload = _encode_baseline_jpeg_gray(
+        np.full((8, 8), 100.0), np.array([16] * 64)
+    )
+    assert parse_jpeg_pixels(payload[:-4]) is None
