@@ -84,6 +84,57 @@ SERVER_CLOSE = 116
 DBMS_TCP_PROTOCOL_VERSION = 54460
 MAX_FRAME = 64 * 1024 * 1024  # cap client-declared frame length
 
+# wire compression codecs (reference SDK compression enums,
+# pkg/sdk/client.go CompressionNone/LZ4/ZSTD; zlib is the codec this
+# runtime can actually provide offline — lz4/zstd are capability-gated
+# exactly like the engine's brotli storage codec)
+COMPRESSION_NONE = 0
+COMPRESSION_LZ4 = 1
+COMPRESSION_ZSTD = 2
+COMPRESSION_ZLIB = 3
+_AVAILABLE_CODECS = {COMPRESSION_NONE, COMPRESSION_ZLIB}
+_COMPRESS_MIN_BYTES = 64  # tiny frames aren't worth a deflate round trip
+
+
+def wrap_payload(codec: int, payload: bytes) -> bytes:
+    """Compressed-session envelope: [u8 codec][uvarint raw_len][body].
+    Small or incompressible payloads ship with codec 0 inside the
+    envelope — the receiver trusts the per-frame byte, not the session
+    codec, so mixed frames are fine."""
+    import zlib
+
+    if codec == COMPRESSION_ZLIB and len(payload) >= _COMPRESS_MIN_BYTES:
+        comp = zlib.compress(payload, 6)
+        if len(comp) < len(payload):
+            return (
+                bytes([COMPRESSION_ZLIB])
+                + write_uvarint(len(payload))
+                + comp
+            )
+    return bytes([COMPRESSION_NONE]) + write_uvarint(len(payload)) + payload
+
+
+def unwrap_payload(data: bytes) -> bytes:
+    """Inverse of wrap_payload; validates the declared raw length."""
+    import zlib
+
+    if not data:
+        raise ValueError("empty compressed envelope")
+    codec = data[0]
+    raw_len, pos = read_uvarint(data, 1)
+    body = data[pos:]
+    if codec == COMPRESSION_NONE:
+        out = body
+    elif codec == COMPRESSION_ZLIB:
+        out = zlib.decompress(body)
+    else:
+        raise ValueError(f"unsupported wire compression codec {codec}")
+    if len(out) != raw_len:
+        raise ValueError(
+            f"decompressed length {len(out)} != declared {raw_len}"
+        )
+    return out
+
 
 # ------------------------------------------------------------ primitives
 def write_uvarint(n: int) -> bytes:
@@ -175,6 +226,7 @@ def pack_client_hello(
     password: str = "",
     idle_timeout: int = 0,
     read_timeout: int = 0,
+    compression: int = COMPRESSION_NONE,
 ) -> bytes:
     return (
         _s8(name)
@@ -186,6 +238,7 @@ def pack_client_hello(
         + _s8(password)
         + write_uvarint(idle_timeout)
         + write_uvarint(read_timeout)
+        + write_uvarint(compression)
     )
 
 
@@ -198,11 +251,13 @@ def unpack_client_hello(data: bytes) -> dict:
     db, pos = _r8(data, pos)
     user, pos = _r8(data, pos)
     pwd, pos = _r8(data, pos)
-    idle = rd = 0
+    idle = rd = comp = 0
     if pos < len(data):
         idle, pos = read_uvarint(data, pos)
     if pos < len(data):
         rd, pos = read_uvarint(data, pos)
+    if pos < len(data):
+        comp, pos = read_uvarint(data, pos)
     return {
         "client_name": name,
         "major": major,
@@ -213,6 +268,7 @@ def unpack_client_hello(data: bytes) -> dict:
         "password": pwd,
         "idle_timeout": idle,
         "read_timeout": rd,
+        "compression": comp,
     }
 
 
@@ -376,6 +432,8 @@ class NativeServer:
         self.sock.listen(8)
         self.port = self.sock.getsockname()[1]
         self._stop = threading.Event()
+        # per-connection negotiated wire codec (set at ClientHello)
+        self._conn_codec: dict[socket.socket, int] = {}
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
 
     def start(self) -> "NativeServer":
@@ -418,6 +476,9 @@ class NativeServer:
         return buf
 
     def _send(self, conn: socket.socket, sig_type: int, payload: bytes) -> None:
+        codec = self._conn_codec.get(conn, COMPRESSION_NONE)
+        if codec:
+            payload = wrap_payload(codec, payload)
         conn.sendall(encode_frame(sig_type, payload))
 
     def _send_exception(self, conn: socket.socket, exc: Exception) -> None:
@@ -450,6 +511,8 @@ class NativeServer:
                     return  # client disconnected (io.EOF path)
                 last_activity = time.monotonic()
                 sig_type, payload = frame
+                if self._conn_codec.get(conn):
+                    payload = unwrap_payload(payload)
 
                 if sig_type == CLIENT_HELLO:
                     hello = unpack_client_hello(payload)
@@ -460,7 +523,26 @@ class NativeServer:
                         conn.settimeout(min(float(hello["read_timeout"]), 5.0))
                     elif idle_timeout:
                         conn.settimeout(min(idle_timeout / 2, 5.0))
+                    codec = int(hello.get("compression") or 0)
+                    if codec not in _AVAILABLE_CODECS:
+                        # capability-gated, like the engine's brotli codec:
+                        # lz4/zstd need libraries absent in this runtime
+                        self._send(
+                            conn,
+                            SERVER_EXCEPTION,
+                            pack_server_exception(
+                                "common.unsupported",
+                                f"wire compression codec {codec} not "
+                                "available (lz4/zstd require codec "
+                                "libraries; zlib=3 is built in)",
+                            ),
+                        )
+                        return
+                    # hello/ServerHello travel uncompressed; everything
+                    # after the negotiation is enveloped
                     self._send(conn, SERVER_HELLO, pack_server_hello())
+                    if codec:
+                        self._conn_codec[conn] = codec
                 elif sig_type == CLIENT_QUERY:
                     q = unpack_client_query(payload)
                     self._run_query(conn, q)
@@ -493,6 +575,7 @@ class NativeServer:
         except (OSError, ValueError):
             pass
         finally:
+            self._conn_codec.pop(conn, None)
             try:
                 conn.close()
             except OSError:
@@ -656,29 +739,44 @@ class NativeClient:
 
     @classmethod
     def from_dsn(cls, dsn: str) -> "NativeClient":
+        # ?compress=none|lz4|zstd|zlib — the reference SDK's compress
+        # DSN parameter (pkg/sdk compression options)
         o = parse_dsn(dsn)
+        names = {"none": 0, "lz4": 1, "zstd": 2, "zlib": 3}
+        comp = o["settings"].get("compress", "none").lower()
+        if comp not in names:
+            raise ValueError(f"unknown compress codec {comp!r}")
         return cls(
             o["host"], o["port"], database=o["database"], user=o["user"],
-            password=o["password"],
+            password=o["password"], compression=names[comp],
         )
 
     def __init__(self, host: str, port: int, database: str = "",
-                 user: str = "", password: str = ""):
+                 user: str = "", password: str = "",
+                 compression: int = COMPRESSION_NONE):
         self.database = database
+        self._codec = COMPRESSION_NONE  # negotiation completes after hello
         self.sock = socket.create_connection((host, port), timeout=60)
         self._send(
             CLIENT_HELLO,
             pack_client_hello(
-                "ranger-spark-client", database, user, password
+                "ranger-spark-client", database, user, password,
+                compression=compression,
             ),
         )
         sig, payload = self._read()
+        if sig == SERVER_EXCEPTION:
+            e = unpack_server_exception(payload)
+            raise RuntimeError(f"{e['code']}: {e['message']}")
         if sig != SERVER_HELLO:
             raise ConnectionError(f"expected ServerHello, got {sig}")
         self.server_info = unpack_server_hello(payload)
+        self._codec = compression
 
     # -------------------------------------------------------------- plumbing
     def _send(self, sig_type: int, payload: bytes) -> None:
+        if self._codec:
+            payload = wrap_payload(self._codec, payload)
         self.sock.sendall(encode_frame(sig_type, payload))
 
     def _recv_exact(self, n: int) -> bytes | None:
@@ -694,6 +792,8 @@ class NativeClient:
         frame = read_frame(self._recv_exact)
         if frame is None:
             raise ConnectionError("server closed connection")
+        if self._codec:
+            return frame[0], unwrap_payload(frame[1])
         return frame
 
     # ------------------------------------------------------------------ API
