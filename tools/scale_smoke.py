@@ -41,6 +41,13 @@ def main() -> None:
         "text_quality",
         "ann_cosine_topk",
         "events_sessionization",
+        "doc_chunk_sliding",
+        "cross_doc_ngram_dup",
+        "dedup_span_removal",
+        "pii_redact",
+        "json_extract_events",
+        "approx_sketches",
+        "multimodal_jpeg_pixel_stats",
     ]
     rows = spark.read.parquet(f"{OUT}/lineitem.parquet").count()
     print(f"lineitem rows: {rows:,}")
