@@ -69,6 +69,7 @@ _NEW_R5 = (
     "sample_reservoir_per_source",
     "sample_quality_weighted",
     "multimodal_jpeg_pixel_stats",
+    "text_bigram_lm_score",
 )
 
 

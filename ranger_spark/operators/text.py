@@ -329,3 +329,65 @@ def bigram_pmi(
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(top_k)
     )
+
+
+def bigram_lm_score(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+):
+    """Per-document bigram language-model score — the CCNet-style
+    perplexity quality filter (train a smoothed bigram LM on the corpus,
+    score every document by its average negative log-likelihood; no
+    reference analog, 100 TB pipeline extension).
+
+    P(b|a) = (C(a,b) + k) / (C(a) + k·V), add-k smoothed over the
+    corpus-trained counts. Returns (id, n_bigrams, avg_neg_logp) where
+    lower = more typical of the corpus.
+
+    Plan shape: the count model is two vocabulary-bounded aggregates
+    plus a 1-row vocab size; each document's bigram stream joins the
+    bigram-count table on (a, b) — Catalyst broadcasts it while the
+    vocabulary is small and falls back to a hash join on the pair key at
+    scale — then one per-doc aggregate. Nothing driver-side."""
+    from pyspark.sql import functions as F
+
+    toks = tokenize(normalize_text(F.col(text_col)))
+    d = df.select(F.col(id_col), toks.alias("toks"))
+    n = F.size("toks")
+    doc_pairs = d.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("a"),
+                F.slice(F.col("toks"), 2, n - 1).alias("b"),
+            )
+        ).alias("z"),
+    ).select(id_col, F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+    pairs = doc_pairs.select("a", "b")
+    bcnt = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    ucnt = (
+        d.select(F.explode("toks").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    vocab = ucnt.agg(F.count(F.lit(1)).alias("v"))
+    neg_logp = -F.log(
+        (F.col("nab") + F.lit(k)) / (F.col("na") + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        doc_pairs.join(bcnt, ["a", "b"])
+        .join(F.broadcast(ucnt), "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(neg_logp), 6).alias("avg_neg_logp"),
+        )
+    )
+    return d.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "avg_neg_logp",
+    )

@@ -2112,3 +2112,46 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     imgs = d.select("doc_id", payload.alias("payload"))
     return decode_jpeg_pixel_stats(imgs, "doc_id", "payload")
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    dp AS (
+      SELECT doc_id, t[i] AS a, t[i+1] AS b
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(t) - 1)) AS i
+      ) g
+      WHERE len(t) >= 2
+    ),
+    bc AS (SELECT a, b, count(*) AS nab FROM dp GROUP BY 1, 2),
+    uc AS (
+      SELECT a, count(*) AS na
+      FROM (SELECT unnest(t) AS a FROM toks) u GROUP BY a
+    ),
+    vs AS (SELECT count(*) AS v FROM uc),
+    sc AS (
+      SELECT dp.doc_id,
+             count(*) AS n_bigrams,
+             round(avg(-ln((bc.nab + 0.5) / (uc.na + 0.5 * vs.v))), 6)
+               AS avg_neg_logp
+      FROM dp JOIN bc USING (a, b) JOIN uc USING (a), vs
+      GROUP BY dp.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.avg_neg_logp
+    FROM toks t LEFT JOIN sc ON sc.doc_id = t.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter: an add-k-smoothed bigram LM
+    trained on the corpus scores each document by average negative
+    log-likelihood (lower = more corpus-typical)."""
+    from ranger_spark.operators.text import bigram_lm_score
+
+    return bigram_lm_score(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=0.5
+    )
