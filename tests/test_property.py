@@ -187,3 +187,17 @@ def test_chunk_starts_invariants(n, size, overlap):
     for s in ss[1:]:
         stitched += list(range(s + overlap, min(s + size, n)))
     assert stitched == list(range(n))
+
+
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_wire_compression_envelope_roundtrip(payload):
+    from ranger_spark.sources.native_server import (
+        COMPRESSION_NONE,
+        COMPRESSION_ZLIB,
+        unwrap_payload,
+        wrap_payload,
+    )
+
+    for codec in (COMPRESSION_NONE, COMPRESSION_ZLIB):
+        assert unwrap_payload(wrap_payload(codec, payload)) == payload
