@@ -746,15 +746,17 @@ def _idct_matrix() -> "np.ndarray":
 
 
 def parse_jpeg_pixels(payload: bytes) -> dict | None:
-    """REAL baseline JPEG decode for single-component (grayscale) images,
+    """REAL baseline JPEG decode for grayscale and 4:4:4 YCbCr images,
     pure numpy: marker walk, DQT/DHT/SOF0/SOS parse, canonical huffman
-    entropy decode with 0xFF00 unstuffing, DC DPCM, dequantization,
-    inverse zigzag, and the 2-D inverse DCT — the actual T.81 baseline
-    pipeline, no media library. Returns {'width','height','n_pixels',
-    'mean','min','max'} over the reconstructed pixels, or None for
-    progressive / multi-component / undecodable payloads. (The
+    entropy decode with 0xFF00 unstuffing, per-component DC DPCM,
+    dequantization, inverse zigzag, the 2-D inverse DCT, and the JFIF
+    YCbCr→RGB conversion for color — the actual T.81 baseline pipeline,
+    no media library. Returns {'width','height','n_pixels','channels',
+    'means','mean','min','max'} ('mean'/'min'/'max' are over the first
+    channel for compatibility; 'means' has one entry per channel), or
+    None for progressive / subsampled / undecodable payloads. (The
     compressed-codec decode listed as library-gated in VERDICT r2 item 5:
-    the grayscale baseline half is feasible offline and done here; chroma
+    the unsubsampled baseline is feasible offline and done here; chroma
     subsampling + progressive remain gated.)"""
     try:
         if payload[:2] != b"\xff\xd8":
@@ -763,7 +765,9 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
         qt = {}
         huff = {}
         width = height = None
-        dc_id = ac_id = 0
+        comps: list[tuple[int, int]] = []  # per component (id, tq)
+        sel: dict[int, tuple[int, int]] = {}  # comp id -> (dc_id, ac_id)
+        scan_order: list[int] = []
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
@@ -782,11 +786,18 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
                     ).astype(np.int32)
                     s += 65
             elif marker == 0xC0:  # SOF0 baseline
-                if seg[5] != 1:  # single component only
+                nf = seg[5]
+                if nf not in (1, 3):
                     return None
                 height = int.from_bytes(seg[1:3], "big")
                 width = int.from_bytes(seg[3:5], "big")
-                comp_tq = seg[8]
+                comps = []
+                for ci in range(nf):
+                    cid = seg[6 + 3 * ci]
+                    sampling = seg[7 + 3 * ci]
+                    if sampling != 0x11:  # chroma subsampling: gated
+                        return None
+                    comps.append((cid, seg[8 + 3 * ci]))
             elif marker in (0xC1, 0xC2, 0xC3):  # other SOF: not baseline
                 return None
             elif marker == 0xC4:  # DHT
@@ -799,53 +810,79 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
                     huff[(tc_th >> 4, tc_th & 15)] = _jpeg_huff_table(counts, syms)
                     s += 17 + n
             elif marker == 0xDA:  # SOS
-                dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+                ns = seg[0]
+                for ci in range(ns):
+                    cid = seg[1 + 2 * ci]
+                    tda = seg[2 + 2 * ci]
+                    sel[cid] = (tda >> 4, tda & 15)
+                    scan_order.append(cid)
                 pos = pos + 2 + seg_len
                 break
             pos = pos + 2 + seg_len
         else:
             return None
-        if width is None or not huff or comp_tq not in qt:
+        if width is None or not huff or not comps:
             return None
-        q = qt[comp_tq]
-        dc_tab = huff[(0, dc_id)]
-        ac_tab = huff[(1, ac_id)]
+        if [cid for cid, _ in comps] != scan_order:
+            return None  # interleaved scan must cover SOF order
+        for _, tq in comps:
+            if tq not in qt:
+                return None
         bx, by = (width + 7) // 8, (height + 7) // 8
         reader = _JpegBitReader(payload, pos)
         m = _idct_matrix()
-        img = np.zeros((by * 8, bx * 8), dtype=np.float64)
-        pred = 0
+        planes = [
+            np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps
+        ]
+        preds = [0] * len(comps)
         for b in range(bx * by):
-            coef = np.zeros((8, 8), dtype=np.float64)
-            t = reader.read_symbol(dc_tab)
-            pred += _jpeg_extend(reader.read_bits(t), t)
-            coef[0, 0] = pred * q[0]
-            k = 1
-            while k < 64:
-                rs = reader.read_symbol(ac_tab)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    return None
-                s = rs & 15
-                r, c = _JPEG_ZIGZAG[k]
-                coef[r, c] = _jpeg_extend(reader.read_bits(s), s) * q[k]
-                k += 1
-            block = m.T @ coef @ m
             r0, c0 = (b // bx) * 8, (b % bx) * 8
-            img[r0 : r0 + 8, c0 : c0 + 8] = block
-        pix = np.clip(np.round(img[:height, :width] + 128), 0, 255)
+            # 4:4:4 MCU: one block per component, SOF order
+            for ci, (cid, tq) in enumerate(comps):
+                q = qt[tq]
+                dc_tab = huff[(0, sel[cid][0])]
+                ac_tab = huff[(1, sel[cid][1])]
+                coef = np.zeros((8, 8), dtype=np.float64)
+                t = reader.read_symbol(dc_tab)
+                preds[ci] += _jpeg_extend(reader.read_bits(t), t)
+                coef[0, 0] = preds[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        return None
+                    s = rs & 15
+                    r, c = _JPEG_ZIGZAG[k]
+                    coef[r, c] = _jpeg_extend(reader.read_bits(s), s) * q[k]
+                    k += 1
+                planes[ci][r0 : r0 + 8, c0 : c0 + 8] = m.T @ coef @ m
+        crop = [p[:height, :width] + 128 for p in planes]
+        if len(crop) == 3:
+            # JFIF YCbCr → RGB
+            y, cb, cr = crop
+            chans = [
+                y + 1.402 * (cr - 128),
+                y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                y + 1.772 * (cb - 128),
+            ]
+        else:
+            chans = crop
+        pix = [np.clip(np.round(c), 0, 255) for c in chans]
         return {
             "width": width,
             "height": height,
             "n_pixels": int(width * height),
-            "mean": float(pix.mean()),
-            "min": int(pix.min()),
-            "max": int(pix.max()),
+            "channels": len(pix),
+            "means": [float(c.mean()) for c in pix],
+            "mean": float(pix[0].mean()),
+            "min": int(pix[0].min()),
+            "max": int(pix[0].max()),
         }
     except (IndexError, ValueError):
         return None
