@@ -350,6 +350,9 @@ class Engine:
                 # VERSION AS OF / TIMESTAMP AS OF — exceeds the reference
                 sql = self._rewrite_time_travel(sql)
             try:
+                m = re.match(r"(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$", sql)
+                if m:
+                    return self._explain_analyze(m.group(1))
                 return self._read(sql)
             finally:
                 # _read collects eagerly, so the snapshot-pinned temp views
@@ -452,6 +455,26 @@ class Engine:
         raise RangerError(UNSUPPORTED_STATEMENT, f"unroutable: {r.sql[:60]}")
 
     # ----------------------------------------------------------- read path
+    def _explain_analyze(self, inner_sql: str) -> QueryResult:
+        """EXPLAIN ANALYZE <query> — exceeds the reference (its EXPLAIN is
+        DuckDB's static plan): runs the query, then returns the FINAL
+        post-AQE physical plan (isFinalPlan=true — the plan Spark actually
+        executed, after any runtime re-planning / skew splitting) plus a
+        one-line runtime summary. The query's rows are executed but not
+        returned, matching EXPLAIN's result shape."""
+        t0 = time.time()
+        df = self.spark.sql(inner_sql)
+        n_rows = df.count()
+        wall_ms = (time.time() - t0) * 1000.0
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        lines = [(line,) for line in plan.rstrip("\n").split("\n")]
+        lines.append((f"-- analyzed: {n_rows} rows, {wall_ms:.1f} ms wall",))
+        return QueryResult(
+            columns=["plan"],
+            rows=lines,
+            row_count=len(lines),
+        )
+
     def _read(self, sql: str) -> QueryResult:
         df = self.spark.sql(sql)
         rows = df.limit(RESULT_CAP + 1).collect()

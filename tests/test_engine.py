@@ -706,3 +706,19 @@ def test_column_compression_overrides(engine, spark):
             "SETTINGS column_compression = 'zstd';"
         )
     engine.spark.sql("DROP DATABASE ccomp CASCADE")
+
+
+def test_explain_analyze(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS exa;")
+    engine.execute("CREATE TABLE IF NOT EXISTS exa.t (id int32, v float64);")
+    engine.execute("INSERT INTO exa.t (id, v) VALUES (1, 1.5), (2, 2.5);")
+    r = engine.execute(
+        "EXPLAIN ANALYZE SELECT id, sum(v) AS s FROM exa.t GROUP BY id;"
+    )
+    text = "\n".join(row[0] for row in r.rows)
+    # the executed (final) plan, not the static one
+    assert "isFinalPlan=true" in text or "HashAggregate" in text
+    assert "-- analyzed: 2 rows" in text
+    # plain EXPLAIN still routes to Spark's static explain
+    r2 = engine.execute("EXPLAIN SELECT * FROM exa.t;")
+    assert r2.row_count >= 1
