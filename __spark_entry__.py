@@ -70,6 +70,7 @@ _NEW_R5 = (
     "sample_quality_weighted",
     "multimodal_jpeg_pixel_stats",
     "text_bigram_lm_score",
+    "bpe_vocab_merges",
 )
 
 

@@ -2155,3 +2155,23 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(
         load(spark, sf_dir, "documents"), "doc_id", "text", k=0.5
     )
+
+
+def _bpe_oracle() -> str:
+    from ranger_spark.operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(n_merges=8)
+
+
+@register("bpe_vocab_merges", oracle=_bpe_oracle(), tags=("text", "tokenizer", "bpe"))
+def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first 8 merges learned
+    from the corpus word-frequency table (Sennrich et al. 2016) — the
+    oracle replays training round-for-round via the shared pipe-wrapped
+    replace primitive. One corpus pass; every round is bounded by the
+    vocabulary, not the corpus."""
+    from ranger_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(
+        load(spark, sf_dir, "documents"), "text", n_merges=8
+    )

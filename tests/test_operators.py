@@ -716,3 +716,32 @@ def test_chunk_sliding_matches_python_mirror(spark):
         for r in chunk_sliding(df, "doc_id", "text", chunk_size=size, overlap=ov).collect()
     }
     assert got == expected
+
+
+def test_bpe_train_and_encode_hand_case(spark):
+    from ranger_spark.operators.bpe import bpe_encode, bpe_train_merges
+
+    # classic BPE fixture: "lo" dominates, then "low"
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower"), (3, "lowest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_merges(docs, "text", n_merges=3).collect()
+    got = [(r.merge_rank, r.pair_a, r.pair_b, r.merged, r.pair_count) for r in merges]
+    # l+o appears in every word: 5 + 2 + 1 = 8; then lo+w: 8
+    assert got[0] == (1, "l", "o", "lo", 8)
+    assert got[1] == (2, "lo", "w", "low", 8)
+    # third round: 'e' pairs from lower/lowest — low+e (2+1=3)
+    assert got[2] == (3, "low", "e", "lowe", 3)
+
+    enc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode(
+            docs, [(a, b) for _, a, b, _, _ in got], "doc_id", "text"
+        ).collect()
+    }
+    # doc 1: 'low'x5 → one token each; doc 2: 'lower' → lowe+r = 2 each;
+    # doc 3: 'lowest' → lowe+s+t = 3
+    assert enc[1] == (5, 5)
+    assert enc[2] == (2, 4)
+    assert enc[3] == (1, 3)
