@@ -71,6 +71,7 @@ _NEW_R5 = (
     "multimodal_jpeg_pixel_stats",
     "text_bigram_lm_score",
     "bpe_vocab_merges",
+    "text_feature_hash_vector",
 )
 
 

@@ -391,3 +391,52 @@ def bigram_lm_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         "avg_neg_logp",
     )
+
+
+def feature_hash_vector(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+):
+    """Feature-hashing vectorizer (Weinberger et al. 2009): token counts
+    folded into a dense ``dim``-bucket vector by hash — the cheap
+    text-to-vector featurization that feeds the ANN / clustering ops
+    when no learned embeddings exist.
+
+    Returns (id, vec: array<int>, n_nonzero). Scale shape: one explode →
+    (doc, bucket) count with map-side combine, then one per-doc map
+    assembly — the token stream shuffles as (id, 1-byte bucket), never
+    as strings; no O(dim × tokens) interpreted fold."""
+    from pyspark.sql import functions as F
+
+    toks = tokenize(normalize_text(F.col(text_col)))
+    buckets = (
+        df.select(F.col(id_col), F.explode(toks).alias("__t"))
+        .filter(F.length("__t") > 0)
+        .select(id_col, F.pmod(hash64(F.col("__t")), F.lit(dim)).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    as_map = buckets.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+        ).alias("__m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(
+            F.element_at(F.col("__m"), j.cast("long")), F.lit(0)
+        ).cast("int"),
+    )
+    return (
+        df.select(id_col)
+        .join(as_map, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                vec, F.array_repeat(F.lit(0), dim).cast("array<int>")
+            ).alias("vec"),
+            F.coalesce(F.size("__m"), F.lit(0)).alias("n_nonzero"),
+        )
+    )

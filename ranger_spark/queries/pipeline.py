@@ -2175,3 +2175,39 @@ def bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(
         load(spark, sf_dir, "documents"), "text", n_merges=8
     )
+
+
+_FH_DIM = 16
+_FH_HASH = "CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "text_feature_hash_vector",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter({_TOKS}, x -> length(x) > 0) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           list_transform(
+             range(0, {_FH_DIM}),
+             j -> CAST(len(list_filter(t, x -> {_FH_HASH} % {_FH_DIM} = j))
+                       AS INTEGER)
+           ) AS vec,
+           CAST(len(list_distinct(
+             list_transform(t, x -> {_FH_HASH} % {_FH_DIM})
+           )) AS INTEGER) AS n_nonzero
+    FROM toks
+    """,
+    tags=("text", "featurize"),
+)
+def text_feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer: token counts folded into a 16-bucket
+    dense vector by md5 hash — the no-model text featurization feeding
+    ANN/clustering. Tokens shuffle as (id, bucket), never as strings."""
+    from ranger_spark.operators.text import feature_hash_vector
+
+    return feature_hash_vector(
+        load(spark, sf_dir, "documents"), "doc_id", "text", dim=_FH_DIM
+    )
