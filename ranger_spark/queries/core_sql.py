@@ -31,6 +31,20 @@ def _net(price="l_extendedprice", disc="l_discount"):
     return F.col(price) * (F.lit(1.0) - F.col(disc))
 
 
+def money_round2(sum_col, grid: int):
+    """Tie-proof 2dp rounding of a money sum whose true value lives on
+    the ``grid``-decimal grid (e.g. price×(1−disc) → 4dp): snap the
+    double sum to the grid (deterministic — the true value is ON the
+    grid), convert the per-group scalar to DECIMAL, and round half-away
+    there, identically in Spark and DuckDB. A plain round(double_sum, 2)
+    ties at .xx5 and resolves by engine summation order (seen at
+    sf0.001 in q5). Cost-free: only per-group results convert."""
+    return (
+        F.round(F.round(sum_col, grid).cast(f"decimal(38,{grid})"), 2)
+        .cast("double")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation pipeline (TPC-H Q1 shape): filter → groupBy → multi-agg.
 # Scale note: partial aggregation (map-side combine) + 6-group cardinality
@@ -42,8 +56,8 @@ def _net(price="l_extendedprice", disc="l_discount"):
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                            AS sum_qty,
            round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE)                    AS sum_disc_price,
+           CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS DECIMAL(38,6)), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 4)                                            AS avg_qty,
            round(avg(l_extendedprice), 4)                                       AS avg_price,
            round(avg(l_discount), 6)                                            AS avg_disc,
@@ -63,8 +77,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(_net()), 2).alias("sum_disc_price"),
-        F.round(F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
+        money_round2(F.sum(_net()), 4).alias("sum_disc_price"),
+        money_round2(F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 6).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -82,7 +96,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -118,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_net()), 2).alias("revenue"))
+        .agg(money_round2(F.sum(_net()), 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ranger_spark.queries import register
+from ranger_spark.queries.core_sql import money_round2
 from ranger_spark.tables import load
 
 
@@ -20,7 +21,7 @@ def _net():
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(CAST(round(sum(l_extendedprice * l_discount), 4) AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue,
            count(*) AS cnt
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -42,7 +43,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            money_round2(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("cnt"),
@@ -88,7 +89,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -116,7 +117,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_net()), 2).alias("revenue"))
+        .agg(money_round2(F.sum(_net()), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -239,7 +240,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue,
            count(*) AS cnt
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -279,7 +280,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(F.sum(_net()), 2).alias("revenue"),
+            money_round2(F.sum(_net()), 4).alias("revenue"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
@@ -290,7 +291,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+           CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE) AS volume
     FROM customer, orders, lineitem, supplier, nation n1, nation n2
     WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
       AND l_suppkey = s_suppkey
@@ -332,7 +333,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(_net()), 2).alias("volume"))
+        .agg(money_round2(F.sum(_net()), 4).alias("volume"))
     )
 
 
@@ -372,7 +373,7 @@ def q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -393,7 +394,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_net()), 2).alias("total_revenue")
+        money_round2(F.sum(_net()), 4).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
     s = load(spark, sf_dir, "supplier")
