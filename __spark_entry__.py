@@ -72,6 +72,7 @@ _NEW_R5 = (
     "text_bigram_lm_score",
     "bpe_vocab_merges",
     "text_feature_hash_vector",
+    "ann_text_topk",
 )
 
 

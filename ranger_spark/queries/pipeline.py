@@ -2211,3 +2211,56 @@ def text_feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash_vector(
         load(spark, sf_dir, "documents"), "doc_id", "text", dim=_FH_DIM
     )
+
+
+@register(
+    "ann_text_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKS}, x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    vecs AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, {_FH_DIM}),
+               j -> CAST(len(list_filter(t, x -> {_FH_HASH} % {_FH_DIM} = j))
+                         AS DOUBLE)
+             ) AS v
+      FROM toks WHERE len(t) > 0
+    ),
+    q AS (SELECT doc_id AS q_id, v FROM vecs WHERE doc_id < 3),
+    scored AS (
+      SELECT q.q_id, c.doc_id, {_COS_SQL} AS cos_sim
+      FROM q, vecs c WHERE c.doc_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, doc_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, doc_id
+             ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT q_id, doc_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "featurize"),
+)
+def ann_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed text→vector→ANN path: feature-hash every document
+    into a 16-bucket vector, then brute-force cosine top-5 for 3 query
+    documents against the corpus — text similarity search with no
+    learned embeddings, every stage a certified operator."""
+    from ranger_spark.operators.similarity import brute_force_topk
+    from ranger_spark.operators.text import feature_hash_vector
+
+    d = load(spark, sf_dir, "documents")
+    vecs = feature_hash_vector(d, "doc_id", "text", dim=_FH_DIM).filter(
+        F.col("n_nonzero") > 0
+    )
+    return brute_force_topk(
+        vecs.filter(F.col("doc_id") < 3),
+        vecs,
+        id_col="doc_id",
+        vec_col="vec",
+        k=5,
+    )
