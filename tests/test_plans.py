@@ -65,6 +65,8 @@ _NL_ALLOWED = {
     "q11_important_parts",  # val > (1-row broadcast global-sum threshold)
     "tfidf_top_terms",  # idf needs N = 1-row broadcast corpus count
     "text_bigram_pmi",  # PMI needs the 1-row broadcast unigram/bigram totals
+    "text_bigram_lm_score",  # 1-row broadcast vocab size
+    "ann_text_topk",  # 3-row broadcast query side of the != pair join
 }
 
 
