@@ -437,6 +437,42 @@ class Engine:
                 [], [], 0,
                 message=f"expired {len(removed)} snapshot data dir(s)",
             )
+        if k == StmtKind.VACUUM:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: VACUUM",
+                )
+            # VACUUM t [RETAIN n SECONDS] — Iceberg remove_orphan_files:
+            # delete data files no snapshot manifest references (leftovers
+            # of failed writes that EXPIRE SNAPSHOTS can never reclaim),
+            # keeping files younger than the retain window (in-flight
+            # writer protection; Iceberg's older_than default is 3 days)
+            m = re.match(
+                r"VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?\s*$",
+                r.sql,
+                re.I,
+            )
+            if not m:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT, f"cannot parse: {r.sql!r}"
+                )
+            name = self._qualify(m.group(1))
+            if not self._table_exists(name):
+                raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+            vt = self._versioned_for(name)
+            if vt is None:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    f"table '{name}' is not snapshot-versioned",
+                )
+            grace = float(m.group(2)) if m.group(2) else 259200.0  # 3 days
+            removed = vt.remove_orphans(grace_s=grace)
+            self.spark.catalog.refreshTable(name)
+            return QueryResult(
+                [], [], 0,
+                message=f"removed {len(removed)} orphan file(s)",
+            )
         if k == StmtKind.MERGE:
             # not in the reference grammar at all (parser.go keyword table);
             # executing it exceeds the reference — strict mode keeps parity

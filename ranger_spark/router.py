@@ -53,6 +53,7 @@ class StmtKind(Enum):
     SHOW_SNAPSHOTS = "show_snapshots"  # exceeds (engine snapshot history)
     OPTIMIZE = "optimize"  # exceeds (small-file compaction, Iceberg rewrite_data_files)
     EXPIRE_SNAPSHOTS = "expire_snapshots"  # exceeds (Iceberg expire_snapshots)
+    VACUUM = "vacuum"  # exceeds (Iceberg remove_orphan_files)
     DESCRIBE = "describe"
     TXN_NOOP = "txn_noop"  # BEGIN/COMMIT/ROLLBACK
     PARSE_ONLY = "parse_only"  # GRANT/REVOKE/users/indexes/cursors/procedures
@@ -249,6 +250,8 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.OPTIMIZE, s)
     if m("EXPIRE SNAPSHOTS"):
         return Routed(StmtKind.EXPIRE_SNAPSHOTS, s)
+    if m("VACUUM "):
+        return Routed(StmtKind.VACUUM, s)
     if m("DESCRIBE") or m("DESC "):
         return Routed(StmtKind.DESCRIBE, s)
     if up in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):

@@ -317,3 +317,39 @@ class VersionedTable:
                 keep_dirs.add(m["dir"])  # only attempt once
             os.unlink(self._manifest_path(v))
         return removed
+
+    def remove_orphans(self, grace_s: float = 0.0) -> list[str]:
+        """Delete data files under the table root that no snapshot
+        manifest references (Iceberg ``remove_orphan_files``): leftovers
+        of failed/interrupted writes that expire() can never reclaim
+        because no manifest points at them. Only files older than
+        ``grace_s`` seconds are touched (in-flight writer protection —
+        Iceberg's ``older_than`` default is 3 days). Returns the removed
+        paths. Metadata (``_ranger_meta``) and marker files are never
+        candidates."""
+        referenced: set[str] = set()
+        for v in range(1, self.current_version() + 1):
+            try:
+                referenced.update(
+                    os.path.realpath(f) for f in self._load(v)["files"]
+                )
+            except FileNotFoundError:
+                continue  # expired version
+        now = time.time()
+        removed: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(self.root):
+            dirnames[:] = [d for d in dirnames if d != self.META]
+            for fn in filenames:
+                if fn == "_SUCCESS" or fn.startswith("."):
+                    continue
+                p = os.path.join(dirpath, fn)
+                if os.path.realpath(p) in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(p) < grace_s:
+                        continue
+                    os.unlink(p)
+                    removed.append(p)
+                except OSError:
+                    continue
+        return removed

@@ -722,3 +722,34 @@ def test_explain_analyze(engine):
     # plain EXPLAIN still routes to Spark's static explain
     r2 = engine.execute("EXPLAIN SELECT * FROM exa.t;")
     assert r2.row_count >= 1
+
+
+def test_vacuum_removes_only_orphans(engine, spark):
+    import os
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS vac;")
+    engine.execute("CREATE TABLE vac.t (id int32, v string);")
+    engine.execute("INSERT INTO vac.t (id, v) VALUES (1, 'a'), (2, 'b');")
+    vt = engine._versioned_for("vac.t")
+    data_dir = vt.snapshot_dir()
+    # plant an orphan next to the live files (a failed-write leftover)
+    orphan = os.path.join(data_dir, "part-orphan-deadbeef.snappy.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    # fresh orphan survives the default 3-day retain window
+    r = engine.execute("VACUUM vac.t;")
+    assert "removed 0 orphan" in r.message and os.path.exists(orphan)
+    # explicit zero retain window reclaims it
+    r = engine.execute("VACUUM vac.t RETAIN 0 SECONDS;")
+    assert "removed 1 orphan" in r.message
+    assert not os.path.exists(orphan)
+    # live data untouched, table still reads
+    rows = engine.execute("SELECT count(*) AS c FROM vac.t;").rows
+    assert rows[0][0] == 2
+    # unknown table -> typed error
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    with _pytest.raises(RangerError):
+        engine.execute("VACUUM vac.missing;")
