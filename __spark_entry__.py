@@ -73,6 +73,7 @@ _NEW_R5 = (
     "bpe_vocab_merges",
     "text_feature_hash_vector",
     "ann_text_topk",
+    "dedup_span_incremental",
 )
 
 

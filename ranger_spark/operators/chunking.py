@@ -221,3 +221,103 @@ def remove_dup_spans(
         result = keyed.select(id_col, "__fp").join(result, "__fp").drop("__fp")
         return result.select(id_col, "n_tokens", "n_removed", "cleaned_fp")
     return result
+
+
+def build_gram_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Aggregate the corpus's positioned-gram stream into the persistent
+    (gram-hash → occurrence count) store that
+    :func:`incremental_remove_dup_spans` probes — the span-removal twin
+    of ``dedup.build_minhash_store``. O(distinct grams) rows, 16 bytes
+    each."""
+    toks = T.tokenize(T.normalize_text(F.col(text_col)))
+    d = df.select(toks.alias("__toks")).withColumn("__n", F.size("__toks"))
+    return (
+        d.filter(F.col("__n") >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - n),
+                    lambda i: T.hash64(
+                        F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))
+                    ),
+                )
+            ).alias("gh")
+        )
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("base_cnt"))
+    )
+
+
+def incremental_remove_dup_spans(
+    store: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Span-removal for newly ingested documents only (the 100 TB
+    ingest pattern, like ``dedup.incremental_minhash_dedup``): a delta
+    gram is duplicated if its occurrences across the EXISTING corpus
+    (the store) plus the delta itself exceed one. Cost is
+    O(delta tokens) plus one hash-join probe of the store — the base
+    corpus is never rescanned. Output schema matches
+    :func:`remove_dup_spans`, restricted to delta documents."""
+    from pyspark.sql import Window
+
+    toks = T.tokenize(T.normalize_text(F.col(text_col)))
+    d = delta.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    grams = (
+        d.filter(F.col("__n") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__n") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        T.hash64(
+                            F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, n))
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    delta_occ = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    covered = (
+        grams.withColumn("__delta_cnt", delta_occ)
+        .join(store, "gh", "left")
+        .withColumn(
+            "__total", F.col("__delta_cnt") + F.coalesce("base_cnt", F.lit(0))
+        )
+        .filter(F.col("__total") > 1)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("__cov"))
+    )
+    out = d.join(covered, id_col, "left").withColumn(
+        "__cov", F.coalesce(F.col("__cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.array_contains(F.col("__cov"), i.cast("int")),
+    )
+    return out.select(
+        id_col,
+        F.col("__n").alias("n_tokens"),
+        F.size("__cov").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
+    )

@@ -2264,3 +2264,68 @@ def ann_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="vec",
         k=5,
     )
+
+
+@register(
+    "dedup_span_incremental",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             {_hash64_sql(f"array_to_string(list_slice(t, i + 1, i + {_SPAN_N}), ' ')", 0)} AS gh
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, len(t) - {_SPAN_N})) AS i
+      ) g
+      WHERE len(t) >= {_SPAN_N}
+    ),
+    c AS (SELECT gh, count(*) AS cnt FROM pos GROUP BY gh),
+    cov AS (
+      SELECT DISTINCT p.doc_id, p.pos + j AS idx
+      FROM pos p JOIN c USING (gh), LATERAL (
+        SELECT unnest(generate_series(0, {_SPAN_N - 1})) AS j
+      ) jj
+      WHERE c.cnt > 1 AND p.doc_id % 4 = 0
+    ),
+    tokrows AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS idx, t[i] AS tok
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+      WHERE doc_id % 4 = 0
+    ),
+    kept AS (
+      SELECT tr.doc_id, string_agg(tr.tok, ' ' ORDER BY tr.idx) AS cleaned
+      FROM tokrows tr
+      LEFT JOIN cov ON cov.doc_id = tr.doc_id AND cov.idx = tr.idx
+      WHERE cov.idx IS NULL
+      GROUP BY tr.doc_id
+    ),
+    ncov AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens,
+           CAST(coalesce(n.n_removed, 0) AS INTEGER) AS n_removed,
+           md5(coalesce(k.cleaned, '')) AS cleaned_fp
+    FROM toks t
+    LEFT JOIN ncov n ON n.doc_id = t.doc_id
+    LEFT JOIN kept k ON k.doc_id = t.doc_id
+    WHERE t.doc_id % 4 = 0
+    """,
+    tags=("dedup", "substring", "incremental"),
+)
+def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup over an ingest batch: newly arrived
+    docs (doc_id % 4 = 0) are span-cleaned against the persisted
+    gram-count store of the existing corpus plus their own grams —
+    O(delta tokens) + one store probe, the base corpus is never
+    rescanned. The oracle replays the equivalent full-corpus marking
+    restricted to the delta (proved equal in tests)."""
+    from ranger_spark.operators.chunking import (
+        build_gram_store,
+        incremental_remove_dup_spans,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    store = build_gram_store(
+        d.filter("doc_id % 4 != 0"), "doc_id", "text", n=_SPAN_N
+    )
+    return incremental_remove_dup_spans(
+        store, d.filter("doc_id % 4 = 0"), "doc_id", "text", n=_SPAN_N
+    )

@@ -745,3 +745,28 @@ def test_bpe_train_and_encode_hand_case(spark):
     assert enc[1] == (5, 5)
     assert enc[2] == (2, 4)
     assert enc[3] == (1, 3)
+
+
+def test_incremental_span_removal_matches_full(spark):
+    from ranger_spark.operators.chunking import (
+        build_gram_store,
+        incremental_remove_dup_spans,
+        remove_dup_spans,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = d.filter("doc_id % 4 != 0")
+    delta = d.filter("doc_id % 4 = 0")
+    store = build_gram_store(base, "doc_id", "text", n=3)
+    inc = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_fp)
+        for r in incremental_remove_dup_spans(
+            store, delta, "doc_id", "text", n=3
+        ).collect()
+    }
+    full = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_fp)
+        for r in remove_dup_spans(d, "doc_id", "text", n=3).collect()
+        if r.doc_id % 4 == 0
+    }
+    assert inc == full
