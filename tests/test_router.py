@@ -62,7 +62,7 @@ def test_strict_gate_rejects_with():
 
 def test_unknown_statement():
     with pytest.raises(RangerError) as ei:
-        route("VACUUM t;")
+        route("FLUSH x;")
     assert ei.value.code == "engine.unsupported_statement_type"
 
 
@@ -72,7 +72,8 @@ def test_unknown_statement():
 # (line, column) anchored at the offending statement.
 
 _BAD_STATEMENTS = [
-    "VACUUM t",
+    # (VACUUM left out since round 5: implemented as orphan-file
+    # removal — exceeds the reference; strict mode still rejects it)
     "FLUSH x",
     "TRUNCATE t",
     "REPLACE INTO t VALUES (1)",
@@ -85,7 +86,6 @@ _BAD_STATEMENTS = [
     "ANALYZE t",
     # (OPTIMIZE left out: round 4 implements it as the compaction
     # statement — exceeds the reference; strict mode still rejects it)
-    "VACUUM INTO 'x'",
     "REFRESH TABLE t",
     "RESET ALL",
     "LOAD 'ext'",
@@ -136,7 +136,7 @@ def test_error_positions_multiline_and_strings():
 
     # a ';' inside a string literal must not split/shift positions, and a
     # statement spanning lines anchors at its first keyword
-    script = "SELECT 'a;b' AS s;\n\n   VACUUM\n  t;\nSELECT 2;"
+    script = "SELECT 'a;b' AS s;\n\n   FLUSHQ\n  t;\nSELECT 2;"
     errs = validate_script(script)
     assert len(errs) == 1
     assert (errs[0].line, errs[0].column) == (3, 4)
