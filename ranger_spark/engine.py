@@ -473,6 +473,35 @@ class Engine:
                 [], [], 0,
                 message=f"removed {len(removed)} orphan file(s)",
             )
+        if k == StmtKind.ANALYZE_TABLE:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: ANALYZE",
+                )
+            # ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ...] —
+            # collect table/column statistics into the catalog so
+            # Catalyst's cost-based optimizer (join reordering, broadcast
+            # decisions from real row counts instead of file sizes) has
+            # data to work with. Passthrough to Spark's native statement
+            # after qualifying the table name; exceeds the reference
+            # (DuckDB inside it keeps its own stats).
+            m = re.match(
+                r"ANALYZE\s+TABLE\s+([\w.]+)\s+(COMPUTE\s+STATISTICS.*)$",
+                r.sql,
+                re.I | re.S,
+            )
+            if not m:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT, f"cannot parse: {r.sql!r}"
+                )
+            name = self._qualify(m.group(1))
+            if not self._table_exists(name):
+                raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+            self.spark.sql(f"ANALYZE TABLE {name} {m.group(2)}")
+            return QueryResult(
+                [], [], 0, message=f"statistics collected for {name}"
+            )
         if k == StmtKind.MERGE:
             # not in the reference grammar at all (parser.go keyword table);
             # executing it exceeds the reference — strict mode keeps parity

@@ -54,6 +54,7 @@ class StmtKind(Enum):
     OPTIMIZE = "optimize"  # exceeds (small-file compaction, Iceberg rewrite_data_files)
     EXPIRE_SNAPSHOTS = "expire_snapshots"  # exceeds (Iceberg expire_snapshots)
     VACUUM = "vacuum"  # exceeds (Iceberg remove_orphan_files)
+    ANALYZE_TABLE = "analyze_table"  # exceeds (CBO statistics collection)
     DESCRIBE = "describe"
     TXN_NOOP = "txn_noop"  # BEGIN/COMMIT/ROLLBACK
     PARSE_ONLY = "parse_only"  # GRANT/REVOKE/users/indexes/cursors/procedures
@@ -252,6 +253,8 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.EXPIRE_SNAPSHOTS, s)
     if m("VACUUM "):
         return Routed(StmtKind.VACUUM, s)
+    if m("ANALYZE TABLE "):
+        return Routed(StmtKind.ANALYZE_TABLE, s)
     if m("DESCRIBE") or m("DESC "):
         return Routed(StmtKind.DESCRIBE, s)
     if up in ("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK"):

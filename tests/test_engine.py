@@ -753,3 +753,20 @@ def test_vacuum_removes_only_orphans(engine, spark):
 
     with _pytest.raises(RangerError):
         engine.execute("VACUUM vac.missing;")
+
+
+def test_analyze_table_collects_cbo_stats(engine, spark):
+    engine.execute("CREATE DATABASE IF NOT EXISTS anz;")
+    engine.execute("CREATE TABLE anz.t (id int32, v string);")
+    engine.execute("INSERT INTO anz.t (id, v) VALUES (1, 'a'), (2, 'b'), (3, 'c');")
+    r = engine.execute("ANALYZE TABLE anz.t COMPUTE STATISTICS;")
+    assert "statistics collected" in r.message
+    desc = spark.sql("DESCRIBE TABLE EXTENDED anz.t").collect()
+    stats = {row.col_name: row.data_type for row in desc}
+    assert "Statistics" in stats and "3 rows" in stats["Statistics"]
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    with _pytest.raises(RangerError):
+        engine.execute("ANALYZE TABLE anz.missing COMPUTE STATISTICS;")
