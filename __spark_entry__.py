@@ -74,6 +74,7 @@ _NEW_R5 = (
     "text_feature_hash_vector",
     "ann_text_topk",
     "dedup_span_incremental",
+    "events_anomaly_zscore",
 )
 
 

@@ -482,3 +482,46 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type,
+             abs(e.value - s.mu) / s.sigma AS az
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN az > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           round(max(az), 6) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+    tags=("analytics", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging — the data-quality monitor over
+    an event stream: one stats aggregate broadcast back over the scan,
+    one final per-type aggregate (two shuffles on a low-cardinality
+    key, nothing row-wise in Python)."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = e.join(F.broadcast(stats), "event_type").withColumn(
+        "az", F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("az") > 3.0, 1).otherwise(0)).alias("n_anomalies"),
+        F.round(F.max("az"), 6).alias("max_abs_z"),
+    )
