@@ -608,3 +608,133 @@ def test_parse_jpeg_444_color_roundtrip():
     # YCbCr round trip adds <2 gray levels of error per channel mean
     for want, have in zip(rgb.reshape(-1, 3).mean(axis=0), got["means"]):
         assert abs(want - have) < 2.0
+
+
+def _encode_baseline_jpeg_420(rgb, quant):
+    """4:2:0 encoder: luma 2x2, chroma downsampled by 2x2 averaging,
+    MCU-interleaved (4 Y blocks then Cb then Cr), shared tables."""
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        JPEG_AC_LUM_COUNTS,
+        JPEG_AC_LUM_SYMBOLS,
+        JPEG_DC_LUM_COUNTS,
+        JPEG_DC_LUM_SYMBOLS,
+        _idct_matrix,
+        _jpeg_huff_table,
+    )
+
+    h, w, _ = rgb.shape
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    cb_d = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr_d = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    m = _idct_matrix()
+
+    def enc_table(counts, symbols):
+        return {
+            sym: (code, ln)
+            for (ln, code), sym in _jpeg_huff_table(counts, symbols).items()
+        }
+
+    dc_enc = enc_table(JPEG_DC_LUM_COUNTS, JPEG_DC_LUM_SYMBOLS)
+    ac_enc = enc_table(JPEG_AC_LUM_COUNTS, JPEG_AC_LUM_SYMBOLS)
+    bits = []
+
+    def put(code, ln):
+        bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+
+    def category(v):
+        return int(v).bit_length() if v else 0
+
+    def put_value(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    preds = [0, 0, 0]
+
+    def emit_block(plane, rr, cc, ci):
+        block = plane[rr : rr + 8, cc : cc + 8] - 128.0
+        coef = m @ block @ m.T
+        zz = [
+            int(round(coef[a, b2] / quant[k]))
+            for k, (a, b2) in enumerate(_JPEG_ZIGZAG)
+        ]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        t = category(abs(diff)) if diff else 0
+        put(dc_enc[t][0], dc_enc[t][1])
+        put_value(diff, t)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(ac_enc[0xF0][0], ac_enc[0xF0][1])
+                run -= 16
+            sca = category(abs(v))
+            put(ac_enc[(run << 4) | sca][0], ac_enc[(run << 4) | sca][1])
+            put_value(v, sca)
+            run = 0
+        if run:
+            put(ac_enc[0x00][0], ac_enc[0x00][1])
+
+    mcux, mcuy = w // 16, h // 16
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for byi in range(2):
+                for bxi in range(2):
+                    emit_block(y, (my * 2 + byi) * 8, (mx * 2 + bxi) * 8, 0)
+            emit_block(cb_d, my * 8, mx * 8, 1)
+            emit_block(cr_d, my * 8, mx * 8, 2)
+    while len(bits) % 8:
+        bits.append(1)
+    entropy = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = int("".join(map(str, bits[i : i + 8])), 2)
+        entropy.append(byte)
+        if byte == 0xFF:
+            entropy.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(q) for q in quant))
+    sof = seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht_dc = seg(
+        0xC4, bytes([0x00]) + bytes(JPEG_DC_LUM_COUNTS) + bytes(JPEG_DC_LUM_SYMBOLS)
+    )
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes(JPEG_AC_LUM_COUNTS) + bytes(JPEG_AC_LUM_SYMBOLS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(entropy) + b"\xff\xd9"
+    )
+
+
+def test_parse_jpeg_420_subsampled_roundtrip():
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import parse_jpeg_pixels
+
+    rng = np.random.default_rng(21)
+    # flat 16x16 color tiles: chroma downsample-average and replication
+    # upsample are exact on flat regions, so channel means round-trip
+    base = rng.integers(60, 196, (2, 2, 3))
+    rgb = np.kron(base, np.ones((16, 16, 1))).astype(np.float64)  # 32x32x3
+    payload = _encode_baseline_jpeg_420(rgb, np.array([16] * 64))
+    got = parse_jpeg_pixels(payload)
+    assert got is not None and got["channels"] == 3
+    assert (got["width"], got["height"]) == (32, 32)
+    for want, have in zip(rgb.reshape(-1, 3).mean(axis=0), got["means"]):
+        assert abs(want - have) < 2.0
