@@ -973,14 +973,21 @@ class Engine:
                 # the reference applies per-column codecs natively
                 # (parquet/compression.go:103-109 GetCompressionForColumn);
                 # Spark's parquet writer sets ONE codec per file with no
-                # per-column hook, so differing codecs cannot be honored —
-                # fail fast instead of silently writing the default.
+                # per-column hook, so the engine's insertInto write path
+                # cannot honor differing codecs — fail fast instead of
+                # silently writing the default. The mechanism DOES exist
+                # in the API layer: sources/arrow_write.
+                # write_parquet_column_codecs streams Arrow batches into
+                # a per-column-codec ParquetWriter, distributed
+                # (footer-verified in tests/test_sources.py).
                 raise RangerError(
                     VALIDATION_FAILED,
                     "column_compression with differing codecs is not "
-                    "supported: Spark's parquet writer applies one codec "
-                    f"per file (requested {sorted(codecs)}); use a single "
-                    "codec, or split columns across tables",
+                    "supported on the SQL write path: Spark's parquet "
+                    f"writer applies one codec per file (requested "
+                    f"{sorted(codecs)}); use a single codec, or write via "
+                    "ranger_spark.sources.arrow_write."
+                    "write_parquet_column_codecs",
                 )
         if "buckets" in settings:
             try:

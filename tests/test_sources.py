@@ -94,3 +94,37 @@ def test_avro_roundtrip_or_gated(spark):
     ).mode("overwrite").save(tmp)
     df = read_file(spark, tmp, "avro")
     assert sorted(r.name for r in df.collect()) == ["a", "b"]
+
+
+def test_write_parquet_column_codecs_footer_verified(spark):
+    import pyarrow.parquet as pq
+
+    from ranger_spark.sources.arrow_write import write_parquet_column_codecs
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 1.5 AS v"
+    )
+    out = str(Path(tempfile.mkdtemp(prefix="colcodec_")) / "t")
+    files = write_parquet_column_codecs(
+        df.repartition(3), out, {"s": "zstd", "v": "gzip"}, default="snappy"
+    )
+    assert len(files) == 3
+    # footers: each column chunk carries ITS codec
+    for f in files:
+        rg = pq.ParquetFile(f).metadata.row_group(0)
+        codec_by_col = {
+            rg.column(i).path_in_schema: rg.column(i).compression
+            for i in range(rg.num_columns)
+        }
+        assert codec_by_col == {"id": "SNAPPY", "s": "ZSTD", "v": "GZIP"}
+    # data round-trips through Spark
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(id) AS t").collect()[0].t == 499500
+    # validation: unknown column / codec fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_parquet_column_codecs(df, out, {"nope": "zstd"})
+    with _pytest.raises(ValueError):
+        write_parquet_column_codecs(df, out, {"s": "xz"})
