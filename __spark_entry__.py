@@ -75,6 +75,7 @@ _NEW_R5 = (
     "ann_text_topk",
     "dedup_span_incremental",
     "events_anomaly_zscore",
+    "multimodal_mp4_metadata",
 )
 
 

@@ -959,3 +959,125 @@ def decode_jpeg_pixel_stats(
             )
 
     return src.mapInPandas(run, JPEG_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL MP4 / ISO-BMFF container metadata (byte-level box walk)
+# ---------------------------------------------------------------------------
+
+
+def parse_mp4_meta(payload: bytes) -> dict | None:
+    """REAL ISO-BMFF (MP4) box-structure walk, no media library: the
+    top-level box stream is [u32BE size][4cc type][payload] (size==1 →
+    u64 largesize follows; size==0 → box runs to EOF). Reads the ftyp
+    major brand, walks into moov for the mvhd timescale/duration
+    (version 0 and 1 layouts) and counts trak boxes. Returns
+    {'major_brand','n_boxes','n_tracks','duration_ms'} or None for
+    payloads that don't start with a valid ftyp/moov stream. Frame
+    DECODING stays library-gated; the container metadata layer — what a
+    100 TB video-corpus triage pass reads — is real."""
+    try:
+        def walk(buf, start, end):
+            boxes = []
+            pos = start
+            while pos + 8 <= end:
+                size = int.from_bytes(buf[pos : pos + 4], "big")
+                btype = buf[pos + 4 : pos + 8]
+                body = pos + 8
+                if size == 1:
+                    if pos + 16 > end:
+                        return None
+                    size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                    body = pos + 16
+                elif size == 0:
+                    size = end - pos
+                if size < 8 or pos + size > end:
+                    return None
+                boxes.append((btype.decode("latin1"), body, pos + size))
+                pos += size
+            return boxes if pos == end else None
+
+        top = walk(payload, 0, len(payload))
+        if not top or top[0][0] != "ftyp":
+            return None
+        brand = payload[top[0][1] : top[0][1] + 4].decode("latin1")
+        n_tracks = 0
+        duration_ms = None
+        for btype, body, bend in top:
+            if btype != "moov":
+                continue
+            inner = walk(payload, body, bend)
+            if inner is None:
+                return None
+            for itype, ibody, _iend in inner:
+                if itype == "trak":
+                    n_tracks += 1
+                elif itype == "mvhd":
+                    ver = payload[ibody]
+                    if ver == 1:
+                        ts = int.from_bytes(
+                            payload[ibody + 20 : ibody + 24], "big"
+                        )
+                        dur = int.from_bytes(
+                            payload[ibody + 24 : ibody + 32], "big"
+                        )
+                    else:
+                        ts = int.from_bytes(
+                            payload[ibody + 12 : ibody + 16], "big"
+                        )
+                        dur = int.from_bytes(
+                            payload[ibody + 16 : ibody + 20], "big"
+                        )
+                    if ts == 0:
+                        return None
+                    duration_ms = (dur * 1000) // ts
+        if duration_ms is None:
+            return None
+        return {
+            "major_brand": brand,
+            "n_boxes": len(top),
+            "n_tracks": n_tracks,
+            "duration_ms": int(duration_ms),
+        }
+    except (IndexError, ValueError, UnicodeDecodeError):
+        return None
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("n_boxes", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_mp4_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched MP4 box walk → container metadata. Unparseable
+    payloads are dropped."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = parse_mp4_meta(bytes(p))
+                if s is not None:
+                    rows.append(
+                        (
+                            int(i),
+                            s["major_brand"],
+                            s["n_boxes"],
+                            s["n_tracks"],
+                            s["duration_ms"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in MP4_META_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, MP4_META_SCHEMA)

@@ -2329,3 +2329,55 @@ def dedup_span_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_remove_dup_spans(
         store, d.filter("doc_id % 4 = 0"), "doc_id", "text", n=_SPAN_N
     )
+
+
+def _u32be(col):
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
+
+
+@register(
+    "multimodal_mp4_metadata",
+    oracle="""
+    SELECT doc_id,
+           'isom' AS major_brand,
+           3 AS n_boxes,
+           CAST(doc_id % 3 + 1 AS INTEGER) AS n_tracks,
+           CAST(1000 + (doc_id % 600) * 100 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF container metadata, oracle-checked: a complete
+    box stream (ftyp + moov{mvhd, trak×N} + mdat) is synthesized per
+    document as column expressions — sizes, the mvhd timescale/duration,
+    and the variable trak count are all arithmetic over doc_id — and the
+    byte-level box walker must parse it back to match the closed-form
+    oracle. Frame decoding stays library-gated; the container layer a
+    video-corpus triage pass reads is real."""
+    from ranger_spark.operators.multimodal import decode_mp4_meta
+
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    nt = (doc % 3 + 1).cast("int")
+    dur = (F.lit(1000) + (doc % 600) * 100).cast("long")
+    trak = F.unhex(F.lit("000000087472616B"))  # 8-byte empty 'trak' box
+    empty = F.unhex(F.lit(""))
+    payload = F.concat(
+        # ftyp (24 B): size, 'ftyp', major 'isom', minor, compat brands
+        F.unhex(F.lit("000000186674797069736F6D0000020069736F6D69736F32")),
+        _u32be(F.lit(36) + nt * 8),
+        F.unhex(F.lit("6D6F6F76")),  # 'moov'
+        # mvhd (28 B): size, 'mvhd', ver/flags, ctime, mtime
+        F.unhex(F.lit("0000001C6D766864000000000000000000000000")),
+        _u32be(F.lit(1000)),  # timescale
+        _u32be(dur),  # duration (ms at timescale 1000)
+        trak,
+        F.when(nt >= 2, trak).otherwise(empty),
+        F.when(nt >= 3, trak).otherwise(empty),
+        # mdat (24 B): size + 'mdat' + 16 payload bytes
+        F.unhex(F.lit("000000186D646174" + "00" * 16)),
+    )
+    return decode_mp4_meta(
+        d.select("doc_id", payload.alias("payload")), "doc_id", "payload"
+    )

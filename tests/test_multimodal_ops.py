@@ -738,3 +738,51 @@ def test_parse_jpeg_420_subsampled_roundtrip():
     assert (got["width"], got["height"]) == (32, 32)
     for want, have in zip(rgb.reshape(-1, 3).mean(axis=0), got["means"]):
         assert abs(want - have) < 2.0
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _synth_mp4(timescale=1000, duration=4500, tracks=2, ver=0) -> bytes:
+    if ver == 1:
+        mvhd_body = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+        )
+    else:
+        mvhd_body = (
+            bytes([0, 0, 0, 0])
+            + (0).to_bytes(4, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+        )
+    moov = _mp4_box(b"mvhd", mvhd_body) + b"".join(
+        _mp4_box(b"trak", b"") for _ in range(tracks)
+    )
+    return (
+        _mp4_box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+        + _mp4_box(b"moov", moov)
+        + _mp4_box(b"mdat", b"\x00" * 16)
+    )
+
+
+def test_parse_mp4_meta_box_walk():
+    from ranger_spark.operators.multimodal import parse_mp4_meta
+
+    got = parse_mp4_meta(_synth_mp4(timescale=600, duration=3000, tracks=3))
+    assert got == {
+        "major_brand": "isom",
+        "n_boxes": 3,
+        "n_tracks": 3,
+        "duration_ms": 5000,
+    }
+    # version-1 mvhd (64-bit duration)
+    got = parse_mp4_meta(_synth_mp4(timescale=90000, duration=90000 * 7, ver=1))
+    assert got["duration_ms"] == 7000
+    # rejects: truncated box, missing ftyp, zero timescale
+    assert parse_mp4_meta(_synth_mp4()[:20]) is None
+    assert parse_mp4_meta(b"\x00\x00\x00\x08mdat") is None
+    assert parse_mp4_meta(_synth_mp4(timescale=0)) is None
