@@ -352,6 +352,13 @@ class Engine:
             try:
                 m = re.match(r"(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$", sql)
                 if m:
+                    if self.strict_gate:
+                        # exceeds the reference (its EXPLAIN is DuckDB's
+                        # static plan) — strict mode keeps parity
+                        raise RangerError(
+                            UNSUPPORTED_STATEMENT,
+                            "unsupported statement type: EXPLAIN ANALYZE",
+                        )
                     return self._explain_analyze(m.group(1))
                 return self._read(sql)
             finally:
@@ -1189,10 +1196,24 @@ class Engine:
                         VALIDATION_FAILED,
                         f"column_compression column '{col}' is not in the schema",
                     )
+            if overrides and declared - set(overrides):
+                # a PARTIAL single-codec override must not silently widen
+                # to the whole file (the reference leaves unlisted columns
+                # at the default codec, compression.go:103-109); Spark's
+                # writer has no per-column hook, so fail fast like the
+                # differing-codec case
+                missing = sorted(declared - set(overrides))
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    "column_compression must cover every column to be "
+                    f"honored as the file codec (missing {missing}); "
+                    "cover all columns, set table-level compression, or "
+                    "write via ranger_spark.sources.arrow_write."
+                    "write_parquet_column_codecs",
+                )
             if not codec and overrides:
-                # uniform overrides (validated single-codec) are
-                # expressible as the file codec; differing codecs were
-                # rejected in _validate_settings
+                # full-coverage uniform overrides (validated single-codec)
+                # are exactly expressible as the file codec
                 only = next(iter(set(overrides.values())))
                 props["parquet.compression"] = self._PARQUET_CODECS[only]
         prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())

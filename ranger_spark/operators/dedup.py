@@ -351,7 +351,11 @@ def build_minhash_store(
     base = df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
     )
-    fps = base.select(F.md5("__norm").alias("fp")).distinct()
+    # (fp, keeper): the keeper id rides along so an ingest batch can
+    # report an arriving exact copy as a pair against its stored keeper
+    fps = base.groupBy(F.md5("__norm").alias("fp")).agg(
+        F.min(id_col).alias("keeper_id")
+    )
     reps = base.groupBy(F.md5("__norm").alias("__fp")).agg(
         F.min(id_col).alias(id_col),
         F.first("__norm").alias("__norm"),
@@ -398,9 +402,10 @@ def incremental_minhash_dedup(
     this is O(delta) + delta-driven probes of three id/key-indexed
     tables).
 
-    Stages: (1) exact-collapse the delta and drop docs whose fingerprint
-    already exists in the corpus (those are exact dups, caught without
-    shingling); (2) shingle + minhash ONLY the surviving delta reps;
+    Stages: (1) exact-collapse the delta; groups whose fingerprint
+    already exists in the corpus are reported as jaccard-1.0 pairs
+    against the stored keeper (exact dups, caught without shingling) and
+    excluded from signing; (2) shingle + minhash ONLY the surviving delta reps;
     (3) probe the delta's band keys against stored ∪ delta bands — pairs
     where both sides are old never form, matching "report only what the
     batch introduces"; (4) exact-Jaccard verify against the stored
@@ -413,14 +418,22 @@ def incremental_minhash_dedup(
     new_base = new_df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
     )
-    new_reps = (
-        new_base.groupBy(F.md5("__norm").alias("fp"))
-        .agg(
-            F.min(id_col).alias(id_col),
-            F.first("__norm").alias("__norm"),
-        )
-        .join(store["fingerprints"], "fp", "left_anti")
+    new_groups = new_base.groupBy(F.md5("__norm").alias("fp")).agg(
+        F.min(id_col).alias(id_col),
+        F.first("__norm").alias("__norm"),
     )
+    # a batch doc whose exact text already exists in the corpus IS a
+    # duplicate the caller must see: report it as a jaccard-1.0 pair
+    # against the stored keeper (no shingling needed)
+    exact_pairs = (
+        new_groups.join(store["fingerprints"], "fp")
+        .select(
+            F.least(F.col(id_col), F.col("keeper_id")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("keeper_id")).alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    new_reps = new_groups.join(store["fingerprints"], "fp", "left_anti")
     sh_new = (
         new_reps.select(F.col(id_col), tokenize(F.col("__norm")).alias("__toks"))
         .select(
@@ -484,7 +497,9 @@ def incremental_minhash_dedup(
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
+    return verified.filter(
+        F.round(F.col("jaccard"), 6) >= threshold
+    ).unionByName(exact_pairs)
 
 
 def ngram_jaccard_blocked(

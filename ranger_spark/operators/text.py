@@ -378,7 +378,9 @@ def bigram_lm_score(
     )
     scored = (
         doc_pairs.join(bcnt, ["a", "b"])
-        .join(F.broadcast(ucnt), "a")
+        # no broadcast hint: the vocabulary table is O(distinct tokens)
+        # and must be allowed to degrade to a shuffled join at scale
+        .join(ucnt, "a")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

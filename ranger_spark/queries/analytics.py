@@ -497,6 +497,7 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.event_type,
              abs(e.value - s.mu) / s.sigma AS az
       FROM events e JOIN stats s USING (event_type)
+      WHERE s.sigma > 0
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -517,8 +518,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("value").alias("mu"),
         F.stddev_samp("value").alias("sigma"),
     )
-    z = e.join(F.broadcast(stats), "event_type").withColumn(
-        "az", F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
+    # sigma=0 (a type whose values are all identical) would diverge
+    # across engines (Spark double/0 -> NULL, DuckDB -> inf): such
+    # groups carry no anomaly signal, drop them on both sides
+    z = (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.col("sigma") > 0)
+        .withColumn(
+            "az", F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
+        )
     )
     return z.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -152,7 +152,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4)
-                           AS DECIMAL(27,4)), 2) AS DOUBLE) AS revenue
+                           AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -196,18 +196,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        # tie-proof money rounding: the true revenue lives on the
-        # 4-decimal grid (2dp price × 2dp discount), so snapping the
-        # double sum to 4dp is deterministic in any engine; the final
-        # 2dp round then happens in DECIMAL, where half-away rounding is
-        # exact and identical — a plain round(double_sum, 2) flipped a
-        # half-cent on engine summation order at sf0.001. Cost-free:
-        # only the per-group result converts to decimal.
-        .agg(
-            F.round(F.round(F.sum(_net()), 4).cast("decimal(27,4)"), 2)
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(money_round2(F.sum(_net()), 4).alias("revenue"))
     )
 
 

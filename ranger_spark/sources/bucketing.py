@@ -87,6 +87,11 @@ def ensure_bucketed_layout(
     # fact-fact join). Spark only claims the ordering when a bucket is a
     # single file — guaranteed by the repartition-first write below — and
     # the conf's cost (file listing at planning) is trivial here.
+    # NOTE: this is a session-wide conf (deliberate: callers of this
+    # opt-in layout want it for every scan of these tables); it is
+    # correctness-neutral for other bucketed tables — Spark still only
+    # claims ordering for single-file buckets — and costs them at most
+    # planning-time file listing.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     # layout files default next to the source; pass layout_dir when the
     # source directory is read-only

@@ -770,3 +770,29 @@ def test_analyze_table_collects_cbo_stats(engine, spark):
 
     with _pytest.raises(RangerError):
         engine.execute("ANALYZE TABLE anz.missing COMPUTE STATISTICS;")
+
+
+def test_column_compression_partial_coverage_fails_fast(engine):
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS ccomp2;")
+    with _pytest.raises(RangerError) as ei:
+        engine.execute(
+            "CREATE TABLE ccomp2.t (a int32, b string) "
+            "SETTINGS column_compression = 'a:zstd';"
+        )
+    assert "cover every column" in str(ei.value)
+
+
+def test_explain_analyze_strict_gate(spark):
+    import pytest as _pytest
+
+    from ranger_spark.engine import Engine
+    from ranger_spark.errors import RangerError
+
+    strict = Engine(spark, strict_gate=True)
+    with _pytest.raises(RangerError) as ei:
+        strict.execute("EXPLAIN ANALYZE SELECT 1;")
+    assert "EXPLAIN ANALYZE" in str(ei.value)

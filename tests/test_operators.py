@@ -563,9 +563,15 @@ def test_repetition_and_entropy_match_python_reference(spark):
 
 
 def test_incremental_minhash_matches_full_restricted(spark):
-    """Incremental dedup (delta signed against the persisted store) must
-    find exactly the pairs a full-corpus run finds that involve ≥1 delta
-    doc — the invariant that makes per-batch O(delta) dedup sound."""
+    """Incremental dedup (delta signed against the persisted store) uses
+    incremental-keeper semantics: near-dup pairs match a full-corpus run
+    restricted to ≥1 delta doc EXCEPT on exact groups spanning the split
+    (a full run may re-elect a smaller delta id as representative);
+    those arrivals are instead reported as jaccard-1.0 pairs against the
+    stored keeper."""
+    import hashlib
+    import re as _re
+
     from ranger_spark.operators.dedup import (
         build_minhash_store,
         incremental_minhash_dedup,
@@ -576,12 +582,30 @@ def test_incremental_minhash_matches_full_restricted(spark):
     base = d.filter("doc_id % 4 != 0")
     delta = d.filter("doc_id % 4 = 0")
 
+    # expected exact-arrival pairs, computed independently in python
+    def norm(s):
+        return _re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    groups: dict[str, list[int]] = {}
+    for r in d.select("doc_id", "text").collect():
+        groups.setdefault(norm(r.text), []).append(r.doc_id)
+    exact_expected = set()
+    ambiguous_ids = set()
+    for ids in groups.values():
+        b = [i for i in ids if i % 4 != 0]
+        dd = [i for i in ids if i % 4 == 0]
+        if b and dd:
+            pair = (min(min(dd), min(b)), max(min(dd), min(b)))
+            exact_expected.add(pair)
+            ambiguous_ids.update(ids)
+
     store = build_minhash_store(base, "doc_id", "text")
-    inc = {
-        (r.id_a, r.id_b)
-        for r in incremental_minhash_dedup(
-            store, delta, "doc_id", "text", threshold=0.05
-        ).collect()
+    inc_rows = incremental_minhash_dedup(
+        store, delta, "doc_id", "text", threshold=0.05
+    ).collect()
+    inc = {(r.id_a, r.id_b) for r in inc_rows}
+    assert exact_expected <= {
+        (r.id_a, r.id_b) for r in inc_rows if r.jaccard == 1.0
     }
     full = {
         (r.id_a, r.id_b)
@@ -590,7 +614,15 @@ def test_incremental_minhash_matches_full_restricted(spark):
         ).collect()
         if r.id_a % 4 == 0 or r.id_b % 4 == 0
     }
-    assert inc == full
+
+    def unambiguous(pairs):
+        return {
+            p for p in pairs
+            if p[0] not in ambiguous_ids and p[1] not in ambiguous_ids
+        }
+
+    # outside the re-election-ambiguous groups the two runs agree exactly
+    assert unambiguous(inc) == unambiguous(full)
 
 
 def test_chunk_sliding_covers_all_tokens_and_overlaps(spark):
@@ -770,3 +802,26 @@ def test_incremental_span_removal_matches_full(spark):
         if r.doc_id % 4 == 0
     }
     assert inc == full
+
+
+def test_incremental_minhash_reports_exact_arrival(spark):
+    """A batch doc with a smaller id than its stored exact twin must
+    still surface as a duplicate (the corner a full re-run would hide by
+    re-electing the new id as representative)."""
+    from ranger_spark.operators.dedup import (
+        build_minhash_store,
+        incremental_minhash_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(7, "alpha beta gamma delta"), (9, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(4, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    store = build_minhash_store(base, "doc_id", "text")
+    pairs = incremental_minhash_dedup(
+        store, delta, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(4, 7, 1.0)]
