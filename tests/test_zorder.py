@@ -1,0 +1,57 @@
+"""Z-order layout: multi-dimensional file pruning beats single-key sort."""
+
+from __future__ import annotations
+
+import tempfile
+
+
+def test_zorder_prunes_on_both_dimensions(spark):
+    from ranger_spark.sources.zorder import files_overlapping, write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    lo_o, hi_o = li.selectExpr("min(l_orderkey)", "max(l_orderkey)").first()
+    lo_p, hi_p = li.selectExpr("min(l_partkey)", "max(l_partkey)").first()
+
+    base = tempfile.mkdtemp(prefix="zorder_")
+    plain, zpath = f"{base}/plain", f"{base}/zorder"
+    # single-key layout: sorted by orderkey only
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=8)
+
+    # a 10%-range predicate on EACH dimension, off-center: a window
+    # straddling the key-space midpoint touches both top-bit halves of
+    # any space-filling curve and defeats pruning by construction
+    def window(lo, hi):
+        span = hi - lo
+        return lo + span * 20 // 100, lo + span * 30 // 100
+
+    o_lo, o_hi = window(lo_o, hi_o)
+    p_lo, p_hi = window(lo_p, hi_p)
+
+    plain_o, total = files_overlapping(plain, "l_orderkey", o_lo, o_hi)
+    plain_p, _ = files_overlapping(plain, "l_partkey", p_lo, p_hi)
+    z_o, ztotal = files_overlapping(zpath, "l_orderkey", o_lo, o_hi)
+    z_p, _ = files_overlapping(zpath, "l_partkey", p_lo, p_hi)
+
+    assert total == 8 and ztotal == 8
+    # single-key layout prunes its own key hard but not the other one
+    assert plain_o <= 3
+    assert plain_p == 8
+    # z-order prunes BOTH dimensions meaningfully
+    assert z_o <= 6
+    assert z_p <= 6
+
+    # data intact
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert (
+        back.selectExpr("sum(l_quantity) AS s").first().s
+        == li.selectExpr("sum(l_quantity) AS s").first().s
+    )
