@@ -739,12 +739,18 @@ class Engine:
         task counts sane after streaming/chunked ingest; the rewrite is
         one distributed write, no driver materialization."""
         m = re.match(
-            r"OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+))?\s*$", sql, re.I
+            r"OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+))?"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*$",
+            sql,
+            re.I,
         )
         if not m:
             raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
         name = self._qualify(m.group(1))
         target_rows = int(m.group(2)) if m.group(2) else 1_000_000
+        zorder_cols = (
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else []
+        )
         if not self._table_exists(name):
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
         entry = self._manifest["tables"].get(name)
@@ -759,7 +765,37 @@ class Engine:
         n_rows = df.count()
         n_files = max(1, -(-n_rows // target_rows))  # ceil division
         part_by = entry.get("partition_by") or []
-        if part_by:
+        if zorder_cols:
+            # OPTIMIZE ... ZORDER BY (a, b): the compaction rewrite
+            # clusters rows along the Morton curve of the named columns
+            # (sources/zorder.py) so parquet footer pruning works for
+            # predicates on any of them — Delta/Iceberg's OPTIMIZE
+            # ZORDER, exceeding the reference's absent maintenance
+            # surface
+            for c in zorder_cols:
+                if c not in df.columns:
+                    raise RangerError(
+                        VALIDATION_FAILED,
+                        f"ZORDER BY column '{c}' is not in the schema",
+                    )
+            from ranger_spark.sources.zorder import zorder_value
+
+            stats = df.agg(
+                *[F.min(c).alias(f"__min_{c}") for c in zorder_cols],
+                *[F.max(c).alias(f"__max_{c}") for c in zorder_cols],
+            ).collect()[0]
+            z = zorder_value(
+                [F.col(c) for c in zorder_cols],
+                [F.lit(stats[f"__min_{c}"]) for c in zorder_cols],
+                [F.lit(stats[f"__max_{c}"]) for c in zorder_cols],
+            )
+            out = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif part_by:
             # co-locate rows of each partition value; file count per
             # partition follows from the shuffle, small values coalesce
             out = df.repartition(n_files, *[F.col(c) for c in part_by])

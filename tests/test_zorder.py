@@ -55,3 +55,41 @@ def test_zorder_prunes_on_both_dimensions(spark):
         back.selectExpr("sum(l_quantity) AS s").first().s
         == li.selectExpr("sum(l_quantity) AS s").first().s
     )
+
+
+def test_optimize_zorder_statement(engine, spark):
+    import glob
+
+    from ranger_spark.sources.zorder import files_overlapping
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS zo;")
+    engine.execute("CREATE TABLE zo.t (a int32, b int32);")
+    # 4 small inserts -> fragmented files; values cover a 2-D grid
+    rows = [(i, (i * 37) % 1024) for i in range(1024)]
+    for chunk in range(4):
+        vals = ", ".join(
+            f"({a}, {b})" for a, b in rows[chunk * 256 : (chunk + 1) * 256]
+        )
+        engine.execute(f"INSERT INTO zo.t (a, b) VALUES {vals};")
+    r = engine.execute("OPTIMIZE zo.t TARGET 128 ZORDER BY (a, b);")
+    assert "optimized" in r.message
+    vt = engine._versioned_for("zo.t")
+    files = vt.files()
+    assert len(files) == 8  # 1024 rows / 128 target
+    # both dimensions prune on the z-ordered layout (off-center window)
+    import os
+
+    d = os.path.dirname(files[0])
+    oa, ta = files_overlapping(d, "a", 200, 300)
+    ob, tb = files_overlapping(d, "b", 200, 300)
+    assert ta == 8 and oa <= 6
+    assert ob <= 6
+    # rows intact
+    assert engine.execute("SELECT count(*) AS c FROM zo.t;").rows[0][0] == 1024
+    # bad column -> typed error
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    with _pytest.raises(RangerError):
+        engine.execute("OPTIMIZE zo.t ZORDER BY (nope);")
