@@ -76,6 +76,7 @@ _NEW_R5 = (
     "dedup_span_incremental",
     "events_anomaly_zscore",
     "multimodal_mp4_metadata",
+    "events_funnel",
 )
 
 

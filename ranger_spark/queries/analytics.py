@@ -533,3 +533,77 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("az") > 3.0, 1).otherwise(0)).alias("n_anomalies"),
         F.round(F.max("az"), 6).alias("max_abs_z"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clickers,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchasers,
+           round((SELECT count(*) FROM c) /
+                 CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
+             AS view_to_click,
+           round((SELECT count(*) FROM p) /
+                 CAST((SELECT count(*) FROM c) AS DOUBLE), 6)
+             AS click_to_purchase
+    """,
+    tags=("analytics", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → later click → later purchase):
+    each stage is one filtered aggregate joined to the previous stage on
+    user_id — strictly-ordered step semantics, three shuffles on the
+    user key, no window over the full stream."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewers"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clickers")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchasers")))
+    )
+    return counts.select(
+        "n_viewers",
+        "n_clickers",
+        "n_purchasers",
+        F.round(F.col("n_clickers") / F.col("n_viewers"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.col("n_purchasers") / F.col("n_clickers"), 6).alias(
+            "click_to_purchase"
+        ),
+    )
