@@ -674,10 +674,20 @@ def test_column_compression_overrides(engine, spark):
     loc = engine._manifest["tables"][engine._qualify("ccomp.t")]["location"]
     files = glob.glob(f"{loc}/**/*.parquet", recursive=True)
     assert files
-    md = pq.ParquetFile(files[0]).metadata.row_group(0)
-    assert all(
-        md.column(i).compression == "ZSTD" for i in range(md.num_columns)
-    )
+    # skip the zero-row-group file the empty CREATE writes (glob order
+    # is arbitrary); every file that holds data must carry the codec
+    checked = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        if meta.num_row_groups == 0:
+            continue
+        rg = meta.row_group(0)
+        assert all(
+            rg.column(i).compression == "ZSTD"
+            for i in range(rg.num_columns)
+        )
+        checked += 1
+    assert checked >= 1
     # differing codecs → documented failing-fast limitation
     with _pytest.raises(RangerError, match="one codec per file"):
         engine.execute(

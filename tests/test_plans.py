@@ -67,6 +67,7 @@ _NL_ALLOWED = {
     "text_bigram_pmi",  # PMI needs the 1-row broadcast unigram/bigram totals
     "text_bigram_lm_score",  # 1-row broadcast vocab size
     "ann_text_topk",  # 3-row broadcast query side of the != pair join
+    "events_funnel",  # 1-row stage-count broadcasts (crossJoin of scalars)
 }
 
 
