@@ -77,6 +77,7 @@ _NEW_R5 = (
     "events_anomaly_zscore",
     "multimodal_mp4_metadata",
     "events_funnel",
+    "events_cohort_retention",
 )
 
 

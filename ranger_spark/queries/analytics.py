@@ -607,3 +607,61 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase"
         ),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_n
+      FROM events e JOIN first_seen f USING (user_id)
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size,
+           CAST(count(DISTINCT CASE WHEN day_n = 1 THEN user_id END)
+                AS BIGINT) AS d1,
+           CAST(count(DISTINCT CASE WHEN day_n = 7 THEN user_id END)
+                AS BIGINT) AS d7,
+           CAST(count(DISTINCT CASE WHEN day_n = 30 THEN user_id END)
+                AS BIGINT) AS d30
+    FROM activity
+    GROUP BY cohort_day
+    """,
+    tags=("analytics", "retention"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N cohort retention: users grouped by first-seen day, with the
+    count still active exactly 1/7/30 days later — one first-seen
+    aggregate joined back over the stream, then one distinct-per-cohort
+    aggregate. The activity set is distinct (user, day) pairs, so the
+    shuffle is bounded by users × active-days, not raw events."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_n"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day")
+    ).agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(F.when(F.col("day_n") == 1, F.col("user_id"))).alias("d1"),
+        F.countDistinct(F.when(F.col("day_n") == 7, F.col("user_id"))).alias("d7"),
+        F.countDistinct(F.when(F.col("day_n") == 30, F.col("user_id"))).alias(
+            "d30"
+        ),
+    )
