@@ -78,6 +78,7 @@ _NEW_R5 = (
     "multimodal_mp4_metadata",
     "events_funnel",
     "events_cohort_retention",
+    "events_rolling_wau",
 )
 
 

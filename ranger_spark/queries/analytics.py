@@ -665,3 +665,49 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d30"
         ),
     )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS uday FROM events
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(count(DISTINCT CASE WHEN u.uday = d.day THEN u.user_id END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN user_days u
+      ON u.uday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    tags=("analytics", "retention"),
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day (DAU/WAU): the event
+    stream first collapses to distinct (user, day) pairs — the shuffle
+    is users × active-days, not raw events — then a bounded range join
+    against the (tiny, broadcast) day grid fans each user-day into at
+    most 7 windows before the per-day distinct count. Distinct counts
+    don't compose across window frames, so the range join IS the exact
+    formulation (the sketch path at 100 TB is a per-day HLL union)."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("uday")
+    ).distinct()
+    joined = user_days.join(
+        F.broadcast(days),
+        (F.col("uday") <= F.col("day"))
+        & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+    )
+    return joined.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("uday") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )

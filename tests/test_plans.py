@@ -68,6 +68,7 @@ _NL_ALLOWED = {
     "text_bigram_lm_score",  # 1-row broadcast vocab size
     "ann_text_topk",  # 3-row broadcast query side of the != pair join
     "events_funnel",  # 1-row stage-count broadcasts (crossJoin of scalars)
+    "events_rolling_wau",  # broadcast day-grid range join (~days rows)
 }
 
 
