@@ -79,6 +79,7 @@ _NEW_R5 = (
     "events_funnel",
     "events_cohort_retention",
     "events_rolling_wau",
+    "datetime_functions",
 )
 
 

@@ -905,3 +905,44 @@ def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
         )
     )
+
+
+@register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(date_trunc('week', o_orderdate) AS DATE) AS VARCHAR)
+             AS order_week,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS VARCHAR)
+             AS due_date,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER)
+             AS days_since_epoch95,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders
+    """,
+    tags=("functions", "datetime"),
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function family in one oracle-checked projection:
+    week truncation, month end, interval arithmetic, ISO day-of-week
+    (Spark's weekday is 0=Monday, DuckDB's isodow 1=Monday — mapped),
+    day differences and quarters; dates travel as strings so date
+    dtypes hash identically across engines."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").cast("date").cast("string").alias(
+            "order_week"
+        ),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_add(d, 90).cast("string").alias("due_date"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_dow"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias(
+            "days_since_epoch95"
+        ),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )
