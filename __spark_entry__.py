@@ -21,43 +21,15 @@ from ranger_spark.queries import load_all  # noqa: E402
 
 # The driver's correctness gate checks the first ~50 registry entries per
 # round. Rotation policy: put the queries with the STALEST (or no) driver
-# certification at the front each round. Round 4 certified the 50 queries
-# of CORRECTNESS_r04 (new-in-r4 + the r1-certified set); round 5 rotates
-# in everything whose last driver certification is round 3 or older:
-# the 15 queries last certified in round 1 first, then the 37 oracled
-# queries last certified in round 3, then the rows-only stub, then
-# queries new in round 5 (never certified), then the r4-certified tail.
-_STALE_R1 = (
-    # last driver-certified round 1 — 4 rounds stale, go first
-    "array_ops_embeddings", "left_outer_join", "full_outer_join",
-    "window_topn_per_group", "window_running_total", "window_rank_family",
-    "window_value_family", "percentiles_by_group", "window_range_frame",
-    "token_frequencies", "rollup_status_priority", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-)
-
-_STALE_R3 = (
-    # last driver-certified round 3 (CORRECTNESS_r03)
-    "dedup_simhash_pairs", "dedup_embedding_cosine", "text_tokens",
-    "text_quality", "text_lang_id", "text_fingerprint", "text_repetition",
-    "text_entropy", "ann_cosine_topk", "embedding_similar_pairs",
-    "embedding_stats", "multimodal_meta", "multimodal_decode_png",
-    "sample_stratified", "pack_sequences_2k", "contamination_check",
-    "train_val_test_split", "tfidf_top_terms", "q6_forecast_revenue",
-    "q4_order_priority", "q10_returned_items", "q12_priority_split",
-    "q14_promo_share", "q18_large_orders", "q19_disjunctive",
-    "q7_nation_volume", "q13_count_distribution", "q15_top_supplier",
-    "q17_small_qty_revenue", "q2_min_cost_supplier", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q20_part_promo_suppliers",
-    "q21_waiting_suppliers",
-    # positions 51-53: simplest/most-stable queries take the overflow risk
-    # if the driver window is exactly 50 (q16/q22 are plain aggregations;
-    # the stub is rows-only and carries no oracle slot)
-    "q16_supplier_count", "q22_idle_balances", "multimodal_decode_stub",
-)
-
-_NEW_R5 = (
-    # never driver-certified — new in round 5
+# certification at the front each round. Round 5 certified the 50
+# r1/r3-stale queries (CORRECTNESS_r05); round 6 rotates in: (a) the 22
+# round-5 additions that have never been driver-certified, (b) q16/q22
+# (last certified round 3, overflowed the 50-window twice) and the
+# rows-only stub, (c) any queries new in round 6, then (d) the oldest
+# r4-certified queries to fill the window. The r5-certified set goes to
+# the back (freshest evidence).
+_NEVER_CERTIFIED = (
+    # new in round 5 — no driver record yet; highest evidentiary value
     "multimodal_png_pixel_stats",
     "dedup_incremental",
     "doc_chunk_sliding",
@@ -80,13 +52,45 @@ _NEW_R5 = (
     "events_cohort_retention",
     "events_rolling_wau",
     "datetime_functions",
+    # last certified round 3; twice overflowed the window tail
+    "q16_supplier_count", "q22_idle_balances",
+    # rows-only by design (library-gated decode stub)
+    "multimodal_decode_stub",
+)
+
+_NEW_R6 = (
+    # new in round 6 — never driver-certified, certify immediately
+    "events_rolling_wau_sketch",
+    "bucketed_star_join_sql",
+)
+
+_STALE_R4 = (
+    # last driver-certified round 4 (CORRECTNESS_r04) — oldest first;
+    # ~23 of these fit in the window behind the blocks above
+    "ann_ivf_topk", "ann_ivf_kmeans_topk", "multimodal_decode_gif",
+    "multimodal_decode_bmp", "multimodal_decode_jpeg",
+    "multimodal_bmp_pixel_stats", "multimodal_gif_frame_count",
+    "text_bigram_pmi", "text_length_histogram", "source_quality_report",
+    "contamination_fuzzy", "dedup_cluster_assign", "quality_filter_verdict",
+    "multimodal_wav_audio_stats", "embedding_quantize_int8",
+    "events_hourly_rollup", "events_sessionization", "events_daily_unique",
+    "window_lead_lag", "asof_purchase_view", "range_join_error_purchase",
+    "null_handling", "json_extract_props", "agg_minmax_countd",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "proj_arith_alias", "filter_between", "filter_in_list", "filter_like",
+    "in_subquery", "exists_subquery", "not_exists_anti", "scalar_subquery",
+    "group_having", "distinct_proj", "order_limit_offset",
+    "union_all_tagged", "union_distinct", "case_when_buckets", "cast_ops",
+    "scalar_functions", "comma_join_sql", "date_extract", "proj_star_small",
+    "intersect_nations", "except_nations", "cube_status_priority",
+    "listagg_types_per_brand",
 )
 
 
 def _ordered():
     reg = load_all()
     front: list[str] = []
-    for block in (_STALE_R1, _STALE_R3, _NEW_R5):
+    for block in (_NEVER_CERTIFIED, _NEW_R6, _STALE_R4):
         front.extend(n for n in block if n in reg and n not in front)
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
