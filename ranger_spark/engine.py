@@ -536,7 +536,11 @@ class Engine:
         returned, matching EXPLAIN's result shape."""
         t0 = time.time()
         df = self.spark.sql(inner_sql)
-        n_rows = df.count()
+        # Execute df's OWN queryExecution (streamed, driver-memory-bounded)
+        # so the AdaptiveSparkPlan below is the AQE-final plan Spark
+        # actually ran — df.count() would execute a derived aggregate plan
+        # and leave df's executedPlan at isFinalPlan=false.
+        n_rows = sum(1 for _ in df.toLocalIterator())
         wall_ms = (time.time() - t0) * 1000.0
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         lines = [(line,) for line in plan.rstrip("\n").split("\n")]
@@ -772,20 +776,49 @@ class Engine:
             # predicates on any of them — Delta/Iceberg's OPTIMIZE
             # ZORDER, exceeding the reference's absent maintenance
             # surface
+            # zorder_value does (col - min) / (max - min) arithmetic, so
+            # each column must be numeric or date/timestamp (coerced to a
+            # numeric epoch below); a string column would yield a null
+            # span and a constant z-value — silently no clustering — so
+            # reject it with a typed diagnostic instead.
+            _zorderable = (
+                st.NumericType, st.DateType, st.TimestampType,
+                st.TimestampNTZType, st.BooleanType,
+            )
+
+            def _znum(c: str):
+                ftype = df.schema[c].dataType
+                if isinstance(
+                    ftype,
+                    (st.DateType, st.TimestampType, st.TimestampNTZType),
+                ):
+                    return F.col(c).cast("timestamp").cast("double")
+                if isinstance(ftype, st.BooleanType):
+                    return F.col(c).cast("int")
+                return F.col(c)
+
             for c in zorder_cols:
                 if c not in df.columns:
                     raise RangerError(
                         VALIDATION_FAILED,
                         f"ZORDER BY column '{c}' is not in the schema",
                     )
+                ftype = df.schema[c].dataType
+                if not isinstance(ftype, _zorderable):
+                    raise RangerError(
+                        VALIDATION_FAILED,
+                        f"ZORDER BY column '{c}' has non-orderable type "
+                        f"{ftype.simpleString()}; numeric, date or "
+                        "timestamp required",
+                    )
             from ranger_spark.sources.zorder import zorder_value
 
             stats = df.agg(
-                *[F.min(c).alias(f"__min_{c}") for c in zorder_cols],
-                *[F.max(c).alias(f"__max_{c}") for c in zorder_cols],
+                *[F.min(_znum(c)).alias(f"__min_{c}") for c in zorder_cols],
+                *[F.max(_znum(c)).alias(f"__max_{c}") for c in zorder_cols],
             ).collect()[0]
             z = zorder_value(
-                [F.col(c) for c in zorder_cols],
+                [_znum(c) for c in zorder_cols],
                 [F.lit(stats[f"__min_{c}"]) for c in zorder_cols],
                 [F.lit(stats[f"__max_{c}"]) for c in zorder_cols],
             )

@@ -84,15 +84,24 @@ SERVER_CLOSE = 116
 DBMS_TCP_PROTOCOL_VERSION = 54460
 MAX_FRAME = 64 * 1024 * 1024  # cap client-declared frame length
 
-# wire compression codecs (reference SDK compression enums,
-# pkg/sdk/client.go CompressionNone/LZ4/ZSTD; zlib is the codec this
-# runtime can actually provide offline — lz4/zstd are capability-gated
-# exactly like the engine's brotli storage codec)
+# wire compression codecs — numbering matches the reference SDK enum
+# exactly (pkg/sdk/client.go:51-58: None=0, LZ4=1, LZ4HC=2, ZSTD=3,
+# GZIP=4, Deflate=5, Brotli=6) so a reference client's requested codec
+# byte maps to the same meaning here. Deflate (zlib) is the codec this
+# runtime can provide offline — lz4/lz4hc/zstd/brotli are
+# capability-gated exactly like the engine's brotli storage codec, and
+# a client requesting one gets the typed capability rejection rather
+# than a silently misdecoded stream.
 COMPRESSION_NONE = 0
 COMPRESSION_LZ4 = 1
-COMPRESSION_ZSTD = 2
-COMPRESSION_ZLIB = 3
-_AVAILABLE_CODECS = {COMPRESSION_NONE, COMPRESSION_ZLIB}
+COMPRESSION_LZ4HC = 2
+COMPRESSION_ZSTD = 3
+COMPRESSION_GZIP = 4
+COMPRESSION_DEFLATE = 5
+COMPRESSION_BROTLI = 6
+# Back-compat alias: earlier rounds exposed the zlib codec under this name.
+COMPRESSION_ZLIB = COMPRESSION_DEFLATE
+_AVAILABLE_CODECS = {COMPRESSION_NONE, COMPRESSION_DEFLATE}
 _COMPRESS_MIN_BYTES = 64  # tiny frames aren't worth a deflate round trip
 
 
@@ -103,11 +112,11 @@ def wrap_payload(codec: int, payload: bytes) -> bytes:
     codec, so mixed frames are fine."""
     import zlib
 
-    if codec == COMPRESSION_ZLIB and len(payload) >= _COMPRESS_MIN_BYTES:
+    if codec == COMPRESSION_DEFLATE and len(payload) >= _COMPRESS_MIN_BYTES:
         comp = zlib.compress(payload, 6)
         if len(comp) < len(payload):
             return (
-                bytes([COMPRESSION_ZLIB])
+                bytes([COMPRESSION_DEFLATE])
                 + write_uvarint(len(payload))
                 + comp
             )
@@ -115,18 +124,34 @@ def wrap_payload(codec: int, payload: bytes) -> bytes:
 
 
 def unwrap_payload(data: bytes) -> bytes:
-    """Inverse of wrap_payload; validates the declared raw length."""
+    """Inverse of wrap_payload; validates the declared raw length.
+
+    The declared raw length is bounded by MAX_FRAME *before* inflating
+    and enforced *during* inflation (decompressobj max_length), so a
+    small deflate bomb cannot expand past the frame cap server-side.
+    """
     import zlib
 
     if not data:
         raise ValueError("empty compressed envelope")
     codec = data[0]
     raw_len, pos = read_uvarint(data, 1)
+    if raw_len > MAX_FRAME:
+        raise ValueError(
+            f"declared raw length {raw_len} exceeds frame cap {MAX_FRAME}"
+        )
     body = data[pos:]
     if codec == COMPRESSION_NONE:
         out = body
-    elif codec == COMPRESSION_ZLIB:
-        out = zlib.decompress(body)
+    elif codec == COMPRESSION_DEFLATE:
+        dobj = zlib.decompressobj()
+        out = dobj.decompress(body, raw_len)
+        if dobj.unconsumed_tail and dobj.decompress(
+            dobj.unconsumed_tail, 1
+        ):
+            raise ValueError(
+                f"decompressed length exceeds declared {raw_len}"
+            )
     else:
         raise ValueError(f"unsupported wire compression codec {codec}")
     if len(out) != raw_len:
@@ -526,15 +551,16 @@ class NativeServer:
                     codec = int(hello.get("compression") or 0)
                     if codec not in _AVAILABLE_CODECS:
                         # capability-gated, like the engine's brotli codec:
-                        # lz4/zstd need libraries absent in this runtime
+                        # lz4/lz4hc/zstd/gzip/brotli need libraries absent
+                        # in this runtime (enum per pkg/sdk/client.go:51-58)
                         self._send(
                             conn,
                             SERVER_EXCEPTION,
                             pack_server_exception(
                                 "common.unsupported",
                                 f"wire compression codec {codec} not "
-                                "available (lz4/zstd require codec "
-                                "libraries; zlib=3 is built in)",
+                                "available (lz4/lz4hc/zstd/brotli require "
+                                "codec libraries; deflate=5 is built in)",
                             ),
                         )
                         return
@@ -739,10 +765,16 @@ class NativeClient:
 
     @classmethod
     def from_dsn(cls, dsn: str) -> "NativeClient":
-        # ?compress=none|lz4|zstd|zlib — the reference SDK's compress
-        # DSN parameter (pkg/sdk compression options)
+        # ?compress=none|lz4|lz4hc|zstd|gzip|deflate|br — the reference
+        # SDK's compress DSN parameter, same numbering
+        # (pkg/sdk/client.go:51-58); "zlib" accepted as a deflate alias
         o = parse_dsn(dsn)
-        names = {"none": 0, "lz4": 1, "zstd": 2, "zlib": 3}
+        names = {
+            "none": COMPRESSION_NONE, "lz4": COMPRESSION_LZ4,
+            "lz4hc": COMPRESSION_LZ4HC, "zstd": COMPRESSION_ZSTD,
+            "gzip": COMPRESSION_GZIP, "deflate": COMPRESSION_DEFLATE,
+            "zlib": COMPRESSION_DEFLATE, "br": COMPRESSION_BROTLI,
+        }
         comp = o["settings"].get("compress", "none").lower()
         if comp not in names:
             raise ValueError(f"unknown compress codec {comp!r}")

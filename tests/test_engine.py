@@ -726,8 +726,13 @@ def test_explain_analyze(engine):
         "EXPLAIN ANALYZE SELECT id, sum(v) AS s FROM exa.t GROUP BY id;"
     )
     text = "\n".join(row[0] for row in r.rows)
-    # the executed (final) plan, not the static one
-    assert "isFinalPlan=true" in text or "HashAggregate" in text
+    # df's own plan was executed, so AQE must report the FINAL plan
+    # (no HashAggregate hedge: an AdaptiveSparkPlan present with
+    # isFinalPlan=false would mean we explained an unexecuted plan)
+    if "AdaptiveSparkPlan" in text:
+        assert "isFinalPlan=true" in text
+    else:
+        assert "HashAggregate" in text
     assert "-- analyzed: 2 rows" in text
     # plain EXPLAIN still routes to Spark's static explain
     r2 = engine.execute("EXPLAIN SELECT * FROM exa.t;")

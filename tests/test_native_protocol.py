@@ -508,12 +508,39 @@ def test_compressed_session_query_and_insert(server, engine):
 
 
 def test_lz4_zstd_capability_gated(server):
-    for codec in (ns.COMPRESSION_LZ4, ns.COMPRESSION_ZSTD):
+    # enum numbering matches the reference SDK (pkg/sdk/client.go:51-58):
+    # a reference client asking for ZSTD (3) must be rejected, not
+    # silently treated as the built-in deflate codec
+    for codec in (
+        ns.COMPRESSION_LZ4, ns.COMPRESSION_LZ4HC, ns.COMPRESSION_ZSTD,
+        ns.COMPRESSION_GZIP, ns.COMPRESSION_BROTLI,
+    ):
         with pytest.raises(RuntimeError) as ei:
             ns.NativeClient(
                 "127.0.0.1", server.port, database="nat", compression=codec
             )
         assert "not available" in str(ei.value)
+    assert ns.COMPRESSION_ZSTD == 3 and ns.COMPRESSION_DEFLATE == 5
+
+
+def test_decompression_bomb_bounded():
+    import zlib
+
+    # declared raw_len above the frame cap is rejected before inflating
+    bomb = zlib.compress(b"\x00" * (1024 * 1024), 9)
+    env = (
+        bytes([ns.COMPRESSION_DEFLATE])
+        + ns.write_uvarint(ns.MAX_FRAME + 1)
+        + bomb
+    )
+    with pytest.raises(ValueError, match="exceeds frame cap"):
+        ns.unwrap_payload(env)
+    # a lying (too-small) raw_len cannot force inflation past raw_len
+    env2 = (
+        bytes([ns.COMPRESSION_DEFLATE]) + ns.write_uvarint(10) + bomb
+    )
+    with pytest.raises(ValueError):
+        ns.unwrap_payload(env2)
 
 
 def test_compress_dsn_param(server):

@@ -93,3 +93,30 @@ def test_optimize_zorder_statement(engine, spark):
 
     with _pytest.raises(RangerError):
         engine.execute("OPTIMIZE zo.t ZORDER BY (nope);")
+
+
+def test_optimize_zorder_type_validation(engine):
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS zot;")
+    engine.execute(
+        "CREATE TABLE zot.t (a int32, s string, d date);"
+    )
+    engine.execute(
+        "INSERT INTO zot.t (a, s, d) VALUES "
+        "(1, 'x', '2024-01-01'), (2, 'y', '2024-06-01'), "
+        "(3, 'z', '2024-12-31');"
+    )
+    # string column -> typed VALIDATION_FAILED, not a silent no-op layout
+    with _pytest.raises(RangerError) as ei:
+        engine.execute("OPTIMIZE zot.t ZORDER BY (s);")
+    assert "non-orderable type" in str(ei.value)
+    # date column is epoch-coerced and clusters fine
+    r = engine.execute("OPTIMIZE zot.t TARGET 2 ZORDER BY (d, a);")
+    assert "optimized" in r.message
+    assert (
+        engine.execute("SELECT count(*) AS c FROM zot.t;").rows[0][0] == 3
+    )
+    engine.execute("DROP DATABASE zot CASCADE;")
