@@ -19,10 +19,11 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as _pst
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -90,6 +91,73 @@ def _as_double(col: Column) -> Column:
 # the gap keeps widening. Crossover sits between 8 and 22 MB; 12 MB
 # splits it.
 ARROW_KERNEL_MIN_CORPUS_BYTES = 12 << 20
+
+# With driver-local queries, a corpus up to this (Catalyst-estimated)
+# size is scored ON the driver via a JVM Arrow collect — the serving
+# fast path: no Python workers, no shuffle, zero Spark jobs beyond the
+# collect. Past it, the distributed partial-top-k kernel takes over.
+DRIVER_KERNEL_MAX_CORPUS_BYTES = 256 << 20
+
+# Serving-path corpus pin: the decoded (ids, matrix, norms) of a
+# driver-kernel corpus, weak-keyed by the corpus DataFrame. A serving
+# deployment answers many query batches against one corpus; re-decoding
+# it per batch would make the Arrow collect the floor of every request.
+# The weak key ties the cache to the DataFrame's lifetime — a new read
+# (new plan object) never sees stale vectors.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_CORPUS_PIN: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _corpus_to_numpy(src: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect (``__cid``, ``__v``) over the JVM Arrow stream and return
+    (ids, matrix). Fixed-width vectors decode via a flat reshape of the
+    Arrow list buffer; ragged input falls back to a row stack."""
+    tbl = src.toArrow()
+    ids = np.asarray(tbl["__cid"].to_numpy(zero_copy_only=False))
+    lists = tbl["__v"].combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    flat = np.asarray(lists.values.to_numpy(zero_copy_only=False), dtype=np.float64)
+    if len(widths) and (widths == widths[0]).all() and offsets[0] == 0:
+        C = flat.reshape(len(widths), int(widths[0]))
+    else:
+        C = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in lists.to_pylist()]
+        )
+    return ids, C
+
+
+def _emit_topk_local(
+    spark: SparkSession, pdf: pd.DataFrame, id_col: str, id_field
+) -> DataFrame:
+    """Emit a small (q_id, id, cos_sim, rank) frame as a true
+    LocalRelation. createDataFrame(list) builds a LogicalRDD whose every
+    collect launches a 32-slice job (~0.35 s); a VALUES relation is
+    driver-local (executeCollect, ~10 ms). repr() round-trips doubles
+    exactly; explicit casts pin the schema."""
+    if len(pdf) > 10_000:
+        return spark.createDataFrame(
+            [tuple(r) for r in pdf.itertuples(index=False)],
+            StructType(
+                [
+                    StructField("q_id", id_field),
+                    StructField(id_col, id_field),
+                    StructField("cos_sim", _pst.DoubleType()),
+                    StructField("rank", _pst.IntegerType()),
+                ]
+            ),
+        )
+    idt = id_field.simpleString().upper()
+    vals = ", ".join(
+        f"(CAST({int(r[0])} AS {idt}), CAST({int(r[1])} AS {idt}), "
+        f"CAST('{float(r[2])!r}' AS DOUBLE), CAST({int(r[3])} AS INT))"
+        for r in pdf.itertuples(index=False)
+    )
+    return spark.sql(
+        f"SELECT col1 AS q_id, col2 AS {id_col}, "
+        f"col3 AS cos_sim, col4 AS rank FROM VALUES {vals}"
+    )
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -219,12 +287,6 @@ def _brute_force_topk_kernel(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((qids, Q, qn))
-
-    src = corpus.select(
-        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__v")
-    )
     id_field = corpus.schema[id_col].dataType
     out_schema = StructType(
         [
@@ -233,6 +295,61 @@ def _brute_force_topk_kernel(
             StructField("cos_sim", DoubleType()),
         ]
     )
+    est = _plan_size_bytes(corpus)
+    src = corpus.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__v")
+    )
+
+    if local_q is not None and 0 < est <= DRIVER_KERNEL_MAX_CORPUS_BYTES:
+        # Driver kernel — the ANN-serving fast path. Queries arrived on
+        # the driver and the corpus is broadcast-sized, so pull it over
+        # the JVM Arrow stream (toArrow: one JVM-only job, ~0.04 s — a
+        # distributed mapInPandas pays ~0.25 s of Python-worker round
+        # trip before any math) and run the same einsum/top-k here.
+        # The size gate keeps this scale-safe: past ~256 MB the
+        # distributed partial-top-k kernel below takes over.
+        try:
+            pin = _CORPUS_PIN.setdefault(corpus, {})
+        except TypeError:
+            pin = {}
+        pinned = pin.get((id_col, vec_col))
+        if pinned is None:
+            ids, C = _corpus_to_numpy(src)
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            pin[(id_col, vec_col)] = (ids, C, cn)
+        else:
+            ids, C, cn = pinned
+        sims = (Q @ C.T) / (qn[:, None] * cn[None, :])
+        np.round(sims, 6, out=sims)
+        frames = []
+        for qi in range(len(qids)):
+            keep = np.nonzero(ids != qids[qi])[0]
+            order = np.lexsort((ids[keep], -sims[qi, keep]))[:k]
+            sel = keep[order]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "q_id": np.full(len(sel), qids[qi]),
+                        id_col: ids[sel],
+                        "cos_sim": sims[qi, sel],
+                        "rank": np.arange(1, len(sel) + 1),
+                    }
+                )
+            )
+        return _emit_topk_local(
+            corpus.sparkSession, pd.concat(frames), id_col, id_field
+        )
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((qids, Q, qn))
+    # Spark splits small files into defaultParallelism (32+) slivers
+    # (spark.sql.files.minPartitionNum); for a kernel that scans the
+    # whole corpus anyway, 32 near-empty Python tasks are pure overhead.
+    # Coalesce (narrow, no shuffle) to ~32 MB per task — at 100 TB the
+    # estimate exceeds partitions × 32 MB and this is a no-op.
+    # (coalesce never increases partition count, so no guard needed)
+    if est > 0:
+        src = src.coalesce(max(1, est >> 25))  # ~32 MB per task
 
     def run(batches):
         b_qids, b_Q, b_qn = bc.value
@@ -263,6 +380,31 @@ def _brute_force_topk_kernel(
             )
 
     cand = src.mapInPandas(run, out_schema)
+    if local_q is not None:
+        # Driver-supplied queries (the ANN-serving shape): the candidate
+        # set is bounded at partitions·|Q|·k rows, so the global top-k
+        # merge runs on the driver and the whole query is ONE
+        # single-stage job (scan → kernel → collect; no shuffle, no
+        # second job launch). At 10k partitions × 5 queries × k=10
+        # that's 500k tiny rows — a bounded merge, not a data collect.
+        rows = cand.collect()
+        spark = corpus.sparkSession
+        if not rows:
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    out_schema.fields
+                    + [StructField("rank", _pst.IntegerType())]
+                ),
+            )
+        pdf = pd.DataFrame(
+            rows, columns=["q_id", id_col, "cos_sim"]
+        ).sort_values(
+            ["q_id", "cos_sim", id_col], ascending=[True, False, True]
+        )
+        pdf["rank"] = pdf.groupby("q_id").cumcount() + 1
+        pdf = pdf[pdf["rank"] <= k]
+        return _emit_topk_local(spark, pdf, id_col, id_field)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k

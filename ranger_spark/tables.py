@@ -31,6 +31,17 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+# Per-session plan cache: spark.read.parquet() pays ~0.1 s of file
+# listing + footer schema inference per call; the returned DataFrame is
+# an immutable lazy plan, so re-serving it is safe as long as the files
+# under sf_dir don't change mid-session (they don't — the driver
+# generates testdata once). Keyed by session so a restarted SparkSession
+# never sees another session's JVM plan handles.
+from weakref import WeakKeyDictionary  # noqa: E402
+
+_PLAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table; the scan prunes columns/filters pushed by
     the caller's plan.
@@ -45,10 +56,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     bdb = spark.conf.get("spark.ranger.bucketed.db", "")
+    try:
+        cache = _PLAN_CACHE.setdefault(spark, {})
+    except TypeError:  # non-weakref-able session stub in some tests
+        cache = None
+    key = (sf_dir, name, bdb)
+    if cache is not None and key in cache:
+        return cache[key]
     if bdb:
         try:
             if spark.catalog.tableExists(f"{bdb}.{name}"):
-                return spark.table(f"{bdb}.{name}")
+                df = spark.table(f"{bdb}.{name}")
+                if cache is not None:
+                    cache[key] = df
+                return df
         except Exception:
             pass
     if name == "events":
@@ -60,6 +81,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events_ts(df)
+    if cache is not None:
+        cache[key] = df
     return df
 
 
