@@ -711,3 +711,96 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dau"),
         F.countDistinct("user_id").alias("wau"),
     )
+
+
+@register(
+    "events_rolling_wau_sketch",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ),
+    user_days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS uday FROM events
+    ),
+    win AS (
+      SELECT d.day,
+             count(DISTINCT CASE WHEN u.uday = d.day THEN u.user_id END)
+               AS dau_exact,
+             count(DISTINCT u.user_id) AS wau_exact,
+             approx_count_distinct(
+               CASE WHEN u.uday = d.day THEN u.user_id END) AS dau_approx,
+             approx_count_distinct(u.user_id) AS wau_approx
+      FROM days d
+      JOIN user_days u
+        ON u.uday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(dau_exact AS BIGINT) AS dau_exact,
+           abs(dau_approx - dau_exact) <= 0.1 * dau_exact AS dau_ok,
+           CAST(wau_exact AS BIGINT) AS wau_exact,
+           abs(wau_approx - wau_exact) <= 0.1 * wau_exact AS wau_ok
+    FROM win
+    """,
+    tags=("analytics", "retention", "sketch"),
+)
+def events_rolling_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day actives via MERGEABLE per-day HLL sketches — the
+    actual 100 TB formulation that ``events_rolling_wau``'s docstring
+    records: one pass builds a tiny (day → HLL) sketch table, then each
+    day's WAU is the union of ≤7 daily sketches, so the windowed stage
+    touches sketches (bytes per day), never users. The exact branch
+    (the same range-join as the exact twin) runs only as the
+    certification cross-check; both engines compute their OWN sketches
+    and the oracle compares the deterministic within-10%-of-exact
+    verdict plus the hash-compared exact values (the approx_sketches
+    pattern)."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    user_days = e.select(
+        "user_id", F.col("ts").cast("date").alias("uday")
+    ).distinct()
+    # sketch branch: per-day HLL (Datasketches), unioned over the window
+    daily = user_days.groupBy("uday").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    sk7 = (
+        daily.join(
+            F.broadcast(days),
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"),
+            F.max(
+                F.when(
+                    F.col("uday") == F.col("day"),
+                    F.hll_sketch_estimate("sk"),
+                )
+            ).alias("dau_approx"),
+        )
+    )
+    # exact cross-check branch (identical shape to events_rolling_wau)
+    exact = (
+        user_days.join(
+            F.broadcast(days),
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("uday") == F.col("day"), F.col("user_id"))
+            ).alias("dau_exact"),
+            F.countDistinct("user_id").alias("wau_exact"),
+        )
+    )
+    tol = lambda a, x: F.abs(F.col(a) - F.col(x)) <= 0.1 * F.abs(F.col(x))  # noqa: E731
+    return exact.join(sk7, "day").select(
+        F.col("day").cast("string").alias("day"),
+        "dau_exact",
+        tol("dau_approx", "dau_exact").alias("dau_ok"),
+        "wau_exact",
+        tol("wau_approx", "wau_exact").alias("wau_ok"),
+    )
