@@ -1508,8 +1508,9 @@ class Engine:
             raise RangerError(
                 VALIDATION_FAILED,
                 f"batch rejected: {len(violations)} violation(s): "
-                + "; ".join(violations[:5]),
+                + "; ".join(v["message"] for v in violations[:5]),
                 total=len(violations),
+                violations=violations,
             )
 
         insert_schema = st.StructType([field_by_name[c] for c in cols])
@@ -1647,25 +1648,58 @@ class Engine:
                 )
         return values
 
-    def _validate_batch(self, rows, cols, field_by_name, nullability) -> list[str]:
-        violations = []
+    def _validate_batch(
+        self, rows, cols, field_by_name, nullability
+    ) -> list[dict]:
+        """Collect EVERY violation with the reference's detailed shape
+        (parquet/schema.go:33-106 DetailedValidationError: row_index,
+        column_index, column_name, message) — the collector never stops
+        at the first error; the batch commits only if this is empty."""
+        violations: list[dict] = []
+
+        def add(ri: int, ci: int, cname: str, msg: str) -> None:
+            violations.append(
+                {
+                    "row_index": ri,
+                    "column_index": ci,
+                    "column_name": cname,
+                    "message": msg,
+                }
+            )
+
         for ri, row in enumerate(rows):
             if len(row) != len(cols):
-                violations.append(
-                    f"row {ri}: {len(row)} values for {len(cols)} columns"
+                add(
+                    ri,
+                    -1,
+                    "",
+                    f"validation failed at row {ri}: expected "
+                    f"{len(cols)} columns but got {len(row)} columns",
                 )
                 continue
-            for c, v in zip(cols, row):
+            for ci, (c, v) in enumerate(zip(cols, row)):
                 f = field_by_name[c]
                 if v is None:
                     if not nullability.get(c, True):
-                        violations.append(f"row {ri}: NULL in NOT NULL column '{c}'")
+                        add(
+                            ri,
+                            ci,
+                            c,
+                            f"validation failed at row {ri}, column {ci} "
+                            f"({c}): field cannot be null",
+                        )
                     continue
                 if isinstance(v, tuple) and v and v[0] == "__GEN__":
                     continue  # generator, typed at materialization
                 err = _cell_type_error(v, f.dataType)
                 if err:
-                    violations.append(f"row {ri}, column '{c}': {err}")
+                    add(
+                        ri,
+                        ci,
+                        c,
+                        f"validation failed at row {ri}, column {ci} "
+                        f"({c}): {err}",
+                    )
         return violations
 
     def _materialize_row(self, row: list) -> tuple:

@@ -204,3 +204,91 @@ def test_valid_create_table_yields_no_errors():
     assert validate_script(
         "CREATE TABLE ok (a int32, b list<string>, c decimal(10,2));"
     ) == []
+
+
+def test_multi_error_insert_values_rows_and_cells():
+    from ranger_spark.router import validate_script
+
+    # one bad INSERT → THREE positioned errors: row-0 arity, row-1 bad
+    # literal, row-2 arity (reference DetailedValidationError shapes,
+    # parquet/schema.go:33-106; collector resyncs at each row)
+    script = (
+        "INSERT INTO db.t (a, b) VALUES\n"
+        "  (1),\n"
+        "  (2, now()),\n"
+        "  (3, 4, 5);"
+    )
+    errs = validate_script(script)
+    msgs = [e.message for e in errs]
+    assert len(errs) == 3, msgs
+    assert "row 0: expected 2 columns but got 1" in msgs[0]
+    assert "row 1" in msgs[1] and "unsupported value literal" in msgs[1]
+    assert "now()" in msgs[1]
+    assert "row 2: expected 2 columns but got 3" in msgs[2]
+    # positions: row errors anchor at the row '(', cell error at its token
+    assert (errs[0].line, errs[0].column) == (2, 3)
+    assert (errs[1].line, errs[1].column) == (3, 7)
+    assert (errs[2].line, errs[2].column) == (4, 3)
+
+
+def test_multi_error_insert_missing_column_list():
+    from ranger_spark.router import validate_script
+
+    errs = validate_script("INSERT INTO t VALUES (1, 'x');")
+    assert len(errs) == 1
+    assert "explicit column list" in errs[0].message
+
+
+def test_multi_error_select_lexical():
+    from ranger_spark.router import validate_script
+
+    # one bad SELECT → TWO positioned errors: unmatched ')' and an
+    # unclosed '(' (parse_error_test.go recovery shapes)
+    errs = validate_script("SELECT (a + b)) FROM t WHERE (x > 1;")
+    assert len(errs) == 2
+    assert errs[0].message == "unmatched ')'"
+    assert (errs[0].line, errs[0].column) == (1, 15)
+    assert errs[1].message == "unclosed '('"
+    assert (errs[1].line, errs[1].column) == (1, 30)
+    # unterminated string is positioned at its opening quote
+    errs2 = validate_script("SELECT 'abc FROM t;")
+    assert any(
+        e.message == "unterminated string literal"
+        and (e.line, e.column) == (1, 8)
+        for e in errs2
+    )
+    # empty select list
+    errs3 = validate_script("SELECT FROM t;")
+    assert any("empty select list" in e.message for e in errs3)
+    # a clean SELECT stays clean ('' escapes, nested parens)
+    assert validate_script(
+        "SELECT (a + (b * 2)) AS x, 'it''s fine' FROM t;"
+    ) == []
+
+
+def test_insert_batch_reject_detailed_context(engine):
+    import pytest as _pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS mer;")
+    engine.execute(
+        "CREATE TABLE mer.t (a int32 NOT NULL, b string);"
+    )
+    with _pytest.raises(RangerError) as ei:
+        engine.execute(
+            "INSERT INTO mer.t (a, b) VALUES "
+            "(NULL, 'x'), ('oops', 'y'), (1, 2);"
+        )
+    e = ei.value
+    v = e.context["violations"]
+    # every violation reported (reference batch-reject: commit nothing)
+    assert len(v) == 3 and e.context["total"] == 3
+    assert v[0]["row_index"] == 0 and v[0]["column_name"] == "a"
+    assert "cannot be null" in v[0]["message"]
+    assert v[1]["row_index"] == 1 and v[1]["column_index"] == 0
+    assert "expected int" in v[1]["message"]
+    assert v[2]["row_index"] == 2 and v[2]["column_name"] == "b"
+    # nothing committed
+    assert engine.execute("SELECT count(*) AS c FROM mer.t;").rows[0][0] == 0
+    engine.execute("DROP DATABASE mer CASCADE;")
