@@ -1038,33 +1038,12 @@ class Engine:
                         f"invalid {key}: {settings[key]!r}",
                     ) from None
         if "column_compression" in settings:
-            overrides = self._parse_column_compression(
-                settings["column_compression"]
-            )
-            codecs = {c for c in overrides.values()}
-            default = settings.get("compression", "").lower()
-            if default:
-                codecs.add(default)
-            if len(codecs) > 1:
-                # the reference applies per-column codecs natively
-                # (parquet/compression.go:103-109 GetCompressionForColumn);
-                # Spark's parquet writer sets ONE codec per file with no
-                # per-column hook, so the engine's insertInto write path
-                # cannot honor differing codecs — fail fast instead of
-                # silently writing the default. The mechanism DOES exist
-                # in the API layer: sources/arrow_write.
-                # write_parquet_column_codecs streams Arrow batches into
-                # a per-column-codec ParquetWriter, distributed
-                # (footer-verified in tests/test_sources.py).
-                raise RangerError(
-                    VALIDATION_FAILED,
-                    "column_compression with differing codecs is not "
-                    "supported on the SQL write path: Spark's parquet "
-                    f"writer applies one codec per file (requested "
-                    f"{sorted(codecs)}); use a single codec, or write via "
-                    "ranger_spark.sources.arrow_write."
-                    "write_parquet_column_codecs",
-                )
+            # each codec is validated (brotli/unknown rejected) here;
+            # whether the set is expressible as one file codec or needs
+            # the per-column Arrow writer is decided per-write by
+            # _column_codec_plan (reference compression.go:103-109
+            # GetCompressionForColumn applies codecs per column chunk)
+            self._parse_column_compression(settings["column_compression"])
         if "buckets" in settings:
             try:
                 if int(settings["buckets"]) <= 0:
@@ -1173,6 +1152,37 @@ class Engine:
             writer = writer.option(k, v)
         return writer
 
+    def _column_codec_plan(self, name: str) -> tuple[dict, str] | None:
+        """(overrides, default_codec) when writes to this table need the
+        distributed per-column Arrow writer — differing or
+        partial-coverage codecs that Spark's one-codec-per-file parquet
+        writer cannot express (reference compression.go:103-109 applies
+        codecs per column chunk natively). None when a single file codec
+        suffices (handled by _write_options)."""
+        entry = self._manifest["tables"].get(name) or {}
+        s = entry.get("settings", {})
+        if "column_compression" not in s:
+            return None
+        overrides = self._parse_column_compression(s["column_compression"])
+        declared = {c for c, _, _ in entry.get("columns", [])}
+        default = s.get("compression", "").lower()
+        codec_set = set(overrides.values())
+        if (
+            len(codec_set) == 1
+            and not (declared - set(overrides))
+            and default in ("", next(iter(codec_set)))
+        ):
+            return None  # uniform + full coverage → plain file codec
+        # unlisted columns fall to the table default, else the session's
+        # parquet codec (the reference's default-codec semantics)
+        if not default:
+            default = str(
+                self.spark.conf.get(
+                    "spark.sql.parquet.compression.codec", "snappy"
+                )
+            ).lower()
+        return overrides, default
+
     _CONF_KEYS = {
         "compression": "spark.sql.parquet.compression.codec",
         "maxRecordsPerFile": "spark.sql.files.maxRecordsPerFile",
@@ -1265,26 +1275,38 @@ class Engine:
                         VALIDATION_FAILED,
                         f"column_compression column '{col}' is not in the schema",
                     )
-            if overrides and declared - set(overrides):
-                # a PARTIAL single-codec override must not silently widen
-                # to the whole file (the reference leaves unlisted columns
-                # at the default codec, compression.go:103-109); Spark's
-                # writer has no per-column hook, so fail fast like the
-                # differing-codec case
-                missing = sorted(declared - set(overrides))
-                raise RangerError(
-                    VALIDATION_FAILED,
-                    "column_compression must cover every column to be "
-                    f"honored as the file codec (missing {missing}); "
-                    "cover all columns, set table-level compression, or "
-                    "write via ranger_spark.sources.arrow_write."
-                    "write_parquet_column_codecs",
-                )
-            if not codec and overrides:
+            codec_set = set(overrides.values())
+            uniform_full = (
+                len(codec_set) == 1
+                and not (declared - set(overrides))
+                and codec in ("", next(iter(codec_set)))
+            )
+            if not codec and uniform_full:
                 # full-coverage uniform overrides (validated single-codec)
                 # are exactly expressible as the file codec
-                only = next(iter(set(overrides.values())))
-                props["parquet.compression"] = self._PARQUET_CODECS[only]
+                props["parquet.compression"] = self._PARQUET_CODECS[
+                    next(iter(codec_set))
+                ]
+            elif not uniform_full:
+                # differing or partial codecs go through the distributed
+                # per-column Arrow writer on every write
+                # (sources/arrow_write, reference compression.go:103-109);
+                # that writer emits flat files, so it cannot also lay out
+                # hive partitions or bucket files — reject the combos
+                if opts["partition_by"]:
+                    raise RangerError(
+                        VALIDATION_FAILED,
+                        "column_compression with differing codecs cannot "
+                        "be combined with PARTITION BY (the per-column "
+                        "writer emits unpartitioned files)",
+                    )
+                if opts["settings"].get("clustered_by"):
+                    raise RangerError(
+                        VALIDATION_FAILED,
+                        "column_compression with differing codecs cannot "
+                        "be combined with clustered_by (bucketed files "
+                        "need Spark's bucket-id naming)",
+                    )
         prop_str = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
         ddl += f" TBLPROPERTIES ({prop_str})"
         # explicit LOCATION so the table survives catalog loss and
@@ -1531,6 +1553,7 @@ class Engine:
             name,
             "append",
             lambda: self._apply_write_options(out.write, name).insertInto(name),
+            out_df=out,
         )
         return QueryResult(
             [], [], len(rows), message=f"inserted {len(rows)} row(s) into '{name}'"
@@ -1587,6 +1610,7 @@ class Engine:
             name,
             "append",
             lambda: self._apply_write_options(out.write, name).insertInto(name),
+            out_df=out,
         )
         n = obs.get["n"]
         return QueryResult(
@@ -2047,18 +2071,57 @@ class Engine:
         except Exception:  # pragma: no cover - projection must not break DML
             pass
 
-    def _append_commit(self, name: str, operation: str, write_fn) -> None:
+    def _append_commit(
+        self, name: str, operation: str, write_fn, out_df: DataFrame | None = None
+    ) -> None:
         """Run an appending write and publish it as a snapshot commit: new
         files land in the *current* snapshot dir (insertInto), the commit
         lists previous files + added ones — no data is rewritten, the
-        commit itself is one JSON link (an Iceberg fast-append)."""
+        commit itself is one JSON link (an Iceberg fast-append).
+
+        When ``out_df`` is given and the table declares differing
+        per-column codecs, the write is routed through the distributed
+        Arrow writer (sources/arrow_write) into the same snapshot dir
+        instead of ``write_fn`` — the SQL surface honoring
+        reference compression.go:103-109 end-to-end."""
+        plan = self._column_codec_plan(name) if out_df is not None else None
         vt = self._versioned_for(name)
         if vt is None:
+            if plan is not None:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"table '{name}' declares differing per-column codecs "
+                    "but has no filesystem snapshot dir to write them to",
+                )
             with self._write_conf(name):
                 write_fn()
             return
         cur = vt.current_version()
         data_dir = vt.snapshot_dir(cur) if cur else None
+        if plan is not None:
+            if data_dir is None:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"table '{name}' has no current snapshot dir for a "
+                    "per-column-codec write",
+                )
+            from ranger_spark.sources.arrow_write import (
+                write_parquet_column_codecs,
+            )
+
+            overrides, default = plan
+            before = walk_parquet(data_dir)
+            write_parquet_column_codecs(out_df, data_dir, overrides, default)
+            self.spark.catalog.refreshTable(name)
+            added = sorted(walk_parquet(data_dir) - before)
+            vt.commit(
+                files=None,
+                data_dir=data_dir,
+                operation=operation,
+                added=added,
+            )
+            self._emit_iceberg(name)
+            return
         before = walk_parquet(data_dir) if data_dir else set()
         with self._write_conf(name):
             write_fn()
@@ -2117,11 +2180,26 @@ class Engine:
             root,
             f"s{vt.current_version() + 1}-{uuid_mod.uuid4().hex[:6]}",
         )
-        w = self._apply_write_options(new_df.write.mode("overwrite"), name)
-        if part_by:
-            w = w.partitionBy(*part_by)
+        codec_plan = self._column_codec_plan(name)
         try:
-            w.parquet(new_dir)
+            if codec_plan is not None and not part_by:
+                # rewrites preserve the declared per-column codecs
+                # (compression.go:103-109) via the distributed Arrow
+                # writer; PARTITION BY + differing codecs is rejected at
+                # CREATE, so the flat layout here is always valid
+                from ranger_spark.sources.arrow_write import (
+                    write_parquet_column_codecs,
+                )
+
+                os.makedirs(new_dir, exist_ok=True)
+                write_parquet_column_codecs(new_df, new_dir, *codec_plan)
+            else:
+                w = self._apply_write_options(
+                    new_df.write.mode("overwrite"), name
+                )
+                if part_by:
+                    w = w.partitionBy(*part_by)
+                w.parquet(new_dir)
             if pre_swap is not None:
                 pre_swap()
         except Exception:

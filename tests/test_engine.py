@@ -688,17 +688,58 @@ def test_column_compression_overrides(engine, spark):
         )
         checked += 1
     assert checked >= 1
-    # differing codecs → documented failing-fast limitation
-    with _pytest.raises(RangerError, match="one codec per file"):
+    # DIFFERING codecs are honored end-to-end through plain execute():
+    # the write auto-routes through the distributed per-column Arrow
+    # writer (reference compression.go:103-109), footer-verified here
+    engine.execute(
+        "CREATE TABLE ccomp.mixed (a int32, b string) "
+        "SETTINGS column_compression = 'a:zstd, b:gzip';"
+    )
+    engine.execute(
+        "INSERT INTO ccomp.mixed (a, b) VALUES (1, 'x'), (2, 'y');"
+    )
+    locm = engine._manifest["tables"][engine._qualify("ccomp.mixed")][
+        "location"
+    ]
+    per_col = {}
+    for f in glob.glob(f"{locm}/**/*.parquet", recursive=True):
+        meta = pq.ParquetFile(f).metadata
+        if meta.num_row_groups == 0:
+            continue
+        rg = meta.row_group(0)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            per_col[c.path_in_schema] = c.compression
+    assert per_col == {"a": "ZSTD", "b": "GZIP"}
+    # rows readable through the engine
+    r = engine.execute("SELECT a, b FROM ccomp.mixed;")
+    assert sorted(r.rows) == [(1, "x"), (2, "y")]
+    # table default + one differing override also routes through the
+    # Arrow writer (default codec fills unlisted columns)
+    engine.execute(
+        "CREATE TABLE ccomp.mix2 (a int32, b string) "
+        "SETTINGS compression = 'snappy', column_compression = 'a:zstd';"
+    )
+    engine.execute("INSERT INTO ccomp.mix2 (a, b) VALUES (3, 'z');")
+    loc2 = engine._manifest["tables"][engine._qualify("ccomp.mix2")][
+        "location"
+    ]
+    per_col2 = {}
+    for f in glob.glob(f"{loc2}/**/*.parquet", recursive=True):
+        meta = pq.ParquetFile(f).metadata
+        if meta.num_row_groups == 0:
+            continue
+        rg = meta.row_group(0)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            per_col2[c.path_in_schema] = c.compression
+    assert per_col2 == {"a": "ZSTD", "b": "SNAPPY"}
+    # differing codecs can't combine with PARTITION BY (flat-file writer)
+    with _pytest.raises(RangerError, match="PARTITION BY"):
         engine.execute(
             "CREATE TABLE ccomp.bad (a int32, b string) "
+            "PARTITION BY (b) "
             "SETTINGS column_compression = 'a:zstd, b:gzip';"
-        )
-    # also when the table default conflicts with the override
-    with _pytest.raises(RangerError, match="one codec per file"):
-        engine.execute(
-            "CREATE TABLE ccomp.bad (a int32) "
-            "SETTINGS compression = 'snappy', column_compression = 'a:zstd';"
         )
     with _pytest.raises(RangerError, match="unsupported compression"):
         engine.execute(
@@ -787,18 +828,45 @@ def test_analyze_table_collects_cbo_stats(engine, spark):
         engine.execute("ANALYZE TABLE anz.missing COMPUTE STATISTICS;")
 
 
-def test_column_compression_partial_coverage_fails_fast(engine):
-    import pytest as _pytest
+def test_column_compression_partial_coverage_uses_default(engine):
+    """Partial coverage: listed columns get their codec, unlisted fall to
+    the session default (reference compression.go:103-109 semantics),
+    via the auto-routed Arrow writer."""
+    import glob
 
-    from ranger_spark.errors import RangerError
+    import pyarrow.parquet as pq
 
     engine.execute("CREATE DATABASE IF NOT EXISTS ccomp2;")
-    with _pytest.raises(RangerError) as ei:
-        engine.execute(
-            "CREATE TABLE ccomp2.t (a int32, b string) "
-            "SETTINGS column_compression = 'a:zstd';"
-        )
-    assert "cover every column" in str(ei.value)
+    engine.execute(
+        "CREATE TABLE ccomp2.t (a int32, b string) "
+        "SETTINGS column_compression = 'a:zstd';"
+    )
+    engine.execute("INSERT INTO ccomp2.t (a, b) VALUES (1, 'x');")
+    loc = engine._manifest["tables"][engine._qualify("ccomp2.t")]["location"]
+    per_col = {}
+    for f in glob.glob(f"{loc}/**/*.parquet", recursive=True):
+        meta = pq.ParquetFile(f).metadata
+        if meta.num_row_groups == 0:
+            continue
+        rg = meta.row_group(0)
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            per_col[c.path_in_schema] = c.compression
+    assert per_col["a"] == "ZSTD"
+    assert per_col["b"] != "ZSTD"  # session default (snappy unless set)
+    # UPDATE (CoW rewrite) preserves the per-column codecs
+    engine.execute("UPDATE ccomp2.t SET b = 'y' WHERE a = 1;")
+    assert engine.execute("SELECT b FROM ccomp2.t;").rows == [("y",)]
+    newest = {}
+    for f in glob.glob(f"{loc}/**/*.parquet", recursive=True):
+        meta = pq.ParquetFile(f).metadata
+        if meta.num_row_groups:
+            rg = meta.row_group(0)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                newest[f, c.path_in_schema] = c.compression
+    assert any(v == "ZSTD" for (f, p), v in newest.items() if p == "a")
+    engine.execute("DROP DATABASE ccomp2 CASCADE;")
 
 
 def test_explain_analyze_strict_gate(spark):
