@@ -73,18 +73,20 @@ def _warm_page_cache(sf_dir: str) -> None:
                 pass
 
 
-def _steady(run) -> float:
-    for _ in range(WARMUPS):
+def _steady(run, warmups: int | None = None, timed: int | None = None) -> float:
+    for _ in range(WARMUPS if warmups is None else warmups):
         run()
     best = float("inf")
-    for _ in range(TIMED):
+    for _ in range(TIMED if timed is None else timed):
         t0 = time.time()
         run()
         best = min(best, time.time() - t0)
     return round(best, 3)
 
 
-def _bench_spark(spark, registry, names, sf_dir) -> dict[str, float]:
+def _bench_spark(
+    spark, registry, names, sf_dir, warmups=None, timed=None
+) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         def run():
@@ -92,11 +94,13 @@ def _bench_spark(spark, registry, names, sf_dir) -> dict[str, float]:
                 "overwrite"
             ).save()
 
-        timings[name] = _steady(run)
+        timings[name] = _steady(run, warmups, timed)
     return timings
 
 
-def _bench_duckdb(registry, names, sf_dir) -> dict[str, float]:
+def _bench_duckdb(
+    registry, names, sf_dir, warmups=None, timed=None
+) -> dict[str, float]:
     """Time each query's DuckDB oracle on the same files, warm min-of-3.
     The oracle runs as-is with fetchall(): a COUNT(*) wrapper would let
     DuckDB prune the aggregate expressions (unused columns) and under-
@@ -124,7 +128,7 @@ def _bench_duckdb(registry, names, sf_dir) -> dict[str, float]:
         def run():
             con.execute(oracle).fetchall()
 
-        timings[name] = _steady(run)
+        timings[name] = _steady(run, warmups, timed)
     con.close()
     return timings
 
@@ -167,6 +171,54 @@ def _scale_section(spark, registry, names, sf_dir: str) -> dict:
             for n in spark_t
             if duck_t.get(n)
         },
+    }
+
+
+def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict:
+    """64× convergence evidence (VERDICT r5 item 7): re-measure the
+    per-query Spark/DuckDB ratio at 64× every round instead of
+    inheriting the round-4 ad-hoc sweep, and flag any query whose ratio
+    GROWS from 16× to 64× (the signature of a hidden scale-killer —
+    fixed job costs should amortize, so healthy ratios shrink). Lighter
+    protocol (warm 1, min-of-2) — the queries are data-dominated at 64×,
+    so run-to-run spread is small relative to the signal."""
+    from ranger_spark.sources.replicate import build_replicated, is_built
+
+    factor = 64
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".benchcache",
+        f"{tag}_x{factor}",
+    )
+    if not is_built(out):
+        t0 = time.time()
+        build_replicated(spark, sf_dir, out, factor)
+        print(
+            f"built {factor}x replica at {out} in {time.time()-t0:.0f}s",
+            file=sys.stderr,
+        )
+    _warm_page_cache(out)
+    spark_t = _bench_spark(spark, registry, names, out, warmups=1, timed=2)
+    duck_t = _bench_duckdb(registry, names, out, warmups=1, timed=2)
+    ratios = {
+        n: round(spark_t[n] / duck_t[n], 2) for n in spark_t if duck_t.get(n)
+    }
+    r16 = scale16.get("per_query_ratio", {})
+    growing = sorted(
+        n
+        for n, r64 in ratios.items()
+        if n in r16 and r64 > r16[n] * 1.3 and r64 > 2.0
+    )
+    return {
+        "factor": factor,
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "per_query_ratio": ratios,
+        "ratio_vs_16x": {
+            n: round(ratios[n] / r16[n], 2) for n in ratios if r16.get(n)
+        },
+        "flagged_growing": growing,
     }
 
 
@@ -226,6 +278,42 @@ def _bucketed_section(spark, registry, replica_dir: str, scale: dict) -> dict:
         fact_join_ex = num_exchanges(fact_join)
     finally:
         spark.conf.set("spark.ranger.bucketed.db", "")
+    # ENGINE statement path (VERDICT r5 item 4): facts created via
+    # CREATE TABLE ... SETTINGS clustered_by/buckets and populated via
+    # INSERT ... SELECT — all through execute(); then q5 runs through
+    # execute() over those tables and the fact⋈fact join is verified
+    # exchange-free on the engine-created layout.
+    from ranger_spark.engine import Engine
+    from ranger_spark.queries.tpch_like import ensure_engine_bucketed_db
+    from ranger_spark.tables import register_views
+
+    t0 = time.time()
+    edb = ensure_engine_bucketed_db(spark, replica_dir, buckets=buckets)
+    eng_build_s = round(time.time() - t0, 1)
+    efact = spark.table(f"{edb}.orders").join(
+        spark.table(f"{edb}.lineitem"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    eng_fact_ex = num_exchanges(efact)
+    register_views(spark, replica_dir)  # dims for the SQL text
+    eng = Engine(spark)
+    q5_sql = (
+        "SELECT n_name, "
+        "CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) "
+        "AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue "
+        f"FROM {edb}.orders JOIN {edb}.lineitem "
+        "ON l_orderkey = o_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name;"
+    )
+    eng.execute(q5_sql)  # warm
+    eng_q5 = _steady(lambda: eng.execute(q5_sql))
     return {
         "buckets": buckets,
         "layout_build_s": build_s,
@@ -236,6 +324,12 @@ def _bucketed_section(spark, registry, replica_dir: str, scale: dict) -> dict:
             n: round(spark_t[n] / duck_t[n], 2) for n in names if duck_t.get(n)
         },
         "fact_join_exchanges": fact_join_ex,
+        "engine_path": {
+            "db": edb,
+            "build_s": eng_build_s,
+            "fact_join_exchanges": eng_fact_ex,
+            "q5_execute_s": round(eng_q5, 3),
+        },
     }
 
 
@@ -284,6 +378,13 @@ def main() -> None:
                 )
             except Exception as e:
                 result["bucketed"] = {"error": str(e)[:300]}
+            if os.environ.get("SPARK_GRAFT_SKIP_SCALE64") != "1":
+                try:
+                    result["scale64"] = _scale64_section(
+                        spark, registry, names, sf_dir, result["scale16"]
+                    )
+                except Exception as e:
+                    result["scale64"] = {"error": str(e)[:300]}
     print(json.dumps(result))
     spark.stop()
 

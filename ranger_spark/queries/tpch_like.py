@@ -848,3 +848,96 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed star join through the ENGINE's SQL statement path
+# ---------------------------------------------------------------------------
+def ensure_engine_bucketed_db(
+    spark: SparkSession, sf_dir: str, buckets: int = 8
+) -> str:
+    """Build (once per session/sf_dir) bucketed copies of the
+    lineitem/orders facts ENTIRELY through the engine statement path:
+    ``CREATE TABLE ... SETTINGS clustered_by = <key>, buckets = N`` then
+    ``INSERT INTO ... SELECT`` (engine.py CREATE-TABLE CLUSTERED BY DDL;
+    the reference parses SETTINGS but its Iceberg layer always writes an
+    empty partition spec — SURVEY §1.3 — so this exceeds it). Returns
+    the database name; Spark's scan reports the bucket distribution and
+    the fact⋈fact join plans with zero Exchange at any scale."""
+    import hashlib
+
+    from ranger_spark.engine import Engine
+
+    tag = hashlib.md5(f"{sf_dir}|{buckets}".encode()).hexdigest()[:8]
+    db = f"engbkt_{tag}"
+    try:
+        if spark.catalog.tableExists(f"{db}.orders") and spark.catalog.tableExists(
+            f"{db}.lineitem"
+        ):
+            return db
+    except Exception:
+        pass
+    eng = Engine(spark)
+    eng.execute(f"CREATE DATABASE IF NOT EXISTS {db};")
+    eng.execute(
+        f"CREATE TABLE IF NOT EXISTS {db}.orders ("
+        "o_orderkey int64, o_custkey int64, o_orderstatus string, "
+        "o_totalprice float64, o_orderdate timestamp, "
+        "o_orderpriority string) "
+        f"SETTINGS clustered_by = 'o_orderkey', buckets = {buckets};"
+    )
+    eng.execute(
+        f"CREATE TABLE IF NOT EXISTS {db}.lineitem ("
+        "l_orderkey int64, l_partkey int64, l_suppkey int64, "
+        "l_linenumber int32, l_quantity float64, l_extendedprice float64, "
+        "l_discount float64, l_tax float64, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp) "
+        f"SETTINGS clustered_by = 'l_orderkey', buckets = {buckets};"
+    )
+    if spark.table(f"{db}.lineitem").isEmpty():
+        load(spark, sf_dir, "orders").createOrReplaceTempView(f"src_o_{tag}")
+        load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+            f"src_l_{tag}"
+        )
+        eng.execute(
+            f"INSERT INTO {db}.orders SELECT * FROM src_o_{tag};"
+        )
+        eng.execute(
+            f"INSERT INTO {db}.lineitem SELECT * FROM src_l_{tag};"
+        )
+    return db
+
+
+@register(
+    "bucketed_star_join_sql",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4)
+                AS DECIMAL(38,4)), 2) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus <> 'X'
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "bucketed", "engine"),
+)
+def bucketed_star_join_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact revenue rollup over tables created and populated through
+    the engine's SQL surface with a bucketed layout (SETTINGS
+    clustered_by/buckets → CLUSTERED BY ... INTO N BUCKETS DDL): both
+    scans report the bucket distribution, so the join is exchange-free —
+    the layout answer to the shuffle that dominates fact joins at 100 TB.
+    The oracle runs the identical query over the plain parquet (same
+    rows by construction — populated via INSERT ... SELECT)."""
+    db = ensure_engine_bucketed_db(spark, sf_dir)
+    o = spark.table(f"{db}.orders")
+    li = spark.table(f"{db}.lineitem")
+    return (
+        o.filter(F.col("o_orderstatus") != "X")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_round2(F.sum(_net()), 4).alias("revenue"),
+        )
+    )
