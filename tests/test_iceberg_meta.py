@@ -246,3 +246,82 @@ def test_avro_manifests_decode_and_match_commits(engine, spark, table):
 
     for f, rc in seen.items():
         assert pq.ParquetFile(f).metadata.num_rows == rc
+
+
+def test_recover_killed_mid_commit_to_last_good_snapshot(engine, spark):
+    """VERDICT r5 item 8 — crash consistency over the Avro-manifest
+    chain: a warehouse killed mid-commit (orphan data file landed, the
+    manifest publish didn't, the Iceberg emission tore mid-Avro)
+    restores to the last good snapshot on restart: recover()
+    re-registers the catalog from the manifest chain, VACUUM reclaims
+    the torn write, time travel / EXPIRE still agree with the chain,
+    and the next commit re-emits a decodable Avro projection."""
+    import shutil
+
+    engine.execute("DROP TABLE IF EXISTS crsh;")
+    engine.execute("CREATE TABLE crsh (id int32, v string);")
+    engine.execute("INSERT INTO crsh (id, v) VALUES (1, 'a'), (2, 'b');")
+    engine.execute("INSERT INTO crsh (id, v) VALUES (3, 'c');")
+    name = engine._qualify("crsh")
+    vt = _vt(engine, name)
+    good = vt.current_version()
+    good_files = set(vt.files())
+    meta_good = iceberg_meta.read_metadata(vt)
+    assert meta_good["snapshots"][-1]["manifest-list"].endswith(".avro")
+
+    # the crash, three torn artifacts at once:
+    # (a) a data file whose commit never published
+    ddir = vt.snapshot_dir()
+    orphan = os.path.join(ddir, "part-torn-write.parquet")
+    shutil.copyfile(sorted(good_files)[0], orphan)
+    # (b) a half-written manifest tmp (link never happened)
+    torn_tmp = vt._manifest_path(good + 1) + ".tmp-dead"
+    with open(torn_tmp, "w") as f:
+        f.write('{"version": %d, "files": [' % (good + 1))
+    # (c) a truncated Avro manifest-list from a torn metadata emission
+    with open(meta_good["snapshots"][-1]["manifest-list"], "rb") as f:
+        head_bytes = f.read(16)
+    torn_avro = os.path.join(iceberg_meta.meta_dir(vt), "snap-torn-dead.avro")
+    with open(torn_avro, "wb") as f:
+        f.write(head_bytes)
+
+    # "restart": the catalog forgets the table; a fresh engine recovers
+    spark.sql(f"DROP TABLE {name}")
+    from ranger_spark.engine import Engine
+
+    fresh = Engine(spark)
+    assert fresh.recover() >= 1
+
+    # the chain ignored the torn tmp: current == last good version
+    vt2 = VersionedTable(fresh._manifest["tables"][name]["location"])
+    assert vt2.current_version() == good
+    assert set(vt2.files()) == good_files
+    # VACUUM reclaims the torn write; the table is back to the good rows
+    r = fresh.execute(f"VACUUM {name} RETAIN 0 SECONDS;")
+    assert "orphan" in r.message
+    assert not os.path.exists(orphan)
+    assert fresh.execute(
+        f"SELECT count(*) AS n FROM {name};"
+    ).rows[0][0] == 3
+    # time travel against pre-crash versions still matches their manifests
+    assert fresh.execute(
+        f"SELECT count(*) AS n FROM {name} VERSION AS OF {good - 1};"
+    ).rows[0][0] == 2
+    # the NEXT commit re-emits the Iceberg projection; the fresh Avro
+    # chain decodes (spark-avro = independent decoder) and equals the
+    # manifest chain's file list
+    fresh.execute(f"INSERT INTO {name} (id, v) VALUES (4, 'd');")
+    meta2 = iceberg_meta.read_metadata(vt2)
+    head = meta2["snapshots"][-1]
+    fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    files_in_chain = set()
+    for mf in spark.read.format(fmt).load(head["manifest-list"]).collect():
+        entries = spark.read.format(fmt).load(mf.manifest_path).collect()
+        files_in_chain |= {e.data_file.file_path for e in entries}
+    assert files_in_chain == set(vt2.files())
+    # EXPIRE walks the recovered chain without tripping on crash debris
+    fresh.execute(f"EXPIRE SNAPSHOTS {name} KEEP 1;")
+    assert fresh.execute(
+        f"SELECT count(*) AS n FROM {name};"
+    ).rows[0][0] == 4
+    fresh.execute(f"DROP TABLE {name};")
