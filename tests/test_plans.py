@@ -69,6 +69,9 @@ _NL_ALLOWED = {
     "ann_text_topk",  # 3-row broadcast query side of the != pair join
     "events_funnel",  # 1-row stage-count broadcasts (crossJoin of scalars)
     "events_rolling_wau",  # broadcast day-grid range join (~days rows)
+    # broadcast day-grid range joins over per-day HLL sketches + the
+    # exact cross-check branch (bytes per day on both sides)
+    "events_rolling_wau_sketch",
 }
 
 
