@@ -62,6 +62,8 @@ _NEW_R6 = (
     # new in round 6 — never driver-certified, certify immediately
     "events_rolling_wau_sketch",
     "bucketed_star_join_sql",
+    "text_gopher_rules",
+    "dedup_semantic",
 )
 
 _STALE_R4 = (

@@ -2409,3 +2409,210 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mp4_meta(
         d.select("doc_id", payload.alias("payload")), "doc_id", "payload"
     )
+
+
+_GOPHER_STOPS = "['the','be','to','of','and','that','have','with']"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(text, '\\n') AS lines,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
+             text
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              + (length(text) - length(replace(text, '…', ''))))
+               / CAST(len(toks) AS DOUBLE) AS symbol_word_ratio,
+             len(list_filter(lines, l ->
+               list_contains(['-','*','•'], substr(ltrim(l), 1, 1))))
+               / CAST(len(lines) AS DOUBLE) AS bullet_line_frac,
+             len(list_filter(lines, l ->
+               ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+               / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+             CAST(len(list_intersect(ltoks, {_GOPHER_STOPS})) AS INTEGER)
+               AS stop_hits
+      FROM base
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio < 0.1
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac > 0.8
+            AND stop_hits >= 2) AS passes
+    FROM m
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, §A1.1 —
+    public): word count, mean word length, symbol-to-word ratio
+    (#/ellipsis), bulleted/ellipsis line fractions, alphabetic-word
+    fraction, and a required-stopword hit count, plus the combined
+    pass/fail verdict used to filter pretraining corpora. Entirely
+    map-only JVM expressions — one scan, zero shuffles, the 100 TB
+    filter shape."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.split(F.col("text"), r"\n")
+    ltoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(toks).cast("long")
+    nw_d = F.size(toks).cast("double")
+    occ = lambda s: F.length("text") - F.length(  # noqa: E731
+        F.replace(F.col("text"), F.lit(s))
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            )
+            / nw_d
+        ).alias("mean_word_len"),
+        ((occ("#") + occ("...") / 3 + occ("…")) / nw_d).alias(
+            "symbol_word_ratio"
+        ),
+        (
+            F.size(
+                F.filter(
+                    lines,
+                    lambda line: F.substring(F.ltrim(line), 1, 1).isin(
+                        "-", "*", "•"
+                    ),
+                )
+            )
+            / F.size(lines).cast("double")
+        ).alias("bullet_line_frac"),
+        (
+            F.size(
+                F.filter(
+                    lines,
+                    lambda line: F.rtrim(line).endswith("...")
+                    | F.rtrim(line).endswith("…"),
+                )
+            )
+            / F.size(lines).cast("double")
+        ).alias("ellipsis_line_frac"),
+        (
+            F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+            / nw_d
+        ).alias("alpha_word_frac"),
+        F.size(
+            F.array_intersect(
+                ltoks,
+                F.array(
+                    *[
+                        F.lit(w)
+                        for w in (
+                            "the", "be", "to", "of",
+                            "and", "that", "have", "with",
+                        )
+                    ]
+                ),
+            )
+        ).alias("stop_hits"),
+    )
+    return m.withColumn(
+        "passes",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("stop_hits") >= 2),
+    )
+
+
+def _semantic_dedup_oracle(nlist: int = 8, iters: int = 3, tau: float = 0.25) -> str:
+    """Replays the Spark side exactly: md5-seeded Lloyd (the
+    _ivf_kmeans_oracle CTEs), final assignment, then the within-cell
+    cosine near-dup verdict."""
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+         v AS centroid
+  FROM (SELECT vec_id, v FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {nlist})
+)"""
+    ]
+    for i in range(iters):
+        parts.append("," + _kmeans_assign_sql("e", f"c{i}", f"a{i + 1}"))
+        parts.append("," + _kmeans_recompute_sql(f"a{i + 1}", f"c{i + 1}"))
+    parts.append("," + _kmeans_assign_sql("e", f"c{iters}", "af"))
+    parts.append(
+        f"""
+, dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= {tau}
+)
+SELECT af.vec_id, CAST(af.cell AS INTEGER) AS cell,
+       af.vec_id IN (SELECT vec_id FROM dups) AS is_dup
+FROM af
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "dedup_semantic",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "semantic", "kmeans"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): k-means the embedding space (deterministic md5-seeded
+    Lloyd, the ivf_kmeans machinery), then compare cosine ONLY within
+    each learned cluster and mark every vector that has a lower-id
+    in-cell neighbor above the threshold as a semantic duplicate. The
+    pair join is blocked by cell — O(Σ cluster²), never O(n²) — which
+    is the whole point of the method at 100 TB. The oracle replays the
+    identical clustering round-for-round, so the verdict is
+    exact-checked."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.select("vec_id", S._as_double(F.col("embedding")).alias("v"))
+    cents = S.kmeans_fit(e, k=8, iters=3)
+    assigned = S.assign_cells(c, cents)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 6) >= 0.25)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.join(dup_ids, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+    )
