@@ -72,6 +72,7 @@ _NL_ALLOWED = {
     # broadcast day-grid range joins over per-day HLL sketches + the
     # exact cross-check branch (bytes per day on both sides)
     "events_rolling_wau_sketch",
+    "dedup_semantic",  # 8-centroid broadcast assignment (Lloyd)
 }
 
 
