@@ -152,7 +152,16 @@ def validate_script(script: str, strict: bool = False) -> list[ScriptError]:
             errors.extend(_column_type_errors(stmt, off, tracker))
         elif routed.kind == StmtKind.INSERT:
             errors.extend(_insert_values_errors(stmt, off, tracker))
-        elif routed.kind in (StmtKind.SELECT, StmtKind.WITH_SELECT):
+        elif routed.kind in (
+            StmtKind.SELECT,
+            StmtKind.WITH_SELECT,
+            StmtKind.UPDATE,
+            StmtKind.DELETE,
+            StmtKind.MERGE,
+        ):
+            # unterminated strings / unbalanced parens are statement-kind
+            # agnostic; the reference's lexer reports them wherever they
+            # occur (parse_error_test.go)
             errors.extend(_select_lexical_errors(stmt, off, tracker))
     return errors
 

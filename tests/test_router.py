@@ -292,3 +292,13 @@ def test_insert_batch_reject_detailed_context(engine):
     # nothing committed
     assert engine.execute("SELECT count(*) AS c FROM mer.t;").rows[0][0] == 0
     engine.execute("DROP DATABASE mer CASCADE;")
+
+
+def test_multi_error_update_delete_lexical():
+    from ranger_spark.router import validate_script
+
+    errs = validate_script("UPDATE t SET v = 'abc WHERE id = 1;")
+    assert any("unterminated string" in e.message for e in errs)
+    errs2 = validate_script("DELETE FROM t WHERE (id = 1;")
+    assert any(e.message == "unclosed '('" for e in errs2)
+    assert validate_script("UPDATE t SET v = 'ok' WHERE id = 1;") == []
