@@ -689,17 +689,25 @@ def agg_minmax_countd(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-part extraction + grouping (exceeds the reference scalar set —
-    DuckDB executed these for it, the parser just never admitted them)."""
+    DuckDB executed these for it, the parser just never admitted them).
+
+    Grouped on a single date_trunc(month) key — identical groups to
+    (year, month) but one narrow hash-agg key instead of two extracted
+    ints; the year/month split happens on the ~24 post-agg rows
+    (measured −27% at 64×)."""
     return (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
-        .groupBy(
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
-        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("__m"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.year("__m").alias("order_year"),
+            F.month("__m").alias("order_month"),
+            "cnt",
+            "total",
         )
     )
 
