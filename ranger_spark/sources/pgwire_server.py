@@ -1,14 +1,23 @@
-"""Postgres wire protocol (simple-query subset) over the Engine — the
-reference's "JDBC" surface (reference server/protocols/jdbc/protocol.go:
-startup/auth handshake :242-300, simple query → RowDescription + DataRow
-:160-233). Implements exactly what the reference does: trust auth,
-text-format results, one engine behind every connection.
+"""Postgres wire protocol over the Engine — the reference's "JDBC"
+surface (reference server/protocols/jdbc/protocol.go: startup/auth
+handshake :242-300, simple query → RowDescription + DataRow :160-233).
+Trust auth, text-format results, one engine behind every connection.
 
 Supported: StartupMessage (v3) → AuthenticationOk + ParameterStatus +
 ReadyForQuery; 'Q' simple query → RowDescription/DataRow*/CommandComplete/
 ReadyForQuery (errors → ErrorResponse); 'X' terminate; SSLRequest politely
-refused ('N'). Extended protocol (parse/bind) is not implemented — the
-reference's simple-query path is the parity target.
+refused ('N').
+
+Extended protocol: the reference ACKS every extended message without
+executing (handler.go:162-201: Parse→ParseComplete, Bind→BindComplete,
+Execute→"SELECT 0", Describe→NoData, Close→CloseComplete,
+Sync→ReadyForQuery — all marked TODO). This server exceeds that with a
+WORKING subset: Parse stores the named statement, Bind substitutes
+text-format $n parameters as quoted literals, Describe answers
+RowDescription via Catalyst analysis (no execution; NoData when
+unanalyzable — the reference's constant answer), Execute runs the bound
+statement and streams DataRows with max-row suspension
+(PortalSuspended), and protocol errors skip-to-Sync per the spec.
 """
 
 from __future__ import annotations
@@ -55,6 +64,50 @@ def _error(message: str, code: str = "42000") -> bytes:
 
 
 READY = _msg(b"Z", b"I")
+
+
+def _read_cstr(data: bytes, pos: int) -> tuple[str, int]:
+    end = data.index(b"\x00", pos)
+    return data[pos:end].decode(), end + 1
+
+
+def _read_bind(payload: bytes) -> tuple[str, str, list[str | None]]:
+    """Decode a Bind message: portal, statement, text-format parameter
+    values (len -1 → NULL). Binary format codes are rejected — the
+    server ships text everywhere, like the reference."""
+    portal, pos = _read_cstr(payload, 0)
+    stmt, pos = _read_cstr(payload, pos)
+    (nfmt,) = struct.unpack_from("!H", payload, pos)
+    pos += 2
+    fmts = struct.unpack_from(f"!{nfmt}H", payload, pos)
+    pos += 2 * nfmt
+    if any(f == 1 for f in fmts):
+        raise ValueError("binary parameter format not supported (text only)")
+    (nparams,) = struct.unpack_from("!H", payload, pos)
+    pos += 2
+    params: list[str | None] = []
+    for _ in range(nparams):
+        (plen,) = struct.unpack_from("!i", payload, pos)
+        pos += 4
+        if plen == -1:
+            params.append(None)
+        else:
+            params.append(payload[pos : pos + plen].decode())
+            pos += plen
+    return portal, stmt, params
+
+
+def _substitute_params(sql: str, params: list[str | None]) -> str:
+    """Inline text-format $n parameters as quoted SQL literals (NULL for
+    absent values), highest index first so $10 never matches inside $1.
+    Spark's implicit casts coerce '1' = 1 etc., matching text-format
+    semantics."""
+    out = sql
+    for i in range(len(params), 0, -1):
+        v = params[i - 1]
+        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        out = out.replace(f"${i}", lit)
+    return out
 
 
 class PgWireServer:
@@ -127,6 +180,11 @@ class PgWireServer:
             )
             conn.sendall(READY)
 
+            # per-connection extended-protocol state
+            stmts: dict[str, str] = {}
+            portals: dict[str, dict] = {}
+            skip_to_sync = False
+
             while not self._stop.is_set():
                 tag = self._recv_exact(conn, 1)
                 if tag is None or tag == b"X":
@@ -144,13 +202,77 @@ class PgWireServer:
                 payload = self._recv_exact(conn, length - 4)
                 if payload is None:
                     return
-                if tag != b"Q":
+                if skip_to_sync and tag != b"S":
+                    continue  # spec: after an extended-protocol error,
+                    # discard until Sync
+                if tag == b"Q":
+                    sql = payload.rstrip(b"\x00").decode()
+                    self._run_query(conn, sql)
+                    conn.sendall(READY)
+                elif tag == b"P":  # Parse
+                    try:
+                        name, pos = _read_cstr(payload, 0)
+                        query, _ = _read_cstr(payload, pos)
+                        stmts[name] = query
+                        conn.sendall(_msg(b"1", b""))  # ParseComplete
+                    except Exception as e:
+                        conn.sendall(_error(f"parse failed: {e}"))
+                        skip_to_sync = True
+                elif tag == b"B":  # Bind
+                    try:
+                        portal, stmt, params = _read_bind(payload)
+                        if stmt not in stmts:
+                            raise KeyError(f"unknown statement {stmt!r}")
+                        portals[portal] = {
+                            "sql": _substitute_params(stmts[stmt], params),
+                            "result": None,
+                        }
+                        conn.sendall(_msg(b"2", b""))  # BindComplete
+                    except Exception as e:
+                        conn.sendall(_error(f"bind failed: {e}"))
+                        skip_to_sync = True
+                elif tag == b"D":  # Describe
+                    kind, name = payload[:1], payload[1:].split(b"\x00")[0].decode()
+                    if kind == b"P":
+                        sql = portals.get(name, {}).get("sql")
+                    else:
+                        sql = stmts.get(name)
+                        # statement describes answer ParameterDescription
+                        # first (all params typed text, like the results)
+                        import re as _re
+
+                        n = len(
+                            set(_re.findall(r"\$(\d+)", sql or ""))
+                        )
+                        conn.sendall(
+                            _msg(
+                                b"t",
+                                struct.pack("!H", n)
+                                + struct.pack("!I", TEXT_OID) * n,
+                            )
+                        )
+                    conn.sendall(self._describe(sql))
+                elif tag == b"E":  # Execute
+                    portal, pos = _read_cstr(payload, 0)
+                    (max_rows,) = struct.unpack_from("!i", payload, pos)
+                    p = portals.get(portal)
+                    if p is None:
+                        conn.sendall(_error(f"unknown portal {portal!r}"))
+                        skip_to_sync = True
+                    else:
+                        skip_to_sync = not self._execute_portal(
+                            conn, p, max_rows
+                        )
+                elif tag == b"C":  # Close
+                    kind, name = payload[:1], payload[1:].split(b"\x00")[0].decode()
+                    (portals if kind == b"P" else stmts).pop(name, None)
+                    conn.sendall(_msg(b"3", b""))  # CloseComplete
+                elif tag == b"S":  # Sync
+                    skip_to_sync = False
+                    conn.sendall(READY)
+                else:
                     conn.sendall(_error(f"unsupported message {tag!r}"))
                     conn.sendall(READY)
-                    continue
-                sql = payload.rstrip(b"\x00").decode()
-                self._run_query(conn, sql)
-                conn.sendall(READY)
         except OSError:
             pass
         finally:
@@ -158,6 +280,51 @@ class PgWireServer:
                 conn.close()
             except OSError:
                 pass
+
+    def _describe(self, sql: str | None) -> bytes:
+        """RowDescription via Catalyst ANALYSIS only (no job); NoData when
+        the statement is absent or unanalyzable — the reference's constant
+        Describe answer (handler.go:185-189)."""
+        if sql:
+            try:
+                s = sql.rstrip().rstrip(";")
+                if s.upper().lstrip().startswith(("SELECT", "WITH")):
+                    return _row_description(
+                        list(self.engine.spark.sql(s).columns)
+                    )
+            except Exception:
+                pass
+        return _msg(b"n", b"")  # NoData
+
+    def _execute_portal(self, conn, p: dict, max_rows: int) -> bool:
+        """Run (or resume) a bound portal; returns False on error (the
+        caller then skips to Sync). max_rows > 0 suspends the portal
+        (PortalSuspended) with the remainder resumable."""
+        try:
+            if p["result"] is None:
+                sql = p["sql"]
+                if not sql.rstrip().endswith(";"):
+                    sql = sql.rstrip() + ";"
+                r = self.engine.execute(sql)
+                p["result"] = list(r.rows)
+                p["columns"] = r.columns
+                p["message"] = r.message
+                p["count"] = r.row_count
+        except Exception as e:
+            conn.sendall(_error(str(e)[:400]))
+            return False
+        rows = p["result"]
+        send = rows if max_rows <= 0 else rows[:max_rows]
+        for row in send:
+            conn.sendall(_data_row(row))
+        p["result"] = rows[len(send) :]
+        if max_rows > 0 and p["result"]:
+            conn.sendall(_msg(b"s", b""))  # PortalSuspended
+        elif p["columns"]:
+            conn.sendall(_msg(b"C", _cstr(f"SELECT {p['count']}")))
+        else:
+            conn.sendall(_msg(b"C", _cstr(p["message"] or "OK")))
+        return True
 
     def _run_query(self, conn: socket.socket, sql: str) -> None:
         try:

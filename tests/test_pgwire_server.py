@@ -116,3 +116,99 @@ def test_pgwire_mid_message_disconnect_is_clean(pg):
     msgs = _read_messages(s2)
     assert any(t == b"D" for t, _ in msgs)
     s2.close()
+
+
+def _ext(tag: bytes, payload: bytes) -> bytes:
+    return tag + struct.pack("!I", len(payload) + 4) + payload
+
+
+def _parse_pkt(name: str, sql: str) -> bytes:
+    return _ext(
+        b"P", name.encode() + b"\x00" + sql.encode() + b"\x00" + b"\x00\x00"
+    )
+
+
+def _bind_pkt(portal: str, stmt: str, params: list) -> bytes:
+    body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+    body += struct.pack("!H", 0)  # no format codes (all text)
+    body += struct.pack("!H", len(params))
+    for p in params:
+        if p is None:
+            body += struct.pack("!i", -1)
+        else:
+            b = str(p).encode()
+            body += struct.pack("!i", len(b)) + b
+    body += struct.pack("!H", 0)  # result formats: default text
+    return _ext(b"B", body)
+
+
+def test_pgwire_extended_protocol_prepared_statements(pg, engine):
+    """The reference acks Parse/Bind/Execute/Describe without executing
+    (handler.go:162-201, all TODO); this server executes them. Full
+    psycopg2-shaped flow over a raw socket: Parse → Describe(S) → Sync,
+    then Bind → Describe(P) → Execute → Sync, with $n text parameters,
+    max-row suspension and skip-to-Sync error recovery."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pgx;")
+    engine.execute("DROP TABLE IF EXISTS pgx.t;")
+    engine.execute("CREATE TABLE pgx.t (id int32, name string);")
+    engine.execute(
+        "INSERT INTO pgx.t (id, name) VALUES (1, 'a'), (2, 'b'), (3, 'c');"
+    )
+    s = _connect(pg.port)
+    # Parse + Describe(statement) + Sync
+    s.sendall(_parse_pkt("st1", "SELECT id, name FROM pgx.t WHERE id > $1 ORDER BY id"))
+    s.sendall(_ext(b"D", b"S" + b"st1\x00"))
+    s.sendall(_ext(b"S", b""))
+    msgs = _read_messages(s)
+    tags = [t for t, _ in msgs]
+    assert b"1" in tags  # ParseComplete
+    assert b"t" in tags  # ParameterDescription (1 text param)
+    pd = dict(msgs)[b"t"]
+    assert struct.unpack_from("!H", pd)[0] == 1
+    # unbound $1 → statement unanalyzable → NoData (reference's answer)
+    assert b"n" in tags
+    # Bind + Describe(portal) + Execute(all rows) + Sync
+    s.sendall(_bind_pkt("", "st1", ["1"]))
+    s.sendall(_ext(b"D", b"P" + b"\x00"))
+    s.sendall(_ext(b"E", b"\x00" + struct.pack("!i", 0)))
+    s.sendall(_ext(b"S", b""))
+    msgs = _read_messages(s)
+    by_tag: dict[bytes, list[bytes]] = {}
+    for t, body in msgs:
+        by_tag.setdefault(t, []).append(body)
+    assert b"2" in by_tag  # BindComplete
+    assert b"id\x00" in by_tag[b"T"][0]  # portal Describe → RowDescription
+    assert len(by_tag[b"D"]) == 2  # rows id=2,3
+    assert by_tag[b"C"][0].startswith(b"SELECT 2")
+    # max_rows=1 → one row + PortalSuspended, resume drains the rest
+    s.sendall(_bind_pkt("p2", "st1", [None]))  # NULL param → no rows
+    s.sendall(_ext(b"E", b"p2\x00" + struct.pack("!i", 0)))
+    s.sendall(_bind_pkt("p3", "st1", ["0"]))
+    s.sendall(_ext(b"E", b"p3\x00" + struct.pack("!i", 2)))
+    s.sendall(_ext(b"S", b""))
+    msgs = _read_messages(s)
+    tags = [t for t, _ in msgs]
+    assert b"s" in tags  # suspended after 2 of 3 rows
+    s.sendall(_ext(b"E", b"p3\x00" + struct.pack("!i", 0)))
+    s.sendall(_ext(b"S", b""))
+    msgs = _read_messages(s)
+    assert any(t == b"C" and b"SELECT" in b for t, b in msgs)
+    # error recovery: Bind to unknown statement → ErrorResponse, then the
+    # connection skips to Sync and stays usable
+    s.sendall(_bind_pkt("", "nope", []))
+    s.sendall(_ext(b"E", b"\x00" + struct.pack("!i", 0)))  # must be skipped
+    s.sendall(_ext(b"S", b""))
+    msgs = _read_messages(s)
+    tags = [t for t, _ in msgs]
+    assert b"E" in tags and b"Z" in tags
+    s.sendall(_query_packet("SELECT 7 AS x"))
+    msgs = _read_messages(s)
+    assert any(t == b"D" and b"7" in body for t, body in msgs)
+    # Close the statement
+    s.sendall(_ext(b"C", b"S" + b"st1\x00"))
+    s.sendall(_ext(b"S", b""))
+    msgs = _read_messages(s)
+    assert any(t == b"3" for t, _ in msgs)  # CloseComplete
+    s.sendall(b"X")
+    s.close()
+    engine.spark.sql("DROP DATABASE pgx CASCADE")
