@@ -66,7 +66,7 @@ import struct
 import threading
 import time
 
-from ranger_spark.engine import Engine
+from ranger_spark.engine import RESULT_CAP, Engine
 
 # protocol/constants.go (ClickHouse-compatible numbering)
 CLIENT_HELLO = 0
@@ -76,6 +76,8 @@ CLIENT_CANCEL = 3
 CLIENT_PING = 4
 SERVER_HELLO = 100
 SERVER_DATA = 101
+SERVER_PROGRESS = 103
+SERVER_PROFILE_INFO = 106
 SERVER_EXCEPTION = 102
 SERVER_PONG = 104
 SERVER_END_OF_STREAM = 105
@@ -381,6 +383,77 @@ def unpack_server_hello(data: bytes) -> dict:
             "patch": patch}
 
 
+def pack_server_progress(
+    rows_read: int,
+    bytes_read: int,
+    total_rows: int = 0,
+    total_bytes: int = 0,
+    elapsed_s: float = 0.0,
+) -> bytes:
+    """server_progress.go Pack: four uvarints + elapsed micros as a
+    big-endian u64 (the reference converts seconds × 1e6)."""
+    return (
+        write_uvarint(rows_read)
+        + write_uvarint(bytes_read)
+        + write_uvarint(total_rows)
+        + write_uvarint(total_bytes)
+        + struct.pack("!Q", int(elapsed_s * 1_000_000))
+    )
+
+
+def unpack_server_progress(data: bytes) -> dict:
+    pos = 0
+    rows_read, pos = read_uvarint(data, pos)
+    bytes_read, pos = read_uvarint(data, pos)
+    total_rows, pos = read_uvarint(data, pos)
+    total_bytes, pos = read_uvarint(data, pos)
+    (elapsed_us,) = struct.unpack_from("!Q", data, pos)
+    return {
+        "rows_read": rows_read,
+        "bytes_read": bytes_read,
+        "total_rows": total_rows,
+        "total_bytes": total_bytes,
+        "elapsed_s": elapsed_us / 1_000_000,
+    }
+
+
+def pack_server_profile_info(
+    rows_before_limit: int,
+    bytes_before_limit: int,
+    applied_limit: int,
+    applied_offset: int,
+    rows_read: int,
+    bytes_read: int,
+) -> bytes:
+    """server_profile_info.go Pack: six uvarints."""
+    return b"".join(
+        write_uvarint(v)
+        for v in (
+            rows_before_limit,
+            bytes_before_limit,
+            applied_limit,
+            applied_offset,
+            rows_read,
+            bytes_read,
+        )
+    )
+
+
+def unpack_server_profile_info(data: bytes) -> dict:
+    keys = (
+        "rows_before_limit",
+        "bytes_before_limit",
+        "applied_limit",
+        "applied_offset",
+        "rows_read",
+        "bytes_read",
+    )
+    out, pos = {}, 0
+    for k in keys:
+        out[k], pos = read_uvarint(data, pos)
+    return out
+
+
 def pack_server_data(columns: list[tuple[str, str]], rows: list[tuple]) -> bytes:
     """server_data.go Pack: columnar text block, per-column comma-joined."""
     out = bytearray(write_uvarint(len(columns)))
@@ -611,6 +684,7 @@ class NativeServer:
         sql = q["query"].rstrip()
         if not sql.endswith(";"):
             sql += ";"
+        t_start = time.monotonic()
         try:
             # per-query database scoping (connection.go passes
             # query.Database in the QueryContext; it never mutates the
@@ -631,12 +705,41 @@ class NativeServer:
         rows = r.rows
         if not columns and r.message:
             columns, rows = [("result", "String")], [(r.message,)]
+        # ServerProgress(103) / ServerProfileInfo(106): the reference
+        # REGISTERS both signals with full codecs
+        # (protocol/signals/server_progress.go, server_profile_info.go)
+        # but never sends them during a query; this server sends them —
+        # progress ahead of the data blocks, profile info (incl. the
+        # RESULT_CAP as applied_limit when the result was truncated)
+        # right before EndOfStream.
+        n_rows = len(rows)
+        est_bytes = sum(
+            len(str(v)) for row in rows[:100] for v in row
+        ) * (max(n_rows, 1) // max(min(n_rows, 100), 1))
+        self._send(
+            conn,
+            SERVER_PROGRESS,
+            pack_server_progress(
+                n_rows, est_bytes, n_rows, est_bytes,
+                time.monotonic() - t_start,
+            ),
+        )
         first = True
         while first or rows:
             block = rows[: self.block_rows]
             rows = rows[self.block_rows :]
             self._send(conn, SERVER_DATA, pack_server_data(columns, block))
             first = False
+        truncated = bool(r.message and "truncated" in (r.message or ""))
+        self._send(
+            conn,
+            SERVER_PROFILE_INFO,
+            pack_server_profile_info(
+                r.row_count, est_bytes,
+                RESULT_CAP if truncated else 0, 0,
+                n_rows, est_bytes,
+            ),
+        )
         self._send(conn, SERVER_END_OF_STREAM, b"")
 
     def _insert_block(self, d: dict, database: str) -> None:
@@ -841,14 +944,25 @@ class NativeClient:
         )
         columns: list[tuple[str, str]] = []
         rows: list[tuple] = []
+        progress: dict | None = None
+        profile: dict | None = None
         while True:
             sig, payload = self._read()
             if sig == SERVER_DATA:
                 d = unpack_server_data(payload)
                 columns = d["columns"] or columns
                 rows.extend(d["rows"])
+            elif sig == SERVER_PROGRESS:
+                progress = unpack_server_progress(payload)
+            elif sig == SERVER_PROFILE_INFO:
+                profile = unpack_server_profile_info(payload)
             elif sig == SERVER_END_OF_STREAM:
-                return {"columns": columns, "rows": rows}
+                return {
+                    "columns": columns,
+                    "rows": rows,
+                    "progress": progress,
+                    "profile": profile,
+                }
             elif sig == SERVER_EXCEPTION:
                 e = unpack_server_exception(payload)
                 raise RuntimeError(f"{e['code']}: {e['message']}")
@@ -867,6 +981,8 @@ class NativeClient:
             sig, payload = self._read()
             if sig == SERVER_DATA:
                 rows.extend(unpack_server_data(payload)["rows"])
+            elif sig in (SERVER_PROGRESS, SERVER_PROFILE_INFO):
+                continue
             elif sig == SERVER_END_OF_STREAM:
                 return {"rows": rows}
             elif sig == SERVER_EXCEPTION:

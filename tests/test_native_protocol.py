@@ -459,6 +459,8 @@ def test_large_result_streams_in_blocks(engine):
         sig, payload = c._read()
         if sig == ns.SERVER_END_OF_STREAM:
             break
+        if sig in (ns.SERVER_PROGRESS, ns.SERVER_PROFILE_INFO):
+            continue  # bracket the data blocks (progress first, profile last)
         assert sig == ns.SERVER_DATA
         blocks.append(ns.unpack_server_data(payload))
     assert [len(b["rows"]) for b in blocks] == [100, 100, 100, 50]
@@ -556,3 +558,30 @@ def test_compress_dsn_param(server):
         ns.NativeClient.from_dsn(
             f"ranger://127.0.0.1:{server.port}/nat?compress=snappy"
         )
+
+
+def test_server_progress_and_profile_info_signals(server, engine):
+    """ServerProgress(103)/ServerProfileInfo(106): the reference registers
+    both with full codecs (protocol/signals/server_progress.go,
+    server_profile_info.go) but never sends them; this server sends
+    progress ahead of the data blocks and profile info before
+    EndOfStream. Pack/unpack round-trip + live wire check."""
+    p = ns.pack_server_progress(1234, 567890, 1234, 567890, 1.5)
+    d = ns.unpack_server_progress(p)
+    assert d["rows_read"] == 1234 and d["bytes_read"] == 567890
+    assert abs(d["elapsed_s"] - 1.5) < 1e-9
+    pi = ns.pack_server_profile_info(100, 2000, 100000, 0, 100, 2000)
+    di = ns.unpack_server_profile_info(pi)
+    assert di["rows_before_limit"] == 100 and di["applied_limit"] == 100000
+    # live: client surfaces both alongside the rows
+    c = ns.NativeClient("127.0.0.1", server.port, database="nat")
+    try:
+        r = c.query("SELECT id FROM people ORDER BY id LIMIT 2;")
+        assert len(r["rows"]) == 2
+        assert r["progress"] is not None
+        assert r["progress"]["rows_read"] == 2
+        assert r["profile"] is not None
+        assert r["profile"]["rows_read"] == 2
+        assert r["profile"]["applied_limit"] == 0  # not truncated
+    finally:
+        c.close()
