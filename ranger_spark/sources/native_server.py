@@ -507,6 +507,26 @@ def unpack_server_exception(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------- server
+# middleware/simple_auth_provider.go addDefaultUsers: the reference's
+# development user table, verbatim
+DEFAULT_USERS: dict[str, dict] = {
+    "default": {"password": "", "database": "default",
+                "permissions": ("read", "write")},
+    "admin": {"password": "admin123", "database": "default",
+              "permissions": ("read", "write", "admin")},
+    "readonly": {"password": "readonly123", "database": "default",
+                 "permissions": ("read",)},
+}
+
+_READ_ONLY_PREFIXES = (
+    "SELECT", "WITH", "SHOW", "DESCRIBE", "DESC", "EXPLAIN",
+)
+
+
+def _is_read_only_sql(sql: str) -> bool:
+    return sql.lstrip().upper().startswith(_READ_ONLY_PREFIXES)
+
+
 class NativeServer:
     """The reference's native TCP endpoint (server.go + connection.go),
     one thread per connection, engine shared (its execution manager is
@@ -518,8 +538,24 @@ class NativeServer:
         host: str = "127.0.0.1",
         port: int = 0,
         block_rows: int = 1000,
+        require_auth: bool = False,
+        users: dict | None = None,
+        max_concurrent_queries: int = 10,
+        max_query_duration_s: float | None = 60.0,
     ):
         self.engine = engine
+        # auth middleware (middleware/simple_auth_provider.go): opt-in
+        # like the reference (requireAuth=false in its dev wiring); the
+        # default user table mirrors addDefaultUsers
+        self.require_auth = require_auth
+        self.users = users if users is not None else dict(DEFAULT_USERS)
+        # circuit breaker (middleware/circuit_breaker.go thresholds:
+        # MaxConcurrentQueries=10, MaxQueryDuration=60s) — concurrency is
+        # server-wide here (one engine behind every connection)
+        self.max_concurrent_queries = max_concurrent_queries
+        self.max_query_duration_s = max_query_duration_s
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         # results stream as a sequence of ServerData blocks of up to
         # block_rows rows each; 1000 mirrors the reference's chunked
         # ingest batch size (storage.go:500-528)
@@ -589,6 +625,10 @@ class NativeServer:
         database = ""
         idle_timeout = 0.0  # set by ClientHello (0 = none), like connection.go
         last_activity = time.monotonic()
+        # full permissions until an authenticated hello narrows them
+        # (auth middleware is opt-in, matching the reference's
+        # requireAuth=false development default, server.go:51-58)
+        perms = frozenset(("read", "write", "admin"))
         try:
             while not self._stop.is_set():
                 try:
@@ -637,6 +677,25 @@ class NativeServer:
                             ),
                         )
                         return
+                    if self.require_auth:
+                        # SimpleAuthProvider semantics
+                        # (middleware/simple_auth_provider.go:81-103):
+                        # user-not-found, invalid-password (empty allowed
+                        # when the account has none), database-access
+                        # checks, each with the reference's error code
+                        code_msg = self._authenticate(hello)
+                        if code_msg is not None:
+                            self._send(
+                                conn,
+                                SERVER_EXCEPTION,
+                                pack_server_exception(*code_msg),
+                            )
+                            return
+                        perms = frozenset(
+                            self.users[hello["user"] or "default"][
+                                "permissions"
+                            ]
+                        )
                     # hello/ServerHello travel uncompressed; everything
                     # after the negotiation is enveloped
                     self._send(conn, SERVER_HELLO, pack_server_hello())
@@ -644,8 +703,30 @@ class NativeServer:
                         self._conn_codec[conn] = codec
                 elif sig_type == CLIENT_QUERY:
                     q = unpack_client_query(payload)
+                    if "write" not in perms and not _is_read_only_sql(
+                        q["query"]
+                    ):
+                        self._send(
+                            conn,
+                            SERVER_EXCEPTION,
+                            pack_server_exception(
+                                "native.middleware.insufficient_permissions",
+                                "user has read permission only",
+                            ),
+                        )
+                        continue
                     self._run_query(conn, q)
                 elif sig_type == CLIENT_DATA:
+                    if "write" not in perms:
+                        self._send(
+                            conn,
+                            SERVER_EXCEPTION,
+                            pack_server_exception(
+                                "native.middleware.insufficient_permissions",
+                                "user has read permission only",
+                            ),
+                        )
+                        return
                     d = unpack_client_data(payload)
                     try:
                         self._insert_block(d, database)
@@ -680,20 +761,66 @@ class NativeServer:
             except OSError:
                 pass
 
+    def _authenticate(self, hello: dict) -> tuple[str, str] | None:
+        """SimpleAuthProvider.Authenticate shape: (code, message) on
+        failure, None on success."""
+        uname = hello["user"] or "default"  # unset user → 'default' account
+        user = self.users.get(uname)
+        if user is None:
+            return (
+                "native.middleware.user_not_found",
+                f"user not found: {uname}",
+            )
+        if user["password"] and user["password"] != hello["password"]:
+            return (
+                "native.middleware.invalid_password",
+                f"invalid password for user: {hello['user']}",
+            )
+        if user["database"] != (hello["database"] or "default"):
+            return (
+                "native.middleware.database_access_denied",
+                f"user {hello['user']} cannot access database "
+                f"{hello['database']}",
+            )
+        return None
+
     def _run_query(self, conn: socket.socket, q: dict) -> None:
         sql = q["query"].rstrip()
         if not sql.endswith(";"):
             sql += ";"
         t_start = time.monotonic()
+        with self._inflight_lock:
+            if self._inflight >= self.max_concurrent_queries:
+                # circuit_breaker.go MaxConcurrentQueries: typed rejection,
+                # connection stays open
+                self._send(
+                    conn,
+                    SERVER_EXCEPTION,
+                    pack_server_exception(
+                        "native.middleware.concurrent_query_limit_exceeded",
+                        f"concurrent query limit "
+                        f"({self.max_concurrent_queries}) exceeded",
+                    ),
+                )
+                return
+            self._inflight += 1
         try:
             # per-query database scoping (connection.go passes
             # query.Database in the QueryContext; it never mutates the
             # shared session) — engine.execute saves/restores the current
-            # database around this one statement under its statement lock
-            r = self.engine.execute(sql, database=q["database"] or None)
+            # database around this one statement under its statement lock.
+            # timeout = the breaker's MaxQueryDuration (engine-side cancel)
+            r = self.engine.execute(
+                sql,
+                timeout_s=self.max_query_duration_s,
+                database=q["database"] or None,
+            )
         except Exception as e:
             self._send_exception(conn, e)
             return  # connection stays open (handleClientQuerySignal)
+        finally:
+            with self._inflight_lock:
+                self._inflight -= 1
         # sendQueryEngineResultsSignal shape, block-streamed: results ship
         # as a SEQUENCE of ServerData blocks (≤ block_rows rows each)
         # followed by EndOfStream — the ClickHouse-style framing the

@@ -585,3 +585,74 @@ def test_server_progress_and_profile_info_signals(server, engine):
         assert r["profile"]["applied_limit"] == 0  # not truncated
     finally:
         c.close()
+
+
+def test_auth_middleware_and_permissions(engine):
+    """Opt-in auth with the reference's SimpleAuthProvider semantics
+    (middleware/simple_auth_provider.go:44-103): default user table,
+    user-not-found / invalid-password / database-access-denied codes,
+    and permission enforcement (readonly users can't write)."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS default;")
+    engine.execute(
+        "CREATE TABLE IF NOT EXISTS default.auth_t (id int32);"
+    )
+    srv = ns.NativeServer(engine, require_auth=True).start()
+    try:
+        # unknown user
+        with pytest.raises(RuntimeError, match="user_not_found"):
+            ns.NativeClient(
+                "127.0.0.1", srv.port, database="default", user="nobody"
+            )
+        # wrong password
+        with pytest.raises(RuntimeError, match="invalid_password"):
+            ns.NativeClient(
+                "127.0.0.1", srv.port, database="default",
+                user="admin", password="wrong",
+            )
+        # database access check
+        with pytest.raises(RuntimeError, match="database_access_denied"):
+            ns.NativeClient(
+                "127.0.0.1", srv.port, database="elsewhere",
+                user="admin", password="admin123",
+            )
+        # default user: empty password allowed, read+write
+        c = ns.NativeClient("127.0.0.1", srv.port, database="default")
+        c.insert("auth_t", ["id"], [("1",)])
+        r = c.query("SELECT count(*) AS n FROM default.auth_t;")
+        assert r["rows"] == [("1",)]
+        c.close()
+        # readonly user: queries ok, writes rejected with the typed code
+        ro = ns.NativeClient(
+            "127.0.0.1", srv.port, database="default",
+            user="readonly", password="readonly123",
+        )
+        r = ro.query("SELECT 1 AS one;")
+        assert r["rows"] == [("1",)]
+        with pytest.raises(RuntimeError, match="insufficient_permissions"):
+            ro.query("DROP TABLE default.auth_t;")
+        ro.close()
+    finally:
+        srv.shutdown()
+        engine.execute("DROP TABLE IF EXISTS default.auth_t;")
+
+
+def test_concurrent_query_circuit_breaker(engine):
+    """circuit_breaker.go MaxConcurrentQueries: the limit-exceeded typed
+    rejection leaves the connection usable."""
+    srv = ns.NativeServer(engine, max_concurrent_queries=0).start()
+    try:
+        c = ns.NativeClient("127.0.0.1", srv.port)
+        with pytest.raises(
+            RuntimeError, match="concurrent_query_limit_exceeded"
+        ):
+            c.query("SELECT 1 AS one;")
+        c.close()
+    finally:
+        srv.shutdown()
+    srv2 = ns.NativeServer(engine, max_concurrent_queries=10).start()
+    try:
+        c = ns.NativeClient("127.0.0.1", srv2.port)
+        assert c.query("SELECT 1 AS one;")["rows"] == [("1",)]
+        c.close()
+    finally:
+        srv2.shutdown()
