@@ -1,0 +1,88 @@
+"""Gateway lifecycle over all three protocol servers — the reference's
+server/gateway/gateway.go (partial-start tolerance, zero-server
+refusal, idempotent shutdown) and loader.go composition order."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from ranger_spark.errors import RangerError
+from ranger_spark.gateway import Gateway, RangerServer
+
+
+def test_gateway_starts_all_three_protocols(engine):
+    gw = Gateway(engine, http_port=0, jdbc_port=0, native_port=0).start()
+    try:
+        ports = gw.ports()
+        assert set(ports) == {"http", "jdbc", "native"}
+        assert all(p > 0 for p in ports.values())
+        # one engine behind every protocol: write over native, read over
+        # HTTP and pgwire
+        from ranger_spark.sources import native_server as ns
+
+        engine.execute("CREATE DATABASE IF NOT EXISTS gw;")
+        engine.execute("CREATE TABLE IF NOT EXISTS gw.t (id int32);")
+        c = ns.NativeClient("127.0.0.1", ports["native"], database="gw")
+        c.insert("t", ["id"], [("41",)])
+        c.close()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{ports['http']}/query",
+            data=json.dumps({"query": "SELECT id FROM gw.t;"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        body = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert any("41" in str(r) for r in body["data"])
+        # health snapshot
+        h = gw.health()
+        assert h["started"] and h["failed"] == {}
+        # double start refused (gateway.go:80-82)
+        with pytest.raises(RangerError, match="already started"):
+            gw.start()
+    finally:
+        gw.shutdown()
+        gw.shutdown()  # idempotent
+        engine.spark.sql("DROP DATABASE IF EXISTS gw CASCADE")
+    assert gw.health()["started"] is False
+
+
+def test_gateway_partial_start_and_all_failed(engine):
+    # claim a port so the native server fails to bind; gateway stays up
+    # on the other servers (gateway.go:124-135)
+    import socket
+
+    blocker = socket.socket()
+    blocker.bind(("127.0.0.1", 0))
+    blocker.listen(1)
+    taken = blocker.getsockname()[1]
+    gw = Gateway(
+        engine, http_port=0, jdbc_port=None, native_port=taken
+    ).start()
+    try:
+        assert "http" in gw.ports() and "native" not in gw.ports()
+        assert "native" in gw.health()["failed"]
+    finally:
+        gw.shutdown()
+    # every server failing → typed refusal (gateway.go:124-128)
+    gw2 = Gateway(engine, http_port=taken, jdbc_port=None, native_port=None)
+    with pytest.raises(RangerError, match="all servers failed"):
+        gw2.start()
+    blocker.close()
+    # disabling everything is a no-op gateway, not an error
+    gw3 = Gateway(
+        engine, http_port=None, jdbc_port=None, native_port=None
+    ).start()
+    gw3.shutdown()
+
+
+def test_ranger_server_composition_root(spark):
+    srv = RangerServer(
+        spark, http_port=0, jdbc_port=0, native_port=0
+    ).start()
+    try:
+        assert srv.recovered >= 0
+        assert len(srv.gateway.ports()) == 3
+    finally:
+        srv.shutdown()
