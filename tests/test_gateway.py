@@ -27,6 +27,9 @@ def test_gateway_starts_all_three_protocols(engine):
         engine.execute("CREATE TABLE IF NOT EXISTS gw.t (id int32);")
         c = ns.NativeClient("127.0.0.1", ports["native"], database="gw")
         c.insert("t", ["id"], [("41",)])
+        # ClientData has no ack; frames are handled serially per
+        # connection, so a ping round-trip proves the insert completed
+        c.ping()
         c.close()
         req = urllib.request.Request(
             f"http://127.0.0.1:{ports['http']}/query",
