@@ -105,9 +105,19 @@ class ExecutionManager:
 class Engine:
     """execute(sql) → QueryResult, with the reference's routing table."""
 
-    def __init__(self, spark: SparkSession, strict_gate: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        strict_gate: bool = False,
+        query_validation: bool = False,
+    ):
         self.spark = spark
         self.strict_gate = strict_gate
+        # security validation gate (reference EnableQueryValidation —
+        # shipped disabled there too, duckdb/engine.go:55); when on,
+        # every statement passes ranger_spark.security.validate_query
+        # before routing
+        self.query_validation = query_validation
         self.exec_mgr = ExecutionManager(spark)
         # In-process registry of declared Iceberg schemas per table
         # (≈ the reference's SQLite registry): "db.table" → [(name, type, nullable)]
@@ -294,6 +304,10 @@ class Engine:
         statement, under the engine statement lock so no concurrent
         statement can observe the temporary switch.
         """
+        if self.query_validation:
+            from ranger_spark.security import validate_query
+
+            validate_query(sql)
         routed = route(sql, strict=self.strict_gate)
         qi = self.exec_mgr.start(routed.sql)
         timer = None
