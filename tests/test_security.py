@@ -26,9 +26,6 @@ def test_allowed_statement_whitelist():
 
 
 def test_blocked_keywords_substring_parity():
-    for kw in ("COPY t FROM 'f' (FORMAT PARQUET)", "SELECT * FROM t; PRAGMA x"):
-        # COPY itself is also a disallowed statement prefix; embed it
-        pass
     with pytest.raises(RangerError) as ei:
         validate_query("SELECT copy_col FROM t;")  # substring 'COPY'
     assert ei.value.context["reason"] == "blocked_keyword"
