@@ -1,0 +1,92 @@
+"""Astha CDC scheduler over the snapshot-manifest chain — the
+reference's server/astha/ (event store, per-table fan-out,
+at-least-once delivery, component health transitions), driven by real
+engine commits instead of SQLite triggers."""
+
+from __future__ import annotations
+
+from ranger_spark.streaming.astha import Astha, Config, MemoryEventStore
+
+
+def test_event_store_roundtrip():
+    st = MemoryEventStore()
+    e1 = st.store_event("db.t", "INSERT", {"v": 1})
+    st.store_event("db.t", "UPDATE", {"v": 2})
+    st.store_event("db.u", "DELETE", {"v": 3})
+    assert st.get_event_count() == {"db.t": 2, "db.u": 1}
+    st.mark_event_processed(e1.id)
+    assert [e.operation for e in st.get_events("db.t")] == ["UPDATE"]
+    assert st.cleanup_processed_events() == 1
+    assert st.get_processed_count() == 1
+
+
+def test_cdc_events_from_engine_commits(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS ast;")
+    engine.execute("DROP TABLE IF EXISTS ast.t;")
+    engine.execute("CREATE TABLE ast.t (id int32);")
+    a = Astha(engine, Config(poll_interval_s=0.05))
+    a.consumer.start_from_now()  # synchronous pump; no background thread
+    got: list = []
+    failing_calls: list = []
+
+    a.register_component(
+        "iceberg_updater", "1.0.0", [engine._qualify("ast.t")],
+        on_event=got.append,
+    )
+    assert a.get_table_subscribers(engine._qualify("ast.t")) == [
+        "iceberg_updater"
+    ]
+    assert engine._qualify("ast.t") in a.get_monitored_tables()
+    # two commits → two events, in commit order, with manifest payloads
+    engine.execute("INSERT INTO ast.t (id) VALUES (1);")
+    engine.execute("UPDATE ast.t SET id = 2 WHERE id = 1;")
+    delivered = a.pump()
+    assert delivered == 2
+    assert [e.operation for e in got] == ["INSERT", "UPDATE"]
+    assert all(e.table == engine._qualify("ast.t") for e in got)
+    assert got[0].data["operation"] == "append"
+    assert got[1].data["operation"] in ("update", "replace")
+    # at-least-once: a failing subscriber keeps the event queued and
+    # flips to 'error' (scheduler.go:275-330); the event re-delivers
+    # after the component recovers
+    def flaky(ev):
+        failing_calls.append(ev)
+        if len(failing_calls) == 1:
+            raise RuntimeError("subscriber down")
+
+    a.register_component(
+        "flaky", "0.1", [engine._qualify("ast.t")], on_event=flaky
+    )
+    engine.execute("INSERT INTO ast.t (id) VALUES (3);")
+    assert a.pump() == 0  # delivery failed → not marked processed
+    assert a.scheduler.component_info("flaky").status == "error"
+    a.scheduler.update_component_health("flaky", "active")
+    assert a.pump() == 1  # redelivered
+    assert a.scheduler.component_info("flaky").status == "active"
+    stats = a.get_scheduler_stats()
+    assert stats["distributed"] == 3 and stats["failed"] == 1
+    a.unregister_component("flaky")
+    assert a.get_table_subscribers(engine._qualify("ast.t")) == [
+        "iceberg_updater"
+    ]
+    engine.spark.sql("DROP DATABASE ast CASCADE")
+
+
+def test_astha_background_loop(engine):
+    engine.execute("CREATE DATABASE IF NOT EXISTS ast2;")
+    engine.execute("DROP TABLE IF EXISTS ast2.t;")
+    engine.execute("CREATE TABLE ast2.t (id int32);")
+    import threading
+
+    seen = threading.Event()
+    a = Astha(engine, Config(poll_interval_s=0.05)).start()
+    try:
+        a.register_component(
+            "watcher", "1.0", [engine._qualify("ast2.t")],
+            on_event=lambda ev: seen.set(),
+        )
+        engine.execute("INSERT INTO ast2.t (id) VALUES (9);")
+        assert seen.wait(timeout=10)
+    finally:
+        a.stop()
+        engine.spark.sql("DROP DATABASE ast2 CASCADE")
