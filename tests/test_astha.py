@@ -90,3 +90,62 @@ def test_astha_background_loop(engine):
     finally:
         a.stop()
         engine.spark.sql("DROP DATABASE ast2 CASCADE")
+
+
+def test_astha_incremental_dedup_subscriber(engine, spark):
+    """The full CDC-driven ingest-dedup shape: an Astha subscriber
+    receives each commit event, reads ONLY the commit's added files
+    (Event.data carries the snapshot manifest), and probes the persisted
+    MinHash signature store — O(delta) end-to-end, the base corpus is
+    never rescanned (dedup.py build_minhash_store's design note made
+    executable)."""
+    from ranger_spark.operators.dedup import (
+        build_minhash_store,
+        incremental_minhash_dedup,
+    )
+    from ranger_spark.streaming.astha import Astha, Config
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS ing;")
+    engine.execute("DROP TABLE IF EXISTS ing.docs;")
+    engine.execute("CREATE TABLE ing.docs (doc_id int64, text string);")
+    engine.execute(
+        "INSERT INTO ing.docs (doc_id, text) VALUES "
+        "(1, 'the quick brown fox jumps over the lazy dog'), "
+        "(2, 'completely unrelated text about spark planning');"
+    )
+    store = {
+        # persist the store AS OF build time (production writes these to
+        # parquet); a lazy frame over the live table would re-scan the
+        # corpus after every ingest and see the delta as "stored"
+        k: v.localCheckpoint()
+        for k, v in build_minhash_store(
+            spark.table(engine._qualify("ing.docs")), "doc_id", "text"
+        ).items()
+    }
+    found: list = []
+    a = Astha(engine, Config(poll_interval_s=0.05))
+    a.consumer.start_from_now()
+
+    def on_commit(ev):
+        added = ev.data.get("added_files") or []
+        if not added:
+            return
+        delta = spark.read.parquet(*added)  # ONLY the commit's new files
+        pairs = incremental_minhash_dedup(store, delta, "doc_id", "text")
+        found.extend(
+            (r.id_a, r.id_b, round(r.jaccard, 2)) for r in pairs.collect()
+        )
+
+    a.register_component(
+        "dedup_subscriber", "1.0", [engine._qualify("ing.docs")], on_commit
+    )
+    # a near-dup of doc 1 and a fresh doc arrive in one ingest commit
+    engine.execute(
+        "INSERT INTO ing.docs (doc_id, text) VALUES "
+        "(10, 'the quick brown fox jumps over the lazy cat'), "
+        "(11, 'nothing like anything stored before at all');"
+    )
+    assert a.pump() == 1
+    assert any(ia == 1 and ib == 10 for ia, ib, _ in found), found
+    assert not any(11 in (ia, ib) for ia, ib, _ in found)
+    engine.spark.sql("DROP DATABASE ing CASCADE")
