@@ -27,7 +27,12 @@ from ranger_spark.operators.sampling import (
     pack_sequences,
     weighted_sample,
 )
-from ranger_spark.operators.text import bigram_lm_score, quality_metrics, tokenize
+from ranger_spark.operators.text import (
+    bigram_lm_score,
+    gopher_metrics,
+    quality_metrics,
+    tokenize,
+)
 from ranger_spark.session import get_spark
 from ranger_spark.tables import load
 
@@ -57,10 +62,26 @@ def main() -> None:
     #    or vocabulary-bounded
     q = quality_metrics(F.col("text"))
     lm = bigram_lm_score(docs, "doc_id", "text")
+    g = gopher_metrics(F.col("text"))
     docs = (
-        docs.select("doc_id", "text", *[c.alias(k) for k, c in q.items()])
+        docs.select(
+            "doc_id",
+            "text",
+            *[c.alias(k) for k, c in q.items()],
+            # Gopher rule signals ride the same map-only projection; the
+            # synthetic docs are shorter than real web pages, so the
+            # filter below keeps the signals' sub-verdicts rather than
+            # the 50-word floor
+            g["alpha_word_frac"].alias("alpha_word_frac"),
+            g["symbol_word_ratio"].alias("symbol_word_ratio"),
+        )
         .join(lm.select("doc_id", "avg_neg_logp"), "doc_id")
-        .filter((F.col("n_tokens") >= 5) & (F.col("stopword_ratio") > 0))
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("stopword_ratio") > 0)
+            & (F.col("alpha_word_frac") > 0.8)
+            & (F.col("symbol_word_ratio") < 0.1)
+        )
     )
     n4 = docs.count()
 

@@ -442,3 +442,63 @@ def feature_hash_vector(
             F.coalesce(F.size("__m"), F.lit(0)).alias("n_nonzero"),
         )
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_metrics(text_col: Column) -> dict[str, Column]:
+    """The Gopher document-quality rule signals (Rae et al. 2021 §A1.1,
+    public): word count, mean word length, symbol-to-word ratio
+    (#/ellipsis), bulleted/ellipsis-terminated line fractions,
+    alphabetic-word fraction and required-stopword hits, plus the
+    combined ``passes`` verdict used to filter pretraining corpora. All
+    JVM expressions — map-only, zero shuffles at any corpus size."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    lines = F.split(text_col, r"\n")
+    ltoks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    nw_d = F.size(toks).cast("double")
+
+    def occ(s: str) -> Column:
+        return F.length(text_col) - F.length(F.replace(text_col, F.lit(s)))
+
+    m: dict[str, Column] = {}
+    m["n_words"] = F.size(toks).cast("long")
+    m["mean_word_len"] = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / nw_d
+    )
+    m["symbol_word_ratio"] = (occ("#") + occ("...") / 3 + occ("…")) / nw_d
+    m["bullet_line_frac"] = F.size(
+        F.filter(
+            lines,
+            lambda line: F.substring(F.ltrim(line), 1, 1).isin("-", "*", "•"),
+        )
+    ) / F.size(lines).cast("double")
+    m["ellipsis_line_frac"] = F.size(
+        F.filter(
+            lines,
+            lambda line: F.rtrim(line).endswith("...")
+            | F.rtrim(line).endswith("…"),
+        )
+    ) / F.size(lines).cast("double")
+    m["alpha_word_frac"] = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / nw_d
+    )
+    m["stop_hits"] = F.size(
+        F.array_intersect(
+            ltoks, F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+        )
+    )
+    m["passes"] = (
+        m["n_words"].between(50, 100000)
+        & m["mean_word_len"].between(3, 10)
+        & (m["symbol_word_ratio"] < 0.1)
+        & (m["bullet_line_frac"] < 0.9)
+        & (m["ellipsis_line_frac"] < 0.3)
+        & (m["alpha_word_frac"] > 0.8)
+        & (m["stop_hits"] >= 2)
+    )
+    return m

@@ -2467,76 +2467,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only JVM expressions — one scan, zero shuffles, the 100 TB
     filter shape."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    lines = F.split(F.col("text"), r"\n")
-    ltoks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    n_words = F.size(toks).cast("long")
-    nw_d = F.size(toks).cast("double")
-    occ = lambda s: F.length("text") - F.length(  # noqa: E731
-        F.replace(F.col("text"), F.lit(s))
-    )
-    m = d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        (
-            F.aggregate(
-                toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-            )
-            / nw_d
-        ).alias("mean_word_len"),
-        ((occ("#") + occ("...") / 3 + occ("…")) / nw_d).alias(
-            "symbol_word_ratio"
-        ),
-        (
-            F.size(
-                F.filter(
-                    lines,
-                    lambda line: F.substring(F.ltrim(line), 1, 1).isin(
-                        "-", "*", "•"
-                    ),
-                )
-            )
-            / F.size(lines).cast("double")
-        ).alias("bullet_line_frac"),
-        (
-            F.size(
-                F.filter(
-                    lines,
-                    lambda line: F.rtrim(line).endswith("...")
-                    | F.rtrim(line).endswith("…"),
-                )
-            )
-            / F.size(lines).cast("double")
-        ).alias("ellipsis_line_frac"),
-        (
-            F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-            / nw_d
-        ).alias("alpha_word_frac"),
-        F.size(
-            F.array_intersect(
-                ltoks,
-                F.array(
-                    *[
-                        F.lit(w)
-                        for w in (
-                            "the", "be", "to", "of",
-                            "and", "that", "have", "with",
-                        )
-                    ]
-                ),
-            )
-        ).alias("stop_hits"),
-    )
-    return m.withColumn(
-        "passes",
-        F.col("n_words").between(50, 100000)
-        & F.col("mean_word_len").between(3, 10)
-        & (F.col("symbol_word_ratio") < 0.1)
-        & (F.col("bullet_line_frac") < 0.9)
-        & (F.col("ellipsis_line_frac") < 0.3)
-        & (F.col("alpha_word_frac") > 0.8)
-        & (F.col("stop_hits") >= 2),
-    )
+    m = T.gopher_metrics(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in m.items()])
 
 
 def _semantic_dedup_oracle(nlist: int = 8, iters: int = 3, tau: float = 0.25) -> str:
