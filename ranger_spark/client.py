@@ -147,3 +147,72 @@ def _lit(v) -> str:
         return repr(v)
     s = str(v).replace("'", "''")
     return f"'{s}'"
+
+
+class LakehouseClient:
+    """The reference CLI client's higher-level operations
+    (client/client.go:97-338) over any transport exposing
+    ``query(sql)``/``exec(sql)`` (RangerClient over HTTP, or the native
+    SDK client): list/describe/drop tables, namespace management, file
+    import. Every method is the same thin SQL wrapper the reference
+    uses (SHOW TABLES :193, DESCRIBE :222, DROP TABLE :259,
+    SHOW DATABASES :277, CREATE/DROP DATABASE :313/:331).
+
+    ``import_file`` differs deliberately: the reference emits
+    ``COPY t FROM 'f' (FORMAT PARQUET)`` (client.go:168) — a statement
+    its own server BLOCKS (duckdb/engine.go:61 BlockedKeywords includes
+    COPY), so the reference's import cannot actually succeed. Here the
+    import is expressed as statements the engine executes:
+    ``CREATE TABLE … AS SELECT`` / ``INSERT … SELECT`` over Spark's
+    ``parquet.`path``` relation — distributed, no driver materialization.
+    """
+
+    def __init__(self, transport):
+        self.t = transport
+
+    def execute_query(self, sql: str):
+        return self.t.query(sql)
+
+    def list_tables(self) -> list[str]:
+        r = self.t.query("SHOW TABLES;")
+        # engine rows are (database_name, table_name) — reference system
+        # view shape; fall back to the first column for 1-col transports
+        idx = (
+            r.columns.index("table_name")
+            if "table_name" in r.columns
+            else 0
+        )
+        return [row[idx] for row in r.rows if row]
+
+    def describe_table(self, table: str) -> list[tuple[str, str]]:
+        r = self.t.query(f"DESCRIBE {table};")
+        return [(row[0], row[1]) for row in r.rows if len(row) >= 2]
+
+    def drop_table(self, table: str) -> None:
+        self.t.exec(f"DROP TABLE {table};")
+
+    def list_namespaces(self) -> list[str]:
+        r = self.t.query("SHOW DATABASES;")
+        return [row[0] for row in r.rows if row]
+
+    def create_namespace(self, namespace: str) -> None:
+        self.t.exec(f"CREATE DATABASE IF NOT EXISTS {namespace};")
+
+    def drop_namespace(self, namespace: str) -> None:
+        self.t.exec(f"DROP DATABASE {namespace};")
+
+    def import_file(
+        self, file_path: str, table: str, overwrite: bool = False
+    ) -> None:
+        """Import a parquet file into ``table`` (created when absent)."""
+        if "'" in file_path or "`" in file_path:
+            raise RangerClientError(f"unsafe import path {file_path!r}")
+        src = f"SELECT * FROM parquet.`{file_path}`"
+        try:
+            self.describe_table(table)
+        except Exception:
+            self.t.exec(f"CREATE TABLE {table} AS {src};")
+            return
+        if overwrite:
+            self.t.exec(f"DELETE FROM {table};")
+        self.t.exec(f"INSERT INTO {table} {src};")

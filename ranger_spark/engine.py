@@ -1813,7 +1813,21 @@ class Engine:
         if not self._table_exists(name):
             raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
         df = self.spark.table(name)
-        cond_col = F.expr(cond) if cond else F.lit(True)
+        if cond is None:
+            # DELETE without WHERE: filter(false) constant-folds the scan
+            # to an empty LocalRelation, pruning an Observation with it
+            # (obs.get would then die in toPyRow on the missing metrics
+            # row) — count the table and rewrite to empty instead
+            n_hit = df.count()
+            self._rewrite_table(
+                name,
+                self.spark.createDataFrame([], df.schema),
+                operation="delete",
+            )
+            return QueryResult(
+                [], [], n_hit, message=f"deleted {n_hit} row(s)"
+            )
+        cond_col = F.expr(cond)
         # Observation below the filter sees every scanned row → hit count
         # comes out of the same single pass that performs the rewrite.
         obs = Observation()

@@ -53,3 +53,46 @@ def test_sdk_lifecycle(client, engine):
     with pytest.raises(RangerClientError):
         b2.append(1)
     engine.spark.sql("DROP DATABASE sdktest CASCADE")
+
+
+def test_lakehouse_client_operations(client, engine, tmp_path):
+    """The reference CLI client's higher-level methods
+    (client/client.go:97-338): namespace + table management and parquet
+    file import, each the reference's thin SQL wrapper (import expressed
+    as CTAS/INSERT...SELECT because the reference's own COPY emission is
+    blocked by its server — see LakehouseClient docstring)."""
+    from ranger_spark.client import LakehouseClient
+
+    lc = LakehouseClient(client)
+    lc.create_namespace("lkh")
+    assert "lkh" in lc.list_namespaces()
+    client.exec("USE lkh;")
+    # build a parquet file to import
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = str(tmp_path / "people.parquet")
+    pq.write_table(
+        pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]}), f
+    )
+    lc.import_file(f, "lkh.people")  # table absent → CTAS
+    assert "people" in lc.list_tables()
+    schema = lc.describe_table("lkh.people")
+    assert ("id", "int64") in schema or ("id", "bigint") in [
+        (n, t.lower()) for n, t in schema
+    ]
+    r = lc.execute_query("SELECT count(*) AS n FROM lkh.people;")
+    assert r.rows[0][0] == 3
+    lc.import_file(f, "lkh.people")  # append
+    assert lc.execute_query(
+        "SELECT count(*) AS n FROM lkh.people;"
+    ).rows[0][0] == 6
+    lc.import_file(f, "lkh.people", overwrite=True)  # replace
+    assert lc.execute_query(
+        "SELECT count(*) AS n FROM lkh.people;"
+    ).rows[0][0] == 3
+    with pytest.raises(Exception):
+        lc.import_file("/bad'path.parquet", "lkh.people")
+    lc.drop_table("lkh.people")
+    assert "people" not in lc.list_tables()
+    engine.spark.sql("DROP DATABASE lkh CASCADE")

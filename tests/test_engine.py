@@ -879,3 +879,21 @@ def test_explain_analyze_strict_gate(spark):
     with _pytest.raises(RangerError) as ei:
         strict.execute("EXPLAIN ANALYZE SELECT 1;")
     assert "EXPLAIN ANALYZE" in str(ei.value)
+
+
+def test_delete_without_where_empties_table(engine):
+    """DELETE FROM t with no WHERE must empty the table (previously the
+    constant-false filter pruned the Observation and crashed in
+    toPyRow)."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS delall;")
+    engine.execute("CREATE TABLE delall.t (id int32);")
+    engine.execute("INSERT INTO delall.t (id) VALUES (1), (2), (3);")
+    r = engine.execute("DELETE FROM delall.t;")
+    assert r.row_count == 3 and "deleted 3" in r.message
+    assert engine.execute(
+        "SELECT count(*) AS n FROM delall.t;"
+    ).rows[0][0] == 0
+    # the table stays writable after the empty rewrite
+    engine.execute("INSERT INTO delall.t (id) VALUES (9);")
+    assert engine.execute("SELECT id FROM delall.t;").rows == [(9,)]
+    engine.spark.sql("DROP DATABASE delall CASCADE")
