@@ -96,3 +96,28 @@ def test_lakehouse_client_operations(client, engine, tmp_path):
     lc.drop_table("lkh.people")
     assert "people" not in lc.list_tables()
     engine.spark.sql("DROP DATABASE lkh CASCADE")
+
+
+def test_ranger_cli_commands(client, engine, capsys):
+    """The cmd/client CLI shape (main.go subcommands) over the HTTP
+    endpoint, driven through its main() with an injected URL."""
+    import tools.ranger_cli as cli
+
+    url = client.url
+    assert cli.main(["--url", url, "catalog", "create", "clidb"]) == 0
+    assert cli.main(["--url", url, "query",
+                     "CREATE TABLE clidb.t (id int32);"]) == 0
+    assert cli.main(["--url", url, "query",
+                     "INSERT INTO clidb.t (id) VALUES (7);"]) == 0
+    assert cli.main(["--url", url, "query",
+                     "SELECT id FROM clidb.t;"]) == 0
+    out = capsys.readouterr().out
+    assert "7" in out and "(1 rows)" in out
+    assert cli.main(["--url", url, "table", "describe", "clidb.t"]) == 0
+    assert "id" in capsys.readouterr().out
+    assert cli.main(["--url", url, "table", "drop", "clidb.t"]) == 0
+    assert cli.main(["--url", url, "catalog", "list"]) == 0
+    assert "clidb" in capsys.readouterr().out
+    # errors exit 1 with a message, not a traceback
+    assert cli.main(["--url", url, "query", "SELECT * FROM clidb.nope;"]) == 1
+    engine.spark.sql("DROP DATABASE clidb CASCADE")
