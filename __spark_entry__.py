@@ -64,6 +64,7 @@ _NEW_R6 = (
     "bucketed_star_join_sql",
     "text_gopher_rules",
     "dedup_semantic",
+    "ann_quantized_topk",
 )
 
 _STALE_R4 = (

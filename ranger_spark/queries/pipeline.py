@@ -2548,3 +2548,49 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").cast("int").alias("cell"),
         F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
     )
+
+
+@register(
+    "ann_quantized_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ),
+    q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS qv
+      FROM s
+    ),
+    qs AS (SELECT vec_id AS q_id, qv AS q_vec FROM q8 WHERE vec_id < 5),
+    scored AS (
+      SELECT qs.q_id, c.vec_id,
+             round(list_dot_product(qs.q_vec, c.qv)
+                   / (sqrt(list_dot_product(qs.q_vec, qs.q_vec))
+                      * sqrt(list_dot_product(c.qv, c.qv))), 6) AS cos_sim
+      FROM qs, q8 c WHERE c.vec_id <> qs.q_id
+    )
+    SELECT q_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    tags=("similarity", "ann", "quantization"),
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the INT8-QUANTIZED corpus — the ANN serving memory
+    path (8× smaller vectors; scales cancel in cosine, so the quantized
+    search needs no dequantization). Quantization is deterministic
+    (symmetric, floor(x/scale + .5)), so unlike a lossy-approx verdict
+    this is exact-checked: the oracle replays the same codebook and the
+    same integer cosine. Recall vs the float corpus is asserted in
+    tests/test_operators.py."""
+    q8 = S.quantize_int8(load(spark, sf_dir, "embeddings"))
+    corpus = q8.select(
+        "vec_id",
+        F.transform(F.col("q"), lambda x: x.cast("double")).alias("qv"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(queries, corpus, vec_col="qv", k=10)

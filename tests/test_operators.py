@@ -825,3 +825,28 @@ def test_incremental_minhash_reports_exact_arrival(spark):
         store, delta, "doc_id", "text", threshold=0.5
     ).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(4, 7, 1.0)]
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """The int8-quantized search must substantially agree with the float
+    search: ≥80% of each query's float top-10 survives quantization
+    (symmetric int8 over unit-ish embeddings loses <1% cosine
+    precision)."""
+    from ranger_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_int8,
+    )
+    from ranger_spark.tables import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_DIR, "embeddings")
+    exact = brute_force_topk(e.filter(F.col("vec_id") < 3), e, k=10)
+    q8 = quantize_int8(e).select(
+        "vec_id", F.transform(F.col("q"), lambda x: x.cast("double")).alias("qv")
+    )
+    quant = brute_force_topk(
+        q8.filter(F.col("vec_id") < 3), q8, vec_col="qv", k=10
+    )
+    ex = {(r.q_id, r.vec_id) for r in exact.collect()}
+    qt = {(r.q_id, r.vec_id) for r in quant.collect()}
+    assert len(ex & qt) >= 0.8 * len(ex)
