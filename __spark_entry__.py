@@ -65,6 +65,8 @@ _NEW_R6 = (
     "text_gopher_rules",
     "dedup_semantic",
     "ann_quantized_topk",
+    "corpus_report",
+    "source_mixture_plan",
 )
 
 _STALE_R4 = (

@@ -2594,3 +2594,118 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = corpus.filter(F.col("vec_id") < 5)
     return S.brute_force_topk(queries, corpus, vec_col="qv", k=10)
+
+
+@register(
+    "corpus_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> regexp_matches(t, '[a-zA-Z]')))
+               / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+               AS alpha_frac,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           round(avg(CASE WHEN alpha_frac > 0.8 THEN 1.0 ELSE 0.0 END), 6)
+             AS alpha_pass_rate
+    FROM base
+    GROUP BY lang, source
+    """,
+    tags=("text", "report"),
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(language, source) corpus accounting — docs, words, chars and
+    the alpha-word quality pass rate — the first dashboard every corpus
+    build runs. One map-only projection + one small-cardinality
+    aggregate; the shuffle moves O(langs × sources) rows regardless of
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / F.size(
+        toks
+    ).cast("double")
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.size(toks).alias("n_words"),
+            alpha.alias("alpha_frac"),
+            "n_chars",
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.round(
+                F.avg(F.when(F.col("alpha_frac") > 0.8, 1.0).otherwise(0.0)),
+                6,
+            ).alias("alpha_pass_rate"),
+        )
+    )
+
+
+@register(
+    "source_mixture_plan",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM tok)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST(total AS DOUBLE), 6) AS natural_share,
+           round((1.0 / (SELECT count(*) FROM tok)), 6) AS target_share,
+           round(least(1.0,
+             (total / CAST((SELECT count(*) FROM tok) AS DOUBLE))
+             / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate
+    FROM tok, tot
+    """,
+    tags=("sampling", "mixture"),
+)
+def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture planning: given per-source token masses and a
+    uniform target mixture, the per-source sampling rate that realizes
+    it without upsampling (rate capped at 1 — over-represented sources
+    are downsampled; under-represented ones contribute everything).
+    The per-source aggregate is the only shuffle; the plan itself is
+    O(sources) and broadcast back. At 100 TB this is the query that
+    decides what the next training run reads."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    tok = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    # totals are tiny (O(sources)): a windowless cross of two scalars
+    tot = tok.agg(
+        F.sum("n_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total").cast("double"), 6).alias(
+            "natural_share"
+        ),
+        F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("total") / F.col("n_sources").cast("double"))
+                / F.col("n_tokens").cast("double"),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )
