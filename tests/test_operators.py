@@ -850,3 +850,43 @@ def test_quantized_topk_recall_vs_float(spark):
     ex = {(r.q_id, r.vec_id) for r in exact.collect()}
     qt = {(r.q_id, r.vec_id) for r in quant.collect()}
     assert len(ex & qt) >= 0.8 * len(ex)
+
+
+def test_table_plan_cache_identity_and_scoping(spark):
+    """tables.load caches the lazy plan per (session, sf_dir, table,
+    bucketed-db conf): same args → same object (no re-listing); a
+    different sf_dir or a bucketed-db opt-in change must MISS."""
+    from ranger_spark.tables import load
+
+    a = load(spark, SF_DIR, "nation")
+    assert load(spark, SF_DIR, "nation") is a
+    assert load(spark, SF_DIR, "region") is not a
+    spark.conf.set("spark.ranger.bucketed.db", "not_a_real_db")
+    try:
+        b = load(spark, SF_DIR, "nation")
+        assert b is not a  # conf change → different cache key
+    finally:
+        spark.conf.set("spark.ranger.bucketed.db", "")
+    assert load(spark, SF_DIR, "nation") is a
+
+
+def test_ann_corpus_pin_invalidates_with_dataframe(spark):
+    """The driver-kernel corpus pin is weak-keyed by the corpus
+    DataFrame: a NEW read (new plan object) recomputes; the same object
+    reuses the pinned matrix and stays hash-identical."""
+    from ranger_spark.operators import similarity as S
+    from ranger_spark.tables import _PLAN_CACHE
+
+    spark_cache = _PLAN_CACHE.get(spark)
+    if spark_cache:
+        spark_cache.clear()  # force fresh DataFrame objects below
+    e1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [(0, [1.0] * 64)]
+    r1 = sorted(map(tuple, S.brute_force_topk(q, e1, k=5).collect()))
+    assert (e1 in S._CORPUS_PIN) and S._CORPUS_PIN[e1]
+    r1b = sorted(map(tuple, S.brute_force_topk(q, e1, k=5).collect()))
+    assert r1b == r1  # pinned rerun identical
+    e2 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert e2 is not e1 and e2 not in S._CORPUS_PIN
+    r2 = sorted(map(tuple, S.brute_force_topk(q, e2, k=5).collect()))
+    assert r2 == r1  # fresh decode agrees with the pin
