@@ -203,3 +203,58 @@ def test_wire_compression_envelope_roundtrip(payload):
 
     for codec in (COMPRESSION_NONE, COMPRESSION_ZLIB):
         assert unwrap_payload(wrap_payload(codec, payload)) == payload
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=20)),
+        max_size=8,
+    ),
+    st.text(
+        alphabet="abcdefg $123456789'=<>",
+        max_size=60,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_pgwire_param_substitution_properties(params, base_sql):
+    """$n substitution: every placeholder up to len(params) is replaced
+    (highest-first so $10 never matches inside $1), NULLs become NULL,
+    quotes are doubled, and the output never contains a surviving $k
+    for k <= len(params)."""
+    import re
+
+    from ranger_spark.sources.pgwire_server import _substitute_params
+
+    sql = base_sql + "".join(f" ${i + 1}" for i in range(len(params)))
+    out = _substitute_params(sql, params)
+    for i, v in enumerate(params, 1):
+        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        assert lit in out or v == ""  # '' → '' literal, always present too
+    survivors = {
+        int(m) for m in re.findall(r"\$(\d+)", out) if int(m) <= len(params)
+    }
+    assert not survivors
+
+
+@given(st.text(max_size=1024))
+@settings(max_examples=100, deadline=None)
+def test_bind_message_roundtrip(param_text):
+    """Bind wire encoding → _read_bind recovers portal, statement and
+    every parameter exactly (UTF-8 text format), NULLs included."""
+    from ranger_spark.sources.pgwire_server import _read_bind
+
+    params = [None, param_text, ""]
+    import struct as _s
+
+    body = b"p0\x00" + b"st\x00" + _s.pack("!H", 0)
+    body += _s.pack("!H", len(params))
+    for p in params:
+        if p is None:
+            body += _s.pack("!i", -1)
+        else:
+            b = p.encode()
+            body += _s.pack("!i", len(b)) + b
+    body += _s.pack("!H", 0)
+    portal, stmt, got = _read_bind(body)
+    assert (portal, stmt) == ("p0", "st")
+    assert got == [None, param_text, ""]
