@@ -2519,7 +2519,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join is blocked by cell — O(Σ cluster²), never O(n²) — which
     is the whole point of the method at 100 TB. The oracle replays the
     identical clustering round-for-round, so the verdict is
-    exact-checked."""
+    exact-checked.
+
+    Scale note: the within-cell join shuffles on the cell id, so its
+    parallelism equals k. Here k=8 fits the 2k-vector fixture; at real
+    scale k tracks corpus size (SemDeDup uses ~100k clusters for
+    ~100M+ docs, k ≈ n / target_cluster_size), keeping the shuffle key
+    high-cardinality and every cluster's pair block bounded — tune k,
+    don't salt."""
     e = load(spark, sf_dir, "embeddings")
     c = e.select("vec_id", S._as_double(F.col("embedding")).alias("v"))
     cents = S.kmeans_fit(e, k=8, iters=3)
