@@ -67,6 +67,7 @@ _NEW_R6 = (
     "ann_quantized_topk",
     "corpus_report",
     "source_mixture_plan",
+    "multimodal_decode_tiff",
 )
 
 _STALE_R4 = (

@@ -107,6 +107,33 @@ def parse_image_header(payload: bytes) -> dict | None:
             "width": abs(int.from_bytes(payload[18:22], "little", signed=True)),
             "height": abs(int.from_bytes(payload[22:26], "little", signed=True)),
         }
+    if payload[:4] in (b"II*\x00", b"MM\x00*") and len(payload) >= 8:
+        # TIFF 6.0 (public spec): byte-order mark, magic 42, IFD offset;
+        # walk the first IFD's 12-byte entries for ImageWidth(256) /
+        # ImageLength(257), SHORT(3) or LONG(4) values inline
+        bo = "little" if payload[:2] == b"II" else "big"
+        off = int.from_bytes(payload[4:8], bo)
+        if off + 2 <= len(payload):
+            n = int.from_bytes(payload[off : off + 2], bo)
+            width = height = None
+            for k in range(n):
+                e = off + 2 + 12 * k
+                if e + 12 > len(payload):
+                    break
+                tag = int.from_bytes(payload[e : e + 2], bo)
+                typ = int.from_bytes(payload[e + 2 : e + 4], bo)
+                if typ == 3:  # SHORT
+                    val = int.from_bytes(payload[e + 8 : e + 10], bo)
+                elif typ == 4:  # LONG
+                    val = int.from_bytes(payload[e + 8 : e + 12], bo)
+                else:
+                    continue
+                if tag == 256:
+                    width = val
+                elif tag == 257:
+                    height = val
+            if width is not None and height is not None:
+                return {"format": "tiff", "width": width, "height": height}
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(payload) and payload[i] == 0xFF:

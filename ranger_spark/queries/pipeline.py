@@ -2716,3 +2716,49 @@ def source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sample_rate"),
     )
+
+
+@register(
+    "multimodal_decode_tiff",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 64 AS INTEGER)        AS width,
+           CAST(16 + (doc_id * 13) % 64 AS INTEGER) AS height,
+           'tiff'                                   AS format
+    FROM documents
+    """,
+    tags=("multimodal", "decode"),
+)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF header decode, oracle-checked: little-endian TIFF 6.0
+    payloads are synthesized JVM-side (byte-order mark, magic 42, one
+    IFD with SHORT ImageWidth/ImageLength entries per the public spec),
+    then parse_image_header walks the IFD back out of the raw bytes in
+    an Arrow-batched mapInPandas. A wrong entry stride, byte order, or
+    tag id fails the hash."""
+    from ranger_spark.operators.multimodal import decode_image_headers
+
+    d = load(spark, sf_dir, "documents")
+    width = F.lit(16) + F.col("doc_id") % 64
+    height = F.lit(16) + (F.col("doc_id") * 13) % 64
+
+    def entry(tag_le_hex: str, val):
+        # 12-byte IFD entry: tag, type=SHORT(3), count=1, value LE16 + pad
+        return F.concat(
+            F.unhex(F.lit(tag_le_hex)),
+            F.unhex(F.lit("0300")),
+            F.unhex(F.lit("01000000")),
+            _le16(val),
+            F.unhex(F.lit("0000")),
+        )
+
+    payload = F.concat(
+        F.unhex(F.lit("49492A00")),  # II, magic 42
+        F.unhex(F.lit("08000000")),  # first IFD at byte 8
+        F.unhex(F.lit("0200")),  # 2 entries
+        entry("0001", width),  # tag 256 ImageWidth (LE on the wire)
+        entry("0101", height),  # tag 257 ImageLength
+        F.unhex(F.lit("00000000")),  # no next IFD
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return decode_image_headers(imgs, "doc_id", "payload")
