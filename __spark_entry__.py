@@ -68,6 +68,7 @@ _NEW_R6 = (
     "corpus_report",
     "source_mixture_plan",
     "multimodal_decode_tiff",
+    "events_heavy_hitters",
 )
 
 _STALE_R4 = (

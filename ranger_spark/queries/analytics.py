@@ -804,3 +804,39 @@ def events_rolling_wau_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau_exact",
         tol("wau_approx", "wau_exact").alias("wau_ok"),
     )
+
+
+@register(
+    "events_heavy_hitters",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM counts)
+    SELECT user_id, CAST(cnt AS BIGINT) AS cnt, TRUE AS in_sketch
+    FROM counts, tot
+    WHERE cnt > 0.003 * n
+    """,
+    tags=("analytics", "sketch", "approx"),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (users with >0.3% of all events) via Spark's
+    single-pass ``freqItems`` sketch (Karp et al. / lossy counting — the
+    100 TB first pass that avoids a full groupBy when only the heavy
+    tail matters), then one exact count restricted to the sketch's
+    candidate set. freqItems guarantees a SUPERSET of the true frequent
+    items, so 'every exact heavy hitter appears in the sketch' is a
+    deterministic property — the oracle computes the exact hitters and
+    the hash compare fails if the sketch ever misses one."""
+    e = load(spark, sf_dir, "events")
+    total = e.count()  # scalar (the support denominator)
+    candidates = e.freqItems(["user_id"], support=0.003).collect()[0][0]
+    exact = (
+        e.filter(F.col("user_id").isin([int(c) for c in candidates]))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 0.003 * total)
+    )
+    return exact.select(
+        "user_id", "cnt", F.lit(True).alias("in_sketch")
+    )
