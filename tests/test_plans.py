@@ -73,6 +73,8 @@ _NL_ALLOWED = {
     # exact cross-check branch (bytes per day on both sides)
     "events_rolling_wau_sketch",
     "dedup_semantic",  # 8-centroid broadcast assignment (Lloyd)
+    "ann_quantized_topk",  # 5-query broadcast side of the != pair join
+    "source_mixture_plan",  # 1-row totals broadcast cross
 }
 
 
