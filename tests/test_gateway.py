@@ -89,3 +89,93 @@ def test_ranger_server_composition_root(spark):
         assert len(srv.gateway.ports()) == 3
     finally:
         srv.shutdown()
+
+
+def test_cross_protocol_concurrent_load(engine):
+    """One engine behind three live protocols under concurrent load:
+    interleaved writes and reads from HTTP, pgwire and native threads
+    must all land (engine statement lock serializes statements; no
+    lost updates, no cross-talk between per-statement states)."""
+    import json
+    import socket
+    import struct
+    import threading
+    import urllib.request
+
+    from ranger_spark.gateway import Gateway
+    from ranger_spark.sources import native_server as ns
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS xp;")
+    engine.execute("DROP TABLE IF EXISTS xp.t;")
+    engine.execute("CREATE TABLE xp.t (src string, i int32);")
+    gw = Gateway(engine, http_port=0, jdbc_port=0, native_port=0).start()
+    errors: list = []
+
+    def via_http():
+        try:
+            for i in range(5):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{gw.ports()['http']}/query",
+                    data=json.dumps(
+                        {"query": f"INSERT INTO xp.t (src, i) VALUES ('h', {i});"}
+                    ).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                urllib.request.urlopen(req, timeout=120).read()
+        except Exception as e:
+            errors.append(("http", e))
+
+    def via_native():
+        try:
+            c = ns.NativeClient(
+                "127.0.0.1", gw.ports()["native"], database="xp"
+            )
+            for i in range(5):
+                c.query(f"INSERT INTO xp.t (src, i) VALUES ('n', {i});")
+            c.close()
+        except Exception as e:
+            errors.append(("native", e))
+
+    def via_pgwire():
+        try:
+            s = socket.create_connection(
+                ("127.0.0.1", gw.ports()["jdbc"]), timeout=120
+            )
+            body = struct.pack("!I", 196608) + b"user\x00u\x00\x00"
+            s.sendall(struct.pack("!I", len(body) + 4) + body)
+            # drain until ReadyForQuery
+            buf = b""
+            while b"Z" not in buf[:1] or True:
+                chunk = s.recv(4096)
+                buf += chunk
+                if buf and buf[-6:-5] == b"Z":
+                    break
+            for i in range(5):
+                sql = f"INSERT INTO xp.t (src, i) VALUES ('p', {i});"
+                payload = sql.encode() + b"\x00"
+                s.sendall(b"Q" + struct.pack("!I", len(payload) + 4) + payload)
+                got = b""
+                while not (got and got[-6:-5] == b"Z"):
+                    got += s.recv(4096)
+            s.sendall(b"X")
+            s.close()
+        except Exception as e:
+            errors.append(("pgwire", e))
+
+    try:
+        threads = [
+            threading.Thread(target=f)
+            for f in (via_http, via_native, via_pgwire)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        rows = engine.execute(
+            "SELECT src, count(*) AS n FROM xp.t GROUP BY src;"
+        ).rows
+        assert sorted(rows) == [("h", 5), ("n", 5), ("p", 5)]
+    finally:
+        gw.shutdown()
+        engine.spark.sql("DROP DATABASE xp CASCADE")
