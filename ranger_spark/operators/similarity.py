@@ -615,6 +615,86 @@ def ivf_topk_kmeans(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 10,
+    iters: int = 3,
+) -> dict[str, DataFrame]:
+    """One-time IVF index build — the persisted half of ANN serving
+    (mirrors dedup.build_minhash_store): ``centroids`` (nlist × dim,
+    broadcastable forever) and ``assignments`` ((id, v, norm, cell) —
+    at scale written PARTITIONED BY cell so probes are partition-pruned
+    scans). Query batches then call :func:`ivf_search` without ever
+    re-clustering; new corpus deltas append via
+    ``assign_cells(delta, index["centroids"])``."""
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = kmeans_fit(corpus, id_col, vec_col, k=nlist, iters=iters)
+    assigned = assign_cells(c, cents, id_col).select(
+        id_col,
+        F.col("v").alias("c_vec"),
+        l2_norm(F.col("v")).alias("c_norm"),
+        "cell",
+    )
+    return {"centroids": cents, "assignments": assigned}
+
+
+def ivf_search(
+    index: dict[str, DataFrame],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe a prebuilt IVF index: nprobe nearest cells per query by
+    centroid cosine, then score only those cells' members. Identical
+    semantics to ivf_topk_kmeans's search phase — the clustering cost is
+    paid once at build time, not per batch."""
+    cents, assigned = index["centroids"], index["assignments"]
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_norm", l2_norm(F.col("q_vec")))
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            "cell",
+            F.round(cosine(F.col("q_vec"), F.col("centroid")), 6).alias(
+                "cent_sim"
+            ),
+        )
+        .withColumn("__cr", F.row_number().over(wc))
+        .filter(F.col("__cr") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    wk = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.select(
+            "q_id",
+            id_col,
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

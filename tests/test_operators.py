@@ -890,3 +890,62 @@ def test_ann_corpus_pin_invalidates_with_dataframe(spark):
     assert e2 is not e1 and e2 not in S._CORPUS_PIN
     r2 = sorted(map(tuple, S.brute_force_topk(q, e2, k=5).collect()))
     assert r2 == r1  # fresh decode agrees with the pin
+
+
+def test_ivf_index_build_once_serve_many(spark):
+    """Prebuilt IVF index (build_ivf_index) answers multiple query
+    batches identically to the fit-per-call pipeline (ivf_topk_kmeans)
+    without re-clustering; a corpus delta extends the index via
+    assign_cells against the FROZEN centroids."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark.operators.similarity import (
+        assign_cells,
+        build_ivf_index,
+        ivf_search,
+        ivf_topk_kmeans,
+        l2_norm,
+        _as_double,
+    )
+    from ranger_spark.tables import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    idx = {
+        k: v.localCheckpoint() for k, v in build_ivf_index(
+            e, nlist=8, iters=3
+        ).items()
+    }
+    for lo, hi in ((0, 3), (3, 6)):
+        qs = e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got = sorted(
+            map(tuple, ivf_search(idx, qs, k=5, nprobe=3).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                ivf_topk_kmeans(qs, e, k=5, nlist=8, nprobe=3, iters=3)
+                .collect(),
+            )
+        )
+        assert got == want
+    # delta append: assign new vectors against the frozen centroids
+    delta = e.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    extra = assign_cells(delta, idx["centroids"]).select(
+        "vec_id",
+        F.col("v").alias("c_vec"),
+        l2_norm(F.col("v")).alias("c_norm"),
+        "cell",
+    )
+    idx2 = {
+        "centroids": idx["centroids"],
+        "assignments": idx["assignments"].unionByName(extra),
+    }
+    qs = e.filter(F.col("vec_id") < 2)
+    r = ivf_search(idx2, qs, k=3, nprobe=8).collect()
+    # each query's exact duplicate (cos 1.0) must now surface
+    top = {(x.q_id, x.rank): (x.vec_id, x.cos_sim) for x in r}
+    assert top[(0, 1)][0] == 1_000_000 and top[(0, 1)][1] == 1.0
+    assert top[(1, 1)][0] == 1_000_001 and top[(1, 1)][1] == 1.0
