@@ -2629,6 +2629,26 @@ class Engine:
             "database_name string, table_name string, column_name string, "
             "data_type string, is_nullable boolean, ordinal_position int",
         ).createOrReplaceTempView("system_columns")
+        # system.queries — the execution manager's ListQueries
+        # (execution_manager.go:159-170) as a SQL surface; the reference
+        # exposes it only programmatically — exceeds
+        q_rows = [
+            Row(
+                query_id=q.query_id,
+                sql=q.sql[:200],
+                status=q.status,
+                started_at=float(q.started_at),
+                duration_s=float(
+                    (q.finished_at or time.time()) - q.started_at
+                ),
+            )
+            for q in self.exec_mgr.list_queries()
+        ]
+        s.createDataFrame(
+            q_rows,
+            "query_id string, sql string, status string, "
+            "started_at double, duration_s double",
+        ).createOrReplaceTempView("system_queries")
 
     # ------------------------------------------------------------- helpers
     def _qualify(self, name: str) -> str:

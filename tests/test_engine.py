@@ -897,3 +897,16 @@ def test_delete_without_where_empties_table(engine):
     engine.execute("INSERT INTO delall.t (id) VALUES (9);")
     assert engine.execute("SELECT id FROM delall.t;").rows == [(9,)]
     engine.spark.sql("DROP DATABASE delall CASCADE")
+
+
+def test_system_queries_view(engine):
+    """system.queries exposes the execution manager's ListQueries
+    (execution_manager.go:159) as a SQL surface — exceeds the
+    reference's programmatic-only access."""
+    engine.execute("SELECT 42 AS marker_q;")
+    r = engine.execute(
+        "SELECT status, sql FROM system.queries "
+        "WHERE sql LIKE '%marker_q%' AND sql NOT LIKE '%system%';"
+    )
+    assert r.row_count >= 1
+    assert all(row[0] in ("done", "running") for row in r.rows)
