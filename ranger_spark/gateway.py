@@ -53,11 +53,17 @@ class Gateway:
         http_port: int | None = HTTP_SERVER_PORT,
         jdbc_port: int | None = JDBC_SERVER_PORT,
         native_port: int | None = NATIVE_SERVER_PORT,
+        native_kwargs: dict | None = None,
     ):
         """A ``None`` port disables that server (config.go
-        IsXServerEnabled); 0 binds an ephemeral port (tests)."""
+        IsXServerEnabled); 0 binds an ephemeral port (tests).
+        ``native_kwargs`` forwards auth-middleware / circuit-breaker
+        options to the native server (require_auth, users,
+        max_concurrent_queries, max_query_duration_s) — the gateway's
+        analog of the reference's middleware wiring (server.go:46-70)."""
         self.engine = engine
         self.host = host
+        self.native_kwargs = dict(native_kwargs or {})
         self._want = {
             "http": http_port,
             "jdbc": jdbc_port,
@@ -105,7 +111,9 @@ class Gateway:
             return PgWireServer(self.engine, host=self.host, port=port).start()
         from ranger_spark.sources.native_server import NativeServer
 
-        return NativeServer(self.engine, host=self.host, port=port).start()
+        return NativeServer(
+            self.engine, host=self.host, port=port, **self.native_kwargs
+        ).start()
 
     def shutdown(self) -> None:
         """Idempotent; stops every running server (gateway.go:142-180)."""

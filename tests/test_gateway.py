@@ -179,3 +179,25 @@ def test_cross_protocol_concurrent_load(engine):
     finally:
         gw.shutdown()
         engine.spark.sql("DROP DATABASE xp CASCADE")
+
+
+def test_gateway_forwards_native_middleware_options(engine):
+    import pytest as _pytest
+
+    from ranger_spark.gateway import Gateway
+    from ranger_spark.sources import native_server as ns
+
+    gw = Gateway(
+        engine,
+        http_port=None,
+        jdbc_port=None,
+        native_port=0,
+        native_kwargs={"require_auth": True},
+    ).start()
+    try:
+        with _pytest.raises(RuntimeError, match="user_not_found"):
+            ns.NativeClient(
+                "127.0.0.1", gw.ports()["native"], user="ghost"
+            )
+    finally:
+        gw.shutdown()
