@@ -99,15 +99,22 @@ def _read_bind(payload: bytes) -> tuple[str, str, list[str | None]]:
 
 def _substitute_params(sql: str, params: list[str | None]) -> str:
     """Inline text-format $n parameters as quoted SQL literals (NULL for
-    absent values), highest index first so $10 never matches inside $1.
-    Spark's implicit casts coerce '1' = 1 etc., matching text-format
+    absent values) in a SINGLE regex pass — replacements are never
+    rescanned, so a parameter VALUE containing '$1' stays data instead
+    of triggering a second substitution (the injection a sequential
+    str.replace loop would allow; found by the property test). Spark's
+    implicit casts coerce '1' = 1 etc., matching text-format
     semantics."""
-    out = sql
-    for i in range(len(params), 0, -1):
-        v = params[i - 1]
-        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
-        out = out.replace(f"${i}", lit)
-    return out
+    import re
+
+    def repl(m: "re.Match[str]") -> str:
+        i = int(m.group(1))
+        if 1 <= i <= len(params):
+            v = params[i - 1]
+            return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+        return m.group(0)  # out-of-range placeholder passes through
+
+    return re.sub(r"\$(\d+)", repl, sql)
 
 
 class PgWireServer:

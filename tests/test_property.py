@@ -211,29 +211,34 @@ def test_wire_compression_envelope_roundtrip(payload):
         max_size=8,
     ),
     st.text(
-        alphabet="abcdefg $123456789'=<>",
+        alphabet="abcdefg 123456789'=<>",
         max_size=60,
     ),
 )
 @settings(max_examples=200, deadline=None)
 def test_pgwire_param_substitution_properties(params, base_sql):
-    """$n substitution: every placeholder up to len(params) is replaced
-    (highest-first so $10 never matches inside $1), NULLs become NULL,
-    quotes are doubled, and the output never contains a surviving $k
-    for k <= len(params)."""
-    import re
-
+    """$n substitution is a SINGLE pass: every placeholder in the
+    statement is replaced exactly once, NULLs become NULL, quotes are
+    doubled, and '$k' text inside a parameter VALUE stays data (never
+    re-substituted)."""
     from ranger_spark.sources.pgwire_server import _substitute_params
 
     sql = base_sql + "".join(f" ${i + 1}" for i in range(len(params)))
     out = _substitute_params(sql, params)
-    for i, v in enumerate(params, 1):
-        lit = "NULL" if v is None else "'" + v.replace("'", "''") + "'"
-        assert lit in out or v == ""  # '' → '' literal, always present too
-    survivors = {
-        int(m) for m in re.findall(r"\$(\d+)", out) if int(m) <= len(params)
-    }
-    assert not survivors
+    expect = base_sql + "".join(
+        " " + ("NULL" if v is None else "'" + v.replace("'", "''") + "'")
+        for v in params
+    )
+    assert out == expect
+
+
+def test_pgwire_param_value_containing_placeholder_stays_data():
+    from ranger_spark.sources.pgwire_server import _substitute_params
+
+    out = _substitute_params("SELECT $1, $2", ["a", "$1"])
+    assert out == "SELECT 'a', '$1'"
+    # out-of-range placeholders pass through untouched
+    assert _substitute_params("SELECT $3", ["a"]) == "SELECT $3"
 
 
 @given(st.text(max_size=1024))
