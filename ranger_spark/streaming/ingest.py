@@ -38,15 +38,23 @@ def stream_ingest(
     fmt: str = "json",
     max_files_per_trigger: int = 10,
     cdc_table: str | None = None,
+    transform=None,
 ) -> StreamingQuery:
     """Ingest files landing in source_dir into `table`, one atomic append
-    per micro-batch; optionally record a CDC row per batch."""
+    per micro-batch; optionally record a CDC row per batch.
+
+    ``transform`` (DataFrame → DataFrame, applied to the stream before
+    the sink) turns the ingest into a streaming pipeline stage — e.g. a
+    Gopher-rule quality gate or PII redaction runs on every micro-batch
+    with the same map-only expressions as the batch operators."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(source_dir)
     )
+    if transform is not None:
+        stream = transform(stream)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").insertInto(table)

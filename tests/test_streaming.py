@@ -157,3 +157,58 @@ def test_streaming_dedup(spark):
     kept = sorted(r.doc_id for r in spark.table("dd_out").collect())
     # docs 1 and 2 normalize identically → one survives; 3 survives
     assert len(kept) == 2 and 3 in kept
+
+
+def test_stream_ingest_with_quality_transform(spark, engine):
+    """Streaming quality gate: the same map-only Gopher/alpha-fraction
+    expressions the batch operators use run on every micro-batch via
+    stream_ingest's transform hook — low-quality docs never reach the
+    table."""
+    import json
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ranger_spark.operators.text import gopher_metrics
+    from ranger_spark.streaming.ingest import stream_ingest
+
+    src = tempfile.mkdtemp(prefix="stream_q_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_q_ckpt_")
+    engine.execute("CREATE DATABASE IF NOT EXISTS strq;")
+    engine.execute("DROP TABLE IF EXISTS strq.docs;")
+    engine.execute("CREATE TABLE strq.docs (doc_id int64, text string);")
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps with joy today"},
+        {"doc_id": 2, "text": "#### #### #### ####"},  # symbol spam → drop
+        {"doc_id": 3, "text": "numbers 1 2 3 4 5 6 7 8"},  # low alpha → drop
+        {"doc_id": 4, "text": "another fine sentence that reads well"},
+    ]
+    with open(f"{src}/batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def quality_gate(df):
+        g = gopher_metrics(F.col("text"))
+        return (
+            df.withColumn("__alpha", g["alpha_word_frac"])
+            .withColumn("__sym", g["symbol_word_ratio"])
+            .filter((F.col("__alpha") > 0.8) & (F.col("__sym") < 0.1))
+            .drop("__alpha", "__sym")
+        )
+
+    q = stream_ingest(
+        spark, src, schema, "strq.docs", ckpt, transform=quality_gate
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id for r in spark.table("strq.docs").select("doc_id").collect()
+    )
+    assert got == [1, 4]
+    engine.spark.sql("DROP DATABASE strq CASCADE")
