@@ -43,13 +43,15 @@ def write_parquet_column_codecs(
     default_u = default.upper()
 
     def run(batches):
-        import uuid
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from ranger_spark.functions.ulid import generate_ulid
+
         writer = None
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+        # ULID names sort by creation time in listings — the reference's
+        # data-file naming property (storage.go:307-309)
+        fname = os.path.join(path, f"part-{generate_ulid()}.parquet")
         n = 0
         for batch in batches:
             if writer is None:
