@@ -438,6 +438,21 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.UPDATE, s)
     if m("DELETE"):
         return Routed(StmtKind.DELETE, s)
+    if m("TRUNCATE TABLE") or m("TRUNCATE "):
+        # not in the reference grammar; we exceed — rewritten onto the
+        # snapshot-committed delete-all path (a 'delete' snapshot, so
+        # TRUNCATE is time-travelable like every other write)
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: TRUNCATE",
+            )
+        tm = re.match(r"TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*$", s, re.I)
+        if not tm:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, f"cannot parse: {s[:60]}"
+            )
+        return Routed(StmtKind.DELETE, f"DELETE FROM {tm.group(1)}")
     if m("EXPLAIN"):
         return Routed(StmtKind.EXPLAIN, s)
     if m("CREATE TABLE"):

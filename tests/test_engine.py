@@ -910,3 +910,29 @@ def test_system_queries_view(engine):
     )
     assert r.row_count >= 1
     assert all(row[0] in ("done", "running") for row in r.rows)
+
+
+def test_truncate_table(engine):
+    """TRUNCATE TABLE (exceeds the reference grammar) rides the
+    snapshot-committed delete-all rewrite — prior contents stay
+    time-travelable."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS trnc;")
+    engine.execute("CREATE TABLE trnc.t (id int32);")
+    engine.execute("INSERT INTO trnc.t (id) VALUES (1), (2);")
+    vt = engine._versioned_for(engine._qualify("trnc.t"))
+    pre = vt.current_version()
+    r = engine.execute("TRUNCATE TABLE trnc.t;")
+    assert "deleted 2" in r.message
+    assert engine.execute(
+        "SELECT count(*) AS n FROM trnc.t;"
+    ).rows[0][0] == 0
+    assert engine.execute(
+        f"SELECT count(*) AS n FROM trnc.t VERSION AS OF {pre};"
+    ).rows[0][0] == 2
+    # strict mode keeps reference parity (no TRUNCATE in its grammar)
+    from ranger_spark.engine import Engine
+
+    strict = Engine(engine.spark, strict_gate=True)
+    with pytest.raises(RangerError, match="TRUNCATE"):
+        strict.execute("TRUNCATE TABLE trnc.t;")
+    engine.spark.sql("DROP DATABASE trnc CASCADE")

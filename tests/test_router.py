@@ -74,8 +74,9 @@ def test_unknown_statement():
 _BAD_STATEMENTS = [
     # (VACUUM left out since round 5: implemented as orphan-file
     # removal — exceeds the reference; strict mode still rejects it)
+    # (TRUNCATE left out since round 6: implemented as the snapshot
+    # delete-all rewrite — exceeds the reference; strict mode rejects it)
     "FLUSH x",
-    "TRUNCATE t",
     "REPLACE INTO t VALUES (1)",
     "CALL proc()",
     "SET x = 1",
