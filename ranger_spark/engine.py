@@ -458,6 +458,26 @@ class Engine:
                 [], [], 0,
                 message=f"expired {len(removed)} snapshot data dir(s)",
             )
+        if k == StmtKind.KILL:
+            # KILL [QUERY] '<id>' — the SQL face of
+            # ExecutionManager.cancel (≈ reference CancelQuery, reached
+            # there only via the native protocol's ClientCancel signal)
+            m = re.match(
+                r"KILL\s+(?:QUERY\s+)?'?([\w-]+)'?\s*$", r.sql, re.I
+            )
+            if not m:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT, f"cannot parse: {r.sql!r}"
+                )
+            qid = m.group(1)
+            if self.exec_mgr.cancel(qid):
+                return QueryResult(
+                    [], [], 0, message=f"query '{qid}' cancelled"
+                )
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"query '{qid}' is not running (unknown or finished)",
+            )
         if k == StmtKind.VACUUM:
             if self.strict_gate:
                 raise RangerError(

@@ -60,6 +60,7 @@ class StmtKind(Enum):
     PARSE_ONLY = "parse_only"  # GRANT/REVOKE/users/indexes/cursors/procedures
     ALTER = "alter"  # parsed, not executable in the reference
     MERGE = "merge"  # not in the reference grammar; we exceed (CoW upsert)
+    KILL = "kill"  # exceeds: SQL surface over ExecutionManager.cancel
 
 
 @dataclass
@@ -438,6 +439,15 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.UPDATE, s)
     if m("DELETE"):
         return Routed(StmtKind.DELETE, s)
+    if m("KILL"):
+        # KILL [QUERY] '<id>' — exceeds (SQL face of the execution
+        # manager's CancelQuery, the op the native protocol exposes as
+        # ClientCancel); strict mode keeps the reference's parse failure
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "unsupported statement type: KILL"
+            )
+        return Routed(StmtKind.KILL, s)
     if m("TRUNCATE TABLE") or m("TRUNCATE "):
         # not in the reference grammar; we exceed — rewritten onto the
         # snapshot-committed delete-all path (a 'delete' snapshot, so

@@ -936,3 +936,45 @@ def test_truncate_table(engine):
     with pytest.raises(RangerError, match="TRUNCATE"):
         strict.execute("TRUNCATE TABLE trnc.t;")
     engine.spark.sql("DROP DATABASE trnc CASCADE")
+
+
+def test_kill_query_statement(engine):
+    """KILL QUERY '<id>' cancels a genuinely running query through the
+    SQL surface (the native protocol's ClientCancel, as a statement)."""
+    import threading
+    import time as _time
+
+    done = threading.Event()
+
+    def slow():
+        try:
+            engine.execute(
+                "SELECT count(*) AS n FROM "
+                "(SELECT a.id FROM RANGE(300000) a, RANGE(30000) b);"
+            )
+        except Exception:
+            pass
+        finally:
+            done.set()
+
+    threading.Thread(target=slow, daemon=True).start()
+    qid = None
+    for _ in range(100):
+        running = [
+            q for q in engine.exec_mgr.list_queries()
+            if q.status == "running" and "RANGE" in q.sql
+        ]
+        if running:
+            qid = running[0].query_id
+            break
+        _time.sleep(0.05)
+    assert qid, "slow query never showed up as running"
+    from ranger_spark.engine import Engine
+
+    side = Engine(engine.spark)  # statement lock is per-engine; the
+    side.exec_mgr = engine.exec_mgr  # same tracked-query registry
+    r = side.execute(f"KILL QUERY '{qid}';")
+    assert "cancelled" in r.message
+    done.wait(timeout=60)
+    with pytest.raises(RangerError, match="not running"):
+        side.execute(f"KILL '{qid}';")  # already finished
