@@ -309,6 +309,13 @@ class Engine:
 
             validate_query(sql)
         routed = route(sql, strict=self.strict_gate)
+        if routed.kind == StmtKind.KILL:
+            # KILL must BYPASS the statement lock: its whole purpose is to
+            # cancel the statement currently holding it (the native
+            # protocol's ClientCancel likewise reaches exec_mgr directly,
+            # sources/native_server._cancel). cancelJobGroup is
+            # thread-safe; no engine state is touched.
+            return self._dispatch(routed)
         qi = self.exec_mgr.start(routed.sql)
         timer = None
         if timeout_s:

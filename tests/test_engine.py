@@ -969,12 +969,11 @@ def test_kill_query_statement(engine):
             break
         _time.sleep(0.05)
     assert qid, "slow query never showed up as running"
-    from ranger_spark.engine import Engine
-
-    side = Engine(engine.spark)  # statement lock is per-engine; the
-    side.exec_mgr = engine.exec_mgr  # same tracked-query registry
-    r = side.execute(f"KILL QUERY '{qid}';")
+    # KILL through the SAME engine whose statement lock the slow query
+    # holds — the bypass is the point (a lock-respecting KILL could
+    # never cancel anything)
+    r = engine.execute(f"KILL QUERY '{qid}';")
     assert "cancelled" in r.message
     done.wait(timeout=60)
     with pytest.raises(RangerError, match="not running"):
-        side.execute(f"KILL '{qid}';")  # already finished
+        engine.execute(f"KILL '{qid}';")  # already finished
