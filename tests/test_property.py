@@ -98,10 +98,10 @@ def test_insert_values_lexer_roundtrip(rows):
 def test_validate_script_collects_all_errors():
     from ranger_spark.router import validate_script
 
-    # (VACUUM became an executed statement in round 5, so the corpus
-    # uses two still-unknown keywords)
+    # (VACUUM became executed in round 5, TRUNCATE in round 6 — the
+    # corpus uses two still-unknown keywords)
     errs = validate_script(
-        "SELECT 1; TRUNCATE t; FLUSH x; CREATE TABLE t (a int32)"
+        "SELECT 1; UPSERT INTO t VALUES (1); FLUSH x; CREATE TABLE t (a int32)"
     )
     assert len(errs) == 3
     assert sum("unsupported statement" in e.message for e in errs) == 2
