@@ -18,7 +18,15 @@ provides the same capabilities on Spark:
 - ``ranger_spark.operators`` — large-scale training-data pipeline operators
   (dedup, similarity search, text analysis, multimodal) designed for 100 TB.
 - ``ranger_spark.streaming`` — Structured Streaming ingest ≈ the reference's
-  chunked batch ingest + Astha CDC bus (server/astha/).
+  chunked batch ingest; ``streaming.astha`` is the Astha CDC scheduler
+  (server/astha/) over the snapshot-manifest chain.
+- ``ranger_spark.gateway``   — lifecycle manager for the three protocol
+  servers (HTTP / pgwire "JDBC" / native) over one engine
+  (server/gateway/gateway.go) + the server composition root.
+- ``ranger_spark.security``  — opt-in statement whitelist / blocked-keyword /
+  injection-pattern validation (duckdb/engine.go:613-706).
+- ``ranger_spark.client``    — SDK (Query/Exec/PrepareBatch/AsyncInsert) and
+  the CLI client's higher-level operations (client/client.go).
 """
 
 __version__ = "0.1.0"
