@@ -385,7 +385,28 @@ def main() -> None:
                     )
                 except Exception as e:
                     result["scale64"] = {"error": str(e)[:300]}
+    # Full record (scale16/bucketed/scale64 sections) goes to a sidecar
+    # file plus a non-final stdout line; the LAST stdout line is the
+    # compact contract record only, so a tail-capture parser always gets
+    # valid JSON (r6: the full line outgrew the captured tail →
+    # BENCH_r06 "parsed": null).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f)
+    except OSError:
+        pass
     print(json.dumps(result))
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": result["queries"],
+        "sf": result["sf"],
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -2218,11 +2218,11 @@ _FH_HASH = "CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)"
       FROM documents
     )
     SELECT doc_id,
-           list_transform(
+           CAST(to_json(list_transform(
              range(0, {_FH_DIM}),
              j -> CAST(len(list_filter(t, x -> {_FH_HASH} % {_FH_DIM} = j))
                        AS INTEGER)
-           ) AS vec,
+           )) AS VARCHAR) AS vec,
            CAST(len(list_distinct(
              list_transform(t, x -> {_FH_HASH} % {_FH_DIM})
            )) AS INTEGER) AS n_nonzero
@@ -2233,11 +2233,19 @@ _FH_HASH = "CAST(('0x' || substr(md5('0:' || x), 1, 15)) AS BIGINT)"
 def text_feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing vectorizer: token counts folded into a 16-bucket
     dense vector by md5 hash — the no-model text featurization feeding
-    ANN/clustering. Tokens shuffle as (id, bucket), never as strings."""
+    ANN/clustering. Tokens shuffle as (id, bucket), never as strings.
+
+    The vector is emitted as its canonical JSON string (``[1,0,2,...]``)
+    rather than an array column: both engines agree byte-for-byte on the
+    compact form, and scalar outputs keep the result canonicalizable by
+    any downstream tool that factorizes columns (r6 verdict #1)."""
     from ranger_spark.operators.text import feature_hash_vector
 
-    return feature_hash_vector(
+    out = feature_hash_vector(
         load(spark, sf_dir, "documents"), "doc_id", "text", dim=_FH_DIM
+    )
+    return out.select(
+        "doc_id", F.to_json("vec").alias("vec"), "n_nonzero"
     )
 
 
