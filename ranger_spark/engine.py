@@ -577,11 +577,20 @@ class Engine:
         returned, matching EXPLAIN's result shape."""
         t0 = time.time()
         df = self.spark.sql(inner_sql)
-        # Execute df's OWN queryExecution (streamed, driver-memory-bounded)
-        # so the AdaptiveSparkPlan below is the AQE-final plan Spark
-        # actually ran — df.count() would execute a derived aggregate plan
-        # and leave df's executedPlan at isFinalPlan=false.
-        n_rows = sum(1 for _ in df.toLocalIterator())
+        # Execute df's OWN queryExecution so the AdaptiveSparkPlan below
+        # is the AQE-final plan Spark actually ran — df.count() would
+        # execute a derived aggregate plan and leave df's executedPlan at
+        # isFinalPlan=false. queryExecution().toRdd() wraps exactly that
+        # executedPlan instance; a JVM-side RDD count executes it
+        # distributedly with only per-partition counts reaching the
+        # driver (toLocalIterator would serialize every result row to
+        # the driver one at a time — slower than the query itself).
+        try:
+            n_rows = int(
+                df._jdf.queryExecution().toRdd().count()  # noqa: SLF001
+            )
+        except Exception:  # py4j surface moved — correctness over speed
+            n_rows = sum(1 for _ in df.toLocalIterator())
         wall_ms = (time.time() - t0) * 1000.0
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         lines = [(line,) for line in plan.rstrip("\n").split("\n")]

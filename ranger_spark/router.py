@@ -432,6 +432,21 @@ def route(statement: str, strict: bool = False) -> Routed:
                 UNSUPPORTED_STATEMENT,
                 "unsupported statement type: WITH (reference gate rejects CTEs)",
             )
+        # Spark SQL accepts CTE-DML (WITH x AS (...) INSERT INTO ...);
+        # executing that via the plain spark.sql() read path would write
+        # AROUND the snapshot-commit chain (and around permission
+        # checks that trust the WITH prefix). Reject it: writes must go
+        # through the INSERT/UPDATE/DELETE/MERGE statement paths.
+        if re.search(
+            r"\)\s*(INSERT|UPDATE|DELETE|MERGE)\b",
+            re.sub(r"'(?:[^']|'')*'", " ", up),
+        ):
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "CTE-DML is not supported: write statements cannot be "
+                "prefixed with WITH (use INSERT ... SELECT with inline "
+                "subqueries so the write takes the versioned commit path)",
+            )
         return Routed(StmtKind.WITH_SELECT, s)
     if m("INSERT"):
         return Routed(StmtKind.INSERT, s)

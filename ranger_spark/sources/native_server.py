@@ -147,7 +147,12 @@ def unwrap_payload(data: bytes) -> bytes:
         out = body
     elif codec == COMPRESSION_DEFLATE:
         dobj = zlib.decompressobj()
-        out = dobj.decompress(body, raw_len)
+        # max_length=0 means UNLIMITED to zlib, so a declared raw_len of 0
+        # must not be passed through — inflate at most 1 byte and require
+        # the stream to produce nothing.
+        out = dobj.decompress(body, raw_len if raw_len > 0 else 1)
+        if raw_len == 0 and out:
+            raise ValueError("decompressed length exceeds declared 0")
         if dobj.unconsumed_tail and dobj.decompress(
             dobj.unconsumed_tail, 1
         ):
@@ -522,9 +527,55 @@ _READ_ONLY_PREFIXES = (
     "SELECT", "WITH", "SHOW", "DESCRIBE", "DESC", "EXPLAIN",
 )
 
+_DML_KEYWORDS = re.compile(
+    r"\b(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|TRUNCATE|OPTIMIZE|"
+    r"VACUUM|EXPIRE|GRANT|REVOKE)\b",
+    re.IGNORECASE,
+)
+
+
+def _strip_sql_literals(sql: str) -> str:
+    """Blank out quoted string literals (both '' and \"\" forms, with ''
+    escape doubling) so keyword scans can't be confused by literal text."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            quote = ch
+            i += 1
+            while i < n:
+                if sql[i] == quote:
+                    if i + 1 < n and sql[i + 1] == quote:  # '' escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+            out.append(" ")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
 
 def _is_read_only_sql(sql: str) -> bool:
-    return sql.lstrip().upper().startswith(_READ_ONLY_PREFIXES)
+    """Read-only classification for permission checks.
+
+    A bare prefix test is bypassable: Spark SQL accepts CTE-DML
+    (``WITH x AS (...) INSERT INTO t ...``), so a statement starting
+    with WITH can still write. For WITH statements, scan the remainder
+    (string literals blanked) for DML/DDL keywords — any hit means the
+    statement can mutate and is NOT read-only."""
+    head = sql.lstrip()
+    up = head.upper()
+    if not up.startswith(_READ_ONLY_PREFIXES):
+        return False
+    if up.startswith("WITH") and _DML_KEYWORDS.search(
+        _strip_sql_literals(head)
+    ):
+        return False
+    return True
 
 
 class NativeServer:

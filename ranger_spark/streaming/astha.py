@@ -97,6 +97,13 @@ class MemoryEventStore:
             for table, evs in self._events.items():
                 keep = [e for e in evs if e.id not in self._processed]
                 removed += len(evs) - len(keep)
+                # Drop the removed ids from the processed set too — ids are
+                # monotonically assigned and never reused, so once the event
+                # is deleted its id can never reappear; keeping it would
+                # leak the set without bound in a long-running loop.
+                for e in evs:
+                    if e.id in self._processed:
+                        self._processed.discard(e.id)
                 self._events[table] = keep
             return removed
 

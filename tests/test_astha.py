@@ -17,7 +17,20 @@ def test_event_store_roundtrip():
     st.mark_event_processed(e1.id)
     assert [e.operation for e in st.get_events("db.t")] == ["UPDATE"]
     assert st.cleanup_processed_events() == 1
-    assert st.get_processed_count() == 1
+    # cleanup drops the event AND its id from the processed set (ids are
+    # monotone, never reused — keeping them would leak memory without
+    # bound in a long-running loop; ADVICE r6)
+    assert st.get_processed_count() == 0
+
+
+def test_processed_set_does_not_leak():
+    st = MemoryEventStore()
+    for i in range(100):
+        e = st.store_event("db.t", "INSERT", {"v": i})
+        st.mark_event_processed(e.id)
+        st.cleanup_processed_events()
+    assert st.get_event_count() == {"db.t": 0}
+    assert st.get_processed_count() == 0
 
 
 def test_cdc_events_from_engine_commits(engine):

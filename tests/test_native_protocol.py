@@ -543,6 +543,18 @@ def test_decompression_bomb_bounded():
     )
     with pytest.raises(ValueError):
         ns.unwrap_payload(env2)
+    # raw_len=0 must NOT disable the bound (zlib treats max_length=0 as
+    # unlimited — ADVICE r6): the bomb is rejected, not fully inflated
+    env3 = bytes([ns.COMPRESSION_DEFLATE]) + ns.write_uvarint(0) + bomb
+    with pytest.raises(ValueError, match="exceeds declared 0"):
+        ns.unwrap_payload(env3)
+    # a legitimately-empty compressed payload still round-trips
+    env4 = (
+        bytes([ns.COMPRESSION_DEFLATE])
+        + ns.write_uvarint(0)
+        + zlib.compress(b"")
+    )
+    assert ns.unwrap_payload(env4) == b""
 
 
 def test_compress_dsn_param(server):
@@ -630,6 +642,16 @@ def test_auth_middleware_and_permissions(engine):
         assert r["rows"] == [("1",)]
         with pytest.raises(RuntimeError, match="insufficient_permissions"):
             ro.query("DROP TABLE default.auth_t;")
+        # CTE-DML must not classify as read-only (WITH prefix is not
+        # proof of read-only-ness — ADVICE r6): rejected BEFORE routing
+        with pytest.raises(RuntimeError, match="insufficient_permissions"):
+            ro.query(
+                "WITH x AS (SELECT 1 AS id) "
+                "INSERT INTO default.auth_t SELECT id FROM x;"
+            )
+        # plain CTE SELECT still works for readonly users
+        r = ro.query("WITH x AS (SELECT 2 AS two) SELECT two FROM x;")
+        assert r["rows"] == [("2",)]
         ro.close()
     finally:
         srv.shutdown()

@@ -211,16 +211,17 @@ def test_wire_compression_envelope_roundtrip(payload):
         max_size=8,
     ),
     st.text(
-        alphabet="abcdefg 123456789'=<>",
+        alphabet="abcdefg 123456789=<>",
         max_size=60,
     ),
 )
 @settings(max_examples=200, deadline=None)
 def test_pgwire_param_substitution_properties(params, base_sql):
-    """$n substitution is a SINGLE pass: every placeholder in the
-    statement is replaced exactly once, NULLs become NULL, quotes are
-    doubled, and '$k' text inside a parameter VALUE stays data (never
-    re-substituted)."""
+    """$n substitution is a SINGLE pass: every placeholder OUTSIDE a
+    string literal is replaced exactly once, NULLs become NULL, quotes
+    are doubled, and '$k' text inside a parameter VALUE stays data
+    (never re-substituted). (base_sql alphabet excludes quotes — quoted
+    regions are covered by the dedicated literal tests below.)"""
     from ranger_spark.sources.pgwire_server import _substitute_params
 
     sql = base_sql + "".join(f" ${i + 1}" for i in range(len(params)))
@@ -239,6 +240,33 @@ def test_pgwire_param_value_containing_placeholder_stays_data():
     assert out == "SELECT 'a', '$1'"
     # out-of-range placeholders pass through untouched
     assert _substitute_params("SELECT $3", ["a"]) == "SELECT $3"
+
+
+def test_pgwire_placeholder_inside_literal_is_data():
+    """A $n inside a string literal (or quoted identifier) of the
+    PREPARED SQL is literal text, not a parameter — substituting it
+    would corrupt stored data (ADVICE r6)."""
+    from ranger_spark.sources.pgwire_server import (
+        _count_params,
+        _substitute_params,
+    )
+
+    assert _substitute_params("SELECT '$1'", ["x"]) == "SELECT '$1'"
+    assert (
+        _substitute_params("SELECT '$1', $1", ["x"]) == "SELECT '$1', 'x'"
+    )
+    # '' escape doubling does not end the literal early
+    assert (
+        _substitute_params("SELECT 'it''s $1', $1", ["x"])
+        == "SELECT 'it''s $1', 'x'"
+    )
+    # quoted identifiers are skipped too
+    assert _substitute_params('SELECT "$1" FROM t', ["x"]) == 'SELECT "$1" FROM t'
+    # ParameterDescription: max(n) outside literals, so gaps count
+    # positionally ($1,$3 declares 3) and literal $9 is ignored
+    assert _count_params("SELECT $1, $3") == 3
+    assert _count_params("SELECT '$9', $2") == 2
+    assert _count_params("SELECT 'no params'") == 0
 
 
 @given(st.text(max_size=1024))

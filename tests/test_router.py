@@ -60,6 +60,25 @@ def test_strict_gate_rejects_with():
         route("WITH x AS (SELECT 1) SELECT * FROM x;", strict=True)
 
 
+def test_cte_dml_rejected():
+    """WITH ... INSERT/UPDATE/DELETE/MERGE must not route to the plain
+    spark.sql() read path — it would write around the snapshot-commit
+    chain and around WITH-prefix permission checks (ADVICE r6)."""
+    for dml in (
+        "WITH x AS (SELECT 1 AS id) INSERT INTO t SELECT id FROM x;",
+        "WITH x AS (SELECT 1) DELETE FROM t WHERE id IN (SELECT * FROM x);",
+        "WITH x AS (SELECT 1 AS id) UPDATE t SET v = 0;",
+        "WITH s AS (SELECT 1 AS id) MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE;",
+    ):
+        with pytest.raises(RangerError) as ei:
+            route(dml)
+        assert "CTE-DML" in str(ei.value)
+    # DML keywords inside string literals don't trip the gate
+    r = route("WITH x AS (SELECT ') INSERT' AS s) SELECT s FROM x;")
+    assert r.kind == StmtKind.WITH_SELECT
+
+
 def test_unknown_statement():
     with pytest.raises(RangerError) as ei:
         route("FLUSH x;")
