@@ -333,6 +333,66 @@ def _bucketed_section(spark, registry, replica_dir: str, scale: dict) -> dict:
     }
 
 
+def _ann_serving_section(spark, sf_dir: str) -> dict:
+    """Build-once / serve-many ANN (the 100 TB serving shape): one IVF
+    index build over embeddings, then repeated small query batches via
+    ivf_search against the cached index, plus the fused single-stage
+    brute-force path with driver-local query vectors for comparison.
+    Regressions in either the build or the per-batch latency show up
+    here per round (VERDICT r6 item 7)."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+    )
+    from ranger_spark.tables import load
+
+    corpus = load(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    idx = build_ivf_index(corpus, nlist=16, iters=3)
+    idx = {k: v.cache() for k, v in idx.items()}
+    for v in idx.values():
+        v.count()  # materialize: serving must not re-cluster per batch
+    build_s = round(time.time() - t0, 3)
+
+    n_batches, batch_q = 8, 5
+    ivf_lat, bf_lat = [], []
+    for b in range(n_batches):
+        lo = b * 100
+        qdf = corpus.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + batch_q)
+        )
+        qlocal = [
+            (r["vec_id"], r["embedding"]) for r in qdf.collect()
+        ]  # arrives driver-side in real serving — not timed
+        t0 = time.time()
+        ivf_search(idx, qdf, k=10, nprobe=3).collect()
+        ivf_lat.append(time.time() - t0)
+        t0 = time.time()
+        brute_force_topk(qlocal, corpus, k=10).collect()
+        bf_lat.append(time.time() - t0)
+
+    def stats(lat):
+        s = sorted(lat)
+        return {
+            "min": round(s[0], 3),
+            "median": round(s[len(s) // 2], 3),
+            "max": round(s[-1], 3),
+        }
+
+    for v in idx.values():
+        v.unpersist()
+    return {
+        "index_build_s": build_s,
+        "batches": n_batches,
+        "batch_queries": batch_q,
+        "ivf_batch_s": stats(ivf_lat),
+        "brute_fused_batch_s": stats(bf_lat),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -358,6 +418,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if os.environ.get("SPARK_GRAFT_SKIP_ANN") != "1":
+        try:
+            result["ann_serving"] = _ann_serving_section(spark, sf_dir)
+        except Exception as e:
+            result["ann_serving"] = {"error": str(e)[:300]}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         try:
             spark.catalog.clearCache()  # scale regime reads its own files

@@ -55,9 +55,16 @@ def colocated_join(
 
 
 # star-join fact tables and their co-location key (lineitem⋈orders is the
-# one fact-fact join in the TPC-H-shaped workload; everything else is a
-# broadcastable or much smaller dimension)
-FACT_BUCKETS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+# one fact-fact join in the TPC-H-shaped workload). customer rides along
+# bucketed on its key for the beyond-broadcast regime: it scales with the
+# facts (TPC-H: 1 customer per 10 orders), and once it outgrows a
+# broadcast the custkey join is at least one-sided — only the fact
+# stream exchanges, never the customer scan.
+FACT_BUCKETS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+}
 
 
 def ensure_bucketed_layout(
