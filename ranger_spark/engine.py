@@ -288,6 +288,70 @@ class Engine:
             n += 1
         return n
 
+    def refresh_table_registration(self, name: str) -> bool:
+        """Event-driven schema/plan-cache invalidation — the engine-side
+        half of the reference's Astha schema-cache subscriber
+        (server/storage/schema/astha_subscriber.go:58-166). Re-reads the
+        DURABLE manifest (another engine/process may have committed) and
+        re-points this session's catalog entry at the table's current
+        snapshot: drop the stale registration, re-register via the
+        recover() DDL, refresh Spark's file-index cache. Runs under the
+        statement lock so an executing statement never sees the catalog
+        mid-swap. Safe to call ad hoc; used by
+        streaming.astha.register_schema_cache."""
+        import os
+
+        with self._stmt_lock:
+            current = self.catalog_store.load()
+            entry = current["tables"].get(name)
+            known = self._manifest["tables"].get(name)
+            self._manifest = current  # adopt the durable state wholesale
+            if entry is None:
+                # dropped by the writer — forget it here too (external
+                # location: the writer owns file cleanup)
+                self._schemas.pop(name, None)
+                if self._table_exists(name):
+                    self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                return True
+            self._schemas[name] = [tuple(c) for c in entry["columns"]]
+            # Re-register only when the registration itself is stale:
+            # unknown table, changed entry (schema/options), or — for
+            # versioned tables — the catalog pointing at a superseded
+            # snapshot dir. A fast-append into the live dir only needs
+            # the file-index refresh below.
+            repoint = known is None or known != entry
+            if not repoint and entry.get("versioned"):
+                vt = self._versioned_for(name)
+                reg = self._catalog_location(name)
+                if vt is not None and vt.current_version() and reg:
+                    repoint = os.path.realpath(reg) != os.path.realpath(
+                        vt.snapshot_dir()
+                    )
+            if repoint:
+                if self._table_exists(name):
+                    # external-location table: DROP removes only the
+                    # catalog entry; recover() re-registers it at the
+                    # CURRENT snapshot dir from the manifest chain
+                    self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                self.recover()
+            try:
+                self.spark.catalog.refreshTable(name)
+            except Exception:
+                pass  # recover() could not re-register (location gone)
+            return True
+
+    def _catalog_location(self, name: str) -> str | None:
+        """The location the session catalog currently serves for
+        ``name`` (None when unregistered / metadata unreadable)."""
+        try:
+            for r in self.spark.sql(f"DESC FORMATTED {name}").collect():
+                if str(r[0]).strip().lower() == "location":
+                    loc = str(r[1]).strip()
+                    return loc[len("file:"):] if loc.startswith("file:") else loc
+        except Exception:
+            return None
+        return None
+
     # ------------------------------------------------------------------ api
     def execute(
         self,

@@ -54,6 +54,7 @@ class Gateway:
         jdbc_port: int | None = JDBC_SERVER_PORT,
         native_port: int | None = NATIVE_SERVER_PORT,
         native_kwargs: dict | None = None,
+        astha: bool = True,
     ):
         """A ``None`` port disables that server (config.go
         IsXServerEnabled); 0 binds an ephemeral port (tests).
@@ -73,6 +74,14 @@ class Gateway:
         self.errors: dict[str, str] = {}
         self._started = False
         self._mu = threading.Lock()
+        # Astha CDC loop + schema-cache subscriber: commits from ANY
+        # writer sharing the warehouse (another protocol server, another
+        # engine, a storage-level ingest) invalidate this engine's
+        # cached table registrations event-driven — the reference wires
+        # its schema cache the same way (astha_subscriber.go) instead of
+        # trusting every write site to refresh ad hoc.
+        self._want_astha = astha
+        self.astha = None
 
     # ------------------------------------------------------------ lifecycle
     def start(self) -> "Gateway":
@@ -96,6 +105,17 @@ class Gateway:
                     "all servers failed to start",
                     errors=dict(self.errors),
                 )
+            if self._want_astha:
+                try:
+                    from ranger_spark.streaming.astha import (
+                        Astha,
+                        register_schema_cache,
+                    )
+
+                    self.astha = Astha(self.engine).start()
+                    register_schema_cache(self.astha, self.engine)
+                except Exception as e:  # servers still serve without CDC
+                    self.errors["astha"] = str(e)
             self._started = True
             return self
 
@@ -120,6 +140,12 @@ class Gateway:
         with self._mu:
             if not self._started:
                 return
+            if self.astha is not None:
+                try:
+                    self.astha.stop()
+                except Exception:
+                    pass
+                self.astha = None
             for srv in self.servers.values():
                 try:
                     srv.shutdown()

@@ -153,6 +153,15 @@ def validate_script(script: str, strict: bool = False) -> list[ScriptError]:
             errors.extend(_column_type_errors(stmt, off, tracker))
         elif routed.kind == StmtKind.INSERT:
             errors.extend(_insert_values_errors(stmt, off, tracker))
+        elif routed.kind == StmtKind.ALTER:
+            errors.extend(_alter_errors(stmt, off, tracker))
+        elif routed.kind in (
+            StmtKind.SHOW_COLUMNS,
+            StmtKind.SHOW_CREATE_TABLE,
+            StmtKind.SHOW_TABLES,
+            StmtKind.DESCRIBE,
+        ):
+            errors.extend(_show_describe_errors(stmt, off, tracker))
         elif routed.kind in (
             StmtKind.SELECT,
             StmtKind.WITH_SELECT,
@@ -405,6 +414,162 @@ def _column_type_errors(
             type_off = stmt_off + start + col_start + cm.start(2)
             line, col = tracker.line_column(type_off)
             errors.append(ScriptError(stmt, str(e), line, col, type_off))
+    return errors
+
+
+def _anchor(
+    errors: list[ScriptError],
+    stmt: str,
+    message: str,
+    abs_off: int,
+    tracker: PositionTracker,
+) -> None:
+    line, col = tracker.line_column(abs_off)
+    errors.append(ScriptError(stmt, message, line, col, abs_off))
+
+
+_SETTING_KEY_RE = re.compile(r"[A-Za-z_]\w*\s*$")
+_TABLE_IDENT_RE = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?$")
+
+
+def _alter_errors(
+    stmt: str, stmt_off: int, tracker: PositionTracker
+) -> list[ScriptError]:
+    """Positioned multi-error recovery for ALTER TABLE clause lists —
+    the remaining corpus shape from the reference's collector
+    (alter_table_test.go:34-51: 'expected = after setting key',
+    'expected value after =', 'expected identifier after SETTINGS';
+    error_recovery_test.go resync semantics). Every bad item in a
+    SETTINGS k=v list / ADD COLUMN list reports its own anchored error
+    instead of failing at the first."""
+    errors: list[ScriptError] = []
+    head = re.match(r"\s*ALTER\s+TABLE\s+([\w.]+)\s+", stmt, re.I)
+    if not head:
+        m = re.match(r"\s*ALTER\s+TABLE\b\s*", stmt, re.I)
+        if m:
+            _anchor(
+                errors, stmt, "expected table name after ALTER TABLE",
+                stmt_off + m.end(), tracker,
+            )
+        return errors
+    body = stmt[head.end():].rstrip().rstrip(";")
+    sm = re.match(r"SETTINGS\s*", body, re.I)
+    if sm:
+        # SETTINGS key=value[, ...] — validate each item, resync at commas
+        list_off = head.end() + sm.end()
+        rest = stmt[list_off : head.end() + len(body)]
+        item_off = list_off
+        for item in rest.split(","):
+            lead_ws = len(item) - len(item.lstrip())
+            s_item = item.strip()
+            istart = stmt_off + item_off + lead_ws
+            if not s_item or s_item.startswith("="):
+                _anchor(
+                    errors, stmt, "expected identifier after SETTINGS",
+                    istart, tracker,
+                )
+            elif "=" not in s_item:
+                _anchor(
+                    errors, stmt,
+                    f"expected = after setting key '{s_item}'",
+                    istart + len(s_item), tracker,
+                )
+            else:
+                key, val = s_item.split("=", 1)
+                if not _SETTING_KEY_RE.match(key.strip()):
+                    _anchor(
+                        errors, stmt, "expected identifier after SETTINGS",
+                        istart, tracker,
+                    )
+                elif not val.strip():
+                    _anchor(
+                        errors, stmt, "expected value after =",
+                        istart + s_item.index("=") + 1, tracker,
+                    )
+            item_off += len(item) + 1
+        return errors
+    # ADD COLUMN name type[, ADD COLUMN ...] — every invalid Iceberg type
+    # reports its own anchored error (same typed rejections as the
+    # CREATE TABLE collector above)
+    from ranger_spark.types import parse_type
+
+    action_off = head.end()
+    for action in body.split(","):
+        lead_ws = len(action) - len(action.lstrip())
+        am = re.match(
+            r"\s*ADD\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+?)\s*$", action, re.I | re.S
+        )
+        if am:
+            try:
+                parse_type(am.group(2).strip(), am.group(1))
+            except RangerError as e:
+                _anchor(
+                    errors, stmt, str(e),
+                    stmt_off + action_off + am.start(2), tracker,
+                )
+        action_off += len(action) + 1
+    return errors
+
+
+def _show_describe_errors(
+    stmt: str, stmt_off: int, tracker: PositionTracker
+) -> list[ScriptError]:
+    """Positioned argument errors for SHOW COLUMNS / SHOW CREATE TABLE /
+    SHOW TABLES FROM / DESCRIBE: a wrong linking keyword AND a malformed
+    table name each report their own anchor (the collector resyncs past
+    the first error instead of stopping, errors.go:189-204)."""
+    errors: list[ScriptError] = []
+    s = stmt.rstrip().rstrip(";")
+
+    def check_table_arg(arg_off: int) -> None:
+        arg = s[arg_off:].strip()
+        real_off = arg_off + (len(s[arg_off:]) - len(s[arg_off:].lstrip()))
+        if not arg:
+            _anchor(
+                errors, stmt, "expected table name", stmt_off + len(s), tracker
+            )
+            return
+        first = arg.split()[0]
+        if not _TABLE_IDENT_RE.match(first):
+            _anchor(
+                errors, stmt, f"invalid table name '{first}'",
+                stmt_off + real_off, tracker,
+            )
+        extra = arg[len(first):].strip()
+        if extra:
+            _anchor(
+                errors, stmt,
+                f"unexpected token '{extra.split()[0]}' after table name",
+                stmt_off + real_off + arg.index(extra, len(first)), tracker,
+            )
+
+    m = re.match(r"\s*SHOW\s+(COLUMNS|CREATE\s+TABLE)\s*", s, re.I)
+    if m:
+        if m.group(1).upper() == "COLUMNS":
+            lm = re.match(r"(FROM|IN)\s+", s[m.end():], re.I)
+            if lm:
+                check_table_arg(m.end() + lm.end())
+            else:
+                bad = s[m.end():].split()
+                _anchor(
+                    errors, stmt,
+                    "expected FROM or IN after SHOW COLUMNS",
+                    stmt_off + m.end(), tracker,
+                )
+                # resync: still validate the trailing table argument
+                if len(bad) >= 2:
+                    check_table_arg(s.index(bad[1], m.end()))
+        else:
+            check_table_arg(m.end())
+        return errors
+    m = re.match(r"\s*SHOW\s+TABLES\s+(FROM|IN)\s*", s, re.I)
+    if m:
+        check_table_arg(m.end())
+        return errors
+    m = re.match(r"\s*(?:DESCRIBE|DESC)\s+", s, re.I)
+    if m:
+        check_table_arg(m.end())
+        return errors
     return errors
 
 

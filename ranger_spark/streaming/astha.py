@@ -143,13 +143,26 @@ class CDCConsumer:
         self.store = store
         self._last_seen: dict[str, int] = {}
 
+    def _durable_tables(self) -> dict:
+        """The manifest as persisted by the catalog store — read fresh
+        each poll so commits from OTHER engines/processes sharing the
+        warehouse are seen (the reference's trigger-based CDC likewise
+        watches the shared SQLite registry, not one process's memory).
+        Read-only: the engine's in-memory ``_manifest`` is not touched
+        here — adopting foreign state is the schema-cache subscriber's
+        job, under the statement lock."""
+        try:
+            return self.engine.catalog_store.load()["tables"]
+        except Exception:  # store unreadable mid-write → retry next poll
+            return dict(self.engine._manifest["tables"])
+
     def monitored_tables(self) -> list[str]:
-        return sorted(self.engine._manifest["tables"])
+        return sorted(self._durable_tables())
 
     def poll_once(self) -> int:
         """One CDC pass; returns the number of events produced."""
         produced = 0
-        for name, entry in list(self.engine._manifest["tables"].items()):
+        for name, entry in list(self._durable_tables().items()):
             if not entry.get("versioned"):
                 continue
             vt = VersionedTable(entry["location"])
@@ -168,7 +181,7 @@ class CDCConsumer:
     def start_from_now(self) -> None:
         """Begin at the current head — existing history is not replayed
         (the reference's trigger-based log also only sees new writes)."""
-        for name, entry in self.engine._manifest["tables"].items():
+        for name, entry in self._durable_tables().items():
             if entry.get("versioned"):
                 self._last_seen[name] = VersionedTable(
                     entry["location"]
@@ -198,11 +211,15 @@ class Scheduler:
             self._instances.pop(name, None)
 
     def table_subscribers(self, table: str) -> list[str]:
+        # "*" subscribes to every monitored table (the schema cache's
+        # shape — it must track tables that did not exist when it
+        # registered)
         with self._mu:
             return sorted(
                 n
                 for n, c in self._components.items()
-                if table in c.subscriptions and c.status == "active"
+                if ("*" in c.subscriptions or table in c.subscriptions)
+                and c.status == "active"
             )
 
     def update_component_health(self, name: str, status: str) -> None:
@@ -331,3 +348,21 @@ class Astha:
 
     def get_monitored_tables(self) -> list[str]:
         return self.consumer.monitored_tables()
+
+
+def register_schema_cache(astha: "Astha", engine) -> None:
+    """Wire the engine's per-session schema/plan caches into Astha — the
+    reference's schema cache is an Astha subscriber, not an ad-hoc
+    refresh at each write site (server/storage/schema/
+    astha_subscriber.go:58-166). On every CDC event the engine re-reads
+    the durable manifest and re-points its catalog registration at the
+    table's current snapshot, so a commit from ANY writer (another
+    protocol server, another engine over the same warehouse, a
+    storage-level ingest job) invalidates this session's cached plans
+    event-driven — zero manual refresh."""
+    astha.register_component(
+        "schema-cache",
+        "1.0",
+        ["*"],
+        lambda ev: engine.refresh_table_registration(ev.table),
+    )

@@ -201,3 +201,80 @@ def test_gateway_forwards_native_middleware_options(engine):
             )
     finally:
         gw.shutdown()
+
+
+def test_astha_invalidates_plan_cache_across_protocols(engine):
+    """VERDICT r6 #8: the schema/plan cache is an Astha SUBSCRIBER
+    (reference: server/storage/schema/astha_subscriber.go:58-166), not
+    an ad-hoc refresh at write sites. Write via the native protocol,
+    then commit MORE data at the STORAGE level (as a foreign
+    engine/ingest process sharing the warehouse would — no Spark
+    catalog call, so the session's cached relation is genuinely stale);
+    an HTTP read must see the new rows with zero manual refresh."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ranger_spark.sources import native_server as ns
+    from ranger_spark.sources.snapshots import VersionedTable
+
+    gw = Gateway(engine, http_port=0, jdbc_port=None, native_port=0).start()
+    try:
+        assert gw.astha is not None  # CDC loop wired by default
+        engine.execute("CREATE DATABASE IF NOT EXISTS asthagw;")
+        engine.execute("DROP TABLE IF EXISTS asthagw.t;")
+        engine.execute("CREATE TABLE asthagw.t (id int32, name string);")
+        ports = gw.ports()
+        c = ns.NativeClient("127.0.0.1", ports["native"], database="asthagw")
+        c.insert("t", ["id", "name"], [("1", "a")])
+        c.ping()
+        c.close()
+
+        def http_ids():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{ports['http']}/query",
+                data=json.dumps(
+                    {"query": "SELECT id FROM asthagw.t ORDER BY id;"}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            body = json.loads(urllib.request.urlopen(req, timeout=30).read())
+            return sorted(int(r[0]) for r in body["data"])
+
+        # warm the cached relation over HTTP
+        assert http_ids() == [1]
+
+        # storage-level foreign append: new parquet file + manifest-chain
+        # commit, NO Spark/catalog interaction (the cached relation's
+        # file index does not include the new file)
+        entry = engine.catalog_store.load()["tables"]["asthagw.t"]
+        vt = VersionedTable(entry["location"])
+        data_dir = vt.snapshot_dir()
+        newf = os.path.join(data_dir, "foreign-append.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([2], pa.int32()),
+                    "name": pa.array(["b"], pa.string()),
+                }
+            ),
+            newf,
+        )
+        vt.commit(files=None, data_dir=data_dir, operation="append",
+                  added=[newf])
+
+        # the background CDC loop must deliver the event and refresh the
+        # engine's registration — no pump(), no manual refreshTable
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            if http_ids() == [1, 2]:
+                break
+            _time.sleep(0.1)
+        assert http_ids() == [1, 2]
+        assert gw.astha.get_scheduler_stats()["distributed"] >= 1
+    finally:
+        gw.shutdown()
+        engine.execute("DROP TABLE IF EXISTS asthagw.t;")
+        engine.spark.sql("DROP DATABASE IF EXISTS asthagw CASCADE")

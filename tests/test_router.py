@@ -189,6 +189,70 @@ def test_position_tracker_reference_semantics():
     assert multi.line_column(999) == (3, 9)  # clamps to end
 
 
+def test_multi_error_alter_settings_list():
+    """One bad ALTER reports EVERY invalid SETTINGS item with its own
+    position (reference messages, alter_table_test.go:34-51; collector
+    resync, error_recovery_test.go)."""
+    from ranger_spark.router import validate_script
+
+    errs = validate_script(
+        "ALTER TABLE t SETTINGS cache_enabled, batch_size=, =true;"
+    )
+    assert len(errs) == 3
+    msgs = [e.message for e in errs]
+    assert "expected = after setting key 'cache_enabled'" in msgs[0]
+    assert "expected value after =" in msgs[1]
+    assert "expected identifier after SETTINGS" in msgs[2]
+    # anchors are ordered and distinct
+    offs = [e.offset for e in errs]
+    assert offs == sorted(offs) and len(set(offs)) == 3
+    # a clean SETTINGS list reports nothing
+    assert validate_script("ALTER TABLE t SETTINGS a=1, b=true;") == []
+
+
+def test_multi_error_alter_add_column_types():
+    from ranger_spark.router import validate_script
+
+    errs = validate_script(
+        "ALTER TABLE t ADD COLUMN a varchar(9), ADD COLUMN b datetime;"
+    )
+    assert len(errs) == 2
+    assert "varchar" in errs[0].message and "datetime" in errs[1].message
+    assert errs[0].offset < errs[1].offset
+    assert validate_script("ALTER TABLE t ADD COLUMN a int32;") == []
+    errs = validate_script("ALTER TABLE ;")
+    assert len(errs) == 1 and "expected table name" in errs[0].message
+
+
+def test_multi_error_show_describe_args():
+    """One bad SHOW reports the wrong linking keyword AND the malformed
+    table name, each anchored (collector resyncs past the first)."""
+    from ranger_spark.router import validate_script
+
+    errs = validate_script("SHOW COLUMNS OF 9tbl;")
+    assert len(errs) == 2
+    assert "expected FROM or IN after SHOW COLUMNS" in errs[0].message
+    assert "invalid table name '9tbl'" in errs[1].message
+    assert errs[0].offset < errs[1].offset
+
+    errs = validate_script("SHOW CREATE TABLE 1bad extra;")
+    assert len(errs) == 2
+    assert "invalid table name '1bad'" in errs[0].message
+    assert "unexpected token 'extra'" in errs[1].message
+
+    errs = validate_script("DESCRIBE 7x;")
+    assert len(errs) == 1 and "invalid table name '7x'" in errs[0].message
+
+    errs = validate_script("SHOW TABLES FROM 5db;")
+    assert len(errs) == 1 and "invalid table name '5db'" in errs[0].message
+
+    # clean statements stay clean
+    assert validate_script("SHOW COLUMNS FROM db.t;") == []
+    assert validate_script("SHOW CREATE TABLE t;") == []
+    assert validate_script("DESCRIBE db.t;") == []
+    assert validate_script("SHOW TABLES;") == []
+
+
 def test_multi_error_within_one_statement():
     """The reference's error collector reports EVERY invalid column type
     in one CREATE TABLE with its own (line, column), resynchronizing at
