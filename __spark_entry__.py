@@ -30,6 +30,16 @@ from ranger_spark.queries import load_all  # noqa: E402
 _FRONT_R7 = (
     "multimodal_decode_stub",
     "text_feature_hash_vector",
+    # new in round 7 — never driver-certified, certify immediately
+    "grouping_sets_revenue",
+    "pivot_status_by_priority",
+    "unpivot_pricing_metrics",
+    "recursive_year_spine",
+    "dedup_canonical_pick",
+    "sample_temperature_mixture",
+    "export_shard_plan",
+    "events_gap_fill_interpolate",
+    "events_markov_transitions",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",
@@ -73,11 +83,6 @@ _FRONT_R7 = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "embedding_similar_pairs",
-    "embedding_stats",
-    "full_outer_join",
-    "left_outer_join",
-    "multimodal_decode_png",
 )
 
 

@@ -840,3 +840,141 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select(
         "user_id", "cnt", F.lit(True).alias("in_sketch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: gap-filled interpolation and Markov transition matrix.
+# ---------------------------------------------------------------------------
+@register(
+    "events_gap_fill_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(avg(value), 6) AS v
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.event_type, g.day
+      FROM (SELECT event_type, min(day) AS lo, max(day) AS hi
+            FROM daily GROUP BY 1) d,
+           LATERAL (SELECT unnest(generate_series(d.lo, d.hi,
+                                  INTERVAL 1 DAY)) AS day) g
+    ),
+    joined AS (
+      SELECT grid.event_type, grid.day, daily.v,
+             count(daily.v) OVER w AS seg
+      FROM grid LEFT JOIN daily
+        ON daily.event_type = grid.event_type AND daily.day = grid.day
+      WINDOW w AS (PARTITION BY grid.event_type ORDER BY grid.day
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    filled AS (
+      SELECT event_type, day, v, seg,
+             max(v) OVER (PARTITION BY event_type, seg) AS prev_v,
+             CAST(day AS DATE)
+               - CAST(min(day) OVER (PARTITION BY event_type, seg) AS DATE)
+               AS gap_pos
+      FROM joined
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed,
+           round(coalesce(v, prev_v), 6) AS value_filled,
+           CAST(gap_pos AS BIGINT) AS gap_pos
+    FROM filled
+    """,
+    tags=("timeseries", "gapfill"),
+)
+def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap filling: per event type, a day spine spans
+    min→max day (sequence(), not recursion — fixed granularity) and
+    missing days carry the last observed daily mean forward (LOCF),
+    tagged with observed flag and gap position. The forward fill is the
+    classic two-window trick (running count of non-nulls segments the
+    series; max within segment propagates the value) — O(rows) windows,
+    no self-join, no Python. The spine is |types|×|days| rows; the fact
+    table aggregates once."""
+    ev = events_with_ts(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    j = grid.join(daily, ["event_type", "day"], "left")
+    wseg = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = j.withColumn("seg", F.count("v").over(wseg))
+    wfill = Window.partitionBy("event_type", "seg")
+    return j.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("observed"),
+        F.round(
+            F.coalesce(F.col("v"), F.max("v").over(wfill)), 6
+        ).alias("value_filled"),
+        F.datediff(
+            F.col("day"), F.min("day").over(wfill)
+        ).cast("bigint").alias("gap_pos"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT src, dst, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6)
+             AS p
+    FROM trans
+    """,
+    tags=("analytics", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() pairs consecutive events (ts, event_id tiebreak),
+    one |types|² aggregate, row-normalized to probabilities. One
+    user_id shuffle for the window; the transition matrix is tiny at
+    any corpus size (|types|²)."""
+    ev = events_with_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = ordered.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return trans.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("src")).cast("double"),
+            6,
+        ).alias("p"),
+    )

@@ -914,6 +914,163 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           CAST(grouping(year(o_orderdate)) * 2
+                + grouping(o_orderstatus) AS BIGINT) AS gid,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                            (year(o_orderdate)), ())
+    """,
+    tags=("groupingsets",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id disambiguation — the
+    subtotal shapes CUBE/ROLLUP can't pick individually (exceeds the
+    reference's GROUP BY grammar, parser.go:4824). One pass, one
+    shuffle: Spark plans an Expand over the three sets."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderstatus,
+               CAST(grouping(year(o_orderdate)) * 2
+                    + grouping(o_orderstatus) AS BIGINT) AS gid,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                                (year(o_orderdate)), ())
+        """
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt,
+           round(coalesce(sum(o_totalprice)
+                 FILTER (WHERE o_orderstatus = 'F'), 0.0), 2) AS f_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("pivot",),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per priority, one column per order status (the
+    wide report shape; exceeds the reference grammar). Explicit pivot
+    values fix the output schema without a distinct-scan job, and the
+    plan is a single hash aggregate — pivot is not N passes."""
+    p = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("P_cnt").alias("p_cnt"),
+        F.coalesce(F.col("F_total"), F.lit(0.0)).alias("f_total"),
+    )
+
+
+@register(
+    "unpivot_pricing_metrics",
+    oracle="""
+    WITH w AS (
+      SELECT l_linestatus,
+             round(sum(l_quantity), 2)       AS sum_qty,
+             round(sum(l_extendedprice), 2)  AS sum_price,
+             round(sum(l_discount), 2)       AS sum_disc
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, metric, value FROM (
+      SELECT l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM w
+      UNION ALL
+      SELECT l_linestatus, 'sum_price', sum_price FROM w
+      UNION ALL
+      SELECT l_linestatus, 'sum_disc', sum_disc FROM w
+    )
+    """,
+    tags=("unpivot",),
+)
+def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-status aggregate columns melt into
+    (metric, value) rows — the report-to-fact normalization DuckDB
+    spells as UNION ALL. Melt happens AFTER the aggregate, so only
+    |status|×3 rows reshape, never the fact table."""
+    w = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        )
+    )
+    return w.unpivot(
+        ["l_linestatus"], ["sum_qty", "sum_price", "sum_disc"],
+        "metric", "value",
+    )
+
+
+@register(
+    "recursive_year_spine",
+    oracle="""
+    WITH RECURSIVE spine(y) AS (
+      SELECT CAST(year(min(o_orderdate)) AS INTEGER) FROM orders
+      UNION ALL
+      SELECT y + 1 FROM spine
+      WHERE y < (SELECT CAST(year(max(o_orderdate)) AS INTEGER)
+                 FROM orders)
+    )
+    SELECT y AS order_year, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+    FROM spine LEFT JOIN (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS oy, count(*) AS cnt
+      FROM orders GROUP BY 1
+    ) o ON o.oy = spine.y
+    """,
+    tags=("recursive",),
+)
+def recursive_year_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE year spine (Spark 4 recursive CTE) left-joined to
+    per-year order counts — gap years appear with cnt=0, which a plain
+    GROUP BY can never produce. Termination is data-driven (min→max
+    orderdate), not a hardcoded bound. Each recursion step is a Spark
+    job, so the spine recurses over YEARS (~7 steps), not months/days —
+    dense-grid fills at day granularity use sequence() instead
+    (events_gap_fill shape); recursion is for data-dependent depth."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(y) AS (
+          SELECT CAST(year(min(o_orderdate)) AS INT) FROM orders
+          UNION ALL
+          SELECT y + 1 FROM spine
+          WHERE y < (SELECT CAST(year(max(o_orderdate)) AS INT)
+                     FROM orders)
+        )
+        SELECT y AS order_year, CAST(coalesce(cnt, 0) AS BIGINT) AS cnt
+        FROM spine LEFT JOIN (
+          SELECT CAST(year(o_orderdate) AS INT) AS oy, count(*) AS cnt
+          FROM orders GROUP BY 1
+        ) o ON o.oy = spine.y
+        """
+    )
+
+
+@register(
     "listagg_types_per_brand",
     oracle="""
     WITH bt AS (SELECT DISTINCT p_brand, p_type FROM part)

@@ -2770,3 +2770,244 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     imgs = d.select("doc_id", payload.alias("payload"))
     return decode_image_headers(imgs, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 pipeline additions: canonical-doc selection, temperature mixture,
+# token-budget shard planning.
+# ---------------------------------------------------------------------------
+_CC_EDGES_SQL = f"""
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b
+      FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+      WHERE {{cos}} >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ),
+    assign AS (
+      SELECT n.id, least(n.id, min(r.dst)) AS cluster_rep
+      FROM nodes n JOIN reach r ON r.src = n.id
+      GROUP BY n.id
+    )
+"""
+
+
+@register(
+    "dedup_canonical_pick",
+    oracle="WITH RECURSIVE "
+    + _CC_EDGES_SQL.format(cos=_COS_SQL)
+    + """
+    SELECT a.cluster_rep,
+           CAST(min(d.doc_id) FILTER (WHERE d.n_chars = mx.max_chars)
+                AS BIGINT) AS canonical_id,
+           count(*) AS n_members,
+           mx.max_chars
+    FROM assign a
+    JOIN documents d ON d.doc_id = a.id
+    JOIN (
+      SELECT a2.cluster_rep, max(d2.n_chars) AS max_chars
+      FROM assign a2 JOIN documents d2 ON d2.doc_id = a2.id
+      GROUP BY a2.cluster_rep
+    ) mx ON mx.cluster_rep = a.cluster_rep
+    GROUP BY a.cluster_rep, mx.max_chars
+    """,
+    tags=("dedup", "graph", "quality"),
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after near-dup clustering, keep ONE
+    representative per cluster — the longest member (n_chars, doc_id
+    tiebreak), i.e. quality-based survivor choice rather than min-id.
+    This is the step that turns dedup output into a training corpus:
+    cluster assignment (iterative CC) joined back to document metadata,
+    one windowed pick per cluster. Shuffles: the CC rounds (bounded) +
+    one cluster_rep exchange of |clustered docs| rows."""
+    from pyspark.sql import Window
+
+    from ranger_spark.operators.dedup import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = S.similar_pairs_blocked(e, threshold=0.3).select("id_a", "id_b")
+    assign = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars")
+    )
+    members = assign.join(docs, assign["id"] == docs["doc_id"]).select(
+        "cluster_rep", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .groupBy("cluster_rep")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias(
+                "canonical_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH src AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_docs,
+             pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER () AS w
+      FROM src
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT w.source, w.n_docs,
+           round(w.w, 6) AS weight,
+           CAST(floor(w.w * 200 + 0.5) AS BIGINT) AS n_target,
+           CAST(count(*) FILTER (
+             WHERE r.rn <= CAST(floor(w.w * 200 + 0.5) AS BIGINT)
+           ) AS BIGINT) AS n_kept,
+           CAST(min(CASE WHEN r.rn = 1 THEN r.doc_id END) AS BIGINT)
+             AS first_pick
+    FROM wts w JOIN ranked r ON r.source = w.source
+    GROUP BY w.source, w.n_docs, w.w
+    """,
+    tags=("sampling", "mixture"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture (the multilingual-LM sampling
+    rule, alpha=0.5: weight ∝ count^alpha): per-source target counts
+    from the tempered distribution, then DETERMINISTIC selection by md5
+    rank within each source — re-running the pipeline re-picks the same
+    docs (no rand()). Scale shape: one groupBy(source) for weights
+    (|sources| rows broadcast back), one window rank per source
+    partition; the fact table is touched once."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = src.withColumn(
+        "w",
+        F.pow(F.col("n_docs"), 0.5)
+        / F.sum(F.pow(F.col("n_docs"), 0.5)).over(
+            Window.partitionBy(F.lit(1))
+        ),
+    ).withColumn(
+        "n_target", F.floor(F.col("w") * 200 + 0.5).cast("bigint")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(wts), "source")
+        .groupBy("source", "n_docs", "w", "n_target")
+        .agg(
+            F.count(F.when(F.col("rn") <= F.col("n_target"), 1)).alias(
+                "n_kept"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("first_pick"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round("w", 6).alias("weight"),
+            "n_target",
+            "n_kept",
+            "first_pick",
+        )
+    )
+
+
+@register(
+    "export_shard_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM toks
+    ),
+    sharded AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(floor((cum_tokens - n_tokens) / 500.0) AS BIGINT)
+               AS shard_id
+      FROM cum
+    )
+    SELECT source, shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM sharded GROUP BY source, shard_id
+    """,
+    tags=("export", "sink"),
+)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment — the planning half of a training-
+    data JSONL export: per source, docs in stable (doc_id) order are
+    packed into ~500-token shards by cumulative token count; a shard
+    boundary is where the RUNNING total crosses a budget multiple
+    (greedy, deterministic, no shuffling of text — only (source, doc_id,
+    n_tokens) triples move). The write half (operators/export.py) takes
+    this plan and streams each shard to its own file; at 100 TB the
+    window runs per source partition and the plan is O(docs) narrow
+    rows."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        T.token_count(T.normalize_text(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sharded = toks.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(500.0)
+        ).cast("bigint"),
+    )
+    return sharded.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
