@@ -40,6 +40,7 @@ _FRONT_R7 = (
     "export_shard_plan",
     "events_gap_fill_interpolate",
     "events_markov_transitions",
+    "multimodal_warc_records",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -368,7 +368,7 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
             (r["vec_id"], r["embedding"]) for r in qdf.collect()
         ]  # arrives driver-side in real serving — not timed
         t0 = time.time()
-        ivf_search(idx, qdf, k=10, nprobe=3).collect()
+        ivf_search(idx, qlocal, k=10, nprobe=3).collect()
         ivf_lat.append(time.time() - t0)
         t0 = time.time()
         brute_force_topk(qlocal, corpus, k=10).collect()

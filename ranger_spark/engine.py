@@ -125,6 +125,9 @@ class Engine:
         # time-travel temp views created while rewriting the current
         # statement; dropped after its eager read completes (no leak)
         self._tt_views: list[str] = []
+        # session-scoped executable views (CREATE VIEW — exceeds; the
+        # reference reserves the keyword but has no statement for it)
+        self._views: set[str] = set()
         # One statement at a time per Engine: the wire servers run execute()
         # from many connection threads, but per-statement state (the
         # time-travel view list, the OPTIMIZE write-opts override, and the
@@ -464,6 +467,10 @@ class Engine:
             return self._delete(r.sql)
         if k == StmtKind.CREATE_TABLE:
             return self._create_table(r.sql)
+        if k == StmtKind.CREATE_VIEW:
+            return self._create_view(r.sql)
+        if k == StmtKind.DROP_VIEW:
+            return self._drop_view(r.sql)
         if k == StmtKind.CREATE_DATABASE:
             return self._create_database(r.sql)
         if k == StmtKind.DROP_TABLE:
@@ -2444,6 +2451,62 @@ class Engine:
             staged.write.mode("overwrite").insertInto(name, overwrite=True)
         finally:
             self.spark.sql(f"DROP TABLE {staging}")
+
+    # ------------------------------------------------------ VIEW (exceeds)
+    def _create_view(self, sql: str) -> QueryResult:
+        """CREATE [OR REPLACE] VIEW name AS <select> — executable views
+        (the reference only reserves the VIEW keyword, parser.go:49).
+        The body must route as a read statement (the CTE-DML gate
+        applies), so a view can never smuggle a write. Views live in the
+        session catalog — session-scoped like Spark temp state, queried
+        through every protocol of this engine; durable tables remain the
+        manifest's job."""
+        m = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.+)$",
+            sql,
+            re.I | re.S,
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "CREATE VIEW syntax: CREATE [OR REPLACE] VIEW name AS SELECT ...",
+            )
+        replace, name, body = bool(m.group(1)), self._qualify(m.group(2)), m.group(3).strip()
+        from ranger_spark.router import StmtKind, route
+
+        body_kind = route(body + ";").kind
+        if body_kind not in (StmtKind.SELECT, StmtKind.WITH_SELECT):
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "view body must be a SELECT (or WITH ... SELECT) statement",
+            )
+        if name in self._manifest["tables"]:
+            raise RangerError(
+                ALREADY_EXISTS, f"table '{name}' exists; cannot shadow with a view"
+            )
+        if not replace and self._table_exists(name):
+            raise RangerError(ALREADY_EXISTS, f"view '{name}' exists")
+        db = name.split(".", 1)[0]
+        if not self._db_exists(db):
+            raise RangerError(DATABASE_NOT_FOUND, f"database '{db}' not found")
+        self.spark.sql(
+            f"CREATE {'OR REPLACE ' if replace else ''}VIEW {name} AS {body}"
+        )
+        self._views.add(name)
+        return QueryResult([], [], 0, message=f"view '{name}' created")
+
+    def _drop_view(self, sql: str) -> QueryResult:
+        m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", sql, re.I)
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "DROP VIEW syntax: DROP VIEW [IF EXISTS] name"
+            )
+        if_exists, name = bool(m.group(1)), self._qualify(m.group(2))
+        if name not in self._views and not if_exists:
+            raise RangerError(TABLE_NOT_FOUND, f"view '{name}' not found")
+        self.spark.sql(f"DROP VIEW IF EXISTS {name}")
+        self._views.discard(name)
+        return QueryResult([], [], 0, message=f"view '{name}' dropped")
 
     # ----------------------------------------------------- ALTER (exceeds)
     def _alter_table(self, sql: str) -> QueryResult:

@@ -642,7 +642,7 @@ def build_ivf_index(
 
 def ivf_search(
     index: dict[str, DataFrame],
-    queries: DataFrame,
+    queries,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
@@ -651,7 +651,21 @@ def ivf_search(
     """Probe a prebuilt IVF index: nprobe nearest cells per query by
     centroid cosine, then score only those cells' members. Identical
     semantics to ivf_topk_kmeans's search phase — the clustering cost is
-    paid once at build time, not per batch."""
+    paid once at build time, not per batch.
+
+    ``queries`` may be a DataFrame (distributed probe: window-ranked
+    cells, broadcast probes into the cell join) or a driver-side
+    sequence of ``(id, vector)`` pairs — the ANN-serving shape. The
+    local path picks probe cells on the driver against the centroid
+    matrix (collected ONCE per index, cached on the index dict), prunes
+    the assignments scan to those cells, and runs one Arrow partial-
+    top-k kernel with a bounded driver merge — a single job per batch
+    instead of the probe window + join + rank chain (same fuse as
+    brute_force_topk; r6 verdict item 7)."""
+    if not isinstance(queries, DataFrame):
+        return _ivf_search_local(
+            index, [(r[0], r[1]) for r in queries], id_col, k, nprobe
+        )
     cents, assigned = index["centroids"], index["assignments"]
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
@@ -693,6 +707,129 @@ def ivf_search(
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
     )
+
+
+def _ivf_search_local(
+    index: dict, qpairs: list, id_col: str, k: int, nprobe: int
+) -> DataFrame:
+    """Driver-local-queries IVF probe (see ivf_search docstring).
+    Semantics byte-match the distributed path: probe cells by
+    round(cos,6) desc / cell asc; member scores round(cos,6); rank by
+    cos desc / id asc; self-id excluded."""
+    cached = index.get("_cents_np")
+    if cached is None:
+        rows = index["centroids"].select("cell", "centroid").collect()
+        cells = np.array([r["cell"] for r in rows])
+        C = np.stack(
+            [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+        )
+        cached = (cells, C, np.sqrt(np.einsum("ij,ij->i", C, C)))
+        index["_cents_np"] = cached
+    cell_ids, C_mat, cn = cached
+    assigned = index["assignments"]
+    spark = assigned.sparkSession
+    id_field = assigned.schema[id_col].dataType
+
+    qids = np.array([int(q[0]) for q in qpairs])
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in qpairs])
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    # same float shape as the distributed probe: dot / (|q|·|c|), 6dp
+    sims = np.round((Q @ C_mat.T) / (qn[:, None] * cn[None, :]), 6)
+    # per query: nprobe cells by (sim desc, cell asc)
+    probe_cells: dict[int, set] = {}
+    for qi in range(len(qids)):
+        order = np.lexsort((cell_ids, -sims[qi]))[:nprobe]
+        probe_cells[qi] = set(int(cell_ids[j]) for j in order)
+    all_cells = sorted(set().union(*probe_cells.values()))
+
+    b_qids = qids
+    b_Q = Q
+    b_qn = qn
+    b_probes = {int(qids[qi]): probe_cells[qi] for qi in range(len(qids))}
+    out_schema = StructType(
+        [
+            StructField("q_id", id_field),
+            StructField(id_col, id_field),
+            StructField("cos_sim", _pst.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            M = np.stack(pdf["c_vec"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            norms = pdf["c_norm"].to_numpy().astype(np.float64)
+            sims_b = np.round(
+                (b_Q @ M.T) / (b_qn[:, None] * norms[None, :]), 6
+            )
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(b_qids)):
+                qid = int(b_qids[qi])
+                want = b_probes[qid]
+                keep = np.nonzero(
+                    np.fromiter(
+                        (int(c) in want for c in cells), bool, len(cells)
+                    )
+                    & (ids != qid)
+                )[0]
+                if not len(keep):
+                    continue
+                s = sims_b[qi, keep]
+                order = np.lexsort((ids[keep], -s))[:k]
+                sel = keep[order]
+                out_q.append(np.full(len(sel), qid))
+                out_c.append(ids[sel])
+                out_s.append(sims_b[qi, sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_c),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    src = assigned.filter(F.col("cell").isin(all_cells)).select(
+        id_col, "c_vec", "c_norm", "cell"
+    )
+    assign_pd = index.get("_assign_pd")
+    if assign_pd is None and _plan_size_bytes(assigned) <= (
+        ARROW_KERNEL_MIN_CORPUS_BYTES
+    ):
+        # small index: pin the assignments driver-side ONCE (the way a
+        # vector store serves — load the index, then every batch is
+        # pure in-memory math). One JVM Arrow pull, no Python workers.
+        assign_pd = assigned.select(
+            id_col, "c_vec", "c_norm", "cell"
+        ).toArrow().to_pandas()
+        index["_assign_pd"] = assign_pd
+    if assign_pd is not None:
+        subset = assign_pd[assign_pd["cell"].isin(all_cells)]
+        rows = [
+            tuple(r)
+            for part in run([subset])
+            for r in part.itertuples(index=False)
+        ]
+    else:
+        rows = src.mapInPandas(run, out_schema).collect()
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                out_schema.fields + [StructField("rank", _pst.IntegerType())]
+            ),
+        )
+    pdf = pd.DataFrame(rows, columns=["q_id", id_col, "cos_sim"]).sort_values(
+        ["q_id", "cos_sim", id_col], ascending=[True, False, True]
+    )
+    pdf["rank"] = pdf.groupby("q_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= k]
+    return _emit_topk_local(spark, pdf, id_col, id_field)
 
 
 def quantize_int8(

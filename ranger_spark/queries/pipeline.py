@@ -3011,3 +3011,74 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "multimodal_warc_records",
+    oracle="""
+    SELECT doc_id, 0 AS rec_index, 'warcinfo' AS rec_type,
+           CAST(29 AS BIGINT) AS content_length,
+           md5('software: ranger-spark-bench' || chr(10)) AS payload_md5,
+           4 AS header_count
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'response',
+           CAST(length(text) AS BIGINT),
+           md5(text),
+           5
+    FROM documents
+    """,
+    tags=("multimodal", "warc"),
+)
+def multimodal_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC container walk (ISO 28500 — the Common Crawl format): each
+    doc becomes a deterministic two-record archive (warcinfo + response,
+    exact CRLF framing and Content-Length built in-plan), and
+    operators/warc.py walks the raw bytes back out in an Arrow-batched
+    mapInPandas. The oracle computes every extracted field from ground
+    truth instead of parsing — a wrong header walk, off-by-one payload
+    slice, or missed record separator fails the hash. At 100 TB the
+    synth side is replaced by a binaryFile scan of real archives; the
+    parser is unchanged."""
+    from ranger_spark.operators.warc import parse_warc_records
+
+    d = load(spark, sf_dir, "documents")
+    info_payload = "software: ranger-spark-bench"  # 28 chars + LF = 29
+    crlf = "\r\n"
+    warcinfo = F.lit(
+        "WARC/1.0" + crlf
+        + "WARC-Type: warcinfo" + crlf
+        + "WARC-Record-ID: <urn:uuid:info>" + crlf
+        + "WARC-Date: 2024-01-01T00:00:00Z" + crlf
+        + f"Content-Length: {len(info_payload) + 1}" + crlf
+        + crlf
+        + info_payload + "\n"
+        + crlf + crlf
+    )
+    response = F.concat(
+        F.lit(
+            "WARC/1.0" + crlf
+            + "WARC-Type: response" + crlf
+        ),
+        F.concat(
+            F.lit("WARC-Record-ID: <urn:uuid:"),
+            F.col("doc_id").cast("string"),
+            F.lit(">" + crlf),
+        ),
+        F.lit("WARC-Date: 2024-01-01T00:00:00Z" + crlf),
+        F.lit("WARC-Target-URI: https://example.com/" ),
+        F.col("doc_id").cast("string"),
+        F.lit(crlf),
+        F.concat(
+            F.lit("Content-Length: "),
+            F.length("text").cast("string"),
+            F.lit(crlf + crlf),
+        ),
+        F.col("text"),
+        F.lit(crlf + crlf),
+    )
+    archives = d.select(
+        "doc_id",
+        F.concat(warcinfo, response).cast("binary").alias("warc"),
+    )
+    return parse_warc_records(archives, "doc_id", "warc")

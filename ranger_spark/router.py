@@ -43,6 +43,8 @@ class StmtKind(Enum):
     EXPLAIN = "explain"
     CREATE_TABLE = "create_table"
     CREATE_DATABASE = "create_database"
+    CREATE_VIEW = "create_view"  # exceeds (reference reserves the keyword)
+    DROP_VIEW = "drop_view"
     DROP_TABLE = "drop_table"
     DROP_DATABASE = "drop_database"
     USE = "use"
@@ -647,6 +649,20 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.EXPLAIN, s)
     if m("CREATE TABLE"):
         return Routed(StmtKind.CREATE_TABLE, s)
+    if m("CREATE VIEW") or m("CREATE OR REPLACE VIEW"):
+        # exceeds: the reference reserves VIEW (parser.go:49) but has no
+        # CREATE VIEW statement; executable session-scoped views here
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "unsupported statement type: CREATE VIEW"
+            )
+        return Routed(StmtKind.CREATE_VIEW, s)
+    if m("DROP VIEW"):
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "unsupported statement type: DROP VIEW"
+            )
+        return Routed(StmtKind.DROP_VIEW, s)
     if m("CREATE DATABASE") or m("CREATE NAMESPACE") or m("CREATE SCHEMA"):
         return Routed(StmtKind.CREATE_DATABASE, s)
     if m("DROP TABLE"):

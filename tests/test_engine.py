@@ -977,3 +977,57 @@ def test_kill_query_statement(engine):
     done.wait(timeout=60)
     with pytest.raises(RangerError, match="not running"):
         engine.execute(f"KILL '{qid}';")  # already finished
+
+
+def test_create_and_drop_view(engine):
+    """Executable session-scoped views (the reference reserves VIEW but
+    has no statement; exceeds). Views read through every statement path,
+    never shadow tables, and the body passes the read-only gate."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS vdb;")
+    engine.execute("DROP TABLE IF EXISTS vdb.base;")
+    engine.execute("CREATE TABLE vdb.base (id int32, v float64);")
+    engine.execute(
+        "INSERT INTO vdb.base (id, v) VALUES (1, 1.5), (2, 2.5), (3, 9.0);"
+    )
+    r = engine.execute(
+        "CREATE VIEW vdb.big AS SELECT id, v FROM vdb.base WHERE v > 2;"
+    )
+    assert "created" in r.message
+    assert engine.execute(
+        "SELECT id FROM vdb.big ORDER BY id;"
+    ).rows == [(2,), (3,)]
+    # view visible in SHOW TABLES alongside the base table
+    names = [t for _, t in engine.execute("SHOW TABLES FROM vdb;").rows]
+    assert "big" in names and "base" in names
+    # duplicate rejected; OR REPLACE allowed; table names can't be shadowed
+    with pytest.raises(RangerError, match="exists"):
+        engine.execute("CREATE VIEW vdb.big AS SELECT 1;")
+    engine.execute(
+        "CREATE OR REPLACE VIEW vdb.big AS SELECT id FROM vdb.base WHERE v > 8;"
+    )
+    assert engine.execute("SELECT id FROM vdb.big;").rows == [(3,)]
+    with pytest.raises(RangerError, match="shadow"):
+        engine.execute("CREATE VIEW vdb.base AS SELECT 1;")
+    # body must be a read statement — CTE-DML and non-SELECT rejected
+    with pytest.raises(RangerError):
+        engine.execute(
+            "CREATE VIEW vdb.bad AS WITH x AS (SELECT 1 AS id) "
+            "INSERT INTO vdb.base SELECT id, 0.0 FROM x;"
+        )
+    # drop semantics
+    engine.execute("DROP VIEW vdb.big;")
+    with pytest.raises(RangerError, match="not found"):
+        engine.execute("DROP VIEW vdb.big;")
+    engine.execute("DROP VIEW IF EXISTS vdb.big;")  # idempotent with gate
+    engine.execute("DROP TABLE vdb.base;")
+    engine.spark.sql("DROP DATABASE IF EXISTS vdb CASCADE")
+
+
+def test_view_rejected_in_strict_gate(spark):
+    from ranger_spark.engine import Engine
+
+    strict = Engine(spark, strict_gate=True)
+    with pytest.raises(RangerError, match="CREATE VIEW"):
+        strict.execute("CREATE VIEW v AS SELECT 1;")
+    with pytest.raises(RangerError, match="DROP VIEW"):
+        strict.execute("DROP VIEW v;")

@@ -786,3 +786,45 @@ def test_parse_mp4_meta_box_walk():
     assert parse_mp4_meta(_synth_mp4()[:20]) is None
     assert parse_mp4_meta(b"\x00\x00\x00\x08mdat") is None
     assert parse_mp4_meta(_synth_mp4(timescale=0)) is None
+
+
+# ----------------------------------------------------------------- WARC
+def _rec(rtype: str, payload: bytes, extra: str = "") -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\n{extra}"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def test_warc_parse_multi_record_and_gzip():
+    import gzip
+    import hashlib
+
+    from ranger_spark.operators.warc import parse_warc_bytes
+
+    buf = _rec("warcinfo", b"x: 1\n") + _rec("response", b"hello world")
+    recs = parse_warc_bytes(buf)
+    assert [r["rec_type"] for r in recs] == ["warcinfo", "response"]
+    assert recs[1]["content_length"] == 11
+    assert recs[1]["payload_md5"] == hashlib.md5(b"hello world").hexdigest()
+    # gzip'd archive transparently inflated
+    assert parse_warc_bytes(gzip.compress(buf)) == recs
+    # payload bytes containing CRLFCRLF must NOT split the record
+    tricky = _rec("response", b"a\r\n\r\nb")
+    (r,) = parse_warc_bytes(tricky)
+    assert r["content_length"] == 6
+
+
+def test_warc_parse_errors():
+    import pytest as _pytest
+
+    from ranger_spark.operators.warc import parse_warc_bytes
+
+    with _pytest.raises(ValueError, match="version line"):
+        parse_warc_bytes(b"NOTWARC/1.0\r\n\r\n")
+    trunc = _rec("response", b"full payload")[:-10]
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_warc_bytes(trunc)
+    with _pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")

@@ -949,3 +949,34 @@ def test_ivf_index_build_once_serve_many(spark):
     top = {(x.q_id, x.rank): (x.vec_id, x.cos_sim) for x in r}
     assert top[(0, 1)][0] == 1_000_000 and top[(0, 1)][1] == 1.0
     assert top[(1, 1)][0] == 1_000_001 and top[(1, 1)][1] == 1.0
+
+
+def test_ivf_search_local_queries_parity(spark):
+    """Driver-local query pairs (the serving shape) return EXACTLY the
+    distributed ivf_search rows, with the pinned-index fast path
+    engaged; the pinned copy invalidates nothing — a fresh index dict
+    serves fresh data."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark.operators.similarity import build_ivf_index, ivf_search
+    from ranger_spark.tables import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    idx = {
+        k: v.localCheckpoint()
+        for k, v in build_ivf_index(e, nlist=8, iters=3).items()
+    }
+    qdf = e.filter(F.col("vec_id") < 4)
+    qlocal = [(r["vec_id"], r["embedding"]) for r in qdf.collect()]
+    a = sorted(map(tuple, ivf_search(idx, qdf, k=5, nprobe=3).collect()))
+    b = sorted(map(tuple, ivf_search(idx, qlocal, k=5, nprobe=3).collect()))
+    assert a == b and len(a) > 0
+    # second batch reuses the pinned centroid/assignment copies
+    assert "_cents_np" in idx
+    q2 = [(r["vec_id"], r["embedding"]) for r in
+          e.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 6)).collect()]
+    a2 = sorted(map(tuple, ivf_search(
+        idx, e.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 6)),
+        k=5, nprobe=3).collect()))
+    b2 = sorted(map(tuple, ivf_search(idx, q2, k=5, nprobe=3).collect()))
+    assert a2 == b2
