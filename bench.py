@@ -354,7 +354,8 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
     idx = build_ivf_index(corpus, nlist=16, iters=3)
     idx = {k: v.cache() for k, v in idx.items()}
     for v in idx.values():
-        v.count()  # materialize: serving must not re-cluster per batch
+        if hasattr(v, "count"):
+            v.count()  # materialize: serving must not re-cluster per batch
     build_s = round(time.time() - t0, 3)
 
     n_batches, batch_q = 8, 5
@@ -383,7 +384,10 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
         }
 
     for v in idx.values():
-        v.unpersist()
+        # ivf_search pins driver-side copies (_cents_np/_assign_pd) on
+        # the index dict — only Spark DataFrames unpersist
+        if hasattr(v, "unpersist"):
+            v.unpersist()
     return {
         "index_build_s": build_s,
         "batches": n_batches,

@@ -26,12 +26,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Catalyst-estimated pruned-input bytes above which the distributed plan
-# is kept. 256 MB pulls in well under a second on this box and is driver
-# -memory-safe by orders of magnitude; a real cluster-scale input never
-# fits (the 64× bench replica of a pruned fact scan sits right at the
-# boundary — by design, so the bench exercises both regimes).
-ARROW_LOCAL_MAX_BYTES = 256 << 20
+# Pruned-input bytes above which the distributed plan is kept. The
+# bound is set by DRIVER COMPUTE, not pull cost: measured on the 16×
+# bench replica, a 173 MB six-column aggregate ran 3.5× slower on the
+# driver than the 32-way hash aggregate (r7 bench), while a 43 MB
+# two-column one still won — 128 MB keeps every win and sheds the
+# regression. A real cluster-scale input never fits regardless.
+ARROW_LOCAL_MAX_BYTES = 128 << 20
 
 
 def plan_size_bytes(df: DataFrame) -> int:

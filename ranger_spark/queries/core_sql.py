@@ -681,22 +681,30 @@ def agg_minmax_countd(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
 
     def _local(tbl) -> list[tuple]:
-        pdf = tbl.to_pandas()
-        g = pdf.groupby("l_linestatus", sort=True)
-        out = []
-        for status, grp in g:
-            out.append(
-                (
-                    str(status),
-                    float(grp["l_quantity"].min()),
-                    float(grp["l_extendedprice"].max()),
-                    int(grp["l_linenumber"].sum()),
-                    int(grp["l_suppkey"].nunique()),
-                    float(grp["l_tax"].sum()),
-                    int(len(grp)),
-                )
+        # pyarrow C++ group_by (multi-threaded) — pandas nunique on the
+        # same input measured 3-4× slower at replica scales
+        g = tbl.group_by(["l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "min"),
+                ("l_extendedprice", "max"),
+                ("l_linenumber", "sum"),
+                ("l_suppkey", "count_distinct"),
+                ("l_tax", "sum"),
+                ("l_tax", "count"),
+            ]
+        )
+        return [
+            (
+                str(r["l_linestatus"]),
+                float(r["l_quantity_min"]),
+                float(r["l_extendedprice_max"]),
+                int(r["l_linenumber_sum"]),
+                int(r["l_suppkey_count_distinct"]),
+                float(r["l_tax_sum"]),
+                int(r["l_tax_count"]),
             )
-        return out
+            for r in g.to_pylist()
+        ]
 
     fast = fastpath.local_parquet_agg(
         spark,

@@ -335,3 +335,39 @@ def test_gopher_metric_bounds(parts):
     ) / len(lines)
     for v in (alpha, bullet, ell):
         assert 0.0 <= v <= 1.0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "warcinfo", "metadata"]),
+            st.binary(max_size=512),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_warc_roundtrip_property(records):
+    """Any record sequence synthesized per ISO 28500 framing parses back
+    with exact types, lengths, and payload digests — including payloads
+    that CONTAIN the record separator bytes (Content-Length framing must
+    win over delimiter scanning)."""
+    import hashlib
+
+    from ranger_spark.operators.warc import parse_warc_bytes
+
+    buf = b"".join(
+        (
+            f"WARC/1.0\r\nWARC-Type: {t}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i}>\r\n"
+            f"Content-Length: {len(p)}\r\n\r\n"
+        ).encode() + p + b"\r\n\r\n"
+        for i, (t, p) in enumerate(records)
+    )
+    parsed = parse_warc_bytes(buf)
+    assert len(parsed) == len(records)
+    for r, (t, p) in zip(parsed, records):
+        assert r["rec_type"] == t
+        assert r["content_length"] == len(p)
+        assert r["payload_md5"] == hashlib.md5(p).hexdigest()
