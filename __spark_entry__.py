@@ -41,6 +41,8 @@ _FRONT_R7 = (
     "events_gap_fill_interpolate",
     "events_markov_transitions",
     "multimodal_warc_records",
+    "orders_price_histogram",
+    "embedding_label_centroids",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -164,7 +164,12 @@ class LakehouseClient:
     COPY), so the reference's import cannot actually succeed. Here the
     import is expressed as statements the engine executes:
     ``CREATE TABLE … AS SELECT`` / ``INSERT … SELECT`` over Spark's
-    ``parquet.`path``` relation — distributed, no driver materialization.
+    ``parquet.`path``` relation — distributed, no driver
+    materialization. (Since round 7 the engine ALSO executes the
+    reference client's literal ``COPY … FROM/TO`` statement — see
+    engine._copy_from — so an unmodified reference client's import
+    succeeds against this server; import_file keeps the
+    auto-create-table convenience.)
     """
 
     def __init__(self, transport):

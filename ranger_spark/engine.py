@@ -471,6 +471,10 @@ class Engine:
             return self._create_view(r.sql)
         if k == StmtKind.DROP_VIEW:
             return self._drop_view(r.sql)
+        if k == StmtKind.COPY_FROM:
+            return self._copy_from(r.sql)
+        if k == StmtKind.COPY_TO:
+            return self._copy_to(r.sql)
         if k == StmtKind.CREATE_DATABASE:
             return self._create_database(r.sql)
         if k == StmtKind.DROP_TABLE:
@@ -2451,6 +2455,97 @@ class Engine:
             staged.write.mode("overwrite").insertInto(name, overwrite=True)
         finally:
             self.spark.sql(f"DROP TABLE {staging}")
+
+    # ------------------------------------------------------ COPY (exceeds)
+    _COPY_FORMATS = {"parquet", "csv", "json", "jsonl"}
+
+    def _parse_copy(self, sql: str, direction: str):
+        m = re.match(
+            rf"COPY\s+([\w.]+)\s+{direction}\s+'([^']+)'\s*"
+            r"(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$",
+            sql,
+            re.I,
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"COPY syntax: COPY table {direction} 'path' (FORMAT fmt)",
+            )
+        name = self._qualify(m.group(1))
+        path = m.group(2)
+        fmt = (m.group(3) or "parquet").lower()
+        if fmt not in self._COPY_FORMATS:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"COPY FORMAT {fmt!r} not supported "
+                f"(one of {sorted(self._COPY_FORMATS)})",
+            )
+        return name, path, "json" if fmt == "jsonl" else fmt
+
+    def _copy_from(self, sql: str) -> QueryResult:
+        """COPY t FROM 'path' (FORMAT PARQUET|CSV|JSON) — the exact
+        statement the reference's client emits for imports
+        (client/client.go:166-171) and its server can never execute
+        (grammar-less + blocklisted, duckdb/engine.go:61). Distributed:
+        the file relation feeds the versioned INSERT…SELECT append path,
+        so an import is a snapshot commit like any other write. CSV/JSON
+        read with the table's DECLARED schema — no inference drift."""
+        name, path, fmt = self._parse_copy(sql, "FROM")
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        if not self._location_exists(path):
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, f"COPY source '{path}' not found"
+            )
+        cols = self._column_info(name)
+        schema = itypes.to_spark_schema([tuple(c) for c in cols])
+        reader = self.spark.read
+        if fmt == "csv":
+            src = reader.schema(schema).option("header", "true").csv(path)
+        elif fmt == "json":
+            src = reader.schema(schema).json(path)
+        else:
+            src = reader.parquet(path)
+        view = f"__copy_src_{uuid_mod.uuid4().hex[:8]}"
+        src.createOrReplaceTempView(view)
+        try:
+            col_list = ", ".join(c[0] for c in cols)
+            msel = re.match(
+                r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*"
+                r"((?:SELECT|WITH)\b.+)$",
+                f"INSERT INTO {name} ({col_list}) "
+                f"SELECT {col_list} FROM {view}",
+                re.I | re.S,
+            )
+            res = self._insert_select(msel)
+        finally:
+            self.spark.catalog.dropTempView(view)
+        return QueryResult(
+            [], [], 0,
+            message=f"copied into '{name}' from {path} ({fmt}): "
+            + res.message,
+        )
+
+    def _copy_to(self, sql: str) -> QueryResult:
+        """COPY t TO 'path' (FORMAT PARQUET|CSV|JSON|JSONL) — the export
+        face (DuckDB-shaped syntax; the reference has neither). Writes a
+        dataset DIRECTORY at path (distributed write; a single file
+        would serialize 100 TB through one task)."""
+        name, path, fmt = self._parse_copy(sql, "TO")
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        df = self.spark.table(name)
+        n = df.count()
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(path)
+        elif fmt == "json":
+            w.json(path)
+        else:
+            w.parquet(path)
+        return QueryResult(
+            [], [], 0, message=f"copied {n} row(s) from '{name}' to {path} ({fmt})"
+        )
 
     # ------------------------------------------------------ VIEW (exceeds)
     def _create_view(self, sql: str) -> QueryResult:

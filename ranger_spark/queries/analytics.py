@@ -978,3 +978,33 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@register(
+    "orders_price_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice >= 600000 THEN 11
+                ELSE floor(o_totalprice / 50000.0) END AS BIGINT) AS bin,
+           count(*) AS cnt,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    tags=("analytics", "histogram"),
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (12 bins of 50k, open-ended top bin) — the
+    profiling primitive behind ANALYZE-style column stats. Map-only bin
+    assignment + one |bins| aggregate; at 100 TB the shuffle moves 12
+    rows per partition."""
+    o = load(spark, sf_dir, "orders")
+    bin_ = (
+        F.when(F.col("o_totalprice") >= 600000, 11)
+        .otherwise(F.floor(F.col("o_totalprice") / 50000.0))
+        .cast("bigint")
+    )
+    return o.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

@@ -3082,3 +3082,47 @@ def multimodal_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(warcinfo, response).cast("binary").alias("warc"),
     )
     return parse_warc_records(archives, "doc_id", "warc")
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, round(avg(val), 6) AS m
+      FROM (SELECT label, generate_subscripts(v, 1) AS pos,
+                   unnest(v) AS val FROM e)
+      GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS dim,
+           round(sqrt(sum(m * m)), 6) AS centroid_norm,
+           round(sum(m), 6) AS centroid_sum
+    FROM cent GROUP BY label
+    """,
+    tags=("similarity", "centroids"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids — the prototype step of
+    semantic clustering/classification): elementwise mean via
+    posexplode + (label, pos) aggregate, then per-label norm/sum of the
+    6dp-rounded centroid. The shuffle is O(labels × dim), never
+    O(rows × dim) — the explode combines map-side."""
+    from ranger_spark.operators.similarity import ivf_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, "label")
+    rounded = F.transform(F.col("centroid"), lambda x: F.round(x, 6))
+    return cents.select(
+        "label",
+        F.size("centroid").cast("bigint").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(rounded, F.lit(0.0), lambda a, x: a + x * x)),
+            6,
+        ).alias("centroid_norm"),
+        F.round(
+            F.aggregate(rounded, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("centroid_sum"),
+    )

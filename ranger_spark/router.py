@@ -45,6 +45,8 @@ class StmtKind(Enum):
     CREATE_DATABASE = "create_database"
     CREATE_VIEW = "create_view"  # exceeds (reference reserves the keyword)
     DROP_VIEW = "drop_view"
+    COPY_FROM = "copy_from"  # exceeds: the reference CLIENT emits COPY
+    COPY_TO = "copy_to"      # (client.go:168) but its server blocks it
     DROP_TABLE = "drop_table"
     DROP_DATABASE = "drop_database"
     USE = "use"
@@ -649,6 +651,25 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.EXPLAIN, s)
     if m("CREATE TABLE"):
         return Routed(StmtKind.CREATE_TABLE, s)
+    if m("COPY "):
+        # exceeds: the reference's own client emits COPY t FROM 'f'
+        # (FORMAT PARQUET) for imports (client.go:166-171), but its
+        # server both lacks the grammar and blocklists the keyword
+        # (duckdb/engine.go:61) — the statement can never succeed there.
+        # Executable here; strict mode keeps the reference's rejection.
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "unsupported statement type: COPY"
+            )
+        if re.search(r"\bFROM\b", up):
+            return Routed(StmtKind.COPY_FROM, s)
+        if re.search(r"\bTO\b", up):
+            return Routed(StmtKind.COPY_TO, s)
+        raise RangerError(
+            UNSUPPORTED_STATEMENT,
+            "COPY syntax: COPY table FROM 'path' (FORMAT fmt) | "
+            "COPY table TO 'path' (FORMAT fmt)",
+        )
     if m("CREATE VIEW") or m("CREATE OR REPLACE VIEW"):
         # exceeds: the reference reserves VIEW (parser.go:49) but has no
         # CREATE VIEW statement; executable session-scoped views here

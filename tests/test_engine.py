@@ -1031,3 +1031,79 @@ def test_view_rejected_in_strict_gate(spark):
         strict.execute("CREATE VIEW v AS SELECT 1;")
     with pytest.raises(RangerError, match="DROP VIEW"):
         strict.execute("DROP VIEW v;")
+
+
+def test_copy_from_and_to(engine, tmp_path):
+    """Executable COPY — the statement the reference's own client emits
+    for imports (client.go:166-171) but its server blocklists
+    (duckdb/engine.go:61): COPY FROM appends through the versioned
+    commit path; COPY TO exports a dataset directory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS cpy;")
+    engine.execute("DROP TABLE IF EXISTS cpy.t;")
+    engine.execute("CREATE TABLE cpy.t (id int32, name string);")
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int32()),
+                "name": pa.array(["a", "b"]),
+            }
+        ),
+        src,
+    )
+    r = engine.execute(f"COPY cpy.t FROM '{src}' (FORMAT PARQUET);")
+    assert "copied into" in r.message
+    assert engine.execute("SELECT id, name FROM cpy.t ORDER BY id;").rows == [
+        (1, "a"), (2, "b"),
+    ]
+    # the import is a snapshot commit: time travel sees the pre-COPY state
+    assert (
+        engine.execute(
+            "SELECT count(*) AS n FROM cpy.t VERSION AS OF 1;"
+        ).rows[0][0] == 0
+    )
+    # CSV with the table's DECLARED schema
+    csv = str(tmp_path / "in.csv")
+    with open(csv, "w") as f:
+        f.write("id,name\n3,c\n")
+    engine.execute(f"COPY cpy.t FROM '{csv}' (FORMAT CSV);")
+    assert engine.execute(
+        "SELECT count(*) AS n FROM cpy.t;"
+    ).rows == [(3,)]
+    # export + re-import round trip
+    out = str(tmp_path / "out")
+    r = engine.execute(f"COPY cpy.t TO '{out}' (FORMAT JSONL);")
+    assert "copied 3 row(s)" in r.message
+    engine.execute("DROP TABLE IF EXISTS cpy.t2;")
+    engine.execute("CREATE TABLE cpy.t2 (id int32, name string);")
+    engine.execute(f"COPY cpy.t2 FROM '{out}' (FORMAT JSONL);")
+    assert engine.execute(
+        "SELECT count(*) AS n FROM cpy.t2;"
+    ).rows == [(3,)]
+    # typed errors
+    with pytest.raises(RangerError, match="not found"):
+        engine.execute(f"COPY cpy.missing FROM '{src}';")
+    with pytest.raises(RangerError, match="source .* not found"):
+        engine.execute("COPY cpy.t FROM '/nope/nothing.parquet';")
+    with pytest.raises(RangerError, match="FORMAT"):
+        engine.execute(f"COPY cpy.t FROM '{src}' (FORMAT XML);")
+    engine.execute("DROP TABLE cpy.t;")
+    engine.execute("DROP TABLE cpy.t2;")
+    engine.spark.sql("DROP DATABASE IF EXISTS cpy CASCADE")
+
+
+def test_copy_rejected_by_strict_gate_and_security(spark):
+    """Strict gate keeps the reference's parse failure; the opt-in
+    security layer keeps its COPY blocklisting — both layers reject
+    exactly like the reference even though the engine can execute it."""
+    from ranger_spark.engine import Engine
+
+    strict = Engine(spark, strict_gate=True)
+    with pytest.raises(RangerError, match="COPY"):
+        strict.execute("COPY t FROM '/x' (FORMAT PARQUET);")
+    validating = Engine(spark, query_validation=True)
+    with pytest.raises(RangerError):
+        validating.execute("COPY t FROM '/x' (FORMAT PARQUET);")

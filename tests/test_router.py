@@ -99,7 +99,7 @@ _BAD_STATEMENTS = [
     "REPLACE INTO t VALUES (1)",
     "CALL proc()",
     "SET x = 1",
-    "COPY t FROM 'f.csv'",
+    "CLUSTER t BY idx",  # COPY left this corpus in r7 — now executable
     "ATTACH DATABASE 'x' AS y",
     "DETACH DATABASE y",
     "PRAGMA table_info(t)",
