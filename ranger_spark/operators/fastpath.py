@@ -98,6 +98,43 @@ def _local_input_bytes(path: str) -> int:
     return 1 << 62
 
 
+def pruned_footer_bytes(path: str, columns: list[str]) -> int:
+    """UNCOMPRESSED bytes of just ``columns`` summed from the parquet
+    footers (metadata only, ~6 ms for 32 files at 64×) — the same
+    estimate Catalyst's column-pruned sizeInBytes approximates, but
+    exact. Non-local paths return a huge sentinel like
+    :func:`_local_input_bytes`."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if "://" in path and not path.startswith("file://"):
+        return 1 << 62
+    p = path.removeprefix("file://")
+    files = (
+        sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if os.path.isdir(p)
+        else [p]
+    )
+    if not files:
+        return 1 << 62
+    want = set(columns)
+    total = 0
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema.split(".")[0] in want:
+                        total += c.total_uncompressed_size
+    except Exception:
+        return 1 << 62
+    return total
+
+
 def local_parquet_agg(
     spark: SparkSession,
     path: str,
@@ -105,18 +142,28 @@ def local_parquet_agg(
     compute: Callable[["object"], list[tuple]],
     select_exprs: list[str],
     max_bytes: int | None = None,
+    gate: str = "file",
 ) -> DataFrame | None:
     """Zero-job variant of :func:`arrow_local_agg` for single-table
     scans: read the pruned columns straight off the local parquet file
     with pyarrow (~10 ms for a few MB — no Spark job at all, which is
     the whole cost of a tiny scan+agg), aggregate on the driver, emit a
-    VALUES relation. The WHOLE-FILE size gates engagement, so a
+    VALUES relation. By default the WHOLE-FILE size gates engagement;
+    ``gate="pruned"`` gates on the footer-exact bytes of just the read
+    columns instead — for queries whose driver compute is KNOWN cheap
+    (few narrow columns, low-cardinality groups), so a wide table whose
+    pruned slice is small still takes the fast path. Either way a
     cluster-scale or object-store input keeps the distributed plan; the
     file read is the same parquet the distributed scan would read, so
     results are identical by construction."""
     if max_bytes is None:
         max_bytes = ARROW_LOCAL_MAX_BYTES  # read at call time (testable)
-    if _local_input_bytes(path) > max_bytes:
+    size = (
+        pruned_footer_bytes(path, columns)
+        if gate == "pruned"
+        else _local_input_bytes(path)
+    )
+    if size > max_bytes:
         return None
     try:
         tbl = _cached_pruned_scan(path.removeprefix("file://"), columns)

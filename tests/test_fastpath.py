@@ -110,3 +110,41 @@ def test_fastpath_result_matches_distributed(spark):
     assert sorted(map(tuple, fast.collect()), key=lambda t: t[:2]) == sorted(
         map(tuple, slow.collect()), key=lambda t: t[:2]
     )
+
+
+def test_pruned_footer_bytes_and_gate(spark, tmp_path):
+    """gate="pruned" engages on the read-column slice of a wide table
+    that the whole-file gate would reject (the date_extract@64× shape),
+    and still refuses non-local paths."""
+    f = str(tmp_path / "wide.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "g": ["a", "b"] * 500,
+                "v": list(range(1000)),
+                "pad": ["x" * 2000] * 1000,  # bulk lives in unread cols
+            }
+        ),
+        f,
+    )
+    whole = fastpath._local_input_bytes(f)
+    pruned = fastpath.pruned_footer_bytes(f, ["g", "v"])
+    assert 0 < pruned < whole
+    assert fastpath.pruned_footer_bytes("s3://b/k.parquet", ["g"]) == 1 << 62
+    assert fastpath.pruned_footer_bytes(str(tmp_path / "nope"), ["g"]) == 1 << 62
+
+    def compute(tbl):
+        pdf = tbl.to_pandas()
+        return [(k, int(s)) for k, s in sorted(pdf.groupby("g")["v"].sum().items())]
+
+    exprs = ["col1 AS g", "CAST(col2 AS BIGINT) AS s"]
+    # threshold between pruned and whole: file gate refuses, pruned gate engages
+    mid = (pruned + whole) // 2
+    assert (
+        fastpath.local_parquet_agg(spark, f, ["g", "v"], compute, exprs, max_bytes=mid)
+        is None
+    )
+    df = fastpath.local_parquet_agg(
+        spark, f, ["g", "v"], compute, exprs, max_bytes=mid, gate="pruned"
+    )
+    assert df is not None and df.count() == 2
