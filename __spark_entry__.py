@@ -43,6 +43,9 @@ _FRONT_R7 = (
     "multimodal_warc_records",
     "orders_price_histogram",
     "embedding_label_centroids",
+    "cross_source_containment",
+    "boilerplate_line_removal",
+    "ccnet_entropy_buckets",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

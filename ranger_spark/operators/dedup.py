@@ -554,6 +554,78 @@ def ngram_jaccard_blocked(
     )
 
 
+def ngram_containment_cross(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    block_cols: list[str],
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+    max_doc_freq: int = 20,
+) -> DataFrame:
+    """Cross-group containment: for document pairs from DIFFERENT
+    ``group_col`` values (e.g. crawl sources) sharing a blocking key,
+    score |A∩B| / min(|A|,|B|) over distinct k-word shingles — the
+    "is this doc a copy/subset of something in another source" measure
+    (containment, not Jaccard, so a short doc embedded in a long one
+    still scores 1.0).
+
+    Scale levers, both essential at 100 TB: (a) the inverted-index join
+    is on (block, shingle-hash) so cost is Σ_shingle df² within blocks,
+    never all-pairs; (b) shingles occurring in more than
+    ``max_doc_freq`` documents are dropped BEFORE the pair join — a
+    stopword-gram cap that bounds each posting list, making the worst
+    per-shingle pair fan-out max_doc_freq², and sharpens the evidence
+    to rare grams (standard for containment detection). The doc-freq
+    table itself is a map-side-combinable count on 8-byte hashes."""
+    sh_all = shingle_df(df, id_col, text_col, shingle_k).join(
+        df.select(id_col, group_col, *block_cols), id_col
+    )
+    doc_freq = sh_all.groupBy("sh_hash").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    sh = sh_all.join(
+        doc_freq.filter(F.col("__df") <= max_doc_freq).select("sh_hash"),
+        "sh_hash",
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col(group_col).alias("__ga"),
+        *block_cols, "sh_hash",
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col(group_col).alias("__gb"),
+        *block_cols, "sh_hash",
+    )
+    inter = (
+        a.join(b, [*block_cols, "sh_hash"])
+        .filter(
+            (F.col("id_a") < F.col("id_b")) & (F.col("__ga") != F.col("__gb"))
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -3126,3 +3126,202 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(rounded, F.lit(0.0), lambda a, x: a + x), 6
         ).alias("centroid_sum"),
     )
+
+
+@register(
+    "cross_source_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, lang, source, concat_ws(' ', t[i], t[i+1]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sh1 AS (SELECT doc_id, lang, source, {_hash64_sql('shingle', 0)} AS sh_hash FROM sh0),
+    df AS (SELECT sh_hash, count(DISTINCT doc_id) AS nd FROM sh1 GROUP BY 1),
+    sh AS (SELECT sh1.* FROM sh1 JOIN df USING (sh_hash) WHERE df.nd <= 20),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.sh_hash = b.sh_hash
+       AND a.source <> b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE), 6)
+             AS containment
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(i.n_inter / CAST(least(na.n_sh, nb.n_sh) AS DOUBLE), 6) >= 0.5
+    """,
+    tags=("dedup", "containment", "cross-source"),
+)
+def cross_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE copy detection: word-bigram containment
+    |A∩B| / min(|A|,|B|) for doc pairs from different crawl sources in
+    the same language — the dedup-across-crawls step of corpus
+    assembly (a doc syndicated into a second source scores 1.0 even
+    when the host page adds boilerplate). Shingles above doc-frequency
+    20 are dropped BEFORE pairing (stopword-gram cap): evidence stays
+    rare-gram-sharp and every posting list is bounded, so the pair join
+    fan-out is ≤ 20² per shingle at any corpus size — see
+    operators/dedup.ngram_containment_cross."""
+    return D.ngram_containment_cross(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        group_col="source",
+        block_cols=["lang"],
+        shingle_k=2,
+        threshold=0.5,
+        max_doc_freq=20,
+    )
+
+
+# Synthesized line structure for boilerplate removal: the corpus text is
+# single-line word salad, so (exactly like _PII_SYNTH_SQL above) the
+# line-structured input is synthesized IDENTICALLY on both engines — a
+# per-source header and footer every doc of that source shares (true
+# boilerplate, doc-frequency 1.0), the original text as the body line,
+# and a 'promo' line on every 7th doc (sub-threshold in large sources).
+# The operator under test is the removal, not the synth.
+_BOILER_SYNTH_SQL = (
+    "'welcome to ' || source || ' portal' || chr(10) || text || chr(10) || "
+    "'copyright 2026 ' || source || "
+    "CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'promo of the day' ELSE '' END"
+)
+
+
+@register(
+    "boilerplate_line_removal",
+    oracle=f"""
+    WITH synth AS (SELECT doc_id, source, {_BOILER_SYNTH_SQL} AS s FROM documents),
+    ls AS (SELECT doc_id, source, string_split(s, chr(10)) AS parts FROM synth),
+    lines AS (
+      SELECT doc_id, source, i AS pos, parts[i] AS line
+      FROM ls, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+    ),
+    freq AS (SELECT source, line, count(DISTINCT doc_id) AS dfd
+             FROM lines GROUP BY 1, 2),
+    nsrc AS (SELECT source, count(*) AS nd FROM documents GROUP BY 1),
+    fl AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (f.dfd / CAST(n.nd AS DOUBLE)) >= 0.5 AS rm
+      FROM lines l
+      JOIN freq f ON f.source = l.source AND f.line = l.line
+      JOIN nsrc n ON n.source = l.source
+    )
+    SELECT doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(length(coalesce(
+             string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), ''
+           )) AS BIGINT) AS clean_len,
+           md5(coalesce(
+             string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT rm), ''
+           )) AS clean_md5
+    FROM fl GROUP BY doc_id
+    """,
+    tags=("text", "boilerplate", "ccnet"),
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate stripping: a line whose within-source
+    document frequency is ≥ 0.5 (site chrome — headers, copyright
+    footers) is removed from every doc; the cleaned text is re-assembled
+    in line order and fingerprinted. Shape at 100 TB: posexplode lines
+    once; the (source, line)-frequency aggregate is map-side combined;
+    the per-source doc-count table (|sources| rows) broadcasts; re-
+    assembly is one sort_array over each doc's kept lines — a single
+    shuffle on doc_id. (In a production corpus the frequency join keys
+    on a line HASH so the shuffle moves 8-byte longs; here it keys on
+    the line itself so the DuckDB oracle is exact.)"""
+    docs = load(spark, sf_dir, "documents")
+    lines = docs.select(
+        "doc_id", "source", F.expr(_BOILER_SYNTH_SQL).alias("s")
+    ).select(
+        "doc_id", "source",
+        F.posexplode(F.split("s", "\n")).alias("pos", "line"),
+    )
+    freq = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("dfd")
+    )
+    nsrc = docs.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    fl = (
+        lines.join(freq, ["source", "line"])
+        .join(F.broadcast(nsrc), "source")
+        .withColumn("rm", F.col("dfd") / F.col("nd") >= 0.5)
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(~F.col("rm"), F.struct("pos", "line")))
+    )
+    clean = F.concat_ws("\n", F.transform(kept, lambda x: x["line"]))
+    return fl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("rm"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+@register(
+    "ccnet_entropy_buckets",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS u FROM documents),
+    tc AS (SELECT doc_id, u, count(*) AS c FROM tk GROUP BY 1, 2),
+    te AS (
+      SELECT doc_id,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS token_entropy
+      FROM tc GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.lang, te.doc_id, te.token_entropy,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY te.token_entropy, te.doc_id) AS tercile
+      FROM te JOIN documents d ON d.doc_id = te.doc_id
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           round(avg(token_entropy), 6) AS avg_entropy,
+           round(min(token_entropy), 6) AS lo,
+           round(max(token_entropy), 6) AS hi
+    FROM ranked GROUP BY lang, tercile
+    """,
+    tags=("text", "quality", "ccnet", "sampling"),
+)
+def ccnet_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality terciles: rank documents within
+    each language by a perplexity proxy (token Shannon entropy — the
+    same oracled metric as ``text_entropy``) and split into
+    head/middle/tail thirds, the bucketing CCNet uses to stratify
+    Common Crawl before sampling. Ties break on doc_id so both engines
+    produce identical buckets. At 100 TB: the entropy aggregate is
+    map-side combined per doc; the ntile window shuffles once on lang —
+    for skewed language distributions switch the ranking to
+    approx-quantile cutpoints (one pass, no global sort), noted here
+    because en dominates real crawls."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ent = T.entropy_metrics(docs, "doc_id", "text")
+    ranked = ent.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "tercile",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("token_entropy", "doc_id")
+        ),
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy("lang", F.col("tercile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("token_entropy"), 6).alias("avg_entropy"),
+        F.round(F.min("token_entropy"), 6).alias("lo"),
+        F.round(F.max("token_entropy"), 6).alias("hi"),
+    ).select(
+        "lang", bucket.alias("bucket"), "n_docs", "avg_entropy", "lo", "hi"
+    )
