@@ -46,6 +46,7 @@ _FRONT_R7 = (
     "cross_source_containment",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
+    "source_pagerank",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

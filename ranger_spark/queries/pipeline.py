@@ -3325,3 +3325,64 @@ def ccnet_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", bucket.alias("bucket"), "n_docs", "avg_entropy", "lo", "hi"
     )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled weighted-PageRank oracle — a fixed iteration count needs
+    no recursion (which DuckDB forbids combining with aggregation), just
+    one contrib/rank CTE pair per round, numerically identical to the
+    Spark loop in operators/graph.pagerank."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+    c{k} AS (
+      SELECT e.dst AS node, sum(e.w / o.tw * p.rank) AS contrib
+      FROM edges e
+      JOIN outw o ON o.src = e.src
+      JOIN {prev} p ON p.node = e.src
+      GROUP BY e.dst
+    ),
+    pr{k} AS (
+      SELECT nd.node, 0.15 / n.n + 0.85 * coalesce(c.contrib, 0) AS rank
+      FROM nodes nd CROSS JOIN n LEFT JOIN c{k} c ON c.node = nd.node
+    )""")
+        prev = f"pr{k}"
+    return f"""
+    WITH edges AS (
+      SELECT source AS src, 'src' || CAST(doc_id % 20 AS VARCHAR) AS dst,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM documents GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+    {','.join(steps)}
+    SELECT node, round(rank, 6) AS pagerank FROM {prev}
+    """
+
+
+@register(
+    "source_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "corpus"),
+)
+def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the source link graph (edge src→dst with
+    multiplicity = docs; the dst is synthesized deterministically from
+    doc_id, same expression on both engines, since the word-salad corpus
+    carries no real hyperlinks) — the domain-authority signal crawl
+    pipelines use to prioritize seeds and weight sampling. Five fixed
+    rounds, exact-oracled against the unrolled recurrence; each round is
+    one join + one aggregate, rank state O(|domains|) and distributed —
+    see operators/graph.pagerank for the 100 TB shape."""
+    from ranger_spark.operators.graph import pagerank
+
+    docs = load(spark, sf_dir, "documents")
+    edges = docs.groupBy(
+        F.col("source").alias("src"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("w"))
+    pr = pagerank(edges, "src", "dst", weight="w", damping=0.85, iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("pagerank"))
