@@ -61,6 +61,18 @@ def get_spark(
             "applicationSideScanSizeThreshold",
             str(256 * 1024 * 1024),
         )
+        # ...and the CREATION side must be allowed to build it: the stock
+        # 10 MB cap rejected q5's date-filtered orders stream (53 MB
+        # pruned estimate at 64×), so no bloom ever fired. 128 MB admits
+        # selective fact/dimension streams — the build is one extra
+        # aggregate over ≤128 MB of join keys — while the 256 MB scan
+        # threshold above still keeps blooms off small probe sides.
+        # Measured: q5@64× 3.71→2.90 s (lineitem shuffle rows pruned
+        # map-side before the exchange).
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            str(128 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
