@@ -47,6 +47,7 @@ _FRONT_R7 = (
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
     "source_pagerank",
+    "stream_windowed_daily",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -825,3 +825,156 @@ def connected_components(
         if not changed:
             break
     return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-Bloom prefilter (incremental exact dedup without a corpus shuffle)
+# ---------------------------------------------------------------------------
+# The 100 TB incremental-arrival shape: the seen-corpus is huge, the new
+# batch is small. A classic anti-join shuffles BOTH sides on the digest;
+# here the corpus is folded once into an m-bit Bloom bitmap (one map pass,
+# one m/8-byte blob per partition OR-ed on the driver), the bitmap is
+# broadcast, and the batch is split map-side into definite-new rows (bloom
+# says absent — no false negatives) and maybe-seen rows. Only the tiny
+# maybe set (true dups + false positives, ~|batch|·fp_rate) drives the
+# exact confirm: it is broadcast against a map-only corpus scan, so the
+# whole operator runs with ZERO shuffles. Bloom false positives affect
+# routing only — the output is exactly the anti-join, which is what the
+# DuckDB oracle checks. In production the bitmap is built once and
+# persisted beside the corpus snapshot, amortized over every batch.
+
+_BLOOM_BITS_LOG2 = 20  # 1 Mi bits = 128 KiB bitmap
+_BLOOM_K = 5
+_MAYBE_CAP = 100_000  # above this the bloom isn't selective; fall back
+
+
+def _bloom_indexes(h1, h2, m_mask):
+    """k double-hashed bit indexes from two 64-bit hash columns (numpy,
+    vectorized): idx_i = (h1 + i*h2) & (m-1)."""
+    import numpy as np
+
+    a = h1.astype(np.uint64)
+    b = h2.astype(np.uint64)
+    return [
+        ((a + np.uint64(i) * b) & np.uint64(m_mask)) for i in range(_BLOOM_K)
+    ]
+
+
+def _hash_cols(text_col: Column) -> tuple[Column, Column]:
+    """Two independent 64-bit hashes of the normalized text (JVM-side
+    xxhash64; the second is salted). These drive bloom routing only —
+    exact confirmation uses the md5 fingerprint."""
+    norm = normalize_text(text_col)
+    return F.xxhash64(norm), F.xxhash64(norm, F.lit("bloom2"))
+
+
+def build_fingerprint_bloom(df: DataFrame, text_col: str = "text") -> bytes:
+    """Fold a corpus into an m-bit Bloom bitmap: one map pass emits a
+    bitmap per partition, the driver ORs them (bitmaps are tiny and
+    associative — the classic mergeable-sketch build)."""
+    import numpy as np
+    import pandas as pd
+
+    m = 1 << _BLOOM_BITS_LOG2
+    m_mask = m - 1
+    h1, h2 = _hash_cols(F.col(text_col))
+    hashed = df.select(h1.alias("h1"), h2.alias("h2"))
+
+    def fold(batches):
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            for idx in _bloom_indexes(
+                pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), m_mask
+            ):
+                np.bitwise_or.at(
+                    bits, (idx >> np.uint64(3)).astype(np.int64),
+                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+                )
+        if seen:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = hashed.mapInPandas(fold, "bitmap binary").collect()
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_prefilter_new(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rows of ``batch`` whose normalized text does NOT occur in ``corpus``
+    (exact semantics — equals the anti-join), computed shuffle-free via a
+    broadcast Bloom prefilter + broadcast exact confirm."""
+    import numpy as np
+
+    spark = batch.sparkSession
+    m_mask = (1 << _BLOOM_BITS_LOG2) - 1
+    bitmap = spark.sparkContext.broadcast(
+        build_fingerprint_bloom(corpus, text_col)
+    )
+
+    h1, h2 = _hash_cols(F.col(text_col))
+    tagged = batch.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+        h1.alias("h1"),
+        h2.alias("h2"),
+    )
+
+    def probe(batches):
+        bits = np.frombuffer(bitmap.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            maybe = np.ones(len(pdf), dtype=bool)
+            for idx in _bloom_indexes(
+                pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), m_mask
+            ):
+                hit = (
+                    bits[(idx >> np.uint64(3)).astype(np.int64)]
+                    >> (idx & np.uint64(7)).astype(np.uint8)
+                ) & 1
+                maybe &= hit.astype(bool)
+            out = pdf[[c for c in pdf.columns if c not in ("h1", "h2")]].copy()
+            out["maybe_seen"] = maybe
+            yield out
+
+    schema = f"{id_col} bigint, fp string, maybe_seen boolean"
+    probed = tagged.mapInPandas(probe, schema).localCheckpoint(eager=False)
+
+    maybe_fps = [
+        r["fp"]
+        for r in probed.filter("maybe_seen").select("fp").distinct().collect()
+    ]
+    corpus_fp = corpus.select(fingerprint(F.col(text_col)).alias("fp"))
+    if len(maybe_fps) > _MAYBE_CAP:
+        # bloom saturated (corpus ≫ m): correctness over cleverness —
+        # plain distributed anti-join on the 16-byte digest
+        return (
+            probed.select(id_col, "fp")
+            .join(corpus_fp, "fp", "left_anti")
+            .select(id_col, "fp")
+        )
+    if maybe_fps:
+        # map-only corpus scan with the broadcast maybe set; output is the
+        # tiny set of CONFIRMED-duplicate fingerprints
+        confirmed = {
+            r["fp"]
+            for r in corpus_fp.filter(
+                F.col("fp").isin(maybe_fps)
+            ).distinct().collect()
+        }
+    else:
+        confirmed = set()
+    new = probed.filter(
+        ~F.col("maybe_seen") | ~F.col("fp").isin(list(confirmed) or [""])
+    )
+    return new.select(id_col, "fp")

@@ -47,6 +47,7 @@ _MODULES = (
     "ranger_spark.queries.analytics",
     "ranger_spark.queries.pipeline",
     "ranger_spark.queries.tpch_like",
+    "ranger_spark.queries.streaming_q",
 )
 
 

@@ -1,0 +1,96 @@
+"""Structured-Streaming registry queries — the reference's chunked-ingest
+path (server/query/executor/streaming.go: batches appended as chunks,
+consumers read deltas) re-expressed as Spark Structured Streaming, driven
+end-to-end: a real ``readStream`` file source, an event-time watermark, a
+tumbling-window aggregate, and an ``availableNow`` bounded backfill into a
+memory sink.
+
+Determinism: ``availableNow`` drains the full source and terminates, and the
+aggregation result (complete mode) is exactly the batch GROUP BY — so the
+DuckDB oracle is the plain windowed aggregate. The watermark is live in the
+plan (state eviction at scale); it does not drop rows in a bounded backfill,
+which is precisely the production semantics of re-running a backfill.
+
+At 100 TB the same plan runs unbounded: the file source becomes a bucket
+listing, the memory sink a parquet/Iceberg sink with checkpointing, and the
+watermark bounds the window state to (delay / window) windows per key
+instead of the full history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ranger_spark.queries import register
+from ranger_spark.streaming.ingest import windowed_counts
+from ranger_spark.tables import _normalize_events_ts
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a streaming source. File streams need a directory
+    basePath; pathGlobFilter narrows the listing to the one table so the
+    other tables in sf_dir never enter the stream."""
+    # Schema must be declared for file streams; take it from the batch
+    # reader so the TIMESTAMP(NANOS) legacy handling in tables.load stays
+    # the single source of truth.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (with zone); the session zone is pinned
+    # to UTC so the NTZ→TZ cast is wall-clock-lossless both ways.
+    return _normalize_events_ts(stream).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+_SINK = "stream_windowed_daily_sink"
+
+
+@register(
+    "stream_windowed_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS cnt, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "events"),
+)
+def stream_windowed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-day counts over a REAL streaming run: readStream
+    → withWatermark → window() agg → availableNow backfill into a memory
+    sink. Reference: chunked-ingest consumers aggregate append deltas
+    (server/query/executor/streaming.go); here the engine is Spark's
+    incremental executor with bounded state."""
+    for q in spark.streams.active:
+        if q.name == _SINK:  # rerun in a warm session: replace the sink
+            q.stop()
+    out = windowed_counts(
+        _event_stream(spark, sf_dir),
+        window="1 day",
+        watermark="1 day",
+        keys=("event_type",),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(_SINK).select(
+        F.col("window_start").cast("timestamp_ntz").alias("day"),
+        "event_type",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+    )

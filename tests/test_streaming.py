@@ -212,3 +212,30 @@ def test_stream_ingest_with_quality_transform(spark, engine):
     )
     assert got == [1, 4]
     engine.spark.sql("DROP DATABASE strq CASCADE")
+
+
+def test_stream_windowed_daily_matches_batch(spark):
+    """The registry's streaming query equals the batch GROUP BY it claims
+    to be, and a rerun in the same session replaces the memory sink."""
+    from ranger_spark.queries.streaming_q import stream_windowed_daily
+    from ranger_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_windowed_daily(spark, sf)
+    want = (
+        load(spark, sf, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+    # rerun must not fail on the live sink name and must be identical
+    again = stream_windowed_daily(spark, sf)
+    assert {tuple(r) for r in again.collect()} == w
