@@ -48,6 +48,7 @@ _FRONT_R7 = (
     "ccnet_entropy_buckets",
     "source_pagerank",
     "stream_windowed_daily",
+    "dedup_bloom_prefilter",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

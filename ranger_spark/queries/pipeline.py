@@ -3386,3 +3386,41 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("double").alias("w"))
     pr = pagerank(edges, "src", "dst", weight="w", damping=0.85, iterations=5)
     return pr.select("node", F.round("rank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-Bloom incremental dedup (zero-shuffle new-docs filter)
+# ---------------------------------------------------------------------------
+_BLOOM_NORM_D = _NORM.replace("(text)", "(d.text)").replace("lower(text)", "lower(d.text)")
+_BLOOM_NORM_C = _NORM.replace("(text)", "(c.text)").replace("lower(text)", "lower(c.text)")
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    SELECT d.doc_id, md5({_BLOOM_NORM_D}) AS fp
+    FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 10 <> 0
+          AND md5({_BLOOM_NORM_C}) = md5({_BLOOM_NORM_D})
+      )
+    """,
+    tags=("dedup", "bloom", "incremental"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-docs filter for incremental arrival: the corpus (doc_id%10!=0)
+    folds once into a broadcast Bloom bitmap; the batch (doc_id%10=0)
+    splits map-side into definite-new and maybe-seen, and only the tiny
+    maybe set drives a broadcast exact confirm against a map-only corpus
+    scan — ZERO shuffles, yet the result is exactly the anti-join the
+    oracle computes (bloom false positives affect routing, never output).
+    At 100 TB the bitmap persists beside the corpus snapshot and is
+    amortized over every arriving batch."""
+    from ranger_spark.operators.dedup import bloom_prefilter_new
+
+    d = load(spark, sf_dir, "documents")
+    return bloom_prefilter_new(
+        d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0")
+    )

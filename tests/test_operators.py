@@ -980,3 +980,73 @@ def test_ivf_search_local_queries_parity(spark):
         k=5, nprobe=3).collect()))
     b2 = sorted(map(tuple, ivf_search(idx, q2, k=5, nprobe=3).collect()))
     assert a2 == b2
+
+
+class TestBloomPrefilter:
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+            "doc_id bigint, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "Gamma   DELTA!"),  # dup of 2 after normalization
+                (11, "brand new words"),
+                (12, "alpha beta"),      # dup of 1 verbatim
+                (13, "another fresh doc"),
+            ],
+            "doc_id bigint, text string",
+        )
+        return corpus, batch
+
+    def test_exact_anti_join_semantics(self, spark):
+        from ranger_spark.operators.dedup import bloom_prefilter_new
+
+        corpus, batch = self._frames(spark)
+        got = {
+            r["doc_id"] for r in bloom_prefilter_new(corpus, batch).collect()
+        }
+        assert got == {11, 13}
+
+    def test_saturation_fallback_same_answer(self, spark, monkeypatch):
+        import ranger_spark.operators.dedup as D
+
+        corpus, batch = self._frames(spark)
+        monkeypatch.setattr(D, "_MAYBE_CAP", -1)  # force the anti-join path
+        got = {
+            r["doc_id"]
+            for r in D.bloom_prefilter_new(corpus, batch).collect()
+        }
+        assert got == {11, 13}
+
+    def test_no_false_negatives(self, spark):
+        """Every corpus member must probe as maybe-seen (bloom guarantee)."""
+        import numpy as np
+
+        from ranger_spark.operators.dedup import (
+            _BLOOM_BITS_LOG2,
+            _bloom_indexes,
+            _hash_cols,
+            build_fingerprint_bloom,
+        )
+        from pyspark.sql import functions as F
+
+        corpus = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("doc number "), F.col("id")).alias("text"),
+        )
+        bits = np.frombuffer(
+            build_fingerprint_bloom(corpus), dtype=np.uint8
+        )
+        h1, h2 = _hash_cols(F.col("text"))
+        hashed = corpus.select(h1.alias("h1"), h2.alias("h2")).toPandas()
+        mask = (1 << _BLOOM_BITS_LOG2) - 1
+        maybe = np.ones(len(hashed), dtype=bool)
+        for idx in _bloom_indexes(
+            hashed["h1"].to_numpy(), hashed["h2"].to_numpy(), mask
+        ):
+            maybe &= (
+                (bits[(idx >> np.uint64(3)).astype(np.int64)]
+                 >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+            ).astype(bool)
+        assert maybe.all()
