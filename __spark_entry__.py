@@ -49,6 +49,7 @@ _FRONT_R7 = (
     "source_pagerank",
     "stream_windowed_daily",
     "dedup_bloom_prefilter",
+    "sample_dsir_scores",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

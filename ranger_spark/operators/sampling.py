@@ -294,3 +294,63 @@ def weighted_sample(
     w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
     threshold = F.floor(w * F.lit(float(_UNIFORM_DENOM))).cast("long")
     return df.filter(uniform_hash60(F.col(id_col), seed) < threshold)
+
+
+def dsir_logratio_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    dim: int = 512,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram bag-of-
+    words models of the target slice vs the raw pool, each document in
+    the pool scored by its mean per-token log importance ratio
+    ln(p_target(b)/p_raw(b)) with add-one smoothing over ``dim`` hashed
+    buckets. Positive ⇒ target-like; downstream selection is a filter or
+    weighted sample over the score.
+
+    Scale shape: one token explode shuffling (id, small-int bucket); the
+    bucket histogram is dim rows (map-side combined), its log-ratio table
+    and the 1-row totals broadcast back — the corpus is never shuffled as
+    text, and nothing grows with corpus size except the single explode.
+    """
+    from ranger_spark.operators.text import hash64, normalize_text, tokenize
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            is_target.alias("__is_t"),
+            F.explode(tokenize(normalize_text(F.col(text_col)))).alias("__t"),
+        )
+        .filter(F.length("__t") > 0)
+        .select(
+            id_col,
+            "__is_t",
+            F.pmod(hash64(F.col("__t"), seed="d"), F.lit(dim)).alias("__b"),
+        )
+    )
+    hist = toks.groupBy("__b").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__tb"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("__rb"),
+    )
+    tot = hist.agg(
+        F.sum("__tb").alias("__T"), F.sum("__rb").alias("__R")
+    )
+    lam = hist.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log((F.col("__tb") + 1.0) / (F.col("__T") + float(dim)))
+            - F.log((F.col("__rb") + 1.0) / (F.col("__R") + float(dim)))
+        ).alias("__lam"),
+    )
+    return (
+        toks.filter(~F.col("__is_t"))
+        .join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__lam"), 6).alias("dsir_logratio"),
+        )
+    )

@@ -3424,3 +3424,62 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefilter_new(
         d.filter("doc_id % 10 != 0"), d.filter("doc_id % 10 = 0")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring (target-distribution data selection)
+# ---------------------------------------------------------------------------
+_DSIR_DIM = 512
+_DSIR_HASH = "CAST(('0x' || substr(md5('d:' || x), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "sample_dsir_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter({_TOKS}, x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             {_DSIR_HASH} % {_DSIR_DIM} AS bk
+      FROM (SELECT doc_id, lang, unnest(t) AS x FROM toks) u
+    ),
+    hist AS (
+      SELECT bk,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tb,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rb
+      FROM tok GROUP BY bk
+    ),
+    tot AS (SELECT sum(tb) AS tt, sum(rb) AS rt FROM hist),
+    lam AS (
+      SELECT bk,
+             ln((tb + 1.0) / (tt + {_DSIR_DIM}))
+               - ln((rb + 1.0) / (rt + {_DSIR_DIM})) AS lam
+      FROM hist, tot
+    )
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lam), 6) AS dsir_logratio
+    FROM tok JOIN lam USING (bk)
+    WHERE NOT is_t
+    GROUP BY tok.doc_id
+    """,
+    tags=("sampling", "dsir", "importance"),
+)
+def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): hashed-unigram models of
+    the target slice (lang='en') vs the raw pool score every pool doc by
+    mean per-token log importance ratio — the data-selection signal for
+    steering a 100 TB crawl toward a target domain. One (id, bucket)
+    explode; histogram, totals, and log-ratio table all broadcast."""
+    from ranger_spark.operators.sampling import dsir_logratio_scores
+
+    return dsir_logratio_scores(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        is_target=F.col("lang") == "en",
+        dim=_DSIR_DIM,
+    )

@@ -1050,3 +1050,26 @@ class TestBloomPrefilter:
                  >> (idx & np.uint64(7)).astype(np.uint8)) & 1
             ).astype(bool)
         assert maybe.all()
+
+
+def test_dsir_logratio_orders_target_like_docs_higher(spark):
+    """A pool doc written in the target's vocabulary must outscore a pool
+    doc written in pool-only vocabulary (sign check on the log ratio)."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark.operators.sampling import dsir_logratio_scores
+
+    rows = (
+        [(i, "wiki science math proof", True) for i in range(10)]
+        + [(100 + i, "spam casino pills win", False) for i in range(10)]
+        + [(200, "wiki science proof", False), (201, "spam casino win", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, t boolean")
+    got = {
+        r["doc_id"]: r["dsir_logratio"]
+        for r in dsir_logratio_scores(
+            df, "doc_id", "text", is_target=F.col("t"), dim=64
+        ).collect()
+    }
+    assert got[200] > 0 > got[201]
+    assert 200 in got and 201 in got and 1 not in got  # target docs unscored
