@@ -50,6 +50,7 @@ _FRONT_R7 = (
     "stream_windowed_daily",
     "dedup_bloom_prefilter",
     "sample_dsir_scores",
+    "embedding_covariance",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -898,3 +898,73 @@ def similar_pairs_blocked(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column — the PCA /
+    whitening prep step — as (i, j, cov) upper-triangle rows.
+
+    Scale shape: the classic distributed Gram computation. Each partition
+    folds its Arrow batches into ONE (count, sum_x[d], sum_outer[d*d])
+    partial via numpy einsum; the driver adds the ~numPartitions partials
+    and emits the d(d+1)/2 upper-triangle entries as a VALUES
+    LocalRelation. Nothing shuffles but the partials — O(parts × d²)
+    bytes total, independent of row count — and no per-row Python ever
+    runs (Arrow batches in, one einsum per batch)."""
+    import numpy as np
+    import pandas as pd
+
+    from ranger_spark.operators.fastpath import values_relation
+
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    def fold(batches):
+        count = 0
+        s = None
+        o = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf["v"]), dtype=np.float64)
+            count += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = np.einsum("ni,nj->ij", x, x)
+            o = g if o is None else o + g
+        if count:
+            yield pd.DataFrame(
+                {
+                    "n": [count],
+                    "s": [s.tobytes()],
+                    "o": [o.tobytes()],
+                }
+            )
+
+    parts = vecs.mapInPandas(fold, "n bigint, s binary, o binary").collect()
+    if not parts:
+        raise ValueError("embedding_covariance: empty input")
+    n = sum(p["n"] for p in parts)
+    s = sum(np.frombuffer(p["s"], dtype=np.float64) for p in parts)
+    o = sum(np.frombuffer(p["o"], dtype=np.float64) for p in parts)
+    d = s.shape[0]
+    mean = s / n
+    cov = o.reshape(d, d) / n - np.outer(mean, mean)
+    rows = [
+        (int(i), int(j), float(cov[i, j]))
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    # rounding happens in Spark SQL (half-up, matching the DuckDB oracle),
+    # not in Python (banker's rounding) — the VALUES carry exact doubles
+    return values_relation(
+        df.sparkSession,
+        rows,
+        [
+            "CAST(col1 AS INTEGER) AS i",
+            "CAST(col2 AS INTEGER) AS j",
+            f"round(CAST(col3 AS DOUBLE), {round_dp}) + 0.0 AS cov",  # +0 folds -0.0 to 0.0
+        ],
+    )

@@ -3483,3 +3483,33 @@ def sample_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_target=F.col("lang") == "en",
         dim=_DSIR_DIM,
     )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val
+      FROM e
+    )
+    SELECT CAST(a.pos AS INTEGER) AS i,
+           CAST(b.pos AS INTEGER) AS j,
+           round(avg(a.val * b.val) - avg(a.val) * avg(b.val), 6) + 0 AS cov
+    FROM x a JOIN x b USING (vec_id)
+    WHERE a.pos <= b.pos
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "covariance", "pca"),
+)
+def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance of the embedding corpus (PCA/whitening prep):
+    per-partition X^T X partials folded by one einsum per Arrow batch,
+    driver-combined, emitted as a VALUES LocalRelation — O(parts × dim²)
+    bytes move, independent of row count. The oracle recomputes every
+    upper-triangle entry from first principles via a position self-join."""
+    from ranger_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(load(spark, sf_dir, "embeddings"))

@@ -1073,3 +1073,24 @@ def test_dsir_logratio_orders_target_like_docs_higher(spark):
     }
     assert got[200] > 0 > got[201]
     assert 200 in got and 201 in got and 1 not in got  # target docs unscored
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from ranger_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 5)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(4)
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df).collect()
+    }
+    want = np.cov(X, rowvar=False, bias=True)
+    assert len(got) == 15
+    for (i, j), v in got.items():
+        assert abs(v - want[i, j]) < 1e-6, (i, j, v, want[i, j])
