@@ -51,6 +51,8 @@ _FRONT_R7 = (
     "dedup_bloom_prefilter",
     "sample_dsir_scores",
     "embedding_covariance",
+    "stream_session_windows",
+    "events_ewma_daily",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -1008,3 +1008,70 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day,
+           a.v AS day_value,
+           round(0.3 * sum(b.v * pow(0.7, date_diff('day', b.day, a.day))), 6)
+             AS ewma
+    FROM daily a
+    JOIN daily b
+      ON b.event_type = a.event_type
+     AND b.day <= a.day
+     AND b.day > a.day - INTERVAL 60 DAY
+    GROUP BY a.event_type, a.day, a.v
+    """,
+    tags=("events", "timeseries", "ewma"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per event
+    type (α=0.3, kernel truncated at 60 calendar days — weights below
+    1e-9 dropped, so the recurrence becomes a bounded range self-join
+    instead of an unbounded sequential scan; missing days contribute 0
+    exactly as the recurrence over a gap would decay). The heavy lift is
+    the first daily aggregate (one shuffle over events); the kernel join
+    runs on the tiny O(days × types) table, broadcast at any corpus
+    size. Daily sums snap to the 2dp value grid first so both engines
+    smooth identical inputs."""
+    ev = events_with_ts(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    a, b = daily.alias("a"), F.broadcast(daily).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") <= F.col("a.day"))
+            & (
+                F.col("b.day")
+                > F.col("a.day") - F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.v").alias("day_value"),
+        )
+        .agg(
+            F.round(
+                0.3
+                * F.sum(
+                    F.col("b.v")
+                    * F.pow(
+                        F.lit(0.7),
+                        F.datediff(F.col("a.day"), F.col("b.day")),
+                    )
+                ),
+                6,
+            ).alias("ewma")
+        )
+    )

@@ -94,3 +94,72 @@ def stream_windowed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("sum_value", 2).alias("sum_value"),
     )
+
+
+_SESS_SINK = "stream_session_windows_sink"
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 14400
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 4 HOUR AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "events"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SESSION windows (4 h inactivity gap) computed by Spark's
+    native streaming session_window operator over a real readStream run —
+    the stateful merge-on-arrival operator the batch sessionization query
+    emulates with lag/cumsum. Windows are half-open [first, last+gap):
+    an event exactly `gap` after the last starts a NEW session, hence the
+    oracle's >= gap island rule. State at scale: one open session struct
+    per active user, evicted by the watermark."""
+    for q in spark.streams.active:
+        if q.name == _SESS_SINK:
+            q.stop()
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "4 hours").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SESS_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(_SESS_SINK).select(
+        "user_id",
+        F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

@@ -73,6 +73,16 @@ def get_spark(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
             str(128 * 1024 * 1024),
         )
+        # Prefer shuffled-hash over sort-merge when Catalyst's size guard
+        # admits a local hash build (side < threshold×partitions, or ≪ the
+        # other side): skips both sort passes of the fact joins — the
+        # hash-join-first default of DuckDB/Trino. Measured at sf0.1×64,
+        # min-of-3 warm: q5 2.96→2.47 s, q3 1.54→1.39, q18 4.65→4.32,
+        # q1 0.43→0.36; full oracle gate stays green at both SFs (money
+        # sums are grid-snapped, so partial-sum order can't flip them).
+        # AQE still re-plans per-stage, and oversized builds fall back to
+        # SMJ by the same guard at cluster scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
