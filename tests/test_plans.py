@@ -68,6 +68,7 @@ _NL_ALLOWED = {
     "text_bigram_lm_score",  # 1-row broadcast vocab size
     "ann_text_topk",  # 3-row broadcast query side of the != pair join
     "events_funnel",  # 1-row stage-count broadcasts (crossJoin of scalars)
+    "sample_dsir_scores",  # 1-row broadcast token totals (crossJoin of scalars)
     "events_rolling_wau",  # broadcast day-grid range join (~days rows)
     # broadcast day-grid range joins over per-day HLL sketches + the
     # exact cross-check branch (bytes per day on both sides)
