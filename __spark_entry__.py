@@ -53,6 +53,7 @@ _FRONT_R7 = (
     "embedding_covariance",
     "stream_session_windows",
     "events_ewma_daily",
+    "pq_codes",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -968,3 +968,64 @@ def embedding_covariance(
             f"round(CAST(col3 AS DOUBLE), {round_dp}) + 0.0 AS cov",  # +0 folds -0.0 to 0.0
         ],
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): the vector space splits
+    into ``m`` subspaces; each trains its own deterministic Lloyd codebook
+    (k centroids, md5-seeded — same machinery as IVF k-means); every
+    vector is encoded as m small integers (here m bytes ≤ k=256) — the
+    memory-side complement to IVF: a 64-dim float64 corpus compresses
+    512→m bytes per vector.
+
+    Scale shape: training is the bounded-iteration distributed Lloyd per
+    subspace (centroid tables are k×subdim — tiny); ENCODING is one
+    map-only Arrow pass with all m codebooks broadcast — no shuffle, no
+    join: each partition argmins its own batch. Ties break to the lowest
+    cell id, matching the oracle's (distance, cell) ordering."""
+    import numpy as np
+    import pandas as pd
+
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    dim = len(c.select("v").head()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+
+    codebooks = []
+    for mi in range(m):
+        sub = c.select(
+            F.col(id_col), F.slice("v", mi * sd + 1, sd).alias("v")
+        )
+        cents = kmeans_fit(sub, id_col, "v", k=k, iters=iters).collect()
+        cents = sorted(cents, key=lambda r: r["cell"])
+        codebooks.append(
+            np.asarray([r["centroid"] for r in cents], dtype=np.float64)
+        )
+
+    bc = c.sparkSession.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        books = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            out = {id_col: pdf[id_col]}
+            for mi, C in enumerate(books):
+                S = X[:, mi * sd : (mi + 1) * sd]
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                out[f"code{mi}"] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} bigint, " + ", ".join(
+        f"code{mi} int" for mi in range(m)
+    )
+    return c.mapInPandas(encode, schema)

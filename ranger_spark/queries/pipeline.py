@@ -3513,3 +3513,61 @@ def embedding_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranger_spark.operators.similarity import embedding_covariance
 
     return embedding_covariance(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (memory-side ANN compression)
+# ---------------------------------------------------------------------------
+def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, sd: int = 16) -> str:
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for mi in range(m):
+        lo, hi = mi * sd + 1, (mi + 1) * sd
+        parts.append(
+            f""",
+s{mi} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),
+c{mi}_0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+         v AS centroid
+  FROM (SELECT vec_id, v FROM s{mi}
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})
+)"""
+        )
+        for i in range(iters):
+            parts.append(
+                "," + _kmeans_assign_sql(f"s{mi}", f"c{mi}_{i}", f"a{mi}_{i + 1}")
+            )
+            parts.append(
+                "," + _kmeans_recompute_sql(f"a{mi}_{i + 1}", f"c{mi}_{i + 1}")
+            )
+        parts.append(
+            "," + _kmeans_assign_sql(f"s{mi}", f"c{mi}_{iters}", f"af{mi}")
+        )
+    sel = ", ".join(
+        f"CAST(af{mi}.cell AS INTEGER) AS code{mi}" for mi in range(m)
+    )
+    joins = " ".join(
+        f"JOIN af{mi} ON af{mi}.vec_id = e.vec_id" for mi in range(m)
+    )
+    parts.append(f"\nSELECT e.vec_id, {sel} FROM e {joins}")
+    return "".join(parts)
+
+
+@register(
+    "pq_codes",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "compression"),
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): 4 subspaces × 8
+    deterministic-Lloyd centroids; every 64-dim vector becomes 4 small
+    ints (512 bytes → 4). Training replays in the oracle codebook-for-
+    codebook (same md5 seeding and iteration count as the IVF k-means
+    oracle); encoding is one map-only Arrow pass with all codebooks
+    broadcast — no shuffle touches the corpus."""
+    from ranger_spark.operators.similarity import pq_encode
+
+    return pq_encode(
+        load(spark, sf_dir, "embeddings"), m=4, k=8, iters=2
+    )

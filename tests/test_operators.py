@@ -1094,3 +1094,25 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(got) == 15
     for (i, j), v in got.items():
         assert abs(v - want[i, j]) < 1e-6, (i, j, v, want[i, j])
+
+
+def test_pq_encode_codes_in_range_and_consistent(spark):
+    import numpy as np
+
+    from ranger_spark.operators.similarity import pq_encode
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 8))
+    X[59] = X[0]  # duplicate vector must get identical codes
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(3)
+    rows = {r["vec_id"]: r for r in pq_encode(df, m=2, k=4, iters=2).collect()}
+    assert len(rows) == 60
+    for r in rows.values():
+        assert 0 <= r["code0"] < 4 and 0 <= r["code1"] < 4
+    assert (rows[0]["code0"], rows[0]["code1"]) == (
+        rows[59]["code0"],
+        rows[59]["code1"],
+    )
