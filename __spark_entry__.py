@@ -54,6 +54,7 @@ _FRONT_R7 = (
     "stream_session_windows",
     "events_ewma_daily",
     "pq_codes",
+    "embedding_pca_projection",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

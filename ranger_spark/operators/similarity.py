@@ -900,25 +900,15 @@ def similar_pairs_blocked(
     )
 
 
-def embedding_covariance(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    round_dp: int = 6,
-) -> DataFrame:
-    """Population covariance matrix of an embedding column — the PCA /
-    whitening prep step — as (i, j, cov) upper-triangle rows.
-
-    Scale shape: the classic distributed Gram computation. Each partition
+def covariance_partials(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """Distributed (n, Σx, X^T X) of an embedding column: each partition
     folds its Arrow batches into ONE (count, sum_x[d], sum_outer[d*d])
-    partial via numpy einsum; the driver adds the ~numPartitions partials
-    and emits the d(d+1)/2 upper-triangle entries as a VALUES
-    LocalRelation. Nothing shuffles but the partials — O(parts × d²)
-    bytes total, independent of row count — and no per-row Python ever
-    runs (Arrow batches in, one einsum per batch)."""
-    import numpy as np
+    partial via numpy einsum; the driver adds the ~numPartitions
+    partials. O(parts × d²) bytes move, independent of row count; no
+    per-row Python ever runs."""
     import pandas as pd
-
-    from ranger_spark.operators.fastpath import values_relation
 
     vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
 
@@ -936,22 +926,34 @@ def embedding_covariance(
             o = g if o is None else o + g
         if count:
             yield pd.DataFrame(
-                {
-                    "n": [count],
-                    "s": [s.tobytes()],
-                    "o": [o.tobytes()],
-                }
+                {"n": [count], "s": [s.tobytes()], "o": [o.tobytes()]}
             )
 
     parts = vecs.mapInPandas(fold, "n bigint, s binary, o binary").collect()
     if not parts:
-        raise ValueError("embedding_covariance: empty input")
+        raise ValueError("covariance_partials: empty input")
     n = sum(p["n"] for p in parts)
     s = sum(np.frombuffer(p["s"], dtype=np.float64) for p in parts)
     o = sum(np.frombuffer(p["o"], dtype=np.float64) for p in parts)
     d = s.shape[0]
+    return n, s, o.reshape(d, d)
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column — the PCA /
+    whitening prep step — as (i, j, cov) upper-triangle rows emitted as
+    a VALUES LocalRelation (see covariance_partials for the distributed
+    shape)."""
+    from ranger_spark.operators.fastpath import values_relation
+
+    n, s, o = covariance_partials(df, vec_col)
+    d = s.shape[0]
     mean = s / n
-    cov = o.reshape(d, d) / n - np.outer(mean, mean)
+    cov = o / n - np.outer(mean, mean)
     rows = [
         (int(i), int(j), float(cov[i, j]))
         for i in range(d)
@@ -1029,3 +1031,40 @@ def pq_encode(
         f"code{mi} int" for mi in range(m)
     )
     return c.mapInPandas(encode, schema)
+
+
+def pca_project_top1(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    round_dp: int = 5,
+) -> DataFrame:
+    """First principal component by power iteration + the projection of
+    every vector onto it — the dimension-reduction / corpus-spread score
+    a semantic pipeline uses for stratifying or visualizing embeddings.
+
+    Distributed shape: covariance from the einsum partials (one map
+    pass), power iteration (``iters`` mat-vecs) on the driver's d×d
+    matrix — O(d²) work, corpus-free — then a second map-only pass
+    projects every row against the broadcast component. The projection
+    is dot(x, w) − mean·w, a JVM-side fold (no Python); deterministic
+    because w starts at the uniform vector and both engines replay the
+    identical recurrence."""
+    n, s, o = covariance_partials(df, vec_col)
+    d = s.shape[0]
+    mean = s / n
+    cov = o / n - np.outer(mean, mean)
+    w = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(iters):
+        w = cov @ w
+        w = w / np.sqrt((w * w).sum())
+    shift = float(mean @ w)
+    w_arr = F.array(*[F.lit(float(x)) for x in w])
+    proj = dot(F.col("__v"), w_arr) - F.lit(shift)
+    return df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).select(
+        id_col,
+        (F.round(proj, round_dp) + 0.0).alias("pc1"),
+    )

@@ -3571,3 +3571,60 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(
         load(spark, sf_dir, "embeddings"), m=4, k=8, iters=2
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top-component projection (power iteration over the covariance)
+# ---------------------------------------------------------------------------
+def _pca_oracle(iters: int = 3) -> str:
+    parts = [
+        """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val
+          FROM e),
+    mn AS (SELECT pos, avg(val) AS m FROM x GROUP BY pos),
+    cov AS (
+      SELECT a.pos AS i, b.pos AS j,
+             avg(a.val * b.val) - avg(a.val) * avg(b.val) AS c
+      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+    ),
+    v0 AS (SELECT pos AS i, 1.0 / sqrt((SELECT count(*) FROM mn)) AS w FROM mn)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    m{t} AS (SELECT cov.i, sum(cov.c * v{t - 1}.w) AS mw
+             FROM cov JOIN v{t - 1} ON v{t - 1}.i = cov.j GROUP BY cov.i),
+    v{t} AS (SELECT i, mw / (SELECT sqrt(sum(mw * mw)) FROM m{t}) AS w
+             FROM m{t})"""
+        )
+    parts.append(
+        f""",
+    sh AS (SELECT sum(mn.m * v{iters}.w) AS shift
+           FROM mn JOIN v{iters} ON v{iters}.i = mn.pos)
+    SELECT vec_id, round(p - (SELECT shift FROM sh), 5) + 0 AS pc1
+    FROM (
+      SELECT x.vec_id, sum(x.val * v{iters}.w) AS p
+      FROM x JOIN v{iters} ON v{iters}.i = x.pos
+      GROUP BY x.vec_id
+    )"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_projection",
+    oracle=_pca_oracle(),
+    tags=("similarity", "pca", "iterative"),
+)
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First principal component by 3-round power iteration over the
+    distributed covariance (einsum partials → driver d×d mat-vecs), then
+    a map-only JVM projection of every vector onto the broadcast
+    component: dot(x, w) − mean·w. The oracle replays the identical
+    recurrence from the uniform start vector in SQL — covariance, three
+    normalized mat-vecs, centered projection — so the iterative linear
+    algebra is exact-checked end to end."""
+    from ranger_spark.operators.similarity import pca_project_top1
+
+    return pca_project_top1(load(spark, sf_dir, "embeddings"))

@@ -1116,3 +1116,27 @@ def test_pq_encode_codes_in_range_and_consistent(spark):
         rows[59]["code0"],
         rows[59]["code1"],
     )
+
+
+def test_pca_projection_recovers_dominant_direction(spark):
+    """Data with variance overwhelmingly along axis 0 must project ≈ its
+    centered first coordinate (up to the power-iteration sign)."""
+    import numpy as np
+
+    from ranger_spark.operators.similarity import pca_project_top1
+
+    rng = np.random.default_rng(11)
+    X = np.zeros((80, 4))
+    X[:, 0] = rng.normal(scale=10.0, size=80)
+    X[:, 1:] = rng.normal(scale=0.1, size=(80, 3))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(80)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(4)
+    got = {
+        r["vec_id"]: r["pc1"] for r in pca_project_top1(df).collect()
+    }
+    centered = X[:, 0] - X[:, 0].mean()
+    projs = np.array([got[i] for i in range(80)])
+    corr = np.corrcoef(projs, centered)[0, 1]
+    assert abs(corr) > 0.999
