@@ -950,19 +950,20 @@ def bloom_prefilter_new(
     schema = f"{id_col} bigint, fp string, maybe_seen boolean"
     probed = tagged.mapInPandas(probe, schema).localCheckpoint(eager=False)
 
-    maybe_fps = [
-        r["fp"]
-        for r in probed.filter("maybe_seen").select("fp").distinct().collect()
-    ]
     corpus_fp = corpus.select(fingerprint(F.col(text_col)).alias("fp"))
-    if len(maybe_fps) > _MAYBE_CAP:
-        # bloom saturated (corpus ≫ m): correctness over cleverness —
-        # plain distributed anti-join on the 16-byte digest
+    maybe = probed.filter("maybe_seen").select("fp").distinct()
+    # count BEFORE collecting: a saturated bloom (corpus ≫ m bits) must
+    # never pull an unbounded maybe set onto the driver. The count also
+    # materializes the lazy localCheckpoint, so the probe pass runs once.
+    if maybe.count() > _MAYBE_CAP:
+        # bloom not selective: correctness over cleverness — plain
+        # distributed anti-join on the 16-byte digest
         return (
             probed.select(id_col, "fp")
             .join(corpus_fp, "fp", "left_anti")
             .select(id_col, "fp")
         )
+    maybe_fps = [r["fp"] for r in maybe.collect()]
     if maybe_fps:
         # map-only corpus scan with the broadcast maybe set; output is the
         # tiny set of CONFIRMED-duplicate fingerprints
@@ -974,6 +975,17 @@ def bloom_prefilter_new(
         }
     else:
         confirmed = set()
+    if len(confirmed) > 1000:
+        # too many literals for an isin under codegen — remove the
+        # confirmed dups via a broadcast anti-join instead
+        conf_df = probed.sparkSession.createDataFrame(
+            [(fp,) for fp in sorted(confirmed)], "fp string"
+        )
+        return (
+            probed.select(id_col, "fp")
+            .join(F.broadcast(conf_df), "fp", "left_anti")
+            .select(id_col, "fp")
+        )
     new = probed.filter(
         ~F.col("maybe_seen") | ~F.col("fp").isin(list(confirmed) or [""])
     )
