@@ -55,6 +55,7 @@ _FRONT_R7 = (
     "events_ewma_daily",
     "pq_codes",
     "embedding_pca_projection",
+    "ann_pq_topk",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -992,9 +992,23 @@ def pq_encode(
     map-only Arrow pass with all m codebooks broadcast — no shuffle, no
     join: each partition argmins its own batch. Ties break to the lowest
     cell id, matching the oracle's (distance, cell) ordering."""
-    import numpy as np
-    import pandas as pd
+    codebooks = pq_train(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, k=k, iters=iters
+    )
+    return pq_encode_with(corpus, codebooks, id_col=id_col, vec_col=vec_col)
 
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> list["np.ndarray"]:
+    """Train the m per-subspace Lloyd codebooks (see pq_encode); returns
+    a list of (cells × subdim) float64 arrays ordered by cell id — the
+    persistable PQ index artifact."""
     c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     dim = len(c.select("v").head()[0])
     if dim % m:
@@ -1011,7 +1025,22 @@ def pq_encode(
         codebooks.append(
             np.asarray([r["centroid"] for r in cents], dtype=np.float64)
         )
+    return codebooks
 
+
+def pq_encode_with(
+    corpus: DataFrame,
+    codebooks: list["np.ndarray"],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode with pre-trained codebooks: ONE map-only Arrow pass, all
+    codebooks broadcast — the serve-many half of the PQ lifecycle."""
+    import pandas as pd
+
+    m = len(codebooks)
+    sd = codebooks[0].shape[1]
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     bc = c.sparkSession.sparkContext.broadcast(codebooks)
 
     def encode(batches):
@@ -1067,4 +1096,72 @@ def pca_project_top1(
     ).select(
         id_col,
         (F.round(proj, round_dp) + 0.0).alias("pc1"),
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k_codebook: int = 8,
+    iters: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou et al. 2011
+    §IV): each query precomputes one tiny lookup table per subspace
+    (distance from its sub-vector to every codebook centroid); a
+    candidate's approximate squared L2 is the sum of m table lookups on
+    its codes — the corpus is scanned as m small ints per row, never as
+    floats.
+
+    Scale shape: codebooks train once (bounded Lloyd); the LUT table is
+    |Q|×m×k doubles emitted as a VALUES relation and broadcast into ONE
+    map-side crossJoin over the codes — no shuffle until the final
+    O(rows×|Q|) rank, and at serving time the codes table is the only
+    thing read. Rank ties break on 6dp-rounded distance then id, so the
+    ordering is engine-deterministic."""
+    books = pq_train(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, k=k_codebook, iters=iters
+    )
+    codes = pq_encode_with(corpus, books, id_col=id_col, vec_col=vec_col)
+    sd = books[0].shape[1]
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("v")
+    ).collect()
+
+    def arr_sql(vals) -> str:
+        return "array(" + ", ".join(repr(float(x)) for x in vals) + ")"
+
+    rows = []
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        luts = [
+            ((qv[mi * sd : (mi + 1) * sd][None, :] - books[mi]) ** 2).sum(
+                axis=1
+            )
+            for mi in range(m)
+        ]
+        rows.append(
+            "(" + str(int(r["q_id"])) + ", "
+            + ", ".join(arr_sql(l) for l in luts) + ")"
+        )
+    lut_cols = ", ".join(f"col{mi + 2} AS lut{mi}" for mi in range(m))
+    lut_df = corpus.sparkSession.sql(
+        f"SELECT CAST(col1 AS BIGINT) AS q_id, {lut_cols} "
+        f"FROM VALUES {', '.join(rows)}"
+    )
+    dist = None
+    for mi in range(m):
+        term = F.element_at(F.col(f"lut{mi}"), F.col(f"code{mi}") + 1)
+        dist = term if dist is None else dist + term
+    scored = codes.crossJoin(F.broadcast(lut_df)).select(
+        "q_id",
+        F.col(id_col),
+        (F.round(dist, 6) + 0.0).alias("pq_dist"),
+    )
+    w = Window.partitionBy("q_id").orderBy("pq_dist", id_col)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

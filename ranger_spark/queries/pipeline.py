@@ -3628,3 +3628,91 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranger_spark.operators.similarity import pca_project_top1
 
     return pca_project_top1(load(spark, sf_dir, "embeddings"))
+
+
+def _pq_topk_oracle(
+    m: int = 4, k: int = 8, iters: int = 2, sd: int = 16, topk: int = 10
+) -> str:
+    """ADC search oracle: the _pq_oracle training/encoding CTEs, plus the
+    per-query distance lookup tables and the m-lookup scoring join."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for mi in range(m):
+        lo, hi = mi * sd + 1, (mi + 1) * sd
+        parts.append(
+            f""",
+s{mi} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM e),
+c{mi}_0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+         v AS centroid
+  FROM (SELECT vec_id, v FROM s{mi}
+        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k})
+)"""
+        )
+        for i in range(iters):
+            parts.append(
+                "," + _kmeans_assign_sql(f"s{mi}", f"c{mi}_{i}", f"a{mi}_{i + 1}")
+            )
+            parts.append(
+                "," + _kmeans_recompute_sql(f"a{mi}_{i + 1}", f"c{mi}_{i + 1}")
+            )
+        parts.append(
+            "," + _kmeans_assign_sql(f"s{mi}", f"c{mi}_{iters}", f"af{mi}")
+        )
+        parts.append(
+            f""",
+lut{mi} AS (
+  SELECT q.vec_id AS q_id, c.cell,
+         pow(list_distance(q.v, c.centroid), 2) AS d
+  FROM (SELECT vec_id, v FROM s{mi} WHERE vec_id < 5) q
+  CROSS JOIN c{mi}_{iters} c
+)"""
+        )
+    code_cols = ", ".join(f"af{mi}.cell AS c{mi}" for mi in range(m))
+    code_joins = " ".join(
+        f"JOIN af{mi} ON af{mi}.vec_id = e.vec_id" for mi in range(m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{mi} l{mi} ON "
+        + ("l0.q_id = l0.q_id AND " if mi == 0 else f"l{mi}.q_id = l0.q_id AND ")
+        + f"l{mi}.cell = codes.c{mi}"
+        for mi in range(m)
+    )
+    dist = " + ".join(f"l{mi}.d" for mi in range(m))
+    parts.append(
+        f""",
+codes AS (SELECT e.vec_id, {code_cols} FROM e {code_joins}),
+scored AS (
+  SELECT l0.q_id, codes.vec_id, round({dist}, 6) + 0 AS pq_dist
+  FROM codes {lut_joins}
+)
+SELECT q_id, vec_id, pq_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT q_id, vec_id, pq_dist,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY pq_dist, vec_id
+         ) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_topk_oracle(),
+    tags=("similarity", "ann", "pq", "approx"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (Jégou et al. 2011 §IV): queries
+    (vec_id < 5) precompute one LUT per subspace against the trained
+    codebooks; candidates are scored by m table lookups on their codes
+    via a broadcast crossJoin — the corpus moves as m small ints per
+    row. The oracle replays training, encoding, LUTs, and the scoring
+    join end to end."""
+    from ranger_spark.operators.similarity import pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e.filter("vec_id < 5"), e, m=4, k_codebook=8, iters=2)

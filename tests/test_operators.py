@@ -1140,3 +1140,30 @@ def test_pca_projection_recovers_dominant_direction(spark):
     projs = np.array([got[i] for i in range(80)])
     corr = np.corrcoef(projs, centered)[0, 1]
     assert abs(corr) > 0.999
+
+
+def test_pq_adc_recall_beats_random(spark):
+    """ADC top-10 over PQ codes must overlap substantially with exact
+    L2 top-10 (recall sanity — quantized search approximates, not
+    random)."""
+    import numpy as np
+
+    from ranger_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(200, 8))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = pq_adc_topk(
+        df.filter("vec_id < 2"), df, m=2, k_codebook=16, iters=2, k=10
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert set(by_q) == {0, 1}
+    for q in (0, 1):
+        d2 = ((X - X[q]) ** 2).sum(axis=1)
+        exact = set(np.argsort(d2, kind="stable")[:10].tolist())
+        assert len(by_q[q] & exact) >= 4, (q, by_q[q], exact)
