@@ -69,6 +69,7 @@ _NL_ALLOWED = {
     "ann_text_topk",  # 3-row broadcast query side of the != pair join
     "events_funnel",  # 1-row stage-count broadcasts (crossJoin of scalars)
     "sample_dsir_scores",  # 1-row broadcast token totals (crossJoin of scalars)
+    "ann_pq_topk",  # |Q|-row broadcast LUT crossJoin over the codes table
     "events_rolling_wau",  # broadcast day-grid range join (~days rows)
     # broadcast day-grid range joins over per-day HLL sketches + the
     # exact cross-check branch (bytes per day on both sides)
