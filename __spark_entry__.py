@@ -23,39 +23,40 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 50` at
-# round start and pasted here verbatim. Round 7 front: the r6 harness
-# casualty (text_feature_hash_vector, now reshaped to scalar columns),
-# the rows-only stub, then the 34 r4-stale queries oldest-first, then the
-# oldest r5-certified queries to fill the window.
+# round start and pasted here verbatim. Round 7 front (recomputed after
+# the round's 11 new queries landed): all 27 never-driver-certified
+# queries first (the r6 harness casualty text_feature_hash_vector, the
+# rows-only stub, the round-7 additions), then the oldest r4-stale
+# queries fill the window; the 11 r4-stale that no longer fit rotate to
+# the round-8 front.
 _FRONT_R7 = (
-    "multimodal_decode_stub",
-    "text_feature_hash_vector",
-    # new in round 7 — never driver-certified, certify immediately
-    "grouping_sets_revenue",
-    "pivot_status_by_priority",
-    "unpivot_pricing_metrics",
-    "recursive_year_spine",
-    "dedup_canonical_pick",
-    "sample_temperature_mixture",
-    "export_shard_plan",
-    "events_gap_fill_interpolate",
-    "events_markov_transitions",
-    "multimodal_warc_records",
-    "orders_price_histogram",
-    "embedding_label_centroids",
-    "cross_source_containment",
+    "ann_pq_topk",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
-    "source_pagerank",
-    "stream_windowed_daily",
+    "cross_source_containment",
     "dedup_bloom_prefilter",
-    "sample_dsir_scores",
+    "dedup_canonical_pick",
     "embedding_covariance",
-    "stream_session_windows",
-    "events_ewma_daily",
-    "pq_codes",
+    "embedding_label_centroids",
     "embedding_pca_projection",
-    "ann_pq_topk",
+    "events_ewma_daily",
+    "events_gap_fill_interpolate",
+    "events_markov_transitions",
+    "export_shard_plan",
+    "grouping_sets_revenue",
+    "multimodal_decode_stub",
+    "multimodal_warc_records",
+    "orders_price_histogram",
+    "pivot_status_by_priority",
+    "pq_codes",
+    "recursive_year_spine",
+    "sample_dsir_scores",
+    "sample_temperature_mixture",
+    "source_pagerank",
+    "stream_session_windows",
+    "stream_windowed_daily",
+    "text_feature_hash_vector",
+    "unpivot_pricing_metrics",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",
@@ -79,26 +80,6 @@ _FRONT_R7 = (
     "not_exists_anti",
     "null_handling",
     "order_limit_offset",
-    "proj_arith_alias",
-    "proj_star_small",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "range_join_error_purchase",
-    "scalar_functions",
-    "scalar_subquery",
-    "union_all_tagged",
-    "union_distinct",
-    "window_lead_lag",
-    "ann_cosine_topk",
-    "array_ops_embeddings",
-    "contamination_check",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
 )
 
 
