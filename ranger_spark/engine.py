@@ -471,6 +471,12 @@ class Engine:
             return self._create_view(r.sql)
         if k == StmtKind.DROP_VIEW:
             return self._drop_view(r.sql)
+        if k == StmtKind.CREATE_MVIEW:
+            return self._create_mview(r.sql)
+        if k == StmtKind.REFRESH_MVIEW:
+            return self._refresh_mview(r.sql)
+        if k == StmtKind.DROP_MVIEW:
+            return self._drop_mview(r.sql)
         if k == StmtKind.COPY_FROM:
             return self._copy_from(r.sql)
         if k == StmtKind.COPY_TO:
@@ -2602,6 +2608,305 @@ class Engine:
         self.spark.sql(f"DROP VIEW IF EXISTS {name}")
         self._views.discard(name)
         return QueryResult([], [], 0, message=f"view '{name}' dropped")
+
+    # ------------------------------------------- MATERIALIZED VIEWS (exceeds)
+    # A materialized view is a real versioned table plus durable metadata
+    # (body, source table, source snapshot version at build). REFRESH is
+    # always correct via full recompute; when the body is a single-table
+    # algebraic aggregate (SUM/COUNT/MIN/MAX ... GROUP BY) and the source
+    # only fast-appended since the last build, REFRESH re-aggregates ONLY
+    # the appended files (read straight from the snapshot manifests'
+    # added_files) and merges — the O(delta) maintenance path that makes
+    # MVs viable over a 100 TB fact table. Builds of incremental-capable
+    # MVs pin their read to the recorded snapshot version, so a commit
+    # racing the build can never be half-included and later double-counted.
+
+    _MV_AGG_RE = re.compile(
+        r"^(SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[^()]+)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*$",
+        re.I,
+    )
+
+    def _mv_shape(self, body: str) -> dict | None:
+        """Detect the incremental-capable shape: SELECT <group items and
+        algebraic aggregates> FROM <one table> [WHERE ...] GROUP BY <items>.
+        Returns {"src", "where", "group_exprs", "aggs": {alias: FN}} or
+        None (→ full-recompute-only MV)."""
+        m = re.match(
+            r"^SELECT\s+(.*?)\s+FROM\s+([\w.]+)"
+            r"(?:\s+WHERE\s+(.*?))?\s+GROUP\s+BY\s+(.+?)\s*$",
+            body,
+            re.I | re.S,
+        )
+        if not m:
+            return None
+        items, src, where, group = m.groups()
+        if re.search(r"\b(JOIN|UNION|HAVING|LIMIT|ORDER\s+BY)\b", body, re.I):
+            return None
+        norm = lambda s: re.sub(r"\s+", " ", s.strip()).lower()  # noqa: E731
+        group_exprs = [norm(g) for g in itypes.split_top_level(group)]
+        aggs: dict[str, str] = {}
+        for item in itypes.split_top_level(items):
+            item = item.strip()
+            am = self._MV_AGG_RE.match(item)
+            if am:
+                aggs[am.group(3)] = am.group(1).upper()
+                continue
+            # non-aggregate item: its expression (sans alias) must be a
+            # GROUP BY expression, else the shape is beyond the detector
+            expr = re.sub(r"\s+AS\s+[A-Za-z_]\w*\s*$", "", item, flags=re.I)
+            if norm(expr) not in group_exprs:
+                return None
+        if not aggs:
+            return None
+        return {"src": src, "aggs": aggs}
+
+    def _mv_rewrite_from(self, body: str, src: str, view: str) -> str:
+        """Point the body's single FROM at a replacement relation."""
+        return re.sub(
+            rf"(\bFROM\s+){re.escape(src)}\b", rf"\g<1>{view}", body,
+            count=1, flags=re.I,
+        )
+
+    def _create_mview(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+(.+)$",
+            sql,
+            re.I | re.S,
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "CREATE MATERIALIZED VIEW syntax: "
+                "CREATE MATERIALIZED VIEW name AS SELECT ...",
+            )
+        name, body = self._qualify(m.group(1)), m.group(2).strip()
+        from ranger_spark.router import StmtKind, route
+
+        if route(body + ";").kind not in (
+            StmtKind.SELECT,
+            StmtKind.WITH_SELECT,
+        ):
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "materialized view body must be a SELECT statement",
+            )
+        if self._table_exists(name) or name in self._manifest["tables"]:
+            raise RangerError(ALREADY_EXISTS, f"table '{name}' exists")
+        db = name.split(".", 1)[0]
+        if not self._db_exists(db):
+            raise RangerError(DATABASE_NOT_FOUND, f"database '{db}' not found")
+
+        shape = self._mv_shape(body)
+        src = self._qualify(shape["src"]) if shape else None
+        vt = self._versioned_for(src) if src else None
+        src_version = vt.current_version() if vt else None
+        if shape and vt:
+            # pin the build to the recorded snapshot: a commit racing the
+            # build is fully excluded here and fully re-aggregated later
+            df = self._mv_eval_at(body, shape["src"], src, vt, src_version)
+        else:
+            shape = None  # no versioned source → no incremental path
+            df = self.spark.sql(self._rewrite_system(body))
+
+        columns = [
+            (f.name, itypes.from_spark_type(f.dataType, f.name), f.nullable)
+            for f in df.schema.fields
+        ]
+        self._materialize_table(
+            name,
+            columns,
+            {"storage": "filesystem", "partition_by": [], "order_by": [],
+             "settings": {}},
+        )
+        target = itypes.to_spark_schema(columns)
+        out = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target.fields)
+            ]
+        )
+        self._append_commit(
+            name,
+            "append",
+            lambda: self._apply_write_options(out.write, name).insertInto(name),
+        )
+        meta = {
+            "body": body,
+            "src": src,
+            "src_written": shape["src"] if shape else None,
+            "src_version": src_version,
+            "aggs": shape["aggs"] if shape else None,
+        }
+        self._mutate_manifest(
+            lambda mf: mf.setdefault("mviews", {}).__setitem__(name, meta)
+        )
+        kind = "incremental-capable" if shape else "full-refresh"
+        return QueryResult(
+            [], [], 0, message=f"materialized view '{name}' created ({kind})"
+        )
+
+    def _mv_eval_at(self, body, src_written, src, vt, version) -> DataFrame:
+        """Evaluate the MV body against an exact snapshot's file list."""
+        schema = self.spark.table(src).schema
+        files = vt.files(version) if version else []
+        if files:
+            pinned = self.spark.read.schema(schema).parquet(*files)
+        else:
+            pinned = self.spark.createDataFrame([], schema)
+        tmp = f"__mv_pin_{uuid_mod.uuid4().hex[:8]}"
+        pinned.createOrReplaceTempView(tmp)
+        try:
+            return self.spark.sql(self._mv_rewrite_from(body, src_written, tmp))
+        finally:
+            pass  # temp view must outlive the lazy plan; session-scoped
+
+    def _refresh_mview(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*$", sql, re.I
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "REFRESH MATERIALIZED VIEW syntax: "
+                "REFRESH MATERIALIZED VIEW name",
+            )
+        name = self._qualify(m.group(1))
+        meta = self._manifest.get("mviews", {}).get(name)
+        if meta is None:
+            raise RangerError(
+                TABLE_NOT_FOUND, f"materialized view '{name}' not found"
+            )
+        src, aggs = meta.get("src"), meta.get("aggs")
+        vt = self._versioned_for(src) if src else None
+        if aggs and vt is not None:
+            cur = vt.current_version()
+            old = meta.get("src_version") or 0
+            if cur == old:
+                return QueryResult(
+                    [], [], 0,
+                    message=f"materialized view '{name}' already fresh",
+                )
+            deltas = []
+            for v in range(old + 1, cur + 1):
+                try:
+                    deltas.append(vt.manifest(v))
+                except FileNotFoundError:
+                    break  # expired snapshot → delta unreadable → full
+            if len(deltas) == cur - old and all(
+                d.get("operation") == "append" for d in deltas
+            ):
+                added = [f for d in deltas for f in d.get("added_files", [])]
+                n = self._mv_merge_delta(name, meta, added)
+                self._mv_set_version(name, cur)
+                return QueryResult(
+                    [], [], n,
+                    message=(
+                        f"materialized view '{name}' refreshed incrementally "
+                        f"({len(added)} delta file(s), versions "
+                        f"{old + 1}..{cur})"
+                    ),
+                )
+        # full recompute (non-aggregate body, or rewrites in the history)
+        cur = vt.current_version() if vt is not None else None
+        if aggs and vt is not None:
+            df = self._mv_eval_at(
+                meta["body"], meta["src_written"], src, vt, cur
+            )
+        else:
+            df = self.spark.sql(self._rewrite_system(meta["body"]))
+        target = self.spark.table(name).schema
+        out = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, target.fields)
+            ]
+        )
+        self._rewrite_table(name, out, operation="refresh")
+        if cur is not None:
+            self._mv_set_version(name, cur)
+        return QueryResult(
+            [], [], 0, message=f"materialized view '{name}' refreshed (full)"
+        )
+
+    def _mv_merge_delta(self, name: str, meta: dict, added: list[str]) -> int:
+        """Aggregate ONLY the delta files through the MV body, then merge
+        with the current MV state group-wise (SUM/COUNT fold by sum,
+        MIN/MAX by min/max — the algebraic-aggregate merge law)."""
+        if not added:
+            return 0
+        src_schema = self.spark.table(meta["src"]).schema
+        delta = self.spark.read.schema(src_schema).parquet(*added)
+        tmp = f"__mv_delta_{uuid_mod.uuid4().hex[:8]}"
+        delta.createOrReplaceTempView(tmp)
+        delta_agg = self.spark.sql(
+            self._mv_rewrite_from(meta["body"], meta["src_written"], tmp)
+        )
+        current = self.spark.table(name)
+        target = current.schema
+        aligned = delta_agg.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(delta_agg.columns, target.fields)
+            ]
+        )
+        aggs = {k.lower(): v for k, v in meta["aggs"].items()}
+        group_cols = [c for c in current.columns if c.lower() not in aggs]
+        folds = []
+        for c in current.columns:
+            fn = aggs.get(c.lower())
+            if fn is None:
+                continue
+            if fn in ("SUM", "COUNT"):
+                folds.append(F.sum(c).alias(c))
+            elif fn == "MIN":
+                folds.append(F.min(c).alias(c))
+            else:
+                folds.append(F.max(c).alias(c))
+        merged = (
+            current.unionByName(aligned)
+            .groupBy(*group_cols)
+            .agg(*folds)
+            .select(*current.columns)
+        )
+        merged = merged.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+        self._rewrite_table(name, merged, operation="refresh_incremental")
+        return len(added)
+
+    def _mv_set_version(self, name: str, version: int) -> None:
+        def upd(mf):
+            if name in mf.get("mviews", {}):
+                mf["mviews"][name]["src_version"] = version
+
+        self._mutate_manifest(upd)
+
+    def _drop_mview(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$",
+            sql,
+            re.I,
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "DROP MATERIALIZED VIEW syntax: "
+                "DROP MATERIALIZED VIEW [IF EXISTS] name",
+            )
+        if_exists, name = bool(m.group(1)), self._qualify(m.group(2))
+        if name not in self._manifest.get("mviews", {}):
+            if if_exists:
+                return QueryResult([], [], 0, message="nothing to drop")
+            raise RangerError(
+                TABLE_NOT_FOUND, f"materialized view '{name}' not found"
+            )
+        self._mutate_manifest(
+            lambda mf: mf.get("mviews", {}).pop(name, None)
+        )
+        return self._drop_table(f"DROP TABLE IF EXISTS {name}")
 
     # ----------------------------------------------------- ALTER (exceeds)
     def _alter_table(self, sql: str) -> QueryResult:

@@ -45,6 +45,9 @@ class StmtKind(Enum):
     CREATE_DATABASE = "create_database"
     CREATE_VIEW = "create_view"  # exceeds (reference reserves the keyword)
     DROP_VIEW = "drop_view"
+    CREATE_MVIEW = "create_mview"    # exceeds: materialized views over the
+    REFRESH_MVIEW = "refresh_mview"  # snapshot store with incremental
+    DROP_MVIEW = "drop_mview"        # refresh for append-only aggregates
     COPY_FROM = "copy_from"  # exceeds: the reference CLIENT emits COPY
     COPY_TO = "copy_to"      # (client.go:168) but its server blocks it
     DROP_TABLE = "drop_table"
@@ -670,6 +673,29 @@ def route(statement: str, strict: bool = False) -> Routed:
             "COPY syntax: COPY table FROM 'path' (FORMAT fmt) | "
             "COPY table TO 'path' (FORMAT fmt)",
         )
+    if m("CREATE MATERIALIZED VIEW"):
+        # exceeds: materialized views over the versioned store. Strict
+        # mode keeps the reference rejection (no such grammar there).
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: CREATE MATERIALIZED VIEW",
+            )
+        return Routed(StmtKind.CREATE_MVIEW, s)
+    if m("REFRESH MATERIALIZED VIEW"):
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: REFRESH MATERIALIZED VIEW",
+            )
+        return Routed(StmtKind.REFRESH_MVIEW, s)
+    if m("DROP MATERIALIZED VIEW"):
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: DROP MATERIALIZED VIEW",
+            )
+        return Routed(StmtKind.DROP_MVIEW, s)
     if m("CREATE VIEW") or m("CREATE OR REPLACE VIEW"):
         # exceeds: the reference reserves VIEW (parser.go:49) but has no
         # CREATE VIEW statement; executable session-scoped views here

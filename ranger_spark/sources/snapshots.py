@@ -270,6 +270,11 @@ class VersionedTable:
             )
         return best
 
+    def manifest(self, version: int) -> dict:
+        """Full manifest record of one snapshot (incl. files/added_files) —
+        the incremental-consumer read surface (MV refresh, CDC)."""
+        return self._load(version)
+
     def history(self) -> list[dict]:
         out: list[dict] = []
         for v in range(1, self.current_version() + 1):

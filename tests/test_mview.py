@@ -1,0 +1,131 @@
+"""Materialized views over the versioned store: full-refresh correctness,
+the O(delta) incremental path for append-only algebraic aggregates, the
+rewrite → full fallback, and the statement-surface error shapes."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+
+@pytest.fixture()
+def mvdb(engine):
+    db = "mvt_" + uuid.uuid4().hex[:6]
+    engine.execute(f"CREATE DATABASE {db};")
+    engine.execute(f"USE {db};")
+    yield db
+    engine.spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _setup(engine):
+    engine.execute("CREATE TABLE t (k string, v int32, w float64);")
+    engine.execute(
+        "INSERT INTO t (k,v,w) VALUES ('a',1,1.5),('a',2,2.5),('b',3,0.5);"
+    )
+
+
+def test_mv_create_and_incremental_refresh(engine, mvdb):
+    _setup(engine)
+    r = engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv, "
+        "COUNT(*) AS c, MIN(w) AS mn, MAX(w) AS mx FROM t GROUP BY k;"
+    )
+    assert "incremental-capable" in r.message
+    assert sorted(engine.execute("SELECT * FROM mv;").rows) == [
+        ("a", 3, 2, 1.5, 2.5),
+        ("b", 3, 1, 0.5, 0.5),
+    ]
+    assert "already fresh" in engine.execute(
+        "REFRESH MATERIALIZED VIEW mv;"
+    ).message
+    # two appends, one refresh: both deltas fold in, new group appears
+    engine.execute("INSERT INTO t (k,v,w) VALUES ('a',10,9.0);")
+    engine.execute("INSERT INTO t (k,v,w) VALUES ('c',7,3.0),('b',1,0.1);")
+    r = engine.execute("REFRESH MATERIALIZED VIEW mv;")
+    assert "incrementally" in r.message
+    assert sorted(engine.execute("SELECT * FROM mv;").rows) == [
+        ("a", 13, 3, 1.5, 9.0),
+        ("b", 4, 2, 0.1, 0.5),
+        ("c", 7, 1, 3.0, 3.0),
+    ]
+
+
+def test_mv_incremental_matches_recompute_with_where(engine, mvdb):
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv FROM t "
+        "WHERE v >= 2 GROUP BY k;"
+    )
+    engine.execute("INSERT INTO t (k,v,w) VALUES ('a',1,0.0),('a',5,0.0);")
+    r = engine.execute("REFRESH MATERIALIZED VIEW mv;")
+    assert "incrementally" in r.message  # WHERE rides the delta aggregate
+    want = sorted(
+        engine.execute("SELECT k, SUM(v) AS sv FROM t WHERE v >= 2 GROUP BY k;").rows
+    )
+    assert sorted(engine.execute("SELECT * FROM mv;").rows) == want
+
+
+def test_mv_rewrite_history_falls_back_to_full(engine, mvdb):
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv FROM t GROUP BY k;"
+    )
+    engine.execute("DELETE FROM t WHERE k = 'b';")
+    r = engine.execute("REFRESH MATERIALIZED VIEW mv;")
+    assert "(full)" in r.message
+    assert sorted(engine.execute("SELECT * FROM mv;").rows) == [("a", 3)]
+
+
+def test_mv_non_aggregate_body_is_full_refresh(engine, mvdb):
+    _setup(engine)
+    r = engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, v FROM t WHERE v > 1;"
+    )
+    assert "full-refresh" in r.message
+    engine.execute("INSERT INTO t (k,v,w) VALUES ('z',9,0.0);")
+    assert "(full)" in engine.execute("REFRESH MATERIALIZED VIEW mv;").message
+    assert ("z", 9) in engine.execute("SELECT * FROM mv;").rows
+
+
+def test_mv_avg_body_not_incremental(engine, mvdb):
+    _setup(engine)
+    r = engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, AVG(v) AS av FROM t GROUP BY k;"
+    )
+    assert "full-refresh" in r.message  # AVG is not algebraic-mergeable here
+
+
+def test_mv_error_shapes(engine, mvdb):
+    from ranger_spark.errors import RangerError
+
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv FROM t GROUP BY k;"
+    )
+    with pytest.raises(RangerError):  # duplicate
+        engine.execute("CREATE MATERIALIZED VIEW mv AS SELECT 1 AS x;")
+    with pytest.raises(RangerError):  # unknown refresh target
+        engine.execute("REFRESH MATERIALIZED VIEW nope;")
+    with pytest.raises(RangerError):  # unknown drop target
+        engine.execute("DROP MATERIALIZED VIEW nope;")
+    assert "nothing to drop" in engine.execute(
+        "DROP MATERIALIZED VIEW IF EXISTS nope;"
+    ).message
+    engine.execute("DROP MATERIALIZED VIEW mv;")
+    assert f"{mvdb}.mv" not in engine._manifest.get("mviews", {})
+    with pytest.raises(Exception):  # backing table gone too
+        engine.execute("SELECT * FROM mv;")
+
+
+def test_mv_strict_gate_rejects():
+    from ranger_spark.errors import RangerError
+    from ranger_spark.router import route
+
+    for s in (
+        "CREATE MATERIALIZED VIEW m AS SELECT 1;",
+        "REFRESH MATERIALIZED VIEW m;",
+        "DROP MATERIALIZED VIEW m;",
+    ):
+        with pytest.raises(RangerError):
+            route(s, strict=True)
