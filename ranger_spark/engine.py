@@ -3212,6 +3212,21 @@ class Engine:
             "query_id string, sql string, status string, "
             "started_at double, duration_s double",
         ).createOrReplaceTempView("system_queries")
+        # system.mviews — materialized-view registry (exceeds)
+        mv_rows = [
+            Row(
+                name=n,
+                source_table=m.get("src") or "",
+                src_version=int(m.get("src_version") or 0),
+                incremental=bool(m.get("aggs")),
+            )
+            for n, m in sorted(self._manifest.get("mviews", {}).items())
+        ]
+        s.createDataFrame(
+            mv_rows,
+            "name string, source_table string, src_version long, "
+            "incremental boolean",
+        ).createOrReplaceTempView("system_mviews")
 
     # ------------------------------------------------------------- helpers
     def _qualify(self, name: str) -> str:

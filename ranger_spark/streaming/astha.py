@@ -366,3 +366,25 @@ def register_schema_cache(astha: "Astha", engine) -> None:
         ["*"],
         lambda ev: engine.refresh_table_registration(ev.table),
     )
+
+
+def register_mview_maintenance(astha: "Astha", engine) -> None:
+    """Event-driven materialized-view maintenance: every MV whose source
+    table committed becomes a REFRESH on the spot — the reference's Astha
+    component model (subscribe → react per table event) applied to MV
+    upkeep. Appends take the O(delta) incremental path; rewrites fall
+    back to a full recompute inside the same statement surface. MV-over-
+    MV chains cascade naturally (the refresh commit is itself an event).
+    Failures never poison the bus: the event is still acked, and the
+    next source commit retries the refresh (REFRESH is idempotent —
+    state is keyed by the source's snapshot version)."""
+
+    def on_event(ev) -> None:
+        for name, meta in list(engine._manifest.get("mviews", {}).items()):
+            if meta.get("src") == ev.table:
+                try:
+                    engine.execute(f"REFRESH MATERIALIZED VIEW {name};")
+                except Exception:  # next commit retries; bus stays healthy
+                    pass
+
+    astha.register_component("mview-maintenance", "1.0", ["*"], on_event)

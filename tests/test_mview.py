@@ -129,3 +129,34 @@ def test_mv_strict_gate_rejects():
     ):
         with pytest.raises(RangerError):
             route(s, strict=True)
+
+
+def test_mv_astha_auto_maintenance(engine, mvdb):
+    """A source-table commit seen by the CDC bus refreshes the MV with no
+    manual REFRESH — the Astha component model applied to MV upkeep."""
+    from ranger_spark.streaming.astha import (
+        Astha,
+        Config,
+        register_mview_maintenance,
+    )
+
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv FROM t GROUP BY k;"
+    )
+    a = Astha(engine, Config(poll_interval_s=0.05))
+    a.consumer.start_from_now()
+    register_mview_maintenance(a, engine)
+    engine.execute("INSERT INTO t (k,v,w) VALUES ('c',7,3.0);")
+    assert a.pump() >= 1
+    assert ("c", 7) in engine.execute("SELECT * FROM mv;").rows
+
+
+def test_system_mviews_view(engine, mvdb):
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv FROM t GROUP BY k;"
+    )
+    rows = engine.execute("SELECT * FROM system.mviews;").rows
+    mine = [r for r in rows if r[0] == f"{mvdb}.mv"]
+    assert mine and mine[0][1] == f"{mvdb}.t" and mine[0][3] is True
