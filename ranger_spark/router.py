@@ -720,6 +720,17 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.USE, s)
     if m("SHOW DATABASES") or m("SHOW NAMESPACES"):
         return Routed(StmtKind.SHOW_DATABASES, s)
+    if m("SHOW MATERIALIZED VIEWS"):
+        # exceeds: surface over the MV registry (system.mviews)
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: SHOW MATERIALIZED VIEWS",
+            )
+        return Routed(
+            StmtKind.SELECT,
+            "SELECT * FROM system.mviews ORDER BY name",
+        )
     if m("SHOW TABLES"):
         return Routed(StmtKind.SHOW_TABLES, s)
     if m("SHOW COLUMNS"):

@@ -160,3 +160,12 @@ def test_system_mviews_view(engine, mvdb):
     rows = engine.execute("SELECT * FROM system.mviews;").rows
     mine = [r for r in rows if r[0] == f"{mvdb}.mv"]
     assert mine and mine[0][1] == f"{mvdb}.t" and mine[0][3] is True
+
+
+def test_show_materialized_views_statement(engine, mvdb):
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv FROM t GROUP BY k;"
+    )
+    r = engine.execute("SHOW MATERIALIZED VIEWS;")
+    assert any(row[0] == f"{mvdb}.mv" for row in r.rows)
