@@ -2642,6 +2642,12 @@ class Engine:
         items, src, where, group = m.groups()
         if re.search(r"\b(JOIN|UNION|HAVING|LIMIT|ORDER\s+BY)\b", body, re.I):
             return None
+        if re.search(r"\(\s*SELECT\b", body, re.I):
+            # a subquery (e.g. in WHERE) is not row-local — a delta
+            # re-aggregate would evaluate it against the delta only
+            return None
+        if re.search(r"\(\s*DISTINCT\b", body, re.I):
+            return None  # COUNT(DISTINCT ...) is not sum-mergeable
         norm = lambda s: re.sub(r"\s+", " ", s.strip()).lower()  # noqa: E731
         group_exprs = [norm(g) for g in itypes.split_top_level(group)]
         aggs: dict[str, str] = {}

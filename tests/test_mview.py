@@ -169,3 +169,25 @@ def test_show_materialized_views_statement(engine, mvdb):
     )
     r = engine.execute("SHOW MATERIALIZED VIEWS;")
     assert any(row[0] == f"{mvdb}.mv" for row in r.rows)
+
+
+def test_mv_non_mergeable_shapes_fall_back(engine, mvdb):
+    """Subqueries and DISTINCT aggregates must NOT take the incremental
+    path (a delta re-aggregate would be wrong for both)."""
+    _setup(engine)
+    r = engine.execute(
+        "CREATE MATERIALIZED VIEW mv1 AS SELECT k, SUM(v) AS sv FROM t "
+        "WHERE v IN (SELECT v FROM t WHERE v > 1) GROUP BY k;"
+    )
+    assert "full-refresh" in r.message
+    r = engine.execute(
+        "CREATE MATERIALIZED VIEW mv2 AS SELECT k, COUNT(DISTINCT v) AS c "
+        "FROM t GROUP BY k;"
+    )
+    assert "full-refresh" in r.message
+    # and their full refresh stays correct
+    engine.execute("INSERT INTO t (k,v,w) VALUES ('a',2,0.0);")
+    engine.execute("REFRESH MATERIALIZED VIEW mv2;")
+    assert sorted(engine.execute("SELECT * FROM mv2;").rows) == sorted(
+        engine.execute("SELECT k, COUNT(DISTINCT v) AS c FROM t GROUP BY k;").rows
+    )
