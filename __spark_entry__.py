@@ -31,6 +31,9 @@ from ranger_spark.queries import load_all  # noqa: E402
 # the round-8 front.
 _FRONT_R7 = (
     "ann_pq_topk",
+    "text_bm25_scores",
+    "basket_frequent_pairs",
+    "text_script_profile",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
     "cross_source_containment",

@@ -3716,3 +3716,205 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return pq_adc_topk(e.filter("vec_id < 5"), e, m=4, k_codebook=8, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("join", "window", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKS}, x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
+    stats AS (
+      SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, x AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+      WHERE x IN ('join', 'window', 'scan')
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1) AS idf
+      FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats
+    )
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(idf.idf * tf.tf * ({_BM25_K1} + 1) /
+             (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN idf USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY tf.doc_id
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Robertson & Zaragoza 2009; Lucene's idf form) for a
+    fixed query-term set over the corpus — the lexical-retrieval scorer
+    that complements the ANN family. Scale shape: one token explode
+    filtered to the query terms (tiny after the filter), corpus stats
+    (N, avgdl) and the |terms|-row idf table broadcast; per-doc score is
+    one small join-and-fold. Only docs containing ≥1 query term emerge."""
+    from ranger_spark.operators.text import normalize_text, tokenize
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            tokenize(normalize_text(F.col("text"))),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            ).alias("idf"),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket frequent pairs (A-priori pruned)
+# ---------------------------------------------------------------------------
+_FP_ITEM_MINSUP, _FP_PAIR_MINSUP = 10, 2
+
+
+@register(
+    "basket_frequent_pairs",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (
+      SELECT pk FROM li GROUP BY pk
+      HAVING count(*) >= {_FP_ITEM_MINSUP}
+    ),
+    lf AS (SELECT li.ok, li.pk FROM li JOIN freq USING (pk))
+    SELECT a.pk AS part_a, b.pk AS part_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM lf a JOIN lf b ON a.ok = b.ok AND a.pk < b.pk
+    GROUP BY 1, 2
+    HAVING count(*) >= {_FP_PAIR_MINSUP}
+    """,
+    tags=("analytics", "basket", "apriori"),
+)
+def basket_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs across orders with the A-priori downward-
+    closure prune (Agrawal & Srikant 1994): infrequent single items are
+    removed by a broadcast semi-join BEFORE the pair join, so the
+    quadratic-per-basket pair generation runs over the pruned baskets
+    only — the one shuffle is on the basket key, where the self-join is
+    co-partitioned."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    freq = (
+        li.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _FP_ITEM_MINSUP)
+        .select("pk")
+    )
+    lf = li.join(F.broadcast(freq), "pk", "left_semi")
+    a, b = lf.alias("a"), lf.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= _FP_PAIR_MINSUP)
+    )
+
+
+@register(
+    "text_script_profile",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                AS BIGINT) AS latin,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS digits,
+           CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+                AS BIGINT) AS han,
+           CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+                AS BIGINT) AS cyrillic
+    FROM documents
+    """,
+    tags=("text", "script", "langid"),
+)
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script profile (the writing-system counts behind CLD-style
+    language ID): per-doc character counts in the Latin / digit / Han /
+    Cyrillic ranges via strip-and-diff regex — map-only, JVM regexp, no
+    explode: the whole profile is four column expressions over one scan."""
+    d = load(spark, sf_dir, "documents")
+
+    def cnt(pattern):
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace("text", pattern, ""))
+        ).cast("bigint")
+
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        cnt("[a-zA-Z]").alias("latin"),
+        cnt("[0-9]").alias("digits"),
+        cnt("[一-鿿]").alias("han"),
+        cnt("[Ѐ-ӿ]").alias("cyrillic"),
+    )
