@@ -34,6 +34,7 @@ _FRONT_R7 = (
     "text_bm25_scores",
     "basket_frequent_pairs",
     "text_script_profile",
+    "customer_rfm_scores",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
     "cross_source_containment",

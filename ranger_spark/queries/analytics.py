@@ -1075,3 +1075,50 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma")
         )
     )
+
+
+@register(
+    "customer_rfm_scores",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           CAST(ntile(5) OVER (ORDER BY last_order, custkey) AS INTEGER) AS r,
+           CAST(ntile(5) OVER (ORDER BY frequency, custkey) AS INTEGER) AS f,
+           CAST(ntile(5) OVER (ORDER BY monetary, custkey) AS INTEGER) AS m,
+           frequency AS n_orders
+    FROM base
+    """,
+    tags=("analytics", "rfm", "window"),
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quintiles per
+    customer — the classic lifecycle-marketing score): one shuffle for
+    the per-customer rollup, then three global ntile windows over the
+    small per-customer table (row count = customers, not orders).
+    Deterministic: every ntile ORDER BY ends in the unique custkey;
+    monetary snaps to the 2dp money grid before ranking."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return base.select(
+        "custkey",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "custkey"))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "custkey"))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary", "custkey"))
+        .alias("m"),
+        F.col("frequency").alias("n_orders"),
+    )
