@@ -128,6 +128,7 @@ class Engine:
         # session-scoped executable views (CREATE VIEW — exceeds; the
         # reference reserves the keyword but has no statement for it)
         self._views: set[str] = set()
+        self._mv_pins: list[str] = []
         # One statement at a time per Engine: the wire servers run execute()
         # from many connection threads, but per-statement state (the
         # time-travel view list, the OPTIMIZE write-opts override, and the
@@ -1594,6 +1595,12 @@ class Engine:
             # external table drop keeps files — the engine owns storage
             # cleanup (reference storage.go:687-723)
             self._delete_location(entry["location"])
+        if name in self._manifest.get("mviews", {}):
+            # dropping an MV's backing table directly must not strand
+            # refresh metadata pointing at a vanished table
+            self._mutate_manifest(
+                lambda m: m.get("mviews", {}).pop(name, None)
+            )
         return QueryResult([], [], 0, message=f"table '{name}' dropped")
 
     def _use(self, sql: str) -> QueryResult:
@@ -2736,6 +2743,7 @@ class Engine:
             "append",
             lambda: self._apply_write_options(out.write, name).insertInto(name),
         )
+        self._mv_drop_pins()
         meta = {
             "body": body,
             "src": src,
@@ -2761,10 +2769,10 @@ class Engine:
             pinned = self.spark.createDataFrame([], schema)
         tmp = f"__mv_pin_{uuid_mod.uuid4().hex[:8]}"
         pinned.createOrReplaceTempView(tmp)
-        try:
-            return self.spark.sql(self._mv_rewrite_from(body, src_written, tmp))
-        finally:
-            pass  # temp view must outlive the lazy plan; session-scoped
+        # the view must outlive the lazy plan; the consuming write calls
+        # _mv_drop_pins() once the plan has materialized
+        self._mv_pins.append(tmp)
+        return self.spark.sql(self._mv_rewrite_from(body, src_written, tmp))
 
     def _refresh_mview(self, sql: str) -> QueryResult:
         m = re.match(
@@ -2828,6 +2836,7 @@ class Engine:
             ]
         )
         self._rewrite_table(name, out, operation="refresh")
+        self._mv_drop_pins()
         if cur is not None:
             self._mv_set_version(name, cur)
         return QueryResult(
@@ -2844,6 +2853,7 @@ class Engine:
         delta = self.spark.read.schema(src_schema).parquet(*added)
         tmp = f"__mv_delta_{uuid_mod.uuid4().hex[:8]}"
         delta.createOrReplaceTempView(tmp)
+        self._mv_pins.append(tmp)
         delta_agg = self.spark.sql(
             self._mv_rewrite_from(meta["body"], meta["src_written"], tmp)
         )
@@ -2881,7 +2891,17 @@ class Engine:
             ]
         )
         self._rewrite_table(name, merged, operation="refresh_incremental")
+        self._mv_drop_pins()
         return len(added)
+
+    def _mv_drop_pins(self) -> None:
+        """Drop the snapshot-pin temp views once their consuming write has
+        materialized (a long session must not leak one view per refresh)."""
+        while self._mv_pins:
+            try:
+                self.spark.catalog.dropTempView(self._mv_pins.pop())
+            except Exception:
+                pass
 
     def _mv_set_version(self, name: str, version: int) -> None:
         def upd(mf):
