@@ -39,6 +39,7 @@ def stream_ingest(
     max_files_per_trigger: int = 10,
     cdc_table: str | None = None,
     transform=None,
+    engine=None,
 ) -> StreamingQuery:
     """Ingest files landing in source_dir into `table`, one atomic append
     per micro-batch; optionally record a CDC row per batch.
@@ -46,7 +47,16 @@ def stream_ingest(
     ``transform`` (DataFrame → DataFrame, applied to the stream before
     the sink) turns the ingest into a streaming pipeline stage — e.g. a
     Gopher-rule quality gate or PII redaction runs on every micro-batch
-    with the same map-only expressions as the batch operators."""
+    with the same map-only expressions as the batch operators.
+
+    ``engine``: when the target is an engine table, pass the Engine so
+    every micro-batch lands as a REAL snapshot commit (manifest
+    fast-append under the statement lock) instead of a bare file write —
+    the batch becomes visible to time travel, VACUUM's orphan scan, the
+    Astha CDC bus, and therefore O(delta) MV auto-maintenance. Without
+    it, files land unmanifested: readable (the catalog points at the
+    live snapshot dir) but invisible to every consumer of the commit
+    chain."""
     stream = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -57,7 +67,15 @@ def stream_ingest(
         stream = transform(stream)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").insertInto(table)
+        if engine is not None:
+            with engine._stmt_lock:  # noqa: SLF001 — same-process composition
+                engine._append_commit(  # noqa: SLF001
+                    table,
+                    "append",
+                    lambda: batch_df.write.mode("append").insertInto(table),
+                )
+        else:
+            batch_df.write.mode("append").insertInto(table)
         if cdc_table is not None:
             batch_df.sparkSession.createDataFrame(
                 [(batch_id, "INSERT", table, batch_df.count())],

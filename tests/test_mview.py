@@ -191,3 +191,82 @@ def test_mv_non_mergeable_shapes_fall_back(engine, mvdb):
     assert sorted(engine.execute("SELECT * FROM mv2;").rows) == sorted(
         engine.execute("SELECT k, COUNT(DISTINCT v) AS c FROM t GROUP BY k;").rows
     )
+
+
+def test_mv_cascade_over_mv(engine, mvdb):
+    """MV-over-MV: a source commit cascades through two refresh hops on
+    the Astha bus (the refresh commit is itself an event)."""
+    from ranger_spark.streaming.astha import (
+        Astha,
+        Config,
+        register_mview_maintenance,
+    )
+
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv1 AS SELECT k, SUM(v) AS sv FROM t GROUP BY k;"
+    )
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv2 AS SELECT k, SUM(sv) AS s2 FROM mv1 GROUP BY k;"
+    )
+    a = Astha(engine, Config(poll_interval_s=0.05))
+    a.consumer.start_from_now()
+    register_mview_maintenance(a, engine)
+    engine.execute("INSERT INTO t (k,v,w) VALUES ('c',7,3.0);")
+    a.pump()  # refreshes mv1 (commit -> new event)
+    a.pump()  # cascades into mv2
+    assert ("c", 7) in engine.execute("SELECT * FROM mv2;").rows
+
+
+def test_stream_ingest_commits_snapshots_and_feeds_mv(engine, mvdb, tmp_path):
+    """Streaming micro-batches through the engine-commit path are REAL
+    snapshot commits: the CDC bus sees them and the MV auto-refreshes —
+    stream → snapshot commit → Astha → O(delta) MV, end to end."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ranger_spark.streaming.astha import (
+        Astha,
+        Config,
+        register_mview_maintenance,
+    )
+    from ranger_spark.streaming.ingest import stream_ingest
+
+    engine.execute("CREATE TABLE s (k string, v int64);")
+    engine.execute("INSERT INTO s (k,v) VALUES ('seed',1);")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW smv AS SELECT k, SUM(v) AS sv FROM s GROUP BY k;"
+    )
+    a = Astha(engine, Config(poll_interval_s=0.05))
+    a.consumer.start_from_now()
+    register_mview_maintenance(a, engine)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "f1.json").write_text(
+        "\n".join(_json.dumps(r) for r in [{"k": "x", "v": 5}, {"k": "x", "v": 2}])
+    )
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", LongType())]
+    )
+    db = engine.spark.catalog.currentDatabase()
+    vt = engine._versioned_for(f"{db}.s")
+    before = vt.current_version()
+    q = stream_ingest(
+        engine.spark,
+        str(src),
+        schema,
+        f"{db}.s",
+        str(tmp_path / "ckpt"),
+        engine=engine,
+    )
+    q.awaitTermination(120)
+    assert vt.current_version() > before  # micro-batch = snapshot commit
+    assert a.pump() >= 1
+    assert ("x", 7) in engine.execute("SELECT * FROM smv;").rows
