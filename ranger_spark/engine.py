@@ -1056,6 +1056,12 @@ class Engine:
                     for k, v in m["tables"].items()
                     if not k.startswith(name + ".")
                 }
+                if "mviews" in m:  # MV metadata must not outlive its db
+                    m["mviews"] = {
+                        k: v
+                        for k, v in m["mviews"].items()
+                        if not k.startswith(name + ".")
+                    }
 
             self._mutate_manifest(_drop_db)
         return QueryResult([], [], 0, message=f"database '{name}' dropped")

@@ -270,3 +270,17 @@ def test_stream_ingest_commits_snapshots_and_feeds_mv(engine, mvdb, tmp_path):
     assert vt.current_version() > before  # micro-batch = snapshot commit
     assert a.pump() >= 1
     assert ("x", 7) in engine.execute("SELECT * FROM smv;").rows
+
+
+def test_drop_database_purges_mv_metadata(engine, mvdb):
+    _setup(engine)
+    engine.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT k, SUM(v) AS sv FROM t GROUP BY k;"
+    )
+    engine.execute(f"USE default;") if engine._db_exists("default") else None
+    engine.execute(f"DROP DATABASE {mvdb} CASCADE;")
+    assert not any(
+        k.startswith(mvdb + ".")
+        for k in engine._manifest.get("mviews", {})
+    )
+    engine.execute(f"CREATE DATABASE {mvdb};")  # fixture teardown target
