@@ -35,6 +35,9 @@ _FRONT_R7 = (
     "basket_frequent_pairs",
     "text_script_profile",
     "customer_rfm_scores",
+    "events_salted_hot_key_agg",
+    "events_anomaly_mad",
+    "customer_pareto_share",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
     "cross_source_containment",

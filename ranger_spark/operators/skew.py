@@ -65,16 +65,19 @@ def salted_join(
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, str],
+    aggs: "dict[str, str] | list[tuple[str, str]]",
     salt: int = 8,
     positional: bool = False,
 ) -> DataFrame:
     """Two-phase aggregation: (keys, salt) partial → keys final.
-    `aggs` maps column → 'sum' | 'count' | 'min' | 'max' (mergeable aggs);
-    output columns are named `{fn}_{col}`."""
+    `aggs` maps column → 'sum' | 'count' | 'min' | 'max' (mergeable
+    aggs), or a list of (column, fn) pairs when one column needs several
+    aggregates; output columns are named `{fn}_{col}`. One salted
+    shuffle carries ALL the partials."""
+    pairs = list(aggs.items()) if isinstance(aggs, dict) else list(aggs)
     partial_exprs = []
     final_exprs = []
-    for col, fn in aggs.items():
+    for col, fn in pairs:
         name = f"{fn}_{col}"
         if fn == "count":
             partial_exprs.append(F.count(col).alias(name))

@@ -1122,3 +1122,159 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m"),
         F.col("frequency").alias("n_orders"),
     )
+
+
+@register(
+    "events_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS count_value,
+           round(sum(value), 2) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "skew", "salting"),
+)
+def events_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation over a pathologically hot key space
+    (event_type has ~5 values — each key's rows land on ONE reducer in a
+    naive groupBy): the two-phase (key, salt)→key salted aggregation
+    spreads every hot key over `salt` reducers, and the mergeable-agg
+    fold makes the result IDENTICAL to the plain GROUP BY the oracle
+    runs. The exact hot-key pattern that melts a 1000-executor job."""
+    from ranger_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("value", "count"),
+            ("value", "sum"),
+            ("value", "min"),
+            ("value", "max"),
+        ],
+        salt=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_value").cast("bigint").alias("count_value"),
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.v, m.med, abs(d.v - m.med) AS adev
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, dev.day, dev.v,
+           round((dev.v - dev.med) / (1.4826 * mad.mad), 4) AS robust_z
+    FROM dev JOIN mad USING (event_type)
+    WHERE abs((dev.v - dev.med) / (1.4826 * mad.mad)) > 2
+    """,
+    tags=("events", "anomaly", "robust"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily-revenue anomaly detection — the
+    outlier-resistant counterpart of events_anomaly_zscore: per-type
+    median and MAD over the tiny daily table (percentile_cont matches
+    DuckDB's interpolating definition), flagged where the robust z
+    exceeds 2. The heavy shuffle is the first daily aggregate; the
+    median tables are per-type scalars broadcast back."""
+    ev = events_with_ts(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    out = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "robust_z",
+        (F.col("v") - F.col("med")) / (1.4826 * F.col("mad")),
+    )
+    return out.filter(F.abs("robust_z") > 2).select(
+        "event_type", "day", "v", F.round("robust_z", 4).alias("robust_z")
+    )
+
+
+@register(
+    "customer_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT custkey, revenue,
+             sum(revenue) OVER (
+               ORDER BY revenue DESC, custkey
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             sum(revenue) OVER () AS total,
+             CAST(row_number() OVER (ORDER BY revenue DESC, custkey)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM rev
+    )
+    SELECT custkey, revenue, rnk,
+           round(cum / total, 6) AS cum_share,
+           round(CAST(rnk AS DOUBLE) / n, 6) AS pop_share
+    FROM ranked
+    WHERE cum / total <= 0.5
+    """,
+    tags=("analytics", "pareto", "window"),
+)
+def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest customer set producing half the
+    revenue (cumulative-share window over the per-customer rollup). One
+    shuffle for the rollup; the windows run over the small per-customer
+    table with a unique-key tiebreak, so ranking is engine-stable."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "custkey")
+    ranked = rev.select(
+        "custkey",
+        "revenue",
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("revenue").over(
+            Window.partitionBy()
+        ).alias("total"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return ranked.filter(F.col("cum") / F.col("total") <= 0.5).select(
+        "custkey",
+        "revenue",
+        "rnk",
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+        F.round(F.col("rnk").cast("double") / F.col("n"), 6).alias("pop_share"),
+    )
