@@ -24,11 +24,11 @@ from ranger_spark.queries import load_all  # noqa: E402
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 50` at
 # round start and pasted here verbatim. Round 7 front (recomputed after
-# the round's 11 new queries landed): all 27 never-driver-certified
-# queries first (the r6 harness casualty text_feature_hash_vector, the
-# rows-only stub, the round-7 additions), then the oldest r4-stale
-# queries fill the window; the 11 r4-stale that no longer fit rotate to
-# the round-8 front.
+# the round's new queries landed): all never-driver-certified queries
+# first (the r6 harness casualty text_feature_hash_vector, the
+# rows-only stub, the round-7 additions incl. the profiling/streaming
+# batch), then the oldest r4-stale queries fill the window; the
+# r4-stale that no longer fit rotate to the round-8 front.
 _FRONT_R7 = (
     "ann_pq_topk",
     "text_bm25_scores",
@@ -64,6 +64,12 @@ _FRONT_R7 = (
     "stream_windowed_daily",
     "text_feature_hash_vector",
     "unpivot_pricing_metrics",
+    "range_partition_bounds",
+    "skew_key_diagnosis",
+    "forecast_seasonal_naive",
+    "table_profile",
+    "stream_dedup_keys",
+    "stream_stream_join",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -1278,3 +1278,153 @@ def customer_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
         F.round(F.col("rnk").cast("double") / F.col("n"), 6).alias("pop_share"),
     )
+
+
+@register(
+    "range_partition_bounds",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS shard
+      FROM orders
+    )
+    SELECT CAST(shard AS INTEGER)            AS shard,
+           count(*)                          AS cnt,
+           round(min(o_totalprice), 2)       AS lo,
+           round(max(o_totalprice), 2)       AS hi
+    FROM t GROUP BY shard
+    """,
+    tags=("analytics", "partitioning", "window"),
+)
+def range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sort shard planning: exact range-partitioner boundaries for
+    an 8-way total order of orders by price (the shape behind ORDER BY
+    writes and sorted shard exports). ntile over a total order (unique
+    o_orderkey tiebreak) is engine-stable: per-shard counts are fixed by
+    N, and boundary values are identical even when a tie straddles a
+    boundary. The window sorts a 2-column projection only. At cluster
+    scale the planner flips to `repartitionByRange` (reservoir-sampled
+    bounds, no global sort); this exact variant is the planning/verify
+    tool you run on a sampled slice — reference parity: the reference
+    has no distributed sort at all (single-node scan, storage.go)."""
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("shard", F.ntile(8).over(w).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "skew_key_diagnosis",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             sum(cnt) OVER () AS total
+      FROM c
+    )
+    SELECT max(n)                                   AS n_keys,
+           CAST(max(total) AS BIGINT)               AS total_rows,
+           max(cnt)                                 AS max_cnt,
+           round(CAST(max(cnt) AS DOUBLE) / max(total), 6) AS top1_share,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN cnt END)                   AS p50_cnt,
+           max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN cnt END)                   AS p90_cnt,
+           max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN cnt END)                   AS p99_cnt
+    FROM r
+    """,
+    tags=("analytics", "skew", "partitioning"),
+)
+def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile — the diagnostic you run BEFORE picking a
+    partitioning/salting strategy for a 100 TB join on user_id: key
+    cardinality, hottest-key share, and discrete p50/p90/p99 of the
+    per-key frequency distribution (rank-select over the tiny per-key
+    rollup, so the exact quantile needs no interpolation and no global
+    sort of raw rows; one user_id shuffle total). A top1_share near
+    1/n_keys means hash partitioning is safe; >>1/n_keys → salt the hot
+    keys (see events_salted_hot_key_agg for the fix this informs)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cnt", "user_id")
+    r = c.select(
+        "cnt",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+
+    def _at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("cnt"),
+            )
+        )
+
+    return r.agg(
+        F.max("n").alias("n_keys"),
+        F.max("total").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.max("cnt").cast("double") / F.max("total"), 6).alias(
+            "top1_share"
+        ),
+        _at(0.5).alias("p50_cnt"),
+        _at(0.9).alias("p90_cnt"),
+        _at(0.99).alias("p99_cnt"),
+    )
+
+
+@register(
+    "forecast_seasonal_naive",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER)  AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             round(sum(o_totalprice), 2)         AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT y, mo, revenue,
+             lag(revenue, 12) OVER (ORDER BY y, mo) AS forecast
+      FROM m
+    )
+    SELECT y, mo, revenue, forecast,
+           round(abs(revenue - forecast) / revenue, 6) AS ape
+    FROM f WHERE forecast IS NOT NULL
+    """,
+    tags=("analytics", "timeseries", "forecast"),
+)
+def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue as
+    the same month last year (lag 12 over the month spine) and report the
+    absolute percentage error — the baseline every fancier forecaster
+    must beat, and the shape of a backtest harness at scale: one shuffle
+    to the ~N_months rollup, windows over that tiny table only."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    f = m.withColumn(
+        "forecast", F.lag("revenue", 12).over(Window.orderBy("y", "mo"))
+    )
+    return f.filter(F.col("forecast").isNotNull()).select(
+        "y",
+        "mo",
+        "revenue",
+        "forecast",
+        F.round(F.abs(F.col("revenue") - F.col("forecast")) / F.col("revenue"), 6).alias("ape"),
+    )

@@ -3918,3 +3918,85 @@ def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("[一-鿿]").alias("han"),
         cnt("[Ѐ-ӿ]").alias("cyrillic"),
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           count(*) - count(o_orderkey)            AS n_null,
+           count(DISTINCT o_orderkey)              AS n_distinct,
+           round(min(CAST(o_orderkey AS DOUBLE)), 2) AS min_num,
+           round(max(CAST(o_orderkey AS DOUBLE)), 2) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(min(CAST(o_custkey AS DOUBLE)), 2),
+           round(max(CAST(o_custkey AS DOUBLE)), 2), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL,
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    tags=("profiling", "quality"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — the ANALYZE-style data-quality report a pipeline
+    runs on every new source before ingest: per-column null count, exact
+    distinct count, and min/max (numeric and string kept in typed
+    columns so the output hashes cleanly). ONE scan computes every
+    aggregate; the per-column rows are unpivoted from that single
+    aggregate row with `stack`, not one scan per column — at 100 TB the
+    exact COUNT(DISTINCT) expand (5 columns -> 5x shuffle width) is the
+    one knob to swap for approx_count_distinct; noted here because the
+    oracle needs exact. Reference: ANALYZE TABLE (engine.py:530) stores
+    table-level stats; this is the column-level companion."""
+    o = load(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in num_cols + str_cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(F.col(c).cast("double")), 2).alias(f"min_{c}"),
+            F.round(F.max(F.col(c).cast("double")), 2).alias(f"max_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    one = o.agg(*aggs)
+    parts = []
+    for c in num_cols:
+        parts.append(
+            f"('{c}', null_{c}, nd_{c}, min_{c}, max_{c}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING))"
+        )
+    for c in str_cols:
+        parts.append(
+            f"('{c}', null_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), min_{c}, max_{c})"
+        )
+    stack = (
+        f"stack({len(parts)}, "
+        + ", ".join(p[1:-1] for p in parts)
+        + ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return one.selectExpr(stack)

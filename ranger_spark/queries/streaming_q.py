@@ -163,3 +163,120 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+_DEDUP_SINK = "stream_dedup_keys_sink"
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+    FROM events
+    """,
+    tags=("streaming", "dedup", "events"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup — the ingest-side operator that keeps
+    a replayed/at-least-once feed from double-counting: watermarked
+    ``dropDuplicates`` on (user_id, event_type, day) in APPEND mode, so
+    each key is emitted exactly once however many times the source
+    repeats it. Keys-only output makes survivor choice moot (any
+    duplicate carries the same key), hence a plain DISTINCT oracle.
+    State at 100 TB: one entry per key inside the watermark horizon —
+    the watermark evicts old days; without it this state grows forever.
+    Reference: chunked-ingest consumers dedup on replay
+    (server/query/executor/streaming.go); here it is Spark's stateful
+    dedup operator with bounded state."""
+    for q in spark.streams.active:
+        if q.name == _DEDUP_SINK:
+            q.stop()
+    dd = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .dropDuplicates(["user_id", "event_type", "day"])
+        .select("user_id", "event_type", "day")
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(_DEDUP_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(_DEDUP_SINK).select(
+        "user_id", "event_type", F.col("day").cast("timestamp_ntz").alias("day")
+    )
+
+
+_SSJOIN_SINK = "stream_stream_join_sink"
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM events v, events p
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND v.user_id = p.user_id
+      AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join", "events"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution within one
+    hour): two watermarked streams inner-joined on user_id with an
+    event-time range predicate — Spark buffers each side's rows only
+    until the other side's watermark passes the interval bound, so state
+    is O(rate × horizon), not O(history). Append mode emits each matched
+    pair exactly once; the batch oracle is the identical interval join.
+    This is the streaming shape of the batch as-of/range joins
+    (asof_purchase_view, range_join_error_purchase)."""
+    for q in spark.streams.active:
+        if q.name == _SSJOIN_SINK:
+            q.stop()
+    src = _event_stream(spark, sf_dir)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts "
+            "AND p_ts < v_ts + interval 1 hour"
+        ),
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_SSJOIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(_SSJOIN_SINK)

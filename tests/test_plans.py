@@ -77,6 +77,7 @@ _NL_ALLOWED = {
     "dedup_semantic",  # 8-centroid broadcast assignment (Lloyd)
     "ann_quantized_topk",  # 5-query broadcast side of the != pair join
     "source_mixture_plan",  # 1-row totals broadcast cross
+    "text_bm25_scores",  # 1-row broadcast (N, avgdl) corpus-stats crossJoins
 }
 
 
