@@ -70,6 +70,8 @@ _FRONT_R7 = (
     "table_profile",
     "stream_dedup_keys",
     "stream_stream_join",
+    "text_ngram_novelty",
+    "knn_label_accuracy",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

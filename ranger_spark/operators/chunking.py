@@ -321,3 +321,48 @@ def incremental_remove_dup_spans(
         F.size("__cov").alias("n_removed"),
         F.md5(F.array_join(kept, " ")).alias("cleaned_fp"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a document's DISTINCT word
+    n-grams that it INTRODUCES to the corpus — i.e. no document with a
+    smaller id contains them. The curriculum/memorization signal dual to
+    :func:`cross_doc_ngram_dup`: dup_frac asks "is this elsewhere?",
+    novel_frac asks "did we see it first?" — a low-novelty late document
+    is pure rehash and a dedup/downsample candidate.
+
+    Returns (id, n_grams, n_novel, novel_frac). Same two hash shuffles
+    as cross_doc_ngram_dup: a windowed min-id per gram hash, then a
+    per-doc aggregate — grams travel as 8-byte hashes, never strings.
+    """
+    from pyspark.sql import Window
+
+    toks = T.tokenize(T.normalize_text(F.col(text_col)))
+    grams = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.explode(T.word_shingles(F.col("__toks"), k=n)).alias("__gram"),
+        )
+        .select(id_col, T.hash64(F.col("__gram")).alias("__g"))
+    )
+    first_doc = F.min(id_col).over(Window.partitionBy("__g"))
+    return (
+        grams.withColumn("__first", first_doc)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novel_frac",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6),
+        )
+    )

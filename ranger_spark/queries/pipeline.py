@@ -4000,3 +4000,111 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") AS (col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
     )
     return one.selectExpr(stack)
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(1, len(t) - 2))) AS i
+      ) s
+    ),
+    g AS (SELECT DISTINCT doc_id, {_hash64_sql('gram', 0)} AS gh FROM g0),
+    c AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN c.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novel_frac
+    FROM g JOIN c USING (gh)
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "dedup", "curriculum"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct word 3-grams it introduces to the
+    corpus (no lower-id doc has them) — the curriculum/memorization dual
+    of cross_doc_ngram_dup; low novelty late in the stream marks rehash
+    docs for downsampling."""
+    from ranger_spark.operators.chunking import ngram_novelty as op
+
+    return op(load(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS true_label, v
+          FROM e WHERE vec_id % 5 = 0),
+    scored AS (
+      SELECT q.q_id, q.true_label, c.vec_id, c.label AS pred_label,
+             {_COS_SQL} AS cos_sim
+      FROM q, e c WHERE c.vec_id <> q.q_id
+    ),
+    nn AS (
+      SELECT q_id, true_label, pred_label,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT true_label AS label,
+           count(*) AS n_eval,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS acc
+    FROM nn WHERE rn = 1
+    GROUP BY true_label
+    """,
+    tags=("similarity", "eval", "knn"),
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: leave-one-out 1-NN label accuracy per class
+    — the standard quick check that an embedding space separates its
+    labels, run after every re-embedding. A deterministic 20% eval slice
+    (vec_id % 5) queries the corpus through the same partial-top-k kernel
+    as ANN serving (operators/similarity.py): per-batch einsum top-1, so
+    the shuffle is O(partitions·|Q|) not |Q|·|corpus|. The eval side is
+    driver-collected — bounded because eval sets are samples by
+    construction; the corpus side stays distributed."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qpairs = [
+        (int(i), [float(x) for x in v])
+        for i, v in zip(
+            tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()
+        )
+        if int(i) % 5 == 0
+    ]
+    e = load(spark, sf_dir, "embeddings")
+    nn = S.brute_force_topk(qpairs, e, k=1)
+    labels = e.select("vec_id", "label")
+    pred = nn.join(
+        F.broadcast(labels.withColumnRenamed("label", "pred_label")),
+        "vec_id",
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    hit = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(F.broadcast(truth), "q_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.round(
+                F.sum(hit) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("acc"),
+        )
+    )
