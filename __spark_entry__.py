@@ -72,6 +72,7 @@ _FRONT_R7 = (
     "stream_stream_join",
     "text_ngram_novelty",
     "knn_label_accuracy",
+    "stream_stateful_user_stats",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

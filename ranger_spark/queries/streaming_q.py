@@ -280,3 +280,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(_SSJOIN_SINK)
+
+
+_STATEFUL_SINK = "stream_stateful_user_stats_sink"
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*)                 AS cnt,
+           round(sum(value), 2)     AS total,
+           max(epoch_ns(ts))        AS last_ts_ns
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "events"),
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator end-to-end: per-user running
+    (count, sum, last-seen) kept in ``applyInPandasWithState`` Arrow
+    state (streaming/stateful.py) over a real readStream run — the
+    escape hatch for incremental per-entity profiles Spark's built-in
+    aggregates can't express (e.g. conditional resets, model state).
+    Each micro-batch emits the group's updated state; the final state
+    per user is selected by its strictly-increasing count, and over a
+    full drain it equals the batch GROUP BY — the oracle. State is one
+    tuple per user, hash-sharded across executors at cluster scale."""
+    from ranger_spark.streaming.stateful import running_user_stats
+    from pyspark.sql import Window
+
+    for q in spark.streams.active:
+        if q.name == _STATEFUL_SINK:
+            q.stop()
+    src = _event_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.col("ts")) * F.lit(1000)).alias("ts_ns"),
+    )
+    out = running_user_stats(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_STATEFUL_SINK)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc())
+    return (
+        spark.table(_STATEFUL_SINK)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "cnt",
+            F.round("total", 2).alias("total"),
+            F.col("last_ts").alias("last_ts_ns"),
+        )
+    )
