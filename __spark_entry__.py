@@ -73,6 +73,7 @@ _FRONT_R7 = (
     "text_ngram_novelty",
     "knn_label_accuracy",
     "stream_stateful_user_stats",
+    "ann_rp_lsh_topk",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",

@@ -1627,13 +1627,31 @@ class Engine:
     )
 
     def _insert(self, sql: str) -> QueryResult:
+        # INSERT OVERWRITE [TABLE|INTO] t ... — atomic replace-contents
+        # (Spark/Hive INSERT OVERWRITE; Iceberg dynamic overwrite). Not in
+        # the reference's grammar (parser.go:2959-3095 admits only INSERT
+        # INTO ... VALUES), so strict mode keeps its error; here it lands
+        # as a 'replace' snapshot commit via the same CoW rewrite as
+        # UPDATE/DELETE — time-travelable, VACUUM-able, CDC-visible.
+        over = re.match(
+            r"INSERT\s+OVERWRITE\s+(?:TABLE\s+|INTO\s+)?(.+)$", sql, re.I | re.S
+        )
+        overwrite = False
+        if over:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "INSERT must be: INSERT INTO t (cols) VALUES (...), ...",
+                )
+            overwrite = True
+            sql = "INSERT INTO " + over.group(1)
         msel = re.match(
             r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\b.+)$",
             sql,
             re.I | re.S,
         )
         if msel:
-            return self._insert_select(msel)
+            return self._insert_select(msel, overwrite=overwrite)
         m = re.match(
             r"INSERT\s+INTO\s+([\w.]+)\s*\(([^)]*)\)\s*VALUES\s*(.+)$",
             sql,
@@ -1693,6 +1711,14 @@ class Engine:
             if f.name not in cols:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         out = df.select(*[f.name for f in schema.fields])
+        if overwrite:
+            self._rewrite_table(name, out, operation="overwrite")
+            return QueryResult(
+                [],
+                [],
+                len(rows),
+                message=f"overwrote '{name}' with {len(rows)} row(s)",
+            )
         self._append_commit(
             name,
             "append",
@@ -1703,7 +1729,9 @@ class Engine:
             [], [], len(rows), message=f"inserted {len(rows)} row(s) into '{name}'"
         )
 
-    def _insert_select(self, m: "re.Match[str]") -> QueryResult:
+    def _insert_select(
+        self, m: "re.Match[str]", overwrite: bool = False
+    ) -> QueryResult:
         """INSERT INTO t [(cols)] SELECT ... — exceeds the reference, whose
         parser admits only VALUES (parser.go:2959-3095); strict mode keeps
         the reference error. The SELECT runs as one distributed write (no
@@ -1750,6 +1778,15 @@ class Engine:
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         out = df.select(*[f.name for f in schema.fields])
+        if overwrite:
+            # SELECT may read the target table itself: _rewrite_table
+            # stages into a fresh snapshot dir before the repoint, so the
+            # self-read is consistent (same property UPDATE relies on).
+            self._rewrite_table(name, out, operation="overwrite")
+            n = obs.get["n"]
+            return QueryResult(
+                [], [], n, message=f"overwrote '{name}' with {n} row(s)"
+            )
         self._append_commit(
             name,
             "append",

@@ -4108,3 +4108,145 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc"),
         )
     )
+
+
+@register(
+    "ann_rp_lsh_topk",
+    oracle=f"""
+    WITH planes AS (
+      SELECT b, d,
+             ((CAST(('0x' || substr(md5('rp:' || b || ':' || d), 1, 15))
+                    AS BIGINT) % 1000000) / 1000000.0) * 2 - 1 AS w
+      FROM range(16) tb(b), range(64) td(d)
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dots AS (
+      SELECT e.vec_id, p.b, round(sum(e.v[p.d + 1] * p.w), 6) AS dot
+      FROM e, planes p GROUP BY e.vec_id, p.b
+    ),
+    bits AS (
+      SELECT vec_id, b, CASE WHEN dot >= 0 THEN 1 ELSE 0 END AS bit
+      FROM dots
+    ),
+    bands AS (
+      SELECT vec_id, CAST(floor(b / 4) AS INTEGER) AS band_idx,
+             CAST(sum(bit * power(2, b % 4)) AS INTEGER) AS band_val
+      FROM bits GROUP BY vec_id, CAST(floor(b / 4) AS INTEGER)
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS vec_id
+      FROM bands qb
+      JOIN bands cb ON qb.band_idx = cb.band_idx
+                   AND qb.band_val = cb.band_val
+      WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.vec_id, {_COS_SQL} AS cos_sim
+      FROM cand
+      JOIN e q ON q.vec_id = cand.q_id
+      JOIN e c ON c.vec_id = cand.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection LSH ANN (Charikar 2002) — the
+    hash-bucket family member next to the IVF/PQ quantizers: 16
+    deterministic hyperplanes (md5-derived, replayed bit-for-bit by the
+    oracle) give each vector a 16-bit SimHash signature; 4 bands of 4
+    bits become join keys, candidates are vectors sharing ≥1 band with a
+    query, and only candidates get exact cosine re-ranking. At 100 TB
+    the band join is the whole point: candidate generation is an
+    equi-join on (band_idx, band_val) — shuffle ∝ bucket occupancy, not
+    corpus² — and the plane projections are map-only JVM folds. Bit
+    determinism: the projection is rounded to 6dp before the sign test,
+    the same threshold discipline as every cosine in this module."""
+    import hashlib
+
+    def _w(b: int, d: int) -> float:
+        h = int(hashlib.md5(f"rp:{b}:{d}".encode()).hexdigest()[:15], 16)
+        return (h % 1000000) / 1000000.0 * 2 - 1
+
+    planes = [[_w(b, d) for d in range(64)] for b in range(16)]
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _dot(b: int):
+        pl = F.array(*[F.lit(w) for w in planes[b]])
+        return F.round(
+            F.aggregate(
+                F.zip_with("v", pl, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    bits = [F.when(_dot(b) >= 0, 1).otherwise(0) for b in range(16)]
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            (
+                bits[4 * j]
+                + bits[4 * j + 1] * 2
+                + bits[4 * j + 2] * 4
+                + bits[4 * j + 3] * 8
+            ).alias("band_val"),
+        )
+        for j in range(4)
+    ]
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("vec_id", "bd.band_idx", "bd.band_val")
+    q_bands = bands.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "band_idx", "band_val"
+    )
+    cand = (
+        bands.join(F.broadcast(q_bands), ["band_idx", "band_val"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    pairs = cand.join(e, "vec_id").join(F.broadcast(qv), "q_id")
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        F.round(dot / (_norm(F.col("qv")) * _norm(F.col("v"))), 6).alias(
+            "cos_sim"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+    )

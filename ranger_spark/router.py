@@ -197,14 +197,17 @@ def _insert_values_errors(
     from ranger_spark.types import split_top_level
 
     errors: list[ScriptError] = []
+    # OVERWRITE takes the same VALUES validation as INTO (the engine
+    # parses both through one path; strict mode rejects OVERWRITE later)
+    _tgt = r"INSERT\s+(?:INTO|OVERWRITE(?:\s+TABLE|\s+INTO)?)\s+"
     if re.match(
-        r"INSERT\s+INTO\s+[\w.]+\s*(?:\([^)]*\))?\s*(?:SELECT|WITH)\b",
+        _tgt + r"[\w.]+\s*(?:\([^)]*\))?\s*(?:SELECT|WITH)\b",
         stmt,
         re.I,
     ):
         return []  # INSERT...SELECT: no VALUES rows to validate
     m = re.match(
-        r"INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*",
+        _tgt + r"([\w.]+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*",
         stmt,
         re.I,
     )

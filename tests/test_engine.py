@@ -1107,3 +1107,53 @@ def test_copy_rejected_by_strict_gate_and_security(spark):
     validating = Engine(spark, query_validation=True)
     with pytest.raises(RangerError):
         validating.execute("COPY t FROM '/x' (FORMAT PARQUET);")
+
+
+def test_insert_overwrite_values_and_select(engine):
+    import pytest
+
+    from ranger_spark.engine import Engine
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS ovr_t;")
+    engine.execute("CREATE TABLE ovr_t (id int32, name string);")
+    engine.execute("INSERT INTO ovr_t (id, name) VALUES (1, 'a'), (2, 'b');")
+    # VALUES overwrite: contents replaced atomically in a new snapshot
+    r = engine.execute(
+        "INSERT OVERWRITE ovr_t (id, name) VALUES (7, 'x'), (8, 'y'), (9, 'z');"
+    )
+    assert r.row_count == 3 and "overwrote" in r.message
+    assert engine.execute("SELECT id FROM ovr_t ORDER BY id;").rows == [
+        (7,),
+        (8,),
+        (9,),
+    ]
+    # the pre-overwrite version stays readable (CoW snapshot commit)
+    snaps = engine.execute("SHOW SNAPSHOTS FROM ovr_t;").rows
+    assert len(snaps) >= 3  # create, insert, overwrite
+    prev_version = snaps[-2][0]
+    assert sorted(
+        engine.execute(
+            f"SELECT id FROM ovr_t VERSION AS OF {prev_version};"
+        ).rows
+    ) == [(1,), (2,)]
+    # SELECT overwrite reading the TARGET itself (consistent self-read)
+    r = engine.execute(
+        "INSERT OVERWRITE TABLE ovr_t SELECT id + 1, name FROM ovr_t WHERE id >= 8;"
+    )
+    assert r.row_count == 2 and "overwrote" in r.message
+    assert engine.execute("SELECT id FROM ovr_t ORDER BY id;").rows == [
+        (9,),
+        (10,),
+    ]
+    # strict mode keeps the reference's INSERT INTO ... VALUES-only grammar
+    strict = Engine(engine.spark, strict_gate=True)
+    with pytest.raises(RangerError, match="INSERT must be"):
+        strict.execute("INSERT OVERWRITE ovr_t (id, name) VALUES (1, 'a');")
+    # batch-reject validation applies to the OVERWRITE path too: nothing
+    # committed on a bad batch
+    with pytest.raises(RangerError, match="batch rejected"):
+        engine.execute(
+            "INSERT OVERWRITE ovr_t (id, name) VALUES (1, 'ok'), ('nope', 'bad');"
+        )
+    assert engine.execute("SELECT count(*) AS n FROM ovr_t;").rows == [(2,)]
