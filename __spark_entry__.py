@@ -30,73 +30,56 @@ from ranger_spark.queries import load_all  # noqa: E402
 # batch), then the oldest r4-stale queries fill the window; the
 # r4-stale that no longer fit rotate to the round-8 front.
 _FRONT_R7 = (
-    "ann_pq_topk",
-    "text_bm25_scores",
+"ann_pq_topk",
+    "ann_rp_lsh_topk",
     "basket_frequent_pairs",
-    "text_script_profile",
-    "customer_rfm_scores",
-    "events_salted_hot_key_agg",
-    "events_anomaly_mad",
-    "customer_pareto_share",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
     "cross_source_containment",
+    "customer_pareto_share",
+    "customer_rfm_scores",
     "dedup_bloom_prefilter",
     "dedup_canonical_pick",
     "embedding_covariance",
     "embedding_label_centroids",
     "embedding_pca_projection",
+    "events_anomaly_mad",
     "events_ewma_daily",
     "events_gap_fill_interpolate",
     "events_markov_transitions",
+    "events_salted_hot_key_agg",
     "export_shard_plan",
+    "forecast_seasonal_naive",
     "grouping_sets_revenue",
+    "knn_label_accuracy",
     "multimodal_decode_stub",
     "multimodal_warc_records",
     "orders_price_histogram",
     "pivot_status_by_priority",
     "pq_codes",
+    "range_partition_bounds",
     "recursive_year_spine",
     "sample_dsir_scores",
     "sample_temperature_mixture",
-    "source_pagerank",
-    "stream_session_windows",
-    "stream_windowed_daily",
-    "text_feature_hash_vector",
-    "unpivot_pricing_metrics",
-    "range_partition_bounds",
     "skew_key_diagnosis",
-    "forecast_seasonal_naive",
-    "table_profile",
+    "source_pagerank",
     "stream_dedup_keys",
-    "stream_stream_join",
-    "text_ngram_novelty",
-    "knn_label_accuracy",
+    "stream_session_windows",
     "stream_stateful_user_stats",
-    "ann_rp_lsh_topk",
+    "stream_stream_join",
+    "stream_windowed_daily",
+    "table_profile",
+    "text_bm25_scores",
+    "text_feature_hash_vector",
+    "text_ngram_novelty",
+    "text_script_profile",
+    "unpivot_pricing_metrics",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",
     "cast_ops",
     "comma_join_sql",
     "cube_status_priority",
-    "date_extract",
-    "distinct_proj",
-    "events_daily_unique",
-    "events_sessionization",
-    "except_nations",
-    "exists_subquery",
-    "filter_between",
-    "filter_in_list",
-    "filter_like",
-    "group_having",
-    "in_subquery",
-    "intersect_nations",
-    "json_extract_props",
-    "listagg_types_per_brand",
-    "not_exists_anti",
-    "null_handling",
-    "order_limit_offset",
 )
 
 
