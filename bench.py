@@ -384,6 +384,37 @@ def _mv_refresh_section(spark, sf_dir: str) -> dict:
     }
 
 
+def _streaming_section(spark, registry, sf_dir: str) -> dict:
+    """Structured-Streaming drain benchmark: each oracled streaming
+    registry query is a REAL readStream → availableNow run, so its
+    wall-clock is an end-to-end micro-batch pipeline measurement
+    (source listing + incremental execution + state store + sink).
+    events/sec uses the windowed-daily drain — the simplest stateful
+    shape — as the throughput proxy; the others are recorded so a
+    state-management regression (session windows, dedup state,
+    stream-stream buffers, applyInPandasWithState) shows up per round."""
+    names = [
+        "stream_windowed_daily",
+        "stream_session_windows",
+        "stream_dedup_keys",
+        "stream_stream_join",
+        "stream_stateful_user_stats",
+    ]
+    out: dict = {"drains": {}}
+    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    out["events_rows"] = n_events
+    for n in names:
+        if n not in registry:
+            continue
+        t0 = time.time()
+        registry[n].builder(spark, sf_dir).collect()
+        out["drains"][n] = round(time.time() - t0, 3)
+    base = out["drains"].get("stream_windowed_daily")
+    if base:
+        out["drain_events_per_sec"] = int(n_events / base)
+    return out
+
+
 def _ann_serving_section(spark, sf_dir: str) -> dict:
     """Build-once / serve-many ANN (the 100 TB serving shape): one IVF
     index build over embeddings, then repeated small query batches via
@@ -483,6 +514,11 @@ def main() -> None:
             result["mv_refresh"] = _mv_refresh_section(spark, sf_dir)
         except Exception as e:
             result["mv_refresh"] = {"error": str(e)[:300]}
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
+        try:
+            result["streaming"] = _streaming_section(spark, registry, sf_dir)
+        except Exception as e:
+            result["streaming"] = {"error": str(e)[:300]}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         try:
             spark.catalog.clearCache()  # scale regime reads its own files
