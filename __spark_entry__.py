@@ -46,6 +46,7 @@ _FRONT_R7 = (
     "events_anomaly_mad",
     "events_ewma_daily",
     "events_gap_fill_interpolate",
+    "events_markov_backtest",
     "events_markov_transitions",
     "events_salted_hot_key_agg",
     "export_shard_plan",
@@ -55,6 +56,7 @@ _FRONT_R7 = (
     "multimodal_decode_stub",
     "multimodal_warc_records",
     "orders_price_histogram",
+    "orders_seasonality_decompose",
     "pivot_status_by_priority",
     "pq_codes",
     "range_partition_bounds",
@@ -78,8 +80,6 @@ _FRONT_R7 = (
     "asof_purchase_view",
     "case_when_buckets",
     "cast_ops",
-    "comma_join_sql",
-    "cube_status_priority",
 )
 
 

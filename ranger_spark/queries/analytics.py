@@ -1428,3 +1428,138 @@ def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "forecast",
         F.round(F.abs(F.col("revenue") - F.col("forecast")) / F.col("revenue"), 6).alias("ape"),
     )
+
+
+@register(
+    "orders_seasonality_decompose",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER)  AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             round(sum(o_totalprice), 2)         AS revenue
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT y, mo, revenue,
+             avg(revenue) OVER (
+               ORDER BY y, mo ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING
+             ) AS trend,
+             count(*) OVER (
+               ORDER BY y, mo ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING
+             ) AS wn
+      FROM m
+    )
+    SELECT y, mo, revenue,
+           round(trend, 2)            AS trend,
+           round(revenue / trend, 6)  AS seasonal_ratio
+    FROM t WHERE wn = 12
+    """,
+    tags=("analytics", "timeseries", "decompose"),
+)
+def orders_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative decomposition step: centered 12-month
+    moving-average trend over the monthly revenue spine and the
+    detrended seasonal ratio (revenue/trend) — the input to a seasonal
+    index and the sibling of forecast_seasonal_naive's backtest. Only
+    full 12-month windows emit (count guard), so edges are exact on
+    both engines. One shuffle to the month rollup; windows run over the
+    ~N_months table."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("y", "mo").rowsBetween(-6, 5)
+    t = m.select(
+        "y",
+        "mo",
+        "revenue",
+        F.avg("revenue").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    return t.filter(F.col("wn") == 12).select(
+        "y",
+        "mo",
+        "revenue",
+        F.round("trend", 2).alias("trend"),
+        F.round(F.col("revenue") / F.col("trend"), 6).alias("seasonal_ratio"),
+    )
+
+
+@register(
+    "events_markov_backtest",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type, count(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    modal AS (
+      SELECT prev_type, event_type AS modal_next,
+             row_number() OVER (
+               PARTITION BY prev_type ORDER BY cnt DESC, event_type
+             ) AS rn
+      FROM trans
+    )
+    SELECT t.prev_type,
+           m.modal_next,
+           CAST(sum(t.cnt) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN t.event_type = m.modal_next
+                         THEN t.cnt ELSE 0 END) AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN t.event_type = m.modal_next
+                          THEN t.cnt ELSE 0 END)
+                 / CAST(sum(t.cnt) AS DOUBLE), 6) AS acc
+    FROM trans t JOIN modal m
+      ON m.prev_type = t.prev_type AND m.rn = 1
+    GROUP BY t.prev_type, m.modal_next
+    """,
+    tags=("analytics", "markov", "eval"),
+)
+def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event baseline backtest: for each previous event type,
+    predict the modal next type (deterministic lexicographic tiebreak)
+    and report in-sample accuracy — the floor any sequence model must
+    beat, and the eval companion to events_markov_transitions. One
+    user_id shuffle builds the transition pairs; everything after runs
+    on the |event_types|² table."""
+    ev = events_with_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    mw = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    modal = (
+        trans.withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("event_type").alias("modal_next"))
+    )
+    correct = F.when(
+        F.col("event_type") == F.col("modal_next"), F.col("cnt")
+    ).otherwise(0)
+    return (
+        trans.join(F.broadcast(modal), "prev_type")
+        .groupBy("prev_type", "modal_next")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_transitions"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.round(
+                F.sum(correct) / F.sum("cnt").cast("double"), 6
+            ).alias("acc"),
+        )
+    )
