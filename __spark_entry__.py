@@ -32,6 +32,7 @@ from ranger_spark.queries import load_all  # noqa: E402
 _FRONT_R7 = (
 "ann_pq_topk",
     "ann_rp_lsh_topk",
+    "approx_percentile_check",
     "basket_frequent_pairs",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
@@ -79,7 +80,6 @@ _FRONT_R7 = (
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",
-    "cast_ops",
 )
 
 

@@ -1563,3 +1563,41 @@ def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc"),
         )
     )
+
+
+@register(
+    "approx_percentile_check",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_exact,
+           abs(approx_quantile(l_extendedprice, 0.5)
+               - quantile_cont(l_extendedprice, 0.5))
+             <= 0.02 * quantile_cont(l_extendedprice, 0.5) AS p50_ok,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+           abs(approx_quantile(l_extendedprice, 0.99)
+               - quantile_cont(l_extendedprice, 0.99))
+             <= 0.02 * quantile_cont(l_extendedprice, 0.99) AS p99_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("analytics", "sketch", "percentile"),
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB quantile shape with its accuracy contract attached:
+    exact interpolated percentiles next to the MERGEABLE approximate
+    sketch (Spark percentile_approx / DuckDB approx_quantile — each
+    engine runs its own sketch) and a deterministic within-2% verdict,
+    the same tolerance-boolean oracle pattern as
+    events_rolling_wau_sketch. At 100 TB the exact branch is the one to
+    drop: percentile_approx partials merge map-side, exact percentile
+    sorts every group."""
+    li = load(spark, sf_dir, "lineitem")
+    ex50 = F.expr("percentile(l_extendedprice, 0.5)")
+    ex99 = F.expr("percentile(l_extendedprice, 0.99)")
+    ap50 = F.expr("percentile_approx(l_extendedprice, 0.5, 10000)")
+    ap99 = F.expr("percentile_approx(l_extendedprice, 0.99, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        F.round(ex50, 4).alias("p50_exact"),
+        (F.abs(ap50 - ex50) <= 0.02 * ex50).alias("p50_ok"),
+        F.round(ex99, 4).alias("p99_exact"),
+        (F.abs(ap99 - ex99) <= 0.02 * ex99).alias("p99_ok"),
+    )
