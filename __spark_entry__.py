@@ -42,6 +42,7 @@ _FRONT_R7 = (
     "dedup_bloom_prefilter",
     "dedup_canonical_pick",
     "embedding_covariance",
+    "embedding_drift_by_label",
     "embedding_label_centroids",
     "embedding_pca_projection",
     "events_anomaly_mad",
@@ -76,10 +77,9 @@ _FRONT_R7 = (
     "text_feature_hash_vector",
     "text_ngram_novelty",
     "text_script_profile",
+    "text_zipf_fit",
     "unpivot_pricing_metrics",
     "agg_minmax_countd",
-    "asof_purchase_view",
-    "case_when_buckets",
 )
 
 

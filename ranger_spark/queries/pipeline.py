@@ -4250,3 +4250,149 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("q_id", "vec_id", "cos_sim", "rank")
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+               AS rnk
+      FROM freq
+    )
+    SELECT count(*)                                   AS n_ranks,
+           round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+           round(regr_r2(ln(CAST(cnt AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 4)    AS zipf_r2
+    FROM ranked WHERE rnk <= 500
+    """,
+    tags=("text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health statistic: the Zipf exponent — OLS slope (and R²) of
+    log-frequency on log-rank over the top-500 vocabulary. Natural text
+    sits near −1; a corpus of boilerplate or synthetic spam bends the
+    curve, so this is the one-row tripwire a pipeline logs per source per
+    snapshot. One vocabulary-bounded shuffle; the regression runs over
+    500 rows; regr_slope/regr_r2 agree bit-for-bit across engines
+    (verified: identical on a shared 3-point fixture)."""
+    from ranger_spark.operators.text import normalize_text, tokenize
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokenize(normalize_text(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+        .cast("bigint")
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 500)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(F.expr("regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4).alias("zipf_r2"),
+    )
+
+
+@register(
+    "embedding_drift_by_label",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(vec_id % 2 AS INTEGER) AS half,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, pos, round(avg(val), 6) AS m
+      FROM (SELECT label, half, generate_subscripts(v, 1) AS pos,
+                   unnest(v) AS val FROM e)
+      GROUP BY label, half, pos
+    ),
+    cos AS (
+      SELECT a.label,
+             round(sum(a.m * b.m)
+                   / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))),
+                   6) AS centroid_cos
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.pos = b.pos
+       AND a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    ),
+    n AS (
+      SELECT label,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM e GROUP BY label
+    )
+    SELECT n.label, n.n_a, n.n_b, cos.centroid_cos,
+           cos.centroid_cos < 0.98 AS drifted
+    FROM n JOIN cos ON n.label = cos.label
+    """,
+    tags=("similarity", "drift", "monitoring"),
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: split the corpus into two cohorts
+    (vec_id parity stands in for before/after a re-embedding), compute
+    per-label centroids for each cohort via the same O(labels×dim)
+    posexplode means as embedding_label_centroids, and report the
+    cosine between cohort centroids with a <0.98 drift verdict — the
+    check a pipeline runs before mixing embeddings from two model
+    versions in one ANN index. Shuffles are label×dim-bounded; the
+    cohort join runs on the tiny centroid table."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    cent = (
+        e.select("label", "half", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("label", "half", F.col("pos0").alias("pos"))
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb")
+    )
+    cos = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                ),
+                6,
+            ).alias("centroid_cos")
+        )
+    )
+    n = e.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return n.join(F.broadcast(cos), "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        "centroid_cos",
+        (F.col("centroid_cos") < 0.98).alias("drifted"),
+    )
