@@ -2418,6 +2418,7 @@ class Engine:
         columns: list[tuple[str, str, bool]],
         location: str,
         renamed: dict[str, str] | None = None,
+        as_name: str | None = None,
     ) -> list[str]:
         """Repoint the catalog table at a new snapshot dir: drop +
         recreate the same DDL with LOCATION swapped — metadata only, no
@@ -2455,7 +2456,8 @@ class Engine:
             + ("" if f.nullable else " NOT NULL")
             for f in schema.fields
         )
-        ddl = f"CREATE TABLE {name} ({spark_cols}) USING parquet"
+        target = as_name or name  # rename: create under the new name
+        ddl = f"CREATE TABLE {target} ({spark_cols}) USING parquet"
         if part_by:
             ddl += " PARTITIONED BY (" + ", ".join(part_by) + ")"
         if props:
@@ -2465,9 +2467,9 @@ class Engine:
         self.spark.sql(f"DROP TABLE {name}")
         self.spark.sql(ddl)
         if part_by:
-            self.spark.catalog.recoverPartitions(name)
+            self.spark.catalog.recoverPartitions(target)
         if entry.get("storage") == "memory":
-            self.spark.sql(f"CACHE LAZY TABLE {name}")
+            self.spark.sql(f"CACHE LAZY TABLE {target}")
         return part_by
 
     def _rewrite_table(
@@ -2982,6 +2984,13 @@ class Engine:
         """Schema evolution via copy-on-write rewrite (Iceberg does this as
         a metadata-only commit; parquet tables need the rewrite). Supported:
         ADD COLUMN name type, DROP COLUMN name, RENAME COLUMN a TO b."""
+        mt = re.match(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$", sql, re.I
+        )
+        if mt:
+            return self._rename_table(
+                self._qualify(mt.group(1)), self._qualify(mt.group(2))
+            )
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.]+)\s+"
             r"(?:(ADD)\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+)"
@@ -2994,7 +3003,7 @@ class Engine:
             raise RangerError(
                 UNSUPPORTED_STATEMENT,
                 "ALTER supports: ADD COLUMN c type | DROP COLUMN c | "
-                "RENAME COLUMN a TO b",
+                "RENAME COLUMN a TO b | RENAME TO t2",
             )
         name = self._qualify(m.group(1))
         if not self._table_exists(name):
@@ -3031,6 +3040,59 @@ class Engine:
             renamed = {old: new}
         self._replace_table(name, new_df, new_cols, renamed=renamed)
         return QueryResult([], [], 0, message=f"table '{name}': {action}")
+
+    def _rename_table(self, old: str, new: str) -> QueryResult:
+        """ALTER TABLE t RENAME TO t2 — metadata-only: the catalog entry
+        is recreated under the new name at the SAME location (the data
+        dir is location-addressed like an Iceberg table's UUID dir, so
+        no file moves; snapshot history and time travel follow the
+        entry), then the manifest key moves. Refused while the table
+        backs a materialized view — MV metadata records the source by
+        name, and a silent rename would orphan the dependency (same
+        conservatism as Iceberg's RENAME with dependent views)."""
+        if not self._table_exists(old):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{old}' not found")
+        if self._table_exists(new):
+            raise RangerError(ALREADY_EXISTS, f"table '{new}' already exists")
+        newdb = new.split(".")[0]
+        if newdb not in self._manifest["databases"]:
+            raise RangerError(
+                DATABASE_NOT_FOUND, f"database '{newdb}' not found"
+            )
+        mviews = self._manifest.get("mviews", {})
+        if old in mviews:
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"'{old}' is a materialized view; DROP/CREATE instead",
+            )
+        deps = sorted(k for k, v in mviews.items() if v.get("src") == old)
+        if deps:
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"table '{old}' backs materialized view(s) "
+                f"{', '.join(deps)}; drop them before renaming",
+            )
+        entry = self._manifest["tables"].get(old, {})
+        columns = self._schemas.get(old) or self._column_info(old)
+        loc = self._catalog_location(old)
+        if loc is None:
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"table '{old}' has no resolvable location to rename",
+            )
+        self._recreate_at(old, entry, columns, loc, as_name=new)
+
+        def _mv(m: dict) -> None:
+            e = m["tables"].pop(old, None)
+            if e is not None:
+                m["tables"][new] = e
+
+        self._mutate_manifest(_mv)
+        if old in self._schemas:
+            self._schemas[new] = self._schemas.pop(old)
+        return QueryResult(
+            [], [], 0, message=f"table '{old}' renamed to '{new}'"
+        )
 
     def _replace_table(
         self,

@@ -1157,3 +1157,48 @@ def test_insert_overwrite_values_and_select(engine):
             "INSERT OVERWRITE ovr_t (id, name) VALUES (1, 'ok'), ('nope', 'bad');"
         )
     assert engine.execute("SELECT count(*) AS n FROM ovr_t;").rows == [(2,)]
+
+
+def test_alter_rename_table(engine):
+    import pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS rnm_b;")
+    engine.execute("DROP TABLE IF EXISTS rnm_a;")
+    engine.execute("CREATE TABLE rnm_a (id int32, name string);")
+    engine.execute("INSERT INTO rnm_a (id, name) VALUES (1, 'x'), (2, 'y');")
+    r = engine.execute("ALTER TABLE rnm_a RENAME TO rnm_b;")
+    assert "renamed" in r.message
+    # data, snapshot history and time travel follow the rename
+    assert engine.execute("SELECT id FROM rnm_b ORDER BY id;").rows == [
+        (1,),
+        (2,),
+    ]
+    snaps = engine.execute("SHOW SNAPSHOTS FROM rnm_b;").rows
+    assert len(snaps) >= 2
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises((RangerError, AnalysisException)):
+        engine.execute("SELECT * FROM rnm_a;")
+    # writes keep committing through the versioned path under the new name
+    engine.execute("INSERT INTO rnm_b (id, name) VALUES (3, 'z');")
+    assert engine.execute("SELECT count(*) AS n FROM rnm_b;").rows == [(3,)]
+    assert (
+        len(engine.execute("SHOW SNAPSHOTS FROM rnm_b;").rows) == len(snaps) + 1
+    )
+    # refuse clobbering an existing table
+    engine.execute("CREATE TABLE rnm_a (id int32);")
+    with pytest.raises(RangerError, match="already exists"):
+        engine.execute("ALTER TABLE rnm_b RENAME TO rnm_a;")
+    # refuse renaming a table that backs a materialized view
+    engine.execute("DROP MATERIALIZED VIEW IF EXISTS rnm_mv;")
+    engine.execute(
+        "CREATE MATERIALIZED VIEW rnm_mv AS "
+        "SELECT name, count(*) AS n FROM rnm_b GROUP BY name;"
+    )
+    with pytest.raises(RangerError, match="backs materialized view"):
+        engine.execute("ALTER TABLE rnm_b RENAME TO rnm_c;")
+    engine.execute("DROP MATERIALIZED VIEW rnm_mv;")
+    engine.execute("DROP TABLE rnm_a;")
+    engine.execute("DROP TABLE rnm_b;")
