@@ -56,6 +56,7 @@ _FRONT_R7 = (
     "grouping_sets_revenue",
     "knn_label_accuracy",
     "multimodal_decode_stub",
+    "multimodal_image_ahash_dedup",
     "multimodal_warc_records",
     "orders_price_histogram",
     "orders_seasonality_decompose",
@@ -79,7 +80,6 @@ _FRONT_R7 = (
     "text_script_profile",
     "text_zipf_fit",
     "unpivot_pricing_metrics",
-    "agg_minmax_countd",
 )
 
 

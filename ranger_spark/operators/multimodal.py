@@ -1108,3 +1108,72 @@ def decode_mp4_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, MP4_META_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("n_pixels", IntegerType()),
+    ]
+)
+
+
+def bmp_average_hash(payload: bytes) -> tuple[int, int] | None:
+    """Average-hash (aHash) over a 24bpp BMP's pixels: one bit per pixel
+    in TOP-DOWN row-major order, set when the pixel's gray exceeds the
+    image mean. The comparison is integer-exact — ``sum_rgb(px) * n >
+    total_rgb`` avoids float division entirely, so an SQL oracle can
+    replay it bit-for-bit. Returns (hash, n_pixels) or None for
+    non-24bpp input. For real-world images the mean-pool-to-8×8 resize
+    step belongs in front of this (PIL-gated, operators/multimodal.py
+    decode stub); on an already-tiny grid the grid IS the image."""
+    if payload[:2] != b"BM" or len(payload) < 34:
+        return None
+    data_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height_raw == 0:
+        return None
+    height = abs(height_raw)
+    row_size = (width * 3 + 3) & ~3
+    if len(payload) < data_offset + row_size * height:
+        return None
+    n = width * height
+    sums = []
+    for img_row in range(height):  # top-down image order
+        y = height - 1 - img_row if height_raw > 0 else img_row
+        base = data_offset + y * row_size
+        for x in range(width):
+            o = base + x * 3
+            sums.append(payload[o] + payload[o + 1] + payload[o + 2])
+    total = sum(sums)
+    h = 0
+    for i, s in enumerate(sums):
+        if s * n > total:
+            h |= 1 << i
+    return h, n
+
+
+def decode_bmp_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Arrow-batched perceptual hashing: (id, phash, n_pixels) per
+    decodable 24bpp BMP — the map-only first stage of image dedup; the
+    dup-collapse is then an exact groupBy on the 64-bit-max hash."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                r = bmp_average_hash(bytes(p))
+                if r is not None:
+                    rows.append((int(i), r[0], r[1]))
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in AHASH_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, AHASH_SCHEMA)

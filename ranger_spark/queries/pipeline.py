@@ -4396,3 +4396,86 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroid_cos",
         (F.col("centroid_cos") < 0.98).alias("drifted"),
     )
+
+
+@register(
+    "multimodal_image_ahash_dedup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, doc_id % 40 AS base FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             (base*5 + 0)  % 256 + (base*9 + 0)  % 256 + (base*13 + 0)   % 256 AS s0,
+             (base*5 + 11) % 256 + (base*9 + 23) % 256 + (base*13 + 37)  % 256 AS s1,
+             (base*5 + 22) % 256 + (base*9 + 46) % 256 + (base*13 + 74)  % 256 AS s2,
+             (base*5 + 33) % 256 + (base*9 + 69) % 256 + (base*13 + 111) % 256 AS s3
+      FROM px
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s2*4 > s0+s1+s2+s3 THEN 1 ELSE 0 END
+                + CASE WHEN s3*4 > s0+s1+s2+s3 THEN 2 ELSE 0 END
+                + CASE WHEN s0*4 > s0+s1+s2+s3 THEN 4 ELSE 0 END
+                + CASE WHEN s1*4 > s0+s1+s2+s3 THEN 8 ELSE 0 END
+               AS BIGINT) AS phash
+      FROM s
+    )
+    SELECT doc_id, phash,
+           min(doc_id) OVER (PARTITION BY phash)          AS canonical,
+           doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup,
+           CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS group_size
+    FROM h
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end-to-end: a REAL 24bpp BMP is
+    synthesized per document (base = doc_id % 40, so exact visual
+    duplicates exist by construction), `bmp_average_hash` decodes the
+    actual byte layout and computes the average-hash — one bit per
+    pixel, integer-exact comparison (sum_rgb·n > total) so the oracle
+    replays it from the synthesis formula — and dup groups collapse on
+    the hash. The 100 TB shape: the decode+hash stage is map-only
+    Arrow-batched Python (the unavoidable byte-level step), and the
+    dedup is an exact groupBy on an 8-byte hash — identical to
+    dedup_exact's shuffle discipline. The mean-pool resize for
+    non-tiny images is the declared PIL-gated seam."""
+    from ranger_spark.operators.multimodal import decode_bmp_ahash
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    base = F.col("doc_id") % 40
+    pix = [
+        F.concat(
+            _byte(base * 5 + 11 * k),
+            _byte(base * 9 + 23 * k),
+            _byte(base * 13 + 37 * k),
+        )
+        for k in range(4)
+    ]
+    pad = F.unhex(F.lit("0000"))
+    payload = F.concat(
+        F.unhex(F.lit("424D")),
+        F.unhex(F.lit("00" * 8)),
+        F.unhex(F.lit("36000000")),
+        F.unhex(F.lit("28000000")),
+        F.unhex(F.lit("02000000")),
+        F.unhex(F.lit("02000000")),
+        F.unhex(F.lit("0100")),
+        F.unhex(F.lit("1800")),
+        F.unhex(F.lit("00000000")),
+        F.unhex(F.lit("00" * 20)),
+        pix[0], pix[1], pad,
+        pix[2], pix[3], pad,
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    hashed = decode_bmp_ahash(imgs, "doc_id", "payload")
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.min("doc_id").over(w).alias("canonical"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )
