@@ -41,6 +41,7 @@ _FRONT_R7 = (
     "customer_rfm_scores",
     "dedup_bloom_prefilter",
     "dedup_canonical_pick",
+    "dedup_minhash_recall_eval",
     "embedding_covariance",
     "embedding_drift_by_label",
     "embedding_label_centroids",
@@ -79,7 +80,6 @@ _FRONT_R7 = (
     "text_ngram_novelty",
     "text_script_profile",
     "text_zipf_fit",
-    "unpivot_pricing_metrics",
 )
 
 

@@ -4479,3 +4479,163 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
     )
+
+
+def _minhash_recall_oracle() -> str:
+    """The _minhash_oracle replay extended with unblocked exact-Jaccard
+    ground truth and one-row recall/precision metrics."""
+    from ranger_spark.operators.dedup import MINHASH_PRIME, _affine_params
+
+    mins = ",\n           ".join(
+        f"min(({a} * sh_hash + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(_affine_params(_NUM_HASHES))
+    )
+    band_parts = []
+    for b in range(_BANDS):
+        cols = ", ".join(f"mh_{b * _R + j}" for j in range(_R))
+        band_parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    band_selects = "\n      UNION ALL\n      ".join(band_parts)
+    return f"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    ),
+    reps AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM reps),
+    sh0 AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sh AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM sh0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh_hash = sa.sh_hash
+      GROUP BY c.id_a, c.id_b
+    ),
+    pred AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes na ON na.doc_id = i.id_a
+      JOIN sizes nb ON nb.doc_id = i.id_b
+      WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6)
+            >= {_JACCARD_T}
+    ),
+    tinter AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+      FROM sh sa JOIN sh sb
+        ON sb.sh_hash = sa.sh_hash AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.id_a, t.id_b FROM tinter t
+      JOIN sizes na ON na.doc_id = t.id_a
+      JOIN sizes nb ON nb.doc_id = t.id_b
+      WHERE round(t.n_inter / CAST(na.n_sh + nb.n_sh - t.n_inter AS DOUBLE), 6)
+            >= {_JACCARD_T}
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM pred)  AS n_pred,
+           (SELECT count(*) FROM pred p JOIN truth t
+              ON p.id_a = t.id_a AND p.id_b = t.id_b) AS n_hit,
+           round((SELECT count(*) FROM pred p JOIN truth t
+                    ON p.id_a = t.id_a AND p.id_b = t.id_b)
+                 / CAST(NULLIF((SELECT count(*) FROM truth), 0) AS DOUBLE),
+                 6) AS recall,
+           round((SELECT count(*) FROM pred p JOIN truth t
+                    ON p.id_a = t.id_a AND p.id_b = t.id_b)
+                 / CAST(NULLIF((SELECT count(*) FROM pred), 0) AS DOUBLE),
+                 6) AS precision
+    """
+
+
+@register(
+    "dedup_minhash_recall_eval",
+    oracle=_minhash_recall_oracle(),
+    tags=("dedup", "eval", "lsh"),
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality eval: the MinHash(16)+LSH(8×2) verified pairs measured
+    against unblocked exact-Jaccard ground truth over the same
+    representatives — the harness that answers "how many true near-dup
+    pairs do the bands miss?" before you trust a band configuration at
+    100 TB. Precision is 1.0 by construction (candidates are
+    exact-verified); recall is the banding coverage. The all-shared-
+    shingle truth join is the EVAL-ONLY cost paid on a sample — the
+    production path stays the banded pipeline whose recall this
+    certifies."""
+    from ranger_spark.operators.dedup import shingle_df
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", T.normalize_text(F.col("text")).alias("__norm"))
+    reps = (
+        base.groupBy(F.md5("__norm").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.first("__norm").alias("text"))
+        .select("doc_id", "text")
+    )
+    sh = shingle_df(reps, "doc_id", "text", 2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh_hash")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh_hash")
+    tinter = (
+        a.join(b, "sh_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        tinter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .filter(
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            )
+            >= _JACCARD_T
+        )
+        .select("id_a", "id_b")
+    )
+    pred = D.minhash_lsh_dedup(
+        d, "doc_id", "text",
+        shingle_k=2, num_hashes=_NUM_HASHES, bands=_BANDS,
+        threshold=_JACCARD_T,
+    ).select("id_a", "id_b")
+    hit = pred.join(truth, ["id_a", "id_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    np_ = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    one = nt.crossJoin(np_).crossJoin(nh)
+    return one.select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        F.round(
+            F.col("n_hit") / F.nullif(F.col("n_true"), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit") / F.nullif(F.col("n_pred"), F.lit(0)).cast("double"),
+            6,
+        ).alias("precision"),
+    )

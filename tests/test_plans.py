@@ -78,6 +78,7 @@ _NL_ALLOWED = {
     "ann_quantized_topk",  # 5-query broadcast side of the != pair join
     "source_mixture_plan",  # 1-row totals broadcast cross
     "text_bm25_scores",  # 1-row broadcast (N, avgdl) corpus-stats crossJoins
+    "dedup_minhash_recall_eval",  # 1-row metric-count crossJoins
 }
 
 
