@@ -371,3 +371,69 @@ def test_warc_roundtrip_property(records):
         assert r["rec_type"] == t
         assert r["content_length"] == len(p)
         assert r["payload_md5"] == hashlib.md5(p).hexdigest()
+
+
+# ---------------------------------------------------------------- aHash
+
+
+def _mk_bmp(width, height, pixels):
+    """Minimal 24bpp bottom-up BMP from [(b,g,r), ...] row-major
+    top-down pixel list."""
+    row_size = (width * 3 + 3) & ~3
+    body = bytearray()
+    for img_row in range(height - 1, -1, -1):  # file stores bottom-up
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pixels[img_row * width + x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        body += row
+    header = (
+        b"BM" + b"\x00" * 8 + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    return bytes(header + body)
+
+
+@given(
+    st.integers(1, 5),
+    st.integers(1, 5),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_average_hash_properties(w, h, data):
+    from ranger_spark.operators.multimodal import bmp_average_hash
+
+    n = w * h
+    pixels = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    out = bmp_average_hash(_mk_bmp(w, h, pixels))
+    assert out is not None
+    phash, np_ = out
+    assert np_ == n
+    assert 0 <= phash < (1 << n)
+    # a constant image has NO pixel strictly above the mean → hash 0
+    flat = bmp_average_hash(_mk_bmp(w, h, [(9, 9, 9)] * n))
+    assert flat == (0, n)
+    # the hash depends only on pixel content, not on payload framing:
+    # identical pixels → identical hash (determinism)
+    assert bmp_average_hash(_mk_bmp(w, h, pixels)) == out
+
+
+@given(st.binary(max_size=60))
+@settings(max_examples=120, deadline=None)
+def test_bmp_average_hash_never_crashes_on_garbage(payload):
+    from ranger_spark.operators.multimodal import bmp_average_hash
+
+    out = bmp_average_hash(payload)
+    assert out is None or (isinstance(out, tuple) and len(out) == 2)

@@ -239,3 +239,69 @@ def test_stream_windowed_daily_matches_batch(spark):
     # rerun must not fail on the live sink name and must be identical
     again = stream_windowed_daily(spark, sf)
     assert {tuple(r) for r in again.collect()} == w
+
+
+def test_watermark_exactly_once_dedup_across_batches(spark):
+    """Streaming dedup exactly-once contract across micro-batches: a key
+    replayed while its state lives is suppressed by the dedup state; a
+    key replayed after the watermark horizon (state evicted) arrives
+    below the watermark and is dropped as late input — either way the
+    sink sees each (k, ts) exactly once, with state bounded by the
+    horizon. This is the contract the registry's stream_dedup_keys
+    relies on at scale."""
+    import json
+    import os
+    import tempfile
+    import time as _time
+    from collections import Counter
+    from pathlib import Path
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("ts", TimestampType())]
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="late_src_"))
+    batches = [
+        [("a", "2024-01-01 12:00:00")],
+        # dup of a within the horizon + a watermark-advancing row
+        [("a", "2024-01-01 12:00:00"), ("adv", "2024-01-01 14:00:00")],
+        # push the watermark well past a's event time (state evicted)
+        [("noop", "2024-01-01 14:30:00")],
+        # replay a after the horizon: late input, dropped
+        [("a", "2024-01-01 12:00:00")],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        path = tmp / f"b{i}.json"
+        with open(path, "w") as f:
+            for k, ts in rows:
+                f.write(json.dumps({"k": k, "ts": ts}) + "\n")
+        # the file source orders micro-batches by modification time
+        os.utime(path, (now + 60 * i, now + 60 * i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp))
+    )
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["k", "ts"])
+        .select("k")
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("late_drop_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = Counter(r.k for r in spark.table("late_drop_sink").collect())
+    # four input occurrences collapse to exactly one emission per key
+    assert counts == {"a": 1, "adv": 1, "noop": 1}
