@@ -758,12 +758,27 @@ class Engine:
                 out.append(seg[: m.start()] + view)
                 i += 2
                 continue
+            m = re.search(
+                r"\b([A-Za-z_][\w.]*)\s+VERSION\s+AS\s+OF\s*$", seg, re.I
+            )
+            if m and i + 1 < len(parts):
+                # quoted version = a named tag (Iceberg ref)
+                view = self._time_travel_view(
+                    m.group(1), tag=parts[i + 1][1:-1]
+                )
+                out.append(seg[: m.start()] + view)
+                i += 2
+                continue
             out.append(seg)
             i += 1
         return "".join(out)
 
     def _time_travel_view(
-        self, table: str, version: int | None = None, ts: str | None = None
+        self,
+        table: str,
+        version: int | None = None,
+        ts: str | None = None,
+        tag: str | None = None,
     ) -> str:
         name = self._qualify(table)
         vt = self._versioned_for(name)
@@ -773,6 +788,14 @@ class Engine:
                 f"time travel not available for '{table}' "
                 "(not a versioned table)",
             )
+        if tag is not None:
+            tags = self._manifest["tables"].get(name, {}).get("tags", {})
+            if tag not in tags:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"tag '{tag}' not found on '{name}'",
+                )
+            version = int(tags[tag])
         if version is None:
             from datetime import datetime
 
@@ -809,6 +832,14 @@ class Engine:
         return view
 
     def _show_snapshots(self, sql: str) -> QueryResult:
+        mt = re.match(r"SHOW\s+TAGS\s+(?:FROM|IN)\s+([\w.]+)\s*$", sql, re.I)
+        if mt:
+            name = self._qualify(mt.group(1))
+            if not self._table_exists(name):
+                raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+            tags = self._manifest["tables"].get(name, {}).get("tags", {})
+            rows = sorted((t, int(v)) for t, v in tags.items())
+            return QueryResult(["tag", "version"], rows, len(rows))
         m = re.match(
             r"SHOW\s+SNAPSHOTS\s+(?:FROM|IN)\s+([\w.]+)\s*$", sql, re.I
         )
@@ -1001,7 +1032,10 @@ class Engine:
                 UNSUPPORTED_STATEMENT,
                 f"table '{name}' is not snapshot-versioned",
             )
-        removed = vt.expire(keep_last)
+        tags = self._manifest["tables"].get(name, {}).get("tags", {})
+        removed = vt.expire(
+            keep_last, protected={int(v) for v in tags.values()}
+        )
         self._emit_iceberg(name)  # spec projection drops expired snapshots
         return removed
 
@@ -2991,6 +3025,16 @@ class Engine:
             return self._rename_table(
                 self._qualify(mt.group(1)), self._qualify(mt.group(2))
             )
+        mtag = re.match(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+"
+            r"(?:(CREATE)\s+TAG\s+([A-Za-z_]\w*)"
+            r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?"
+            r"|(DROP)\s+TAG\s+([A-Za-z_]\w*))\s*$",
+            sql,
+            re.I,
+        )
+        if mtag:
+            return self._tag_op(mtag)
         m = re.match(
             r"ALTER\s+TABLE\s+([\w.]+)\s+"
             r"(?:(ADD)\s+COLUMN\s+([A-Za-z_]\w*)\s+(.+)"
@@ -3040,6 +3084,52 @@ class Engine:
             renamed = {old: new}
         self._replace_table(name, new_df, new_cols, renamed=renamed)
         return QueryResult([], [], 0, message=f"table '{name}': {action}")
+
+    def _tag_op(self, m: "re.Match[str]") -> QueryResult:
+        """ALTER TABLE t CREATE TAG name [AS OF VERSION n] / DROP TAG name
+        — Iceberg named refs over the snapshot chain: a tag pins a
+        snapshot version under a stable name, readable via
+        ``VERSION AS OF 'name'`` and PROTECTED from EXPIRE SNAPSHOTS
+        (Iceberg's tag retention). Metadata-only: one manifest mutation."""
+        name = self._qualify(m.group(1))
+        if not self._table_exists(name):
+            raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
+        vt = self._versioned_for(name)
+        if vt is None:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"table '{name}' is not snapshot-versioned",
+            )
+        tags = dict(self._manifest["tables"].get(name, {}).get("tags", {}))
+        if m.group(2):  # CREATE
+            tag = m.group(3)
+            version = int(m.group(4)) if m.group(4) else vt.current_version()
+            if tag in tags:
+                raise RangerError(
+                    ALREADY_EXISTS, f"tag '{tag}' exists on '{name}'"
+                )
+            if not 1 <= version <= vt.current_version():
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"snapshot version {version} does not exist for '{name}'",
+                )
+            tags[tag] = version
+            msg = f"tag '{tag}' -> version {version} on '{name}'"
+        else:  # DROP
+            tag = m.group(6)
+            if tag not in tags:
+                raise RangerError(
+                    TABLE_NOT_FOUND, f"tag '{tag}' not found on '{name}'"
+                )
+            del tags[tag]
+            msg = f"dropped tag '{tag}' from '{name}'"
+
+        def _set(mf: dict) -> None:
+            if name in mf["tables"]:
+                mf["tables"][name]["tags"] = tags
+
+        self._mutate_manifest(_set)
+        return QueryResult([], [], 0, message=msg)
 
     def _rename_table(self, old: str, new: str) -> QueryResult:
         """ALTER TABLE t RENAME TO t2 — metadata-only: the catalog entry

@@ -740,7 +740,8 @@ def route(statement: str, strict: bool = False) -> Routed:
         return Routed(StmtKind.SHOW_COLUMNS, s)
     if m("SHOW CREATE TABLE"):
         return Routed(StmtKind.SHOW_CREATE_TABLE, s)
-    if m("SHOW SNAPSHOTS"):
+    if m("SHOW SNAPSHOTS") or m("SHOW TAGS"):
+        # tags ride the snapshot surface (engine._show_snapshots routes)
         return Routed(StmtKind.SHOW_SNAPSHOTS, s)
     if m("OPTIMIZE "):
         return Routed(StmtKind.OPTIMIZE, s)

@@ -262,7 +262,11 @@ class VersionedTable:
         rule of Iceberg's ``TIMESTAMP AS OF``)."""
         best = 0
         for v in range(1, self.current_version() + 1):
-            if self._load(v)["committed_at"] <= epoch:
+            try:
+                m = self._load(v)
+            except FileNotFoundError:
+                continue  # expired snapshot — manifest reclaimed
+            if m["committed_at"] <= epoch:
                 best = v
         if best == 0:
             raise FileNotFoundError(
@@ -294,23 +298,35 @@ class VersionedTable:
             )
         return out
 
-    def expire(self, keep_last: int = 1) -> list[str]:
+    def expire(
+        self, keep_last: int = 1, protected: frozenset[int] | set[int] = frozenset()
+    ) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and delete data
         dirs no retained snapshot references (Iceberg
-        ``expire_snapshots``). Returns the removed data dirs."""
+        ``expire_snapshots``). ``protected`` versions (tagged refs —
+        Iceberg tag retention) keep their manifests and data regardless
+        of the cutoff. Returns the removed data dirs."""
         import shutil
 
         current = self.current_version()
         cutoff = max(1, current - keep_last + 1)
         keep_dirs: set[str] = set()
         keep_files: set[str] = set()
-        for v in range(cutoff, current + 1):
+        kept = set(range(cutoff, current + 1)) | {
+            v for v in protected if 1 <= v <= current
+        }
+        for v in kept:
             m = self._load(v)
             keep_dirs.add(m["dir"])
             keep_files.update(m["files"])
         removed: list[str] = []
         for v in range(1, cutoff):
-            m = self._load(v)
+            if v in kept:
+                continue
+            try:
+                m = self._load(v)
+            except FileNotFoundError:
+                continue  # already expired by an earlier pass
             # a dir is reclaimable only if no kept snapshot references it
             # or any file inside it
             if m["dir"] not in keep_dirs and not any(

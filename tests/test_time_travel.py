@@ -182,3 +182,45 @@ def test_expire_snapshots_sql_statement(engine, versioned):
         engine.execute("SELECT id FROM vt VERSION AS OF 1;")
     # head still reads fine
     assert engine.execute("SELECT count(*) AS n FROM vt;").rows[0][0] == 2
+
+
+def test_snapshot_tags(engine):
+    import pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS tag_t;")
+    engine.execute("CREATE TABLE tag_t (id int32);")
+    engine.execute("INSERT INTO tag_t (id) VALUES (1);")       # v2
+    engine.execute("ALTER TABLE tag_t CREATE TAG v1_release;")  # tags v2
+    engine.execute("INSERT INTO tag_t (id) VALUES (2), (3);")   # v3
+    # read through the tag — Iceberg named-ref semantics
+    assert engine.execute(
+        "SELECT count(*) AS n FROM tag_t VERSION AS OF 'v1_release';"
+    ).rows == [(1,)]
+    assert engine.execute("SELECT count(*) AS n FROM tag_t;").rows == [(3,)]
+    # explicit-version tag + SHOW TAGS
+    engine.execute("ALTER TABLE tag_t CREATE TAG first AS OF VERSION 1;")
+    rows = engine.execute("SHOW TAGS FROM tag_t;").rows
+    assert ("first", 1) in rows and len(rows) == 2
+    # duplicate / unknown-version / unknown-tag errors
+    with pytest.raises(RangerError, match="exists"):
+        engine.execute("ALTER TABLE tag_t CREATE TAG first;")
+    with pytest.raises(RangerError, match="does not exist"):
+        engine.execute("ALTER TABLE tag_t CREATE TAG nope AS OF VERSION 99;")
+    with pytest.raises(RangerError, match="not found"):
+        engine.execute("SELECT * FROM tag_t VERSION AS OF 'missing';")
+    # EXPIRE keeps tagged snapshots alive (Iceberg tag retention)
+    engine.execute("INSERT INTO tag_t (id) VALUES (4);")        # v4
+    engine.execute("EXPIRE SNAPSHOTS tag_t KEEP 1;")
+    assert engine.execute(
+        "SELECT count(*) AS n FROM tag_t VERSION AS OF 'v1_release';"
+    ).rows == [(1,)]
+    # DROP TAG, then the next expire may reclaim it
+    engine.execute("ALTER TABLE tag_t DROP TAG v1_release;")
+    engine.execute("ALTER TABLE tag_t DROP TAG first;")
+    assert engine.execute("SHOW TAGS FROM tag_t;").rows == []
+    engine.execute("EXPIRE SNAPSHOTS tag_t KEEP 1;")
+    with pytest.raises(RangerError):
+        engine.execute("SELECT * FROM tag_t VERSION AS OF 2;")
+    engine.execute("DROP TABLE tag_t;")
