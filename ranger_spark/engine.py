@@ -728,7 +728,8 @@ class Engine:
         reference is replaced by a temp view scanning exactly that
         snapshot's file list. Only identifier positions are rewritten —
         quoted literals pass through untouched."""
-        if "AS OF" not in sql.upper():
+        up = sql.upper()
+        if "AS OF" not in up and "CHANGES SINCE" not in up:
             return sql
         parts = re.split(r"('(?:[^']|'')*')", sql)
         out: list[str] = []
@@ -744,6 +745,15 @@ class Engine:
                 lambda m: self._time_travel_view(
                     m.group(1), version=int(m.group(2))
                 ),
+                seg,
+                flags=re.I,
+            )
+            # SQL CDC read: rows ADDED strictly after version n (snapshot-
+            # diff incremental — the pull half of the Astha fan-out, as a
+            # query surface; Iceberg's incremental read in SQL clothes)
+            seg = re.sub(
+                r"\b([A-Za-z_][\w.]*)\s+CHANGES\s+SINCE\s+VERSION\s+(\d+)",
+                lambda m: self._changes_view(m.group(1), int(m.group(2))),
                 seg,
                 flags=re.I,
             )
@@ -826,6 +836,47 @@ class Engine:
             df = self.spark.read.option(
                 "basePath", vt.snapshot_dir(version)
             ).parquet(*files)
+        else:
+            df = self.spark.table(name).limit(0)
+        df.createOrReplaceTempView(view)
+        return view
+
+    def _changes_view(self, table: str, since_version: int) -> str:
+        """``FROM t CHANGES SINCE VERSION n`` — scan only the files ADDED
+        by snapshots n+1..current (exact because data files are
+        immutable; a rewrite in the range surfaces its whole new file
+        set, the correct conservative answer for CoW history). This is
+        the SQL face of the incremental reads Astha subscribers and MV
+        refresh use internally."""
+        name = self._qualify(table)
+        vt = self._versioned_for(name)
+        if vt is None:
+            raise RangerError(
+                TABLE_NOT_FOUND,
+                f"incremental read not available for '{table}' "
+                "(not a versioned table)",
+            )
+        current = vt.current_version()
+        if not 0 <= since_version <= current:
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"snapshot version {since_version} does not exist for "
+                f"'{name}'",
+            )
+        added: list[str] = []
+        for v in range(since_version + 1, current + 1):
+            try:
+                added.extend(vt.manifest(v)["added_files"])
+            except FileNotFoundError as e:
+                raise RangerError(
+                    VALIDATION_FAILED,
+                    f"snapshot version {v} of '{name}' has been expired; "
+                    "incremental range is not reconstructable",
+                ) from e
+        view = f"__cdc_{name.replace('.', '_')}_s{since_version}"
+        self._tt_views.append(view)
+        if added:
+            df = self.spark.read.parquet(*added)
         else:
             df = self.spark.table(name).limit(0)
         df.createOrReplaceTempView(view)

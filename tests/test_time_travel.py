@@ -224,3 +224,41 @@ def test_snapshot_tags(engine):
     with pytest.raises(RangerError):
         engine.execute("SELECT * FROM tag_t VERSION AS OF 2;")
     engine.execute("DROP TABLE tag_t;")
+
+
+def test_changes_since_version_sql(engine):
+    import pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS cdc_t;")
+    engine.execute("CREATE TABLE cdc_t (id int32);")            # v1
+    engine.execute("INSERT INTO cdc_t (id) VALUES (1), (2);")   # v2
+    engine.execute("INSERT INTO cdc_t (id) VALUES (3);")        # v3
+    engine.execute("INSERT INTO cdc_t (id) VALUES (4), (5);")   # v4
+    # only the rows added after v2
+    assert sorted(
+        engine.execute(
+            "SELECT id FROM cdc_t CHANGES SINCE VERSION 2;"
+        ).rows
+    ) == [(3,), (4,), (5,)]
+    # since current → empty; since 0 → everything
+    assert engine.execute(
+        "SELECT count(*) AS n FROM cdc_t CHANGES SINCE VERSION 4;"
+    ).rows == [(0,)]
+    assert engine.execute(
+        "SELECT count(*) AS n FROM cdc_t CHANGES SINCE VERSION 0;"
+    ).rows == [(5,)]
+    # composable with normal SQL (join the delta against the full table)
+    assert engine.execute(
+        "SELECT count(*) AS n FROM cdc_t CHANGES SINCE VERSION 3 "
+        "WHERE id > 4;"
+    ).rows == [(1,)]
+    with pytest.raises(RangerError, match="does not exist"):
+        engine.execute("SELECT * FROM cdc_t CHANGES SINCE VERSION 99;")
+    # a CoW rewrite inside the range surfaces its whole new file set
+    engine.execute("UPDATE cdc_t SET id = id + 10 WHERE id = 1;")  # v5
+    assert engine.execute(
+        "SELECT count(*) AS n FROM cdc_t CHANGES SINCE VERSION 4;"
+    ).rows == [(5,)]
+    engine.execute("DROP TABLE cdc_t;")
