@@ -1202,3 +1202,56 @@ def test_alter_rename_table(engine):
     engine.execute("DROP MATERIALIZED VIEW rnm_mv;")
     engine.execute("DROP TABLE rnm_a;")
     engine.execute("DROP TABLE rnm_b;")
+
+
+def test_bloom_filter_setting_writes_blooms(engine):
+    import glob
+    import os
+
+    import pytest
+
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS bloom_t;")
+    engine.execute("DROP TABLE IF EXISTS plain_t;")
+    engine.execute(
+        "CREATE TABLE bloom_t (id int64, k string) "
+        "SETTINGS bloom_filter = 'true', bloom_filter_ndv = 1000;"
+    )
+    engine.execute("CREATE TABLE plain_t (id int64, k string);")
+    assert "parquet.bloom.filter.enabled" in engine._write_options(
+        engine._qualify("bloom_t")
+    )
+    engine.spark.range(50000).selectExpr(
+        "id", "CAST(id % 997 AS STRING) AS k"
+    ).createOrReplaceTempView("bloom_src")
+    engine.execute("INSERT INTO bloom_t SELECT id, k FROM bloom_src;")
+    engine.execute("INSERT INTO plain_t SELECT id, k FROM bloom_src;")
+
+    def table_bytes(name):
+        loc = engine._catalog_location(engine._qualify(name))
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(loc, "**", "*.parquet"),
+                               recursive=True)
+        )
+
+    # bloom filters occupy real footer space — same data, bigger files
+    assert table_bytes("bloom_t") > table_bytes("plain_t") * 1.2
+    # reads agree
+    assert engine.execute(
+        "SELECT count(*) AS n FROM bloom_t WHERE k = '123';"
+    ).rows == engine.execute(
+        "SELECT count(*) AS n FROM plain_t WHERE k = '123';"
+    ).rows
+    with pytest.raises(RangerError, match="bloom_filter"):
+        engine.execute(
+            "CREATE TABLE bad_bloom (id int32) SETTINGS bloom_filter = 'maybe';"
+        )
+    with pytest.raises(RangerError, match="bloom_filter_ndv"):
+        engine.execute(
+            "CREATE TABLE bad_bloom (id int32) "
+            "SETTINGS bloom_filter = 'true', bloom_filter_ndv = '-5';"
+        )
+    engine.execute("DROP TABLE bloom_t;")
+    engine.execute("DROP TABLE plain_t;")
