@@ -3545,6 +3545,40 @@ class Engine:
             "name string, source_table string, src_version long, "
             "incremental boolean",
         ).createOrReplaceTempView("system_mviews")
+        # system.snapshots / system.tags — snapshot-chain observability
+        # over every versioned table (Iceberg's metadata tables
+        # `snapshots` / `refs` as one catalog-wide SQL surface — exceeds)
+        snap_rows = []
+        tag_rows = []
+        for tname, entry in sorted(self._manifest["tables"].items()):
+            if not entry.get("versioned"):
+                continue
+            vt = self._versioned_for(tname)
+            if vt is None or not vt.exists():
+                continue
+            for h in vt.history():
+                snap_rows.append(
+                    Row(
+                        table_name=tname,
+                        version=int(h["version"]),
+                        committed_at=float(h["committed_at"]),
+                        operation=str(h.get("operation") or ""),
+                        num_files=int(h["num_files"]),
+                        num_added=int(h["num_added"]),
+                    )
+                )
+            for tg, v in sorted(entry.get("tags", {}).items()):
+                tag_rows.append(
+                    Row(table_name=tname, tag=tg, version=int(v))
+                )
+        s.createDataFrame(
+            snap_rows,
+            "table_name string, version long, committed_at double, "
+            "operation string, num_files long, num_added long",
+        ).createOrReplaceTempView("system_snapshots")
+        s.createDataFrame(
+            tag_rows, "table_name string, tag string, version long"
+        ).createOrReplaceTempView("system_tags")
 
     # ------------------------------------------------------------- helpers
     def _qualify(self, name: str) -> str:

@@ -1255,3 +1255,21 @@ def test_bloom_filter_setting_writes_blooms(engine):
         )
     engine.execute("DROP TABLE bloom_t;")
     engine.execute("DROP TABLE plain_t;")
+
+
+def test_system_snapshots_and_tags_views(engine):
+    engine.execute("DROP TABLE IF EXISTS sysv_t;")
+    engine.execute("CREATE TABLE sysv_t (id int32);")
+    engine.execute("INSERT INTO sysv_t (id) VALUES (1);")
+    engine.execute("ALTER TABLE sysv_t CREATE TAG gold;")
+    snaps = engine.execute(
+        "SELECT version, operation FROM system.snapshots "
+        "WHERE table_name LIKE '%.sysv_t' ORDER BY version;"
+    ).rows
+    assert len(snaps) >= 2  # create + insert
+    tags = engine.execute(
+        "SELECT tag, version FROM system.tags "
+        "WHERE table_name LIKE '%.sysv_t';"
+    ).rows
+    assert tags == [("gold", snaps[-1][0])]
+    engine.execute("DROP TABLE sysv_t;")
