@@ -77,9 +77,9 @@ _FRONT_R7 = (
     "table_profile",
     "text_bm25_scores",
     "text_feature_hash_vector",
+    "text_lang_confusion",
     "text_ngram_novelty",
     "text_script_profile",
-    "text_zipf_fit",
 )
 
 

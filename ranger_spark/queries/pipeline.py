@@ -4644,3 +4644,49 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hit") / F.count(F.lit(1)).cast("double"), 6
         ).alias("recall"),
     )
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS ({_lang_oracle()})
+    SELECT lang       AS true_lang,
+           lang_pred,
+           count(*)   AS cnt,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang)
+                                 AS DOUBLE), 6) AS frac_of_true
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("text", "langid", "eval"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID eval: the confusion matrix of the stopword-vote
+    classifier against the corpus's ground-truth lang column — cell
+    counts plus each cell's share of its true class (diagonal = recall).
+    The classifier-eval companion to knn_label_accuracy and
+    events_markov_backtest: every heuristic in the pipeline gets a
+    measured operating point, not a vibe. One classes²-bounded shuffle
+    over the per-doc predictions."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        T.tokenize(T.normalize_text(F.col("text"))).alias("__toks"),
+    )
+    pred = d.select(
+        F.col("lang").alias("true_lang"),
+        T.lang_id(F.col("__toks")).alias("lang_pred"),
+    )
+    cells = pred.groupBy("true_lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "lang_pred",
+        "cnt",
+        F.round(
+            F.col("cnt") / F.sum("cnt").over(w).cast("double"), 6
+        ).alias("frac_of_true"),
+    )
