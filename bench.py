@@ -384,6 +384,32 @@ def _mv_refresh_section(spark, sf_dir: str) -> dict:
     }
 
 
+def _tpch_section(spark, registry, sf_dir: str) -> dict:
+    """The full 22-query TPC-H-shaped suite, Spark vs DuckDB at the bench
+    SF — the classic macro-benchmark as a per-round record (the headline
+    carries only q1/q3/q5; this section shows the whole curve so a
+    regression in any join/agg/subquery shape is visible)."""
+    names = sorted(
+        (n for n in registry if re.fullmatch(r"q\d+_\w+", n)),
+        key=lambda n: int(re.match(r"q(\d+)", n).group(1)),
+    )
+    spark_t = _bench_spark(spark, registry, names, sf_dir, warmups=1, timed=2)
+    duck_t = _bench_duckdb(registry, names, sf_dir, warmups=1, timed=2)
+    return {
+        "queries": names,
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "spark_total": round(sum(spark_t.values()), 3),
+        "duckdb_total": round(sum(duck_t.values()), 3),
+        "ratio": round(sum(spark_t.values()) / sum(duck_t.values()), 3),
+        # at the bench SF most of these run in O(10 ms) on DuckDB — the
+        # ratio is Spark's per-job floor, not a plan gap; the scale16/
+        # scale64 sections show the data-dominated regime (ratio ~0.4
+        # aggregate at 16×, per-query convergence at 64×)
+        "regime_note": "job-floor-dominated at this SF; see scale16/scale64",
+    }
+
+
 def _streaming_section(spark, registry, sf_dir: str) -> dict:
     """Structured-Streaming drain benchmark: each oracled streaming
     registry query is a REAL readStream → availableNow run, so its
@@ -519,6 +545,11 @@ def main() -> None:
             result["streaming"] = _streaming_section(spark, registry, sf_dir)
         except Exception as e:
             result["streaming"] = {"error": str(e)[:300]}
+    if os.environ.get("SPARK_GRAFT_SKIP_TPCH") != "1":
+        try:
+            result["tpch"] = _tpch_section(spark, registry, sf_dir)
+        except Exception as e:
+            result["tpch"] = {"error": str(e)[:300]}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         try:
             spark.catalog.clearCache()  # scale regime reads its own files
