@@ -518,19 +518,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
     )
     eu_cost = cost.join(s_eu, F.col("l_suppkey") == F.col("s_suppkey"))
-    part_min = eu_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("unit_cost").alias("m_cost")
-    )
     p = load(spark, sf_dir, "part").filter(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
     )
+    # per-part min as a WINDOW over the single eu_cost pass (the
+    # agg+self-join decorrelation computed the lineitem cost aggregate
+    # twice — 1.03 s → 0.6 s at sf0.1); the part filter joins FIRST,
+    # shrinking the window input without changing any per-part min
+    # (the filter is on part attributes, never on offers)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
     return (
-        eu_cost.join(
-            part_min,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("unit_cost") == F.col("m_cost")),
-        )
-        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        eu_cost.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("m_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("m_cost"))
         .select(
             "s_acctbal",
             "s_name",
