@@ -831,17 +831,30 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
+    # per-order distinct/late-distinct supplier counts as WINDOW
+    # collect_sets over ONE orderkey exchange — the agg+join-back form
+    # re-computed the lineitem⋈orders lineage twice (0.80→0.55 s at
+    # sf0.1); set sizes are bounded by suppliers-per-order, tiny
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    lo2 = (
+        lo.withColumn(
+            "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "__n_late",
+            F.size(
+                F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
+            ),
+        )
     )
     n = F.broadcast(
         load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
     )
     s = load(spark, sf_dir, "supplier")
     return (
-        lo.filter(late)
-        .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        lo2.filter(late)
         .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
