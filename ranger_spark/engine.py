@@ -110,9 +110,21 @@ class Engine:
         spark: SparkSession,
         strict_gate: bool = False,
         query_validation: bool = False,
+        result_cache: bool = True,
     ):
         self.spark = spark
         self.strict_gate = strict_gate
+        # version-keyed SELECT result cache (≈ the reference running
+        # DuckDB with object caching on, duckdb/engine.go:160-179, but
+        # SELF-INVALIDATING: the key hashes the plan's input FILES, and
+        # files are immutable under the CoW commit protocol — any
+        # append/rewrite changes the file set, so a stale hit is
+        # impossible by construction; no event plumbing needed)
+        self.result_cache_enabled = result_cache
+        from collections import OrderedDict
+
+        self._result_cache: "OrderedDict[str, QueryResult]" = OrderedDict()
+        self._result_cache_hits = 0
         # security validation gate (reference EnableQueryValidation —
         # shipped disabled there too, duckdb/engine.go:55); when on,
         # every statement passes ranger_spark.security.validate_query
@@ -683,13 +695,50 @@ class Engine:
             row_count=len(lines),
         )
 
+    # SELECTs referencing these cannot be result-cached: value changes
+    # between runs without any input file changing
+    _NONDET_RE = re.compile(
+        r"\b(rand|randn|shuffle|uuid|monotonically_increasing_id"
+        r"|current_date|current_timestamp|current_timezone|now"
+        r"|sys_date|sys_time|sys_timestamp|generate_uuid|system\w*)\s*\(?",
+        re.I,
+    )
+    _RESULT_CACHE_MAX = 32
+    _RESULT_CACHE_MAX_ROWS = 10_000
+
     def _read(self, sql: str) -> QueryResult:
         df = self.spark.sql(sql)
+        key = None
+        refs_view = any(
+            re.search(rf"\b{re.escape(v.split('.')[-1])}\b", sql, re.I)
+            for v in self._views
+        )
+        if (
+            self.result_cache_enabled
+            and not refs_view  # a CREATE OR REPLACE VIEW can change the
+            # result without touching any input file — skip, don't key
+            and not self._NONDET_RE.search(sql)
+        ):
+            try:
+                files = df.inputFiles()
+            except Exception:
+                files = []
+            if files:  # file-less plans (VALUES, memory tables) skip
+                import hashlib
+
+                key = hashlib.md5(
+                    ("\n".join(sorted(files)) + "\0" + sql).encode()
+                ).hexdigest()
+                hit = self._result_cache.get(key)
+                if hit is not None:
+                    self._result_cache.move_to_end(key)
+                    self._result_cache_hits += 1
+                    return hit
         rows = df.limit(RESULT_CAP + 1).collect()
         truncated = len(rows) > RESULT_CAP
         if truncated:
             rows = rows[:RESULT_CAP]
-        return QueryResult(
+        qr = QueryResult(
             columns=list(df.columns),
             rows=[tuple(r) for r in rows],
             row_count=len(rows),
@@ -698,6 +747,15 @@ class Engine:
             ),
             truncated=truncated,
         )
+        if (
+            key is not None
+            and not truncated
+            and len(rows) <= self._RESULT_CACHE_MAX_ROWS
+        ):
+            self._result_cache[key] = qr
+            while len(self._result_cache) > self._RESULT_CACHE_MAX:
+                self._result_cache.popitem(last=False)
+        return qr
 
     def _rewrite_system(self, sql: str) -> str:
         """Route `system.X` references to registered system views

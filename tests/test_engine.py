@@ -1273,3 +1273,43 @@ def test_system_snapshots_and_tags_views(engine):
     ).rows
     assert tags == [("gold", snaps[-1][0])]
     engine.execute("DROP TABLE sysv_t;")
+
+
+def test_result_cache_version_keyed(engine):
+    engine._result_cache.clear()
+    engine._result_cache_hits = 0
+    engine.execute("DROP TABLE IF EXISTS rc_t;")
+    engine.execute("CREATE TABLE rc_t (id int32);")
+    engine.execute("INSERT INTO rc_t (id) VALUES (1), (2);")
+    q = "SELECT count(*) AS n FROM rc_t;"
+    assert engine.execute(q).rows == [(2,)]
+    assert engine._result_cache_hits == 0
+    # identical statement, unchanged files → served from cache
+    assert engine.execute(q).rows == [(2,)]
+    assert engine._result_cache_hits == 1
+    # any commit changes the file set → the key changes, no stale hit
+    engine.execute("INSERT INTO rc_t (id) VALUES (3);")
+    assert engine.execute(q).rows == [(3,)]
+    assert engine._result_cache_hits == 1
+    # CoW rewrite also re-keys
+    engine.execute("UPDATE rc_t SET id = 10 WHERE id = 1;")
+    assert sorted(engine.execute("SELECT id FROM rc_t;").rows) == [
+        (2,),
+        (3,),
+        (10,),
+    ]
+    # non-deterministic expressions are never cached
+    engine.execute("SELECT rand() AS r FROM rc_t;")
+    engine.execute("SELECT rand() AS r FROM rc_t;")
+    hits_before = engine._result_cache_hits
+    assert engine._result_cache_hits == hits_before
+    # view-referencing statements are never cached (a REPLACE VIEW could
+    # change results without touching files)
+    engine.execute("DROP VIEW IF EXISTS rc_v;")
+    engine.execute("CREATE VIEW rc_v AS SELECT id FROM rc_t;")
+    engine.execute("SELECT count(*) AS n FROM rc_v;")
+    hb = engine._result_cache_hits
+    engine.execute("SELECT count(*) AS n FROM rc_v;")
+    assert engine._result_cache_hits == hb
+    engine.execute("DROP VIEW rc_v;")
+    engine.execute("DROP TABLE rc_t;")
