@@ -653,6 +653,29 @@ class Engine:
                     "unsupported statement type: MERGE",
                 )
             return self._merge(r.sql)
+        if k == StmtKind.PREPARE_STMT:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: PREPARE",
+                )
+            return self._prepare_stmt(r.sql)
+        if k == StmtKind.EXECUTE_STMT:
+            if self.strict_gate:
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type: EXECUTE",
+                )
+            return self._execute_stmt(r.sql)
+        if k == StmtKind.DEALLOCATE_STMT:
+            if self.strict_gate:
+                # reference: cursor-family keyword, parse-only
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "unsupported statement type (parsed but not executable): "
+                    "DEALLOCATE",
+                )
+            return self._deallocate_stmt(r.sql)
         if k == StmtKind.PARSE_ONLY:
             raise RangerError(
                 UNSUPPORTED_STATEMENT,
@@ -660,6 +683,90 @@ class Engine:
                 f"{r.sql.split()[0].upper()}",
             )
         raise RangerError(UNSUPPORTED_STATEMENT, f"unroutable: {r.sql[:60]}")
+
+    # ------------------------------------- prepared statements (exceeds)
+    def _prepare_stmt(self, sql: str) -> QueryResult:
+        """PREPARE name AS <statement> — engine-level prepared statements
+        with $n parameters (the SQL face of what pgwire's extended
+        protocol already does; the reference parses no PREPARE — its SDK
+        PrepareBatch is client-side batching only). The inner statement
+        is routed NOW so a malformed body fails at PREPARE time."""
+        m = re.match(r"PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+)$", sql, re.I | re.S)
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "PREPARE must be: PREPARE name AS <statement>",
+            )
+        name, body = m.group(1), m.group(2).strip()
+        route(body + ";", strict=False)  # validate routability up front
+        if not hasattr(self, "_prepared"):
+            self._prepared: dict[str, str] = {}
+        self._prepared[name] = body
+        return QueryResult([], [], 0, message=f"prepared statement '{name}'")
+
+    def _execute_stmt(self, sql: str) -> QueryResult:
+        """EXECUTE name[(arg, ...)] — substitutes $n with the given
+        literals via the pgwire tokenizer-safe single-pass substitution
+        (a value containing '$1' stays data; $n inside string literals
+        of the prepared body is never rewritten)."""
+        m = re.match(
+            r"EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*$", sql, re.I | re.S
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "EXECUTE must be: EXECUTE name[(args)]"
+            )
+        name = m.group(1)
+        body = getattr(self, "_prepared", {}).get(name)
+        if body is None:
+            raise RangerError(
+                TABLE_NOT_FOUND, f"prepared statement '{name}' not found"
+            )
+        # typed rendering: numerics/booleans/NULL substitute as raw SQL
+        # literals (the engine's strict INSERT validation types cells, so
+        # pgwire's quote-everything text format would reject '9' for an
+        # int32); quoted strings keep their quoting. Same single-pass
+        # tokenizer spans as pgwire — a value containing '$1' stays data.
+        frags: list[str] = []
+        if m.group(2) is not None and m.group(2).strip():
+            for raw in itypes.split_top_level(m.group(2)):
+                raw = raw.strip()
+                if (
+                    raw.upper() in ("NULL", "TRUE", "FALSE")
+                    or re.fullmatch(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", raw)
+                    or (len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'")
+                ):
+                    frags.append(raw)
+                else:
+                    frags.append("'" + raw.replace("'", "''") + "'")
+        from ranger_spark.sources.pgwire_server import _scan_placeholders
+
+        out: list[str] = []
+        last = 0
+        for start, end, i in _scan_placeholders(body):
+            out.append(body[last:start])
+            out.append(frags[i - 1] if 1 <= i <= len(frags) else body[start:end])
+            last = end
+        out.append(body[last:])
+        return self.execute("".join(out) + ";")
+
+    def _deallocate_stmt(self, sql: str) -> QueryResult:
+        m = re.match(
+            r"DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_]\w*)\s*$", sql, re.I
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT, "DEALLOCATE must be: DEALLOCATE name"
+            )
+        name = m.group(1)
+        if name not in getattr(self, "_prepared", {}):
+            raise RangerError(
+                TABLE_NOT_FOUND, f"prepared statement '{name}' not found"
+            )
+        del self._prepared[name]
+        return QueryResult(
+            [], [], 0, message=f"deallocated prepared statement '{name}'"
+        )
 
     # ----------------------------------------------------------- read path
     def _explain_analyze(self, inner_sql: str) -> QueryResult:

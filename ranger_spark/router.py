@@ -68,6 +68,9 @@ class StmtKind(Enum):
     ALTER = "alter"  # parsed, not executable in the reference
     MERGE = "merge"  # not in the reference grammar; we exceed (CoW upsert)
     KILL = "kill"  # exceeds: SQL surface over ExecutionManager.cancel
+    PREPARE_STMT = "prepare"      # exceeds: engine-level prepared statements
+    EXECUTE_STMT = "execute_stmt"  # ($n params, pgwire substitution rules)
+    DEALLOCATE_STMT = "deallocate"
 
 
 @dataclass
@@ -78,7 +81,7 @@ class Routed:
 
 _PARSE_ONLY = re.compile(
     r"^(GRANT|REVOKE|CREATE\s+USER|DROP\s+USER|ALTER\s+USER|CREATE\s+INDEX"
-    r"|DROP\s+INDEX|DECLARE|OPEN|FETCH|CLOSE|DEALLOCATE|WHILE|PRINT|EXEC"
+    r"|DROP\s+INDEX|DECLARE|OPEN|FETCH|CLOSE|WHILE|PRINT|EXEC"
     r"|CREATE\s+PROCEDURE)\b",
     re.I,
 )
@@ -758,6 +761,16 @@ def route(statement: str, strict: bool = False) -> Routed:
     if m("ALTER"):
         # reference: parsed but no engine case → "unsupported statement type"
         return Routed(StmtKind.ALTER, s)
+    if m("PREPARE "):
+        # engine-level prepared statements (exceeds — the reference parses
+        # no PREPARE; its SDK PrepareBatch is client-side); strict rejects
+        return Routed(StmtKind.PREPARE_STMT, s)
+    if m("EXECUTE "):
+        return Routed(StmtKind.EXECUTE_STMT, s)
+    if m("DEALLOCATE"):
+        # was parse-only (cursor family); executable here for prepared
+        # statements — strict mode keeps the reference's parse-only error
+        return Routed(StmtKind.DEALLOCATE_STMT, s)
     if m("MERGE INTO"):
         # not even parsed by the reference (parser.go keyword table has no
         # MERGE); we exceed like ALTER — strict mode rejects in the engine

@@ -1313,3 +1313,49 @@ def test_result_cache_version_keyed(engine):
     assert engine._result_cache_hits == hb
     engine.execute("DROP VIEW rc_v;")
     engine.execute("DROP TABLE rc_t;")
+
+
+def test_prepared_statements(engine):
+    import pytest
+
+    from ranger_spark.engine import Engine
+    from ranger_spark.errors import RangerError
+
+    engine.execute("DROP TABLE IF EXISTS prep_t;")
+    engine.execute("CREATE TABLE prep_t (id int32, name string);")
+    engine.execute(
+        "INSERT INTO prep_t (id, name) VALUES (1, 'a'), (2, 'b'), (3, '$1');"
+    )
+    r = engine.execute("PREPARE get_by_id AS SELECT name FROM prep_t WHERE id = $1;")
+    assert "prepared" in r.message
+    assert engine.execute("EXECUTE get_by_id(2);").rows == [("b",)]
+    assert engine.execute("EXECUTE get_by_id(1);").rows == [("a",)]
+    # a parameter VALUE containing '$1' stays data (single-pass substitution)
+    engine.execute("PREPARE by_name AS SELECT id FROM prep_t WHERE name = $1;")
+    assert engine.execute("EXECUTE by_name('$1');").rows == [(3,)]
+    # prepared DML executes through the normal commit path
+    engine.execute(
+        "PREPARE add_row AS INSERT INTO prep_t (id, name) VALUES ($1, $2);"
+    )
+    engine.execute("EXECUTE add_row(9, 'z');")
+    assert engine.execute("SELECT count(*) AS n FROM prep_t;").rows == [(4,)]
+    # NULL params and deallocate
+    engine.execute("EXECUTE add_row(10, NULL);")
+    assert engine.execute(
+        "SELECT count(*) AS n FROM prep_t WHERE name IS NULL;"
+    ).rows == [(1,)]
+    engine.execute("DEALLOCATE add_row;")
+    with pytest.raises(RangerError, match="not found"):
+        engine.execute("EXECUTE add_row(1, 'x');")
+    with pytest.raises(RangerError, match="not found"):
+        engine.execute("DEALLOCATE add_row;")
+    # malformed body fails at PREPARE time
+    with pytest.raises(RangerError):
+        engine.execute("PREPARE bad AS FROBNICATE x;")
+    # strict mode keeps the reference surface
+    strict = Engine(engine.spark, strict_gate=True)
+    with pytest.raises(RangerError, match="PREPARE"):
+        strict.execute("PREPARE p AS SELECT 1;")
+    with pytest.raises(RangerError, match="DEALLOCATE"):
+        strict.execute("DEALLOCATE p;")
+    engine.execute("DROP TABLE prep_t;")
