@@ -49,6 +49,20 @@ def main() -> None:
     print("  SHOW CREATE TABLE users:")
     print("   ", engine.execute("SHOW CREATE TABLE users;").rows[0][0].replace("\n", "\n    "))
 
+    print("\n== Round-7 surface: tags, CDC reads, prepared statements ==")
+    r = engine.execute("ALTER TABLE users CREATE TAG launch;")
+    print("  CREATE TAG                         ->", r.message)
+    engine.execute("INSERT INTO users (id, name, bal) VALUES (4, 'dave', 99.00);")
+    r = engine.execute("SELECT count(*) AS n FROM users VERSION AS OF 'launch';")
+    print("  SELECT ... VERSION AS OF 'launch'  ->", r.rows, "(pre-insert)")
+    r = engine.execute("SELECT name FROM users CHANGES SINCE VERSION 2;")
+    print("  CHANGES SINCE VERSION 2            ->", r.rows)
+    engine.execute("PREPARE top_bal AS SELECT name FROM users WHERE bal > $1 ORDER BY bal DESC;")
+    r = engine.execute("EXECUTE top_bal(15);")
+    print("  PREPARE/EXECUTE top_bal(15)        ->", r.rows)
+    r = engine.execute("SELECT table_name, version FROM system.snapshots ORDER BY version DESC LIMIT 1;")
+    print("  system.snapshots head              ->", r.rows)
+
     print("\n== Training-data pipeline (documents/embeddings tables) ==")
     from pyspark.sql import functions as F
 
