@@ -698,9 +698,25 @@ class Engine:
                 "PREPARE must be: PREPARE name AS <statement>",
             )
         name, body = m.group(1), m.group(2).strip()
-        route(body + ";", strict=False)  # validate routability up front
+        routed = route(body + ";", strict=False)  # validate up front
+        if routed.kind in (
+            StmtKind.PREPARE_STMT,
+            StmtKind.EXECUTE_STMT,
+            StmtKind.DEALLOCATE_STMT,
+        ):
+            # EXECUTE-of-EXECUTE would recurse unboundedly
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "prepared statements cannot nest PREPARE/EXECUTE/DEALLOCATE",
+            )
         if not hasattr(self, "_prepared"):
             self._prepared: dict[str, str] = {}
+        if name not in self._prepared and len(self._prepared) >= 256:
+            raise RangerError(
+                VALIDATION_FAILED,
+                "prepared-statement limit (256) reached; DEALLOCATE unused "
+                "statements",
+            )
         self._prepared[name] = body
         return QueryResult([], [], 0, message=f"prepared statement '{name}'")
 

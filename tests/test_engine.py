@@ -1359,3 +1359,14 @@ def test_prepared_statements(engine):
     with pytest.raises(RangerError, match="DEALLOCATE"):
         strict.execute("DEALLOCATE p;")
     engine.execute("DROP TABLE prep_t;")
+
+
+def test_prepared_statement_guards(engine):
+    import pytest
+
+    from ranger_spark.errors import RangerError
+
+    with pytest.raises(RangerError, match="cannot nest"):
+        engine.execute("PREPARE loop AS EXECUTE loop;")
+    with pytest.raises(RangerError, match="cannot nest"):
+        engine.execute("PREPARE p2 AS PREPARE p3 AS SELECT 1;")
