@@ -4690,3 +4690,170 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt") / F.sum("cnt").over(w).cast("double"), 6
         ).alias("frac_of_true"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting stats (lexical retrieval index build)
+# ---------------------------------------------------------------------------
+_II_MIN_DF = 10
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKS}, x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, x AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf
+      FROM tf GROUP BY term
+    ),
+    top AS (
+      SELECT term, doc_id AS top_doc_id, CAST(tf AS BIGINT) AS top_tf
+      FROM (
+        SELECT term, doc_id, tf,
+               row_number() OVER (
+                 PARTITION BY term ORDER BY tf DESC, doc_id
+               ) AS rn
+        FROM tf
+      ) WHERE rn = 1
+    )
+    SELECT stats.term, df, cf, top_doc_id, top_tf
+    FROM stats JOIN top USING (term)
+    WHERE df >= {_II_MIN_DF}
+    """,
+    tags=("text", "retrieval", "index"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build (the batch half of a lexical
+    search engine; reference surface: the documents table feeding BM25 —
+    text_bm25_scores consumes exactly these df/cf statistics): per term,
+    document frequency, collection frequency, and the head posting
+    (highest-tf doc, doc_id tiebreak). Scale shape: the only
+    corpus-sized shuffle is the (term, doc_id) tf aggregate — map-side
+    combined; the per-term stats and head-posting window both run on the
+    vocabulary-bounded tf table. At 100 TB the posting lists themselves
+    would be written out partitioned by term-hash; here the registry
+    emits the per-term summary (scalar columns, driver-canonicalizable)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    T.tokenize(T.normalize_text(F.col("text"))),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    top = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "term",
+            F.col("doc_id").alias("top_doc_id"),
+            F.col("tf").cast("bigint").alias("top_tf"),
+        )
+    )
+    return (
+        stats.join(top, "term")
+        .filter(F.col("df") >= _II_MIN_DF)
+        .select("term", "df", "cf", "top_doc_id", "top_tf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive embedding training)
+# ---------------------------------------------------------------------------
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_id, label AS q_label, v FROM e WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.q_id, q.q_label, c.vec_id, c.label AS neg_label,
+             {_COS_SQL} AS cos_sim
+      FROM q, e c WHERE c.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT q_id, q_label, vec_id, neg_label, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+             ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT q_id, q_label, vec_id, neg_label, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "training", "negatives"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    in-batch-negatives upgrade of DPR/SimCSE-style pipelines): for each
+    anchor vector, the top-5 most-similar vectors carrying a DIFFERENT
+    label — the negatives that actually move the loss. Scale shape: the
+    anchor set is small by definition and broadcast with its labels; the
+    label-mismatch predicate rides the single corpus scan's join
+    condition (no second pass, no post-filter re-rank gap — a same-label
+    neighbor can never displace a negative). At cluster scale the scoring
+    pass swaps for the Arrow partial-top-k kernel (similarity.py:257)
+    with the label carried next to the vector, bounding the rank shuffle
+    at partitions·|Q|·k."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("q_norm", S.l2_norm(F.col("q_vec")))
+    )
+    c = e.select(
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    ).withColumn("c_norm", S.l2_norm(F.col("c_vec")))
+    scored = c.join(
+        F.broadcast(q), F.col("neg_label") != F.col("q_label")
+    ).select(
+        "q_id",
+        "q_label",
+        "vec_id",
+        "neg_label",
+        F.round(
+            S.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
