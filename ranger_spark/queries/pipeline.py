@@ -4857,3 +4857,121 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall curve vs brute-force ground truth
+# ---------------------------------------------------------------------------
+_IVF_EVAL_NPROBES = (1, 2, 3, 5)
+
+
+@register(
+    "ann_ivf_recall_eval",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(mean_val ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, avg(val) AS mean_val
+        FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+              FROM e)
+        GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS q_vec,
+             sqrt(list_dot_product(v, v)) AS q_norm
+      FROM e WHERE vec_id < 5
+    ),
+    cellrank AS (
+      SELECT q_id, q_vec, q_norm, label, cr FROM (
+        SELECT q.q_id, q.q_vec, q.q_norm, c.label,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_dot_product(q.q_vec, c.centroid)
+                   / (q.q_norm * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                   c.label
+               ) AS cr
+        FROM q CROSS JOIN cent c
+      )
+    ),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_dot_product(q.q_vec, c.v)
+                   / (q.q_norm * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                   c.vec_id
+               ) AS rnk
+        FROM q, e c WHERE c.vec_id <> q.q_id
+      ) WHERE rnk <= 10
+    ),
+    np AS (SELECT unnest([1, 2, 3, 5]) AS nprobe),
+    ranked AS (
+      SELECT nprobe, q_id, vec_id FROM (
+        SELECT sc.nprobe, sc.q_id, sc.vec_id,
+               row_number() OVER (
+                 PARTITION BY sc.nprobe, sc.q_id
+                 ORDER BY sc.cos_sim DESC, sc.vec_id
+               ) AS rnk
+        FROM (
+          SELECT n.nprobe, cr.q_id, a.vec_id,
+                 round(list_dot_product(cr.q_vec, a.v)
+                   / (cr.q_norm * sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+          FROM np n
+          JOIN cellrank cr ON cr.cr <= n.nprobe
+          JOIN e a ON a.label = cr.label AND a.vec_id <> cr.q_id
+        ) sc
+      ) WHERE rnk <= 10
+    ),
+    hits AS (
+      SELECT nprobe, count(*) AS hits
+      FROM ranked r JOIN truth t USING (q_id, vec_id)
+      GROUP BY nprobe
+    )
+    SELECT n.nprobe, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           round(coalesce(h.hits, 0) / 50.0, 6) AS recall
+    FROM np n LEFT JOIN hits h USING (nprobe)
+    """,
+    tags=("similarity", "ann", "eval"),
+)
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF cell probe against brute-force ground truth,
+    swept over nprobe ∈ {1,2,3,5} — the ANN analog of
+    dedup_minhash_recall_eval: the accuracy/cost dial of the scale path
+    gets a measured operating curve, not a claim. Both arms are
+    deterministic (6dp rounding + id tiebreaks), so the oracle replays
+    centroid build, per-nprobe probe, truth ranking, and the hit join
+    exactly — an approximate-algorithm EVAL that is itself exact-checked.
+    Scale shape: truth is the partial-top-k kernel; each probe arm scans
+    only its probed cells; the hit join is |Q|·k rows."""
+    from functools import reduce
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(q, e, k=10).select("q_id", "vec_id")
+    runs = [
+        S.ivf_topk(q, e, k=10, nprobe=np).select(
+            F.lit(np).alias("nprobe"), "q_id", "vec_id"
+        )
+        for np in _IVF_EVAL_NPROBES
+    ]
+    res = reduce(DataFrame.unionAll, runs)
+    hits = (
+        res.join(truth, ["q_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    base = spark.createDataFrame(
+        [(np,) for np in _IVF_EVAL_NPROBES], "nprobe int"
+    )
+    return base.join(hits, "nprobe", "left").select(
+        "nprobe",
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.lit(50.0), 6
+        ).alias("recall"),
+    )
