@@ -342,3 +342,93 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_ts").alias("last_ts_ns"),
         )
     )
+
+
+@register(
+    "stream_merge_upsert_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "merge", "lakehouse", "events"),
+)
+def stream_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-lakehouse upsert loop end-to-end: readStream →
+    watermarked hourly aggregate → ``foreachBatch`` that MERGEs each
+    micro-batch's updated groups into a snapshot-versioned ENGINE table
+    — so the continuously-maintained rollup is itself time-travelable,
+    VACUUM-able, and visible to the Astha CDC bus like any other commit.
+    Update-mode aggregation re-emits a group's FULL updated value (not a
+    delta), so the MERGE's ``UPDATE SET cnt = s.cnt`` is idempotent
+    under micro-batch replay — exactly-once table state from
+    at-least-once batch delivery. A fresh checkpoint per call re-drains
+    the bounded source, and matched groups converge to the same values,
+    so reruns are deterministic; the oracle is the batch GROUP BY.
+    At 100 TB: the memoryless part (agg state) is bounded by the
+    watermark; each MERGE rewrites only matched-group files of the
+    (small) rollup table, not the event history."""
+    import hashlib
+    import tempfile
+
+    from ranger_spark.engine import Engine
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db, view = f"strmrg_{tag}", f"strmrg_batch_{tag}"
+    eng = Engine(spark)
+    eng.execute(f"CREATE DATABASE IF NOT EXISTS {db};")
+    eng.execute(
+        f"CREATE TABLE IF NOT EXISTS {db}.rollup ("
+        "hr timestamp, event_type string, cnt int64, sum_value float64);"
+    )
+    agg = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .withWatermark("ts", "1 day")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hr"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands a DataFrame of a CLONED batch session; a
+        # plain temp view would be invisible to the engine's session.
+        # Global temp views live in the shared catalog, and the engine's
+        # subquery-source path runs through its own spark.sql — the
+        # session bridge.
+        batch_df.createOrReplaceGlobalTempView(view)
+        eng.execute(
+            f"MERGE INTO {db}.rollup t "
+            f"USING (SELECT * FROM global_temp.{view}) s "
+            "ON t.hr = s.hr AND t.event_type = s.event_type "
+            "WHEN MATCHED THEN UPDATE SET cnt = s.cnt, "
+            "sum_value = s.sum_value "
+            "WHEN NOT MATCHED THEN INSERT (hr, event_type, cnt, sum_value) "
+            "VALUES (s.hr, s.event_type, s.cnt, s.sum_value);"
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(commit)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strmrg_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(f"{db}.rollup").select(
+        F.col("hr").cast("timestamp_ntz").alias("hr"),
+        "event_type",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
