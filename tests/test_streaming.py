@@ -305,3 +305,38 @@ def test_watermark_exactly_once_dedup_across_batches(spark):
     counts = Counter(r.k for r in spark.table("late_drop_sink").collect())
     # four input occurrences collapse to exactly one emission per key
     assert counts == {"a": 1, "adv": 1, "noop": 1}
+
+
+def test_stream_merge_upsert_is_snapshot_committed(spark):
+    """The foreachBatch MERGE path lands as REAL snapshot commits: after
+    the availableNow drain, the rollup table's snapshot chain contains
+    merge commits and VERSION AS OF can read the pre-merge (empty)
+    state — the lakehouse property the registry query claims."""
+    from ranger_spark.queries import load_all
+
+    from ranger_spark.engine import Engine
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    df = reg["stream_merge_upsert_rollup"].builder(spark, sf)
+    engine = Engine(spark)
+    n = df.count()
+    assert n > 0
+
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    snaps = engine.execute(f"SHOW SNAPSHOTS FROM strmrg_{tag}.rollup;").rows
+    assert len(snaps) >= 2  # create + >=1 merge commit
+    # earliest snapshot is the empty just-created table
+    first_version = min(r[0] for r in snaps)
+    pre = engine.execute(
+        f"SELECT count(*) AS n FROM strmrg_{tag}.rollup "
+        f"VERSION AS OF {first_version};"
+    ).rows
+    assert pre == [(0,)]
+    # live read agrees with the returned DataFrame
+    live = engine.execute(
+        f"SELECT count(*) AS n FROM strmrg_{tag}.rollup;"
+    ).rows
+    assert live == [(n,)]
