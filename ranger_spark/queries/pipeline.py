@@ -4975,3 +4975,128 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("hits"), F.lit(0)) / F.lit(50.0), 6
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier training: distributed logistic regression with an
+# exact cross-engine replay oracle
+# ---------------------------------------------------------------------------
+_LR_ITERS = 3
+_LR_RATE = 1.0
+# Feature expressions shared verbatim (module-level so both engines use
+# the same definitions): bounded length, digit fraction, space fraction —
+# integer-length arithmetic, exactly reproducible in any engine.
+_LR_FEATS_SQL = """
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         least(n_chars, 2000) / 2000.0 AS x1,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / greatest(length(text), 1) AS x2,
+         length(regexp_replace(text, '[^ ]', '', 'g'))
+           / greatest(length(text), 1) AS x3
+  FROM documents
+"""
+
+
+def _lr_oracle() -> str:
+    """Unrolled batch-gradient-descent replay. Determinism protocol:
+    each per-doc gradient contribution is rounded to 8dp and summed as
+    DECIMAL(25,8) (exact, order-independent), so every iteration's
+    weight vector is bit-identical across engines; the only float ops
+    are scalar (decimal→double cast, division by n, the sigmoid's exp —
+    whose ≤1-ulp engine spread vanishes in the 8dp grid)."""
+    parts = [f"WITH f AS ({_LR_FEATS_SQL}), n AS (SELECT count(*) AS n FROM f)"]
+    w = {"w1": "0.0", "w2": "0.0", "w3": "0.0", "b": "0.0"}
+    for t in range(1, _LR_ITERS + 1):
+        z = (
+            f"({w['w1']} * x1 + {w['w2']} * x2 + {w['w3']} * x3 + {w['b']})"
+        )
+        sig = f"(1.0 / (1.0 + exp(-{z})))"
+        parts.append(
+            f""",
+g{t} AS (
+  SELECT
+    sum(CAST(round(({sig} - y) * x1, 8) AS DECIMAL(25,8))) AS gx1,
+    sum(CAST(round(({sig} - y) * x2, 8) AS DECIMAL(25,8))) AS gx2,
+    sum(CAST(round(({sig} - y) * x3, 8) AS DECIMAL(25,8))) AS gx3,
+    sum(CAST(round({sig} - y, 8) AS DECIMAL(25,8))) AS gb
+  FROM f
+),
+w{t} AS (
+  SELECT {w['w1']} - {_LR_RATE} * CAST(gx1 AS DOUBLE) / n.n AS w1,
+         {w['w2']} - {_LR_RATE} * CAST(gx2 AS DOUBLE) / n.n AS w2,
+         {w['w3']} - {_LR_RATE} * CAST(gx3 AS DOUBLE) / n.n AS w3,
+         {w['b']} - {_LR_RATE} * CAST(gb AS DOUBLE) / n.n AS b
+  FROM g{t}, n
+)"""
+        )
+        w = {
+            "w1": f"(SELECT w1 FROM w{t})",
+            "w2": f"(SELECT w2 FROM w{t})",
+            "w3": f"(SELECT w3 FROM w{t})",
+            "b": f"(SELECT b FROM w{t})",
+        }
+    sels = [
+        f"SELECT {t} AS iter, round(w1, 6) AS w1, round(w2, 6) AS w2, "
+        f"round(w3, 6) AS w3, round(b, 6) AS b FROM w{t}"
+        for t in range(1, _LR_ITERS + 1)
+    ]
+    parts.append(" UNION ALL ".join(sels))
+    return "".join(parts)
+
+
+@register(
+    "quality_classifier_logreg",
+    oracle=_lr_oracle(),
+    tags=("text", "training", "classifier", "iterative"),
+)
+def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of a quality/language classifier head —
+    full-batch logistic regression (3 GD steps, lr=1.0) on cheap
+    JVM-expressible features (bounded length, digit fraction, space
+    fraction) with y = (lang = 'en'). The scale shape of every
+    linear-probe / quality-classifier fit over a corpus: per step, ONE
+    map-side-combined aggregate over the corpus produces the 4 gradient
+    sums (decimal-exact, order-independent); weights live on the driver
+    as learned parameters (the bpe.py:87 pattern) and re-enter the next
+    step as literals. The oracle replays the identical recurrence
+    unrolled in SQL — bit-equal weights per iteration, not a tolerance
+    check. Cites: reference has no in-engine training surface; this
+    exceeds it as part of the LLM-pipeline family."""
+    f = load(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.least(F.col("n_chars"), F.lit(2000)) / 2000.0).alias("x1"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("x2"),
+        (
+            F.length(F.regexp_replace("text", "[^ ]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("x3"),
+    )
+    n = f.count()
+    w1 = w2 = w3 = b = 0.0
+    out_rows = []
+    dec = "decimal(25,8)"
+    for t in range(1, _LR_ITERS + 1):
+        z = (
+            F.lit(w1) * F.col("x1")
+            + F.lit(w2) * F.col("x2")
+            + F.lit(w3) * F.col("x3")
+            + F.lit(b)
+        )
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = f.agg(
+            F.sum(F.round((sig - F.col("y")) * F.col("x1"), 8).cast(dec)).alias("gx1"),
+            F.sum(F.round((sig - F.col("y")) * F.col("x2"), 8).cast(dec)).alias("gx2"),
+            F.sum(F.round((sig - F.col("y")) * F.col("x3"), 8).cast(dec)).alias("gx3"),
+            F.sum(F.round(sig - F.col("y"), 8).cast(dec)).alias("gb"),
+        ).collect()[0]
+        w1 -= _LR_RATE * float(g["gx1"]) / n
+        w2 -= _LR_RATE * float(g["gx2"]) / n
+        w3 -= _LR_RATE * float(g["gx3"]) / n
+        b -= _LR_RATE * float(g["gb"]) / n
+        out_rows.append((t, round(w1, 6), round(w2, 6), round(w3, 6), round(b, 6)))
+    return spark.createDataFrame(
+        out_rows, "iter int, w1 double, w2 double, w3 double, b double"
+    )
