@@ -5100,3 +5100,99 @@ def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "iter int, w1 double, w2 double, w3 double, b double"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (farthest-point diversity sampling)
+# ---------------------------------------------------------------------------
+_KC_K = 8
+_KC_COS = (
+    "round(1 - list_dot_product({src}.v, (SELECT v FROM c{t})) / "
+    "(sqrt(list_dot_product({src}.v, {src}.v)) * "
+    "sqrt(list_dot_product((SELECT v FROM c{t}), (SELECT v FROM c{t})))), 6)"
+)
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    """Unrolled farthest-point traversal: c1 = min vec_id; each next
+    center is the argmax of the 6dp-rounded min cosine-distance to the
+    selected set (vec_id tiebreak). Rounding each round pins the
+    min-distance column to a shared grid, so the traversal is replayed
+    center-for-center."""
+    parts = [
+        """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+d1 AS MATERIALIZED (SELECT e.vec_id, e.v, """
+        + _KC_COS.format(src="e", t=1)
+        + """ AS mind FROM e)"""
+    ]
+    for t in range(2, k + 1):
+        prev = t - 1
+        cos = _KC_COS.format(src=f"d{prev}", t=t)
+        parts.append(
+            f""",
+c{t} AS MATERIALIZED (SELECT vec_id, v, mind FROM d{prev}
+         ORDER BY mind DESC, vec_id LIMIT 1),
+d{t} AS MATERIALIZED (SELECT d{prev}.vec_id, d{prev}.v,
+                least(d{prev}.mind, {cos}) AS mind
+         FROM d{prev})"""
+        )
+    sels = ["SELECT 1 AS sel_order, vec_id, 0.0 AS dist FROM c1"] + [
+        f"SELECT {t} AS sel_order, vec_id, mind AS dist FROM c{t}"
+        for t in range(2, k + 1)
+    ]
+    parts.append(" UNION ALL ".join(sels))
+    return "".join(parts)
+
+
+@register(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("sampling", "coreset", "diversity", "iterative"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (farthest-point traversal, the
+    classic 2-approximation; Sener & Savarese 2018 use it for active
+    learning / data selection): 8 maximally-diverse embedding exemplars.
+    Scale shape: the selected-set state is k driver-held vectors (the
+    learned-parameter pattern); each round updates the per-row min
+    distance with ONE map-only expression against the newest center and
+    takes a single 1-row argmax aggregate — k scans, no joins, no
+    quadratic pair set. The min-distance column is 6dp-grid-rounded per
+    round, so the oracle replays the traversal center-for-center."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.withColumn("vnorm", S.l2_norm(F.col("v")))
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, int(first["vec_id"]), 0.0)]
+    cvec, cnorm = list(first["v"]), float(first["vnorm"])
+
+    def dist_to(vec: list, norm: float):
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.round(
+            1
+            - S.dot(F.col("v"), lit) / (F.col("vnorm") * F.lit(norm)),
+            6,
+        )
+
+    cur = e.withColumn("mind", dist_to(cvec, cnorm))
+    for t in range(2, _KC_K + 1):
+        nxt = (
+            cur.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()[0]
+        )
+        centers.append((t, int(nxt["vec_id"]), float(nxt["mind"])))
+        cvec = list(nxt["v"])
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        if t < _KC_K:
+            cur = cur.withColumn(
+                "mind", F.least(F.col("mind"), dist_to(cvec, cnorm))
+            )
+    return spark.createDataFrame(
+        centers, "sel_order int, vec_id bigint, dist double"
+    )
