@@ -5196,3 +5196,82 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         centers, "sel_order int, vec_id bigint, dist double"
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate per source vs the corpus top-500 vocabulary
+# ---------------------------------------------------------------------------
+_OOV_VOCAB = 500
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, x AS tok FROM (
+        SELECT source,
+               unnest(list_filter({_TOKS}, x -> length(x) > 0)) AS x
+        FROM documents
+      )
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+        ORDER BY freq DESC, tok LIMIT {_OOV_VOCAB}
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+    tags=("text", "tokenizer", "eval"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage eval: per source, the fraction of token
+    occurrences outside the corpus top-500 vocabulary — the
+    out-of-vocabulary pressure a fixed vocab tokenizer would face on
+    each slice (high OOV sources need vocab growth or byte fallback).
+    Scale shape: vocabulary built with one map-combined word count
+    (O(vocab) shuffle, deterministic freq/tok cutoff), then broadcast
+    into a map-side membership probe; per-source rollup is O(sources)."""
+    from ranger_spark.operators.text import normalize_text, tokenize
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                tokenize(normalize_text(F.col("text"))),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(_OOV_VOCAB)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
