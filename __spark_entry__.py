@@ -24,21 +24,25 @@ from ranger_spark.queries import load_all  # noqa: E402
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 50` at
 # round start and pasted here verbatim. Round 7 front (recomputed after
-# the round's new queries landed): all never-driver-certified queries
-# first (the r6 harness casualty text_feature_hash_vector, the
-# rows-only stub, the round-7 additions incl. the profiling/streaming
-# batch), then the oldest r4-stale queries fill the window; the
-# r4-stale that no longer fit rotate to the round-8 front.
+# the round's 59 new never-certified queries landed — more than the
+# window holds): the r6 harness casualty text_feature_hash_vector
+# LEADS (the round's #1 verdict item), then every other
+# never-certified oracled query alphabetically; 9 slots' worth are
+# deferred to the round-8 front (the rows-only stub — no hash to
+# certify — and 8 low-risk analytics queries, all locally green at
+# both SFs every session). The 34 r4-stale queries rotate behind the
+# never-certified backlog; with 59 new queries the window cannot also
+# re-certify them this round.
 _FRONT_R7 = (
-"ann_pq_topk",
+    "text_feature_hash_vector",
+    "ann_hard_negatives",
+    "ann_ivf_recall_eval",
+    "ann_pq_topk",
     "ann_rp_lsh_topk",
-    "approx_percentile_check",
     "basket_frequent_pairs",
     "boilerplate_line_removal",
     "ccnet_entropy_buckets",
     "cross_source_containment",
-    "customer_pareto_share",
-    "customer_rfm_scores",
     "dedup_bloom_prefilter",
     "dedup_canonical_pick",
     "dedup_minhash_recall_eval",
@@ -46,40 +50,40 @@ _FRONT_R7 = (
     "embedding_drift_by_label",
     "embedding_label_centroids",
     "embedding_pca_projection",
-    "events_anomaly_mad",
-    "events_ewma_daily",
     "events_gap_fill_interpolate",
     "events_markov_backtest",
     "events_markov_transitions",
     "events_salted_hot_key_agg",
     "export_shard_plan",
-    "forecast_seasonal_naive",
     "grouping_sets_revenue",
     "knn_label_accuracy",
-    "multimodal_decode_stub",
     "multimodal_image_ahash_dedup",
     "multimodal_warc_records",
-    "orders_price_histogram",
-    "orders_seasonality_decompose",
     "pivot_status_by_priority",
     "pq_codes",
+    "quality_classifier_logreg",
     "range_partition_bounds",
     "recursive_year_spine",
     "sample_dsir_scores",
+    "sample_kcenter_coreset",
     "sample_temperature_mixture",
     "skew_key_diagnosis",
     "source_pagerank",
     "stream_dedup_keys",
+    "stream_merge_upsert_rollup",
     "stream_session_windows",
     "stream_stateful_user_stats",
     "stream_stream_join",
     "stream_windowed_daily",
     "table_profile",
     "text_bm25_scores",
-    "text_feature_hash_vector",
+    "text_inverted_index",
     "text_lang_confusion",
     "text_ngram_novelty",
+    "text_oov_rate",
     "text_script_profile",
+    "text_zipf_fit",
+    "unpivot_pricing_metrics",
 )
 
 
