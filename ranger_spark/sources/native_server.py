@@ -89,11 +89,12 @@ MAX_FRAME = 64 * 1024 * 1024  # cap client-declared frame length
 # wire compression codecs — numbering matches the reference SDK enum
 # exactly (pkg/sdk/client.go:51-58: None=0, LZ4=1, LZ4HC=2, ZSTD=3,
 # GZIP=4, Deflate=5, Brotli=6) so a reference client's requested codec
-# byte maps to the same meaning here. Deflate (zlib) is the codec this
-# runtime can provide offline — lz4/lz4hc/zstd/brotli are
-# capability-gated exactly like the engine's brotli storage codec, and
-# a client requesting one gets the typed capability rejection rather
-# than a silently misdecoded stream.
+# byte maps to the same meaning here. Deflate (zlib) rides the stdlib;
+# LZ4/LZ4HC are live via the pure-Python public-spec block codec
+# (sources/lz4_block.py — where the reference links the lz4 C library).
+# zstd/brotli remain capability-gated exactly like the engine's brotli
+# storage codec: a client requesting one gets the typed capability
+# rejection rather than a silently misdecoded stream.
 COMPRESSION_NONE = 0
 COMPRESSION_LZ4 = 1
 COMPRESSION_LZ4HC = 2
@@ -103,7 +104,12 @@ COMPRESSION_DEFLATE = 5
 COMPRESSION_BROTLI = 6
 # Back-compat alias: earlier rounds exposed the zlib codec under this name.
 COMPRESSION_ZLIB = COMPRESSION_DEFLATE
-_AVAILABLE_CODECS = {COMPRESSION_NONE, COMPRESSION_DEFLATE}
+_AVAILABLE_CODECS = {
+    COMPRESSION_NONE,
+    COMPRESSION_LZ4,
+    COMPRESSION_LZ4HC,
+    COMPRESSION_DEFLATE,
+}
 _COMPRESS_MIN_BYTES = 64  # tiny frames aren't worth a deflate round trip
 
 
@@ -114,14 +120,16 @@ def wrap_payload(codec: int, payload: bytes) -> bytes:
     codec, so mixed frames are fine."""
     import zlib
 
-    if codec == COMPRESSION_DEFLATE and len(payload) >= _COMPRESS_MIN_BYTES:
-        comp = zlib.compress(payload, 6)
-        if len(comp) < len(payload):
-            return (
-                bytes([COMPRESSION_DEFLATE])
-                + write_uvarint(len(payload))
-                + comp
-            )
+    if len(payload) >= _COMPRESS_MIN_BYTES:
+        comp = None
+        if codec == COMPRESSION_DEFLATE:
+            comp = zlib.compress(payload, 6)
+        elif codec in (COMPRESSION_LZ4, COMPRESSION_LZ4HC):
+            from ranger_spark.sources.lz4_block import compress_block
+
+            comp = compress_block(payload, hc=codec == COMPRESSION_LZ4HC)
+        if comp is not None and len(comp) < len(payload):
+            return bytes([codec]) + write_uvarint(len(payload)) + comp
     return bytes([COMPRESSION_NONE]) + write_uvarint(len(payload)) + payload
 
 
@@ -159,6 +167,12 @@ def unwrap_payload(data: bytes) -> bytes:
             raise ValueError(
                 f"decompressed length exceeds declared {raw_len}"
             )
+    elif codec in (COMPRESSION_LZ4, COMPRESSION_LZ4HC):
+        from ranger_spark.sources.lz4_block import decompress_block
+
+        # same bomb-guard contract as deflate: the cap is enforced
+        # DURING decode, not after
+        out = decompress_block(body, max_out=raw_len)
     else:
         raise ValueError(f"unsupported wire compression codec {codec}")
     if len(out) != raw_len:
@@ -715,16 +729,17 @@ class NativeServer:
                     codec = int(hello.get("compression") or 0)
                     if codec not in _AVAILABLE_CODECS:
                         # capability-gated, like the engine's brotli codec:
-                        # lz4/lz4hc/zstd/gzip/brotli need libraries absent
-                        # in this runtime (enum per pkg/sdk/client.go:51-58)
+                        # zstd/gzip/brotli need libraries absent in this
+                        # runtime (enum per pkg/sdk/client.go:51-58)
                         self._send(
                             conn,
                             SERVER_EXCEPTION,
                             pack_server_exception(
                                 "common.unsupported",
                                 f"wire compression codec {codec} not "
-                                "available (lz4/lz4hc/zstd/brotli require "
-                                "codec libraries; deflate=5 is built in)",
+                                "available (zstd/brotli require codec "
+                                "libraries; lz4=1, lz4hc=2 and deflate=5 "
+                                "are built in)",
                             ),
                         )
                         return

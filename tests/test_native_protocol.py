@@ -509,13 +509,23 @@ def test_compressed_session_query_and_insert(server, engine):
         c.close()
 
 
-def test_lz4_zstd_capability_gated(server):
-    # enum numbering matches the reference SDK (pkg/sdk/client.go:51-58):
-    # a reference client asking for ZSTD (3) must be rejected, not
-    # silently treated as the built-in deflate codec
+def test_lz4_sessions_live_and_zstd_capability_gated(server, engine):
+    # enum numbering matches the reference SDK (pkg/sdk/client.go:51-58).
+    # LZ4 (1) and LZ4HC (2) are live via the pure-Python public-spec
+    # block codec; a reference client asking for ZSTD (3) must still be
+    # rejected, not silently treated as another codec.
+    for live in (ns.COMPRESSION_LZ4, ns.COMPRESSION_LZ4HC):
+        c = ns.NativeClient(
+            "127.0.0.1", server.port, database="nat", compression=live
+        )
+        try:
+            r = c.query("SELECT repeat('y', 5000) AS big;")
+            assert r["rows"][0][0] == "y" * 5000
+            assert c.ping() > 0
+        finally:
+            c.close()
     for codec in (
-        ns.COMPRESSION_LZ4, ns.COMPRESSION_LZ4HC, ns.COMPRESSION_ZSTD,
-        ns.COMPRESSION_GZIP, ns.COMPRESSION_BROTLI,
+        ns.COMPRESSION_ZSTD, ns.COMPRESSION_GZIP, ns.COMPRESSION_BROTLI,
     ):
         with pytest.raises(RuntimeError) as ei:
             ns.NativeClient(
@@ -523,6 +533,56 @@ def test_lz4_zstd_capability_gated(server):
             )
         assert "not available" in str(ei.value)
     assert ns.COMPRESSION_ZSTD == 3 and ns.COMPRESSION_DEFLATE == 5
+
+
+def test_lz4_block_codec_roundtrip_and_bounds():
+    import os
+    import random
+
+    from ranger_spark.sources.lz4_block import (
+        compress_block,
+        decompress_block,
+    )
+
+    random.seed(7)
+    cases = [
+        b"",
+        b"a",
+        b"abc" * 4,
+        b"the quick brown fox " * 400,
+        os.urandom(65536),               # incompressible
+        b"\x00" * 300000,                # long overlapping match
+        bytes(random.choices(b"abcdef", k=40000)),
+    ]
+    for hc in (False, True):
+        for payload in cases:
+            z = compress_block(payload, hc=hc)
+            assert decompress_block(z, max_out=len(payload)) == payload
+    # repetitive data actually compresses
+    rep = b"block" * 10000
+    assert len(compress_block(rep)) < len(rep) // 10
+    # bomb guard fires DURING decode, not after
+    with pytest.raises(ValueError):
+        decompress_block(compress_block(b"z" * 100000), max_out=64)
+    # malformed streams raise instead of over-reading
+    for bad in (b"", b"\xff", b"\x10", b"\x04abcd\xff\xff"):
+        with pytest.raises(ValueError):
+            decompress_block(bad, max_out=1 << 20)
+
+
+def test_lz4_wire_envelope():
+    big = b"wire payload " * 1000
+    for codec in (ns.COMPRESSION_LZ4, ns.COMPRESSION_LZ4HC):
+        w = ns.wrap_payload(codec, big)
+        assert w[0] == codec and len(w) < len(big)
+        assert ns.unwrap_payload(w) == big
+    # incompressible payloads fall back to the per-frame codec-0 envelope
+    import os
+
+    rnd = os.urandom(4096)
+    w2 = ns.wrap_payload(ns.COMPRESSION_LZ4, rnd)
+    assert w2[0] == ns.COMPRESSION_NONE
+    assert ns.unwrap_payload(w2) == rnd
 
 
 def test_decompression_bomb_bounded():
