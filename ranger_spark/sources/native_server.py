@@ -108,6 +108,7 @@ _AVAILABLE_CODECS = {
     COMPRESSION_NONE,
     COMPRESSION_LZ4,
     COMPRESSION_LZ4HC,
+    COMPRESSION_GZIP,
     COMPRESSION_DEFLATE,
 }
 _COMPRESS_MIN_BYTES = 64  # tiny frames aren't worth a deflate round trip
@@ -124,6 +125,11 @@ def wrap_payload(codec: int, payload: bytes) -> bytes:
         comp = None
         if codec == COMPRESSION_DEFLATE:
             comp = zlib.compress(payload, 6)
+        elif codec == COMPRESSION_GZIP:
+            # gzip container via zlib wbits=31 (stdlib, no gzip-module
+            # timestamp nondeterminism)
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            comp = co.compress(payload) + co.flush()
         elif codec in (COMPRESSION_LZ4, COMPRESSION_LZ4HC):
             from ranger_spark.sources.lz4_block import compress_block
 
@@ -153,8 +159,10 @@ def unwrap_payload(data: bytes) -> bytes:
     body = data[pos:]
     if codec == COMPRESSION_NONE:
         out = body
-    elif codec == COMPRESSION_DEFLATE:
-        dobj = zlib.decompressobj()
+    elif codec in (COMPRESSION_DEFLATE, COMPRESSION_GZIP):
+        dobj = zlib.decompressobj(
+            31 if codec == COMPRESSION_GZIP else zlib.MAX_WBITS
+        )
         # max_length=0 means UNLIMITED to zlib, so a declared raw_len of 0
         # must not be passed through — inflate at most 1 byte and require
         # the stream to produce nothing.
@@ -738,8 +746,8 @@ class NativeServer:
                                 "common.unsupported",
                                 f"wire compression codec {codec} not "
                                 "available (zstd/brotli require codec "
-                                "libraries; lz4=1, lz4hc=2 and deflate=5 "
-                                "are built in)",
+                                "libraries; lz4=1, lz4hc=2, gzip=4 and "
+                                "deflate=5 are built in)",
                             ),
                         )
                         return

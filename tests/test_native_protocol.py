@@ -524,9 +524,15 @@ def test_lz4_sessions_live_and_zstd_capability_gated(server, engine):
             assert c.ping() > 0
         finally:
             c.close()
-    for codec in (
-        ns.COMPRESSION_ZSTD, ns.COMPRESSION_GZIP, ns.COMPRESSION_BROTLI,
-    ):
+    gz = ns.NativeClient(
+        "127.0.0.1", server.port, database="nat",
+        compression=ns.COMPRESSION_GZIP,
+    )
+    try:
+        assert gz.query("SELECT 1 + 1 AS two;")["rows"] == [("2",)]
+    finally:
+        gz.close()
+    for codec in (ns.COMPRESSION_ZSTD, ns.COMPRESSION_BROTLI):
         with pytest.raises(RuntimeError) as ei:
             ns.NativeClient(
                 "127.0.0.1", server.port, database="nat", compression=codec

@@ -195,6 +195,7 @@ def test_chunk_starts_invariants(n, size, overlap):
 @settings(max_examples=200, deadline=None)
 def test_wire_compression_envelope_roundtrip(payload):
     from ranger_spark.sources.native_server import (
+        COMPRESSION_GZIP,
         COMPRESSION_LZ4,
         COMPRESSION_LZ4HC,
         COMPRESSION_NONE,
@@ -204,7 +205,8 @@ def test_wire_compression_envelope_roundtrip(payload):
     )
 
     for codec in (
-        COMPRESSION_NONE, COMPRESSION_ZLIB, COMPRESSION_LZ4, COMPRESSION_LZ4HC
+        COMPRESSION_NONE, COMPRESSION_ZLIB, COMPRESSION_LZ4,
+        COMPRESSION_LZ4HC, COMPRESSION_GZIP,
     ):
         assert unwrap_payload(wrap_payload(codec, payload)) == payload
 
