@@ -510,6 +510,10 @@ class Engine:
             return self._show_columns(r.sql)
         if k == StmtKind.SHOW_CREATE_TABLE:
             return self._show_create_table(r.sql)
+        if k == StmtKind.PIPELINE:
+            return self._pipeline(r.sql)
+        if k == StmtKind.SHOW_PIPELINES:
+            return self._show_pipelines()
         if k == StmtKind.TXN_NOOP:
             # reference parses BEGIN/COMMIT/ROLLBACK but has no txn engine
             return QueryResult([], [], 0, message=f"{r.sql.upper()} is a no-op")
@@ -1062,6 +1066,77 @@ class Engine:
             df = self.spark.table(name).limit(0)
         df.createOrReplaceTempView(view)
         return view
+
+    # ------------------------------------------------------- pipelines
+    # The operator registry (SURVEY §2 / the LLM-pipeline library) as a
+    # statement surface: every registered query — dedup, ANN, text
+    # quality, multimodal decode, sampling, analytics — becomes callable
+    # over HTTP/pgwire/native and the CLI, not only the Python API.
+    # The reference has no comparable surface (exceeds).
+
+    def _pipeline_sf_dir(self) -> str:
+        import os
+
+        try:
+            conf = self.spark.conf.get("spark.ranger.pipeline.sf_dir", None)
+        except Exception:
+            conf = None
+        return (
+            conf
+            or os.environ.get("SPARK_GRAFT_SF_DIR")
+            or "/root/testdata/sf0.001"
+        )
+
+    def _pipeline(self, sql: str) -> QueryResult:
+        from ranger_spark.queries import load_all
+
+        m = re.match(
+            r"PIPELINE\s+(\w+)(?:\s+USING\s+'([^']+)')?\s*$", sql, re.I
+        )
+        if not m:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "expected: PIPELINE <name> [USING '<sf_dir>']",
+            )
+        name, sf_dir = m.group(1), m.group(2) or self._pipeline_sf_dir()
+        reg = load_all()
+        if name not in reg:
+            import difflib
+
+            close = difflib.get_close_matches(name, reg, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"unknown pipeline '{name}'{hint} — "
+                "SHOW PIPELINES lists the registry",
+            )
+        df = reg[name].builder(self.spark, sf_dir)
+        rows = df.limit(RESULT_CAP + 1).collect()
+        truncated = len(rows) > RESULT_CAP
+        if truncated:
+            rows = rows[:RESULT_CAP]
+        return QueryResult(
+            columns=list(df.columns),
+            rows=[tuple(r) for r in rows],
+            row_count=len(rows),
+            message=(
+                f"result truncated to {RESULT_CAP} rows" if truncated else ""
+            ),
+            truncated=truncated,
+        )
+
+    def _show_pipelines(self) -> QueryResult:
+        from ranger_spark.queries import load_all
+
+        rows = sorted(
+            (name, spec.oracle is not None, ",".join(spec.tags))
+            for name, spec in load_all().items()
+        )
+        return QueryResult(
+            columns=["name", "oracled", "tags"],
+            rows=rows,
+            row_count=len(rows),
+        )
 
     def _show_snapshots(self, sql: str) -> QueryResult:
         mt = re.match(r"SHOW\s+TAGS\s+(?:FROM|IN)\s+([\w.]+)\s*$", sql, re.I)

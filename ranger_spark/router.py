@@ -71,6 +71,8 @@ class StmtKind(Enum):
     PREPARE_STMT = "prepare"      # exceeds: engine-level prepared statements
     EXECUTE_STMT = "execute_stmt"  # ($n params, pgwire substitution rules)
     DEALLOCATE_STMT = "deallocate"
+    PIPELINE = "pipeline"            # exceeds: registry operators as SQL
+    SHOW_PIPELINES = "show_pipelines"  # (reachable over every protocol)
 
 
 @dataclass
@@ -746,6 +748,26 @@ def route(statement: str, strict: bool = False) -> Routed:
     if m("SHOW SNAPSHOTS") or m("SHOW TAGS"):
         # tags ride the snapshot surface (engine._show_snapshots routes)
         return Routed(StmtKind.SHOW_SNAPSHOTS, s)
+    if m("SHOW PIPELINES"):
+        # exceeds: the operator-registry catalog as a statement
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: SHOW PIPELINES",
+            )
+        return Routed(StmtKind.SHOW_PIPELINES, s)
+    if m("PIPELINE "):
+        # exceeds: run a registered pipeline operator (dedup, ANN,
+        # text/quality, multimodal, sampling, …) as a statement — the
+        # whole SURVEY §2 operator library becomes reachable over the
+        # HTTP/pgwire/native protocols and the CLI, not only the
+        # Python API
+        if strict:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "unsupported statement type: PIPELINE",
+            )
+        return Routed(StmtKind.PIPELINE, s)
     if m("OPTIMIZE "):
         return Routed(StmtKind.OPTIMIZE, s)
     if m("EXPIRE SNAPSHOTS"):

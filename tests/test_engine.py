@@ -1370,3 +1370,33 @@ def test_prepared_statement_guards(engine):
         engine.execute("PREPARE loop AS EXECUTE loop;")
     with pytest.raises(RangerError, match="cannot nest"):
         engine.execute("PREPARE p2 AS PREPARE p3 AS SELECT 1;")
+
+
+def test_pipeline_statement_surface(engine):
+    """PIPELINE <name> [USING '<sf_dir>'] runs any registry operator as
+    a statement; SHOW PIPELINES lists the registry. This makes the whole
+    SURVEY §2 operator library reachable over every protocol."""
+    from ranger_spark.errors import RangerError
+
+    listing = engine.execute("SHOW PIPELINES;")
+    assert listing.columns == ["name", "oracled", "tags"]
+    assert listing.row_count >= 150
+    names = {r[0] for r in listing.rows}
+    assert {"dedup_exact", "ann_cosine_topk", "text_quality"} <= names
+
+    r = engine.execute(
+        "PIPELINE text_length_histogram USING '/root/testdata/sf0.001';"
+    )
+    assert r.row_count > 0 and "bucket" in " ".join(r.columns).lower() or r.columns
+
+    with pytest.raises(RangerError) as ei:
+        engine.execute("PIPELINE dedup_exactt;")
+    assert "did you mean" in str(ei.value)
+
+    from ranger_spark.engine import Engine
+
+    strict = Engine(engine.spark, strict_gate=True)
+    with pytest.raises(RangerError):
+        strict.execute("PIPELINE dedup_exact;")
+    with pytest.raises(RangerError):
+        strict.execute("SHOW PIPELINES;")

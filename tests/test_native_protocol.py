@@ -744,3 +744,20 @@ def test_concurrent_query_circuit_breaker(engine):
         c.close()
     finally:
         srv2.shutdown()
+
+
+def test_pipeline_statement_over_native_protocol(server):
+    """The registry operator library is reachable over the wire: a
+    PIPELINE statement round-trips through the native protocol like any
+    other query (all protocols route through engine.execute)."""
+    c = ns.NativeClient("127.0.0.1", server.port, database="nat")
+    try:
+        r = c.query("SHOW PIPELINES;")
+        assert [c[0] for c in r["columns"]] == ["name", "oracled", "tags"]
+        assert len(r["rows"]) >= 150
+        r2 = c.query(
+            "PIPELINE text_length_histogram USING '/root/testdata/sf0.001';"
+        )
+        assert len(r2["rows"]) > 0
+    finally:
+        c.close()
