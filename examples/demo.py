@@ -62,6 +62,10 @@ def main() -> None:
     print("  PREPARE/EXECUTE top_bal(15)        ->", r.rows)
     r = engine.execute("SELECT table_name, version FROM system.snapshots ORDER BY version DESC LIMIT 1;")
     print("  system.snapshots head              ->", r.rows)
+    r = engine.execute("SHOW PIPELINES;")
+    print("  SHOW PIPELINES                     ->", r.row_count, "registered operators")
+    r = engine.execute(f"PIPELINE text_length_histogram USING '{SF}';")
+    print("  PIPELINE text_length_histogram     ->", r.rows[:3], "...")
 
     print("\n== Training-data pipeline (documents/embeddings tables) ==")
     from pyspark.sql import functions as F
