@@ -1091,12 +1091,15 @@ class Engine:
         from ranger_spark.queries import load_all
 
         m = re.match(
-            r"PIPELINE\s+(\w+)(?:\s+USING\s+'([^']+)')?\s*$", sql, re.I
+            r"PIPELINE\s+(\w+)(?:\s+USING\s+'([^']+)')?"
+            r"(?:\s+INTO\s+([\w.]+))?\s*$",
+            sql,
+            re.I,
         )
         if not m:
             raise RangerError(
                 UNSUPPORTED_STATEMENT,
-                "expected: PIPELINE <name> [USING '<sf_dir>']",
+                "expected: PIPELINE <name> [USING '<sf_dir>'] [INTO <table>]",
             )
         name, sf_dir = m.group(1), m.group(2) or self._pipeline_sf_dir()
         reg = load_all()
@@ -1111,6 +1114,13 @@ class Engine:
                 "SHOW PIPELINES lists the registry",
             )
         df = reg[name].builder(self.spark, sf_dir)
+        if m.group(3):
+            # PIPELINE ... INTO <table>: materialize the operator's output
+            # as a snapshot-versioned engine table (time-travelable,
+            # VACUUM-able, CDC-visible) — the ETL form of the statement
+            return self._materialize_df_as_table(
+                self._qualify(m.group(3)), df
+            )
         rows = df.limit(RESULT_CAP + 1).collect()
         truncated = len(rows) > RESULT_CAP
         if truncated:
@@ -1885,11 +1895,19 @@ class Engine:
             raise RangerError(UNSUPPORTED_STATEMENT, f"cannot parse: {sql!r}")
         if_not_exists = bool(m.group(1))
         name = self._qualify(m.group(2))
+        df = self.spark.sql(self._rewrite_system(m.group(3)))
+        return self._materialize_df_as_table(name, df, if_not_exists)
+
+    def _materialize_df_as_table(
+        self, name: str, df: "DataFrame", if_not_exists: bool = False
+    ) -> QueryResult:
+        """Create `name` with the DataFrame's inferred Iceberg schema and
+        land the rows through the distributed single-pass write + snapshot
+        commit — shared by CTAS and PIPELINE ... INTO."""
         if self._table_exists(name):
             if if_not_exists:
                 return QueryResult([], [], 0, message=f"table '{name}' exists")
             raise RangerError(ALREADY_EXISTS, f"table '{name}' already exists")
-        df = self.spark.sql(self._rewrite_system(m.group(3)))
         columns = [
             (f.name, itypes.from_spark_type(f.dataType, f.name), f.nullable)
             for f in df.schema.fields

@@ -1400,3 +1400,29 @@ def test_pipeline_statement_surface(engine):
         strict.execute("PIPELINE dedup_exact;")
     with pytest.raises(RangerError):
         strict.execute("SHOW PIPELINES;")
+
+
+def test_pipeline_into_materializes_versioned_table(engine):
+    """PIPELINE ... INTO lands the operator's output as a real
+    snapshot-versioned table: queryable, time-travelable, and typed via
+    the same Iceberg-schema inference as CTAS."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pipedb;")
+    r = engine.execute(
+        "PIPELINE text_length_histogram USING '/root/testdata/sf0.001' "
+        "INTO pipedb.len_hist;"
+    )
+    assert "created" in r.message
+    rows = engine.execute(
+        "SELECT count(*) AS n FROM pipedb.len_hist;"
+    ).rows
+    assert rows[0][0] == r.row_count > 0
+    snaps = engine.execute("SHOW SNAPSHOTS FROM pipedb.len_hist;").rows
+    assert len(snaps) >= 1
+    # second run: table exists -> typed error
+    from ranger_spark.errors import RangerError
+
+    with pytest.raises(RangerError):
+        engine.execute(
+            "PIPELINE text_length_histogram USING '/root/testdata/sf0.001' "
+            "INTO pipedb.len_hist;"
+        )
