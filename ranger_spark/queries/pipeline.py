@@ -5275,3 +5275,89 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier detection (data-cleaning pass over embeddings)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_outlier_knn",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (
+      SELECT q.vec_id AS id, c.vec_id AS nb,
+             round(1 - list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(c.v, c.v))), 6) AS dist
+      FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+    ),
+    r AS (
+      SELECT id, dist,
+             row_number() OVER (PARTITION BY id ORDER BY dist, nb) AS rn
+      FROM p
+    ),
+    s AS (
+      SELECT id, round(avg(dist), 6) AS knn_dist
+      FROM r WHERE rn <= 5 GROUP BY id HAVING count(*) = 5
+    )
+    SELECT vec_id, knn_dist, outlier_rank FROM (
+      SELECT id AS vec_id, knn_dist,
+             CAST(row_number() OVER (ORDER BY knn_dist DESC, id)
+                  AS INTEGER) AS outlier_rank
+      FROM s
+    ) WHERE outlier_rank <= 20
+    """,
+    tags=("similarity", "outlier", "cleaning"),
+)
+def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier scoring (the classic distance-based
+    data-cleaning pass; Ramaswamy et al. 2000): each vector's mean
+    cosine distance to its 5 nearest same-label neighbors, top-20
+    highest = the mislabeled/garbage-embedding candidates. Scale shape:
+    the pair join is block-diagonal on label (the similar_pairs_blocked
+    layout — never all-pairs); per-vector neighbor ranking is one
+    windowed pass over the block pairs; at cluster scale the blocks
+    become IVF cells and the per-block pairs run through the Arrow
+    partial-top-k kernel. 6dp grid on distances keeps both engines'
+    rankings identical."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vnorm", S.l2_norm(F.col("v")))
+    q = e.select(
+        F.col("vec_id").alias("id"),
+        F.col("label").alias("l"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qn"),
+    )
+    pairs = q.join(e, (F.col("l") == F.col("label")) & (F.col("id") != F.col("vec_id"))).select(
+        "id",
+        F.col("vec_id").alias("nb"),
+        F.round(
+            1 - S.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vnorm")),
+            6,
+        ).alias("dist"),
+    )
+    wn = Window.partitionBy("id").orderBy("dist", "nb")
+    s = (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= 5)
+        .groupBy("id")
+        .agg(
+            F.round(F.avg("dist"), 6).alias("knn_dist"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") == 5)
+    )
+    wo = Window.orderBy(F.col("knn_dist").desc(), F.col("id"))
+    return (
+        s.select(
+            F.col("id").alias("vec_id"),
+            "knn_dist",
+            F.row_number().over(wo).alias("outlier_rank"),
+        )
+        .filter(F.col("outlier_rank") <= 20)
+    )
