@@ -163,8 +163,13 @@ def decompress_block(data: bytes, max_out: int) -> bytes:
                     break
         if len(out) + mlen > max_out:
             raise ValueError("lz4 output exceeds declared length")
-        # byte-wise copy: overlapping matches replicate recent output
+        # slice copy; an overlapping match (offset < mlen) is by
+        # definition a periodic repetition of the last `offset` bytes
         start = len(out) - offset
-        for k in range(mlen):
-            out.append(out[start + k])
+        if offset >= mlen:
+            out += out[start : start + mlen]
+        else:
+            chunk = bytes(out[start:])
+            reps = mlen // offset + 1
+            out += (chunk * reps)[:mlen]
     return bytes(out)
