@@ -79,6 +79,10 @@ _NL_ALLOWED = {
     "source_mixture_plan",  # 1-row totals broadcast cross
     "text_bm25_scores",  # 1-row broadcast (N, avgdl) corpus-stats crossJoins
     "dedup_minhash_recall_eval",  # 1-row metric-count crossJoins
+    "ann_hard_negatives",  # 8-anchor broadcast side of the label<> pair join
+    # nprobe-sweep eval: ≤|cells|-row centroid crossJoins + cr<=nprobe
+    # probe joins, every broadcast side bounded by nlist or |Q|
+    "ann_ivf_recall_eval",
 }
 
 
