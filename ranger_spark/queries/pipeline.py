@@ -5361,3 +5361,65 @@ def embedding_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("outlier_rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phase planning (easy→hard training order)
+# ---------------------------------------------------------------------------
+@register(
+    "curriculum_phase_plan",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, n_chars,
+             n_chars * (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                              / greatest(length(text), 1)) AS difficulty
+      FROM documents
+    ),
+    p AS (
+      SELECT lang, doc_id, n_chars, difficulty,
+             ntile(4) OVER (
+               PARTITION BY lang ORDER BY difficulty, doc_id
+             ) AS phase
+      FROM f
+    )
+    SELECT lang, phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(difficulty), 6) AS avg_difficulty
+    FROM p GROUP BY lang, phase
+    """,
+    tags=("sampling", "curriculum", "training"),
+)
+def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering plan (easy→hard; Bengio et al. 2009 applied
+    to corpus scheduling): docs quartiled per language by a cheap
+    difficulty proxy (length × letter purity), emitting per-(lang,
+    phase) token-budget stats a training scheduler consumes. Scale
+    shape: one lang-partitioned window for the quartile assignment (the
+    one shuffle, on the language key), O(langs×4) rollup; the
+    difficulty expression is map-only integer arithmetic so both
+    engines agree exactly, and the (difficulty, doc_id) tiebreak makes
+    the ntile split deterministic."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.col("n_chars")
+            * (
+                1.0
+                - F.length(F.regexp_replace("text", "[^0-9]", ""))
+                / F.greatest(F.length("text"), F.lit(1))
+            )
+        ).alias("difficulty"),
+    )
+    w = Window.partitionBy("lang").orderBy("difficulty", "doc_id")
+    p = f.withColumn("phase", F.ntile(4).over(w))
+    return p.groupBy("lang", "phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("difficulty"), 6).alias("avg_difficulty"),
+    )
