@@ -1601,3 +1601,135 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ex99, 4).alias("p99_exact"),
         (F.abs(ap99 - ex99) <= 0.02 * ex99).alias("p99_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog over time (interval +1/-1 cumsum)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_running_backlog",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS closed_at
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ev AS (
+      SELECT date_trunc('month', o.o_orderdate) AS mon, 1 AS opened, 0 AS closed
+      FROM orders o
+      UNION ALL
+      SELECT date_trunc('month', c.closed_at), 0, 1
+      FROM orders o JOIN closes c ON c.ok = o.o_orderkey
+    ),
+    m AS (
+      SELECT mon, CAST(sum(opened) AS BIGINT) AS opened,
+             CAST(sum(closed) AS BIGINT) AS closed
+      FROM ev GROUP BY mon
+    )
+    SELECT mon, opened, closed,
+           CAST(sum(opened - closed) OVER (
+             ORDER BY mon ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS backlog
+    FROM m
+    """,
+    tags=("analytics", "window", "interval"),
+)
+def orders_running_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog by month — the interval-overlap count computed
+    the scalable way: each order contributes +1 at open and -1 at its
+    last shipment, the deltas aggregate per month (map-side combined),
+    and one cumulative window over the ~80-row month series yields the
+    backlog — never a per-day × per-order overlap join. The one
+    data-sized shuffle is the orderkey close-date rollup; the global
+    cumsum window runs on a month-bounded relation (a handful of rows at
+    ANY corpus scale, so the single-partition window is safe)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("closed_at")
+    )
+    opens = o.select(
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    )
+    closed = (
+        o.join(closes, F.col("ok") == F.col("o_orderkey"))
+        .select(
+            F.date_trunc("month", "closed_at").alias("mon"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    m = (
+        opens.unionAll(closed)
+        .groupBy("mon")
+        .agg(
+            F.sum("opened").cast("bigint").alias("opened"),
+            F.sum("closed").cast("bigint").alias("closed"),
+        )
+    )
+    w = Window.orderBy("mon").rowsBetween(Window.unboundedPreceding, 0)
+    return m.select(
+        "mon",
+        "opened",
+        "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("bigint").alias("backlog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-journey trigram mining
+# ---------------------------------------------------------------------------
+@register(
+    "events_path_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, cnt, rank FROM (
+      SELECT p2 AS t1, p1 AS t2, event_type AS t3,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(row_number() OVER (
+               ORDER BY count(*) DESC, p2, p1, event_type
+             ) AS INTEGER) AS rank
+      FROM s WHERE p2 IS NOT NULL
+      GROUP BY p2, p1, event_type
+    ) WHERE rank <= 15
+    """,
+    tags=("analytics", "sequence", "events"),
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams (sequence mining over event paths —
+    the n-gram view of behavioral funnels): per user, consecutive
+    event-type triples via two lags over ONE (user_id, ts) window, then
+    a vocabulary²·types-bounded count. The only corpus-sized shuffle is
+    the user_id window partition; the trigram space is tiny (event
+    types³), so the rollup and rank are map-side dominated."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    wr = Window.orderBy(
+        F.col("cnt").desc(), F.col("t1"), F.col("t2"), F.col("t3")
+    )
+    return (
+        s.groupBy(
+            F.col("p2").alias("t1"),
+            F.col("p1").alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 15)
+    )
