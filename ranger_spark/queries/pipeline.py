@@ -5423,3 +5423,156 @@ def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("difficulty"), 6).alias("avg_difficulty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the similarity graph
+# ---------------------------------------------------------------------------
+_LP_SEED_MAX = 200  # vec_id < 200 keep their true label (the labeled set)
+_LP_ROUNDS = 3
+_LP_THRESH = 0.3
+
+
+def _labelprop_oracle(rounds: int = _LP_ROUNDS) -> str:
+    """Unrolled majority-vote propagation. Each round: every node takes
+    the modal label of its neighbors' current labels (count desc, label
+    asc tiebreak); seeds are clamped. MATERIALIZED per-round CTEs stop
+    exponential inlining (the kcenter lesson)."""
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS MATERIALIZED (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b
+  FROM e q JOIN e c ON q.label = c.label AND q.vec_id < c.vec_id
+  WHERE {_COS_SQL} >= {_LP_THRESH}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+l0 AS MATERIALIZED (
+  SELECT vec_id, CASE WHEN vec_id < {_LP_SEED_MAX} THEN label END AS cur
+  FROM e
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        prev = t - 1
+        parts.append(
+            f""",
+v{t} AS MATERIALIZED (
+  SELECT g.src AS vec_id, l.cur AS lab, count(*) AS n
+  FROM edges g JOIN l{prev} l ON l.vec_id = g.dst
+  WHERE l.cur IS NOT NULL
+  GROUP BY g.src, l.cur
+),
+m{t} AS MATERIALIZED (
+  SELECT vec_id, lab FROM (
+    SELECT vec_id, lab,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY n DESC, lab
+           ) AS rn
+    FROM v{t}
+  ) WHERE rn = 1
+),
+l{t} AS MATERIALIZED (
+  SELECT l0.vec_id,
+         CASE WHEN l0.vec_id < {_LP_SEED_MAX} THEN l0.cur
+              ELSE coalesce(m{t}.lab, lp.cur) END AS cur
+  FROM l0
+  LEFT JOIN l{prev} lp ON lp.vec_id = l0.vec_id
+  LEFT JOIN m{t} ON m{t}.vec_id = l0.vec_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT e.label AS true_label,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN l.cur IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_labeled,
+       CAST(sum(CASE WHEN l.cur = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM e JOIN l{rounds} l ON l.vec_id = e.vec_id
+WHERE e.vec_id >= {_LP_SEED_MAX}
+GROUP BY e.label"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_labelprop_oracle(),
+    tags=("graph", "iterative", "semi-supervised"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002) over
+    the embedding similarity graph: vec_id < 200 act as the labeled
+    seed set, everyone else takes the majority label of their neighbors
+    each round (3 fixed rounds, count-desc/label-asc tiebreak, seeds
+    clamped) — the transductive-labeling pattern used to extend scarce
+    human labels across a corpus. Because the candidate edges here come
+    from the label-blocked pair generator, n_correct == n_labeled by
+    construction; the live signal of this eval is COVERAGE (how far 200
+    seeds reach in 3 hops). With a label-free blocking (sign-LSH
+    buckets) the same plan also measures cross-label leakage. Scale shape: the edge
+    list is the banded similar-pairs graph (block-diagonal, never
+    all-pairs); each round is one edge⋈label join + one modal-vote
+    aggregate — state O(|nodes|), rounds fixed. The oracle replays the
+    recurrence round-for-round."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = S.similar_pairs_blocked(e, threshold=_LP_THRESH).select(
+        "id_a", "id_b"
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    cur = e.select(
+        "vec_id",
+        F.when(F.col("vec_id") < _LP_SEED_MAX, F.col("label")).alias("cur"),
+    )
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            edges.join(
+                cur.withColumnRenamed("vec_id", "dst"), "dst"
+            )
+            .filter(F.col("cur").isNotNull())
+            .groupBy(F.col("src").alias("vec_id"), F.col("cur").alias("lab"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wv = Window.partitionBy("vec_id").orderBy(
+            F.col("n").desc(), F.col("lab")
+        )
+        mode = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "lab")
+        )
+        cur = (
+            cur.join(mode, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(
+                    F.col("vec_id") < _LP_SEED_MAX, F.col("cur")
+                ).otherwise(
+                    F.coalesce(F.col("lab"), F.col("cur"))
+                ).alias("cur"),
+            )
+        )
+    return (
+        e.filter(F.col("vec_id") >= _LP_SEED_MAX)
+        .join(cur, "vec_id")
+        .groupBy(F.col("label").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(
+                F.when(F.col("cur").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_labeled"),
+            F.sum(
+                F.when(F.col("cur") == F.col("label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        )
+    )
