@@ -40,7 +40,14 @@ def _count(plan: str, name: str) -> int:
 
 
 def audit_one(df) -> dict:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     plan = formatted_plan(df)
+    nonscalar = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
     joins = {k: v for k, v in join_strategies(df).items() if v}
     rec = {
         "exchanges": _count(plan, "Exchange"),
@@ -59,12 +66,17 @@ def audit_one(df) -> dict:
             ]
         ),
         "codegen": "WholeStageCodegen" in plan,
+        # the driver's canonicalizer pandas-sorts every output column;
+        # list/map/struct columns crash it (the round-6
+        # text_feature_hash_vector casualty) — lint them out for good
+        "nonscalar_output_columns": nonscalar,
     }
     rec["flags"] = [
         flag
         for flag, bad in (
             ("row_at_a_time_python", rec["row_python_ops"] > 0),
             ("cartesian_product", rec["cartesian"] > 0),
+            ("nonscalar_output", bool(nonscalar)),
         )
         if bad
     ]
@@ -98,6 +110,9 @@ def main() -> int:
         ),
         "row_python_queries": sum(
             1 for r in out.values() if r.get("row_python_ops", 0) > 0
+        ),
+        "nonscalar_output_queries": sum(
+            1 for r in out.values() if r.get("nonscalar_output_columns")
         ),
     }
     with open("/root/repo/PLANAUDIT.json", "w") as f:
