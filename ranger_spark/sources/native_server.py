@@ -600,6 +600,50 @@ def _is_read_only_sql(sql: str) -> bool:
     return True
 
 
+
+
+def insert_string_block(
+    engine, table: str, columns: list, rows: list, database: str = ""
+) -> int:
+    """Insert rows whose values all travel as strings (the native
+    ClientData and pgwire COPY-in shape): render each value against the
+    declared column type — verified bare numeric literals splice
+    unquoted (the strict INSERT validator's requirement), everything
+    else goes through _sql_lit so a malicious value can never reshape
+    the VALUES list; None → NULL. Returns the row count."""
+    if not rows:
+        return 0
+    qualified_in = table
+    if database and "." not in table:
+        qualified_in = f"{database}.{table}"
+    qualified = (
+        engine._qualify(table) if "." not in table else table
+    )
+    entry = engine._manifest["tables"].get(
+        qualified_in if "." in qualified_in else qualified
+    )
+    types = {c[0]: c[1].lower() for c in (entry or {}).get("columns", [])}
+    numeric = ("int", "float", "double", "decimal", "bool")
+    lits = []
+    for row in rows:
+        parts = []
+        for col, v in zip(columns, row):
+            t = types.get(col, "string")
+            if v is None:
+                parts.append("NULL")
+            elif v == "" and not t.startswith("string"):
+                parts.append("NULL")
+            elif t.startswith(numeric) and _NUM_LIT.fullmatch(str(v)):
+                parts.append(str(v))
+            else:
+                parts.append(_sql_lit(v))
+        lits.append("(" + ", ".join(parts) + ")")
+    cols = ", ".join(columns)
+    engine.execute(
+        f"INSERT INTO {qualified_in} ({cols}) VALUES {', '.join(lits)};"
+    )
+    return len(rows)
+
 class NativeServer:
     """The reference's native TCP endpoint (server.go + connection.go),
     one thread per connection, engine shared (its execution manager is
@@ -947,40 +991,8 @@ class NativeServer:
         """queryEngine.InsertData parity: values arrived as strings; the
         engine's INSERT path validates and coerces against the declared
         schema."""
-        if not d["rows"]:
-            return
-        table = d["table"]
-        if database and "." not in table:
-            table = f"{database}.{table}"
-        # values travel as strings; render them against the declared
-        # column types (the reference's "Ranger knows the schema")
-        qualified = self.engine._qualify(d["table"]) if "." not in d["table"] else d["table"]
-        entry = self.engine._manifest["tables"].get(
-            table if "." in table else qualified
-        )
-        types = {
-            c[0]: c[1].lower() for c in (entry or {}).get("columns", [])
-        }
-        numeric = ("int", "float", "double", "decimal", "bool")
-        lits = []
-        for row in d["rows"]:
-            parts = []
-            for col, v in zip(d["columns"], row):
-                t = types.get(col, "string")
-                if v == "" and not t.startswith("string"):
-                    parts.append("NULL")
-                elif t.startswith(numeric) and _NUM_LIT.fullmatch(str(v)):
-                    # only a verified bare literal may be spliced unquoted;
-                    # anything else (e.g. "1), (999") goes through _sql_lit
-                    # so the engine's cast/validation rejects it as a value
-                    # instead of it reshaping the VALUES list
-                    parts.append(str(v))
-                else:
-                    parts.append(_sql_lit(v))
-            lits.append("(" + ", ".join(parts) + ")")
-        cols = ", ".join(d["columns"])
-        self.engine.execute(
-            f"INSERT INTO {table} ({cols}) VALUES {', '.join(lits)};"
+        insert_string_block(
+            self.engine, d["table"], d["columns"], d["rows"], database
         )
 
     def _cancel(self, conn: socket.socket, query_id: str) -> None:

@@ -18,6 +18,13 @@ RowDescription via Catalyst analysis (no execution; NoData when
 unanalyzable — the reference's constant answer), Execute runs the bound
 statement and streams DataRows with max-row suspension
 (PortalSuspended), and protocol errors skip-to-Sync per the spec.
+
+COPY-in (exceeds; absent from the reference's pgwire entirely):
+`COPY t [(cols)] FROM STDIN [WITH (FORMAT text|csv)]` answers
+CopyInResponse ('G'), consumes CopyData ('d') / CopyDone ('c') /
+CopyFail ('f') frames, parses text (tab-separated, backslash-N nulls, trailing end marker) or
+csv, and lands the rows through the engine's validated INSERT path —
+so pgwire bulk loads are snapshot-committed like every other write.
 """
 
 from __future__ import annotations
@@ -27,9 +34,19 @@ import struct
 import threading
 
 from ranger_spark.engine import Engine
+from ranger_spark.sources.native_server import insert_string_block
 
 TEXT_OID = 25  # everything ships as text, like the reference
 MAX_FRAME = 64 * 1024 * 1024  # cap client-declared frame length (64 MiB)
+MAX_COPY_BYTES = 256 * 1024 * 1024  # total CopyData per COPY statement
+
+import re as _re
+
+_COPY_IN_RE = _re.compile(
+    r"^\s*COPY\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN"
+    r"\s*(?:WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    _re.I,
+)
 
 
 def _msg(tag: bytes, payload: bytes) -> bytes:
@@ -163,6 +180,39 @@ def _substitute_params(sql: str, params: list[str | None]) -> str:
     return "".join(out)
 
 
+def _parse_copy_rows(data: bytes, fmt: str, ncols: int) -> list:
+    """Decode COPY text/csv payload into rows of str|None values."""
+    text = data.decode("utf-8", errors="replace")
+    rows: list = []
+    if fmt == "csv":
+        import csv
+        import io
+
+        for rec in csv.reader(io.StringIO(text)):
+            if not rec or rec == ["\\."]:
+                continue
+            if len(rec) != ncols:
+                raise ValueError(
+                    f"COPY row has {len(rec)} columns, expected {ncols}"
+                )
+            rows.append(tuple(rec))
+        return rows
+    for line in text.split("\n"):
+        if line.endswith("\r"):
+            line = line[:-1]
+        if line == "" or line == "\\.":
+            continue
+        vals = line.split("\t")
+        if len(vals) != ncols:
+            raise ValueError(
+                f"COPY row has {len(vals)} columns, expected {ncols}"
+            )
+        rows.append(
+            tuple(None if v == "\\N" else v for v in vals)
+        )
+    return rows
+
+
 class PgWireServer:
     def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
         self.engine = engine
@@ -260,7 +310,11 @@ class PgWireServer:
                     # discard until Sync
                 if tag == b"Q":
                     sql = payload.rstrip(b"\x00").decode()
-                    self._run_query(conn, sql)
+                    cm = _COPY_IN_RE.match(sql)
+                    if cm:
+                        self._copy_in(conn, cm)
+                    else:
+                        self._run_query(conn, sql)
                     conn.sendall(READY)
                 elif tag == b"P":  # Parse
                     try:
@@ -330,6 +384,65 @@ class PgWireServer:
                 conn.close()
             except OSError:
                 pass
+
+    def _copy_in(self, conn: socket.socket, cm) -> None:
+        """COPY <table> [(cols)] FROM STDIN: the pgwire bulk-load half.
+        Data lands via the engine's validated INSERT (snapshot commit) —
+        text format (tab-separated, backslash-N NULLs, optional trailing
+        end marker) or csv via the stdlib parser."""
+        table, cols_s, fmt = cm.group(1), cm.group(2), (cm.group(3) or "text").lower()
+        if fmt not in ("text", "csv"):
+            conn.sendall(_error(f"COPY format {fmt!r} not supported"))
+            return
+        if cols_s:
+            columns = [c.strip() for c in cols_s.split(",") if c.strip()]
+        else:
+            entry = self.engine._manifest["tables"].get(
+                self.engine._qualify(table) if "." not in table else table
+            )
+            if not entry:
+                conn.sendall(_error(f"table '{table}' not found", "42P01"))
+                return
+            columns = [c[0] for c in entry.get("columns", [])]
+        ncols = len(columns)
+        # CopyInResponse: overall format 0 (text) + per-column formats
+        conn.sendall(
+            _msg(b"G", b"\x00" + struct.pack("!H", ncols) + b"\x00\x00" * ncols)
+        )
+        buf = bytearray()
+        while True:
+            head = self._recv_exact(conn, 5)
+            if head is None:
+                return
+            t, length = head[:1], struct.unpack("!I", head[1:])[0]
+            if length < 4 or length - 4 > MAX_FRAME:
+                conn.sendall(_error("invalid COPY frame length"))
+                return
+            payload = self._recv_exact(conn, length - 4) if length > 4 else b""
+            if payload is None:
+                return
+            if t == b"d":  # CopyData
+                if len(buf) + len(payload) > MAX_COPY_BYTES:
+                    conn.sendall(_error("COPY data exceeds size cap"))
+                    return
+                buf += payload
+            elif t == b"c":  # CopyDone
+                break
+            elif t == b"f":  # CopyFail
+                conn.sendall(_error("COPY aborted by client"))
+                return
+            elif t in (b"H", b"S"):  # Flush/Sync are legal mid-copy noise
+                continue
+            else:
+                conn.sendall(_error(f"unexpected message {t!r} during COPY"))
+                return
+        try:
+            rows = _parse_copy_rows(bytes(buf), fmt, ncols)
+            n = insert_string_block(self.engine, table, columns, rows)
+        except Exception as e:
+            conn.sendall(_error(str(e)[:400]))
+            return
+        conn.sendall(_msg(b"C", _cstr(f"COPY {n}")))
 
     def _describe(self, sql: str | None) -> bytes:
         """RowDescription via Catalyst ANALYSIS only (no job); NoData when

@@ -212,3 +212,65 @@ def test_pgwire_extended_protocol_prepared_statements(pg, engine):
     s.sendall(b"X")
     s.close()
     engine.spark.sql("DROP DATABASE pgx CASCADE")
+
+
+def _copy_data_msg(data: bytes) -> bytes:
+    return b"d" + struct.pack("!I", len(data) + 4) + data
+
+
+def test_pgwire_copy_in(pg, engine):
+    """COPY t FROM STDIN over raw v3 framing: CopyInResponse, CopyData
+    frames (text + csv formats), CopyDone -> COPY n; rows land through
+    the engine's validated snapshot-committed INSERT; CopyFail aborts
+    cleanly and the connection stays usable."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pgc;")
+    engine.execute("DROP TABLE IF EXISTS pgc.load;")
+    engine.execute(
+        "CREATE TABLE pgc.load (id int32, name string, score float64);"
+    )
+
+    s = _connect(pg.port)
+    # text format with a NULL and the trailing end marker
+    s.sendall(_query_packet("COPY pgc.load (id, name, score) FROM STDIN"))
+    msgs = _read_messages(s, until_tag=b"G")
+    g = [body for t, body in msgs if t == b"G"]
+    assert g and g[0][0] == 0 and struct.unpack("!H", g[0][1:3])[0] == 3
+    s.sendall(_copy_data_msg(b"1\talice\t9.5\n2\t\\N\t"))
+    s.sendall(_copy_data_msg(b"3.25\n\\.\n"))  # frame split mid-row
+    s.sendall(b"c" + struct.pack("!I", 4))  # CopyDone
+    msgs = _read_messages(s)
+    assert any(t == b"C" and body.startswith(b"COPY 2") for t, body in msgs)
+
+    # csv format with a quoted comma
+    s.sendall(
+        _query_packet(
+            "COPY pgc.load (id, name, score) FROM STDIN WITH (FORMAT csv)"
+        )
+    )
+    _read_messages(s, until_tag=b"G")
+    s.sendall(_copy_data_msg(b'3,"x,y",0.5\n'))
+    s.sendall(b"c" + struct.pack("!I", 4))
+    msgs = _read_messages(s)
+    assert any(t == b"C" and body.startswith(b"COPY 1") for t, body in msgs)
+
+    rows = engine.execute(
+        "SELECT id, name, score FROM pgc.load ORDER BY id;"
+    ).rows
+    assert rows == [(1, "alice", 9.5), (2, None, 3.25), (3, "x,y", 0.5)]
+    # the COPY commits are snapshot commits (time-travelable)
+    snaps = engine.execute("SHOW SNAPSHOTS FROM pgc.load;").rows
+    assert len(snaps) >= 2
+
+    # CopyFail aborts; connection stays usable
+    s.sendall(_query_packet("COPY pgc.load (id, name, score) FROM STDIN"))
+    _read_messages(s, until_tag=b"G")
+    s.sendall(_copy_data_msg(b"9\tzz\t1.0\n"))
+    s.sendall(b"f" + struct.pack("!I", 4))  # CopyFail
+    msgs = _read_messages(s)
+    assert any(t == b"E" for t, _ in msgs)
+    s.sendall(_query_packet("SELECT count(*) AS n FROM pgc.load"))
+    msgs = _read_messages(s)
+    assert any(t == b"D" and b"3" in body for t, body in msgs)
+    s.sendall(b"X")
+    s.close()
+    engine.spark.sql("DROP DATABASE pgc CASCADE")
