@@ -47,6 +47,11 @@ _COPY_IN_RE = _re.compile(
     r"\s*(?:WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
     _re.I,
 )
+_COPY_OUT_RE = _re.compile(
+    r"^\s*COPY\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+TO\s+STDOUT"
+    r"\s*(?:WITH\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    _re.I,
+)
 
 
 def _msg(tag: bytes, payload: bytes) -> bytes:
@@ -311,8 +316,11 @@ class PgWireServer:
                 if tag == b"Q":
                     sql = payload.rstrip(b"\x00").decode()
                     cm = _COPY_IN_RE.match(sql)
+                    co = _COPY_OUT_RE.match(sql)
                     if cm:
                         self._copy_in(conn, cm)
+                    elif co:
+                        self._copy_out(conn, co)
                     else:
                         self._run_query(conn, sql)
                     conn.sendall(READY)
@@ -443,6 +451,51 @@ class PgWireServer:
             conn.sendall(_error(str(e)[:400]))
             return
         conn.sendall(_msg(b"C", _cstr(f"COPY {n}")))
+
+    def _copy_out(self, conn: socket.socket, co) -> None:
+        """COPY <table> [(cols)] TO STDOUT: the export half —
+        CopyOutResponse ('H'), one CopyData frame per row in text or csv
+        format, CopyDone, then COPY n. Reads go through the engine
+        (result cap applies) so permissions/time-travel semantics hold."""
+        table, cols_s, fmt = co.group(1), co.group(2), (co.group(3) or "text").lower()
+        if fmt not in ("text", "csv"):
+            conn.sendall(_error(f"COPY format {fmt!r} not supported"))
+            return
+        cols = (
+            ", ".join(c.strip() for c in cols_s.split(",") if c.strip())
+            if cols_s
+            else "*"
+        )
+        try:
+            r = self.engine.execute(f"SELECT {cols} FROM {table};")
+        except Exception as e:
+            conn.sendall(_error(str(e)[:400]))
+            return
+        ncols = len(r.columns)
+        conn.sendall(
+            _msg(b"H", b"\x00" + struct.pack("!H", ncols) + b"\x00\x00" * ncols)
+        )
+        if fmt == "csv":
+            import csv
+            import io
+
+            for row in r.rows:
+                out = io.StringIO()
+                csv.writer(out, lineterminator="\n").writerow(
+                    ["" if v is None else v for v in row]
+                )
+                conn.sendall(_msg(b"d", out.getvalue().encode()))
+        else:
+            for row in r.rows:
+                line = (
+                    "\t".join(
+                        "\\N" if v is None else str(v) for v in row
+                    )
+                    + "\n"
+                )
+                conn.sendall(_msg(b"d", line.encode()))
+        conn.sendall(_msg(b"c", b""))  # CopyDone
+        conn.sendall(_msg(b"C", _cstr(f"COPY {r.row_count}")))
 
     def _describe(self, sql: str | None) -> bytes:
         """RowDescription via Catalyst ANALYSIS only (no job); NoData when

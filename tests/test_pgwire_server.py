@@ -274,3 +274,31 @@ def test_pgwire_copy_in(pg, engine):
     s.sendall(b"X")
     s.close()
     engine.spark.sql("DROP DATABASE pgc CASCADE")
+
+
+def test_pgwire_copy_out(pg, engine):
+    """COPY t TO STDOUT: CopyOutResponse, one CopyData per row (text:
+    tab/backslash-N; csv with quoting), CopyDone, COPY n."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pgo;")
+    engine.execute("DROP TABLE IF EXISTS pgo.exp;")
+    engine.execute("CREATE TABLE pgo.exp (id int32, name string);")
+    engine.execute(
+        "INSERT INTO pgo.exp (id, name) VALUES (1, 'a,b'), (2, NULL);"
+    )
+    s = _connect(pg.port)
+    s.sendall(_query_packet("COPY pgo.exp (id, name) TO STDOUT"))
+    msgs = _read_messages(s)
+    tags = [t for t, _ in msgs]
+    assert b"H" in tags and b"c" in tags
+    data = b"".join(body for t, body in msgs if t == b"d")
+    lines = sorted(data.decode().strip().split("\n"))
+    assert lines == ["1\ta,b", "2\t\\N"]
+    assert any(t == b"C" and body.startswith(b"COPY 2") for t, body in msgs)
+
+    s.sendall(_query_packet("COPY pgo.exp TO STDOUT WITH (FORMAT csv)"))
+    msgs = _read_messages(s)
+    data = b"".join(body for t, body in msgs if t == b"d")
+    assert '"a,b"' in data.decode()
+    s.sendall(b"X")
+    s.close()
+    engine.spark.sql("DROP DATABASE pgo CASCADE")
