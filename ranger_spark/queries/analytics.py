@@ -1733,3 +1733,57 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= 15)
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness per month
+# ---------------------------------------------------------------------------
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT date_trunc('month', ts) AS mon, date_trunc('day', ts) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+      SELECT date_trunc('month', ts) AS mon,
+             count(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT d.mon,
+           round(avg(d.dau), 6) AS avg_dau,
+           CAST(max(m.mau) AS BIGINT) AS mau,
+           round(avg(d.dau) / max(m.mau), 6) AS stickiness
+    FROM dau d JOIN mau m ON m.mon = d.mon
+    GROUP BY d.mon
+    """,
+    tags=("analytics", "engagement", "events"),
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (the engagement ratio product analytics runs
+    daily): per month, average daily distinct users over monthly
+    distinct users. Two distinct-aggregates over the same scan — at
+    100 TB both become the mergeable HLL sketches of
+    events_rolling_wau_sketch; here the exact form is the oracle-checked
+    baseline. Shuffles are user-bounded (day and month grains)."""
+    e = load(spark, sf_dir, "events")
+    dau = (
+        e.groupBy(
+            F.date_trunc("month", "ts").alias("mon"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(F.countDistinct("user_id").alias("dau"))
+    )
+    mau = e.groupBy(F.date_trunc("month", "ts").alias("mon")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(mau, "mon")
+        .groupBy("mon")
+        .agg(
+            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            F.max("mau").cast("bigint").alias("mau"),
+            F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
+        )
+    )
