@@ -1787,3 +1787,222 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dau") / F.max("mau"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             round(avg(value), 6) AS mean_v,
+             round(var_samp(value), 6) AS var_v
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+      GROUP BY 1
+    ),
+    p AS (SELECT n, mean_v, var_v FROM g WHERE event_type = 'purchase'),
+    c AS (SELECT n, mean_v, var_v FROM g WHERE event_type = 'click')
+    SELECT p.n AS n_a, c.n AS n_b,
+           p.mean_v AS mean_a, c.mean_v AS mean_b,
+           round(p.mean_v - c.mean_v, 6) AS mean_diff,
+           round((p.mean_v - c.mean_v)
+                 / sqrt(p.var_v / p.n + c.var_v / c.n), 6) AS t_stat,
+           round(pow(p.var_v / p.n + c.var_v / c.n, 2)
+                 / (pow(p.var_v / p.n, 2) / (p.n - 1)
+                    + pow(c.var_v / c.n, 2) / (c.n - 1)), 6) AS welch_dof
+    FROM p, c
+    """,
+    tags=("analytics", "stats", "abtest"),
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event cohorts
+    (purchase vs click values) — the A/B-test primitive. One map-side-
+    combined aggregate produces (n, mean, s²) per arm; the test statistic
+    and Welch–Satterthwaite dof are computed on the 2-row result, so at
+    100 TB the cost is exactly one scan + one tiny shuffle regardless of
+    cohort size. Means/variances snap to a 6dp grid before the statistic
+    so both engines derive it from identical inputs."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_v"),
+        F.round(F.var_samp("value"), 6).alias("var_v"),
+    )
+    p = g.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_a"), F.col("mean_v").alias("mean_a"),
+        F.col("var_v").alias("var_a"),
+    )
+    c = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_b"), F.col("mean_v").alias("mean_b"),
+        F.col("var_v").alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    return p.crossJoin(c).select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, F.lit(2))
+            / (
+                F.pow(F.col("var_a") / F.col("n_a"), F.lit(2))
+                / (F.col("n_a") - 1)
+                + F.pow(F.col("var_b") / F.col("n_b"), F.lit(2))
+                / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_dof"),
+    )
+
+
+@register(
+    "orders_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT d, count(*) AS n FROM digits GROUP BY 1),
+    tot AS (SELECT sum(n) AS total FROM obs),
+    snapped AS (
+      SELECT o.d, o.n, t.total,
+             round(o.n / CAST(t.total AS DOUBLE), 6) AS op,
+             round(log10(1.0 + 1.0 / o.d), 6) AS bp
+      FROM obs o, tot t
+    )
+    SELECT d AS first_digit,
+           n AS n_orders,
+           op AS observed_p,
+           bp AS benford_p,
+           round(pow(op - bp, 2) / bp * total, 6) AS chi2_term
+    FROM snapped
+    """,
+    tags=("analytics", "quality", "audit"),
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    anomaly/fraud screen on monetary columns. First significant digit is
+    string-sliced from the integer part (identical in both engines,
+    no float log tricks); the digit histogram is a 9-bucket map-side
+    combine, so at 100 TB this is one scan + a 9-row reduction. Emits
+    per-digit observed vs Benford expectation and the chi-square term."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    snapped = obs.crossJoin(F.broadcast(tot)).select(
+        "d", "n", "total",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("op"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("bp"),
+    )
+    return snapped.select(
+        F.col("d").alias("first_digit"),
+        F.col("n").alias("n_orders"),
+        F.col("op").alias("observed_p"),
+        F.col("bp").alias("benford_p"),
+        F.round(
+            F.pow(F.col("op") - F.col("bp"), F.lit(2))
+            / F.col("bp")
+            * F.col("total"),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "users_kaplan_meier",
+    oracle="""
+    WITH bounds AS (SELECT max(date_trunc('day', ts)) AS horizon FROM events),
+    life AS (
+      SELECT user_id,
+             date_diff('week', min(date_trunc('day', ts)),
+                       max(date_trunc('day', ts))) AS t_week,
+             CASE WHEN date_diff('day', max(date_trunc('day', ts)),
+                                 (SELECT horizon FROM bounds)) < 14
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    tk AS (
+      SELECT t_week, count(*) AS n_total,
+             sum(churned) AS n_churn
+      FROM life GROUP BY 1
+    ),
+    risk AS (
+      SELECT t_week, n_total, n_churn,
+             sum(n_total) OVER (ORDER BY t_week DESC) AS n_risk
+      FROM tk
+    )
+    SELECT t_week,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_churn AS BIGINT) AS n_churn,
+           round(sum(round(ln(1.0 - n_churn / CAST(n_risk AS DOUBLE)), 8))
+                   OVER (ORDER BY t_week), 6) AS log_survival
+    FROM risk
+    WHERE n_churn < n_risk
+    """,
+    tags=("analytics", "survival", "retention"),
+)
+def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve over user lifetimes (weeks from
+    first to last event; users active within 14 days of the corpus
+    horizon are right-censored). One user_id shuffle builds lifetimes;
+    the risk-set table is O(weeks) rows, so the reverse-cumulative
+    n_risk window and the log-survival cumsum are driver-cheap at any
+    corpus size. The statistic is the cumulative log-survival
+    Σ ln(1 − d/n) with each hazard term snapped to an 8dp grid before
+    summation, making the curve bit-identical across engines (exp() of
+    it is the KM estimate)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    horizon = e.agg(F.max("day").alias("horizon"))
+    life = (
+        e.groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            (
+                F.floor(F.datediff("last_day", "first_day") / 7)
+            ).alias("t_week"),
+            F.when(
+                F.datediff("horizon", "last_day") < 14, F.lit(0)
+            ).otherwise(F.lit(1)).alias("churned"),
+        )
+    )
+    tk = life.groupBy("t_week").agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("churned").alias("n_churn")
+    )
+    w_desc = Window.orderBy(F.col("t_week").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = tk.withColumn("n_risk", F.sum("n_total").over(w_desc))
+    w_asc = Window.orderBy("t_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        risk.where(F.col("n_churn") < F.col("n_risk"))
+        .select(
+            "t_week",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("n_churn").cast("bigint").alias("n_churn"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.log(1.0 - F.col("n_churn") / F.col("n_risk").cast("double")),
+                        8,
+                    )
+                ).over(w_asc),
+                6,
+            ).alias("log_survival"),
+        )
+    )
