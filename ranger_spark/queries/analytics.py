@@ -2006,3 +2006,217 @@ def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_survival"),
         )
     )
+
+
+@register(
+    "events_attribution_credit",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS channel, ts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT c.conv_id, t.channel, t.touch_id,
+             row_number() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.ts, t.touch_id) AS rn_first,
+             row_number() OVER (PARTITION BY c.conv_id
+                                ORDER BY t.ts DESC, t.touch_id DESC) AS rn_last,
+             count(*) OVER (PARTITION BY c.conv_id) AS n_touch
+      FROM conv c
+      JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.ts < c.conv_ts
+       AND t.ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    credits AS (
+      SELECT channel, 'first_touch' AS model,
+             CASE WHEN rn_first = 1 THEN 1.0 ELSE 0.0 END AS credit, conv_id
+      FROM j
+      UNION ALL
+      SELECT channel, 'last_touch',
+             CASE WHEN rn_last = 1 THEN 1.0 ELSE 0.0 END, conv_id FROM j
+      UNION ALL
+      SELECT channel, 'linear', round(1.0 / n_touch, 8), conv_id FROM j
+    )
+    SELECT channel, model,
+           CAST(sum(CAST(credit AS DECIMAL(28,8))) AS DOUBLE) AS total_credit,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+    FROM credits
+    GROUP BY channel, model
+    """,
+    tags=("analytics", "attribution", "events"),
+)
+def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (first-touch / last-touch / linear credit
+    of each purchase across the user's view/click touches in the prior
+    7 days). The conversion-touch join shuffles once on user_id and is
+    time-bounded (7-day band), so its width tracks per-user activity,
+    not corpus size; the two row_numbers and the touch count are windows
+    over the per-conversion groups of that join. Linear credit snaps to
+    an 8dp grid per touch and is summed as DECIMAL(28,8) — exact,
+    order-independent addition, so no cross-engine rounding tie at the
+    total. Ties on touch ts break by event_id both ways."""
+    e = load(spark, sf_dir, "events")
+    conv = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"), "ts",
+    )
+    j = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (touch.ts < conv.conv_ts)
+        & (touch.ts >= conv.conv_ts - F.expr("INTERVAL 7 DAYS")),
+    ).select("conv_id", "channel", "touch_id", "ts")
+    wf = Window.partitionBy("conv_id").orderBy("ts", "touch_id")
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("touch_id").desc()
+    )
+    wn = Window.partitionBy("conv_id")
+    j = j.select(
+        "conv_id", "channel",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+        F.count(F.lit(1)).over(wn).alias("n_touch"),
+    )
+    credits = (
+        j.select(
+            "channel", F.lit("first_touch").alias("model"),
+            F.when(F.col("rn_first") == 1, 1.0).otherwise(0.0).alias("credit"),
+            "conv_id",
+        )
+        .unionAll(
+            j.select(
+                "channel", F.lit("last_touch").alias("model"),
+                F.when(F.col("rn_last") == 1, 1.0).otherwise(0.0).alias("credit"),
+                "conv_id",
+            )
+        )
+        .unionAll(
+            j.select(
+                "channel", F.lit("linear").alias("model"),
+                F.round(1.0 / F.col("n_touch"), 8).alias("credit"),
+                "conv_id",
+            )
+        )
+    )
+    return credits.groupBy("channel", "model").agg(
+        F.sum(F.col("credit").cast("decimal(28,8)"))
+        .cast("double")
+        .alias("total_credit"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+    )
+
+
+@register(
+    "forecast_holt_linear",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT o_orderpriority AS pri,
+             date_trunc('month', o_orderdate) AS mon,
+             CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT pri, mon, rev,
+             CAST(row_number() OVER (PARTITION BY pri ORDER BY mon)
+                  AS INTEGER) AS i
+      FROM monthly
+    ),
+    holt AS (
+      SELECT pri, i, mon, rev,
+             CAST(rev AS DECIMAL(30,8)) AS lvl,
+             CAST(0 AS DECIMAL(30,8)) AS trd,
+             CAST(NULL AS DECIMAL(30,8)) AS fit
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT m.pri, m.i, m.mon, m.rev,
+             CAST(0.5 * m.rev + 0.5 * (h.lvl + h.trd) AS DECIMAL(30,8)),
+             CAST(0.3 * (CAST(0.5 * m.rev + 0.5 * (h.lvl + h.trd)
+                              AS DECIMAL(30,8)) - h.lvl)
+                  + 0.7 * h.trd AS DECIMAL(30,8)),
+             CAST(h.lvl + h.trd AS DECIMAL(30,8))
+      FROM holt h JOIN idx m ON m.pri = h.pri AND m.i = h.i + 1
+    )
+    SELECT pri, mon, CAST(rev AS DOUBLE) AS rev,
+           CAST(lvl AS DOUBLE) AS level,
+           CAST(trd AS DOUBLE) AS trend,
+           CAST(fit AS DOUBLE) AS one_step_fit,
+           CAST(rev - fit AS DOUBLE) AS fit_err
+    FROM holt
+    """,
+    tags=("analytics", "timeseries", "forecast"),
+)
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (α=0.5, β=0.3, l₁=y₁,
+    b₁=0) over monthly revenue, one independent series per order
+    priority — the many-small-time-series shape: the recurrence is
+    inherently sequential per series but embarrassingly parallel across
+    series, so it runs as ``applyInPandas`` over priority groups with
+    k-bounded state (≤ ~80 months each; a production corpus has millions
+    of series, each still tiny). The heavy lift stays declarative: one
+    map-combined monthly aggregate before the Arrow-batched recurrence.
+    Determinism protocol: the whole recurrence runs in exact DECIMAL
+    arithmetic — monthly revenue snaps to DECIMAL(18,2), each level/
+    trend update is quantized to an 8dp decimal grid with half-away
+    ties (Python ``ROUND_HALF_UP`` ≡ DuckDB's decimal cast), so the
+    recursive-CTE oracle replays it bit-for-bit with no float drift."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    Q8 = Decimal("1E-8")
+    A, B = Decimal("0.5"), Decimal("0.3")
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("mon").reset_index(drop=True)
+        lvl, trd, fit = [], [], []
+        for t, y in enumerate(pdf["rev"]):
+            if t == 0:
+                lvl.append(Decimal(y).quantize(Q8))
+                trd.append(Decimal(0).quantize(Q8))
+                fit.append(None)
+            else:
+                prev_l, prev_t = lvl[-1], trd[-1]
+                f = (prev_l + prev_t).quantize(Q8, ROUND_HALF_UP)
+                new_l = (A * Decimal(y) + A * (prev_l + prev_t)).quantize(
+                    Q8, ROUND_HALF_UP
+                )
+                new_t = (
+                    B * (new_l - prev_l) + (1 - B) * prev_t
+                ).quantize(Q8, ROUND_HALF_UP)
+                lvl.append(new_l); trd.append(new_t); fit.append(f)
+        out = pdf[["pri", "mon"]].copy()
+        out["rev"] = [float(y) for y in pdf["rev"]]
+        out["level"] = [float(v) for v in lvl]
+        out["trend"] = [float(v) for v in trd]
+        out["one_step_fit"] = [None if f is None else float(f) for f in fit]
+        out["fit_err"] = [
+            None if f is None else float(Decimal(y) - f)
+            for y, f in zip(pdf["rev"], fit)
+        ]
+        return out
+
+    schema = (
+        "pri string, mon timestamp, rev double, level double, trend double, "
+        "one_step_fit double, fit_err double"
+    )
+    return monthly.groupBy("pri").applyInPandas(holt, schema)
