@@ -5676,3 +5676,115 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("rel_dist") <= 0.3)
+
+
+# ---------------------------------------------------------------------------
+# Naive-Bayes language classifier (count-based training, exact replay)
+# ---------------------------------------------------------------------------
+@register(
+    "nb_lang_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, doc_id % 5 = 0 AS is_test, u AS tok
+      FROM (SELECT doc_id, lang, unnest({_TOKS}) AS u FROM documents)
+      WHERE u <> ''
+    ),
+    tr AS (SELECT * FROM toks WHERE NOT is_test),
+    langs AS (SELECT lang, count(DISTINCT doc_id) AS d_l,
+                     count(*) AS n_l
+              FROM tr GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM tr),
+    totd AS (SELECT sum(d_l) AS d FROM langs),
+    cnts AS (SELECT lang, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+    te AS (SELECT doc_id, lang AS true_lang, tok, count(*) AS tf
+           FROM toks WHERE is_test GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT te.doc_id, te.true_lang, l.lang AS cand,
+             CAST(sum(te.tf * round(ln((coalesce(c.c, 0) + 1.0)
+                                       / (l.n_l + (SELECT v FROM vocab))), 8))
+                  AS DECIMAL(28,8))
+             + any_value(CAST(round(ln(l.d_l / CAST((SELECT d FROM totd)
+                                                    AS DOUBLE)), 8)
+                              AS DECIMAL(28,8))) AS score
+      FROM te
+      CROSS JOIN langs l
+      LEFT JOIN cnts c ON c.lang = l.lang AND c.tok = te.tok
+      GROUP BY te.doc_id, te.true_lang, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rn
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    tags=("text", "classifier", "langid", "training"),
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained in-engine
+    (Laplace-smoothed token likelihoods from an 80% split keyed by
+    doc_id % 5, scored on the held-out 20%) — the canonical cheap
+    supervised lang-id / quality router of corpus pipelines. Scale
+    shape: training is two map-side-combined count aggregates
+    ((lang, token) and lang marginals — mergeable at any corpus size);
+    scoring joins test term-frequencies against the |langs|×|vocab|
+    likelihood table (broadcast-sized: vocab-bounded, NOT corpus-
+    bounded). Determinism protocol: every log-likelihood term snaps to
+    an 8dp grid and weighted sums run as DECIMAL(28,8) — exact, order-
+    independent — so the argmax (lang-asc tiebreak) replays identically
+    in the DuckDB oracle. Output: the held-out confusion matrix."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "lang",
+            (F.col("doc_id") % 5 == 0).alias("is_test"),
+            F.explode(F.split(T.normalize_text(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    tr = toks.where(~F.col("is_test"))
+    langs = tr.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("d_l"),
+        F.count(F.lit(1)).alias("n_l"),
+    )
+    vocab = tr.agg(F.countDistinct("tok").alias("v"))
+    totd = langs.agg(F.sum("d_l").alias("d"))
+    cnts = tr.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    te = (
+        toks.where(F.col("is_test"))
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lv = F.broadcast(langs.crossJoin(vocab).crossJoin(totd)).select(
+        F.col("lang").alias("cand"), "d_l", "n_l", "v", "d"
+    )
+    cj = te.crossJoin(lv).join(
+        F.broadcast(cnts).withColumnRenamed("lang", "cand"),
+        ["cand", "tok"],
+        "left",
+    )
+    dec = "decimal(28,8)"
+    ll = F.round(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+              / (F.col("n_l") + F.col("v"))),
+        8,
+    ).cast(dec)
+    prior = F.round(
+        F.log(F.col("d_l") / F.col("d").cast("double")), 8
+    ).cast(dec)
+    scored = cj.groupBy("doc_id", "true_lang", "cand").agg(
+        (F.sum(F.col("tf") * ll) + F.any_value(prior)).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = scored.select(
+        "true_lang", F.col("cand").alias("pred_lang"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") == 1)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
