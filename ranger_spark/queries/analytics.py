@@ -2334,3 +2334,96 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+@register(
+    "recs_item_item_cf",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    bounded AS (
+      SELECT ck, pk FROM basket
+      WHERE ck IN (SELECT ck FROM basket GROUP BY ck HAVING count(*) <= 200)
+    ),
+    deg AS (SELECT pk, count(*) AS d FROM bounded GROUP BY 1),
+    co AS (
+      SELECT a.pk AS u, b.pk AS v, count(*) AS co
+      FROM bounded a JOIN bounded b ON a.ck = b.ck AND a.pk < b.pk
+      GROUP BY 1, 2
+    ),
+    sim AS (
+      SELECT u AS item, v AS nbr, co,
+             round(co / (sqrt(du.d) * sqrt(dv.d)), 6) AS cos_sim
+      FROM co JOIN deg du ON du.pk = co.u JOIN deg dv ON dv.pk = co.v
+      UNION ALL
+      SELECT v, u, co, round(co / (sqrt(du.d) * sqrt(dv.d)), 6)
+      FROM co JOIN deg du ON du.pk = co.u JOIN deg dv ON dv.pk = co.v
+    ),
+    ranked AS (
+      SELECT item, nbr, co, cos_sim,
+             CAST(row_number() OVER (PARTITION BY item
+                                     ORDER BY cos_sim DESC, nbr) AS INTEGER)
+               AS rn
+      FROM sim
+    )
+    SELECT item, nbr, CAST(co AS BIGINT) AS n_co_buyers, cos_sim, rn
+    FROM ranked WHERE rn <= 3 AND item % 10 = 0
+    """,
+    tags=("analytics", "recsys", "similarity"),
+)
+def recs_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (top-3 neighbors per part by
+    binary-cosine over co-buyer sets — the Amazon-style 'customers also
+    bought' kernel). Pair generation is per-customer and quadratic in
+    basket size, so hot users are capped first (≤200 distinct items —
+    the standard CF skew guard; at 100 TB the cap is what keeps the
+    pair count Σ basket² bounded). One shuffle for baskets, one for the
+    pair counts, one |items|-bounded window for the top-k; degree table
+    broadcasts. Output restricted to every 10th part so the result
+    stays audit-sized; cosine snaps to 6dp before ranking (nbr-asc
+    tiebreak) so both engines rank identically."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"), "o_orderkey"
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("pk")
+    )
+    basket = o.join(l, "o_orderkey").select("ck", "pk").distinct()
+    ok = basket.groupBy("ck").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") <= 200
+    )
+    bounded = basket.join(ok.select("ck"), "ck")
+    deg = bounded.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+    a, b = bounded.alias("a"), bounded.alias("b")
+    co = (
+        a.join(b, (F.col("a.ck") == F.col("b.ck")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    du = F.broadcast(deg.select(F.col("pk").alias("u"), F.col("d").alias("du")))
+    dv = F.broadcast(deg.select(F.col("pk").alias("v"), F.col("d").alias("dv")))
+    cod = co.join(du, "u").join(dv, "v")
+    cs = F.round(
+        F.col("co") / (F.sqrt(F.col("du")) * F.sqrt(F.col("dv"))), 6
+    )
+    sim = cod.select(
+        F.col("u").alias("item"), F.col("v").alias("nbr"),
+        "co", cs.alias("cos_sim"),
+    ).unionAll(
+        cod.select(
+            F.col("v").alias("item"), F.col("u").alias("nbr"),
+            "co", cs.alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(F.col("cos_sim").desc(), "nbr")
+    return (
+        sim.select(
+            "item", "nbr", F.col("co").cast("bigint").alias("n_co_buyers"),
+            "cos_sim", F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .where((F.col("rn") <= 3) & (F.col("item") % 10 == 0))
+    )

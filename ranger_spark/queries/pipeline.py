@@ -5788,3 +5788,149 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of dense + lexical retrieval
+# ---------------------------------------------------------------------------
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKS}, x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    vecs AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, {_FH_DIM}),
+               j -> CAST(len(list_filter(t, x -> {_FH_HASH} % {_FH_DIM} = j))
+                         AS DOUBLE)
+             ) AS v
+      FROM toks WHERE len(t) > 0
+    ),
+    q AS (SELECT doc_id AS q_id, v FROM vecs WHERE doc_id < 3),
+    dense AS (
+      SELECT q_id, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY {_COS_SQL} DESC, doc_id
+             ) AS INTEGER) AS r_dense
+      FROM q, vecs c WHERE c.doc_id <> q.q_id
+    ),
+    qt AS (SELECT doc_id AS q_id, list_distinct(t) AS qs FROM toks
+           WHERE doc_id < 3),
+    lex AS (
+      SELECT qt.q_id, c.doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY qt.q_id
+               ORDER BY round(
+                 len(list_intersect(qt.qs, list_distinct(c.t)))
+                 / CAST(len(list_distinct(list_concat(qt.qs,
+                         list_distinct(c.t)))) AS DOUBLE), 6) DESC,
+                 c.doc_id
+             ) AS INTEGER) AS r_lex
+      FROM qt, toks c WHERE c.doc_id <> qt.q_id AND len(c.t) > 0
+    ),
+    fused AS (
+      SELECT coalesce(d.q_id, l.q_id) AS q_id,
+             coalesce(d.doc_id, l.doc_id) AS doc_id,
+             d.r_dense, l.r_lex,
+             CAST(coalesce(
+               CASE WHEN d.r_dense <= 20
+                    THEN round(1.0 / (60 + d.r_dense), 8) END, 0)
+              + coalesce(
+               CASE WHEN l.r_lex <= 20
+                    THEN round(1.0 / (60 + l.r_lex), 8) END, 0)
+               AS DECIMAL(18,8)) AS rrf
+      FROM (SELECT * FROM dense WHERE r_dense <= 20) d
+      FULL OUTER JOIN (SELECT * FROM lex WHERE r_lex <= 20) l
+        ON l.q_id = d.q_id AND l.doc_id = d.doc_id
+    )
+    SELECT q_id, doc_id, r_dense, r_lex,
+           CAST(rrf AS DOUBLE) AS rrf_score,
+           CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY rrf DESC, doc_id
+           ) AS INTEGER) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+    tags=("similarity", "retrieval", "fusion"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrievers —
+    dense (16-bucket feature-hash cosine) and lexical (token Jaccard) —
+    for 3 query docs: each retriever's top-20 contributes 1/(60+rank),
+    missing docs contribute 0, fused list re-ranked. The RAG-stack
+    ensemble shape: per-query fan-out is corpus-bounded only at the two
+    retriever stages (each already a certified operator pattern); the
+    fusion itself joins two k-bounded rank lists — trivially broadcast
+    at any corpus size. Integer ranks make RRF credits exact on an 8dp
+    grid (summed as DECIMAL, no float drift)."""
+    from pyspark.sql import Window
+
+    from ranger_spark.operators.similarity import brute_force_topk
+    from ranger_spark.operators.text import normalize_text, tokenize
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            tokenize(normalize_text(F.col("text"))),
+            lambda x: F.length(x) > 0,
+        ).alias("t"),
+    )
+    vecs = T.feature_hash_vector(d, "doc_id", "text", dim=_FH_DIM).filter(
+        F.col("n_nonzero") > 0
+    )
+    dense = brute_force_topk(
+        vecs.filter(F.col("doc_id") < 3), vecs,
+        id_col="doc_id", vec_col="vec", k=20,
+    ).select("q_id", "doc_id", F.col("rank").cast("int").alias("r_dense"))
+    qt = (
+        toks.where(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.array_distinct("t").alias("qs"),
+        )
+    )
+    cand = toks.where(F.size("t") > 0).select(
+        "doc_id", F.array_distinct("t").alias("cs")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("qs", "cs"))
+        / F.size(F.array_distinct(F.concat("qs", "cs"))).cast("double"),
+        6,
+    )
+    wl = Window.partitionBy("q_id").orderBy(jac.desc(), "doc_id")
+    lex = (
+        F.broadcast(qt)
+        .crossJoin(cand)
+        .where(F.col("doc_id") != F.col("q_id"))
+        .select(
+            "q_id", "doc_id",
+            F.row_number().over(wl).cast("int").alias("r_lex"),
+        )
+        .where(F.col("r_lex") <= 20)
+    )
+    dense = dense.where(F.col("r_dense") <= 20)
+    credit = lambda c: F.coalesce(  # noqa: E731
+        F.round(1.0 / (60 + F.col(c)), 8), F.lit(0.0)
+    )
+    fused = (
+        dense.join(lex, ["q_id", "doc_id"], "full_outer")
+        .select(
+            "q_id", "doc_id", "r_dense", "r_lex",
+            (credit("r_dense") + credit("r_lex"))
+            .cast("decimal(18,8)")
+            .alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.select(
+            "q_id", "doc_id", "r_dense", "r_lex",
+            F.col("rrf").cast("double").alias("rrf_score"),
+            F.row_number().over(wf).cast("int").alias("fused_rank"),
+        )
+        .where(F.col("fused_rank") <= 10)
+    )
