@@ -2427,3 +2427,62 @@ def recs_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("rn") <= 3) & (F.col("item") % 10 == 0))
     )
+
+
+@register(
+    "parts_pareto_skyline",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey, p_brand, p_retailprice, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    sk AS (
+      SELECT p_partkey, p_brand, p_retailprice, p_size,
+             min(p_size) OVER (
+               PARTITION BY p_brand
+               ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_size_cheaper
+      FROM base
+    )
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM sk
+    WHERE best_size_cheaper IS NULL OR p_size < best_size_cheaper
+    """,
+    tags=("analytics", "skyline", "window"),
+)
+def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline per brand (parts not dominated on price↓ /
+    size↓): computed in ONE sorted window pass — a part survives iff no
+    strictly-cheaper part in its brand has size ≤ it, i.e. its size is
+    below the running min over the strictly-cheaper price range. The
+    naive skyline is the O(n²) domination anti-join; the running-min
+    RANGE frame makes it one brand-partitioned sort, which is the shape
+    that survives 100 TB (skyline of each brand's partition, no pair
+    blow-up). Equal-price ties stay mutually non-dominating via the
+    strict 1-cent RANGE bound on the exact integer cents key,
+    identical in both engines."""
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sk = (
+        load(spark, sf_dir, "part")
+        .withColumn(
+            "cents", F.round(F.col("p_retailprice") * 100).cast("bigint")
+        )
+        .select(
+            "p_partkey", "p_brand", "p_retailprice", "p_size",
+            F.min("p_size").over(w).alias("best_size_cheaper"),
+        )
+    )
+    return sk.where(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("p_size") < F.col("best_size_cheaper"))
+    ).select(
+        "p_partkey", "p_brand", "p_retailprice",
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )

@@ -5934,3 +5934,81 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("fused_rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-dimension (Matryoshka-style) retrieval recall eval
+# ---------------------------------------------------------------------------
+@register(
+    "ann_truncated_dim_recall",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(list_slice(embedding, 1, 16) AS DOUBLE[]) AS v16
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v, v16 FROM e WHERE vec_id < 8),
+    full_rank AS (
+      SELECT q.q_id, c.vec_id,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) DESC, c.vec_id
+             ) AS rnk
+      FROM q, e c WHERE c.vec_id <> q.q_id
+    ),
+    trunc_rank AS (
+      SELECT q.q_id, c.vec_id,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_dot_product(q.v16, c.v16)
+                 / (sqrt(list_dot_product(q.v16, q.v16))
+                    * sqrt(list_dot_product(c.v16, c.v16))), 6) DESC, c.vec_id
+             ) AS rnk
+      FROM q, e c WHERE c.vec_id <> q.q_id
+    )
+    SELECT f.q_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) / 10.0, 6) AS recall_at_10
+    FROM (SELECT q_id, vec_id FROM full_rank WHERE rnk <= 10) f
+    JOIN (SELECT q_id, vec_id FROM trunc_rank WHERE rnk <= 10) t
+      ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY f.q_id
+    """,
+    tags=("similarity", "ann", "eval", "matryoshka"),
+)
+def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval eval: recall@10 of
+    cosine top-k computed on the first 16 of 64 dims against the
+    full-dim ground truth, for 8 query vectors. The budgeting question
+    every embedding pipeline asks — how much retrieval quality does a
+    4× cheaper prefix buy — answered with two runs of the same
+    brute-force kernel and a k-bounded rank-list join (the eval shape of
+    ann_ivf_recall_eval). At 100 TB the truncated pass reads 4× fewer
+    vector bytes; the rank-list join stays queries×k rows."""
+    from ranger_spark.operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.slice(F.col("embedding"), 1, 16).cast("array<double>").alias("v16"),
+    )
+    q = e.where(F.col("vec_id") < 8)
+    full = brute_force_topk(
+        q.select("vec_id", "v"), e.select("vec_id", "v"),
+        id_col="vec_id", vec_col="v", k=10,
+    ).select("q_id", "vec_id")
+    trunc = brute_force_topk(
+        q.select("vec_id", F.col("v16").alias("v")),
+        e.select("vec_id", F.col("v16").alias("v")),
+        id_col="vec_id", vec_col="v", k=10,
+    ).select("q_id", "vec_id")
+    return (
+        full.join(trunc, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+        )
+    )
