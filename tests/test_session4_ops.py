@@ -1,0 +1,197 @@
+"""Structural invariants of the round-7 session-4 operators (A/B stats,
+survival, attribution, forecasting, fuzzy dedup, graph, classifiers,
+retrieval fusion, skyline) — properties the oracle hash-compare cannot
+express."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    from ranger_spark.queries import load_all
+
+    return load_all()
+
+
+def test_welch_ttest_shape(spark, reg):
+    """One row; dof lies within [min(n)-1, n_a+n_b-2] (Welch bounds)."""
+    r = reg["events_welch_ttest"].builder(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    assert min(row["n_a"], row["n_b"]) - 1 <= row["welch_dof"]
+    assert row["welch_dof"] <= row["n_a"] + row["n_b"] - 2
+    assert abs(row["mean_diff"] - (row["mean_a"] - row["mean_b"])) < 1e-5
+
+
+def test_benford_is_probability_distribution(spark, reg):
+    """9 digits; observed and Benford proportions each sum to ~1;
+    chi-square terms are non-negative."""
+    rows = reg["orders_benford_audit"].builder(spark, SF_DIR).collect()
+    assert sorted(r["first_digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_kaplan_meier_monotone(spark, reg):
+    """log-survival is non-increasing in t; risk set strictly shrinks."""
+    rows = sorted(
+        reg["users_kaplan_meier"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["t_week"],
+    )
+    assert rows
+    ls = [r["log_survival"] for r in rows]
+    assert all(b <= a + 1e-9 for a, b in zip(ls, ls[1:]))
+    nr = [r["n_risk"] for r in rows]
+    assert all(b < a for a, b in zip(nr, nr[1:]))
+    assert all(r["n_churn"] <= r["n_risk"] for r in rows)
+
+
+def test_attribution_credit_conserved(spark, reg):
+    """First- and last-touch credits each sum to the number of attributed
+    conversions; linear credit sums to the same total (credit is
+    conserved across models)."""
+    rows = reg["events_attribution_credit"].builder(spark, SF_DIR).collect()
+    by_model = {}
+    for r in rows:
+        by_model.setdefault(r["model"], 0.0)
+        by_model[r["model"]] += r["total_credit"]
+    assert set(by_model) == {"first_touch", "last_touch", "linear"}
+    ft, lt, ln = (
+        by_model["first_touch"], by_model["last_touch"], by_model["linear"]
+    )
+    assert abs(ft - lt) < 1e-4
+    assert abs(ft - ln) < 1e-3
+
+
+def test_holt_recurrence_holds(spark, reg):
+    """Re-derive each step from the previous (level, trend): the emitted
+    series must satisfy Holt's update equations on the 8dp grid."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = reg["forecast_holt_linear"].builder(spark, SF_DIR).collect()
+    Q8 = Decimal("1E-8")
+    A, B = Decimal("0.5"), Decimal("0.3")
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["pri"], r["mon"])):
+        series.setdefault(r["pri"], []).append(r)
+    assert len(series) == 5
+    for rows_p in series.values():
+        for prev, cur in zip(rows_p, rows_p[1:]):
+            pl = Decimal(repr(prev["level"])).quantize(Q8)
+            pt = Decimal(repr(prev["trend"])).quantize(Q8)
+            y = Decimal(repr(cur["rev"]))
+            want_l = (A * y + A * (pl + pt)).quantize(Q8, ROUND_HALF_UP)
+            assert abs(float(want_l) - cur["level"]) < 1e-6
+            want_t = (B * (want_l - pl) + (1 - B) * pt).quantize(
+                Q8, ROUND_HALF_UP
+            )
+            assert abs(float(want_t) - cur["trend"]) < 1e-6
+            assert abs(float(pl + pt) - cur["one_step_fit"]) < 1e-6
+
+
+def test_edit_distance_pairs_are_near(spark, reg):
+    """Every surviving pair is within the 0.3 relative-distance bar and
+    references two distinct docs; exact duplicates appear at distance 0."""
+    rows = reg["dedup_edit_distance"].builder(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["rel_dist"] <= 0.3 for r in rows)
+    assert all(r["a_id"] != r["b_id"] for r in rows)
+    assert any(r["lev_dist"] == 0 for r in rows)  # corpus has exact dups
+
+
+def test_triangle_invariants(spark, reg):
+    """3·T ≤ wedges (every triangle closes 3 wedges); counts positive."""
+    r = reg["copurchase_triangles"].builder(spark, SF_DIR).collect()[0]
+    assert r["n_nodes"] > 0 and r["n_edges"] > 0
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["global_clustering"] <= 1.0
+
+
+def test_nb_confusion_matrix_covers_test_split(spark, reg):
+    """Confusion-matrix mass equals the held-out doc count (every test
+    doc with ≥1 token gets exactly one prediction); labels are the
+    corpus langs; accuracy beats the 1/|langs| chance floor."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark.tables import load
+
+    rows = reg["nb_lang_classifier"].builder(spark, SF_DIR).collect()
+    total = sum(r["n_docs"] for r in rows)
+    docs = load(spark, SF_DIR, "documents")
+    n_test = docs.where(
+        (F.col("doc_id") % 5 == 0) & (F.length(F.trim("text")) > 0)
+    ).count()
+    assert total == n_test
+    correct = sum(r["n_docs"] for r in rows if r["true_lang"] == r["pred_lang"])
+    langs = {r["true_lang"] for r in rows}
+    assert correct / total >= 1.0 / len(langs)
+
+
+def test_rrf_fusion_ranks(spark, reg):
+    """Per query: fused ranks are 1..10 with no gaps; every fused doc
+    carries at least one source rank; RRF score is within the 2-list
+    bound and non-increasing down the fused list."""
+    rows = reg["retrieval_rrf_fusion"].builder(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 3
+    for lst in by_q.values():
+        lst.sort(key=lambda r: r["fused_rank"])
+        assert [r["fused_rank"] for r in lst] == list(range(1, len(lst) + 1))
+        assert all(
+            r["r_dense"] is not None or r["r_lex"] is not None for r in lst
+        )
+        scores = [r["rrf_score"] for r in lst]
+        assert all(b <= a + 1e-12 for a, b in zip(scores, scores[1:]))
+        assert all(0.0 < s <= 2 / 61 + 1e-12 for s in scores)
+
+
+def test_skyline_no_domination(spark, reg):
+    """No surviving part is strictly dominated by another survivor of the
+    same brand (cheaper-or-equal AND smaller, one strict)."""
+    rows = reg["parts_pareto_skyline"].builder(spark, SF_DIR).collect()
+    by_brand = {}
+    for r in rows:
+        by_brand.setdefault(r["p_brand"], []).append(r)
+    for parts in by_brand.values():
+        for a in parts:
+            for b in parts:
+                if a is b:
+                    continue
+                dominates = (
+                    b["p_retailprice"] <= a["p_retailprice"]
+                    and b["p_size"] <= a["p_size"]
+                    and (
+                        b["p_retailprice"] < a["p_retailprice"]
+                        or b["p_size"] < a["p_size"]
+                    )
+                )
+                assert not dominates
+
+
+def test_item_cf_symmetric_similarity(spark, reg):
+    """cos_sim ∈ (0,1]; ranks 1..3 per item without gaps."""
+    rows = reg["recs_item_item_cf"].builder(spark, SF_DIR).collect()
+    assert rows
+    by_item = {}
+    for r in rows:
+        assert 0.0 < r["cos_sim"] <= 1.0
+        by_item.setdefault(r["item"], []).append(r["rn"])
+    for rns in by_item.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+def test_truncated_recall_bounds(spark, reg):
+    """recall@10 ∈ [0,1] per query and hits = 10·recall."""
+    rows = reg["ann_truncated_dim_recall"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert abs(r["recall_at_10"] - r["n_hits"] / 10.0) < 1e-9
