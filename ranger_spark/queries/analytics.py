@@ -2486,3 +2486,132 @@ def parts_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_retailprice",
         F.col("p_size").cast("bigint").alias("p_size"),
     )
+
+
+@register(
+    "orders_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(round(avg(rev), 6) AS DECIMAL(28,6)) AS mu,
+             count(*) AS n_days
+      FROM daily
+    ),
+    s AS (
+      SELECT day, rev,
+             sum(CAST(rev AS DECIMAL(28,6)) - m.mu)
+               OVER (ORDER BY day) AS cusum
+      FROM daily, m
+    ),
+    ranked AS (
+      SELECT day, rev, cusum,
+             row_number() OVER (ORDER BY abs(cusum) DESC, day) AS rn
+      FROM s
+    )
+    SELECT r.day AS cp_date,
+           CAST(r.rev AS DOUBLE) AS cp_day_rev,
+           CAST(r.cusum AS DOUBLE) AS s_max,
+           CAST(m.mu AS DOUBLE) AS mean_rev,
+           CAST(m.n_days AS BIGINT) AS n_days
+    FROM ranked r, m WHERE r.rn = 1
+    """,
+    tags=("analytics", "timeseries", "changepoint"),
+)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily revenue: the argmax of
+    |Σ(yₜ − ȳ)| locates the most likely mean shift (Page's statistic,
+    the standard first-pass monitor for metric regressions). All
+    arithmetic is exact DECIMAL — daily revenue on the 2dp grid, the
+    mean snapped to 6dp, the cumulative sum exact — so the argmax
+    (earliest-day tiebreak) is engine-identical with no float drift.
+    Scale: one date-grain aggregate (map-side combined), then one
+    window over the O(days) series — the cumsum never touches row-level
+    data. A second pass on each side of the cut (binary segmentation)
+    reuses the same plan."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    m = daily.agg(
+        F.round(F.avg("rev"), 6).cast("decimal(28,6)").alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.crossJoin(F.broadcast(m)).withColumn(
+        "cusum",
+        F.sum(F.col("rev").cast("decimal(28,6)") - F.col("mu")).over(w),
+    )
+    wr = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("day"))
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("cp_date"),
+            F.col("rev").cast("double").alias("cp_day_rev"),
+            F.col("cusum").cast("double").alias("s_max"),
+            F.col("mu").cast("double").alias("mean_rev"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )
+
+
+@register(
+    "customers_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS grp_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CASE WHEN grp_size >= 5 THEN '5+'
+                ELSE CAST(grp_size AS VARCHAR) END AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(grp_size) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                AS BIGINT) AS n_reidentifiable
+    FROM qi GROUP BY 1
+    """,
+    tags=("analytics", "privacy", "governance"),
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, $1000 balance band) — the training-data governance
+    check that pairs with PII redaction: any row in an equivalence
+    class smaller than k=5 is re-identifiable from public attributes
+    alone. One map-side-combined group-count, then a 5-bucket rollup —
+    two tiny shuffles at any corpus size. The production follow-up
+    (suppress or generalize the flagged classes) filters on the same
+    grp_size column."""
+    qi = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp_size"))
+    )
+    return (
+        qi.groupBy(
+            F.when(F.col("grp_size") >= 5, "5+")
+            .otherwise(F.col("grp_size").cast("string"))
+            .alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("grp_size").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
+            ).cast("bigint").alias("n_reidentifiable"),
+        )
+    )
