@@ -2615,3 +2615,86 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_reidentifiable"),
         )
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 5) -> str:
+    """Peeling replayed round-for-round with materialized CTEs: each
+    round drops nodes of degree < k over the surviving edge set."""
+    parts = ["""WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+    d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}
+      ) GROUP BY 1 HAVING count(*) >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{p} e
+      JOIN d{r} x ON x.node = e.u
+      JOIN d{r} y ON y.node = e.v
+    )""")
+    sels = [
+        f"SELECT {r} AS round, (SELECT CAST(count(*) AS BIGINT) FROM d{r}) AS n_nodes, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(sels))
+    return "".join(parts)
+
+
+@register(
+    "copurchase_kcore",
+    oracle=_kcore_oracle(),
+    tags=("analytics", "graph", "kcore"),
+)
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-purchase graph by bounded-
+    round peeling: each round computes surviving degrees (one map-side-
+    combined count over the edge list) and drops nodes below k, shrinking
+    the edge set — the dense-subgraph extractor used for community/
+    anomaly mining. 5 fixed rounds (the graph family's bounded-round
+    pattern, cf. dedup_cluster_assign): each round is one degree
+    aggregate + one semi-join, all shuffles keyed on node id, no
+    frontier state on the driver. Emits the peeling trace
+    (round, surviving nodes, surviving edges) — monotone non-increasing
+    by construction."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out = None
+    e = edges
+    for r in range(1, 6):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 3)
+        )
+        e = (
+            e.join(deg.select(F.col("node").alias("u")), "u")
+            .join(deg.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        row = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).crossJoin(
+            e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        out = row if out is None else out.unionAll(row)
+    return out
