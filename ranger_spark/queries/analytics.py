@@ -2698,3 +2698,81 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def _bfs_oracle(rounds: int = 3) -> str:
+    """Frontier expansion replayed hop-for-hop with materialized CTEs."""
+    parts = ["""WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+    ),
+    f0 AS MATERIALIZED (SELECT min(u) AS node FROM e),
+    s0 AS MATERIALIZED (SELECT node FROM f0)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+    f{r} AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node
+      FROM e JOIN f{p} f ON f.node = e.u
+      WHERE e.v NOT IN (SELECT node FROM s{p})
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT node FROM s{p} UNION SELECT node FROM f{r}
+    )""")
+    sels = [
+        f"SELECT {r} AS hop, (SELECT CAST(count(*) AS BIGINT) FROM f{r}) AS n_new, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS n_reached"
+        for r in range(1, rounds + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(sels))
+    return "".join(parts)
+
+
+@register(
+    "copurchase_bfs_hops",
+    oracle=_bfs_oracle(),
+    tags=("analytics", "graph", "bfs"),
+)
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability from the lowest-id part over the
+    co-purchase graph — the neighborhood-size profile behind 'related
+    products' crawls and influence radii. Each hop is one frontier-to-
+    edge hash join plus an anti-join against the visited set, all keyed
+    on node id (never an adjacency matrix); the frontier and visited
+    sets stay DataFrames, so hop state is distributed, not driver-held.
+    Bounded at 3 rounds like the rest of the graph family. Emits
+    (hop, newly reached, cumulative reached)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = e.agg(F.min("u").alias("node")).localCheckpoint()
+    seen = frontier
+    out = None
+    for r in range(1, 4):
+        frontier = (
+            e.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .localCheckpoint()
+        )
+        seen = seen.unionAll(frontier).localCheckpoint()
+        row = frontier.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_new")
+        ).crossJoin(
+            seen.agg(F.count(F.lit(1)).cast("bigint").alias("n_reached"))
+        ).select(F.lit(r).alias("hop"), "n_new", "n_reached")
+        out = row if out is None else out.unionAll(row)
+    return out
