@@ -2776,3 +2776,71 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(r).alias("hop"), "n_new", "n_reached")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(length(regexp_replace(s, 'vc+p', '', 'g'))
+                <> length(s) AS BOOLEAN) AS browse_buy,
+           CAST(s LIKE '%ee%' AS BOOLEAN) AS double_error,
+           CAST(length(regexp_extract(s, 'vc+p', 0)) AS BIGINT) AS first_match_len
+    FROM seq
+    """,
+    tags=("analytics", "cep", "pattern"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern matching: each user's event
+    history collapses to a compact symbol string (one char per event,
+    ts/event_id ordered) and CEP patterns become JVM-side regexes —
+    'view, clicks, then purchase' is ``vc+p``, 'consecutive errors' is
+    ``ee``. One user_id shuffle builds the sequences; the matching is a
+    map-only regexp pass over O(users) strings (per-user history is the
+    bounded dimension, exactly how production CEP-on-batch shards). The
+    reference parses no sequence operators; this exceeds it alongside
+    the funnel/Markov family."""
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        (F.length(F.regexp_replace("s", "vc+p", "")) != F.length("s")).alias(
+            "browse_buy"
+        ),
+        F.col("s").like("%ee%").alias("double_error"),
+        F.length(F.regexp_extract("s", "vc+p", 0)).cast("bigint").alias(
+            "first_match_len"
+        ),
+    )
