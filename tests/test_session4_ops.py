@@ -195,3 +195,65 @@ def test_truncated_recall_bounds(spark, reg):
     for r in rows:
         assert 0 <= r["n_hits"] <= 10
         assert abs(r["recall_at_10"] - r["n_hits"] / 10.0) < 1e-9
+
+
+def test_cusum_changepoint_bounds(spark, reg):
+    """CUSUM argmax exists and |s_max| > 0 on a non-constant series."""
+    r = reg["orders_cusum_changepoint"].builder(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_days"] > 0
+    assert abs(row["s_max"]) > 0
+
+
+def test_k_anonymity_partition(spark, reg):
+    """Buckets partition all customers; re-identifiable rows only in k<5."""
+    from ranger_spark.tables import load
+
+    rows = reg["customers_k_anonymity"].builder(spark, SF_DIR).collect()
+    total = sum(r["n_rows"] for r in rows)
+    assert total == load(spark, SF_DIR, "customer").count()
+    for r in rows:
+        if r["k_bucket"] == "5+":
+            assert r["n_reidentifiable"] == 0
+        else:
+            assert r["n_reidentifiable"] == r["n_rows"]
+
+
+def test_kcore_peeling_monotone(spark, reg):
+    """Peeling never grows the graph: nodes/edges non-increasing by
+    round; surviving nodes can't exceed 2·edges/k."""
+    rows = sorted(
+        reg["copurchase_kcore"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+    for r in rows[1:]:
+        if r["n_nodes"]:
+            assert r["n_nodes"] <= 2 * rows[rows.index(r) - 1]["n_edges"] / 3
+
+
+def test_bfs_cumulative_consistency(spark, reg):
+    """n_reached is the running sum of frontiers (+1 for the anchor)."""
+    rows = sorted(
+        reg["copurchase_bfs_hops"].builder(spark, SF_DIR).collect(),
+        key=lambda r: r["hop"],
+    )
+    cum = 1
+    for r in rows:
+        cum += r["n_new"]
+        assert r["n_reached"] == cum
+
+
+def test_pattern_match_consistency(spark, reg):
+    """browse_buy ⇔ a non-empty vc+p match; n_events = per-user event
+    count."""
+    rows = reg["events_pattern_match"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["browse_buy"] == (r["first_match_len"] > 0)
+        if r["first_match_len"]:
+            assert r["first_match_len"] >= 3  # v, >=1 c, p
