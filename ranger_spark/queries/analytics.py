@@ -2844,3 +2844,129 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_match_len"
         ),
     )
+
+
+@register(
+    "customer_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS r
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i FROM rev
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(CAST(r AS DECIMAL(28,2))) AS tot,
+             sum(CAST(i AS DECIMAL(28,2)) * r) AS iwsum
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(iwsum AS DOUBLE) / (n * CAST(tot AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+    tags=("analytics", "inequality", "gini"),
+)
+def customer_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (the
+    inequality dual of the Pareto-share query): G = 2·Σi·xᵢ/(n·Σx) −
+    (n+1)/n over revenues ranked ascending. One customer rollup, one
+    global rank window over the O(customers) table, one 3-value
+    aggregate — the rank-weighted sums run in exact DECIMAL so the
+    statistic is grid-identical across engines (custkey tiebreak pins
+    equal revenues). At 100 TB the rank window is the only total-order
+    step and it runs on the post-aggregate table, not raw orders."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("r")
+        )
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select("r", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r").cast("decimal(28,2)")).alias("tot"),
+        F.sum(F.col("i").cast("decimal(28,2)") * F.col("r")).alias("iwsum"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("tot").cast("double").alias("total_revenue"),
+        F.round(
+            2.0 * F.col("iwsum").cast("double")
+            / (F.col("n") * F.col("tot").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "lineitem_weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price, qty,
+             sum(qty) OVER (PARTITION BY flag
+                            ORDER BY price, qty
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(qty) OVER (PARTITION BY flag) AS tw
+      FROM w
+    ),
+    m AS (
+      SELECT flag, price, cw, tw,
+             row_number() OVER (PARTITION BY flag ORDER BY price, qty) AS rn
+      FROM c WHERE 2 * cw >= tw
+    )
+    SELECT flag AS l_returnflag,
+           price AS weighted_median_price,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM m WHERE rn = 1
+    """,
+    tags=("analytics", "percentile", "weighted"),
+)
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    percentile Spark lacks natively (percentile_approx is unweighted):
+    the first price whose cumulative quantity crosses half the total,
+    found with one partitioned sort window (cumulative weight) against
+    a broadcast-free same-window total. Deterministic via the
+    (price, qty) sort tiebreak. At 100 TB this is one shuffle on the
+    group key and a per-group sort — the exact-percentile shape; the
+    sketch path (weighted t-digest) is the approx variant."""
+    w = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    cum = (
+        Window.partitionBy("flag")
+        .orderBy("price", "qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("flag")
+    c = w.select(
+        "flag", "price", "qty",
+        F.sum("qty").over(cum).alias("cw"),
+        F.sum("qty").over(tot).alias("tw"),
+    )
+    rn = Window.partitionBy("flag").orderBy("price", "qty")
+    m = c.where(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rn", F.row_number().over(rn)
+    )
+    return m.where(F.col("rn") == 1).select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("price").alias("weighted_median_price"),
+        F.col("tw").cast("bigint").alias("total_weight"),
+    )
