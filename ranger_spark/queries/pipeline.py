@@ -6012,3 +6012,171 @@ def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+_MMR_K, _MMR_CAND, _MMR_ANCHORS = 4, 12, 4
+_MMR_COS = (
+    "CAST(round(list_dot_product({a}.v, {b}.v) / "
+    "(sqrt(list_dot_product({a}.v, {a}.v)) * "
+    "sqrt(list_dot_product({b}.v, {b}.v))), 6) AS DECIMAL(10,6))"
+)
+
+
+def _mmr_oracle() -> str:
+    """Selection replayed pick-for-pick: round t maximizes the EXACT
+    decimal 0.7·rel − 0.3·max-sim-to-selected (vec_id tiebreak)."""
+    parts = [f"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v FROM e WHERE vec_id < {_MMR_ANCHORS}),
+    cand AS MATERIALIZED (
+      SELECT q_id, vec_id, rel FROM (
+        SELECT q.q_id, c.vec_id, {_MMR_COS.format(a='q', b='c')} AS rel,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_MMR_COS.format(a='q', b='c')} DESC, c.vec_id
+               ) AS rn
+        FROM q JOIN e c ON c.vec_id <> q.q_id
+      ) WHERE rn <= {_MMR_CAND}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.q_id, a.vec_id AS ai, b.vec_id AS bi,
+             {_MMR_COS.format(a='x', b='y')} AS sim
+      FROM cand a
+      JOIN cand b ON b.q_id = a.q_id AND b.vec_id <> a.vec_id
+      JOIN e x ON x.vec_id = a.vec_id
+      JOIN e y ON y.vec_id = b.vec_id
+    ),
+    s1 AS MATERIALIZED (
+      SELECT q_id, vec_id, rel,
+             CAST(NULL AS DECIMAL(12,7)) AS mmr, 1 AS pick
+      FROM (
+        SELECT q_id, vec_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""]
+    for t in range(2, _MMR_K + 1):
+        p = t - 1
+        parts.append(f""",
+    m{t} AS MATERIALIZED (
+      SELECT c.q_id, c.vec_id, c.rel,
+             CAST(0.7 * c.rel AS DECIMAL(12,7))
+               - CAST(0.3 * max(p.sim) AS DECIMAL(12,7)) AS mmr
+      FROM cand c
+      JOIN pair p ON p.q_id = c.q_id AND p.ai = c.vec_id
+      JOIN s{p} s ON s.q_id = p.q_id AND s.vec_id = p.bi
+      WHERE NOT EXISTS (SELECT 1 FROM s{p} x
+                        WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+      GROUP BY c.q_id, c.vec_id, c.rel
+    ),
+    s{t} AS MATERIALIZED (
+      SELECT q_id, vec_id, rel, mmr, pick FROM s{p}
+      UNION ALL
+      SELECT q_id, vec_id, rel, mmr, {t} AS pick FROM (
+        SELECT q_id, vec_id, rel, mmr,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY mmr DESC, vec_id) AS rn
+        FROM m{t}
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT q_id, vec_id, CAST(pick AS INTEGER) AS pick,
+           CAST(rel AS DOUBLE) AS rel,
+           CAST(mmr AS DOUBLE) AS mmr_score
+    FROM s{_MMR_K}""")
+    return "".join(parts)
+
+
+@register(
+    "ann_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "retrieval", "mmr"),
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from each anchor's cosine top-12, pick 4 results that trade
+    relevance against redundancy (0.7·rel − 0.3·max-sim-to-picked per
+    round). The candidate table is queries×k rows BY CONSTRUCTION —
+    the expensive part is the first-stage retrieval (the certified
+    top-k kernel); the selection itself runs on the driver over that
+    k-bounded set (the bpe.py:87 learned-parameter pattern) in exact
+    DECIMAL arithmetic and re-enters as a VALUES relation. The oracle
+    replays the selection pick-for-pick. At 100 TB nothing changes:
+    candidates stay queries×k no matter the corpus."""
+    from decimal import Decimal
+
+    from ranger_spark.operators.fastpath import values_relation
+    from ranger_spark.operators.similarity import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.where(F.col("vec_id") < _MMR_ANCHORS)
+    cand = brute_force_topk(
+        q, e, id_col="vec_id", vec_col="v", k=_MMR_CAND
+    ).select("q_id", "vec_id", F.col("cos_sim").alias("rel"))
+    ids = cand.select(F.col("vec_id").alias("cid")).distinct()
+    ce = e.join(ids, e.vec_id == ids.cid).select("vec_id", "v")
+    a = cand.select("q_id", F.col("vec_id").alias("ai")).join(
+        ce.select(F.col("vec_id").alias("ai"), F.col("v").alias("va")), "ai"
+    )
+    b = cand.select(F.col("q_id").alias("qb"), F.col("vec_id").alias("bi")).join(
+        ce.select(F.col("vec_id").alias("bi"), F.col("v").alias("vb")), "bi"
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pair = (
+        a.join(b, (F.col("qb") == F.col("q_id")) & (F.col("bi") != F.col("ai")))
+        .select(
+            "q_id", "ai", "bi",
+            F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 6).alias("sim"),
+        )
+    )
+    crows = cand.collect()          # queries×k rows — bounded by design
+    prows = pair.collect()          # queries×k² rows — bounded by design
+    rel = {(r["q_id"], r["vec_id"]): Decimal(repr(r["rel"])) for r in crows}
+    sim = {(r["q_id"], r["ai"], r["bi"]): Decimal(repr(r["sim"])) for r in prows}
+    anchors = sorted({k[0] for k in rel})
+    L, M = Decimal("0.7"), Decimal("0.3")
+    out = []
+    for qid in anchors:
+        cs = sorted(
+            (c for (qq, c) in rel if qq == qid),
+            key=lambda c: (-rel[(qid, c)], c),
+        )
+        picked = [cs[0]]
+        out.append((qid, cs[0], 1, float(rel[(qid, cs[0])]), None))
+        for t in range(2, _MMR_K + 1):
+            best = None
+            for c in cs:
+                if c in picked:
+                    continue
+                ms = max(sim[(qid, c, s)] for s in picked)
+                mmr = (L * rel[(qid, c)]) - (M * ms)
+                key = (-mmr, c)
+                if best is None or key < best[0]:
+                    best = (key, c, mmr)
+            out.append((qid, best[1], t, float(rel[(qid, best[1])]),
+                        float(best[2])))
+            picked.append(best[1])
+    return values_relation(
+        spark, out,
+        [
+            "CAST(col1 AS BIGINT) AS q_id",
+            "CAST(col2 AS BIGINT) AS vec_id",
+            "CAST(col3 AS INTEGER) AS pick",
+            "CAST(col4 AS DOUBLE) AS rel",
+            "CAST(col5 AS DOUBLE) AS mmr_score",
+        ],
+    )
