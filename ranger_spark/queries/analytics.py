@@ -3106,3 +3106,197 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction"
         ),
     )
+
+
+@register(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS DECIMAL(18,2)) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(CAST(r AS DECIMAL(28,2))) AS t FROM rev),
+    cum AS (
+      SELECT pk, r,
+             sum(CAST(r AS DECIMAL(28,2)))
+               OVER (ORDER BY r DESC, pk) AS cr
+      FROM rev
+    ),
+    cls AS (
+      SELECT pk, r,
+             CASE WHEN CAST(cr AS DOUBLE) / CAST(t.t AS DOUBLE) <= 0.8
+                  THEN 'A'
+                  WHEN CAST(cr AS DOUBLE) / CAST(t.t AS DOUBLE) <= 0.95
+                  THEN 'B' ELSE 'C' END AS abc
+      FROM cum, tot t
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(r AS DECIMAL(28,2))) AS DOUBLE) AS revenue,
+           round(CAST(sum(CAST(r AS DECIMAL(28,2))) AS DOUBLE)
+                 / (SELECT CAST(t AS DOUBLE) FROM tot), 6) AS revenue_share
+    FROM cls GROUP BY abc
+    """,
+    tags=("analytics", "abc", "inventory"),
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC revenue classification (the 80/15/5 inventory rule): parts
+    ranked by discounted revenue, classes cut at 80% / 95% of the exact-
+    DECIMAL cumulative share. One part-key rollup, then a single global
+    cumsum window over the O(parts) aggregate — the ranked table is the
+    post-aggregate one, so the total-order step never sees raw
+    lineitems. Class boundaries compare exact decimal cumulative sums
+    (pk tiebreak on equal revenue), so the cut is engine-identical."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).cast("decimal(18,2)").alias("r")
+        )
+    )
+    tot = rev.agg(F.sum(F.col("r").cast("decimal(28,2)")).alias("t"))
+    w = Window.orderBy(F.col("r").desc(), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.withColumn(
+        "cr", F.sum(F.col("r").cast("decimal(28,2)")).over(w)
+    ).crossJoin(F.broadcast(tot))
+    share = F.col("cr").cast("double") / F.col("t").cast("double")
+    cls = cum.withColumn(
+        "abc",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"),
+    )
+    return (
+        cls.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.col("r").cast("decimal(28,2)")).cast("double").alias("revenue"),
+            F.max(F.col("t").cast("double")).alias("_t"),
+        )
+        .select(
+            "abc", "n_parts", "revenue",
+            F.round(F.col("revenue") / F.col("_t"), 6).alias("revenue_share"),
+        )
+    )
+
+
+@register(
+    "customer_order_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    ),
+    per_cust AS (
+      SELECT o_custkey AS custkey,
+             count(gap) AS n_gaps,
+             round(avg(gap), 6) AS mean_gap,
+             CAST(min(gap) AS BIGINT) AS min_gap,
+             CAST(max(gap) AS BIGINT) AS max_gap
+      FROM gaps WHERE gap IS NOT NULL
+      GROUP BY 1 HAVING count(gap) >= 3
+    )
+    SELECT custkey, CAST(n_gaps AS BIGINT) AS n_gaps,
+           mean_gap, min_gap, max_gap
+    FROM per_cust
+    """,
+    tags=("analytics", "interarrival", "window"),
+)
+def customer_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order inter-arrival statistics per customer (the purchase-cadence
+    feature behind churn/LTV models): one lag window over each
+    customer's date-ordered orders (orderkey tiebreak pins same-day
+    orders), then a per-customer gap rollup — both stages keyed on
+    custkey, one shuffle total. Customers with < 3 gaps are dropped
+    (cadence needs history)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap"),
+    )
+    return (
+        gaps.where(F.col("gap").isNotNull())
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("mean_gap"),
+            F.min("gap").cast("bigint").alias("min_gap"),
+            F.max("gap").cast("bigint").alias("max_gap"),
+        )
+        .where(F.col("n_gaps") >= 3)
+    )
+
+
+@register(
+    "users_bot_heuristic",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             count(*) + 1 AS n_events,
+             round(avg(gap_us) / 1e6, 6) AS mean_gap_s,
+             round(coalesce(stddev_samp(gap_us), 0) / 1e6, 6) AS sd_gap_s,
+             CAST(sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_subsecond
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           mean_gap_s, sd_gap_s, n_subsecond,
+           CAST(n_subsecond >= 3
+                OR (n_events >= 20 AND sd_gap_s < 0.5 * mean_gap_s)
+                AS BOOLEAN) AS bot_suspect
+    FROM per_user
+    """,
+    tags=("analytics", "quality", "bot"),
+)
+def users_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection heuristics over event cadence — the
+    traffic-cleaning pass every web-scale corpus runs before counting
+    anything: per-user inter-arrival gaps (one lag window, event_id
+    tiebreak), then burst (≥3 sub-second gaps) and metronome (many
+    events with low gap variance) rules. Integer epoch-microsecond
+    gaps keep the arithmetic exact; the rules read a per-user rollup,
+    so the verdict is one user_id shuffle at any corpus size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = ts_epoch_us("ts")
+    g = load(spark, sf_dir, "events").select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    pu = (
+        g.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+            F.round(F.avg("gap_us") / 1e6, 6).alias("mean_gap_s"),
+            F.round(
+                F.coalesce(F.stddev_samp("gap_us"), F.lit(0.0)) / 1e6, 6
+            ).alias("sd_gap_s"),
+            F.sum(
+                F.when(F.col("gap_us") < 1000000, 1).otherwise(0)
+            ).cast("bigint").alias("n_subsecond"),
+        )
+    )
+    return pu.select(
+        "user_id", "n_events", "mean_gap_s", "sd_gap_s", "n_subsecond",
+        (
+            (F.col("n_subsecond") >= 3)
+            | ((F.col("n_events") >= 20)
+               & (F.col("sd_gap_s") < 0.5 * F.col("mean_gap_s")))
+        ).alias("bot_suspect"),
+    )
