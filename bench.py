@@ -505,6 +505,25 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
     }
 
 
+def _graph_section(spark, registry, sf_dir: str) -> dict:
+    """The round-7 graph/recsys family at the bench SF — pair-generating
+    ops whose cost is structural (wedges, co-buyer pairs), not job-floor,
+    so regressions show up here rather than in the headline. kcore runs
+    5 fixed rounds; its ratio at this SF is round-scheduling overhead
+    (the per-round shape is one aggregate + one semi-join)."""
+    names = ["copurchase_triangles", "recs_item_item_cf", "copurchase_kcore"]
+    names = [n for n in names if n in registry]
+    spark_t = _bench_spark(spark, registry, names, sf_dir, warmups=1, timed=1)
+    duck_t = _bench_duckdb(registry, names, sf_dir, warmups=1, timed=1)
+    return {
+        "spark": spark_t,
+        "duckdb": duck_t,
+        "per_query_ratio": {
+            n: round(spark_t[n] / duck_t[n], 2) for n in names if duck_t.get(n)
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -540,6 +559,11 @@ def main() -> None:
             result["mv_refresh"] = _mv_refresh_section(spark, sf_dir)
         except Exception as e:
             result["mv_refresh"] = {"error": str(e)[:300]}
+    if os.environ.get("SPARK_GRAFT_SKIP_GRAPH") != "1":
+        try:
+            result["graph"] = _graph_section(spark, registry, sf_dir)
+        except Exception as e:
+            result["graph"] = {"error": str(e)[:300]}
     if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
         try:
             result["streaming"] = _streaming_section(spark, registry, sf_dir)
