@@ -70,6 +70,21 @@ _NL_ALLOWED = {
     "events_funnel",  # 1-row stage-count broadcasts (crossJoin of scalars)
     "sample_dsir_scores",  # 1-row broadcast token totals (crossJoin of scalars)
     "ann_pq_topk",  # |Q|-row broadcast LUT crossJoin over the codes table
+    # session-4 family: every entry below is a crossJoin of a 1-row (or
+    # k-bounded) broadcast aggregate — corpus stats, thresholds, per-round
+    # trace counts — never a data-sized pair join:
+    "events_welch_ttest",  # 1-row arm-stats crossJoin
+    "orders_benford_audit",  # 1-row total crossJoin
+    "users_kaplan_meier",  # 1-row horizon broadcast
+    "orders_cusum_changepoint",  # 1-row mean broadcast
+    "events_cuped_adjustment",  # 1-row midpoint + theta broadcasts
+    "parts_abc_classification",  # 1-row total crossJoin
+    "copurchase_triangles",  # 1-row stats×edges×tri count crossJoins
+    "copurchase_kcore",  # per-round 1-row node/edge count crossJoins
+    "copurchase_bfs_hops",  # per-hop 1-row frontier/seen count crossJoins
+    "nb_lang_classifier",  # |langs|-row broadcast likelihood-table crossJoin
+    "retrieval_rrf_fusion",  # 3-row broadcast query sides (dense + lexical)
+    "ann_truncated_dim_recall",  # 8-row broadcast query sides (both kernels)
     "events_rolling_wau",  # broadcast day-grid range join (~days rows)
     # broadcast day-grid range joins over per-day HLL sketches + the
     # exact cross-check branch (bytes per day on both sides)
