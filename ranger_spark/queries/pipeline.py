@@ -6180,3 +6180,95 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(col5 AS DOUBLE) AS mmr_score",
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (gaps-and-islands phrase splitting)
+# ---------------------------------------------------------------------------
+_RAKE_STOPS = ("the", "a", "of", "and", "is", "to")
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS w
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+      WHERE t[i] <> ''
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run_id
+      FROM tok
+      WHERE w NOT IN {_RAKE_STOPS!r}
+    ),
+    phrase AS (
+      SELECT doc_id, run_id, count(*) AS plen
+      FROM nonstop GROUP BY 1, 2
+    ),
+    member AS (
+      SELECT n.w, p.plen
+      FROM nonstop n
+      JOIN phrase p ON p.doc_id = n.doc_id AND p.run_id = n.run_id
+    ),
+    score AS (
+      SELECT w AS word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree,
+             round(sum(plen) / CAST(count(*) AS DOUBLE), 6) AS rake_score
+      FROM member GROUP BY 1
+    )
+    SELECT word, freq, degree, rake_score,
+           CAST(row_number() OVER (ORDER BY rake_score DESC, word)
+                AS INTEGER) AS rnk
+    FROM score
+    QUALIFY rnk <= 20
+    """,
+    tags=("text", "keywords", "rake"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010): stopwords delimit
+    candidate phrases, a word's score is degree/frequency where degree
+    sums the lengths of every phrase it appears in. Phrase segmentation
+    is the gaps-and-islands idiom — run_id = pos − row_number() over
+    non-stopword tokens, one doc-keyed window, no per-row Python. The
+    scoring aggregates are vocabulary-bounded (map-side combined), so
+    at 100 TB the only corpus-sized step is the token posexplode that
+    every text operator already pays. Top-20 by (score, word)."""
+    from pyspark.sql import Window
+
+    from ranger_spark.operators.text import normalize_text
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(normalize_text(F.col("text")), r"\s+")
+            ).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = tok.where(~F.col("w").isin(*_RAKE_STOPS)).select(
+        "doc_id", "pos", "w",
+        (F.col("pos") - F.row_number().over(wd)).alias("run_id"),
+    )
+    phrase = nonstop.groupBy("doc_id", "run_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    member = nonstop.join(phrase, ["doc_id", "run_id"]).select("w", "plen")
+    score = member.groupBy(F.col("w").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+        F.round(
+            F.sum("plen") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("rake_score"),
+    )
+    wr = Window.orderBy(F.col("rake_score").desc(), "word")
+    return score.select(
+        "word", "freq", "degree", "rake_score",
+        F.row_number().over(wr).cast("int").alias("rnk"),
+    ).where(F.col("rnk") <= 20)
