@@ -3300,3 +3300,112 @@ def users_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("sd_gap_s") < 0.5 * F.col("mean_gap_s")))
         ).alias("bot_suspect"),
     )
+
+
+_KMV_K = 64
+_KMV_HASH = (
+    "CAST(('0x' || substr(md5('kmv:' || CAST({c} AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "events_kmv_set_ops",
+    oracle=f"""
+    WITH m AS (
+      SELECT DISTINCT event_type AS et, user_id,
+             {_KMV_HASH.format(c='user_id')} AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT et, h, row_number() OVER (PARTITION BY et ORDER BY h) AS rn
+      FROM m
+    ),
+    kept AS (SELECT et, h, rn FROM sk WHERE rn <= {_KMV_K}),
+    est AS (
+      SELECT et,
+             count(*) AS k_used,
+             max(h) AS kth,
+             count(*) AS _n
+      FROM kept GROUP BY et
+    ),
+    exact AS (SELECT et, count(DISTINCT user_id) AS exact_d FROM m GROUP BY et),
+    pairs AS (
+      SELECT a.et AS set_a, b.et AS set_b,
+             count(*) AS common_in_sketch
+      FROM kept a JOIN kept b ON b.et > a.et AND b.h = a.h
+      GROUP BY 1, 2
+    ),
+    ex_pairs AS (
+      SELECT a.et AS set_a, b.et AS set_b,
+             count(*) AS exact_common
+      FROM m a JOIN m b ON b.et > a.et AND b.user_id = a.user_id
+      GROUP BY 1, 2
+    )
+    SELECT p.set_a, p.set_b,
+           CAST(p.common_in_sketch AS BIGINT) AS common_in_sketch,
+           CAST(x.exact_common AS BIGINT) AS exact_common,
+           CAST(ea.exact_d AS BIGINT) AS exact_a,
+           CAST(eb.exact_d AS BIGINT) AS exact_b
+    FROM pairs p
+    JOIN ex_pairs x ON x.set_a = p.set_a AND x.set_b = p.set_b
+    JOIN exact ea ON ea.et = p.set_a
+    JOIN exact eb ON eb.et = p.set_b
+    """,
+    tags=("analytics", "sketch", "setops"),
+)
+def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/Theta-style sketch set operations: each event type's user set
+    compresses to its K={_KMV_K} minimum md5 hashes; pairwise audience
+    overlap is then a K-bounded sketch join instead of a full user-set
+    intersection — the mergeable shape for cross-segment overlap at
+    100 TB (sketches union by keeping the K smallest of the merged
+    hashes; here every per-set sketch is exact-deterministic because
+    the hash is seeded md5, so the oracle replays it hash-for-hash).
+    Emits sketch-common vs exact-common so the estimate quality is
+    visible in the certified output."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("et"), "user_id"
+    ).distinct()
+    m = e.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.concat(F.lit("kmv:"),
+                                          F.col("user_id").cast("string"))),
+                           1, 15), 16, 10).cast("bigint"),
+    )
+    w = Window.partitionBy("et").orderBy("h")
+    kept = m.select("et", "h", F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= _KMV_K
+    )
+    exact = m.groupBy("et").agg(
+        F.countDistinct("user_id").alias("exact_d")
+    )
+    a = kept.select(F.col("et").alias("set_a"), "h")
+    b = kept.select(F.col("et").alias("set_b"), "h")
+    pairs = (
+        a.join(b, (F.col("set_b") > F.col("set_a")) & (a.h == b.h))
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_in_sketch"))
+    )
+    ea = m.select(F.col("et").alias("set_a"), F.col("user_id").alias("ua"))
+    eb = m.select(F.col("et").alias("set_b"), F.col("user_id").alias("ub"))
+    ex_pairs = (
+        ea.join(eb, (F.col("set_b") > F.col("set_a")) & (F.col("ua") == F.col("ub")))
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_common"))
+    )
+    return (
+        pairs.join(ex_pairs, ["set_a", "set_b"])
+        .join(
+            F.broadcast(exact.select(F.col("et").alias("set_a"),
+                                     F.col("exact_d").alias("exact_a"))),
+            "set_a",
+        )
+        .join(
+            F.broadcast(exact.select(F.col("et").alias("set_b"),
+                                     F.col("exact_d").alias("exact_b"))),
+            "set_b",
+        )
+        .select("set_a", "set_b", "common_in_sketch", "exact_common",
+                "exact_a", "exact_b")
+    )
