@@ -3356,7 +3356,7 @@ _KMV_HASH = (
 )
 def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV/Theta-style sketch set operations: each event type's user set
-    compresses to its K={_KMV_K} minimum md5 hashes; pairwise audience
+    compresses to its K=64 minimum md5 hashes; pairwise audience
     overlap is then a K-bounded sketch join instead of a full user-set
     intersection — the mergeable shape for cross-segment overlap at
     100 TB (sketches union by keeping the K smallest of the merged
