@@ -451,6 +451,21 @@ class Engine:
                 # VERSION AS OF / TIMESTAMP AS OF — exceeds the reference
                 sql = self._rewrite_time_travel(sql)
             try:
+                mp = re.match(
+                    r"(?is)^\s*EXPLAIN\s+(ANALYZE\s+)?PIPELINE\s+(\w+)"
+                    r"(?:\s+USING\s+'([^']+)')?\s*$",
+                    sql,
+                )
+                if mp:
+                    if self.strict_gate:
+                        # PIPELINE itself is non-strict; its EXPLAIN too
+                        raise RangerError(
+                            UNSUPPORTED_STATEMENT,
+                            "unsupported statement type: EXPLAIN PIPELINE",
+                        )
+                    return self._explain_pipeline(
+                        mp.group(2), mp.group(3), analyze=bool(mp.group(1))
+                    )
                 m = re.match(r"(?is)^\s*EXPLAIN\s+ANALYZE\s+(.+)$", sql)
                 if m:
                     if self.strict_gate:
@@ -789,6 +804,37 @@ class Engine:
         )
 
     # ----------------------------------------------------------- read path
+    def _explain_pipeline(
+        self, name: str, sf_dir: str | None, analyze: bool = False
+    ) -> QueryResult:
+        """EXPLAIN [ANALYZE] PIPELINE <name> [USING '<sf_dir>'] — the
+        registry operators' physical plans through the statement surface
+        (the same plans tools/plan_audit.py lints per round), so a user
+        can inspect an operator's shuffle/join shape over any protocol
+        before running it at scale. ANALYZE executes and returns the
+        AQE-final plan like EXPLAIN ANALYZE on a SELECT."""
+        from ranger_spark.queries import load_all
+
+        reg = load_all()
+        if name not in reg:
+            import difflib
+
+            close = difflib.get_close_matches(name, reg, n=3)
+            hint = f" (did you mean: {', '.join(close)}?)" if close else ""
+            raise RangerError(
+                VALIDATION_FAILED,
+                f"unknown pipeline '{name}'{hint} — "
+                "SHOW PIPELINES lists the registry",
+            )
+        df = reg[name].builder(self.spark, sf_dir or self._pipeline_sf_dir())
+        if analyze:
+            return self._explain_analyze_df(df)
+        from ranger_spark.plans.inspect import formatted_plan
+
+        plan = formatted_plan(df)
+        lines = [(line,) for line in plan.rstrip("\n").split("\n")]
+        return QueryResult(columns=["plan"], rows=lines, row_count=len(lines))
+
     def _explain_analyze(self, inner_sql: str) -> QueryResult:
         """EXPLAIN ANALYZE <query> — exceeds the reference (its EXPLAIN is
         DuckDB's static plan): runs the query, then returns the FINAL
@@ -796,8 +842,10 @@ class Engine:
         executed, after any runtime re-planning / skew splitting) plus a
         one-line runtime summary. The query's rows are executed but not
         returned, matching EXPLAIN's result shape."""
+        return self._explain_analyze_df(self.spark.sql(inner_sql))
+
+    def _explain_analyze_df(self, df) -> QueryResult:
         t0 = time.time()
-        df = self.spark.sql(inner_sql)
         # Execute df's OWN queryExecution so the AdaptiveSparkPlan below
         # is the AQE-final plan Spark actually ran — df.count() would
         # execute a derived aggregate plan and leave df's executedPlan at

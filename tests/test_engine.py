@@ -1426,3 +1426,25 @@ def test_pipeline_into_materializes_versioned_table(engine):
             "PIPELINE text_length_histogram USING '/root/testdata/sf0.001' "
             "INTO pipedb.len_hist;"
         )
+
+
+def test_explain_pipeline_statement(engine):
+    """EXPLAIN PIPELINE <name> returns the operator's formatted physical
+    plan (the plan-audit surface as a statement); ANALYZE variant runs it
+    and appends the runtime line; unknown names get close-match hints."""
+    from ranger_spark.errors import RangerError
+
+    r = engine.execute("EXPLAIN PIPELINE dedup_exact;")
+    assert r.columns == ["plan"]
+    text = "\n".join(row[0] for row in r.rows)
+    assert "Physical Plan" in text
+
+    ra = engine.execute(
+        "EXPLAIN ANALYZE PIPELINE text_length_histogram "
+        "USING '/root/testdata/sf0.001';"
+    )
+    assert "analyzed:" in ra.rows[-1][0]
+
+    with pytest.raises(RangerError) as ei:
+        engine.execute("EXPLAIN PIPELINE dedup_exactt;")
+    assert "did you mean" in str(ei.value)
