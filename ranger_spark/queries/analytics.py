@@ -3409,3 +3409,123 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("set_a", "set_b", "common_in_sketch", "exact_common",
                 "exact_a", "exact_b")
     )
+
+
+@register(
+    "orders_ar1_autoregression",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS pri,
+             date_trunc('month', o_orderdate) AS mon,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT pri, mon, rev,
+             lag(rev) OVER (PARTITION BY pri ORDER BY mon) AS prev
+      FROM monthly
+    )
+    SELECT pri,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(regr_slope(rev, prev), 6) AS phi,
+           round(regr_intercept(rev, prev), 6) AS intercept,
+           round(regr_r2(rev, prev), 6) AS r2
+    FROM lagged WHERE prev IS NOT NULL
+    GROUP BY pri
+    """,
+    tags=("analytics", "timeseries", "autoregression"),
+)
+def orders_ar1_autoregression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) fit per revenue series (yₜ = φ·yₜ₋₁ + c): the mean-
+    reversion / momentum diagnostic that complements the Holt smoother —
+    φ comes straight from the regr_slope aggregate over the lagged
+    series (one lag window on the O(months) post-aggregate table, then
+    a 3-statistic regression aggregate; both stages priority-keyed).
+    Monthly revenues snap to the 2dp grid before the regression so both
+    engines fit identical points (the text_zipf_fit precedent)."""
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("pri").orderBy("mon")
+    lagged = monthly.withColumn("prev", F.lag("rev").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    return lagged.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(F.regr_slope("rev", "prev"), 6).alias("phi"),
+        F.round(F.regr_intercept("rev", "prev"), 6).alias("intercept"),
+        F.round(F.regr_r2("rev", "prev"), 6).alias("r2"),
+    )
+
+
+@register(
+    "nations_revenue_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey,
+             CAST(round(sum(o.o_totalprice), 2) AS DECIMAL(18,2)) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT nation, sum(CAST(r AS DECIMAL(28,2))) AS t,
+             count(*) AS n_cust
+      FROM rev GROUP BY 1
+    )
+    SELECT r.nation,
+           CAST(max(t.n_cust) AS BIGINT) AS n_customers,
+           CAST(max(t.t) AS DOUBLE) AS total_revenue,
+           round(sum(pow(CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE), 2)), 6)
+             AS hhi
+    FROM rev r JOIN tot t ON t.nation = r.nation
+    GROUP BY r.nation
+    """,
+    tags=("analytics", "concentration", "hhi"),
+)
+def nations_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman revenue-concentration index per nation
+    (Σ share² over its customers — 1/HHI is the effective number of
+    customers; the market-concentration dual of the Gini query). Two
+    shuffles — the customer rollup and the nation totals — then a
+    broadcast join puts each customer's share against its nation total;
+    shares square on 2dp-gridded revenues so the 6dp index matches
+    across engines."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    rev = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)").alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum(F.col("r").cast("decimal(28,2)")).alias("t"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("n_cust").cast("bigint").alias("n_customers"),
+            F.max(F.col("t").cast("double")).alias("total_revenue"),
+            F.round(
+                F.sum(
+                    F.pow(
+                        F.col("r").cast("double") / F.col("t").cast("double"),
+                        F.lit(2),
+                    )
+                ),
+                6,
+            ).alias("hhi"),
+        )
+    )
