@@ -6272,3 +6272,195 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", "freq", "degree", "rake_score",
         F.row_number().over(wr).cast("int").alias("rnk"),
     ).where(F.col("rnk") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation (optimal stratified-sampling budget split)
+# ---------------------------------------------------------------------------
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             round(len(list_distinct(list_filter({_TOKS}, x -> x <> '')))
+                   / greatest(len(list_filter({_TOKS}, x -> x <> '')), 1.0),
+                   6) AS score
+      FROM documents
+    ),
+    strata AS (
+      SELECT source, count(*) AS nh,
+             round(coalesce(stddev_samp(score), 0), 6) AS sh
+      FROM q GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(CAST(round(nh * sh, 6) AS DECIMAL(28,6))) AS w FROM strata
+    )
+    SELECT s.source,
+           CAST(s.nh AS BIGINT) AS n_docs,
+           s.sh AS score_sd,
+           round(CAST(round(s.nh * s.sh, 6) AS DOUBLE)
+                 / CAST(t.w AS DOUBLE), 6) AS alloc_share,
+           CAST(floor(1000 * CAST(round(s.nh * s.sh, 6) AS DOUBLE)
+                      / CAST(t.w AS DOUBLE)) AS BIGINT) AS alloc_n
+    FROM strata s, tot t
+    """,
+    tags=("sampling", "neyman", "stratified"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation for a 1000-doc labeling/eval budget: each
+    stratum (source) gets share ∝ Nₕ·σₕ of a quality score — minimum-
+    variance stratified sampling, the principled alternative to
+    proportional splits when strata differ in spread. One map-combined
+    stratum aggregate (count + stddev of the 6dp-gridded lexical-
+    diversity score — distinct-token ratio), then a
+    |sources|-row share computation with the weight sum held as exact
+    DECIMAL. The realized sample would reuse sample_stratified's seeded
+    Bernoulli with these rates."""
+    toks = F.filter(
+        F.split(T.normalize_text(F.col("text")), r"\s+"),
+        lambda x: x != "",
+    )
+    q = load(spark, sf_dir, "documents").select(
+        "source",
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("score"),
+    )
+    strata = q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.round(F.coalesce(F.stddev_samp("score"), F.lit(0.0)), 6).alias("sh"),
+    )
+    wgt = F.round(F.col("nh") * F.col("sh"), 6)
+    tot = strata.agg(
+        F.sum(wgt.cast("decimal(28,6)")).alias("w")
+    )
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("nh").cast("bigint").alias("n_docs"),
+        F.col("sh").alias("score_sd"),
+        F.round(
+            wgt.cast("double") / F.col("w").cast("double"), 6
+        ).alias("alloc_share"),
+        F.floor(
+            1000 * wgt.cast("double") / F.col("w").cast("double")
+        ).cast("bigint").alias("alloc_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval (distribution-free coverage)
+# ---------------------------------------------------------------------------
+@register(
+    "conformal_price_interval",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice AS y, CAST(l_quantity AS DOUBLE) AS x,
+             l_orderkey % 5 AS fold
+      FROM lineitem
+    ),
+    fit AS (
+      SELECT round(regr_slope(y, x), 6) AS b,
+             round(regr_intercept(y, x), 6) AS a
+      FROM base WHERE fold < 3
+    ),
+    calib AS (
+      SELECT round(abs(y - (f.a + f.b * x)), 6) AS res,
+             row_number() OVER (
+               ORDER BY round(abs(y - (f.a + f.b * x)), 6),
+                        l_orderkey, l_linenumber
+             ) AS rn,
+             count(*) OVER () AS n_cal
+      FROM base, fit f WHERE fold = 3
+    ),
+    qhat AS (
+      SELECT res AS q, n_cal FROM calib
+      WHERE rn = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal)
+    ),
+    test AS (
+      SELECT count(*) AS n_test,
+             sum(CASE WHEN round(abs(y - (f.a + f.b * x)), 6) <= q.q
+                      THEN 1 ELSE 0 END) AS covered
+      FROM base, fit f, qhat q WHERE fold = 4
+    )
+    SELECT f.a AS intercept, f.b AS slope,
+           q.q AS q_hat,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(t.n_test AS BIGINT) AS n_test,
+           round(t.covered / CAST(t.n_test AS DOUBLE), 6) AS coverage
+    FROM fit f, qhat q, test t
+    """,
+    tags=("analytics", "conformal", "ml-eval"),
+)
+def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018) for a
+    price-from-quantity regressor: fit OLS on folds 0-2, take the
+    ⌈0.9·(n+1)⌉-th smallest absolute calibration residual (fold 3) as
+    q̂, report empirical coverage on the held-out fold 4 — the
+    distribution-free uncertainty wrapper every production model ships
+    with. Scale shape: regression + residual quantile are one aggregate
+    and one order-statistic window over a SINGLE scan each; coverage is
+    a filtered count. The exact order statistic (6dp residual grid,
+    orderkey/linenumber tiebreak) replays identically in SQL."""
+    from pyspark.sql import Window
+
+    base = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").cast("double").alias("x"),
+        (F.col("l_orderkey") % 5).alias("fold"),
+    )
+    fit = base.where(F.col("fold") < 3).agg(
+        F.round(F.regr_slope("y", "x"), 6).alias("b"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("a"),
+    )
+    res = F.round(
+        F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 6
+    )
+    calib = (
+        base.where(F.col("fold") == 3)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            res.alias("res"), "l_orderkey", "l_linenumber",
+        )
+        .select(
+            "res",
+            F.row_number().over(
+                Window.orderBy("res", "l_orderkey", "l_linenumber")
+            ).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1))
+            ).alias("n_cal"),
+        )
+    )
+    qhat = calib.where(
+        F.col("rn")
+        == F.least(
+            F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint"),
+            F.col("n_cal").cast("bigint"),
+        )
+    ).select(F.col("res").alias("q"), "n_cal")
+    test = (
+        base.where(F.col("fold") == 4)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat.select("q")))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(res <= F.col("q"), 1).otherwise(0)).alias("covered"),
+        )
+    )
+    return (
+        fit.crossJoin(qhat)
+        .crossJoin(test)
+        .select(
+            F.col("a").alias("intercept"), F.col("b").alias("slope"),
+            F.col("q").alias("q_hat"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.round(
+                F.col("covered") / F.col("n_test").cast("double"), 6
+            ).alias("coverage"),
+        )
+    )
