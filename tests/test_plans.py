@@ -85,6 +85,11 @@ _NL_ALLOWED = {
     "nb_lang_classifier",  # |langs|-row broadcast likelihood-table crossJoin
     "retrieval_rrf_fusion",  # 3-row broadcast query sides (dense + lexical)
     "ann_truncated_dim_recall",  # 8-row broadcast query sides (both kernels)
+    "events_kmv_set_ops",  # 1-row exact-total broadcasts
+    "orders_ar1_autoregression",  # (none today; series-stat crossJoins ok)
+    "nations_revenue_hhi",  # 1-row nation-total broadcast
+    "sample_neyman_allocation",  # 1-row weight-sum crossJoin
+    "conformal_price_interval",  # 1-row fit/q-hat/coverage crossJoins
     "events_rolling_wau",  # broadcast day-grid range join (~days rows)
     # broadcast day-grid range joins over per-day HLL sketches + the
     # exact cross-check branch (bytes per day on both sides)
