@@ -32,7 +32,10 @@ from ranger_spark.queries import load_all  # noqa: E402
 # certify — and 8 low-risk analytics queries, all locally green at
 # both SFs every session). The 34 r4-stale queries rotate behind the
 # never-certified backlog; with 59 new queries the window cannot also
-# re-certify them this round.
+# re-certify them this round. Session 4 added 30 more oracled queries
+# (stats/survival/attribution/forecasting/graph/classifier/retrieval/
+# governance families, all locally green at both SFs); they join the
+# round-8 never-certified front behind this window.
 _FRONT_R7 = (
     "text_feature_hash_vector",
     "ann_hard_negatives",
