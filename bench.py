@@ -506,15 +506,23 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
 
 
 def _graph_section(spark, registry, sf_dir: str) -> dict:
-    """The round-7 graph/recsys family at the bench SF — pair-generating
-    ops whose cost is structural (wedges, co-buyer pairs), not job-floor,
-    so regressions show up here rather than in the headline. kcore runs
-    5 fixed rounds; its ratio at this SF is round-scheduling overhead
-    (the per-round shape is one aggregate + one semi-join)."""
+    """The round-7 graph/recsys family — pair-generating ops whose cost
+    is structural (wedges, co-buyer pairs), not job-floor, so regressions
+    show up here rather than in the headline. Runs at sf0.01 by default
+    (override: $SPARK_GRAFT_GRAPH_SF_DIR) to stay inside the per-round
+    wall budget; the sf0.1 warm ratios are recorded in SCALE.md
+    (triangles 0.48×, item-CF 0.28×, kcore 4.4× — round-scheduling
+    overhead on 5 fixed rounds)."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_GRAPH_SF_DIR", "/root/testdata/sf0.01"
+    )
     names = ["copurchase_triangles", "recs_item_item_cf", "copurchase_kcore"]
     names = [n for n in names if n in registry]
-    spark_t = _bench_spark(spark, registry, names, sf_dir, warmups=1, timed=1)
-    duck_t = _bench_duckdb(registry, names, sf_dir, warmups=1, timed=1)
+    # single measurement, no warmup: these are multi-second structural
+    # queries where scheduling noise is <5%, and the bench must stay
+    # inside the driver's wall budget
+    spark_t = _bench_spark(spark, registry, names, sf_dir, warmups=0, timed=1)
+    duck_t = _bench_duckdb(registry, names, sf_dir, warmups=0, timed=1)
     return {
         "spark": spark_t,
         "duckdb": duck_t,
@@ -549,37 +557,50 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    _t_start = time.time()
+
+    def _mark(section: str) -> None:
+        print(f"[bench] {section} done at +{time.time() - _t_start:.0f}s",
+              file=sys.stderr, flush=True)
+
+    _mark("headline")
     if os.environ.get("SPARK_GRAFT_SKIP_ANN") != "1":
         try:
             result["ann_serving"] = _ann_serving_section(spark, sf_dir)
         except Exception as e:
             result["ann_serving"] = {"error": str(e)[:300]}
+        _mark("ann_serving")
     if os.environ.get("SPARK_GRAFT_SKIP_MV") != "1":
         try:
             result["mv_refresh"] = _mv_refresh_section(spark, sf_dir)
         except Exception as e:
             result["mv_refresh"] = {"error": str(e)[:300]}
+        _mark("mv_refresh")
     if os.environ.get("SPARK_GRAFT_SKIP_GRAPH") != "1":
         try:
             result["graph"] = _graph_section(spark, registry, sf_dir)
         except Exception as e:
             result["graph"] = {"error": str(e)[:300]}
+        _mark("graph")
     if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
         try:
             result["streaming"] = _streaming_section(spark, registry, sf_dir)
         except Exception as e:
             result["streaming"] = {"error": str(e)[:300]}
+        _mark("streaming")
     if os.environ.get("SPARK_GRAFT_SKIP_TPCH") != "1":
         try:
             result["tpch"] = _tpch_section(spark, registry, sf_dir)
         except Exception as e:
             result["tpch"] = {"error": str(e)[:300]}
+        _mark("tpch")
     if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         try:
             spark.catalog.clearCache()  # scale regime reads its own files
             result["scale16"] = _scale_section(spark, registry, names, sf_dir)
         except Exception as e:  # bench must still emit the contract line
             result["scale16"] = {"error": str(e)[:300]}
+        _mark("scale16")
         if "error" not in result["scale16"]:
             try:
                 factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "16"))
@@ -601,6 +622,7 @@ def main() -> None:
                     )
                 except Exception as e:
                     result["scale64"] = {"error": str(e)[:300]}
+                _mark("scale64")
     # Full record (scale16/bucketed/scale64 sections) goes to a sidecar
     # file plus a non-final stdout line; the LAST stdout line is the
     # compact contract record only, so a tail-capture parser always gets
