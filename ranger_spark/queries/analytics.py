@@ -3529,3 +3529,175 @@ def nations_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi"),
         )
     )
+
+
+def _markov_stationary_oracle(rounds: int = 5) -> str:
+    """Power iteration unrolled: pi_{t+1}[d] = Σ_s pi_t[s]·P[s,d], every
+    entry snapped to an 8dp decimal grid per round."""
+    parts = ["""WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    p AS MATERIALIZED (
+      SELECT event_type AS src, next_type AS dst,
+             CAST(round(count(*) / CAST(sum(count(*))
+                    OVER (PARTITION BY event_type) AS DOUBLE), 6)
+                  AS DECIMAL(8,6)) AS p
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT src AS st FROM p),
+    pi0 AS MATERIALIZED (
+      SELECT st, CAST(round(1.0 / (SELECT count(*) FROM states), 8)
+                      AS DECIMAL(12,8)) AS prob
+      FROM states
+    )"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    pi{t} AS MATERIALIZED (
+      SELECT p.dst AS st,
+             CAST(round(CAST(sum(pi{t - 1}.prob * p.p) AS DOUBLE), 8)
+                  AS DECIMAL(12,8)) AS prob
+      FROM pi{t - 1} JOIN p ON p.src = pi{t - 1}.st
+      GROUP BY 1
+    )""")
+    parts.append(f"""
+    SELECT st AS state, CAST(prob AS DOUBLE) AS pi
+    FROM pi{rounds}""")
+    return "".join(parts)
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_stationary_oracle(),
+    tags=("analytics", "markov", "iterative"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by 5
+    power-iteration rounds from the uniform vector — where user
+    attention concentrates in the long run. The transition matrix is
+    |types|² (tiny at any corpus size; ONE user_id-shuffled lead()
+    builds it), so each round is a broadcast |types|-row mat-vec; all
+    arithmetic is exact DECIMAL products (p on a 6dp grid) with each
+    round's π snapped to 8dp through an identical double-round on both
+    engines, and the oracle replays the recurrence round-for-round."""
+    ev = events_with_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    wsrc = Window.partitionBy("src")
+    p = (
+        ordered.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "src", "dst",
+            F.round(
+                F.col("n") / F.sum("n").over(wsrc).cast("double"), 6
+            ).cast("decimal(8,6)").alias("p"),
+        )
+        .localCheckpoint()
+    )
+    states = p.select(F.col("src").alias("st")).distinct()
+    n_states = states.count()
+    pi = states.select(
+        "st",
+        F.round(F.lit(1.0 / n_states), 8).cast("decimal(12,8)").alias("prob"),
+    )
+    for _ in range(5):
+        pi = (
+            pi.join(F.broadcast(p), pi.st == p.src)
+            .groupBy(F.col("dst").alias("st"))
+            .agg(
+                F.round(
+                    F.sum(F.col("prob") * F.col("p")).cast("double"), 8
+                ).cast("decimal(12,8)").alias("prob")
+            )
+        )
+    return pi.select(
+        F.col("st").alias("state"), F.col("prob").cast("double").alias("pi")
+    )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM first_seen GROUP BY 1),
+    rev AS (
+      SELECT f.cohort,
+             date_diff('month', f.cohort, date_trunc('month', e.ts)) AS age,
+             CAST(round(sum(e.value), 2) AS DECIMAL(18,2)) AS r
+      FROM events e
+      JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort, CAST(r.age AS BIGINT) AS age_months,
+           CAST(s.n_users AS BIGINT) AS cohort_users,
+           CAST(sum(CAST(r.r AS DECIMAL(28,2)))
+                  OVER (PARTITION BY r.cohort ORDER BY r.age)
+                AS DOUBLE) AS cum_revenue,
+           round(CAST(sum(CAST(r.r AS DECIMAL(28,2)))
+                        OVER (PARTITION BY r.cohort ORDER BY r.age)
+                      AS DOUBLE) / s.n_users, 6) AS ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort = r.cohort
+    """,
+    tags=("analytics", "ltv", "cohort"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves (cumulative purchase revenue per user by
+    month-age since first activity) — the growth-model complement of
+    cohort retention. Two user_id-keyed aggregates (first-seen month,
+    per-cohort-age revenue), then one cumulative window over the
+    O(cohorts × ages) rollup; revenue cumsums run as exact DECIMAL so
+    the curve is grid-identical. At 100 TB nothing here touches raw
+    events twice."""
+    e = events_with_ts(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort")
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                (F.year(F.date_trunc("month", "ts")) - F.year("cohort")) * 12
+                + (F.month(F.date_trunc("month", "ts")) - F.month("cohort"))
+            ).alias("age"),
+        )
+        .agg(F.round(F.sum("value"), 2).cast("decimal(18,2)").alias("r"))
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col("r").cast("decimal(28,2)")).over(wc)
+    return (
+        rev.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("bigint").alias("age_months"),
+            F.col("n_users").cast("bigint").alias("cohort_users"),
+            cum.cast("double").alias("cum_revenue"),
+            F.round(cum.cast("double") / F.col("n_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
