@@ -506,29 +506,28 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
 
 
 def _graph_section(spark, registry, sf_dir: str) -> dict:
-    """The round-7 graph/recsys family — pair-generating ops whose cost
-    is structural (wedges, co-buyer pairs), not job-floor, so regressions
-    show up here rather than in the headline. Runs at sf0.01 by default
-    (override: $SPARK_GRAFT_GRAPH_SF_DIR) to stay inside the per-round
-    wall budget; the sf0.1 warm ratios are recorded in SCALE.md
-    (triangles 0.48×, item-CF 0.28×, kcore 4.4× — round-scheduling
-    overhead on 5 fixed rounds)."""
-    sf_dir = os.environ.get(
+    """Per-round REGRESSION timings (Spark only, warm, sf0.01) for the
+    graph/recsys family — pair-generating ops whose cost is structural
+    (wedges, co-buyer pairs). This section exists to catch a plan
+    regression (a lost broadcast, an unbounded pair join) as a time
+    jump; the engine-vs-engine comparison lives in SCALE.md ("Graph/
+    recsys family at sf0.1": triangles 0.48×, item-CF 0.28×, kcore
+    4.4× — round-scheduling overhead on 5 fixed rounds), where DuckDB's
+    27 s side is measured once, not per round (wall budget)."""
+    gdir = os.environ.get(
         "SPARK_GRAFT_GRAPH_SF_DIR", "/root/testdata/sf0.01"
     )
-    names = ["copurchase_triangles", "recs_item_item_cf", "copurchase_kcore"]
-    names = [n for n in names if n in registry]
-    # single measurement, no warmup: these are multi-second structural
-    # queries where scheduling noise is <5%, and the bench must stay
-    # inside the driver's wall budget
-    spark_t = _bench_spark(spark, registry, names, sf_dir, warmups=0, timed=1)
-    duck_t = _bench_duckdb(registry, names, sf_dir, warmups=0, timed=1)
+    names = [
+        n for n in
+        ("copurchase_triangles", "recs_item_item_cf", "copurchase_kcore")
+        if n in registry
+    ]
+    spark_t = _bench_spark(spark, registry, names, gdir, warmups=1, timed=1)
     return {
+        "sf_dir": gdir,
         "spark": spark_t,
-        "duckdb": duck_t,
-        "per_query_ratio": {
-            n: round(spark_t[n] / duck_t[n], 2) for n in names if duck_t.get(n)
-        },
+        "note": "spark-only regression times at sf0.01; "
+                "engine comparison at sf0.1 recorded in SCALE.md",
     }
 
 
