@@ -395,3 +395,31 @@ def test_conformal_coverage_near_nominal(spark, reg):
     assert r["n_cal"] > 50 and r["n_test"] > 50
     assert r["coverage"] >= 0.8
     assert r["q_hat"] > 0
+
+
+def test_markov_stationary_is_distribution(spark, reg):
+    """π entries positive and sum ≈ 1 (6dp-grid transition rows allow
+    tiny mass drift); 5 states."""
+    rows = reg["events_markov_stationary"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    total = sum(r["pi"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(r["pi"] > 0 for r in rows)
+
+
+def test_ltv_curve_monotone(spark, reg):
+    """Cumulative revenue is non-decreasing in age within each cohort;
+    ltv_per_user = cum_revenue / cohort_users."""
+    rows = reg["cohort_ltv_curve"].builder(spark, SF_DIR).collect()
+    assert rows
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cohort"], []).append(r)
+    for lst in by_c.values():
+        lst.sort(key=lambda r: r["age_months"])
+        cums = [r["cum_revenue"] for r in lst]
+        assert all(b >= a for a, b in zip(cums, cums[1:]))
+        for r in lst:
+            assert abs(
+                r["ltv_per_user"] - r["cum_revenue"] / r["cohort_users"]
+            ) < 1e-4
