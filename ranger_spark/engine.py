@@ -40,6 +40,11 @@ from ranger_spark.router import Routed, StmtKind, route
 from ranger_spark.sources.snapshots import VersionedTable, walk_parquet
 
 RESULT_CAP = 100_000  # reference duckdb/engine.go:395-400
+# system.files flags data files under this size: the small-file problem
+# that motivates OPTIMIZE (Iceberg's default write target is 512 MB; on
+# the test corpus 32 MB separates per-batch commit files from compacted
+# output without flagging everything)
+SMALL_FILE_BYTES = 32 << 20
 SCHEMA_PROP_VIEW_PREFIX = "ranger_schema_"  # per-table Iceberg schema registry
 
 
@@ -3901,6 +3906,38 @@ class Engine:
         s.createDataFrame(
             tag_rows, "table_name string, tag string, version long"
         ).createOrReplaceTempView("system_tags")
+        # system.files — current-snapshot data files per versioned table
+        # with a small-file flag (Iceberg's `files` metadata table as one
+        # catalog-wide surface — exceeds). The rollup that motivates
+        # OPTIMIZE: SELECT table_name, count(*), sum(is_small::int)
+        # FROM system.files GROUP BY 1.
+        import os as _os
+
+        file_rows = []
+        for tname, entry in sorted(self._manifest["tables"].items()):
+            if not entry.get("versioned"):
+                continue
+            vt = self._versioned_for(tname)
+            if vt is None or not vt.exists():
+                continue
+            for f in vt.files():
+                try:
+                    nbytes = _os.path.getsize(f)
+                except OSError:
+                    nbytes = -1
+                file_rows.append(
+                    Row(
+                        table_name=tname,
+                        file_path=f,
+                        bytes=int(nbytes),
+                        is_small=bool(0 <= nbytes < SMALL_FILE_BYTES),
+                    )
+                )
+        s.createDataFrame(
+            file_rows,
+            "table_name string, file_path string, bytes long, "
+            "is_small boolean",
+        ).createOrReplaceTempView("system_files")
 
     # ------------------------------------------------------------- helpers
     def _qualify(self, name: str) -> str:

@@ -1448,3 +1448,29 @@ def test_explain_pipeline_statement(engine):
     with pytest.raises(RangerError) as ei:
         engine.execute("EXPLAIN PIPELINE dedup_exactt;")
     assert "did you mean" in str(ei.value)
+
+
+def test_system_files_view_and_small_file_flag(engine):
+    """system.files lists the current snapshot's data files per versioned
+    table with a small-file flag; OPTIMIZE compacts them and the view
+    follows the new snapshot."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS sfv;")
+    engine.execute("CREATE TABLE sfv.t (id int32, v string);")
+    for i in range(3):
+        engine.execute(
+            f"INSERT INTO sfv.t (id, v) VALUES ({i}, 'x{i}');"
+        )
+    r = engine.execute(
+        "SELECT count(*) AS n, sum(CASE WHEN is_small THEN 1 ELSE 0 END) "
+        "AS n_small FROM system.files WHERE table_name = 'sfv.t';"
+    )
+    n, n_small = r.rows[0]
+    assert n >= 3 and n_small == n  # three per-insert commits, all tiny
+    engine.execute("OPTIMIZE sfv.t;")
+    r2 = engine.execute(
+        "SELECT count(*) AS n FROM system.files "
+        "WHERE table_name = 'sfv.t';"
+    )
+    assert r2.rows[0][0] < n  # compacted
+    engine.execute("DROP TABLE sfv.t;")
+    engine.execute("DROP DATABASE sfv;")
