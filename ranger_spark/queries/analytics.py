@@ -3701,3 +3701,78 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "orders_revenue_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    nbr AS (
+      SELECT day, rev,
+             lag(rev)  OVER (ORDER BY day) AS prev_rev,
+             lead(rev) OVER (ORDER BY day) AS next_rev
+      FROM daily
+    ),
+    peaks AS (
+      SELECT day, rev, prev_rev, next_rev,
+             CAST(rev - greatest(prev_rev, next_rev) AS DOUBLE)
+               AS prominence
+      FROM nbr
+      WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
+        AND rev > prev_rev AND rev > next_rev
+    )
+    SELECT day, CAST(rev AS DOUBLE) AS rev,
+           CAST(prev_rev AS DOUBLE) AS prev_rev,
+           CAST(next_rev AS DOUBLE) AS next_rev,
+           prominence,
+           CAST(row_number() OVER (ORDER BY prominence DESC, day)
+                AS INTEGER) AS rnk
+    FROM peaks
+    QUALIFY rnk <= 5
+    """,
+    tags=("analytics", "timeseries", "peaks"),
+)
+def orders_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak detection over daily revenue (the alerting primitive
+    behind spike triage): a peak strictly exceeds both neighbors, its
+    prominence is the margin over the taller neighbor, top-5 reported.
+    One date-grain aggregate then two window passes over the O(days)
+    series — exact DECIMAL values so peak identity and ranking are
+    engine-identical (day tiebreak)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2)
+            .cast("decimal(18,2)").alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    nbr = daily.select(
+        "day", "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lead("rev").over(w).alias("next_rev"),
+    )
+    peaks = nbr.where(
+        F.col("prev_rev").isNotNull()
+        & F.col("next_rev").isNotNull()
+        & (F.col("rev") > F.col("prev_rev"))
+        & (F.col("rev") > F.col("next_rev"))
+    ).select(
+        "day", "rev", "prev_rev", "next_rev",
+        (F.col("rev") - F.greatest("prev_rev", "next_rev"))
+        .cast("double").alias("prominence"),
+    )
+    wr = Window.orderBy(F.col("prominence").desc(), "day")
+    return peaks.select(
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("prev_rev").cast("double").alias("prev_rev"),
+        F.col("next_rev").cast("double").alias("next_rev"),
+        "prominence",
+        F.row_number().over(wr).cast("int").alias("rnk"),
+    ).where(F.col("rnk") <= 5)
