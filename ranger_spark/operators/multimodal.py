@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -1177,3 +1179,93 @@ def decode_bmp_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, AHASH_SCHEMA)
+
+
+def bmp_channel_entropy(payload: bytes) -> dict | None:
+    """Shannon entropy of each channel's pixel-value distribution for an
+    uncompressed 24bpp BMP — the blank/low-information image screen of
+    multimodal pipelines (a flat image has zero entropy in every
+    channel; dithered noise approaches 8 bits). Walks the same public
+    BMP layout as :func:`parse_bmp_pixels` (offset at 10, dims at
+    18/22, bottom-up padded BGR rows) but keeps the per-channel value
+    histograms instead of sums."""
+    import math
+
+    if payload[:2] != b"BM" or len(payload) < 34:
+        return None
+    data_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height_raw == 0:
+        return None
+    height = abs(height_raw)
+    row_size = (width * 3 + 3) & ~3
+    if len(payload) < data_offset + row_size * height:
+        return None
+    hists: list[dict[int, int]] = [{}, {}, {}]  # b, g, r
+    n = 0
+    for y in range(height):
+        base = data_offset + y * row_size
+        for x in range(width):
+            o = base + x * 3
+            for c in range(3):
+                v = payload[o + c]
+                hists[c][v] = hists[c].get(v, 0) + 1
+            n += 1
+
+    def ent(h: dict[int, int]) -> float:
+        # + 0.0 normalizes the -0.0 a single-bucket histogram produces
+        return round(
+            -sum((c / n) * math.log2(c / n) for c in h.values()), 6
+        ) + 0.0
+
+    e_b, e_g, e_r = ent(hists[0]), ent(hists[1]), ent(hists[2])
+    return {
+        "n_pixels": n,
+        "entropy_b": e_b,
+        "entropy_g": e_g,
+        "entropy_r": e_r,
+        "is_flat": e_b == 0.0 and e_g == 0.0 and e_r == 0.0,
+    }
+
+
+BMP_ENTROPY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_pixels", IntegerType()),
+        StructField("entropy_b", DoubleType()),
+        StructField("entropy_g", DoubleType()),
+        StructField("entropy_r", DoubleType()),
+        StructField("is_flat", BooleanType()),
+    ]
+)
+
+
+def decode_bmp_entropy(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Arrow-batched real BMP decode → per-channel pixel-value entropy +
+    flat-image verdict (the junk-image filter)."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = bmp_channel_entropy(bytes(p))
+                if s is not None:
+                    rows.append(
+                        (
+                            int(i), s["n_pixels"], s["entropy_b"],
+                            s["entropy_g"], s["entropy_r"], s["is_flat"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in BMP_ENTROPY_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, BMP_ENTROPY_SCHEMA)

@@ -6464,3 +6464,68 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "multimodal_image_entropy",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS INTEGER) AS n_pixels,
+           CASE doc_id % 4 WHEN 1 THEN 1.0 WHEN 3 THEN 2.0
+                ELSE 0.0 END AS entropy_b,
+           CASE doc_id % 4 WHEN 1 THEN 1.0 WHEN 3 THEN 2.0
+                ELSE 0.0 END AS entropy_g,
+           CASE doc_id % 4 WHEN 1 THEN 1.0 WHEN 3 THEN 2.0
+                ELSE 0.0 END AS entropy_r,
+           CAST(doc_id % 2 = 0 AS BOOLEAN) AS is_flat
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "entropy", "quality"),
+)
+def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-entropy screen for blank/junk images, oracle-checked:
+    a 2x2 24bpp BMP is synthesized per document with a doc_id-derived
+    pixel PATTERN — flat (all four pixels identical, doc_id%4 ∈ {0,2}),
+    paired (two values twice each, %4 = 1) or all-distinct (%4 = 3) —
+    and `bmp_channel_entropy` decodes the actual byte layout and
+    computes per-channel Shannon entropy from the value histograms.
+    The closed-form oracle pins entropy to exactly 0 / 1 / 2 bits, so a
+    wrong histogram, plog p, or BGR offset fails the hash. This is the
+    standard low-information screen before expensive image models; at
+    100 TB it is one Arrow-batched map pass like every decoder here."""
+    from ranger_spark.operators.multimodal import decode_bmp_entropy
+
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    pat = doc % 4
+    # per-pixel channel offset: 0 (flat), 17*(k%2) (pairs), 17*k (distinct)
+    def off(k: int):
+        return (
+            F.when(pat == 1, F.lit(17 * (k % 2)))
+            .when(pat == 3, F.lit(17 * k))
+            .otherwise(F.lit(0))
+        )
+
+    pix = [
+        F.concat(
+            _byte(doc + off(k)), _byte(doc * 3 + off(k)), _byte(doc * 7 + off(k))
+        )
+        for k in range(4)
+    ]
+    pad = F.unhex(F.lit("0000"))
+    payload = F.concat(
+        F.unhex(F.lit("424D")),
+        F.unhex(F.lit("00" * 8)),
+        F.unhex(F.lit("36000000")),
+        F.unhex(F.lit("28000000")),
+        F.unhex(F.lit("02000000")),
+        F.unhex(F.lit("02000000")),
+        F.unhex(F.lit("0100")),
+        F.unhex(F.lit("1800")),
+        F.unhex(F.lit("00000000")),
+        F.unhex(F.lit("00" * 20)),
+        pix[0], pix[1], pad,
+        pix[2], pix[3], pad,
+    )
+    imgs = d.select("doc_id", payload.alias("payload"))
+    return decode_bmp_entropy(imgs, "doc_id", "payload")
