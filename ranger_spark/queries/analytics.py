@@ -3776,3 +3776,149 @@ def orders_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prominence",
         F.row_number().over(wr).cast("int").alias("rnk"),
     ).where(F.col("rnk") <= 5)
+
+
+@register(
+    "events_psi_drift",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value, epoch_us(ts) AS us,
+             (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+              FROM events) AS mid
+      FROM events
+    ),
+    ref AS (SELECT event_type, value FROM base WHERE us < mid),
+    cur AS (SELECT event_type, value FROM base WHERE us >= mid),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM ref
+    ),
+    edges AS (
+      SELECT event_type,
+             max(CASE WHEN rk = CAST(ceil(1 * n / 5.0) AS BIGINT)
+                 THEN value END) AS e1,
+             max(CASE WHEN rk = CAST(ceil(2 * n / 5.0) AS BIGINT)
+                 THEN value END) AS e2,
+             max(CASE WHEN rk = CAST(ceil(3 * n / 5.0) AS BIGINT)
+                 THEN value END) AS e3,
+             max(CASE WHEN rk = CAST(ceil(4 * n / 5.0) AS BIGINT)
+                 THEN value END) AS e4
+      FROM ranked GROUP BY event_type
+    ),
+    rc AS (
+      SELECT r.event_type, count(*) AS n,
+             sum(CASE WHEN value <= e1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN value > e1 AND value <= e2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN value > e2 AND value <= e3 THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN value > e3 AND value <= e4 THEN 1 ELSE 0 END) AS c4,
+             sum(CASE WHEN value > e4 THEN 1 ELSE 0 END) AS c5
+      FROM ref r JOIN edges USING (event_type) GROUP BY 1
+    ),
+    cc AS (
+      SELECT c.event_type, count(*) AS n,
+             sum(CASE WHEN value <= e1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN value > e1 AND value <= e2 THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN value > e2 AND value <= e3 THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN value > e3 AND value <= e4 THEN 1 ELSE 0 END) AS c4,
+             sum(CASE WHEN value > e4 THEN 1 ELSE 0 END) AS c5
+      FROM cur c JOIN edges USING (event_type) GROUP BY 1
+    ),
+    terms AS (
+      SELECT r.event_type, r.n AS n_ref, cc.n AS n_cur,
+             round(((r.c1+1.0)/(r.n+5) - (cc.c1+1.0)/(cc.n+5))
+                   * ln(((r.c1+1.0)/(r.n+5)) / ((cc.c1+1.0)/(cc.n+5))), 8)
+             + round(((r.c2+1.0)/(r.n+5) - (cc.c2+1.0)/(cc.n+5))
+                   * ln(((r.c2+1.0)/(r.n+5)) / ((cc.c2+1.0)/(cc.n+5))), 8)
+             + round(((r.c3+1.0)/(r.n+5) - (cc.c3+1.0)/(cc.n+5))
+                   * ln(((r.c3+1.0)/(r.n+5)) / ((cc.c3+1.0)/(cc.n+5))), 8)
+             + round(((r.c4+1.0)/(r.n+5) - (cc.c4+1.0)/(cc.n+5))
+                   * ln(((r.c4+1.0)/(r.n+5)) / ((cc.c4+1.0)/(cc.n+5))), 8)
+             + round(((r.c5+1.0)/(r.n+5) - (cc.c5+1.0)/(cc.n+5))
+                   * ln(((r.c5+1.0)/(r.n+5)) / ((cc.c5+1.0)/(cc.n+5))), 8)
+               AS psi
+      FROM rc r JOIN cc ON cc.event_type = r.event_type
+    )
+    SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(psi, 6) AS psi,
+           CAST(round(psi, 6) > 0.1 AS BOOLEAN) AS drift_flag
+    FROM terms
+    """,
+    tags=("analytics", "drift", "psi"),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the stream's
+    first and second halves — THE production drift monitor for any
+    scored feature: quintile edges come from exact order statistics of
+    the reference window (the r-th smallest value of a multiset is
+    tie-order-independent), both windows bin with one conditional
+    aggregate against the broadcast 4-edge table, and PSI sums
+    Laplace-smoothed (c+1)/(n+5) shares with each term snapped to 8dp.
+    Flags types past the classic 0.1 threshold. At 100 TB: two
+    map-combined conditional aggregates + one |types|-row join — edges
+    would come from approx_percentile in the sketch variant, exact here
+    for the oracle."""
+    e = load(spark, sf_dir, "events").withColumn("us", ts_epoch_us("ts"))
+    mid = e.agg(
+        F.floor((F.min("us") + F.max("us")) / 2).alias("mid")
+    )
+    b = e.crossJoin(F.broadcast(mid)).select(
+        "event_type", "value", (F.col("us") < F.col("mid")).alias("is_ref")
+    )
+    ref = b.where("is_ref")
+    cur = b.where(~F.col("is_ref"))
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    ranked = ref.select(
+        "event_type", "value",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def edge(b_i: int):
+        return F.max(
+            F.when(
+                F.col("rk")
+                == F.ceil(b_i * F.col("n") / 5.0).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias(f"e{b_i}")
+
+    edges = ranked.groupBy("event_type").agg(
+        edge(1), edge(2), edge(3), edge(4)
+    )
+
+    def counts(src):
+        return (
+            src.join(F.broadcast(edges), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("value") <= F.col("e1"), 1).otherwise(0)).alias("c1"),
+                F.sum(F.when((F.col("value") > F.col("e1")) & (F.col("value") <= F.col("e2")), 1).otherwise(0)).alias("c2"),
+                F.sum(F.when((F.col("value") > F.col("e2")) & (F.col("value") <= F.col("e3")), 1).otherwise(0)).alias("c3"),
+                F.sum(F.when((F.col("value") > F.col("e3")) & (F.col("value") <= F.col("e4")), 1).otherwise(0)).alias("c4"),
+                F.sum(F.when(F.col("value") > F.col("e4"), 1).otherwise(0)).alias("c5"),
+            )
+        )
+
+    rc = counts(ref)
+    cc = counts(cur)
+    r, c = rc.alias("r"), cc.alias("c")
+    j = r.join(c, F.col("r.event_type") == F.col("c.event_type"))
+
+    def term(i: int):
+        p = (F.col(f"r.c{i}") + 1.0) / (F.col("r.n") + 5)
+        q = (F.col(f"c.c{i}") + 1.0) / (F.col("c.n") + 5)
+        return F.round((p - q) * F.log(p / q), 8)
+
+    psi = term(1) + term(2) + term(3) + term(4) + term(5)
+    return j.select(
+        F.col("r.event_type").alias("event_type"),
+        F.col("r.n").cast("bigint").alias("n_ref"),
+        F.col("c.n").cast("bigint").alias("n_cur"),
+        F.round(psi, 6).alias("psi"),
+        (F.round(psi, 6) > 0.1).alias("drift_flag"),
+    )
