@@ -1269,3 +1269,97 @@ def decode_bmp_entropy(
             )
 
     return src.mapInPandas(run, BMP_ENTROPY_SCHEMA)
+
+
+def wav_silence_profile(payload: bytes, threshold: int = 16) -> dict | None:
+    """Silence/VAD profile for PCM WAV (the pre-filter before any speech
+    model): walks the same RIFF layout as :func:`parse_wav_pcm`, marks a
+    sample silent when |s| < threshold, and reports silent count,
+    silence-run structure and the speech ratio. Returns None for
+    non-PCM/broken payloads (same gate as parse_wav_pcm)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" or len(payload) < 44:
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "bits": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    if fmt["audio_format"] != 1 or fmt["bits"] != 16:
+        return None
+    n = len(data) // 2
+    if n == 0:
+        return None
+    silent = [
+        abs(int.from_bytes(data[i * 2 : i * 2 + 2], "little", signed=True))
+        < threshold
+        for i in range(n)
+    ]
+    runs, longest, cur = 0, 0, 0
+    for s in silent:
+        if s:
+            cur += 1
+            if cur == 1:
+                runs += 1
+            longest = max(longest, cur)
+        else:
+            cur = 0
+    n_silent = sum(silent)
+    return {
+        "n_samples": n,
+        "n_silent": n_silent,
+        "n_silence_runs": runs,
+        "longest_run": longest,
+        "speech_ratio": round((n - n_silent) / n, 6),
+        "is_silent_file": n_silent == n,
+    }
+
+
+WAV_SILENCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_silent", IntegerType()),
+        StructField("n_silence_runs", IntegerType()),
+        StructField("longest_run", IntegerType()),
+        StructField("speech_ratio", DoubleType()),
+        StructField("is_silent_file", BooleanType()),
+    ]
+)
+
+
+def decode_wav_silence(
+    df: DataFrame, id_col: str, payload_col: str, threshold: int = 16
+) -> DataFrame:
+    """Arrow-batched real PCM decode → silence/VAD profile per file."""
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                s = wav_silence_profile(bytes(p), threshold)
+                if s is not None:
+                    rows.append(
+                        (
+                            int(i), s["n_samples"], s["n_silent"],
+                            s["n_silence_runs"], s["longest_run"],
+                            s["speech_ratio"], s["is_silent_file"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in WAV_SILENCE_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, WAV_SILENCE_SCHEMA)

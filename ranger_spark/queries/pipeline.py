@@ -6529,3 +6529,65 @@ def multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     imgs = d.select("doc_id", payload.alias("payload"))
     return decode_bmp_entropy(imgs, "doc_id", "payload")
+
+
+@register(
+    "multimodal_wav_silence",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS n_samples,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 ELSE 4 END AS INTEGER)
+             AS n_silent,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 4 ELSE 1 END AS INTEGER)
+             AS n_silence_runs,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 1 ELSE 4 END
+                AS INTEGER) AS longest_run,
+           CASE doc_id % 3 WHEN 0 THEN 0.0 ELSE 0.5 END AS speech_ratio,
+           CAST(doc_id % 3 = 0 AS BOOLEAN) AS is_silent_file
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "audio", "vad"),
+)
+def multimodal_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL silence/VAD screen, oracle-checked: a PCM WAV (RIFF + fmt +
+    int16-LE data, 8 samples) is synthesized per document with a
+    doc_id-derived silence PATTERN — fully silent (doc_id%3=0),
+    alternating silence (%3=1: four 1-sample runs) or half silent
+    (%3=2: one 4-sample run) — with speech samples pinned ≥100 so the
+    |s|<16 threshold is unambiguous. `wav_silence_profile` walks the
+    actual chunk layout and derives run structure + speech ratio; the
+    closed-form oracle pins every field. The pre-filter before any
+    speech model spends GPU time; one Arrow-batched map pass."""
+    from ranger_spark.operators.multimodal import decode_wav_silence
+
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    pat = doc % 3
+
+    def sample(k: int):
+        silent = (
+            F.when(pat == 0, F.lit(True))
+            .when(pat == 1, F.lit(k % 2 == 0))
+            .otherwise(F.lit(k < 4))
+        )
+        v = F.when(silent, F.lit(0)).otherwise(100 + ((doc + k) % 100))
+        return F.concat(_byte(v), F.unhex(F.lit("00")))  # int16 LE, <256
+
+    payload = F.concat(
+        F.unhex(F.lit("52494646")),
+        F.unhex(F.lit("40000000")),
+        F.unhex(F.lit("57415645")),
+        F.unhex(F.lit("666D7420")),
+        F.unhex(F.lit("10000000")),
+        F.unhex(F.lit("0100")),
+        F.unhex(F.lit("0100")),
+        F.unhex(F.lit("401F0000")),
+        F.unhex(F.lit("803E0000")),
+        F.unhex(F.lit("0200")),
+        F.unhex(F.lit("1000")),
+        F.unhex(F.lit("64617461")),
+        F.unhex(F.lit("10000000")),
+        *[sample(k) for k in range(8)],
+    )
+    wavs = d.select("doc_id", payload.alias("payload"))
+    return decode_wav_silence(wavs, "doc_id", "payload")
