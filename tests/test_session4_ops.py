@@ -423,3 +423,34 @@ def test_ltv_curve_monotone(spark, reg):
             assert abs(
                 r["ltv_per_user"] - r["cum_revenue"] / r["cohort_users"]
             ) < 1e-4
+
+
+def test_psi_nonnegative_and_flag(spark, reg):
+    """PSI ≥ 0 (Jensen: (p−q)ln(p/q) ≥ 0 per bin); flag ⇔ psi > 0.1."""
+    rows = reg["events_psi_drift"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["psi"] >= -1e-9
+        assert r["drift_flag"] == (r["psi"] > 0.1)
+        assert r["n_ref"] > 0 and r["n_cur"] > 0
+
+
+def test_image_entropy_patterns(spark, reg):
+    """Flat ⇔ 0 bits everywhere; pattern classes land on exactly
+    0/1/2 bits (the synthesized ground truth)."""
+    rows = reg["multimodal_image_entropy"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["is_flat"] == (r["entropy_b"] == 0.0)
+        assert r["entropy_b"] in (0.0, 1.0, 2.0)
+
+
+def test_wav_silence_structure(spark, reg):
+    """speech_ratio = 1 − n_silent/n; longest run ≤ n_silent; run count
+    consistent with the synthesized pattern classes."""
+    rows = reg["multimodal_wav_silence"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["speech_ratio"] - (1 - r["n_silent"] / r["n_samples"])) < 1e-9
+        assert r["longest_run"] <= r["n_silent"]
+        assert r["is_silent_file"] == (r["n_silent"] == r["n_samples"])
