@@ -615,7 +615,8 @@ class Engine:
             # keeping files younger than the retain window (in-flight
             # writer protection; Iceberg's older_than default is 3 days)
             m = re.match(
-                r"VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?\s*$",
+                r"VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SECONDS)?"
+                r"(?:\s+(DRY\s+RUN))?\s*$",
                 r.sql,
                 re.I,
             )
@@ -633,6 +634,14 @@ class Engine:
                     f"table '{name}' is not snapshot-versioned",
                 )
             grace = float(m.group(2)) if m.group(2) else 259200.0  # 3 days
+            if m.group(3):  # DRY RUN — list candidates, touch nothing
+                would = vt.remove_orphans(grace_s=grace, dry_run=True)
+                return QueryResult(
+                    columns=["orphan_file"],
+                    rows=[(p,) for p in sorted(would)],
+                    row_count=len(would),
+                    message=f"{len(would)} orphan file(s) would be removed",
+                )
             removed = vt.remove_orphans(grace_s=grace)
             self.spark.catalog.refreshTable(name)
             return QueryResult(

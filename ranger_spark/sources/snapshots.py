@@ -339,15 +339,18 @@ class VersionedTable:
             os.unlink(self._manifest_path(v))
         return removed
 
-    def remove_orphans(self, grace_s: float = 0.0) -> list[str]:
+    def remove_orphans(
+        self, grace_s: float = 0.0, dry_run: bool = False
+    ) -> list[str]:
         """Delete data files under the table root that no snapshot
         manifest references (Iceberg ``remove_orphan_files``): leftovers
         of failed/interrupted writes that expire() can never reclaim
         because no manifest points at them. Only files older than
         ``grace_s`` seconds are touched (in-flight writer protection —
         Iceberg's ``older_than`` default is 3 days). Returns the removed
-        paths. Metadata (``_ranger_meta``) and marker files are never
-        candidates."""
+        paths — or, with ``dry_run``, the paths that WOULD be removed,
+        touching nothing (Delta's VACUUM DRY RUN surface). Metadata
+        (``_ranger_meta``) and marker files are never candidates."""
         referenced: set[str] = set()
         for v in range(1, self.current_version() + 1):
             try:
@@ -369,7 +372,8 @@ class VersionedTable:
                 try:
                     if now - os.path.getmtime(p) < grace_s:
                         continue
-                    os.unlink(p)
+                    if not dry_run:
+                        os.unlink(p)
                     removed.append(p)
                 except OSError:
                     continue

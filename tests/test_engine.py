@@ -1474,3 +1474,32 @@ def test_system_files_view_and_small_file_flag(engine):
     assert r2.rows[0][0] < n  # compacted
     engine.execute("DROP TABLE sfv.t;")
     engine.execute("DROP DATABASE sfv;")
+
+
+def test_vacuum_dry_run_lists_without_deleting(engine, tmp_path):
+    """VACUUM ... DRY RUN returns the orphan candidates as rows and
+    deletes nothing; a following real VACUUM removes exactly those."""
+    import os
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS vdr;")
+    engine.execute("CREATE TABLE vdr.t (id int32);")
+    engine.execute("INSERT INTO vdr.t (id) VALUES (1), (2);")
+    loc = engine.table_location("vdr.t") if hasattr(engine, "table_location") else None
+    if loc is None:
+        from ranger_spark.sources.snapshots import VersionedTable  # noqa
+        r = engine.execute("SELECT file_path FROM system.files "
+                           "WHERE table_name = 'vdr.t';")
+        loc = os.path.dirname(r.rows[0][0])
+    orphan = os.path.join(loc, "part-orphan-test.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    os.utime(orphan, (0, 0))  # ancient → outside any grace window
+    dry = engine.execute("VACUUM vdr.t RETAIN 1 SECONDS DRY RUN;")
+    assert dry.columns == ["orphan_file"]
+    assert any(r[0].endswith("part-orphan-test.parquet") for r in dry.rows)
+    assert os.path.exists(orphan)  # nothing deleted
+    real = engine.execute("VACUUM vdr.t RETAIN 1 SECONDS;")
+    assert "removed" in real.message
+    assert not os.path.exists(orphan)
+    engine.execute("DROP TABLE vdr.t;")
+    engine.execute("DROP DATABASE vdr;")
