@@ -3922,3 +3922,70 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(psi, 6).alias("psi"),
         (F.round(psi, 6) > 0.1).alias("drift_flag"),
     )
+
+
+@register(
+    "events_lateness_profile",
+    oracle="""
+    WITH arr AS (
+      SELECT epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (ORDER BY event_id) AS frontier_us
+      FROM events
+    ),
+    late AS (
+      SELECT CAST(floor((frontier_us - us) / 60000000.0) AS BIGINT)
+               AS late_min
+      FROM arr
+    ),
+    hist AS (
+      SELECT CASE WHEN late_min = 0 THEN '0 (in order)'
+                  WHEN late_min < 5 THEN '1-4 min'
+                  WHEN late_min < 30 THEN '5-29 min'
+                  WHEN late_min < 120 THEN '30-119 min'
+                  ELSE '120+ min' END AS lateness_bucket,
+             count(*) AS n
+      FROM late GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS t FROM hist)
+    SELECT lateness_bucket,
+           CAST(n AS BIGINT) AS n_events,
+           round(n / CAST(t.t AS DOUBLE), 6) AS share
+    FROM hist, tot t
+    """,
+    tags=("analytics", "streaming", "watermark"),
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness distribution — THE input for choosing a
+    Structured-Streaming watermark delay: with event_id as the arrival
+    order, each event's lateness is the running event-time frontier
+    minus its own timestamp (exact integer microseconds), bucketed into
+    the delays a `withWatermark` would need to keep it. A bucket's
+    cumulative share IS the fraction of data a watermark of that delay
+    retains; the streaming queries in queries/streaming_q.py consume
+    this to set their delays. One global running-max window over the
+    arrival order (at 100 TB: per-partition frontiers merged, or the
+    same profile per shard — the bucketing is map-side after the
+    window)."""
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    us = ts_epoch_us("ts")
+    late = load(spark, sf_dir, "events").select(
+        F.floor((F.max(us).over(w) - us) / 60000000.0).cast("bigint").alias(
+            "late_min"
+        )
+    )
+    hist = late.groupBy(
+        F.when(F.col("late_min") == 0, "0 (in order)")
+        .when(F.col("late_min") < 5, "1-4 min")
+        .when(F.col("late_min") < 30, "5-29 min")
+        .when(F.col("late_min") < 120, "30-119 min")
+        .otherwise("120+ min")
+        .alias("lateness_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "lateness_bucket",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n") / F.col("t").cast("double"), 6).alias("share"),
+    )
