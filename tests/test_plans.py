@@ -90,6 +90,8 @@ _NL_ALLOWED = {
     "nations_revenue_hhi",  # 1-row nation-total broadcast
     "sample_neyman_allocation",  # 1-row weight-sum crossJoin
     "conformal_price_interval",  # 1-row fit/q-hat/coverage crossJoins
+    "events_lateness_profile",  # 1-row bucket-total crossJoin
+    "events_psi_drift",  # 1-row stream-midpoint broadcast
     "events_rolling_wau",  # broadcast day-grid range join (~days rows)
     # broadcast day-grid range joins over per-day HLL sketches + the
     # exact cross-check branch (bytes per day on both sides)
