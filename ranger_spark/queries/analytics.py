@@ -3989,3 +3989,78 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_events"),
         F.round(F.col("n") / F.col("t").cast("double"), 6).alias("share"),
     )
+
+
+@register(
+    "events_sequence_chi2",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    obs AS (
+      SELECT src, dst, count(*) AS o FROM pairs
+      WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT src, dst, o,
+             sum(o) OVER (PARTITION BY src) AS row_tot,
+             sum(o) OVER (PARTITION BY dst) AS col_tot,
+             sum(o) OVER () AS n
+      FROM obs
+    ),
+    terms AS (
+      SELECT src, dst, o,
+             round(row_tot * col_tot / CAST(n AS DOUBLE), 6) AS e
+      FROM margins
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(o) AS BIGINT) AS n_pairs,
+           round(sum(round(pow(o - e, 2) / e, 8)), 6) AS chi2,
+           CAST((count(DISTINCT src) - 1) * (count(DISTINCT dst) - 1)
+                AS BIGINT) AS dof
+    FROM terms
+    """,
+    tags=("analytics", "stats", "chi2"),
+)
+def events_sequence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between consecutive event types —
+    'does the next action depend on the current one?', the significance
+    companion to the Markov transition matrix: observed |types|² pair
+    counts vs independence expectations from the margins, each (o−e)²/e
+    term snapped to 8dp before the 6dp total. One user_id-keyed lead()
+    window builds pairs (the same shuffle the Markov family pays); the
+    contingency table and margins are |types|²-bounded windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    obs = pairs.where(F.col("dst").isNotNull()).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy("src")
+    wc = Window.partitionBy("dst")
+    wn = Window.partitionBy(F.lit(1))
+    terms = obs.select(
+        "src", "dst", "o",
+        F.round(
+            F.sum("o").over(wr) * F.sum("o").over(wc)
+            / F.sum("o").over(wn).cast("double"),
+            6,
+        ).alias("e"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("o").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.round(F.pow(F.col("o") - F.col("e"), F.lit(2)) / F.col("e"), 8)),
+            6,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("src") - 1) * (F.countDistinct("dst") - 1)
+        ).cast("bigint").alias("dof"),
+    )
