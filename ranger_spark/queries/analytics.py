@@ -4064,3 +4064,61 @@ def events_sequence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("src") - 1) * (F.countDistinct("dst") - 1)
         ).cast("bigint").alias("dof"),
     )
+
+
+@register(
+    "events_power_analysis",
+    oracle="""
+    WITH arm AS (
+      SELECT CAST(round(var_samp(value), 6) AS DOUBLE) AS var_v,
+             round(avg(value), 6) AS mean_v,
+             count(*) AS n
+      FROM events WHERE event_type = 'purchase'
+    ),
+    mde AS (
+      SELECT var_v, mean_v, n, round(0.05 * mean_v, 6) AS d
+      FROM arm
+    )
+    SELECT CAST(n AS BIGINT) AS n_current,
+           mean_v AS mean_value,
+           var_v AS variance,
+           d AS min_detectable_diff,
+           CAST(ceil(2.0 * pow(1.959964 + 0.841621, 2) * var_v / (d * d))
+                AS BIGINT) AS n_required_per_arm,
+           CAST(ceil(2.0 * pow(1.959964 + 0.841621, 2) * var_v / (d * d))
+                  <= n AS BOOLEAN) AS currently_powered
+    FROM mde
+    """,
+    tags=("analytics", "abtest", "power"),
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size / power analysis (two-sample normal
+    approximation): n per arm = 2(z_{α/2}+z_β)²σ²/d² for α=0.05,
+    power=0.8 and a 5%-of-mean minimum detectable effect, with σ²
+    measured from the live metric — the planning step before
+    events_welch_ttest reads the result. One map-combined aggregate;
+    the z constants are literals (1.959964, 0.841621 — the standard
+    normal quantiles both engines share as text). Completes the
+    experimentation toolkit: power → CUPED → Welch → conformal."""
+    arm = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg(
+            F.round(F.var_samp("value"), 6).cast("double").alias("var_v"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    d = F.round(0.05 * F.col("mean_v"), 6)
+    n_req = F.ceil(
+        2.0 * F.pow(F.lit(1.959964 + 0.841621), F.lit(2)) * F.col("var_v")
+        / (d * d)
+    ).cast("bigint")
+    return arm.select(
+        F.col("n").cast("bigint").alias("n_current"),
+        F.col("mean_v").alias("mean_value"),
+        F.col("var_v").alias("variance"),
+        d.alias("min_detectable_diff"),
+        n_req.alias("n_required_per_arm"),
+        (n_req <= F.col("n")).alias("currently_powered"),
+    )

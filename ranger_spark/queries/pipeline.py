@@ -6591,3 +6591,65 @@ def multimodal_wav_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wavs = d.select("doc_id", payload.alias("payload"))
     return decode_wav_silence(wavs, "doc_id", "payload")
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+    sh0 AS (
+      SELECT DISTINCT doc_id, lang, source, concat_ws(' ', t[i], t[i+1]) AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i) g
+    ),
+    sh AS (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS sh_hash
+      FROM sh0
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    jac AS (
+      SELECT round(i.n_inter /
+                   CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) AS j
+      FROM inter i
+      JOIN sizes na ON na.doc_id = i.id_a
+      JOIN sizes nb ON nb.doc_id = i.id_b
+    ),
+    ts AS (SELECT unnest([0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9]) AS threshold)
+    SELECT t.threshold,
+           CAST(count(j.j) AS BIGINT) AS n_pairs
+    FROM ts t LEFT JOIN jac j ON j.j >= t.threshold
+    GROUP BY t.threshold
+    """,
+    tags=("dedup", "jaccard", "tuning"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: surviving pair count at each
+    Jaccard cut (0.05 → 0.9) from ONE pass of the blocked exact-Jaccard
+    pair computation — the knob-setting report run before committing a
+    dedup threshold at corpus scale (pick the knee). The pair table is
+    computed once (same banded/blocked shape as dedup_ngram_jaccard);
+    the sweep is a 7-row broadcast range join over pair scores, so
+    extra thresholds are free."""
+    from ranger_spark.operators.dedup import ngram_jaccard_blocked
+
+    pairs = ngram_jaccard_blocked(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        ["lang", "source"], shingle_k=2, threshold=0.0,
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in (0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9)],
+        "threshold double",
+    )
+    return (
+        F.broadcast(ts)
+        .join(pairs, pairs.jaccard >= ts.threshold, "left")
+        .groupBy("threshold")
+        .agg(F.count("jaccard").cast("bigint").alias("n_pairs"))
+    )

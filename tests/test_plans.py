@@ -92,6 +92,8 @@ _NL_ALLOWED = {
     "conformal_price_interval",  # 1-row fit/q-hat/coverage crossJoins
     "events_lateness_profile",  # 1-row bucket-total crossJoin
     "events_psi_drift",  # 1-row stream-midpoint broadcast
+    "dedup_threshold_sweep",  # 7-row broadcast threshold range join
+    "events_power_analysis",  # (none today; 1-row aggregate only)
     "events_rolling_wau",  # broadcast day-grid range join (~days rows)
     # broadcast day-grid range joins over per-day HLL sketches + the
     # exact cross-check branch (bytes per day on both sides)
