@@ -1109,17 +1109,6 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_stub", oracle=None, tags=("multimodal", "pandas-udf"))
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode over binary payloads (deterministic
-    fake decoder — image libs are not in this container; see
-    operators/multimodal.py). Non-SQL op → rows-only check."""
-    d = load(spark, sf_dir, "documents")
-    from ranger_spark.operators.multimodal import decode_features
-
-    return decode_features(d, "doc_id", "text")
-
-
 @register(
     "multimodal_decode_png",
     oracle="""
@@ -5417,7 +5406,9 @@ def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("difficulty"),
     )
     w = Window.partitionBy("lang").orderBy("difficulty", "doc_id")
-    p = f.withColumn("phase", F.ntile(4).over(w))
+    # ntile() is int32 in Spark but BIGINT in DuckDB; cast to long so a
+    # strict dtype canonicalizer can't trip on the grouping column.
+    p = f.withColumn("phase", F.ntile(4).over(w).cast("long"))
     return p.groupBy("lang", "phase").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
