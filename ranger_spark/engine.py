@@ -889,6 +889,9 @@ class Engine:
     _NONDET_RE = re.compile(
         r"\b(rand|randn|shuffle|uuid|monotonically_increasing_id"
         r"|current_date|current_timestamp|current_timezone|now"
+        r"|unix_timestamp|localtimestamp|curdate|current_localtimestamp"
+        r"|current_user|session_user|user|unix_millis|unix_micros"
+        r"|input_file_name|spark_partition_id"
         r"|sys_date|sys_time|sys_timestamp|generate_uuid|system\w*)\s*\(?",
         re.I,
     )

@@ -85,6 +85,9 @@ SERVER_CLOSE = 116
 
 DBMS_TCP_PROTOCOL_VERSION = 54460
 MAX_FRAME = 64 * 1024 * 1024  # cap client-declared frame length
+# Bound on rows per rendered INSERT statement: keeps a cap-sized COPY
+# from becoming one multi-hundred-MB SQL string on the shared engine.
+INSERT_CHUNK_ROWS = 10_000
 
 # wire compression codecs — numbering matches the reference SDK enum
 # exactly (pkg/sdk/client.go:51-58: None=0, LZ4=1, LZ4HC=2, ZSTD=3,
@@ -610,9 +613,19 @@ def insert_string_block(
     declared column type — verified bare numeric literals splice
     unquoted (the strict INSERT validator's requirement), everything
     else goes through _sql_lit so a malicious value can never reshape
-    the VALUES list; None → NULL. Returns the row count."""
+    the VALUES list; None → NULL. Rows are chunked into bounded INSERT
+    statements (INSERT_CHUNK_ROWS) so a COPY at the MAX_COPY_BYTES cap
+    never becomes one multi-hundred-MB SQL string that the INSERT
+    parser must scan in a single shot. Returns the row count."""
     if not rows:
         return 0
+    if len(rows) > INSERT_CHUNK_ROWS:
+        total = 0
+        for i in range(0, len(rows), INSERT_CHUNK_ROWS):
+            total += insert_string_block(
+                engine, table, columns, rows[i : i + INSERT_CHUNK_ROWS], database
+            )
+        return total
     qualified_in = table
     if database and "." not in table:
         qualified_in = f"{database}.{table}"

@@ -185,35 +185,153 @@ def _substitute_params(sql: str, params: list[str | None]) -> str:
     return "".join(out)
 
 
+_COPY_TEXT_ESCAPES = {
+    "t": "\t",
+    "n": "\n",
+    "r": "\r",
+    "b": "\b",
+    "f": "\f",
+    "v": "\v",
+    "\\": "\\",
+}
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+_OCT_DIGITS = set("01234567")
+
+
+def _unescape_copy_text(v: str) -> str:
+    """PostgreSQL COPY text-format unescape: \\t \\n \\r \\b \\f \\v \\\\,
+    octal (\\ooo, 1-3 digits) and hex (\\xHH, 1-2 digits) forms. Any other
+    backslashed character drops the backslash (PG behavior). The \\N NULL
+    sentinel is resolved by the caller BEFORE this runs (so \\\\N decodes
+    to the literal string '\\N', not NULL)."""
+    if "\\" not in v:
+        return v
+    out: list[str] = []
+    i, n = 0, len(v)
+    while i < n:
+        c = v[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:  # trailing lone backslash passes through
+            out.append("\\")
+            break
+        nxt = v[i + 1]
+        if nxt in _COPY_TEXT_ESCAPES:
+            out.append(_COPY_TEXT_ESCAPES[nxt])
+            i += 2
+        elif nxt == "x" and i + 2 < n and v[i + 2] in _HEX_DIGITS:
+            j = i + 2
+            while j < n and j < i + 4 and v[j] in _HEX_DIGITS:
+                j += 1
+            out.append(chr(int(v[i + 2:j], 16)))
+            i = j
+        elif nxt in _OCT_DIGITS:
+            j = i + 1
+            while j < n and j < i + 4 and v[j] in _OCT_DIGITS:
+                j += 1
+            out.append(chr(int(v[i + 1:j], 8) & 0xFF))
+            i = j
+        else:  # unknown escape: backslash dropped
+            out.append(nxt)
+            i += 2
+    return "".join(out)
+
+
+def _escape_copy_text(v: str) -> str:
+    """Escape a value for COPY TO text format so embedded tabs, newlines,
+    CRs, and backslashes can't break row framing on the client."""
+    return (
+        v.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _parse_csv_records(text: str) -> list:
+    """PostgreSQL COPY csv record parser: ',' delimiter, '\"' quote with
+    doubled-quote escaping. Distinguishes an UNQUOTED empty field (NULL,
+    per PG COPY csv semantics) from a quoted \"\" (empty string) — the
+    distinction stdlib csv.reader erases. Returns lists of str|None."""
+    rows: list = []
+    rec: list = []
+    field: list[str] = []
+    quoted = in_quotes = False
+    i, n = 0, len(text)
+
+    def _end_field() -> None:
+        nonlocal field, quoted
+        rec.append("".join(field) if (field or quoted) else None)
+        field, quoted = [], False
+
+    while i < n:
+        c = text[i]
+        if in_quotes:
+            if c == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    field.append('"')
+                    i += 2
+                    continue
+                in_quotes = False
+            else:
+                field.append(c)
+            i += 1
+            continue
+        if c == '"':
+            in_quotes = quoted = True
+        elif c == ",":
+            _end_field()
+        elif c in ("\n", "\r"):
+            _end_field()
+            rows.append(rec)
+            rec = []
+            if c == "\r" and i + 1 < n and text[i + 1] == "\n":
+                i += 1
+        else:
+            field.append(c)
+        i += 1
+    if field or quoted or rec:
+        _end_field()
+        rows.append(rec)
+    return rows
+
+
 def _parse_copy_rows(data: bytes, fmt: str, ncols: int) -> list:
-    """Decode COPY text/csv payload into rows of str|None values."""
+    """Decode COPY text/csv payload into rows of str|None values,
+    honoring PG escape and NULL semantics (COPY text escapes unescaped;
+    csv unquoted-empty → NULL; only the \\. terminator and the trailing
+    empty fragment of the final newline are non-data)."""
     text = data.decode("utf-8", errors="replace")
     rows: list = []
     if fmt == "csv":
-        import csv
-        import io
-
-        for rec in csv.reader(io.StringIO(text)):
-            if not rec or rec == ["\\."]:
-                continue
+        for rec in _parse_csv_records(text):
+            if rec == ["\\."]:
+                break  # end-of-data marker: ignore anything after
             if len(rec) != ncols:
                 raise ValueError(
                     f"COPY row has {len(rec)} columns, expected {ncols}"
                 )
             rows.append(tuple(rec))
         return rows
-    for line in text.split("\n"):
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # trailing fragment of the final newline, not a row
+    for line in lines:
         if line.endswith("\r"):
             line = line[:-1]
-        if line == "" or line == "\\.":
-            continue
+        if line == "\\.":
+            break  # end-of-data marker: ignore anything after
         vals = line.split("\t")
         if len(vals) != ncols:
             raise ValueError(
                 f"COPY row has {len(vals)} columns, expected {ncols}"
             )
         rows.append(
-            tuple(None if v == "\\N" else v for v in vals)
+            tuple(
+                None if v == "\\N" else _unescape_copy_text(v) for v in vals
+            )
         )
     return rows
 
@@ -425,6 +543,7 @@ class PgWireServer:
             t, length = head[:1], struct.unpack("!I", head[1:])[0]
             if length < 4 or length - 4 > MAX_FRAME:
                 conn.sendall(_error("invalid COPY frame length"))
+                self._drain_copy(conn)
                 return
             payload = self._recv_exact(conn, length - 4) if length > 4 else b""
             if payload is None:
@@ -432,6 +551,7 @@ class PgWireServer:
             if t == b"d":  # CopyData
                 if len(buf) + len(payload) > MAX_COPY_BYTES:
                     conn.sendall(_error("COPY data exceeds size cap"))
+                    self._drain_copy(conn)
                     return
                 buf += payload
             elif t == b"c":  # CopyDone
@@ -443,6 +563,7 @@ class PgWireServer:
                 continue
             else:
                 conn.sendall(_error(f"unexpected message {t!r} during COPY"))
+                self._drain_copy(conn)
                 return
         try:
             rows = _parse_copy_rows(bytes(buf), fmt, ncols)
@@ -451,6 +572,23 @@ class PgWireServer:
             conn.sendall(_error(str(e)[:400]))
             return
         conn.sendall(_msg(b"C", _cstr(f"COPY {n}")))
+
+    def _drain_copy(self, conn: socket.socket) -> None:
+        """After a mid-stream COPY error, keep consuming frames until
+        CopyDone/CopyFail (or EOF/oversized frame) so leftover CopyData
+        isn't misread by the main loop as unsupported messages — the
+        protocol requires ignoring CopyData until copy termination."""
+        while True:
+            head = self._recv_exact(conn, 5)
+            if head is None:
+                return
+            t, length = head[:1], struct.unpack("!I", head[1:])[0]
+            if length < 4 or length - 4 > MAX_FRAME:
+                return
+            if length > 4 and self._recv_exact(conn, length - 4) is None:
+                return
+            if t in (b"c", b"f"):
+                return
 
     def _copy_out(self, conn: socket.socket, co) -> None:
         """COPY <table> [(cols)] TO STDOUT: the export half —
@@ -489,7 +627,8 @@ class PgWireServer:
             for row in r.rows:
                 line = (
                     "\t".join(
-                        "\\N" if v is None else str(v) for v in row
+                        "\\N" if v is None else _escape_copy_text(str(v))
+                        for v in row
                     )
                     + "\n"
                 )

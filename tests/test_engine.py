@@ -1312,6 +1312,20 @@ def test_result_cache_version_keyed(engine):
     engine.execute("SELECT count(*) AS n FROM rc_v;")
     assert engine._result_cache_hits == hb
     engine.execute("DROP VIEW rc_v;")
+    # ADVICE r7: time/session-dependent functions beyond now()/
+    # current_timestamp must also be denylisted, else a cached
+    # SELECT unix_timestamp(), ... replays a stale clock forever
+    for fn in (
+        "unix_timestamp()",
+        "localtimestamp()",
+        "curdate()",
+        "current_user()",
+    ):
+        q2 = f"SELECT {fn} AS v, id FROM rc_t;"
+        engine.execute(q2)
+        hb2 = engine._result_cache_hits
+        engine.execute(q2)
+        assert engine._result_cache_hits == hb2, fn
     engine.execute("DROP TABLE rc_t;")
 
 

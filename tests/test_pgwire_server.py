@@ -302,3 +302,133 @@ def test_pgwire_copy_out(pg, engine):
     s.sendall(b"X")
     s.close()
     engine.spark.sql("DROP DATABASE pgo CASCADE")
+
+
+def test_copy_text_escape_unit():
+    """PG COPY text-format escapes (ADVICE r7): \\t/\\n/\\r/\\b/\\f/\\v/
+    \\\\, octal and hex forms unescape on the way in; \\N stays NULL but
+    \\\\N is the literal two-char string; empty line = one empty-string
+    field (not skipped); data after the \\. terminator is ignored."""
+    from ranger_spark.sources.pgwire_server import (
+        _escape_copy_text,
+        _parse_copy_rows,
+        _unescape_copy_text,
+    )
+
+    assert _unescape_copy_text(r"a\tb\nc\\d") == "a\tb\nc\\d"
+    assert _unescape_copy_text(r"\b\f\v\r") == "\b\f\v\r"
+    assert _unescape_copy_text(r"\101\x41\x4a") == "AAJ"  # octal + hex
+    assert _unescape_copy_text(r"\9") == "9"  # unknown escape: \ dropped
+    assert _unescape_copy_text("plain") == "plain"
+
+    rows = _parse_copy_rows(b"a\\tb\t\\N\t\\\\N\n\\.\nignored\tx\ty\n", "text", 3)
+    assert rows == [("a\tb", None, "\\N")]
+    # empty line is a valid single-empty-string row for a 1-col target
+    assert _parse_copy_rows(b"\nx\n", "text", 1) == [("",), ("x",)]
+    # round-trip: escape then unescape is identity
+    for v in ["a\tb", "line1\nline2", "back\\slash", "cr\rhere", "plain"]:
+        assert _unescape_copy_text(_escape_copy_text(v)) == v
+
+
+def test_copy_csv_null_semantics_unit():
+    """PG COPY csv: unquoted empty field is NULL, quoted "" is the empty
+    string; quoted commas/newlines/doubled quotes survive; \\. marker
+    terminates the stream."""
+    from ranger_spark.sources.pgwire_server import _parse_copy_rows
+
+    rows = _parse_copy_rows(b'1,,""\n2,"a,b","x""y"\n3,"l1\nl2",\n', "csv", 3)
+    assert rows == [
+        ("1", None, ""),
+        ("2", "a,b", 'x"y'),
+        ("3", "l1\nl2", None),
+    ]
+    assert _parse_copy_rows(b"1,a\n\\.\n9,z\n", "csv", 2) == [("1", "a")]
+
+
+def test_pgwire_copy_escape_roundtrip(pg, engine):
+    """Values containing tab/newline/backslash survive COPY IN (escaped)
+    -> engine -> COPY OUT (re-escaped) without breaking row framing."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pge;")
+    engine.execute("DROP TABLE IF EXISTS pge.esc;")
+    engine.execute("CREATE TABLE pge.esc (id int32, v string);")
+    s = _connect(pg.port)
+    s.sendall(_query_packet("COPY pge.esc (id, v) FROM STDIN"))
+    _read_messages(s, until_tag=b"G")
+    s.sendall(_copy_data_msg(b"1\ta\\tb\n2\tl1\\nl2\n3\tback\\\\slash\n"))
+    s.sendall(b"c" + struct.pack("!I", 4))
+    msgs = _read_messages(s)
+    assert any(t == b"C" and body.startswith(b"COPY 3") for t, body in msgs)
+    rows = dict(engine.execute("SELECT id, v FROM pge.esc;").rows)
+    assert rows == {1: "a\tb", 2: "l1\nl2", 3: "back\\slash"}
+
+    s.sendall(_query_packet("COPY pge.esc (id, v) TO STDOUT"))
+    msgs = _read_messages(s)
+    data = b"".join(body for t, body in msgs if t == b"d")
+    lines = sorted(data.decode().strip("\n").split("\n"))
+    # every control char re-escaped: framing is 3 lines x 2 tab-separated cols
+    assert lines == ["1\ta\\tb", "2\tl1\\nl2", "3\tback\\\\slash"]
+    s.sendall(b"X")
+    s.close()
+    engine.spark.sql("DROP DATABASE pge CASCADE")
+
+
+def test_pgwire_copy_error_drains_remaining_frames(pg, engine):
+    """After a mid-COPY error the server must consume CopyData frames
+    until CopyDone/CopyFail (protocol rule) instead of answering each
+    leftover 'd' frame with 'unsupported message' (ADVICE r7)."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pgd;")
+    engine.execute("DROP TABLE IF EXISTS pgd.t;")
+    engine.execute("CREATE TABLE pgd.t (id int32);")
+    s = _connect(pg.port)
+    s.sendall(_query_packet("COPY pgd.t (id) FROM STDIN"))
+    _read_messages(s, until_tag=b"G")
+    s.sendall(_copy_data_msg(b"1\n"))
+    # an illegal message mid-copy triggers the error path...
+    s.sendall(b"p" + struct.pack("!I", 5) + b"\x00")
+    # ...followed by more CopyData the server must silently drain
+    s.sendall(_copy_data_msg(b"2\n"))
+    s.sendall(_copy_data_msg(b"3\n"))
+    s.sendall(b"c" + struct.pack("!I", 4))  # CopyDone ends the drain
+    msgs = _read_messages(s)
+    tags = [t for t, _ in msgs]
+    assert b"E" in tags  # exactly one error for the illegal message
+    assert sum(1 for t in tags if t == b"E") == 1
+    # connection is back in the normal loop and usable
+    s.sendall(_query_packet("SELECT 7 AS x"))
+    msgs = _read_messages(s)
+    assert any(t == b"D" and b"7" in body for t, body in msgs)
+    s.sendall(b"X")
+    s.close()
+    engine.spark.sql("DROP DATABASE pgd CASCADE")
+
+
+def test_insert_string_block_chunks_large_payloads():
+    """insert_string_block must split a big COPY into bounded INSERT
+    statements (ADVICE r7: a cap-sized COPY rendered as ONE statement
+    risks a driver stall); verified against a recording fake engine."""
+    from ranger_spark.sources.native_server import (
+        INSERT_CHUNK_ROWS,
+        insert_string_block,
+    )
+
+    class FakeEngine:
+        _manifest = {"tables": {"db.t": {"columns": [["id", "int32"]]}}}
+
+        def __init__(self):
+            self.stmts = []
+
+        def _qualify(self, t):
+            return f"db.{t}"
+
+        def execute(self, sql):
+            self.stmts.append(sql)
+
+    fake = FakeEngine()
+    n = insert_string_block(
+        fake, "db.t", ["id"], [(str(i),) for i in range(2 * INSERT_CHUNK_ROWS + 5)]
+    )
+    assert n == 2 * INSERT_CHUNK_ROWS + 5
+    assert len(fake.stmts) == 3
+    assert all(s.count("(") <= INSERT_CHUNK_ROWS + 1 for s in fake.stmts)
+    # chunk boundaries preserve order and lose nothing
+    assert f"({2 * INSERT_CHUNK_ROWS + 4})" in fake.stmts[-1]
