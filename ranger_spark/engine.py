@@ -221,6 +221,53 @@ class Engine:
     # ride the standard ``fs.s3a.*`` Hadoop confs. Like the reference,
     # the engine is "unavailable" (create errors) when unconfigured.
     S3_ROOT_CONF = "spark.ranger.storage.s3.root"
+    # Mirror mode (sandbox / any S3-compatible endpoint without
+    # hadoop-aws on the classpath): root is s3:// + an explicit endpoint;
+    # table data lives in a local cache dir Spark reads directly, and
+    # every snapshot commit is mirrored to the object store through a
+    # real S3 client (sources/s3fs.py; reference server/storage/s3/fs.go)
+    S3_ENDPOINT_CONF = "spark.ranger.storage.s3.endpoint"
+    S3_ACCESS_CONF = "spark.ranger.storage.s3.access_key"
+    S3_SECRET_CONF = "spark.ranger.storage.s3.secret_key"
+    S3_REGION_CONF = "spark.ranger.storage.s3.region"
+    S3_CACHE_CONF = "spark.ranger.storage.s3.cache_dir"
+
+    def _s3_mirror_conf(self) -> tuple[str, str] | None:
+        """(remote root, endpoint) when mirror mode is active, else None."""
+        root = self.spark.conf.get(self.S3_ROOT_CONF, None)
+        endpoint = self.spark.conf.get(self.S3_ENDPOINT_CONF, None)
+        if root and endpoint and root.startswith("s3://"):
+            return root.rstrip("/"), endpoint
+        return None
+
+    def _s3_fs(self):
+        """Lazily-built S3 client for mirror mode (cached per endpoint)."""
+        mirror = self._s3_mirror_conf()
+        if mirror is None:
+            return None
+        _, endpoint = mirror
+        cached = getattr(self, "_s3_fs_cache", None)
+        if cached is not None and cached[0] == endpoint:
+            return cached[1]
+        from ranger_spark.sources.s3fs import S3ObjectFS
+
+        fs = S3ObjectFS(
+            endpoint,
+            access_key=self.spark.conf.get(self.S3_ACCESS_CONF, "ranger"),
+            secret_key=self.spark.conf.get(self.S3_SECRET_CONF, "ranger"),
+            region=self.spark.conf.get(self.S3_REGION_CONF, "us-east-1"),
+        )
+        self._s3_fs_cache = (endpoint, fs)
+        return fs
+
+    def _s3_cache_root(self) -> str:
+        import os
+
+        d = self.spark.conf.get(self.S3_CACHE_CONF, None) or os.path.join(
+            self._warehouse(), ".s3cache"
+        )
+        os.makedirs(d, exist_ok=True)
+        return d
 
     def _storage_root(self, storage: str) -> str:
         if storage == "s3":
@@ -232,8 +279,47 @@ class Engine:
                     f"or invalid): set {self.S3_ROOT_CONF} to an s3a:// "
                     "bucket root",
                 )
+            if self._s3_mirror_conf() is not None:
+                # mirror mode: Spark works against the local cache; the
+                # object store is the durability layer (synced per commit)
+                return self._s3_cache_root()
             return root.rstrip("/")
         return self._warehouse()
+
+    def _s3_sync_up(self, name: str) -> None:
+        """Mirror a committed s3-storage table to the object store. Unlike
+        the Iceberg projection this is NOT best-effort: a failed upload
+        means the commit is not durable in the configured store, so the
+        error surfaces (the local snapshot remains valid and a retry —
+        any later commit — re-syncs)."""
+        entry = self._manifest["tables"].get(name)
+        if not entry or "s3_remote" not in entry:
+            return
+        fs = self._s3_fs()
+        if fs is None:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                f"table '{name}' is S3-mirrored but "
+                f"{self.S3_ENDPOINT_CONF} is no longer set",
+            )
+        from ranger_spark.sources.s3fs import parse_s3_uri
+
+        bucket, prefix = parse_s3_uri(entry["s3_remote"])
+        fs.sync_up(entry["location"], bucket, prefix)
+
+    def _s3_sync_down(self, name: str, entry: dict) -> None:
+        """Hydrate a mirrored table's local cache from the object store
+        (fresh engine / lost cache). Best-effort only in the sense that a
+        non-mirrored table is a no-op."""
+        if "s3_remote" not in entry:
+            return
+        fs = self._s3_fs()
+        if fs is None:
+            return
+        from ranger_spark.sources.s3fs import parse_s3_uri
+
+        bucket, prefix = parse_s3_uri(entry["s3_remote"])
+        fs.sync_down(bucket, prefix, entry["location"])
 
     def table_location(self, name: str, storage: str = "filesystem") -> str:
         db, tbl = name.split(".", 1)
@@ -270,9 +356,18 @@ class Engine:
             if not self._db_exists(db):
                 self.spark.sql(f"CREATE DATABASE `{db}`")
         for name, entry in self._manifest["tables"].items():
-            if self._table_exists(name) or not self._location_exists(
+            if self._table_exists(name):
+                continue
+            if "s3_remote" in entry and not self._location_exists(
                 entry["location"]
             ):
+                # mirrored s3 table with a cold cache: the object store is
+                # the durability layer — hydrate before registration
+                try:
+                    self._s3_sync_down(name, entry)
+                except Exception:
+                    pass  # unreachable endpoint → table stays unregistered
+            if not self._location_exists(entry["location"]):
                 continue
             schema = itypes.to_spark_schema(
                 [tuple(c) for c in entry["columns"]]
@@ -1419,6 +1514,7 @@ class Engine:
             keep_last, protected={int(v) for v in tags.values()}
         )
         self._emit_iceberg(name)  # spec projection drops expired snapshots
+        self._s3_sync_up(name)  # expiry deletions mirror to the object store
         return removed
 
     def _create_database(self, sql: str) -> QueryResult:
@@ -1945,9 +2041,14 @@ class Engine:
             "location": location,
             "versioned": versioned,
         }
+        if opts["storage"] == "s3" and self._s3_mirror_conf() is not None:
+            remote_root, _ = self._s3_mirror_conf()
+            db, tbl = name.split(".", 1)
+            entry["s3_remote"] = f"{remote_root}/{db}.db/{tbl}"
         self._mutate_manifest(lambda m: m["tables"].__setitem__(name, entry))
         if versioned:
             self._emit_iceberg(name)
+        self._s3_sync_up(name)
         return QueryResult([], [], 0, message=f"table '{name}' created")
 
     def _create_table_as(self, m: "re.Match[str]", sql: str) -> QueryResult:
@@ -2071,6 +2172,13 @@ class Engine:
             # external table drop keeps files — the engine owns storage
             # cleanup (reference storage.go:687-723)
             self._delete_location(entry["location"])
+            if "s3_remote" in entry:
+                fs = self._s3_fs()
+                if fs is not None:
+                    from ranger_spark.sources.s3fs import parse_s3_uri
+
+                    bucket, prefix = parse_s3_uri(entry["s3_remote"])
+                    fs.delete_prefix(bucket, prefix)
         if name in self._manifest.get("mviews", {}):
             # dropping an MV's backing table directly must not strand
             # refresh metadata pointing at a vanished table
@@ -2786,6 +2894,7 @@ class Engine:
                 added=added,
             )
             self._emit_iceberg(name)
+            self._s3_sync_up(name)
             return
         before = walk_parquet(data_dir) if data_dir else set()
         with self._write_conf(name):
@@ -2805,6 +2914,7 @@ class Engine:
             added=added,
         )
         self._emit_iceberg(name)
+        self._s3_sync_up(name)
 
     def _versioned_rewrite(
         self,
@@ -2879,6 +2989,7 @@ class Engine:
             operation=operation,
         )
         self._emit_iceberg(name)
+        self._s3_sync_up(name)
         return new_dir
 
     def _recreate_at(

@@ -1,0 +1,196 @@
+"""End-to-end ``STORAGE s3`` over a real S3 client + in-process S3 API.
+
+The reference's most-tested storage engine is S3 (server/storage/s3/
+fs.go, exercised by s3/fs_test.go): CREATE/INSERT/SELECT/UPDATE/DROP
+against an object store. Here the engine's mirror mode (local Spark
+cache + per-commit S3 sync, sources/s3fs.py) runs against the
+in-process S3-compatible shim (sources/s3_shim.py) through boto3 — a
+production S3 client, so signatures, aws-chunked bodies, ListObjectsV2
+pagination, and batch deletes all cross a real wire.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def shim():
+    from ranger_spark.sources.s3_shim import serve
+
+    s = serve()
+    yield s
+    s.shutdown()
+
+
+@pytest.fixture()
+def s3_engine(spark, shim, tmp_path):
+    """A fresh engine with mirror-mode confs set; confs restored after."""
+    from ranger_spark.engine import Engine
+
+    cache = str(tmp_path / "s3cache")
+    spark.conf.set(Engine.S3_ROOT_CONF, "s3://ranger-wh/warehouse")
+    spark.conf.set(Engine.S3_ENDPOINT_CONF, shim.endpoint)
+    spark.conf.set(Engine.S3_CACHE_CONF, cache)
+    eng = Engine(spark)
+    yield eng
+    for c in (Engine.S3_ROOT_CONF, Engine.S3_ENDPOINT_CONF, Engine.S3_CACHE_CONF):
+        spark.conf.unset(c)
+
+
+def test_s3_create_insert_select_update_drop(s3_engine, shim):
+    e = s3_engine
+    e.execute("CREATE DATABASE IF NOT EXISTS s3db;")
+    e.execute("DROP TABLE IF EXISTS s3db.t;")
+    e.execute("CREATE TABLE s3db.t (id int32, v string) STORAGE s3;")
+    # the table's files live under the remote prefix from the moment of
+    # creation (snapshot manifest + Iceberg projection)
+    keys = shim.keys("ranger-wh")
+    assert any(k.startswith("warehouse/s3db.db/t/") for k in keys)
+
+    e.execute("INSERT INTO s3db.t (id, v) VALUES (1, 'a'), (2, 'b');")
+    assert sorted(e.execute("SELECT id, v FROM s3db.t;").rows) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # the committed parquet is in the object store, not just locally
+    parquet_keys = [
+        k
+        for k in shim.keys("ranger-wh")
+        if k.startswith("warehouse/s3db.db/t/") and k.endswith(".parquet")
+    ]
+    assert parquet_keys
+
+    # CoW rewrite (UPDATE) lands a new snapshot remotely
+    before = set(shim.keys("ranger-wh"))
+    e.execute("UPDATE s3db.t SET v = 'z' WHERE id = 2;")
+    after = set(shim.keys("ranger-wh"))
+    assert after - before  # new snapshot objects appeared
+    assert sorted(e.execute("SELECT id, v FROM s3db.t;").rows) == [
+        (1, "a"),
+        (2, "z"),
+    ]
+    # time travel still works on the mirrored table
+    rows = e.execute("SELECT id, v FROM s3db.t VERSION AS OF 2;").rows
+    assert sorted(rows) == [(1, "a"), (2, "b")]
+    assert len(e.execute("SHOW SNAPSHOTS FROM s3db.t;").rows) >= 3
+
+    # DROP removes every remote object under the table prefix
+    e.execute("DROP TABLE s3db.t;")
+    assert not [
+        k for k in shim.keys("ranger-wh") if k.startswith("warehouse/s3db.db/t/")
+    ]
+
+
+def test_s3_durability_cold_cache_recover(spark, shim, tmp_path):
+    """The object store is the source of truth: wipe the local cache,
+    build a fresh engine, recover() hydrates from S3 and the data reads
+    back — the reference's s3 durability contract (fs_test.go)."""
+    from ranger_spark.engine import Engine
+
+    cache = str(tmp_path / "cold_cache")
+    spark.conf.set(Engine.S3_ROOT_CONF, "s3://ranger-wh/cold")
+    spark.conf.set(Engine.S3_ENDPOINT_CONF, shim.endpoint)
+    spark.conf.set(Engine.S3_CACHE_CONF, cache)
+    try:
+        e1 = Engine(spark)
+        e1.execute("CREATE DATABASE IF NOT EXISTS s3cold;")
+        e1.execute("DROP TABLE IF EXISTS s3cold.t;")
+        e1.execute("CREATE TABLE s3cold.t (id int32) STORAGE s3;")
+        e1.execute("INSERT INTO s3cold.t (id) VALUES (10), (20), (30);")
+        assert len(shim.keys("ranger-wh")) > 0
+
+        # simulate a node loss: local cache gone, catalog entry dropped
+        spark.sql("DROP TABLE s3cold.t")
+        shutil.rmtree(cache, ignore_errors=True)
+        assert not os.path.exists(cache)
+
+        e2 = Engine(spark)
+        n = e2.recover()
+        assert n >= 1
+        assert sorted(e2.execute("SELECT id FROM s3cold.t;").rows) == [
+            (10,),
+            (20,),
+            (30,),
+        ]
+        e2.execute("DROP TABLE s3cold.t;")
+    finally:
+        for c in (
+            Engine.S3_ROOT_CONF,
+            Engine.S3_ENDPOINT_CONF,
+            Engine.S3_CACHE_CONF,
+        ):
+            spark.conf.unset(c)
+
+
+def test_s3_unconfigured_is_typed_error(spark):
+    from ranger_spark.engine import Engine
+    from ranger_spark.errors import RangerError
+
+    e = Engine(spark)
+    e.execute("CREATE DATABASE IF NOT EXISTS s3err;")
+    with pytest.raises(RangerError, match="S3 storage engine not available"):
+        e.execute("CREATE TABLE s3err.t (id int32) STORAGE s3;")
+
+
+def test_s3fs_sync_roundtrip_unit(shim, tmp_path):
+    """sync_up/sync_down mirror semantics: new files upload, deletions
+    propagate, .crc sidecars never cross the wire, cold-dir hydration
+    restores bytes exactly."""
+    from ranger_spark.sources.s3fs import S3ObjectFS
+
+    fs = S3ObjectFS(shim.endpoint)
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"alpha")
+    (src / "sub" / "b.bin").write_bytes(b"\x00" * 1024)
+    (src / ".a.txt.crc").write_bytes(b"nope")  # checksum sidecar: skipped
+
+    n_up, n_del = fs.sync_up(str(src), "unit", "tbl")
+    assert (n_up, n_del) == (2, 0)
+    assert shim.keys("unit") == ["tbl/a.txt", "tbl/sub/b.bin"]
+
+    # idempotent: second sync moves nothing
+    assert fs.sync_up(str(src), "unit", "tbl") == (0, 0)
+
+    # local deletion propagates
+    (src / "a.txt").unlink()
+    assert fs.sync_up(str(src), "unit", "tbl") == (0, 1)
+    assert shim.keys("unit") == ["tbl/sub/b.bin"]
+
+    # cold hydration
+    dst = tmp_path / "dst"
+    assert fs.sync_down("unit", "tbl", str(dst)) == 1
+    assert (dst / "sub" / "b.bin").read_bytes() == b"\x00" * 1024
+    # idempotent
+    assert fs.sync_down("unit", "tbl", str(dst)) == 0
+
+    assert fs.delete_prefix("unit", "tbl") == 1
+    assert shim.keys("unit") == []
+
+
+def test_s3_shim_speaks_to_pyarrow_sdk(shim):
+    """Interop fidelity: a SECOND real S3 client (AWS SDK C++ via
+    pyarrow.fs.S3FileSystem — different signer, multipart writer, range
+    reader than boto3) round-trips parquet through the shim."""
+    pa_fs = pytest.importorskip("pyarrow.fs")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    s3 = pa_fs.S3FileSystem(
+        endpoint_override=shim.endpoint,
+        access_key="k",
+        secret_key="s",
+        region="us-east-1",
+        scheme="http",
+        allow_bucket_creation=True,
+    )
+    s3.create_dir("pa-interop")
+    t = pa.table({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    pq.write_table(t, "pa-interop/d/t.parquet", filesystem=s3)
+    assert shim.keys("pa-interop") == ["d/t.parquet"]
+    assert pq.read_table("pa-interop/d/t.parquet", filesystem=s3).equals(t)
