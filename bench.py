@@ -333,6 +333,49 @@ def _bucketed_section(spark, registry, replica_dir: str, scale: dict) -> dict:
     }
 
 
+def _cbo_section(spark, registry, replica_dir: str, scale64: dict) -> dict:
+    """ANALYZE-fed CBO on the 64× replica (VERDICT r7 item 5): external
+    tables over the same files get row-count + key-column NDV stats, CBO
+    and join reorder come on, and ``load()`` serves the stats-bearing
+    metastore tables — so Catalyst sizes the join tree from real
+    statistics instead of raw file bytes. Times the shuffle-bound
+    headline joins and records the delta vs the stats-less scale64 run
+    (same files, same protocol)."""
+    from ranger_spark.sources.stats import cbo_session, ensure_stats_db
+
+    names = [
+        n
+        for n in (
+            "q5_region_revenue",
+            "q3_shipping_priority",
+            "in_subquery",
+            "agg_minmax_countd",
+        )
+        if n in registry
+    ]
+    t0 = time.time()
+    db = ensure_stats_db(spark, replica_dir, "stats_bench")
+    analyze_s = round(time.time() - t0, 1)
+    with cbo_session(spark, db):
+        spark_t = _bench_spark(
+            spark, registry, names, replica_dir, warmups=1, timed=2
+        )
+    duck_t = {n: scale64.get("duckdb", {}).get(n) for n in names}
+    plain_t = {n: scale64.get("spark", {}).get(n) for n in names}
+    return {
+        "analyze_s": analyze_s,
+        "spark": spark_t,
+        "per_query_ratio": {
+            n: round(spark_t[n] / duck_t[n], 2) for n in names if duck_t.get(n)
+        },
+        "vs_plain": {
+            n: round(spark_t[n] / plain_t[n], 2)
+            for n in names
+            if plain_t.get(n)
+        },
+    }
+
+
 def _mv_refresh_section(spark, sf_dir: str) -> dict:
     """O(delta) materialized-view maintenance evidence: build an MV over
     an engine copy of orders, append a ~1% delta through the versioned
@@ -476,6 +519,8 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
         qlocal = [
             (r["vec_id"], r["embedding"]) for r in qdf.collect()
         ]  # arrives driver-side in real serving — not timed
+        if not qlocal:  # corpus smaller than the batch grid (tiny SFs)
+            continue
         t0 = time.time()
         ivf_search(idx, qlocal, k=10, nprobe=3).collect()
         ivf_lat.append(time.time() - t0)
@@ -484,6 +529,8 @@ def _ann_serving_section(spark, sf_dir: str) -> dict:
         bf_lat.append(time.time() - t0)
 
     def stats(lat):
+        if not lat:
+            return {"min": None, "median": None, "max": None}
         s = sorted(lat)
         return {
             "min": round(s[0], 3),
@@ -557,43 +604,68 @@ def main() -> None:
         "sf": sf,
     }
     _t_start = time.time()
+    # Wall budget (VERDICT r7 item 9): optional sections are skipped —
+    # with an explicit marker in the record — once the elapsed wall
+    # crosses the budget, so one bench invocation always completes and
+    # emits its contract line instead of needing trial/retry files.
+    budget_s = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
+
+    def _over_budget(section: str) -> bool:
+        if time.time() - _t_start > budget_s:
+            result[section] = {"skipped": f"wall budget {budget_s}s exceeded"}
+            print(f"[bench] {section} SKIPPED (budget)", file=sys.stderr,
+                  flush=True)
+            return True
+        return False
 
     def _mark(section: str) -> None:
         print(f"[bench] {section} done at +{time.time() - _t_start:.0f}s",
               file=sys.stderr, flush=True)
 
     _mark("headline")
-    if os.environ.get("SPARK_GRAFT_SKIP_ANN") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_ANN") != "1" and not _over_budget(
+        "ann_serving"
+    ):
         try:
             result["ann_serving"] = _ann_serving_section(spark, sf_dir)
         except Exception as e:
             result["ann_serving"] = {"error": str(e)[:300]}
         _mark("ann_serving")
-    if os.environ.get("SPARK_GRAFT_SKIP_MV") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_MV") != "1" and not _over_budget(
+        "mv_refresh"
+    ):
         try:
             result["mv_refresh"] = _mv_refresh_section(spark, sf_dir)
         except Exception as e:
             result["mv_refresh"] = {"error": str(e)[:300]}
         _mark("mv_refresh")
-    if os.environ.get("SPARK_GRAFT_SKIP_GRAPH") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_GRAPH") != "1" and not _over_budget(
+        "graph"
+    ):
         try:
             result["graph"] = _graph_section(spark, registry, sf_dir)
         except Exception as e:
             result["graph"] = {"error": str(e)[:300]}
         _mark("graph")
-    if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_STREAMING") != "1" and not _over_budget(
+        "streaming"
+    ):
         try:
             result["streaming"] = _streaming_section(spark, registry, sf_dir)
         except Exception as e:
             result["streaming"] = {"error": str(e)[:300]}
         _mark("streaming")
-    if os.environ.get("SPARK_GRAFT_SKIP_TPCH") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_TPCH") != "1" and not _over_budget(
+        "tpch"
+    ):
         try:
             result["tpch"] = _tpch_section(spark, registry, sf_dir)
         except Exception as e:
             result["tpch"] = {"error": str(e)[:300]}
         _mark("tpch")
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1" and not _over_budget(
+        "scale16"
+    ):
         try:
             spark.catalog.clearCache()  # scale regime reads its own files
             result["scale16"] = _scale_section(spark, registry, names, sf_dir)
@@ -614,7 +686,9 @@ def main() -> None:
                 )
             except Exception as e:
                 result["bucketed"] = {"error": str(e)[:300]}
-            if os.environ.get("SPARK_GRAFT_SKIP_SCALE64") != "1":
+            if os.environ.get(
+                "SPARK_GRAFT_SKIP_SCALE64"
+            ) != "1" and not _over_budget("scale64"):
                 try:
                     result["scale64"] = _scale64_section(
                         spark, registry, names, sf_dir, result["scale16"]
@@ -622,6 +696,21 @@ def main() -> None:
                 except Exception as e:
                     result["scale64"] = {"error": str(e)[:300]}
                 _mark("scale64")
+                if "error" not in result.get(
+                    "scale64", {"error": 1}
+                ) and not _over_budget("cbo"):
+                    try:
+                        replica64 = os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            ".benchcache",
+                            f"{tag}_x64",
+                        )
+                        result["cbo"] = _cbo_section(
+                            spark, registry, replica64, result["scale64"]
+                        )
+                    except Exception as e:
+                        result["cbo"] = {"error": str(e)[:300]}
+                    _mark("cbo")
     # Full record (scale16/bucketed/scale64 sections) goes to a sidecar
     # file plus a non-final stdout line; the LAST stdout line is the
     # compact contract record only, so a tail-capture parser always gets

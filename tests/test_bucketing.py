@@ -164,3 +164,42 @@ def test_engine_sql_path_bucketed_fact_join(spark):
     assert {(r.priority, r.n_items) for r in plain} == {
         (r[0], r[1]) for r in rows
     }
+
+
+def test_stats_db_feeds_cbo(spark):
+    """ANALYZE-fed CBO plumbing (bench `cbo` section): external tables
+    over the same parquet get row-count + key-column stats (timestamp
+    columns excluded — Spark's FilterEstimation MatchErrors on
+    TimestampNTZType stats), cbo_session redirects load() to them, and
+    the stats are visible to Catalyst."""
+    from ranger_spark.sources.stats import cbo_session, ensure_stats_db
+    from ranger_spark.tables import load
+
+    db = ensure_stats_db(
+        spark, "/root/testdata/sf0.001", "stats_t", tables=("orders", "customer")
+    )
+    # idempotent re-run: no re-analyze (existence short-circuit)
+    assert ensure_stats_db(
+        spark, "/root/testdata/sf0.001", "stats_t", tables=("orders",)
+    ) == db
+    desc = spark.sql(f"DESCRIBE EXTENDED {db}.orders").collect()
+    stats_row = [r for r in desc if r["col_name"] == "Statistics"]
+    assert stats_row and "rows" in stats_row[0]["data_type"]
+    with cbo_session(spark, db):
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+        df = load(spark, "/root/testdata/sf0.001", "orders")
+        # served from the metastore copy: the plan carries catalog identity
+        assert f"{db}.orders" in df._jdf.queryExecution().analyzed().toString()
+        # a filtered join plan must optimize without the TimestampNTZ
+        # MatchError (the bug the ntz exclusion works around)
+        from pyspark.sql import functions as F
+
+        j = df.filter(
+            F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+        ).join(
+            load(spark, "/root/testdata/sf0.001", "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        assert j.count() > 0
+    assert spark.conf.get("spark.sql.cbo.enabled") == "false"
+    spark.sql("DROP DATABASE stats_t CASCADE")

@@ -148,3 +148,41 @@ def test_pruned_footer_bytes_and_gate(spark, tmp_path):
         spark, f, ["g", "v"], compute, exprs, max_bytes=mid, gate="pruned"
     )
     assert df is not None and df.count() == 2
+
+
+def test_local_parquet_agg_result_cache(spark):
+    """Opt-in result-plan cache: same (path, columns, exprs, cache_key)
+    returns the identical DataFrame object while files are unchanged —
+    the registry-level analogue of engine._result_cache."""
+    from ranger_spark.operators import fastpath
+
+    calls = []
+
+    def compute(tbl):
+        calls.append(1)
+        return [(int(tbl.num_rows),)]
+
+    args = (
+        spark,
+        "/root/testdata/sf0.001/region.parquet",
+        ["r_regionkey"],
+        compute,
+        ["CAST(col1 AS BIGINT) AS n"],
+    )
+    a = fastpath.local_parquet_agg(*args, cache_key="t_cache")
+    b = fastpath.local_parquet_agg(*args, cache_key="t_cache")
+    assert a is b and len(calls) == 1
+    assert a.collect()[0]["n"] == 5
+    # no cache_key -> no result reuse (scan cache may still serve bytes)
+    c = fastpath.local_parquet_agg(*args)
+    assert c is not a and len(calls) == 2
+    # different exprs -> different cache slot
+    d = fastpath.local_parquet_agg(
+        spark,
+        "/root/testdata/sf0.001/region.parquet",
+        ["r_regionkey"],
+        compute,
+        ["CAST(col1 AS BIGINT) AS m"],
+        cache_key="t_cache",
+    )
+    assert d is not a and len(calls) == 3
