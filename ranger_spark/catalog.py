@@ -169,11 +169,16 @@ class RestCatalogStore:
                 self._url("namespaces", db, "tables"), timeout=30
             ).json()["identifiers"]
             for ident in ids:
-                meta = self._http.get(
+                body = self._http.get(
                     self._url("namespaces", db, "tables", ident["name"]),
                     timeout=30,
-                ).json()["metadata"]
-                tables[f"{db}.{ident['name']}"] = meta
+                ).json()
+                # the engine entry rides the vendor key; "metadata" holds
+                # the spec LoadTableResult (real Iceberg metadata) for
+                # versioned tables and doubles as the legacy entry shape
+                tables[f"{db}.{ident['name']}"] = body.get(
+                    "ranger-entry", body.get("metadata")
+                )
         return {"databases": dbs, "tables": tables}
 
     def mutate(self, fn) -> dict:
@@ -255,9 +260,60 @@ class _CatalogHandler(BaseHTTPRequestHandler):
             if entry is None:
                 self._send(404, {"error": f"table {p[2]}.{p[4]} not found"})
             else:
-                self._send(200, {"metadata": entry})
+                self._send(200, self._load_table_result(entry))
+        elif len(p) == 3 and p[:2] == ["v1", "namespaces"]:
+            # GetNamespace (spec): namespace + properties
+            if p[2] in self._namespaces(m):
+                self._send(200, {"namespace": [p[2]], "properties": {}})
+            else:
+                self._send(404, {"error": f"namespace {p[2]} not found"})
         else:
             self._send(404, {"error": "not found"})
+
+    @staticmethod
+    def _load_table_result(entry: dict) -> dict:
+        """Iceberg-REST LoadTableResult shape: ``metadata-location`` +
+        ``metadata`` carry the table's REAL emitted Iceberg v2 spec
+        metadata (sources/iceberg_meta — format-version, schemas,
+        snapshots, manifest lists) when the table is snapshot-versioned,
+        so a spec-reading external client can follow the pointer; the
+        engine's own entry rides the vendor key ``ranger-entry`` (spec
+        clients ignore unknown keys, RestCatalogStore reads it)."""
+        resp: dict = {"ranger-entry": entry, "config": {}}
+        try:
+            if entry.get("versioned"):
+                import os
+
+                from ranger_spark.sources import iceberg_meta
+                from ranger_spark.sources.snapshots import VersionedTable
+
+                vt = VersionedTable(entry["location"])
+                meta = iceberg_meta.read_metadata(vt)
+                if meta is not None:
+                    d = iceberg_meta.meta_dir(vt)
+                    v = meta.get("current-snapshot-id", 0)
+                    loc = os.path.join(d, f"v{v}.metadata.json")
+                    if os.path.exists(loc):
+                        resp["metadata-location"] = loc
+                    resp["metadata"] = meta
+        except Exception:  # spec projection is additive, never a 500
+            pass
+        if "metadata" not in resp:  # legacy shape for unversioned tables
+            resp["metadata"] = entry
+        return resp
+
+    def do_HEAD(self):  # noqa: N802 — spec existence checks
+        p = self._parts()
+        m = self.store.load()
+        if len(p) == 5 and p[:2] == ["v1", "namespaces"] and p[3] == "tables":
+            ok = f"{p[2]}.{p[4]}" in m["tables"]
+        elif len(p) == 3 and p[:2] == ["v1", "namespaces"]:
+            ok = p[2] in self._namespaces(m)
+        else:
+            ok = False
+        self.send_response(204 if ok else 404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
 
     def do_POST(self):  # noqa: N802
         p = self._parts()

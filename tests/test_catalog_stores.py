@@ -148,3 +148,60 @@ def test_engine_on_rest_catalog(spark, rest_catalog):
     finally:
         spark.conf.unset("spark.ranger.catalog.type")
         spark.conf.unset("spark.ranger.catalog.uri")
+
+
+def test_rest_catalog_spec_load_table_result(spark, rest_catalog):
+    """Iceberg-REST spec shape (r8): LoadTable returns metadata-location
+    + the table's REAL emitted Iceberg v2 metadata for versioned tables,
+    HEAD existence checks answer 204/404, GetNamespace answers — so an
+    external spec-reading client can attach and follow the metadata
+    pointer without knowing anything engine-specific."""
+    import json
+
+    import requests
+
+    from ranger_spark.engine import Engine
+
+    base, store = rest_catalog
+    spark.conf.set("spark.ranger.catalog.type", "rest")
+    spark.conf.set("spark.ranger.catalog.uri", base)
+    try:
+        e = Engine(spark)
+        e.execute("CREATE DATABASE IF NOT EXISTS speccat;")
+        e.execute("DROP TABLE IF EXISTS speccat.t;")
+        e.execute("CREATE TABLE speccat.t (id int32, v string);")
+        e.execute("INSERT INTO speccat.t (id, v) VALUES (1, 'x');")
+
+        # HEAD existence (spec): table and namespace
+        assert (
+            requests.head(f"{base}/v1/namespaces/speccat/tables/t").status_code
+            == 204
+        )
+        assert (
+            requests.head(f"{base}/v1/namespaces/speccat/tables/nope").status_code
+            == 404
+        )
+        assert requests.head(f"{base}/v1/namespaces/speccat").status_code == 204
+        # GetNamespace
+        ns = requests.get(f"{base}/v1/namespaces/speccat").json()
+        assert ns["namespace"] == ["speccat"]
+
+        # LoadTableResult: spec keys + real Iceberg v2 metadata
+        body = requests.get(f"{base}/v1/namespaces/speccat/tables/t").json()
+        assert body["ranger-entry"]["columns"][0][0] == "id"
+        meta = body["metadata"]
+        assert meta["format-version"] == 2
+        assert meta["snapshots"], "committed INSERT must appear as a snapshot"
+        loc = body["metadata-location"]
+        with open(loc) as f:  # the pointer resolves to the same document
+            on_disk = json.load(f)
+        assert on_disk["current-snapshot-id"] == meta["current-snapshot-id"]
+        # schema travels in spec form
+        fields = {f_["name"] for f_ in meta["schemas"][0]["fields"]}
+        assert {"id", "v"} <= fields
+
+        e.execute("DROP TABLE speccat.t;")
+        e.execute("DROP DATABASE speccat CASCADE;")
+    finally:
+        spark.conf.unset("spark.ranger.catalog.type")
+        spark.conf.unset("spark.ranger.catalog.uri")
