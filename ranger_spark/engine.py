@@ -209,6 +209,80 @@ class Engine:
         guarantee from SQLite's locking in its metadata registry
         (server/metadata/registry)."""
         self._manifest = self.catalog_store.mutate(fn)
+        self._s3_mirror_manifest()
+
+    def _s3_mirror_manifest(self) -> None:
+        """In S3 mirror mode the catalog JSON itself is also pushed to
+        the object store (`<root>/_catalog/ranger_catalog.json`) on every
+        mutation — without it a total warehouse loss would strand the
+        mirrored tables even though their data survives in S3. Restore
+        path: ``recover_catalog_from_s3``. Best-effort only when NO s3
+        tables exist yet; once any entry carries s3_remote a failed push
+        surfaces (durability contract, same as _s3_sync_up)."""
+        mirror = self._s3_mirror_conf()
+        if mirror is None:
+            return
+        has_s3_tables = any(
+            "s3_remote" in e for e in self._manifest["tables"].values()
+        )
+        try:
+            import json as _json
+
+            from ranger_spark.sources.s3fs import parse_s3_uri
+
+            fs = self._s3_fs()
+            bucket, prefix = parse_s3_uri(mirror[0])
+            key = f"{prefix}/_catalog/ranger_catalog.json" if prefix else (
+                "_catalog/ranger_catalog.json"
+            )
+            fs.ensure_bucket(bucket)
+            fs.client.put_object(
+                Bucket=bucket,
+                Key=key,
+                Body=_json.dumps(self._manifest).encode(),
+            )
+        except Exception:
+            if has_s3_tables:
+                raise
+
+    def recover_catalog_from_s3(self) -> int:
+        """Disaster path: rebuild the local catalog from the object
+        store's mirrored manifest (s3 tables only — filesystem tables'
+        data did not survive the loss by definition), hydrate their
+        caches, and register them. Returns tables recovered."""
+        mirror = self._s3_mirror_conf()
+        if mirror is None:
+            raise RangerError(
+                UNSUPPORTED_STATEMENT,
+                "S3 catalog recovery requires mirror-mode confs "
+                f"({self.S3_ROOT_CONF} s3:// root + {self.S3_ENDPOINT_CONF})",
+            )
+        import json as _json
+
+        from ranger_spark.sources.s3fs import parse_s3_uri
+
+        fs = self._s3_fs()
+        bucket, prefix = parse_s3_uri(mirror[0])
+        key = f"{prefix}/_catalog/ranger_catalog.json" if prefix else (
+            "_catalog/ranger_catalog.json"
+        )
+        remote = _json.loads(
+            fs.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+        )
+        s3_tables = {
+            n: e for n, e in remote["tables"].items() if "s3_remote" in e
+        }
+        dbs = sorted({n.split(".", 1)[0] for n in s3_tables})
+
+        def _merge(man: dict) -> None:
+            for db in dbs:
+                if db not in man["databases"]:
+                    man["databases"].append(db)
+            for n, e in s3_tables.items():
+                man["tables"].setdefault(n, e)
+
+        self._mutate_manifest(_merge)
+        return self.recover()
 
     # --------------------------------------------- storage engine roots
     # The reference registers three storage engines — filesystem, memory,

@@ -194,3 +194,53 @@ def test_s3_shim_speaks_to_pyarrow_sdk(shim):
     pq.write_table(t, "pa-interop/d/t.parquet", filesystem=s3)
     assert shim.keys("pa-interop") == ["d/t.parquet"]
     assert pq.read_table("pa-interop/d/t.parquet", filesystem=s3).equals(t)
+
+
+def test_s3_total_loss_catalog_recovery(spark, shim, tmp_path):
+    """Disaster parity with the reference's S3 persistence: local
+    warehouse AND catalog both lost — the mirrored catalog manifest in
+    the object store rebuilds the s3 tables on a fresh engine
+    (recover_catalog_from_s3), data hydrating from S3."""
+    import shutil as _shutil
+
+    from ranger_spark.engine import Engine
+
+    cache = str(tmp_path / "loss_cache")
+    spark.conf.set(Engine.S3_ROOT_CONF, "s3://ranger-wh/loss")
+    spark.conf.set(Engine.S3_ENDPOINT_CONF, shim.endpoint)
+    spark.conf.set(Engine.S3_CACHE_CONF, cache)
+    try:
+        e1 = Engine(spark)
+        e1.execute("CREATE DATABASE IF NOT EXISTS s3loss;")
+        e1.execute("DROP TABLE IF EXISTS s3loss.t;")
+        e1.execute("CREATE TABLE s3loss.t (id int32) STORAGE s3;")
+        e1.execute("INSERT INTO s3loss.t (id) VALUES (1), (2);")
+        # the catalog manifest is in the object store alongside the data
+        assert "loss/_catalog/ranger_catalog.json" in shim.keys("ranger-wh")
+
+        # total local loss: cache dir + catalog entry + spark
+        # registration. The catalog entry vanishes OUT-OF-BAND (store
+        # mutated directly — disk corruption/loss, not an engine DROP,
+        # which would legitimately propagate to the mirror).
+        spark.sql("DROP TABLE s3loss.t")
+        _shutil.rmtree(cache, ignore_errors=True)
+        e1.catalog_store.mutate(
+            lambda m: m["tables"].pop("s3loss.t", None)
+        )
+        e2 = Engine(spark)
+        assert "s3loss.t" not in e2._manifest["tables"]
+
+        e3 = Engine(spark)
+        assert e3.recover_catalog_from_s3() >= 1
+        assert sorted(e3.execute("SELECT id FROM s3loss.t;").rows) == [
+            (1,),
+            (2,),
+        ]
+        e3.execute("DROP TABLE s3loss.t;")
+    finally:
+        for c in (
+            Engine.S3_ROOT_CONF,
+            Engine.S3_ENDPOINT_CONF,
+            Engine.S3_CACHE_CONF,
+        ):
+            spark.conf.unset(c)
