@@ -443,3 +443,49 @@ def test_bmp_average_hash_never_crashes_on_garbage(payload):
 
     out = bmp_average_hash(payload)
     assert out is None or (isinstance(out, tuple) and len(out) == 2)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_copy_text_escape_roundtrip_property(s):
+    """PG COPY text escapes (r8): escape→unescape is the identity for
+    ANY string — control chars, backslashes, lone surrogates excluded by
+    st.text() already; the escaped form never contains a raw tab or
+    newline (the framing characters)."""
+    from ranger_spark.sources.pgwire_server import (
+        _escape_copy_text,
+        _unescape_copy_text,
+    )
+
+    esc = _escape_copy_text(s)
+    assert "\t" not in esc and "\n" not in esc and "\r" not in esc
+    assert _unescape_copy_text(esc) == s
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(), st.text(max_size=40)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_copy_text_rows_roundtrip_property(rows):
+    """Full COPY text round-trip: rows → _copy_out-style framing →
+    _parse_copy_rows recovers values and NULLs exactly."""
+    from ranger_spark.sources.pgwire_server import (
+        _escape_copy_text,
+        _parse_copy_rows,
+    )
+
+    payload = "".join(
+        "\t".join(
+            "\\N" if v is None else _escape_copy_text(v) for v in row
+        )
+        + "\n"
+        for row in rows
+    ).encode()
+    assert _parse_copy_rows(payload, "text", 2) == [tuple(r) for r in rows]
