@@ -614,15 +614,21 @@ class PgWireServer:
             _msg(b"H", b"\x00" + struct.pack("!H", ncols) + b"\x00\x00" * ncols)
         )
         if fmt == "csv":
-            import csv
-            import io
+            # PG COPY TO csv distinguishes NULL (bare empty) from the
+            # empty string (quoted "") — csv.writer's QUOTE_MINIMAL
+            # erases that, so fields are rendered by hand; round-trips
+            # exactly through _parse_csv_records.
+            def _csv_field(v) -> str:
+                if v is None:
+                    return ""
+                s = str(v)
+                if s == "" or any(c in s for c in ',"\n\r'):
+                    return '"' + s.replace('"', '""') + '"'
+                return s
 
             for row in r.rows:
-                out = io.StringIO()
-                csv.writer(out, lineterminator="\n").writerow(
-                    ["" if v is None else v for v in row]
-                )
-                conn.sendall(_msg(b"d", out.getvalue().encode()))
+                line = ",".join(_csv_field(v) for v in row) + "\n"
+                conn.sendall(_msg(b"d", line.encode()))
         else:
             for row in r.rows:
                 line = (

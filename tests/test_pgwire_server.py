@@ -432,3 +432,32 @@ def test_insert_string_block_chunks_large_payloads():
     assert all(s.count("(") <= INSERT_CHUNK_ROWS + 1 for s in fake.stmts)
     # chunk boundaries preserve order and lose nothing
     assert f"({2 * INSERT_CHUNK_ROWS + 4})" in fake.stmts[-1]
+
+
+def test_pgwire_copy_csv_null_vs_empty_roundtrip(pg, engine):
+    """COPY OUT csv must distinguish NULL (bare empty field) from the
+    empty string (quoted \"\") so a COPY IN of the same payload
+    round-trips — csv.writer's QUOTE_MINIMAL erased that (r8)."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pgcsv;")
+    engine.execute("DROP TABLE IF EXISTS pgcsv.t;")
+    engine.execute("CREATE TABLE pgcsv.t (id int32, v string);")
+    s = _connect(pg.port)
+    s.sendall(
+        _query_packet("COPY pgcsv.t (id, v) FROM STDIN WITH (FORMAT csv)")
+    )
+    _read_messages(s, until_tag=b"G")
+    s.sendall(_copy_data_msg(b'1,\n2,""\n3,x\n'))  # NULL, empty, plain
+    s.sendall(b"c" + struct.pack("!I", 4))
+    msgs = _read_messages(s)
+    assert any(t == b"C" and body.startswith(b"COPY 3") for t, body in msgs)
+    rows = dict(engine.execute("SELECT id, v FROM pgcsv.t;").rows)
+    assert rows == {1: None, 2: "", 3: "x"}
+
+    s.sendall(_query_packet("COPY pgcsv.t (id, v) TO STDOUT WITH (FORMAT csv)"))
+    msgs = _read_messages(s)
+    data = b"".join(body for t, body in msgs if t == b"d").decode()
+    lines = sorted(data.strip("\n").split("\n"))
+    assert lines == ['1,', '2,""', "3,x"]
+    s.sendall(b"X")
+    s.close()
+    engine.spark.sql("DROP DATABASE pgcsv CASCADE")
