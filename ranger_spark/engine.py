@@ -504,6 +504,15 @@ class Engine:
                     self.spark.sql(f"DROP TABLE IF EXISTS {name}")
                 return True
             self._schemas[name] = [tuple(c) for c in entry["columns"]]
+            if "s3_remote" in entry:
+                # mirror mode, cross-process: the writer's commit lives in
+                # the object store; hydrate this engine's cache so the
+                # repoint below can see the new snapshot's files (on one
+                # box the paths coincide and this is a cheap no-op LIST)
+                try:
+                    self._s3_sync_down(name, entry)
+                except Exception:
+                    pass  # unreachable endpoint → serve the local state
             # Re-register only when the registration itself is stale:
             # unknown table, changed entry (schema/options), or — for
             # versioned tables — the catalog pointing at a superseded

@@ -244,3 +244,40 @@ def test_s3_total_loss_catalog_recovery(spark, shim, tmp_path):
             Engine.S3_CACHE_CONF,
         ):
             spark.conf.unset(c)
+
+
+def test_s3_refresh_hydrates_missing_snapshot_files(spark, shim, tmp_path):
+    """Cross-process visibility in mirror mode: another engine's commit
+    lives in the object store; refresh_table_registration (the Astha
+    subscriber path) hydrates this engine's cache before repointing —
+    simulated by deleting local snapshot files after the commit."""
+    import glob
+    import os as _os
+
+    from ranger_spark.engine import Engine
+
+    cache = str(tmp_path / "refresh_cache")
+    spark.conf.set(Engine.S3_ROOT_CONF, "s3://ranger-wh/refresh")
+    spark.conf.set(Engine.S3_ENDPOINT_CONF, shim.endpoint)
+    spark.conf.set(Engine.S3_CACHE_CONF, cache)
+    try:
+        e = Engine(spark)
+        e.execute("CREATE DATABASE IF NOT EXISTS s3ref;")
+        e.execute("DROP TABLE IF EXISTS s3ref.t;")
+        e.execute("CREATE TABLE s3ref.t (id int32) STORAGE s3;")
+        e.execute("INSERT INTO s3ref.t (id) VALUES (1), (2);")
+        loc = e._manifest["tables"]["s3ref.t"]["location"]
+        parquet = glob.glob(_os.path.join(loc, "**", "*.parquet"), recursive=True)
+        assert parquet
+        for p in parquet:  # "the other machine's" files aren't on our disk
+            _os.remove(p)
+        assert e.refresh_table_registration("s3ref.t")
+        assert sorted(e.execute("SELECT id FROM s3ref.t;").rows) == [(1,), (2,)]
+        e.execute("DROP TABLE s3ref.t;")
+    finally:
+        for c in (
+            Engine.S3_ROOT_CONF,
+            Engine.S3_ENDPOINT_CONF,
+            Engine.S3_CACHE_CONF,
+        ):
+            spark.conf.unset(c)
