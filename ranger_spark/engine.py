@@ -381,6 +381,23 @@ class Engine:
         bucket, prefix = parse_s3_uri(entry["s3_remote"])
         fs.sync_up(entry["location"], bucket, prefix)
 
+    def _s3_delete_remote_paths(self, name: str, paths: list[str]) -> None:
+        """Propagate an EXPLICIT local removal (expired snapshot dirs,
+        vacuumed orphans) to the object store. Deletions are never
+        inferred from local absence — a concurrent writer's commit lives
+        remotely before this cache sees it, so sync_up is upload-only
+        and removals go through this scoped path."""
+        entry = self._manifest["tables"].get(name)
+        if not entry or "s3_remote" not in entry or not paths:
+            return
+        fs = self._s3_fs()
+        if fs is None:
+            return
+        from ranger_spark.sources.s3fs import parse_s3_uri
+
+        bucket, prefix = parse_s3_uri(entry["s3_remote"])
+        fs.delete_paths(bucket, prefix, entry["location"], paths)
+
     def _s3_sync_down(self, name: str, entry: dict) -> None:
         """Hydrate a mirrored table's local cache from the object store
         (fresh engine / lost cache). Best-effort only in the sense that a
@@ -822,6 +839,7 @@ class Engine:
                 )
             removed = vt.remove_orphans(grace_s=grace)
             self.spark.catalog.refreshTable(name)
+            self._s3_delete_remote_paths(name, removed)
             return QueryResult(
                 [], [], 0,
                 message=f"removed {len(removed)} orphan file(s)",
@@ -1597,7 +1615,8 @@ class Engine:
             keep_last, protected={int(v) for v in tags.values()}
         )
         self._emit_iceberg(name)  # spec projection drops expired snapshots
-        self._s3_sync_up(name)  # expiry deletions mirror to the object store
+        self._s3_sync_up(name)  # refreshed manifests/metadata mirror up
+        self._s3_delete_remote_paths(name, removed)  # scoped remote removal
         return removed
 
     def _create_database(self, sql: str) -> QueryResult:

@@ -123,13 +123,24 @@ class S3ObjectFS:
         return out
 
     def sync_up(
-        self, local_dir: str, bucket: str, prefix: str
+        self,
+        local_dir: str,
+        bucket: str,
+        prefix: str,
+        delete_stale: bool = False,
     ) -> tuple[int, int]:
         """Mirror the local table dir to s3://bucket/prefix: upload new or
-        size-changed files, delete remote keys gone locally (snapshot
-        data files are immutable, so name+size identifies content; the
-        only rewritten-in-place objects are the tiny manifest JSONs,
-        which always change size). Returns (uploaded, deleted)."""
+        size-changed files (snapshot data files are immutable, so
+        name+size identifies content; the only rewritten-in-place objects
+        are the tiny manifest JSONs, which always change size).
+
+        ``delete_stale=False`` (the default) makes the sync UPLOAD-ONLY —
+        inferring deletions from local absence is unsafe under
+        concurrency (another engine's concurrent commit lives remotely
+        but not in this cache yet, and a full mirror would delete it).
+        Intentional removals (EXPIRE/VACUUM/DROP) propagate through
+        explicit scoped deletes instead (engine._s3_delete_remote_paths /
+        delete_prefix). Returns (uploaded, deleted)."""
         self.ensure_bucket(bucket)
         local = self._local_files(local_dir)
         remote = self.list_prefix(bucket, prefix + "/" if prefix else "")
@@ -141,6 +152,8 @@ class S3ObjectFS:
             with open(path, "rb") as fh:
                 self.client.put_object(Bucket=bucket, Key=key, Body=fh.read())
             up += 1
+        if not delete_stale:
+            return up, 0
         stale = [
             k
             for k in remote
@@ -152,6 +165,26 @@ class S3ObjectFS:
                 Delete={"Objects": [{"Key": k} for k in stale[i : i + 1000]]},
             )
         return up, len(stale)
+
+    def delete_paths(
+        self, bucket: str, prefix: str, local_root: str, paths: list[str]
+    ) -> int:
+        """Scoped remote deletion for an EXPLICIT local removal (expired
+        snapshot dirs, vacuumed orphan files): each path maps to its key
+        under s3://bucket/prefix; the exact object AND everything under
+        `key/` are removed (the "/" suffix keeps `s1` from matching
+        `s10-...`). Returns keys deleted."""
+        n = 0
+        for p in paths:
+            rel = os.path.relpath(p, local_root).replace(os.sep, "/")
+            if rel.startswith(".."):
+                continue  # outside the table root: never touch
+            key = f"{prefix}/{rel}" if prefix else rel
+            self.client.delete_objects(
+                Bucket=bucket, Delete={"Objects": [{"Key": key}]}
+            )
+            n += 1 + self.delete_prefix(bucket, key + "/")
+        return n
 
     def sync_down(
         self, bucket: str, prefix: str, local_dir: str

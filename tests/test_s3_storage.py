@@ -157,10 +157,16 @@ def test_s3fs_sync_roundtrip_unit(shim, tmp_path):
     # idempotent: second sync moves nothing
     assert fs.sync_up(str(src), "unit", "tbl") == (0, 0)
 
-    # local deletion propagates
+    # default sync is UPLOAD-ONLY: local absence does NOT delete remotely
+    # (a concurrent writer's commit must survive another engine's sync)
     (src / "a.txt").unlink()
-    assert fs.sync_up(str(src), "unit", "tbl") == (0, 1)
+    assert fs.sync_up(str(src), "unit", "tbl") == (0, 0)
+    assert shim.keys("unit") == ["tbl/a.txt", "tbl/sub/b.bin"]
+    # explicit removals propagate via the scoped delete
+    assert fs.delete_paths("unit", "tbl", str(src), [str(src / "a.txt")]) >= 1
     assert shim.keys("unit") == ["tbl/sub/b.bin"]
+    # opt-in full mirror still available
+    assert fs.sync_up(str(src), "unit", "tbl", delete_stale=True) == (0, 0)
 
     # cold hydration
     dst = tmp_path / "dst"
@@ -281,3 +287,38 @@ def test_s3_refresh_hydrates_missing_snapshot_files(spark, shim, tmp_path):
             Engine.S3_CACHE_CONF,
         ):
             spark.conf.unset(c)
+
+
+def test_s3_expire_propagates_scoped_deletes(s3_engine, shim):
+    """EXPIRE SNAPSHOTS removes exactly the expired snapshot dirs from
+    the object store (scoped delete), while a foreign object outside
+    those dirs — standing in for a concurrent writer's commit this cache
+    hasn't seen — survives the sync."""
+    e = s3_engine
+    e.execute("CREATE DATABASE IF NOT EXISTS s3exp;")
+    e.execute("DROP TABLE IF EXISTS s3exp.t;")
+    e.execute("CREATE TABLE s3exp.t (id int32) STORAGE s3;")
+    e.execute("INSERT INTO s3exp.t (id) VALUES (1);")
+    e.execute("UPDATE s3exp.t SET id = 2 WHERE id = 1;")  # snapshot 3
+    # plant a foreign object under the table prefix (concurrent commit)
+    import boto3
+    from botocore.config import Config
+
+    c = boto3.client(
+        "s3", endpoint_url=shim.endpoint, aws_access_key_id="k",
+        aws_secret_access_key="s", region_name="us-east-1",
+        config=Config(s3={"addressing_style": "path"}),
+    )
+    foreign = "warehouse/s3exp.db/t/s99-other/part-foreign.parquet"
+    c.put_object(Bucket="ranger-wh", Key=foreign, Body=b"other-engine")
+
+    removed = e.expire_snapshots("s3exp.t", keep_last=1)
+    assert removed  # at least one old snapshot dir went away locally
+    keys = shim.keys("ranger-wh")
+    assert foreign in keys, "scoped delete must not touch foreign commits"
+    for d in removed:
+        tail = d.rstrip("/").split("/")[-1]
+        assert not [
+            k for k in keys if f"/t/{tail}/" in k
+        ], f"expired dir {tail} still has remote objects"
+    e.execute("DROP TABLE s3exp.t;")
