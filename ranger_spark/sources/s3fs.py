@@ -147,7 +147,12 @@ class S3ObjectFS:
         up = 0
         for rel, path in sorted(local.items()):
             key = f"{prefix}/{rel}" if prefix else rel
-            if remote.get(key) == os.path.getsize(path):
+            size = os.path.getsize(path)
+            # size-compare elides re-uploads of immutable snapshot files;
+            # tiny files always ship — a mutable pointer like
+            # version-hint.text can change content without changing size
+            # ("3" -> "4") and must never be skipped
+            if remote.get(key) == size and size > 256:
                 continue
             with open(path, "rb") as fh:
                 self.client.put_object(Bucket=bucket, Key=key, Body=fh.read())

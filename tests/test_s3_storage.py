@@ -146,7 +146,7 @@ def test_s3fs_sync_roundtrip_unit(shim, tmp_path):
     fs = S3ObjectFS(shim.endpoint)
     src = tmp_path / "src"
     (src / "sub").mkdir(parents=True)
-    (src / "a.txt").write_bytes(b"alpha")
+    (src / "a.txt").write_bytes(b"alpha" * 80)  # >256B: size-elidable
     (src / "sub" / "b.bin").write_bytes(b"\x00" * 1024)
     (src / ".a.txt.crc").write_bytes(b"nope")  # checksum sidecar: skipped
 
@@ -156,6 +156,24 @@ def test_s3fs_sync_roundtrip_unit(shim, tmp_path):
 
     # idempotent: second sync moves nothing
     assert fs.sync_up(str(src), "unit", "tbl") == (0, 0)
+
+    # tiny mutable pointers always re-ship: same-size content change
+    # ("3" -> "4") must not be elided by the size compare
+    (src / "hint.txt").write_bytes(b"3")
+    assert fs.sync_up(str(src), "unit", "tbl") == (1, 0)
+    (src / "hint.txt").write_bytes(b"4")
+    assert fs.sync_up(str(src), "unit", "tbl") == (1, 0)
+    import boto3
+    from botocore.config import Config
+
+    c = boto3.client(
+        "s3", endpoint_url=shim.endpoint, aws_access_key_id="k",
+        aws_secret_access_key="s", region_name="us-east-1",
+        config=Config(s3={"addressing_style": "path"}),
+    )
+    assert c.get_object(Bucket="unit", Key="tbl/hint.txt")["Body"].read() == b"4"
+    (src / "hint.txt").unlink()
+    fs.delete_paths("unit", "tbl", str(src), [str(src / "hint.txt")])
 
     # default sync is UPLOAD-ONLY: local absence does NOT delete remotely
     # (a concurrent writer's commit must survive another engine's sync)
