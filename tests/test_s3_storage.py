@@ -340,3 +340,45 @@ def test_s3_expire_propagates_scoped_deletes(s3_engine, shim):
             k for k in keys if f"/t/{tail}/" in k
         ], f"expired dir {tail} still has remote objects"
     e.execute("DROP TABLE s3exp.t;")
+
+
+def test_s3_shim_concurrent_clients(shim):
+    """The shim serves concurrent clients correctly (ThreadingHTTPServer
+    + store lock): 8 threads × 25 put/get/list cycles, no lost or
+    corrupted objects."""
+    import threading
+
+    import boto3
+    from botocore.config import Config
+
+    def worker(tid, errs):
+        try:
+            c = boto3.client(
+                "s3", endpoint_url=shim.endpoint, aws_access_key_id="k",
+                aws_secret_access_key="s", region_name="us-east-1",
+                config=Config(s3={"addressing_style": "path"},
+                              retries={"max_attempts": 1}),
+            )
+            for i in range(25):
+                body = (f"{tid}-{i}-" * 20).encode()
+                key = f"w{tid}/obj{i}"
+                c.put_object(Bucket="conc", Key=key, Body=body)
+                got = c.get_object(Bucket="conc", Key=key)["Body"].read()
+                if got != body:
+                    errs.append(f"corrupt {key}")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(f"{tid}: {e}")
+
+    boto3.client(
+        "s3", endpoint_url=shim.endpoint, aws_access_key_id="k",
+        aws_secret_access_key="s", region_name="us-east-1",
+        config=Config(s3={"addressing_style": "path"}),
+    ).create_bucket(Bucket="conc")
+    errs: list = []
+    ts = [threading.Thread(target=worker, args=(t, errs)) for t in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert not errs, errs[:3]
+    assert len(shim.keys("conc")) == 8 * 25
