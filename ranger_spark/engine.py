@@ -869,9 +869,40 @@ class Engine:
             name = self._qualify(m.group(1))
             if not self._table_exists(name):
                 raise RangerError(TABLE_NOT_FOUND, f"table '{name}' not found")
-            self.spark.sql(f"ANALYZE TABLE {name} {m.group(2)}")
+            stmt, skipped = m.group(2), []
+            cm = re.match(
+                r"(COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+)(.+)$",
+                stmt,
+                re.I | re.S,
+            )
+            if cm:
+                # Spark 4.1's CBO FilterEstimation MatchErrors on
+                # TimestampNTZType column stats (scala.MatchError via
+                # InjectRuntimeFilter) — collecting them would arm a
+                # crash in any later filtered query under
+                # spark.sql.cbo.enabled. Drop ntz columns from the list
+                # and say so (sources/stats.py documents the bug).
+                ntz = {
+                    f.name.lower()
+                    for f in self.spark.table(name).schema.fields
+                    if f.dataType.typeName() == "timestamp_ntz"
+                }
+                cols = [c.strip() for c in cm.group(2).split(",") if c.strip()]
+                keep = [c for c in cols if c.lower() not in ntz]
+                skipped = [c for c in cols if c.lower() in ntz]
+                if not keep:
+                    stmt = "COMPUTE STATISTICS"
+                else:
+                    stmt = cm.group(1) + ", ".join(keep)
+            self.spark.sql(f"ANALYZE TABLE {name} {stmt}")
+            note = (
+                f" (skipped timestamp_ntz column(s) {', '.join(skipped)}: "
+                "Spark CBO cannot estimate ntz stats)"
+                if skipped
+                else ""
+            )
             return QueryResult(
-                [], [], 0, message=f"statistics collected for {name}"
+                [], [], 0, message=f"statistics collected for {name}{note}"
             )
         if k == StmtKind.MERGE:
             # not in the reference grammar at all (parser.go keyword table);

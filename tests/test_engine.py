@@ -828,6 +828,34 @@ def test_analyze_table_collects_cbo_stats(engine, spark):
         engine.execute("ANALYZE TABLE anz.missing COMPUTE STATISTICS;")
 
 
+def test_analyze_skips_ntz_columns_cbo_safe(engine, spark):
+    """ANALYZE ... FOR COLUMNS must not collect timestamp_ntz column
+    stats: Spark 4.1's CBO FilterEstimation raises
+    scala.MatchError(TimestampNTZType) on them, so collecting would arm
+    a crash in any later filtered query under spark.sql.cbo.enabled.
+    The engine drops ntz columns with an explanatory note and the
+    CBO-on filtered query keeps working."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS anzntz;")
+    engine.execute("DROP TABLE IF EXISTS anzntz.t;")
+    engine.execute("CREATE TABLE anzntz.t (id int64, ts timestamp);")
+    engine.execute(
+        "INSERT INTO anzntz.t (id, ts) VALUES (1, '2026-01-02 03:04:05');"
+    )
+    r = engine.execute(
+        "ANALYZE TABLE anzntz.t COMPUTE STATISTICS FOR COLUMNS id, ts;"
+    )
+    assert "skipped timestamp_ntz" in r.message and "ts" in r.message
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        rows = engine.execute(
+            "SELECT id FROM anzntz.t WHERE ts > '2000-01-01';"
+        ).rows
+        assert rows == [(1,)]
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+    engine.execute("DROP DATABASE anzntz CASCADE;")
+
+
 def test_column_compression_partial_coverage_uses_default(engine):
     """Partial coverage: listed columns get their codec, unlisted fall to
     the session default (reference compression.go:103-109 semantics),
