@@ -382,3 +382,58 @@ def test_s3_shim_concurrent_clients(shim):
         t.join(timeout=60)
     assert not errs, errs[:3]
     assert len(shim.keys("conc")) == 8 * 25
+
+
+def test_s3_table_served_over_protocol_gateway(spark, shim, tmp_path):
+    """Composition: an s3-mirrored table written over the NATIVE wire
+    protocol and read over HTTP — the full production stack (protocol
+    gateway -> engine -> snapshot commit -> object-store sync) in one
+    path. The committed parquet must land in the object store."""
+    import json
+    import urllib.request
+
+    from ranger_spark.engine import Engine
+    from ranger_spark.gateway import Gateway
+    from ranger_spark.sources import native_server as ns
+
+    cache = str(tmp_path / "gw_cache")
+    spark.conf.set(Engine.S3_ROOT_CONF, "s3://ranger-wh/gw")
+    spark.conf.set(Engine.S3_ENDPOINT_CONF, shim.endpoint)
+    spark.conf.set(Engine.S3_CACHE_CONF, cache)
+    try:
+        e = Engine(spark)
+        gw = Gateway(e, http_port=0, jdbc_port=0, native_port=0).start()
+        try:
+            e.execute("CREATE DATABASE IF NOT EXISTS gws3;")
+            e.execute("DROP TABLE IF EXISTS gws3.t;")
+            e.execute("CREATE TABLE gws3.t (id int32) STORAGE s3;")
+            c = ns.NativeClient(
+                "127.0.0.1", gw.ports()["native"], database="gws3"
+            )
+            c.insert("t", ["id"], [("7",), ("8",)])
+            c.ping()
+            c.close()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{gw.ports()['http']}/query",
+                data=json.dumps(
+                    {"query": "SELECT sum(id) AS s FROM gws3.t;"}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            body = json.loads(urllib.request.urlopen(req, timeout=30).read())
+            assert any("15" in str(r) for r in body["data"])
+            assert [
+                k
+                for k in shim.keys("ranger-wh")
+                if k.startswith("gw/gws3.db/t/") and k.endswith(".parquet")
+            ], "native-protocol INSERT must be mirrored to the object store"
+            e.execute("DROP TABLE gws3.t;")
+        finally:
+            gw.shutdown()
+    finally:
+        for conf in (
+            Engine.S3_ROOT_CONF,
+            Engine.S3_ENDPOINT_CONF,
+            Engine.S3_CACHE_CONF,
+        ):
+            spark.conf.unset(conf)
