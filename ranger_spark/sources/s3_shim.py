@@ -54,6 +54,10 @@ def _decode_aws_chunked(body: bytes) -> bytes:
     return bytes(out)
 
 
+class _BadRequest(Exception):
+    """Client-side framing error → 400 XML error response."""
+
+
 class _Store:
     def __init__(self) -> None:
         self.lock = threading.Lock()
@@ -85,7 +89,12 @@ class _Handler(BaseHTTPRequestHandler):
         if sha.startswith("STREAMING-") or "aws-chunked" in (
             self.headers.get("Content-Encoding", "") or ""
         ):
-            body = _decode_aws_chunked(body)
+            try:
+                body = _decode_aws_chunked(body)
+            except (ValueError, IndexError) as e:
+                # malformed chunk framing → typed 400, not a handler
+                # traceback + dropped connection
+                raise _BadRequest(f"malformed aws-chunked body: {e}") from e
         return body
 
     def _send(
@@ -125,7 +134,11 @@ class _Handler(BaseHTTPRequestHandler):
                 st.buckets.setdefault(bucket, {})
             self._send(200)
             return
-        body = self._read_body()
+        try:
+            body = self._read_body()
+        except _BadRequest as e:
+            self._error(400, "IncompleteBody", str(e))
+            return
         if "partNumber" in q and "uploadId" in q:  # UploadPart
             upload_id = q["uploadId"][0]
             part = int(q["partNumber"][0])
@@ -253,7 +266,11 @@ class _Handler(BaseHTTPRequestHandler):
             return
         if "uploadId" in q:  # CompleteMultipartUpload
             upload_id = q["uploadId"][0]
-            self._read_body()  # part list XML; assembly uses stored parts
+            try:
+                self._read_body()  # part list XML; assembly uses stored parts
+            except _BadRequest as e:
+                self._error(400, "IncompleteBody", str(e))
+                return
             with st.lock:
                 parts = st.uploads.pop((bucket, key, upload_id), None)
                 if parts is None:
@@ -271,8 +288,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, body)
             return
         if "delete" in q:  # DeleteObjects (batch)
-            body = self._read_body()
-            root = ElementTree.fromstring(body)
+            try:
+                body = self._read_body()
+                root = ElementTree.fromstring(body)
+            except (_BadRequest, ElementTree.ParseError) as e:
+                self._error(400, "MalformedXML", str(e))
+                return
             ns = ""
             if root.tag.startswith("{"):
                 ns = root.tag[: root.tag.index("}") + 1]

@@ -437,3 +437,26 @@ def test_s3_table_served_over_protocol_gateway(spark, shim, tmp_path):
             Engine.S3_CACHE_CONF,
         ):
             spark.conf.unset(conf)
+
+
+def test_s3_shim_malformed_chunked_body_is_400(shim):
+    """A malformed aws-chunked body answers a typed 400 XML error, not a
+    dropped connection."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", shim.port, timeout=10)
+    conn.request(
+        "PUT",
+        "/badbkt/k",
+        body=b"ZZZ\r\nnot-hex\r\n",
+        headers={"x-amz-content-sha256": "STREAMING-UNSIGNED-PAYLOAD-TRAILER"},
+    )
+    resp = conn.getresponse()
+    body = resp.read()
+    assert resp.status == 400 and b"IncompleteBody" in body
+    # connection/server still serviceable
+    conn2 = http.client.HTTPConnection("127.0.0.1", shim.port, timeout=10)
+    conn2.request("PUT", "/badbkt/ok", body=b"fine")
+    assert conn2.getresponse().status == 200
+    conn.close()
+    conn2.close()
