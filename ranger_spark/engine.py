@@ -222,9 +222,13 @@ class Engine:
         mirror = self._s3_mirror_conf()
         if mirror is None:
             return
+        # the remote catalog existing means s3 tables exist or existed —
+        # computed BEFORE the push so dropping the LAST s3 table still
+        # surfaces a failed push (otherwise a ghost entry survives
+        # remotely and recover_catalog_from_s3 would resurrect it)
         has_s3_tables = any(
             "s3_remote" in e for e in self._manifest["tables"].values()
-        )
+        ) or bool(getattr(self, "_s3_catalog_pushed", False))
         try:
             import json as _json
 
@@ -241,9 +245,19 @@ class Engine:
                 Key=key,
                 Body=_json.dumps(self._manifest).encode(),
             )
-        except Exception:
+            self._s3_catalog_pushed = True
+        except Exception as e:
             if has_s3_tables:
-                raise
+                # the LOCAL commit already happened and stays the truth;
+                # surface that the remote catalog is now stale (retry =
+                # any later catalog mutation re-pushes the full manifest)
+                raise RangerError(
+                    UNSUPPORTED_STATEMENT,
+                    "catalog mutation committed locally but the S3 "
+                    f"catalog mirror push failed ({str(e)[:200]}); the "
+                    "remote catalog is stale until the next successful "
+                    "mutation",
+                ) from e
 
     def recover_catalog_from_s3(self) -> int:
         """Disaster path: rebuild the local catalog from the object
@@ -1113,13 +1127,16 @@ class Engine:
 
     # SELECTs referencing these cannot be result-cached: value changes
     # between runs without any input file changing
+    # NOTE the closing \b: without it, the bare-word entries prefix-match
+    # ordinary identifiers ("user" → user_id/users, "now" → nowhere) and
+    # silently disable the cache for every query touching them.
     _NONDET_RE = re.compile(
         r"\b(rand|randn|shuffle|uuid|monotonically_increasing_id"
         r"|current_date|current_timestamp|current_timezone|now"
         r"|unix_timestamp|localtimestamp|curdate|current_localtimestamp"
         r"|current_user|session_user|user|unix_millis|unix_micros"
         r"|input_file_name|spark_partition_id"
-        r"|sys_date|sys_time|sys_timestamp|generate_uuid|system\w*)\s*\(?",
+        r"|sys_date|sys_time|sys_timestamp|generate_uuid|system\w*)\b\s*\(?",
         re.I,
     )
     _RESULT_CACHE_MAX = 32
@@ -2311,7 +2328,10 @@ class Engine:
                     from ranger_spark.sources.s3fs import parse_s3_uri
 
                     bucket, prefix = parse_s3_uri(entry["s3_remote"])
-                    fs.delete_prefix(bucket, prefix)
+                    # trailing "/" scopes the delete to THIS table's keys:
+                    # a bare prefix would also match a sibling table whose
+                    # name extends this one (metrics vs metrics2)
+                    fs.delete_prefix(bucket, prefix.rstrip("/") + "/")
         if name in self._manifest.get("mviews", {}):
             # dropping an MV's backing table directly must not strand
             # refresh metadata pointing at a vanished table

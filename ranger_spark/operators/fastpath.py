@@ -201,6 +201,8 @@ def local_parquet_agg(
         return None
     df = values_relation(spark, rows, select_exprs)
     if ck is not None:
+        while len(sess_cache) >= _RESULT_CACHE_MAX:
+            sess_cache.pop(next(iter(sess_cache)))
         sess_cache[ck] = df
     return df
 
@@ -216,9 +218,13 @@ _SCAN_CACHE_MAX_BYTES = 1 << 30
 
 # Result-plan cache for local_parquet_agg (session → {key: DataFrame});
 # weak-keyed so a stopped session's JVM plan handles are collectable.
+# Per-session entries are FIFO-bounded like engine._result_cache — a
+# long-lived session over periodically-rewritten files (new mtime → new
+# key) must not accumulate stale JVM plan handles forever.
 from weakref import WeakKeyDictionary  # noqa: E402
 
 _RESULT_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+_RESULT_CACHE_MAX = 32
 
 
 def _cached_pruned_scan(path: str, columns: list[str]):

@@ -126,10 +126,17 @@ def _zstd_binding():
     try:
         from compression import zstd as _z  # Python 3.14+
 
-        return (
-            lambda b: _z.compress(b, 3),
-            lambda b, cap: _z.decompress(b),
-        )
+        def _d_std(b: bytes, cap: int) -> bytes:
+            # enforce the declared-length cap DURING inflation (the
+            # unwrap_payload bomb contract): stream through the
+            # incremental decompressor with max_length
+            d = _z.ZstdDecompressor()
+            out = d.decompress(b, max_length=max(cap, 1))
+            if not d.eof and d.decompress(b"", max_length=1):
+                raise ValueError("decompressed length exceeds declared cap")
+            return out
+
+        return (lambda b: _z.compress(b, 3), _d_std)
     except ImportError:
         pass
     try:
@@ -151,7 +158,24 @@ def _brotli_binding():
     for mod in ("brotli", "brotlicffi"):
         try:
             _b = __import__(mod)
-            return (_b.compress, lambda b, cap: _b.decompress(b))
+
+            def _d(b: bytes, cap: int, _lib=_b) -> bytes:
+                # streaming decompressor with an output cap when the
+                # binding supports it (brotli >= 1.0.9); otherwise a
+                # post-inflate length check still rejects the bomb, it
+                # just cannot stop mid-inflate (documented residual)
+                try:
+                    d = _lib.Decompressor()
+                    out = d.process(b, max_output_length=max(cap, 1))
+                    if not d.is_finished():
+                        raise ValueError(
+                            "decompressed length exceeds declared cap"
+                        )
+                    return out
+                except TypeError:
+                    return _lib.decompress(b)
+
+            return (_b.compress, _d)
         except ImportError:
             continue
     return None
@@ -677,19 +701,18 @@ def insert_string_block(
     declared column type — verified bare numeric literals splice
     unquoted (the strict INSERT validator's requirement), everything
     else goes through _sql_lit so a malicious value can never reshape
-    the VALUES list; None → NULL. Rows are chunked into bounded INSERT
-    statements (INSERT_CHUNK_ROWS) so a COPY at the MAX_COPY_BYTES cap
-    never becomes one multi-hundred-MB SQL string that the INSERT
-    parser must scan in a single shot. Returns the row count."""
+    the VALUES list; None → NULL. Payloads above INSERT_CHUNK_ROWS skip
+    SQL rendering entirely and land through ONE typed DataFrame append
+    (values validated against the declared types BEFORE the commit) —
+    bounded memory without a multi-hundred-MB SQL string, and the load
+    stays ATOMIC: a bad row rejects the whole COPY with zero snapshots
+    committed, the PostgreSQL COPY contract (a chunked-INSERT variant
+    left earlier chunks committed on a mid-stream failure).
+    Returns the row count."""
     if not rows:
         return 0
     if len(rows) > INSERT_CHUNK_ROWS:
-        total = 0
-        for i in range(0, len(rows), INSERT_CHUNK_ROWS):
-            total += insert_string_block(
-                engine, table, columns, rows[i : i + INSERT_CHUNK_ROWS], database
-            )
-        return total
+        return _insert_rows_dataframe(engine, table, columns, rows, database)
     qualified_in = table
     if database and "." not in table:
         qualified_in = f"{database}.{table}"
@@ -719,6 +742,92 @@ def insert_string_block(
     engine.execute(
         f"INSERT INTO {qualified_in} ({cols}) VALUES {', '.join(lits)};"
     )
+    return len(rows)
+
+
+def _insert_rows_dataframe(
+    engine, table: str, columns: list, rows: list, database: str = ""
+) -> int:
+    """Large-payload half of insert_string_block: ONE typed DataFrame
+    append per COPY. All values arrive as str|None; empty strings on
+    non-string columns are NULL (matching the SQL-rendering path), casts
+    to the declared types are VALIDATED up front (a non-castable value
+    in any row rejects the whole load before anything commits — Spark's
+    non-ANSI cast would otherwise silently null it), then the rows land
+    through the same snapshot-committed append as INSERT ... SELECT."""
+    from pyspark.sql import functions as F
+
+    from ranger_spark import types as itypes
+
+    qualified_in = table
+    if database and "." not in table:
+        qualified_in = f"{database}.{table}"
+    qualified = engine._qualify(table) if "." not in table else table
+    entry = engine._manifest["tables"].get(
+        qualified_in if "." in qualified_in else qualified
+    )
+    if not entry:
+        raise ValueError(f"table '{table}' not found")
+    schema = itypes.to_spark_schema([tuple(c) for c in entry["columns"]])
+    target = {f.name: f for f in schema.fields}
+    str_types = {
+        f.name
+        for f in schema.fields
+        if f.dataType.simpleString() == "string"
+    }
+    cleaned = [
+        tuple(
+            None if (v == "" and c not in str_types) else v
+            for c, v in zip(columns, row)
+        )
+        for row in rows
+    ]
+    src = engine.spark.createDataFrame(
+        cleaned, schema=", ".join(f"`{c}` string" for c in columns)
+    )
+    # pre-commit validation: a value the declared type cannot represent
+    # must reject the load with a typed error, not an ANSI cast blowup
+    # mid-write (Spark 4 default) nor a silent NULL (non-ANSI)
+    checks = [
+        F.sum(
+            (
+                F.col(c).isNotNull()
+                & F.col(c).try_cast(target[c].dataType).isNull()
+            ).cast("int")
+        ).alias(c)
+        for c in columns
+        if c in target and c not in str_types
+    ]
+    if checks:
+        bad = {k: v for k, v in src.select(checks).first().asDict().items() if v}
+        if bad:
+            raise ValueError(
+                "COPY rejected: value(s) not castable to the declared "
+                f"type in column(s) {sorted(bad)} "
+                f"({sum(bad.values())} row(s)); nothing was loaded"
+            )
+    out = src.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in set(columns)
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    # the SQL path commits under engine.execute's statement lock; this
+    # direct append must take the same lock or a concurrent statement
+    # could observe the catalog mid-commit
+    import contextlib
+
+    lock = getattr(engine, "_stmt_lock", None)
+    with lock if lock is not None else contextlib.nullcontext():
+        engine._append_commit(
+            qualified,
+            "append",
+            lambda: engine._apply_write_options(out.write, qualified).insertInto(
+                qualified
+            ),
+        )
     return len(rows)
 
 class NativeServer:

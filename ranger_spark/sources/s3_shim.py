@@ -125,6 +125,15 @@ class _Handler(BaseHTTPRequestHandler):
     def _etag(self, data: bytes) -> str:
         return '"' + hashlib.md5(data).hexdigest() + '"'
 
+    def _range_unsatisfiable(self, total: int) -> None:
+        body = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            "<Error><Code>InvalidRange</Code>"
+            "<Message>The requested range is not satisfiable</Message>"
+            "</Error>"
+        ).encode()
+        self._send(416, body, extra={"Content-Range": f"bytes */{total}"})
+
     # ------------------------------------------------------------- verbs
     def do_PUT(self) -> None:
         bucket, key, q = self._path_parts()
@@ -177,9 +186,15 @@ class _Handler(BaseHTTPRequestHandler):
                 hi = int(m.group(2)) if m.group(2) else None
                 total = len(data)
                 if lo is None:  # suffix range: last N bytes
-                    lo = max(0, total - (hi or 0))
+                    if not hi:  # bytes=-0 is unsatisfiable per RFC 7233
+                        self._range_unsatisfiable(total)
+                        return
+                    lo = max(0, total - hi)
                     hi = total - 1
                 else:
+                    if lo >= total:  # start beyond EOF → 416, like real S3
+                        self._range_unsatisfiable(total)
+                        return
                     hi = min(hi, total - 1) if hi is not None else total - 1
                 chunk = data[lo : hi + 1]
                 self._send(
@@ -333,11 +348,12 @@ class _Handler(BaseHTTPRequestHandler):
             keys = [k for k in keys if k > floor]
         contents: list[str] = []
         common: list[str] = []
-        seen_prefixes: set[str] = set()
         emitted = 0
         truncated = False
         next_token = ""
-        for k in keys:
+        i = 0
+        while i < len(keys):
+            k = keys[i]
             if emitted >= max_keys:
                 truncated = True
                 break
@@ -346,15 +362,20 @@ class _Handler(BaseHTTPRequestHandler):
                 d = rest.find(delimiter)
                 if d >= 0:
                     cp = prefix + rest[: d + len(delimiter)]
-                    if cp not in seen_prefixes:
-                        seen_prefixes.add(cp)
-                        common.append(cp)
-                        emitted += 1
-                        next_token = k
+                    common.append(cp)
+                    emitted += 1
+                    # advance past EVERY key under this prefix so the
+                    # continuation token never lands inside it — a token
+                    # mid-prefix would re-emit the same CommonPrefix on
+                    # the next page (real S3 rolls the whole prefix up)
+                    while i < len(keys) and keys[i].startswith(cp):
+                        i += 1
+                    next_token = keys[i - 1]
                     continue
             contents.append(k)
             emitted += 1
             next_token = k
+            i += 1
         body_parts = [
             '<?xml version="1.0" encoding="UTF-8"?>',
             f'<ListBucketResult xmlns="{_XMLNS}">',

@@ -402,36 +402,47 @@ def test_pgwire_copy_error_drains_remaining_frames(pg, engine):
     engine.spark.sql("DROP DATABASE pgd CASCADE")
 
 
-def test_insert_string_block_chunks_large_payloads():
-    """insert_string_block must split a big COPY into bounded INSERT
-    statements (ADVICE r7: a cap-sized COPY rendered as ONE statement
-    risks a driver stall); verified against a recording fake engine."""
+def test_insert_string_block_large_payload_atomic(engine):
+    """A COPY above INSERT_CHUNK_ROWS lands through ONE typed DataFrame
+    append (no multi-hundred-MB SQL string, ADVICE r7) and stays ATOMIC
+    (PostgreSQL COPY contract): a bad value anywhere rejects the whole
+    load with ZERO snapshots committed — a chunked-INSERT variant would
+    leave earlier chunks committed on a mid-stream failure."""
     from ranger_spark.sources.native_server import (
         INSERT_CHUNK_ROWS,
         insert_string_block,
     )
 
-    class FakeEngine:
-        _manifest = {"tables": {"db.t": {"columns": [["id", "int32"]]}}}
+    engine.execute("CREATE DATABASE IF NOT EXISTS blk;")
+    engine.execute("DROP TABLE IF EXISTS blk.t;")
+    engine.execute("CREATE TABLE blk.t (id int64, v string);")
+    n_rows = INSERT_CHUNK_ROWS + 500
+    rows = [(str(i), f"v{i}") for i in range(n_rows)]
+    snaps_before = len(engine.execute("SHOW SNAPSHOTS FROM blk.t;").rows)
+    assert insert_string_block(engine, "blk.t", ["id", "v"], rows) == n_rows
+    snaps_after = len(engine.execute("SHOW SNAPSHOTS FROM blk.t;").rows)
+    assert snaps_after == snaps_before + 1  # ONE commit for the whole COPY
+    got = engine.execute("SELECT count(*) AS n, sum(id) AS s FROM blk.t;").rows
+    assert got == [(n_rows, sum(range(n_rows)))]
+    # empty string on a non-string column is NULL (SQL-path parity)
+    rows2 = [(str(i), "x") for i in range(INSERT_CHUNK_ROWS)] + [("", "y")]
+    insert_string_block(engine, "blk.t", ["id", "v"], rows2)
+    assert engine.execute(
+        "SELECT count(*) AS n FROM blk.t WHERE id IS NULL;"
+    ).rows == [(1,)]
 
-        def __init__(self):
-            self.stmts = []
+    # atomicity: one uncastable value deep in the payload -> typed
+    # rejection, NO rows loaded, NO snapshot committed
+    bad = [(str(i), "z") for i in range(INSERT_CHUNK_ROWS)] + [("oops", "z")]
+    before = engine.execute("SELECT count(*) AS n FROM blk.t;").rows
+    snaps = len(engine.execute("SHOW SNAPSHOTS FROM blk.t;").rows)
+    import pytest as _pytest
 
-        def _qualify(self, t):
-            return f"db.{t}"
-
-        def execute(self, sql):
-            self.stmts.append(sql)
-
-    fake = FakeEngine()
-    n = insert_string_block(
-        fake, "db.t", ["id"], [(str(i),) for i in range(2 * INSERT_CHUNK_ROWS + 5)]
-    )
-    assert n == 2 * INSERT_CHUNK_ROWS + 5
-    assert len(fake.stmts) == 3
-    assert all(s.count("(") <= INSERT_CHUNK_ROWS + 1 for s in fake.stmts)
-    # chunk boundaries preserve order and lose nothing
-    assert f"({2 * INSERT_CHUNK_ROWS + 4})" in fake.stmts[-1]
+    with _pytest.raises(ValueError, match="nothing was loaded"):
+        insert_string_block(engine, "blk.t", ["id", "v"], bad)
+    assert engine.execute("SELECT count(*) AS n FROM blk.t;").rows == before
+    assert len(engine.execute("SHOW SNAPSHOTS FROM blk.t;").rows) == snaps
+    engine.spark.sql("DROP DATABASE blk CASCADE")
 
 
 def test_pgwire_copy_csv_null_vs_empty_roundtrip(pg, engine):

@@ -460,3 +460,41 @@ def test_s3_shim_malformed_chunked_body_is_400(shim):
     assert conn2.getresponse().status == 200
     conn.close()
     conn2.close()
+
+
+def test_s3_shim_range_416_and_delimiter_pagination(shim):
+    """Spec conformance (r8 self-review): ranges beyond EOF answer 416
+    InvalidRange (not an empty 206 with a malformed Content-Range), and
+    delimiter pagination never re-emits a CommonPrefix on later pages."""
+    import boto3
+    from botocore.config import Config
+
+    c = boto3.client(
+        "s3", endpoint_url=shim.endpoint, aws_access_key_id="k",
+        aws_secret_access_key="s", region_name="us-east-1",
+        config=Config(s3={"addressing_style": "path"},
+                      retries={"max_attempts": 1}),
+    )
+    c.create_bucket(Bucket="spec")
+    c.put_object(Bucket="spec", Key="small", Body=b"12345")
+    import botocore.exceptions
+
+    with pytest.raises(botocore.exceptions.ClientError) as ei:
+        c.get_object(Bucket="spec", Key="small", Range="bytes=10-20")
+    assert ei.value.response["Error"]["Code"] in ("InvalidRange", "416")
+
+    for k in ("a/1", "a/2", "a/3", "b/1", "c"):
+        c.put_object(Bucket="spec", Key=k, Body=b"x")
+    seen_prefixes, seen_keys, token = [], [], None
+    while True:
+        kw = dict(Bucket="spec", Delimiter="/", MaxKeys=1)
+        if token:
+            kw["ContinuationToken"] = token
+        r = c.list_objects_v2(**kw)
+        seen_prefixes += [p["Prefix"] for p in r.get("CommonPrefixes", [])]
+        seen_keys += [o["Key"] for o in r.get("Contents", [])]
+        if not r["IsTruncated"]:
+            break
+        token = r["NextContinuationToken"]
+    assert seen_prefixes == ["a/", "b/"]  # each prefix exactly once
+    assert seen_keys == ["c", "small"]
