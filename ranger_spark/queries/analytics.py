@@ -1436,22 +1436,25 @@ def forecast_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT CAST(year(o_orderdate) AS INTEGER)  AS y,
              CAST(month(o_orderdate) AS INTEGER) AS mo,
-             round(sum(o_totalprice), 2)         AS revenue
+             CAST(CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents
       FROM orders GROUP BY 1, 2
     ),
     t AS (
-      SELECT y, mo, revenue,
-             avg(revenue) OVER (
+      SELECT y, mo, cents,
+             sum(cents) OVER (
                ORDER BY y, mo ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING
-             ) AS trend,
+             ) AS wsum,
              count(*) OVER (
                ORDER BY y, mo ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING
              ) AS wn
       FROM m
     )
-    SELECT y, mo, revenue,
-           round(trend, 2)            AS trend,
-           round(revenue / trend, 6)  AS seasonal_ratio
+    SELECT y, mo,
+           CAST(cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue,
+           CAST((wsum + 6) // 12 AS DOUBLE) / CAST(100.0 AS DOUBLE) AS trend,
+           round(CAST(cents AS DOUBLE) / CAST((wsum + 6) // 12 AS DOUBLE), 6)
+             AS seasonal_ratio
     FROM t WHERE wn = 12
     """,
     tags=("analytics", "timeseries", "decompose"),
@@ -1463,26 +1466,40 @@ def orders_seasonality_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     index and the sibling of forecast_seasonal_naive's backtest. Only
     full 12-month windows emit (count guard), so edges are exact on
     both engines. One shuffle to the month rollup; windows run over the
-    ~N_months table."""
+    ~N_months table.
+
+    Determinism protocol (r9): monthly revenue snaps to the 2dp grid
+    (true value is ON it) and converts to integer cents; the 12-month
+    trend average is then exact integer math with explicit half-up
+    division ((wsum + 6) div 12) — a double avg() lands mid-window
+    means exactly on .xx5 and the tie resolves by engine (the r8 hash
+    failure: spark 47288952.5 vs duck .51)."""
     o = load(spark, sf_dir, "orders")
     m = o.groupBy(
         F.year("o_orderdate").cast("int").alias("y"),
         F.month("o_orderdate").cast("int").alias("mo"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        (F.round(F.sum("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
     w = Window.orderBy("y", "mo").rowsBetween(-6, 5)
     t = m.select(
         "y",
         "mo",
-        "revenue",
-        F.avg("revenue").over(w).alias("trend"),
+        "cents",
+        F.sum("cents").over(w).alias("wsum"),
         F.count(F.lit(1)).over(w).alias("wn"),
     )
+    tc = F.expr("(wsum + 6) div 12")
     return t.filter(F.col("wn") == 12).select(
         "y",
         "mo",
-        "revenue",
-        F.round("trend", 2).alias("trend"),
-        F.round(F.col("revenue") / F.col("trend"), 6).alias("seasonal_ratio"),
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (tc / F.lit(100.0)).alias("trend"),
+        F.round(
+            F.col("cents").cast("double") / tc.cast("double"), 6
+        ).alias("seasonal_ratio"),
     )
 
 
@@ -1924,8 +1941,12 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bounds AS (SELECT max(date_trunc('day', ts)) AS horizon FROM events),
     life AS (
       SELECT user_id,
-             date_diff('week', min(date_trunc('day', ts)),
-                       max(date_trunc('day', ts))) AS t_week,
+             -- floor(days/7), NOT date_diff('week', …): DuckDB's 'week'
+             -- unit counts Monday crossings, which diverges from the
+             -- builder's floor(datediff/7) for mid-week spans (first
+             -- seen at sf0.1: 31 users flipped a week).
+             date_diff('day', min(date_trunc('day', ts)),
+                       max(date_trunc('day', ts))) // 7 AS t_week,
              CASE WHEN date_diff('day', max(date_trunc('day', ts)),
                                  (SELECT horizon FROM bounds)) < 14
                   THEN 0 ELSE 1 END AS churned
@@ -1944,8 +1965,9 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t_week,
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(n_churn AS BIGINT) AS n_churn,
-           round(sum(round(ln(1.0 - n_churn / CAST(n_risk AS DOUBLE)), 8))
-                   OVER (ORDER BY t_week), 6) AS log_survival
+           CAST(round(CAST(round(sum(round(ln(1.0 - n_churn / CAST(n_risk AS DOUBLE)), 8))
+                                   OVER (ORDER BY t_week), 8) AS DECIMAL(38,8)), 6)
+                AS DOUBLE) AS log_survival
     FROM risk
     WHERE n_churn < n_risk
     """,
@@ -1995,15 +2017,22 @@ def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_week",
             F.col("n_risk").cast("bigint").alias("n_risk"),
             F.col("n_churn").cast("bigint").alias("n_churn"),
+            # The summands live on the 8dp grid, so the cumsum's true
+            # value does too — snap to it, then round to 6 in DECIMAL
+            # (a raw round(double_sum, 6) ties at .xxxxxx50 and resolves
+            # by summation order; the money_round2 convention at grid 8).
             F.round(
-                F.sum(
-                    F.round(
-                        F.log(1.0 - F.col("n_churn") / F.col("n_risk").cast("double")),
-                        8,
-                    )
-                ).over(w_asc),
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.log(1.0 - F.col("n_churn") / F.col("n_risk").cast("double")),
+                            8,
+                        )
+                    ).over(w_asc),
+                    8,
+                ).cast("decimal(38,8)"),
                 6,
-            ).alias("log_survival"),
+            ).cast("double").alias("log_survival"),
         )
     )
 
@@ -2126,30 +2155,44 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     idx AS (
       SELECT pri, mon, rev,
+             CAST(CAST(rev AS DECIMAL(28,2)) * 100000000 AS BIGINT) AS y8,
              CAST(row_number() OVER (PARTITION BY pri ORDER BY mon)
                   AS INTEGER) AS i
       FROM monthly
     ),
     holt AS (
-      SELECT pri, i, mon, rev,
-             CAST(rev AS DECIMAL(30,8)) AS lvl,
-             CAST(0 AS DECIMAL(30,8)) AS trd,
-             CAST(NULL AS DECIMAL(30,8)) AS fit
+      SELECT pri, i, mon, rev, y8,
+             y8 AS lvl8,
+             CAST(0 AS BIGINT) AS trd8,
+             CAST(NULL AS BIGINT) AS fit8
       FROM idx WHERE i = 1
       UNION ALL
-      SELECT m.pri, m.i, m.mon, m.rev,
-             CAST(0.5 * m.rev + 0.5 * (h.lvl + h.trd) AS DECIMAL(30,8)),
-             CAST(0.3 * (CAST(0.5 * m.rev + 0.5 * (h.lvl + h.trd)
-                              AS DECIMAL(30,8)) - h.lvl)
-                  + 0.7 * h.trd AS DECIMAL(30,8)),
-             CAST(h.lvl + h.trd AS DECIMAL(30,8))
+      SELECT m.pri, m.i, m.mon, m.rev, m.y8,
+             CASE WHEN 5 * m.y8 + 5 * (h.lvl8 + h.trd8) >= 0
+                  THEN (5 * m.y8 + 5 * (h.lvl8 + h.trd8) + 5) // 10
+                  ELSE -((-(5 * m.y8 + 5 * (h.lvl8 + h.trd8)) + 5) // 10)
+             END,
+             CASE WHEN 3 * ((CASE WHEN 5 * m.y8 + 5 * (h.lvl8 + h.trd8) >= 0
+                                  THEN (5 * m.y8 + 5 * (h.lvl8 + h.trd8) + 5) // 10
+                                  ELSE -((-(5 * m.y8 + 5 * (h.lvl8 + h.trd8)) + 5) // 10)
+                             END) - h.lvl8) + 7 * h.trd8 >= 0
+                  THEN (3 * ((CASE WHEN 5 * m.y8 + 5 * (h.lvl8 + h.trd8) >= 0
+                                   THEN (5 * m.y8 + 5 * (h.lvl8 + h.trd8) + 5) // 10
+                                   ELSE -((-(5 * m.y8 + 5 * (h.lvl8 + h.trd8)) + 5) // 10)
+                              END) - h.lvl8) + 7 * h.trd8 + 5) // 10
+                  ELSE -((-(3 * ((CASE WHEN 5 * m.y8 + 5 * (h.lvl8 + h.trd8) >= 0
+                                       THEN (5 * m.y8 + 5 * (h.lvl8 + h.trd8) + 5) // 10
+                                       ELSE -((-(5 * m.y8 + 5 * (h.lvl8 + h.trd8)) + 5) // 10)
+                                  END) - h.lvl8) + 7 * h.trd8) + 5) // 10)
+             END,
+             h.lvl8 + h.trd8
       FROM holt h JOIN idx m ON m.pri = h.pri AND m.i = h.i + 1
     )
     SELECT pri, mon, CAST(rev AS DOUBLE) AS rev,
-           CAST(lvl AS DOUBLE) AS level,
-           CAST(trd AS DOUBLE) AS trend,
-           CAST(fit AS DOUBLE) AS one_step_fit,
-           CAST(rev - fit AS DOUBLE) AS fit_err
+           CAST(lvl8 AS DOUBLE) / 100000000 AS level,
+           CAST(trd8 AS DOUBLE) / 100000000 AS trend,
+           CAST(fit8 AS DOUBLE) / 100000000 AS one_step_fit,
+           CAST(y8 - fit8 AS DOUBLE) / 100000000 AS fit_err
     FROM holt
     """,
     tags=("analytics", "timeseries", "forecast"),
@@ -2163,13 +2206,18 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-bounded state (≤ ~80 months each; a production corpus has millions
     of series, each still tiny). The heavy lift stays declarative: one
     map-combined monthly aggregate before the Arrow-batched recurrence.
-    Determinism protocol: the whole recurrence runs in exact DECIMAL
-    arithmetic — monthly revenue snaps to DECIMAL(18,2), each level/
-    trend update is quantized to an 8dp decimal grid with half-away
-    ties (Python ``ROUND_HALF_UP`` ≡ DuckDB's decimal cast), so the
-    recursive-CTE oracle replays it bit-for-bit with no float drift."""
+    Determinism protocol (r9): the recurrence runs in exact fixed-point
+    INTEGER arithmetic — monthly revenue snaps to DECIMAL(18,2) and
+    scales to 1e-8 units (bigint); each level/trend update is exact at
+    scale 9 (α=0.5 → ×5, β=0.3 → ×3/×7) and drops back to scale 8 via
+    an explicit half-away-from-zero integer division that the
+    recursive-CTE oracle replays verbatim. The previous protocol
+    (Python Decimal.quantize vs DuckDB CAST(expr AS DECIMAL(30,8)))
+    diverged ~1e-8 on 1,147 cells because DuckDB's 0.5·rev + 0.5·(l+t)
+    overflows decimal multiply into DOUBLE before the cast — the r8
+    hash failure. Integer ops can't drift and have one rounding site."""
     import pandas as pd
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import Decimal
 
     monthly = (
         load(spark, sf_dir, "orders")
@@ -2183,35 +2231,38 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev")
         )
     )
-    Q8 = Decimal("1E-8")
-    A, B = Decimal("0.5"), Decimal("0.3")
+    SCALE = 10**8
+
+    def q9to8(p: int) -> int:
+        # scale-9 → scale-8, ties half away from zero (≡ the oracle's
+        # sign-aware (|p|+5)//10).
+        return (p + 5) // 10 if p >= 0 else -((-p + 5) // 10)
 
     def holt(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("mon").reset_index(drop=True)
+        y8s = [int(Decimal(y) * SCALE) for y in pdf["rev"]]
         lvl, trd, fit = [], [], []
-        for t, y in enumerate(pdf["rev"]):
+        for t, y8 in enumerate(y8s):
             if t == 0:
-                lvl.append(Decimal(y).quantize(Q8))
-                trd.append(Decimal(0).quantize(Q8))
-                fit.append(None)
+                lvl.append(y8); trd.append(0); fit.append(None)
             else:
                 prev_l, prev_t = lvl[-1], trd[-1]
-                f = (prev_l + prev_t).quantize(Q8, ROUND_HALF_UP)
-                new_l = (A * Decimal(y) + A * (prev_l + prev_t)).quantize(
-                    Q8, ROUND_HALF_UP
-                )
-                new_t = (
-                    B * (new_l - prev_l) + (1 - B) * prev_t
-                ).quantize(Q8, ROUND_HALF_UP)
-                lvl.append(new_l); trd.append(new_t); fit.append(f)
+                f8 = prev_l + prev_t
+                new_l = q9to8(5 * y8 + 5 * (prev_l + prev_t))
+                new_t = q9to8(3 * (new_l - prev_l) + 7 * prev_t)
+                lvl.append(new_l); trd.append(new_t); fit.append(f8)
         out = pdf[["pri", "mon"]].copy()
+        # float(v) first, THEN divide — two roundings, matching the
+        # oracle's CAST(x AS DOUBLE) / 1e8 exactly. A fused v / SCALE
+        # (one correctly-rounded int/int division) can differ by an ulp
+        # once |v| > 2^53, which sf0.1 monthly revenues reach.
         out["rev"] = [float(y) for y in pdf["rev"]]
-        out["level"] = [float(v) for v in lvl]
-        out["trend"] = [float(v) for v in trd]
-        out["one_step_fit"] = [None if f is None else float(f) for f in fit]
+        out["level"] = [float(v) / 1e8 for v in lvl]
+        out["trend"] = [float(v) / 1e8 for v in trd]
+        out["one_step_fit"] = [None if f is None else float(f) / 1e8 for f in fit]
         out["fit_err"] = [
-            None if f is None else float(Decimal(y) - f)
-            for y, f in zip(pdf["rev"], fit)
+            None if f is None else float(y8 - f) / 1e8
+            for y8, f in zip(y8s, fit)
         ]
         return out
 
@@ -3113,7 +3164,8 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_partkey AS pk,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
+             CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4)
+                             AS DECIMAL(38,4)), 2)
                   AS DECIMAL(18,2)) AS r
       FROM lineitem GROUP BY 1
     ),
@@ -3153,8 +3205,17 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(
+            # money_round2 convention (core_sql.py): the true per-part sum
+            # lives on the 4dp grid (price × (1−disc)); snap the double sum
+            # to it, then round to cents in DECIMAL — a raw round(sum, 2)
+            # ties at .xx50 and flips cents by summation order (r8 hash
+            # failure: class revenue …496.42 vs …496.41).
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    4,
+                ).cast("decimal(38,4)"),
+                2,
             ).cast("decimal(18,2)").alias("r")
         )
     )
@@ -4019,7 +4080,8 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
            CAST(sum(o) AS BIGINT) AS n_pairs,
-           round(sum(round(pow(o - e, 2) / e, 8)), 6) AS chi2,
+           CAST(round(CAST(round(sum(round(pow(o - e, 2) / e, 8)), 8)
+                           AS DECIMAL(38,8)), 6) AS DOUBLE) AS chi2,
            CAST((count(DISTINCT src) - 1) * (count(DISTINCT dst) - 1)
                 AS BIGINT) AS dof
     FROM terms
@@ -4056,10 +4118,17 @@ def events_sequence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.sum("o").cast("bigint").alias("n_pairs"),
+        # 8dp-grid summands → snap the sum to the grid, round to 6 in
+        # DECIMAL (tie-proof; see users_kaplan_meier).
         F.round(
-            F.sum(F.round(F.pow(F.col("o") - F.col("e"), F.lit(2)) / F.col("e"), 8)),
+            F.round(
+                F.sum(
+                    F.round(F.pow(F.col("o") - F.col("e"), F.lit(2)) / F.col("e"), 8)
+                ),
+                8,
+            ).cast("decimal(38,8)"),
             6,
-        ).alias("chi2"),
+        ).cast("double").alias("chi2"),
         (
             (F.countDistinct("src") - 1) * (F.countDistinct("dst") - 1)
         ).cast("bigint").alias("dof"),

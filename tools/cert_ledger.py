@@ -30,9 +30,10 @@ def main() -> int:
         rnd = int(m.group(1))
         rounds.append(rnd)
         for name, res in json.load(open(path)).items():
-            ok = res.get("hash_match") or (
-                res.get("rows_match") and res.get("err") is None
-            )
+            # hash_match ONLY: every registry entry is oracled (r8), so the
+            # old rows-only fallback just masked hash failures as
+            # certifications (VERDICT r8 What's-wrong #3).
+            ok = bool(res.get("hash_match"))
             if ok:
                 last_round[name] = max(last_round.get(name, 0), rnd)
     latest = max(rounds) if rounds else 0

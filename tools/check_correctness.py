@@ -38,7 +38,11 @@ def normalize(df: pd.DataFrame) -> tuple[pd.DataFrame, str]:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64").map(lambda v: f"{v:.9g}" if pd.notna(v) else "NULL")
+            # repr() of a float64 is the shortest string that round-trips —
+            # full 17-sig-digit precision. The driver's gate hashes at full
+            # precision too; the earlier "%.9g" normalization hid 1-cent
+            # errors on 1e7-scale sums (VERDICT r8 What's-wrong #2).
+            df[c] = s.astype("float64").map(lambda v: repr(float(v)) if pd.notna(v) else "NULL")
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.map(lambda v: v.isoformat() if pd.notna(v) else "NULL")
         else:
