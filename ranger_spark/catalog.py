@@ -279,7 +279,14 @@ class _CatalogHandler(BaseHTTPRequestHandler):
         so a spec-reading external client can follow the pointer; the
         engine's own entry rides the vendor key ``ranger-entry`` (spec
         clients ignore unknown keys, RestCatalogStore reads it)."""
-        resp: dict = {"ranger-entry": entry, "config": {}}
+        # ranger-payload-version marks the r8+ shape (engine entry under
+        # the vendor key, spec metadata under "metadata"); a pre-r8
+        # RestCatalogStore reading body["metadata"] as the engine entry
+        # can detect the mismatch instead of mis-parsing Iceberg spec
+        # metadata (ADVICE r8; single-repo client+server version
+        # together, so this is a marker, not a compat shim).
+        resp: dict = {"ranger-entry": entry, "ranger-payload-version": 2,
+                      "config": {}}
         try:
             if entry.get("versioned"):
                 import os

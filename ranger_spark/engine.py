@@ -208,10 +208,32 @@ class Engine:
         entries to a read-modify-write race — the reference gets the same
         guarantee from SQLite's locking in its metadata registry
         (server/metadata/registry)."""
+        old_s3 = {
+            n: e
+            for n, e in (self._manifest or {}).get("tables", {}).items()
+            if "s3_remote" in e
+        }
         self._manifest = self.catalog_store.mutate(fn)
-        self._s3_mirror_manifest()
+        new_s3 = {
+            n: e
+            for n, e in self._manifest["tables"].items()
+            if "s3_remote" in e
+        }
+        # Hard-fail a lost push only when THIS mutation touched an
+        # s3-mirrored entry; a filesystem-table DDL during an endpoint
+        # outage committed fine locally and must not report failure
+        # (ADVICE r8) — it warns, marks the mirror stale, and any later
+        # mutation (or retry_s3_mirror_push) re-pushes the full manifest.
+        # JSON-normalized compare: the durable store round-trips column
+        # tuples into lists, so a raw dict compare false-positives.
+        import json as _json
 
-    def _s3_mirror_manifest(self) -> None:
+        touched = _json.dumps(old_s3, sort_keys=True, default=list) != (
+            _json.dumps(new_s3, sort_keys=True, default=list)
+        )
+        self._s3_mirror_manifest(required=touched)
+
+    def _s3_mirror_manifest(self, required: bool = True) -> None:
         """In S3 mirror mode the catalog JSON itself is also pushed to
         the object store (`<root>/_catalog/ranger_catalog.json`) on every
         mutation — without it a total warehouse loss would strand the
@@ -246,8 +268,9 @@ class Engine:
                 Body=_json.dumps(self._manifest).encode(),
             )
             self._s3_catalog_pushed = True
+            self._s3_mirror_stale = False
         except Exception as e:
-            if has_s3_tables:
+            if has_s3_tables and required:
                 # the LOCAL commit already happened and stays the truth;
                 # surface that the remote catalog is now stale (retry =
                 # any later catalog mutation re-pushes the full manifest)
@@ -258,6 +281,31 @@ class Engine:
                     "remote catalog is stale until the next successful "
                     "mutation",
                 ) from e
+            if has_s3_tables:
+                # unrelated mutation: committed locally, mirror is stale —
+                # warn, don't fail the statement (ADVICE r8)
+                import warnings
+
+                self._s3_mirror_stale = True
+                warnings.warn(
+                    "S3 catalog mirror push failed for a mutation not "
+                    f"touching s3 tables ({str(e)[:120]}); remote catalog "
+                    "stale — will re-push on the next mutation or "
+                    "retry_s3_mirror_push()",
+                    stacklevel=2,
+                )
+
+    def retry_s3_mirror_push(self) -> bool:
+        """Re-push the catalog manifest to the S3 mirror after an outage
+        (the retry hook for a warned-stale mirror). Returns True when the
+        push succeeded (or no mirror is configured)."""
+        if self._s3_mirror_conf() is None:
+            return True
+        try:
+            self._s3_mirror_manifest(required=True)
+        except RangerError:
+            return False
+        return not getattr(self, "_s3_mirror_stale", False)
 
     def recover_catalog_from_s3(self) -> int:
         """Disaster path: rebuild the local catalog from the object

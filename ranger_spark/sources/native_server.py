@@ -716,12 +716,11 @@ def insert_string_block(
     qualified_in = table
     if database and "." not in table:
         qualified_in = f"{database}.{table}"
-    qualified = (
-        engine._qualify(table) if "." not in table else table
-    )
-    entry = engine._manifest["tables"].get(
-        qualified_in if "." in qualified_in else qualified
-    )
+    # type map resolves under the SAME name the INSERT below targets
+    # (session db first) — engine._qualify would read the current db's
+    # same-named table's types
+    qualified = qualified_in if "." in qualified_in else engine._qualify(table)
+    entry = engine._manifest["tables"].get(qualified)
     types = {c[0]: c[1].lower() for c in (entry or {}).get("columns", [])}
     numeric = ("int", "float", "double", "decimal", "bool")
     lits = []
@@ -759,16 +758,36 @@ def _insert_rows_dataframe(
 
     from ranger_spark import types as itypes
 
+    # Resolve exactly like the <=chunk SQL path (INSERT INTO {qualified_in}):
+    # the SESSION database wins over the engine's currentDatabase — the old
+    # engine._qualify(table) fallthrough committed a >chunk COPY into the
+    # current db's same-named table (silent cross-db write) while looking
+    # up the schema under the session db (ADVICE r8, high).
     qualified_in = table
     if database and "." not in table:
         qualified_in = f"{database}.{table}"
-    qualified = engine._qualify(table) if "." not in table else table
-    entry = engine._manifest["tables"].get(
-        qualified_in if "." in qualified_in else qualified
-    )
+    qualified = qualified_in if "." in qualified_in else engine._qualify(table)
+    entry = engine._manifest["tables"].get(qualified)
     if not entry:
         raise ValueError(f"table '{table}' not found")
     schema = itypes.to_spark_schema([tuple(c) for c in entry["columns"]])
+    # COPY column names resolve case-insensitively against the schema and
+    # unknown names are a typed reject — the SQL-rendering path resolves
+    # via Spark (case-insensitive, errors on unknowns), so the DataFrame
+    # path must match instead of silently nulling/dropping (ADVICE r8).
+    by_fold = {f.name.casefold(): f.name for f in schema.fields}
+    unknown = sorted({c for c in columns if c.casefold() not in by_fold})
+    if unknown:
+        raise ValueError(
+            f"COPY rejected: unknown column(s) {unknown} for table "
+            f"'{table}'; nothing was loaded"
+        )
+    columns = [by_fold[c.casefold()] for c in columns]
+    if len(set(columns)) != len(columns):
+        raise ValueError(
+            f"COPY rejected: duplicate column(s) in column list for table "
+            f"'{table}'; nothing was loaded"
+        )
     target = {f.name: f for f in schema.fields}
     str_types = {
         f.name

@@ -148,11 +148,15 @@ class S3ObjectFS:
         for rel, path in sorted(local.items()):
             key = f"{prefix}/{rel}" if prefix else rel
             size = os.path.getsize(path)
-            # size-compare elides re-uploads of immutable snapshot files;
-            # tiny files always ship — a mutable pointer like
-            # version-hint.text can change content without changing size
-            # ("3" -> "4") and must never be skipped
-            if remote.get(key) == size and size > 256:
+            # size-compare elides re-uploads of IMMUTABLE data files only
+            # (snapshot parquet: name+size identifies content). Anything
+            # else always ships: metadata JSON (v{N}.metadata.json is
+            # rewritten in place on tag/expire re-emits and can keep its
+            # byte size — ADVICE r8), Avro manifest chains, and mutable
+            # pointers like version-hint.text ("3" -> "4", same size).
+            if remote.get(key) == size and size > 256 and rel.endswith(
+                (".parquet", ".orc")
+            ):
                 continue
             with open(path, "rb") as fh:
                 self.client.put_object(Bucket=bucket, Key=key, Body=fh.read())

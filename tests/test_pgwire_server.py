@@ -472,3 +472,54 @@ def test_pgwire_copy_csv_null_vs_empty_roundtrip(pg, engine):
     s.sendall(b"X")
     s.close()
     engine.spark.sql("DROP DATABASE pgcsv CASCADE")
+
+
+def test_insert_string_block_session_db_and_column_case(engine):
+    """ADVICE r8 (high + medium): (1) a COPY above INSERT_CHUNK_ROWS with
+    an UNQUALIFIED table name and a session database commits into the
+    session database's table — never into a same-named table in the
+    engine's current database; (2) COPY column names resolve
+    case-insensitively on the DataFrame path (SQL-path parity) and an
+    unknown column is a typed reject with nothing loaded."""
+    import pytest as _pytest
+
+    from ranger_spark.sources.native_server import (
+        INSERT_CHUNK_ROWS,
+        insert_string_block,
+    )
+
+    engine.execute("CREATE DATABASE IF NOT EXISTS blka;")
+    engine.execute("CREATE DATABASE IF NOT EXISTS blkb;")
+    engine.execute("DROP TABLE IF EXISTS blka.t;")
+    engine.execute("DROP TABLE IF EXISTS blkb.t;")
+    engine.execute("CREATE TABLE blka.t (id int64, v string);")
+    engine.execute("CREATE TABLE blkb.t (id int64, v string);")
+    engine.execute("USE blka;")
+    try:
+        n = INSERT_CHUNK_ROWS + 10
+        rows = [(str(i), "x") for i in range(n)]
+        # session db blkb + unqualified name: the load must land in
+        # blkb.t even though the engine's current db is blka
+        assert insert_string_block(engine, "t", ["id", "v"], rows,
+                                   database="blkb") == n
+        assert engine.execute("SELECT count(*) AS n FROM blkb.t;").rows == [(n,)]
+        assert engine.execute("SELECT count(*) AS n FROM blka.t;").rows == [(0,)]
+        # case-mismatched COPY column list resolves against the schema
+        assert insert_string_block(engine, "blkb.t", ["ID", "V"], rows) == n
+        assert engine.execute(
+            "SELECT count(*) AS n FROM blkb.t;"
+        ).rows == [(2 * n,)]
+        # unknown column: typed reject, zero rows loaded
+        with _pytest.raises(ValueError, match="unknown column"):
+            insert_string_block(engine, "blkb.t", ["id", "nope"], rows)
+        assert engine.execute(
+            "SELECT count(*) AS n FROM blkb.t;"
+        ).rows == [(2 * n,)]
+        # duplicate columns after case folding: typed reject
+        with _pytest.raises(ValueError, match="duplicate column"):
+            insert_string_block(engine, "blkb.t", ["id", "ID"],
+                                [(r[0], r[0]) for r in rows])
+    finally:
+        engine.execute("USE default;")
+        engine.spark.sql("DROP DATABASE blka CASCADE")
+        engine.spark.sql("DROP DATABASE blkb CASCADE")

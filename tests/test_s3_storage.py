@@ -146,23 +146,25 @@ def test_s3fs_sync_roundtrip_unit(shim, tmp_path):
     fs = S3ObjectFS(shim.endpoint)
     src = tmp_path / "src"
     (src / "sub").mkdir(parents=True)
-    (src / "a.txt").write_bytes(b"alpha" * 80)  # >256B: size-elidable
-    (src / "sub" / "b.bin").write_bytes(b"\x00" * 1024)
-    (src / ".a.txt.crc").write_bytes(b"nope")  # checksum sidecar: skipped
+    (src / "a.parquet").write_bytes(b"alpha" * 80)  # immutable: size-elidable
+    (src / "sub" / "b.bin").write_bytes(b"\x00" * 1024)  # not parquet: re-ships
+    (src / ".a.parquet.crc").write_bytes(b"nope")  # checksum sidecar: skipped
 
     n_up, n_del = fs.sync_up(str(src), "unit", "tbl")
     assert (n_up, n_del) == (2, 0)
-    assert shim.keys("unit") == ["tbl/a.txt", "tbl/sub/b.bin"]
+    assert shim.keys("unit") == ["tbl/a.parquet", "tbl/sub/b.bin"]
 
-    # idempotent: second sync moves nothing
-    assert fs.sync_up(str(src), "unit", "tbl") == (0, 0)
+    # second sync: the immutable parquet elides on name+size; anything
+    # else (b.bin) re-ships — same-size in-place rewrites of non-data
+    # files must never be skipped (ADVICE r8)
+    assert fs.sync_up(str(src), "unit", "tbl") == (1, 0)
 
     # tiny mutable pointers always re-ship: same-size content change
     # ("3" -> "4") must not be elided by the size compare
     (src / "hint.txt").write_bytes(b"3")
-    assert fs.sync_up(str(src), "unit", "tbl") == (1, 0)
+    assert fs.sync_up(str(src), "unit", "tbl") == (2, 0)  # hint + b.bin
     (src / "hint.txt").write_bytes(b"4")
-    assert fs.sync_up(str(src), "unit", "tbl") == (1, 0)
+    assert fs.sync_up(str(src), "unit", "tbl") == (2, 0)
     import boto3
     from botocore.config import Config
 
@@ -177,14 +179,14 @@ def test_s3fs_sync_roundtrip_unit(shim, tmp_path):
 
     # default sync is UPLOAD-ONLY: local absence does NOT delete remotely
     # (a concurrent writer's commit must survive another engine's sync)
-    (src / "a.txt").unlink()
-    assert fs.sync_up(str(src), "unit", "tbl") == (0, 0)
-    assert shim.keys("unit") == ["tbl/a.txt", "tbl/sub/b.bin"]
+    (src / "a.parquet").unlink()
+    assert fs.sync_up(str(src), "unit", "tbl") == (1, 0)  # b.bin re-ships
+    assert shim.keys("unit") == ["tbl/a.parquet", "tbl/sub/b.bin"]
     # explicit removals propagate via the scoped delete
-    assert fs.delete_paths("unit", "tbl", str(src), [str(src / "a.txt")]) >= 1
+    assert fs.delete_paths("unit", "tbl", str(src), [str(src / "a.parquet")]) >= 1
     assert shim.keys("unit") == ["tbl/sub/b.bin"]
     # opt-in full mirror still available
-    assert fs.sync_up(str(src), "unit", "tbl", delete_stale=True) == (0, 0)
+    assert fs.sync_up(str(src), "unit", "tbl", delete_stale=True) == (1, 0)
 
     # cold hydration
     dst = tmp_path / "dst"
@@ -498,3 +500,73 @@ def test_s3_shim_range_416_and_delimiter_pagination(shim):
         token = r["NextContinuationToken"]
     assert seen_prefixes == ["a/", "b/"]  # each prefix exactly once
     assert seen_keys == ["c", "small"]
+
+
+def test_s3_sync_up_reships_same_size_metadata(shim, tmp_path):
+    """ADVICE r8: the size-compare upload elision applies ONLY to
+    immutable data files (.parquet/.orc). A v{N}.metadata.json rewritten
+    in place with the SAME byte size (tag ops / expire re-emits) must
+    re-ship, or the object store serves stale Iceberg metadata."""
+    from ranger_spark.sources.s3fs import S3ObjectFS
+
+    fs = S3ObjectFS(shim.endpoint)
+    local = tmp_path / "tbl"
+    (local / "metadata").mkdir(parents=True)
+    meta = local / "metadata" / "v3.metadata.json"
+    data = local / "part-000.parquet"
+    meta.write_bytes(b"A" * 400)
+    data.write_bytes(b"B" * 400)
+    fs.sync_up(str(local), "reship", "t1")
+
+    # same-size rewrites: metadata must re-upload, parquet may elide
+    meta.write_bytes(b"C" * 400)
+    data.write_bytes(b"D" * 400)
+    up, _ = fs.sync_up(str(local), "reship", "t1")
+    got_meta = fs.client.get_object(
+        Bucket="reship", Key="t1/metadata/v3.metadata.json"
+    )["Body"].read()
+    got_data = fs.client.get_object(
+        Bucket="reship", Key="t1/part-000.parquet"
+    )["Body"].read()
+    assert got_meta == b"C" * 400          # re-shipped
+    assert got_data == b"B" * 400          # elided (immutable by contract)
+    assert up == 1
+
+
+def test_s3_mirror_outage_warns_for_non_s3_mutations(s3_engine, shim):
+    """ADVICE r8: when the S3 endpoint is down, a mutation that never
+    touched an s3-mirrored entry commits locally and WARNS (stale
+    mirror) instead of reporting failure; an s3-touching mutation still
+    hard-fails; retry_s3_mirror_push() re-pushes once service returns."""
+    import warnings
+
+    e = s3_engine
+    e.execute("CREATE DATABASE IF NOT EXISTS outg;")
+    e.execute("CREATE TABLE outg.s3t (id int32) STORAGE s3;")
+
+    class _DownFS:
+        def __getattr__(self, name):
+            raise ConnectionError("endpoint down")
+
+    real_fs = e._s3_fs
+    e._s3_fs = lambda: _DownFS()
+    try:
+        # filesystem-table DDL: local commit succeeds, warning not error
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            e.execute("CREATE TABLE outg.fst (id int32);")
+        assert any("mirror push failed" in str(x.message) for x in w)
+        assert ("outg.fst",) in e.execute("SHOW TABLES FROM outg;").rows or \
+            any("fst" in str(r) for r in e.execute("SHOW TABLES FROM outg;").rows)
+        # s3-touching mutation during the outage still hard-fails
+        import pytest as _pytest
+
+        from ranger_spark.errors import RangerError
+
+        with _pytest.raises(RangerError):
+            e.execute("DROP TABLE outg.s3t;")
+    finally:
+        e._s3_fs = real_fs
+    # service restored: the retry hook re-pushes the full manifest
+    assert e.retry_s3_mirror_push() is True
+    e.execute("DROP TABLE IF EXISTS outg.fst;")
