@@ -351,6 +351,10 @@ def dsir_logratio_scores(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("__lam"), 6).alias("dsir_logratio"),
+            # "+ 0.0" canonicalizes IEEE -0.0 to +0.0 (a doc whose
+            # ratios cancel rounds to negative zero on one engine and
+            # positive on the other — sf0.1 sweep catch, r9); the oracle
+            # carries the same "+ 0".
+            (F.round(F.avg("__lam"), 6) + F.lit(0.0)).alias("dsir_logratio"),
         )
     )

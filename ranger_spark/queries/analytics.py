@@ -3310,19 +3310,34 @@ def customer_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user AS (
       SELECT user_id,
              count(*) + 1 AS n_events,
-             round(avg(gap_us) / 1e6, 6) AS mean_gap_s,
-             round(coalesce(stddev_samp(gap_us), 0) / 1e6, 6) AS sd_gap_s,
+             count(*) AS n_gaps,
+             sum(gap_us) AS sx,
+             sum(CAST(gap_us AS HUGEINT) * gap_us) AS sxx,
              CAST(sum(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_subsecond
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY 1
+    ),
+    calc AS (
+      SELECT user_id, n_events, n_gaps, n_subsecond,
+             (2 * sx + n_gaps) // (2 * n_gaps) AS mean_us,
+             CASE WHEN n_gaps > 1 THEN
+               CAST(floor(sqrt(greatest(
+                 (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n_gaps AS DOUBLE))
+                 / (CAST(n_gaps AS DOUBLE) - 1.0), 0.0)) + 0.5) AS BIGINT)
+             ELSE 0 END AS sd_us
+      FROM per_user
     )
     SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
-           mean_gap_s, sd_gap_s, n_subsecond,
+           CAST(mean_us AS DOUBLE) / 1e6 AS mean_gap_s,
+           CAST(sd_us AS DOUBLE) / 1e6 AS sd_gap_s,
+           n_subsecond,
            CAST(n_subsecond >= 3
-                OR (n_events >= 20 AND sd_gap_s < 0.5 * mean_gap_s)
+                OR (n_events >= 20 AND 2 * sd_us < mean_us)
                 AS BOOLEAN) AS bot_suspect
-    FROM per_user
+    FROM calc
     """,
     tags=("analytics", "quality", "bot"),
 )
@@ -3333,7 +3348,17 @@ def users_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak), then burst (≥3 sub-second gaps) and metronome (many
     events with low gap variance) rules. Integer epoch-microsecond
     gaps keep the arithmetic exact; the rules read a per-user rollup,
-    so the verdict is one user_id shuffle at any corpus size."""
+    so the verdict is one user_id shuffle at any corpus size.
+
+    Determinism protocol (r9): avg()/stddev_samp() of bigints are
+    ORDER-DEPENDENT doubles (DuckDB streams a running mean; Spark
+    sums-then-divides) — a 1500-user sf0.1 sweep flipped a 6dp mean by
+    1e-6. Both sides now aggregate exact integer sums (Σx as bigint,
+    Σx² exact wide: DECIMAL(38,0) here, HUGEINT in the oracle), derive
+    the mean as half-up integer µs ((2Σx+n) div 2n ≡ round-6dp of
+    seconds) and the sample sd through ONE shared double formula over
+    those exact sums, snapped to integer µs via floor(x+0.5); the bot
+    rule compares integers (2·sd_us < mean_us)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = ts_epoch_us("ts")
     g = load(spark, sf_dir, "events").select(
@@ -3344,21 +3369,36 @@ def users_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
-            F.round(F.avg("gap_us") / 1e6, 6).alias("mean_gap_s"),
-            F.round(
-                F.coalesce(F.stddev_samp("gap_us"), F.lit(0.0)) / 1e6, 6
-            ).alias("sd_gap_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap_us").cast("bigint").alias("sx"),
+            F.sum(
+                F.col("gap_us").cast("decimal(38,0)")
+                * F.col("gap_us").cast("decimal(19,0)")
+            ).alias("sxx"),
             F.sum(
                 F.when(F.col("gap_us") < 1000000, 1).otherwise(0)
             ).cast("bigint").alias("n_subsecond"),
         )
     )
+    mean_us = F.expr("(2 * sx + n_gaps) div (2 * n_gaps)")
+    nd = F.col("n_gaps").cast("double")
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    sd_us = F.when(
+        F.col("n_gaps") > 1,
+        F.floor(F.sqrt(F.greatest(var, F.lit(0.0))) + F.lit(0.5)).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
     return pu.select(
-        "user_id", "n_events", "mean_gap_s", "sd_gap_s", "n_subsecond",
+        "user_id",
+        "n_events",
+        (mean_us.cast("double") / F.lit(1e6)).alias("mean_gap_s"),
+        (sd_us.cast("double") / F.lit(1e6)).alias("sd_gap_s"),
+        "n_subsecond",
         (
             (F.col("n_subsecond") >= 3)
-            | ((F.col("n_events") >= 20)
-               & (F.col("sd_gap_s") < 0.5 * F.col("mean_gap_s")))
+            | ((F.col("n_events") >= 20) & (2 * sd_us < mean_us))
         ).alias("bot_suspect"),
     )
 
@@ -3769,28 +3809,29 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT o_orderdate AS day,
-             CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) AS rev
+             CAST(CAST(round(sum(o_totalprice), 2) AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS c
       FROM orders GROUP BY 1
     ),
     nbr AS (
-      SELECT day, rev,
-             lag(rev)  OVER (ORDER BY day) AS prev_rev,
-             lead(rev) OVER (ORDER BY day) AS next_rev
+      SELECT day, c,
+             lag(c)  OVER (ORDER BY day) AS prev_c,
+             lead(c) OVER (ORDER BY day) AS next_c
       FROM daily
     ),
     peaks AS (
-      SELECT day, rev, prev_rev, next_rev,
-             CAST(rev - greatest(prev_rev, next_rev) AS DOUBLE)
-               AS prominence
+      SELECT day, c, prev_c, next_c,
+             c - greatest(prev_c, next_c) AS prom_c
       FROM nbr
-      WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
-        AND rev > prev_rev AND rev > next_rev
+      WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+        AND c > prev_c AND c > next_c
     )
-    SELECT day, CAST(rev AS DOUBLE) AS rev,
-           CAST(prev_rev AS DOUBLE) AS prev_rev,
-           CAST(next_rev AS DOUBLE) AS next_rev,
-           prominence,
-           CAST(row_number() OVER (ORDER BY prominence DESC, day)
+    SELECT day,
+           CAST(c AS DOUBLE) / CAST(100 AS DOUBLE)      AS rev,
+           CAST(prev_c AS DOUBLE) / CAST(100 AS DOUBLE) AS prev_rev,
+           CAST(next_c AS DOUBLE) / CAST(100 AS DOUBLE) AS next_rev,
+           CAST(prom_c AS DOUBLE) / CAST(100 AS DOUBLE) AS prominence,
+           CAST(row_number() OVER (ORDER BY prom_c DESC, day)
                 AS INTEGER) AS rnk
     FROM peaks
     QUALIFY rnk <= 5
@@ -3802,39 +3843,42 @@ def orders_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind spike triage): a peak strictly exceeds both neighbors, its
     prominence is the margin over the taller neighbor, top-5 reported.
     One date-grain aggregate then two window passes over the O(days)
-    series — exact DECIMAL values so peak identity and ranking are
-    engine-identical (day tiebreak)."""
+    series — exact integer-CENT values so peak identity and ranking are
+    engine-identical (day tiebreak), and every double output is the
+    identical bigint/100.0 on both engines (a DECIMAL(18,2)→DOUBLE cast
+    is NOT correctly rounded in DuckDB: 801799.32 came back
+    801799.3200000001 at sf0.001 — the r9 sweep catch)."""
     daily = (
         load(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").alias("day"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2)
-            .cast("decimal(18,2)").alias("rev")
+            (F.round(F.sum("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("c")
         )
     )
     w = Window.orderBy("day")
     nbr = daily.select(
-        "day", "rev",
-        F.lag("rev").over(w).alias("prev_rev"),
-        F.lead("rev").over(w).alias("next_rev"),
+        "day", "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
     )
     peaks = nbr.where(
-        F.col("prev_rev").isNotNull()
-        & F.col("next_rev").isNotNull()
-        & (F.col("rev") > F.col("prev_rev"))
-        & (F.col("rev") > F.col("next_rev"))
+        F.col("prev_c").isNotNull()
+        & F.col("next_c").isNotNull()
+        & (F.col("c") > F.col("prev_c"))
+        & (F.col("c") > F.col("next_c"))
     ).select(
-        "day", "rev", "prev_rev", "next_rev",
-        (F.col("rev") - F.greatest("prev_rev", "next_rev"))
-        .cast("double").alias("prominence"),
+        "day", "c", "prev_c", "next_c",
+        (F.col("c") - F.greatest("prev_c", "next_c")).alias("prom_c"),
     )
-    wr = Window.orderBy(F.col("prominence").desc(), "day")
+    wr = Window.orderBy(F.col("prom_c").desc(), "day")
+    hundred = F.lit(100).cast("double")
     return peaks.select(
         "day",
-        F.col("rev").cast("double").alias("rev"),
-        F.col("prev_rev").cast("double").alias("prev_rev"),
-        F.col("next_rev").cast("double").alias("next_rev"),
-        "prominence",
+        (F.col("c").cast("double") / hundred).alias("rev"),
+        (F.col("prev_c").cast("double") / hundred).alias("prev_rev"),
+        (F.col("next_c").cast("double") / hundred).alias("next_rev"),
+        (F.col("prom_c").cast("double") / hundred).alias("prominence"),
         F.row_number().over(wr).cast("int").alias("rnk"),
     ).where(F.col("rnk") <= 5)
 

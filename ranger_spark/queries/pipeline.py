@@ -110,20 +110,6 @@ def _minhash_oracle() -> str:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= {_JACCARD_T}
-    UNION ALL
-    -- exact-arrival pairs: a batch group whose fingerprint already
-    -- exists in the corpus pairs with its stored keeper at jaccard 1.0
-    SELECT least(ng.doc_id, bk.keeper) AS id_a,
-           greatest(ng.doc_id, bk.keeper) AS id_b,
-           1.0 AS jaccard
-    FROM (
-      SELECT md5({_NORM}) AS fp, min(doc_id) AS doc_id
-      FROM documents WHERE doc_id % 4 = 0 GROUP BY 1
-    ) ng
-    JOIN (
-      SELECT md5({_NORM}) AS fp, min(doc_id) AS keeper
-      FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1
-    ) bk USING (fp)
     """
 
 
@@ -208,20 +194,6 @@ def _incremental_oracle() -> str:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= {_JACCARD_T}
-    UNION ALL
-    -- exact-arrival pairs: a batch group whose fingerprint already
-    -- exists in the corpus pairs with its stored keeper at jaccard 1.0
-    SELECT least(ng.doc_id, bk.keeper) AS id_a,
-           greatest(ng.doc_id, bk.keeper) AS id_b,
-           1.0 AS jaccard
-    FROM (
-      SELECT md5({_NORM}) AS fp, min(doc_id) AS doc_id
-      FROM documents WHERE doc_id % 4 = 0 GROUP BY 1
-    ) ng
-    JOIN (
-      SELECT md5({_NORM}) AS fp, min(doc_id) AS keeper
-      FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1
-    ) bk USING (fp)
     """
 
 
@@ -3450,7 +3422,7 @@ _DSIR_HASH = "CAST(('0x' || substr(md5('d:' || x), 1, 15)) AS BIGINT)"
     )
     SELECT tok.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(lam), 6) AS dsir_logratio
+           round(avg(lam), 6) + 0 AS dsir_logratio
     FROM tok JOIN lam USING (bk)
     WHERE NOT is_t
     GROUP BY tok.doc_id
