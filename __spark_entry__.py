@@ -23,67 +23,26 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
-# round start and pasted here verbatim. Round 8 front: the 54 queries no
-# driver round has ever certified lead (alphabetical; the non-oracled
-# multimodal_decode_stub was retired this round so every name below is
-# hash-checkable), followed by the r4-stale then r5-stale queries so a
-# wider window re-certifies the oldest entries first. New-query
-# development is FROZEN until this backlog drains (VERDICT r7 item 1).
-_FRONT_R8 = (
-    "ann_mmr_rerank",
-    "ann_truncated_dim_recall",
-    "approx_percentile_check",
-    "cohort_ltv_curve",
-    "conformal_price_interval",
-    "copurchase_bfs_hops",
-    "copurchase_kcore",
-    "copurchase_triangles",
-    "curriculum_phase_plan",
-    "customer_gini_revenue",
-    "customer_order_interarrival",
-    "customer_pareto_share",
-    "customer_rfm_scores",
-    "customers_k_anonymity",
-    "dedup_edit_distance",
-    "dedup_threshold_sweep",
-    "embedding_outlier_knn",
-    "events_anomaly_mad",
-    "events_attribution_credit",
-    "events_cuped_adjustment",
-    "events_dau_mau_stickiness",
-    "events_ewma_daily",
-    "events_kmv_set_ops",
-    "events_lateness_profile",
-    "events_markov_stationary",
-    "events_path_trigrams",
-    "events_pattern_match",
-    "events_power_analysis",
-    "events_psi_drift",
-    "events_sequence_chi2",
-    "events_welch_ttest",
+# round start (hash_match-only certification since r9). Round 9 front:
+# the 7 uncertified queries lead (3 r8 hash failures, now fixed +
+# re-verified at three SFs, then the 4 never-driver-tested), followed by
+# the four queries whose code/oracle changed this round
+# (events_sequence_chi2, orders_revenue_peaks, sample_dsir_scores,
+# dedup_minhash_lsh — certified green only on PRE-change code), then
+# stalest-first (r4, r5, ...). New-query development stays FROZEN until
+# §2-core staleness <= 1 round (VERDICT r8 item 2).
+_FRONT_R9 = (
     "forecast_holt_linear",
-    "forecast_seasonal_naive",
-    "graph_label_propagation",
-    "lineitem_weighted_median_price",
-    "multimodal_image_entropy",
-    "multimodal_wav_silence",
-    "nations_revenue_hhi",
-    "nb_lang_classifier",
-    "orders_ar1_autoregression",
-    "orders_benford_audit",
-    "orders_cusum_changepoint",
-    "orders_price_histogram",
-    "orders_revenue_peaks",
-    "orders_running_backlog",
     "orders_seasonality_decompose",
     "parts_abc_classification",
-    "parts_pareto_skyline",
-    "recs_item_item_cf",
-    "retrieval_rrf_fusion",
     "sample_neyman_allocation",
     "text_rake_keywords",
     "users_bot_heuristic",
     "users_kaplan_meier",
+    "events_sequence_chi2",
+    "orders_revenue_peaks",
+    "sample_dsir_scores",
+    "dedup_minhash_lsh",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",
@@ -123,7 +82,6 @@ _FRONT_R8 = (
     "contamination_check",
     "dedup_embedding_cosine",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -150,12 +108,56 @@ _FRONT_R8 = (
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_status_priority",
+    "sample_stratified",
+    "text_entropy",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_repetition",
+    "text_tokens",
+    "tfidf_top_terms",
+    "token_frequencies",
+    "train_val_test_split",
+    "window_range_frame",
+    "window_rank_family",
+    "window_running_total",
+    "window_topn_per_group",
+    "window_value_family",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "ann_text_topk",
+    "approx_sketches",
+    "bpe_vocab_merges",
+    "bucketed_star_join_sql",
+    "contamination_fuzzy",
+    "corpus_report",
+    "cross_doc_ngram_dup",
+    "datetime_functions",
+    "dedup_cluster_assign",
+    "dedup_incremental",
+    "dedup_semantic",
+    "dedup_span_incremental",
+    "dedup_span_removal",
+    "doc_chunk_sliding",
+    "embedding_quantize_int8",
+    "events_anomaly_zscore",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_heavy_hitters",
+    "events_hourly_rollup",
+    "events_rolling_wau",
+    "events_rolling_wau_sketch",
+    "json_extract_events",
 )
 
 
 def _ordered():
     reg = load_all()
-    front = [n for n in _FRONT_R8 if n in reg]
+    front = [n for n in _FRONT_R9 if n in reg]
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
 
