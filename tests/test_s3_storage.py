@@ -570,3 +570,40 @@ def test_s3_mirror_outage_warns_for_non_s3_mutations(s3_engine, shim):
     # service restored: the retry hook re-pushes the full manifest
     assert e.retry_s3_mirror_push() is True
     e.execute("DROP TABLE IF EXISTS outg.fst;")
+
+
+def test_s3a_direct_path_probe(spark, shim):
+    """VERDICT r8 item 5 probe: the direct s3a:// path (the layout a
+    real 100-TB cluster uses — engine S3_ROOT_CONF as an s3a:// URI,
+    fs.s3a.* Hadoop confs, NO mirror endpoint) cannot run here because
+    no hadoop-aws jar ships in this sandbox (NOTES.md environment-
+    blocked #1). This probe PINS that the blocker is the classpath and
+    nothing else: a raw s3a read must fail with the missing-FileSystem/
+    class error, not an auth or endpoint error. If this assertion ever
+    fails, the jar appeared — point fs.s3a.endpoint at the shim
+    (s3_shim already speaks sigv4/aws-chunked/ListObjectsV2 to real AWS
+    SDKs) and promote this into the end-to-end test."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.s3a.endpoint", shim.endpoint)
+    hconf.set("fs.s3a.access.key", "ranger")
+    hconf.set("fs.s3a.secret.key", "ranger")
+    hconf.set("fs.s3a.path.style.access", "true")
+    try:
+        err = None
+        try:
+            spark.read.parquet("s3a://ranger-wh/warehouse/nosuch")
+        except Exception as e:
+            err = str(e)
+        assert err is not None, (
+            "s3a read unexpectedly succeeded — hadoop-aws is on the "
+            "classpath now; wire the direct-path end-to-end test"
+        )
+        assert (
+            "S3AFileSystem" in err
+            or "ClassNotFoundException" in err
+            or "No FileSystem for scheme" in err
+        ), f"s3a blocked by something other than the classpath: {err[:300]}"
+    finally:
+        for k in ("fs.s3a.endpoint", "fs.s3a.access.key",
+                  "fs.s3a.secret.key", "fs.s3a.path.style.access"):
+            hconf.unset(k)
