@@ -194,6 +194,23 @@ def _incremental_oracle() -> str:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE round(i.n_inter / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE), 6) >= {_JACCARD_T}
+    UNION ALL
+    -- exact-arrival pairs: a batch group whose fingerprint already
+    -- exists in the corpus pairs with its stored keeper at jaccard 1.0
+    -- (the builder's fingerprint store carries keeper ids — r5; this
+    -- block lived in the PLAIN oracle by mistake until the r9 sf0.1
+    -- sweep caught both halves of the swap)
+    SELECT least(ng.doc_id, bk.keeper) AS id_a,
+           greatest(ng.doc_id, bk.keeper) AS id_b,
+           1.0 AS jaccard
+    FROM (
+      SELECT md5({_NORM}) AS fp, min(doc_id) AS doc_id
+      FROM documents WHERE doc_id % 4 = 0 GROUP BY 1
+    ) ng
+    JOIN (
+      SELECT md5({_NORM}) AS fp, min(doc_id) AS keeper
+      FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1
+    ) bk USING (fp)
     """
 
 
