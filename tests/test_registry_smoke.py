@@ -26,7 +26,10 @@ def test_front_rotation_names_exist():
     from ranger_spark.queries import load_all
 
     reg = load_all()
-    front = entry._FRONT_R8
+    front = next(
+        getattr(entry, a) for a in sorted(dir(entry), reverse=True)
+        if a.startswith("_FRONT_R")
+    )
     missing = [n for n in front if n not in reg]
     assert not missing, f"front names not in registry: {missing}"
     assert len(set(front)) == len(front), "duplicate names in the front"
