@@ -270,6 +270,8 @@ class Engine:
             self._s3_catalog_pushed = True
             self._s3_mirror_stale = False
         except Exception as e:
+            if has_s3_tables:
+                self._s3_mirror_stale = True
             if has_s3_tables and required:
                 # the LOCAL commit already happened and stays the truth;
                 # surface that the remote catalog is now stale (retry =

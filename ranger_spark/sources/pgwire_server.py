@@ -400,6 +400,31 @@ class PgWireServer:
                     break
                 conn.sendall(_error(f"unsupported startup code {code}"))
                 return
+            # startup parameters: key\0value\0 ... \0 — the reference's
+            # JDBC protocol scopes unqualified names by the connection's
+            # database (protocol.go startup), so honor dbname= here: it
+            # becomes the per-statement database for every query/COPY on
+            # this connection (engine.execute(..., database=db), never a
+            # sticky USE). Unknown database -> typed startup error.
+            params: dict[str, str] = {}
+            parts = payload[4:].split(b"\x00")
+            for k, v in zip(parts[0::2], parts[1::2]):
+                if k:
+                    params[k.decode("utf-8", "replace")] = v.decode(
+                        "utf-8", "replace"
+                    )
+            database = params.get("database", "") or ""
+            # "default" is Spark's implicit database — always valid even
+            # though the engine manifest only records CREATEd databases
+            if database == "default":
+                database = ""
+            if database and database not in self.engine._manifest.get(
+                "databases", []
+            ):
+                conn.sendall(
+                    _error(f'database "{database}" does not exist')
+                )
+                return
             conn.sendall(_msg(b"R", struct.pack("!I", 0)))  # AuthenticationOk
             conn.sendall(
                 _msg(b"S", _cstr("server_version") + _cstr("ranger_spark"))
@@ -436,11 +461,11 @@ class PgWireServer:
                     cm = _COPY_IN_RE.match(sql)
                     co = _COPY_OUT_RE.match(sql)
                     if cm:
-                        self._copy_in(conn, cm)
+                        self._copy_in(conn, cm, database)
                     elif co:
-                        self._copy_out(conn, co)
+                        self._copy_out(conn, co, database)
                     else:
-                        self._run_query(conn, sql)
+                        self._run_query(conn, sql, database)
                     conn.sendall(READY)
                 elif tag == b"P":  # Parse
                     try:
@@ -459,6 +484,7 @@ class PgWireServer:
                         portals[portal] = {
                             "sql": _substitute_params(stmts[stmt], params),
                             "result": None,
+                            "database": database,
                         }
                         conn.sendall(_msg(b"2", b""))  # BindComplete
                     except Exception as e:
@@ -511,7 +537,7 @@ class PgWireServer:
             except OSError:
                 pass
 
-    def _copy_in(self, conn: socket.socket, cm) -> None:
+    def _copy_in(self, conn: socket.socket, cm, database: str = "") -> None:
         """COPY <table> [(cols)] FROM STDIN: the pgwire bulk-load half.
         Data lands via the engine's validated INSERT (snapshot commit) —
         text format (tab-separated, backslash-N NULLs, optional trailing
@@ -523,9 +549,15 @@ class PgWireServer:
         if cols_s:
             columns = [c.strip() for c in cols_s.split(",") if c.strip()]
         else:
-            entry = self.engine._manifest["tables"].get(
-                self.engine._qualify(table) if "." not in table else table
-            )
+            # resolve under the connection's startup database first (the
+            # same name insert_string_block will commit to)
+            if "." in table:
+                qualified = table
+            elif database:
+                qualified = f"{database}.{table}"
+            else:
+                qualified = self.engine._qualify(table)
+            entry = self.engine._manifest["tables"].get(qualified)
             if not entry:
                 conn.sendall(_error(f"table '{table}' not found", "42P01"))
                 return
@@ -567,7 +599,9 @@ class PgWireServer:
                 return
         try:
             rows = _parse_copy_rows(bytes(buf), fmt, ncols)
-            n = insert_string_block(self.engine, table, columns, rows)
+            n = insert_string_block(
+                self.engine, table, columns, rows, database
+            )
         except Exception as e:
             conn.sendall(_error(str(e)[:400]))
             return
@@ -590,7 +624,7 @@ class PgWireServer:
             if t in (b"c", b"f"):
                 return
 
-    def _copy_out(self, conn: socket.socket, co) -> None:
+    def _copy_out(self, conn: socket.socket, co, database: str = "") -> None:
         """COPY <table> [(cols)] TO STDOUT: the export half —
         CopyOutResponse ('H'), one CopyData frame per row in text or csv
         format, CopyDone, then COPY n. Reads go through the engine
@@ -605,7 +639,9 @@ class PgWireServer:
             else "*"
         )
         try:
-            r = self.engine.execute(f"SELECT {cols} FROM {table};")
+            r = self.engine.execute(
+                f"SELECT {cols} FROM {table};", database=database or None
+            )
         except Exception as e:
             conn.sendall(_error(str(e)[:400]))
             return
@@ -666,7 +702,9 @@ class PgWireServer:
                 sql = p["sql"]
                 if not sql.rstrip().endswith(";"):
                     sql = sql.rstrip() + ";"
-                r = self.engine.execute(sql)
+                r = self.engine.execute(
+                    sql, database=p.get("database") or None
+                )
                 p["result"] = list(r.rows)
                 p["columns"] = r.columns
                 p["message"] = r.message
@@ -687,11 +725,11 @@ class PgWireServer:
             conn.sendall(_msg(b"C", _cstr(p["message"] or "OK")))
         return True
 
-    def _run_query(self, conn: socket.socket, sql: str) -> None:
+    def _run_query(self, conn: socket.socket, sql: str, database: str = "") -> None:
         try:
             if not sql.rstrip().endswith(";"):
                 sql = sql.rstrip() + ";"  # pg clients often omit it
-            r = self.engine.execute(sql)
+            r = self.engine.execute(sql, database=database or None)
         except Exception as e:
             conn.sendall(_error(str(e)[:400]))
             return

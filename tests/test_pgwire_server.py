@@ -523,3 +523,52 @@ def test_insert_string_block_session_db_and_column_case(engine):
         engine.execute("USE default;")
         engine.spark.sql("DROP DATABASE blka CASCADE")
         engine.spark.sql("DROP DATABASE blkb CASCADE")
+
+
+def _startup_packet_db(db: str) -> bytes:
+    params = f"user\x00ranger\x00database\x00{db}\x00\x00".encode()
+    body = struct.pack("!I", 196608) + params
+    return struct.pack("!I", len(body) + 4) + body
+
+
+def test_pgwire_startup_database_scopes_queries(pg, engine):
+    """The startup packet's database parameter scopes unqualified table
+    names for the whole connection (reference JDBC protocol startup) —
+    per-statement engine scoping, never a sticky USE; an unknown dbname
+    is a typed startup error (PostgreSQL FATAL parity)."""
+    engine.execute("CREATE DATABASE IF NOT EXISTS pgdb1;")
+    engine.execute("DROP TABLE IF EXISTS pgdb1.st;")
+    engine.execute("CREATE TABLE pgdb1.st (id int32);")
+    engine.execute("INSERT INTO pgdb1.st (id) VALUES (7);")
+
+    s = socket.create_connection(("127.0.0.1", pg.port), timeout=30)
+    s.sendall(_startup_packet_db("pgdb1"))
+    assert b"R" in [t for t, _ in _read_messages(s)]
+    # unqualified name resolves in pgdb1
+    s.sendall(_query_packet("SELECT id FROM st"))
+    msgs = _read_messages(s)
+    by_tag = {}
+    for t, body in msgs:
+        by_tag.setdefault(t, []).append(body)
+    assert b"7" in by_tag[b"D"][0]
+    # COPY in/out against the unqualified name lands in pgdb1.st
+    payload = b"8\n"
+    s.sendall(_query_packet("COPY st FROM STDIN"))
+    # CopyInResponse then send data + Done
+    hdr = _read_messages(s, until_tag=b"G")
+    assert hdr[-1][0] == b"G"
+    s.sendall(b"d" + struct.pack("!I", len(payload) + 4) + payload)
+    s.sendall(b"c" + struct.pack("!I", 4))
+    done = _read_messages(s)
+    assert any(t == b"C" and b"COPY 1" in b for t, b in done)
+    assert engine.execute("SELECT count(*) AS n FROM pgdb1.st;").rows == [(2,)]
+    s.sendall(b"X")
+    s.close()
+
+    # unknown database: typed startup error, no ReadyForQuery
+    s2 = socket.create_connection(("127.0.0.1", pg.port), timeout=30)
+    s2.sendall(_startup_packet_db("no_such_db"))
+    msgs2 = _read_messages(s2, until_tag=b"E")
+    assert any(t == b"E" and b"does not exist" in b for t, b in msgs2)
+    s2.close()
+    engine.spark.sql("DROP DATABASE pgdb1 CASCADE")
