@@ -3580,9 +3580,11 @@ def orders_ar1_autoregression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.nation,
            CAST(max(t.n_cust) AS BIGINT) AS n_customers,
-           CAST(max(t.t) AS DOUBLE) AS total_revenue,
-           round(sum(pow(CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE), 2)), 6)
-             AS hhi
+           CAST(CAST(max(t.t) * 100 AS BIGINT) AS DOUBLE)
+             / CAST(100 AS DOUBLE) AS total_revenue,
+           CAST(round(CAST(round(sum(round(
+             pow(CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE), 2), 8)), 8)
+             AS DECIMAL(38,8)), 6) AS DOUBLE) AS hhi
     FROM rev r JOIN tot t ON t.nation = r.nation
     GROUP BY r.nation
     """,
@@ -3618,16 +3620,30 @@ def nations_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation")
         .agg(
             F.max("n_cust").cast("bigint").alias("n_customers"),
-            F.max(F.col("t").cast("double")).alias("total_revenue"),
+            # cents/100.0 on both engines (identical doubles) rather
+            # than a direct decimal->double cast
+            (
+                F.max((F.col("t") * 100).cast("bigint")).cast("double")
+                / F.lit(100).cast("double")
+            ).alias("total_revenue"),
+            # squared shares snap to the 8dp grid before the sum, so
+            # the 6dp round is tie-free in DECIMAL (round_lint.py)
             F.round(
-                F.sum(
-                    F.pow(
-                        F.col("r").cast("double") / F.col("t").cast("double"),
-                        F.lit(2),
-                    )
-                ),
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.pow(
+                                F.col("r").cast("double")
+                                / F.col("t").cast("double"),
+                                F.lit(2),
+                            ),
+                            8,
+                        )
+                    ),
+                    8,
+                ).cast("decimal(38,8)"),
                 6,
-            ).alias("hhi"),
+            ).cast("double").alias("hhi"),
         )
     )
 

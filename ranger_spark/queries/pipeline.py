@@ -3712,7 +3712,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     ),
     dl AS (SELECT doc_id, len(t) AS dlen FROM toks),
     stats AS (
-      SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl
+      SELECT count(*) AS n,
+             CAST(sum(dlen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
     ),
     tf AS (
       SELECT doc_id, x AS term, count(*) AS tf
@@ -3726,9 +3728,9 @@ _BM25_K1, _BM25_B = 1.2, 0.75
     )
     SELECT tf.doc_id,
            CAST(count(*) AS BIGINT) AS n_terms,
-           round(sum(idf.idf * tf.tf * ({_BM25_K1} + 1) /
+           CAST(round(CAST(round(sum(round(idf.idf * tf.tf * ({_BM25_K1} + 1) /
              (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dlen / stats.avgdl))
-           ), 6) AS bm25
+           , 8)), 8) AS DECIMAL(38,8)), 6) AS DOUBLE) AS bm25
     FROM tf
     JOIN idf USING (term)
     JOIN dl ON dl.doc_id = tf.doc_id, stats
@@ -3754,8 +3756,13 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     dl = toks.select("doc_id", F.size("t").alias("dlen"))
+    # avgdl via exact-int sum/count, NOT avg(): engines stream means in
+    # different orders and a 1-ulp avgdl shift moves EVERY score
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dlen").alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("dlen").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
     )
     tf = (
         toks.select("doc_id", F.explode("t").alias("term"))
@@ -3782,19 +3789,30 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            # each per-term score snaps to the 8dp grid before the sum
+            # (identical doubles on both engines), so the per-doc sum is
+            # grid-exact and the 6dp round happens tie-free in DECIMAL —
+            # a raw round(sum(<reals>), 6) is order-dependent at the
+            # boundary (round_lint.py enforces this convention)
             F.round(
-                F.sum(
-                    F.col("idf")
-                    * F.col("tf")
-                    * (k1 + 1)
-                    / (
-                        F.col("tf")
-                        + k1
-                        * (1 - b + b * F.col("dlen") / F.col("avgdl"))
-                    )
-                ),
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("idf")
+                            * F.col("tf")
+                            * (k1 + 1)
+                            / (
+                                F.col("tf")
+                                + k1
+                                * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+                            ),
+                            8,
+                        )
+                    ),
+                    8,
+                ).cast("decimal(38,8)"),
                 6,
-            ).alias("bm25"),
+            ).cast("double").alias("bm25"),
         )
     )
 

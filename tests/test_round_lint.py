@@ -1,0 +1,61 @@
+"""The rounding-protocol lint (tools/round_lint.py) must stay green on
+the repo AND must actually detect the r8/r9 failure shapes."""
+
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+from round_lint import lint_source  # noqa: E402
+
+
+def test_repo_is_clean():
+    r = subprocess.run(
+        [sys.executable, "tools/round_lint.py"], capture_output=True,
+        text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_detects_product_sum_rounded():
+    # the parts_abc_classification r8 failure shape
+    src = '''
+    rev = df.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("r")
+    )
+    '''
+    assert any("product" in f for f in lint_source(src, "x.py"))
+
+
+def test_detects_coarser_round_of_snapped_sum():
+    # the users_kaplan_meier / events_sequence_chi2 r8 failure shape
+    src = '''
+    out = df.select(
+        F.round(
+            F.sum(F.round(F.log(1.0 - F.col("a") / F.col("b")), 8)).over(w),
+            6,
+        ).alias("s")
+    )
+    '''
+    assert any("snap the sum" in f for f in lint_source(src, "x.py"))
+
+
+def test_accepts_grid_snap_form():
+    # money_round2 expansion: round in DECIMAL after snapping — clean
+    src = '''
+    ok = df.agg(
+        F.round(
+            F.round(F.sum(F.col("p") * (1 - F.col("d"))), 4)
+            .cast("decimal(38,4)"),
+            2,
+        ).cast("double").alias("v")
+    )
+    '''
+    assert lint_source(src, "x.py") == []
+
+
+def test_accepts_single_column_snap():
+    # grid == scale: the round IS the snap (o_totalprice is 2dp money)
+    src = 'm = df.agg(F.round(F.sum("o_totalprice"), 2).alias("t"))'
+    assert lint_source(src, "x.py") == []

@@ -1,0 +1,120 @@
+"""Mechanical enforcement of the float-determinism rounding protocol.
+
+The r8→r9 hash failures shared one shape: a ROUND applied to an
+ORDER-DEPENDENT double sum at a scale coarser than the summand's true
+decimal grid — the true value can sit exactly on the rounding half-grid
+and the two engines' summation orders resolve the tie differently
+(NOTES.md "Float-determinism protocol"). This lint finds that shape
+statically in the Spark-side query builders:
+
+  FLAG  F.round(F.sum(<expr with a product>), k)      # 4dp money, etc.
+  FLAG  F.round(F.sum(F.round(<x>, j)), k)  with j>k  # pre-snapped grid
+  OK    F.round(F.sum(<single column>), k)            # grid == scale: the
+                                                      # round IS the snap
+  OK    F.round(F.round(F.sum(...), g).cast("decimal(38,g)"), k)
+                                                      # money_round2 form
+  OK    money_round2(F.sum(...), g)
+
+Exit 1 and list offenders when a flagged site exists. Run by
+tests/test_round_lint.py so a new query can't reintroduce the pattern.
+
+Heuristic, not a proof: it inspects builder source text (the oracle SQL
+pairs with the builder by protocol), and a product inside sum() is taken
+as "finer grid than the rounding scale" unless the sum is wrapped in the
+decimal grid-snap form.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCAN = [
+    os.path.join(ROOT, "ranger_spark", "queries"),
+    os.path.join(ROOT, "ranger_spark", "operators"),
+]
+
+
+def _strip(src: str) -> str:
+    # drop comments and collapse whitespace so patterns span lines
+    src = re.sub(r"#[^\n]*", "", src)
+    return re.sub(r"\s+", " ", src)
+
+
+def _matched(src: str, start: int) -> str:
+    """Return the balanced-paren argument span starting at src[start]=='('."""
+    depth = 0
+    for i in range(start, len(src)):
+        if src[i] == "(":
+            depth += 1
+        elif src[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return src[start + 1 : i]
+    return src[start + 1 :]
+
+
+def _outer_scale(after_sum: str) -> int | None:
+    """The k in `F.round(F.sum(...) <maybe .over(w)>, k)` — after_sum is
+    the text following the balanced F.sum(...) span inside the round."""
+    m = re.match(r"\s*(?:\.over\([^)]*\))?\s*,\s*(\d+)\s*,?\s*\)", after_sum)
+    return int(m.group(1)) if m else None
+
+
+def lint_source(src: str, path: str) -> list[str]:
+    flat = _strip(src)
+    flags: list[str] = []
+    for m in re.finditer(r"F\.round\(\s*F\.sum\(", flat):
+        sum_open = m.end() - 1
+        summand = _matched(flat, sum_open)
+        after = flat[sum_open + len(summand) + 2 :]
+        k = _outer_scale(after)
+        if k is None:
+            continue  # round's scale not a literal; out of scope
+        # money_round2 / decimal-snap form: the ROUND output is re-rounded
+        # in decimal by an enclosing F.round(....cast("decimal...
+        ctx = flat[max(0, m.start() - 80) : m.start()]
+        if "F.round(" in ctx and re.search(
+            r"\.cast\(\s*[\"']decimal", flat[m.start() : m.start() + 600]
+        ):
+            continue
+        inner = re.match(r"\s*F\.round\((.*)", summand)
+        if inner:
+            # sum of pre-snapped values: fine only if the outer scale
+            # matches-or-exceeds the inner grid
+            jm = re.search(r",\s*(\d+)\s*\)\s*$", summand)
+            j = int(jm.group(1)) if jm else None
+            if j is not None and k < j:
+                flags.append(
+                    f"{path}: round(sum(round(·,{j})),{k}) — snap the sum "
+                    f"to the {j}dp grid in DECIMAL before rounding to {k}"
+                )
+            continue
+        # product/HOF inside the sum → true grid finer than any single
+        # column's; rounding the double sum at a literal scale ties
+        if re.search(r"[*/]", summand):
+            flags.append(
+                f"{path}: round(sum(<product>),{k}) — use the "
+                "money_round2 grid-snap convention (core_sql.py)"
+            )
+    return flags
+
+
+def main() -> int:
+    flags: list[str] = []
+    for d in SCAN:
+        for fn in sorted(os.listdir(d)):
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(d, fn)
+            flags += lint_source(open(p).read(), os.path.relpath(p, ROOT))
+    for f in flags:
+        print("FLAG ", f)
+    print(f"{len(flags)} flagged rounding sites")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
