@@ -43,6 +43,8 @@ _FRONT_R9 = (
     "orders_revenue_peaks",
     "sample_dsir_scores",
     "dedup_minhash_lsh",
+    "nations_revenue_hhi",
+    "text_bm25_scores",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",
@@ -150,8 +152,6 @@ _FRONT_R9 = (
     "events_heavy_hitters",
     "events_hourly_rollup",
     "events_rolling_wau",
-    "events_rolling_wau_sketch",
-    "json_extract_events",
 )
 
 
