@@ -102,6 +102,60 @@ def lint_source(src: str, path: str) -> list[str]:
     return flags
 
 
+# Reviewed sites the exact-tie rules do not apply to. ann_rp_lsh_topk's
+# round(sum(v*w), 6) is a SIGNED-projection dot product feeding a sign
+# test: products of byte-identical doubles (parquet v, md5-derived w),
+# true value on no decimal grid, so an exact .xxxxxx5 tie is
+# measure-zero — only the registry-wide ε-class remains, and snapping
+# each product to a grid would SHIFT the certified hash without making
+# the sign boundary any sharper. (Builder side matches the oracle
+# term-for-term.)
+ALLOW = {"ann_rp_lsh_topk"}
+
+
+def lint_oracle(sql: str, name: str) -> list[str]:
+    if name in ALLOW:
+        return []
+    """Same shapes on the DuckDB-SQL side of each registered query: a
+    snapped builder paired with a raw-rounded oracle diverges at some SF
+    just the same."""
+    flat = re.sub(r"--[^\n]*", "", sql)
+    flat = re.sub(r"\s+", " ", flat).lower()
+    flags: list[str] = []
+    for m in re.finditer(r"round\(\s*sum\(", flat):
+        sum_open = flat.index("(", m.start() + len("round(") - 1 + 1)
+        # locate the sum's open paren precisely
+        sum_open = m.end() - 1
+        summand = _matched(flat, sum_open)
+        after = flat[sum_open + len(summand) + 2 :]
+        mk = re.match(r"\s*(?:over\s*\([^)]*\)\s*)?,\s*(\d+)\s*\)", after)
+        if not mk:
+            continue
+        k = int(mk.group(1))
+        # decimal-snap form: round(CAST(round(sum(...), g) AS DECIMAL...)
+        ctx = flat[max(0, m.start() - 60) : m.start()]
+        if "round(cast(round(" in flat[max(0, m.start() - 24) : m.start() + 24] or (
+            "cast(round(" in ctx
+        ):
+            continue
+        inner = re.match(r"\s*round\(", summand)
+        if inner:
+            jm = re.search(r",\s*(\d+)\s*\)\s*$", summand)
+            j = int(jm.group(1)) if jm else None
+            if j is not None and k < j:
+                flags.append(
+                    f"oracle[{name}]: round(sum(round(·,{j})),{k}) — snap "
+                    f"the sum to the {j}dp grid in DECIMAL first"
+                )
+            continue
+        if re.search(r"[*/]", summand):
+            flags.append(
+                f"oracle[{name}]: round(sum(<product>),{k}) — use the "
+                "decimal grid-snap form"
+            )
+    return flags
+
+
 def main() -> int:
     flags: list[str] = []
     for d in SCAN:
@@ -110,6 +164,13 @@ def main() -> int:
                 continue
             p = os.path.join(d, fn)
             flags += lint_source(open(p).read(), os.path.relpath(p, ROOT))
+    # oracle side: import the registry (no Spark session needed)
+    sys.path.insert(0, ROOT)
+    from ranger_spark.queries import load_all
+
+    for name, spec in sorted(load_all().items()):
+        if spec.oracle:
+            flags += lint_oracle(spec.oracle, name)
     for f in flags:
         print("FLAG ", f)
     print(f"{len(flags)} flagged rounding sites")
