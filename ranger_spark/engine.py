@@ -1755,6 +1755,14 @@ class Engine:
                 return QueryResult([], [], 0, message=f"database '{name}' absent")
             raise RangerError(DATABASE_NOT_FOUND, f"database '{name}' not found")
         self.spark.sql(f"DROP DATABASE `{name}`" + (" CASCADE" if cascade else ""))
+        # dropping the CURRENT database would strand the session on a
+        # ghost db (every later unqualified name errors confusingly) —
+        # fall back to default, PostgreSQL-style
+        try:
+            if self.spark.catalog.currentDatabase() == name:
+                self.spark.catalog.setCurrentDatabase("default")
+        except Exception:
+            self.spark.catalog.setCurrentDatabase("default")
         self._schemas = {
             k: v for k, v in self._schemas.items() if not k.startswith(name + ".")
         }

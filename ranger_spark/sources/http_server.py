@@ -64,18 +64,36 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": "not found"})
 
     def do_POST(self):  # noqa: N802
-        if self.path != "/query":
+        from urllib.parse import parse_qs, urlparse
+
+        parsed = urlparse(self.path)
+        if parsed.path != "/query":
             self._send(404, {"error": "not found"})
             return
         length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length) if length else b""
+        # the reference's own handler reads the statement from the URL
+        # parameter `?q=` (server/protocols/http/server.go:92) — honor
+        # that shape first; the JSON body {"query", "database"?} is the
+        # richer extension shared with the native protocol
+        qparam = parse_qs(parsed.query).get("q", [None])[0]
+        database = None
+        if qparam is not None:
+            sql = qparam
+        else:
+            try:
+                req = json.loads(body or b"{}")
+                sql = req["query"]
+                database = req.get("database") or None
+            except (json.JSONDecodeError, KeyError, TypeError):
+                self._send(
+                    400,
+                    {"error": "pass ?q=<sql> or a JSON body with a "
+                              "'query' field"},
+                )
+                return
         try:
-            req = json.loads(self.rfile.read(length) or b"{}")
-            sql = req["query"]
-        except (json.JSONDecodeError, KeyError):
-            self._send(400, {"error": "body must be JSON with a 'query' field"})
-            return
-        try:
-            r = self.engine.execute(sql)
+            r = self.engine.execute(sql, database=database)
         except RangerError as e:
             self._send(400, {"error": str(e), "code": e.code})
             return

@@ -81,3 +81,42 @@ def test_http_query_lifecycle(engine):
         engine.spark.sql("DROP DATABASE htest CASCADE")
     finally:
         srv.shutdown()
+
+
+def test_http_query_via_url_param_and_database_field(engine):
+    """Reference-shape requests: the statement rides the URL parameter
+    ?q= (server/protocols/http/server.go:92); the JSON body also accepts
+    an optional 'database' that scopes unqualified names per-statement."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from ranger_spark.sources.http_server import serve
+
+    srv, port = serve(engine)
+    try:
+        engine.execute("USE default;")  # a prior test may have dropped its db
+        engine.execute("CREATE DATABASE IF NOT EXISTS hq;")
+        engine.execute("DROP TABLE IF EXISTS hq.t;")
+        engine.execute("CREATE TABLE hq.t (id int32);")
+        engine.execute("INSERT INTO hq.t (id) VALUES (41);")
+        # reference shape: ?q=, empty body
+        q = urllib.parse.quote("SELECT id FROM hq.t;")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query?q={q}", method="POST", data=b""
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out = _json.loads(resp.read())
+        assert out["data"] == [[41]]
+        # JSON body with database scoping an unqualified name
+        body = _json.dumps({"query": "SELECT id FROM t;", "database": "hq"}).encode()
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query", method="POST", data=body
+        )
+        with urllib.request.urlopen(req2, timeout=60) as resp:
+            out2 = _json.loads(resp.read())
+        assert out2["data"] == [[41]]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        engine.spark.sql("DROP DATABASE hq CASCADE")
