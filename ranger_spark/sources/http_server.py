@@ -47,6 +47,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(
                 200,
                 {
+                    # reference shape (server.go:154) + richer counters
+                    "status": "running",
+                    "server": "http",
                     "queries_total": len(qs),
                     "queries_running": sum(1 for q in qs if q.status == "running"),
                 },
@@ -100,14 +103,25 @@ class _Handler(BaseHTTPRequestHandler):
         except Exception as e:  # executor errors (≈ DuckDB errors upstream)
             self._send(400, {"error": str(e)[:500]})
             return
+        # superset of the reference's response keys (status/query/
+        # rowCount/timestamp, server.go:119-126) and this repo's richer
+        # shape (row_count/query_id) — a client written against either
+        # reads its keys unchanged
+        import datetime as _dt
+
         self._send(
             200,
             {
+                "status": "success",
+                "query": sql,
                 "columns": r.columns,
                 "data": [list(row) for row in r.rows],
+                "rowCount": r.row_count,
                 "row_count": r.row_count,
                 "message": r.message,
                 "query_id": r.query_id,
+                "timestamp": _dt.datetime.now(_dt.timezone.utc)
+                .strftime("%Y-%m-%dT%H:%M:%SZ"),
             },
         )
 

@@ -120,3 +120,24 @@ def test_http_query_via_url_param_and_database_field(engine):
         srv.shutdown()
         srv.server_close()
         engine.spark.sql("DROP DATABASE hq CASCADE")
+
+
+def test_http_reference_response_shape(engine):
+    """A client written against the reference's handler reads
+    status/query/rowCount/timestamp (server.go:119-126) and
+    /status's {status:running, server:http} (server.go:154)."""
+    from ranger_spark.sources.http_server import serve
+
+    srv, port = serve(engine)
+    try:
+        engine.execute("USE default;")
+        code, r = _post(port, {"query": "SELECT 1 AS one;"})
+        assert code == 200
+        assert r["status"] == "success" and r["rowCount"] == 1
+        assert r["query"].startswith("SELECT 1") and "timestamp" in r
+        assert r["row_count"] == 1  # repo shape stays
+        st = _get(port, "/status")[1]
+        assert st["status"] == "running" and st["server"] == "http"
+    finally:
+        srv.shutdown()
+        srv.server_close()
