@@ -58,6 +58,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(
                 200,
                 {
+                    # reference keys (server.go:163-174) + repo keys
+                    "server": "ranger-http",
+                    "protocol": "HTTP/1.1",
+                    "queryEngine": "enabled",
+                    "endpoints": [
+                        "POST /query - Execute SQL queries",
+                        "GET /status - Server status",
+                        "GET /info - Server information",
+                        "GET /health - Health check",
+                    ],
                     "engine": "ranger_spark",
                     "version": __version__,
                     "spark_version": self.engine.spark.version,
