@@ -41,7 +41,19 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802 (http.server API)
         if self.path == "/health":
-            self._send(200, {"status": "ok"})
+            import datetime as _dt
+
+            # reference shape (server.go:191-195); "ok" kept for repo tests
+            self._send(
+                200,
+                {
+                    "status": "ok",
+                    "health": "healthy",
+                    "server": "ranger-http",
+                    "timestamp": _dt.datetime.now(_dt.timezone.utc)
+                    .strftime("%Y-%m-%dT%H:%M:%SZ"),
+                },
+            )
         elif self.path == "/status":
             qs = self.engine.exec_mgr.list_queries()
             self._send(

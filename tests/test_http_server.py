@@ -52,7 +52,8 @@ def test_http_query_lifecycle(engine):
 
     srv, port = serve(engine)
     try:
-        assert _get(port, "/health")[1] == {"status": "ok"}
+        h = _get(port, "/health")[1]
+        assert h["status"] == "ok" and h["health"] == "healthy"
         info = _get(port, "/info")[1]
         assert info["engine"] == "ranger_spark" and info["spark_version"]
 
