@@ -65,7 +65,14 @@ def audit_one(df) -> dict:
                 if f.strip()
             ]
         ),
-        "codegen": "WholeStageCodegen" in plan,
+        # NOTE: under AQE the PRE-execution formatted plan never shows
+        # WholeStageCodegen wrappers (they materialize per query stage at
+        # run time — verified: post-execution plans carry *(n) markers
+        # and spark.sql.codegen.wholeStage=true), so this key reports
+        # whether codegen is ENABLED, not per-plan span presence.
+        "codegen": df.sparkSession.conf.get(
+            "spark.sql.codegen.wholeStage", "true"
+        ) == "true",
         # the driver's canonicalizer pandas-sorts every output column;
         # list/map/struct columns crash it (the round-6
         # text_feature_hash_vector casualty) — lint them out for good
