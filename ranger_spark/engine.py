@@ -166,7 +166,12 @@ class Engine:
     # (≈ reference server/metadata/registry; storage cleanup on drop
     # ≈ storage.go:687-723).
     def _warehouse(self) -> str:
-        w = self.spark.conf.get("spark.sql.warehouse.dir")
+        # spark.ranger.warehouse.dir is the RUNTIME-settable override
+        # (config-file boots set it: spark.sql.warehouse.dir is a static
+        # conf that cannot change on a live session) — config.py
+        w = self.spark.conf.get(
+            "spark.ranger.warehouse.dir", None
+        ) or self.spark.conf.get("spark.sql.warehouse.dir")
         return w[len("file:") :] if w.startswith("file:") else w
 
     def _manifest_file(self) -> str:
