@@ -102,3 +102,40 @@ def test_gateway_boots_from_config(spark, tmp_path):
         gw.shutdown()
         spark.conf.unset("spark.ranger.warehouse.dir")
         spark.conf.unset("spark.ranger.catalog.type")
+
+
+def test_server_entrypoint_boot_and_graceful_shutdown(tmp_path):
+    """cmd/server/main.go parity: boot from a config file (or defaults
+    when the file is absent), serve, and shut down gracefully on
+    SIGTERM."""
+    import json as _json
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    (tmp_path / "ranger-server.yml").write_text(
+        f"storage:\n  data_path: {tmp_path}/wh\n  catalog: {{type: json}}\n"
+    )
+    p = subprocess.Popen(
+        [sys.executable, "/root/repo/tools/ranger_server.py",
+         str(tmp_path / "ranger-server.yml"), "--ephemeral-ports"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=str(tmp_path),
+    )
+    try:
+        line = p.stdout.readline()
+        boot = _json.loads(line)
+        assert boot["status"] == "started" and boot["ports"]["http"] > 0
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{boot['ports']['http']}/health", timeout=30
+        ) as resp:
+            assert _json.loads(resp.read())["status"] == "ok"
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=120)
+        assert _json.loads(out.strip().splitlines()[-1])["status"] == "stopped"
+        assert p.returncode == 0
+    finally:
+        if p.poll() is None:
+            p.kill()
