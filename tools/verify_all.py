@@ -1,9 +1,11 @@
-"""One-shot verification loop: the full oracle gate at BOTH scale
-factors, the test suite, and the plan-audit lint — everything the
-round's green-ness rests on, with a single JSON summary line at the end.
+"""One-shot verification loop: the full oracle gate at ALL THREE scale
+factors (the r9 tri-SF protocol — sf0.01-only passing is not predictive
+for float-emitting queries), the test suite, the plan-audit lint, and
+the rounding-protocol lint — everything the round's green-ness rests
+on, with a single JSON summary line at the end.
 
-    python tools/verify_all.py            # full loop (~15 min)
-    python tools/verify_all.py --fast     # sf0.01 gate + plan audit only
+    python tools/verify_all.py            # full loop (~45-60 min)
+    python tools/verify_all.py --fast     # sf0.01 gate + lints only
 """
 
 from __future__ import annotations
@@ -46,11 +48,22 @@ def main() -> int:
                 "/root/testdata/sf0.001",
             ],
         )
+        results["gate_sf0.1"] = _run(
+            "oracle gate sf0.1",
+            [
+                sys.executable,
+                "tools/check_correctness.py",
+                "/root/testdata/sf0.1",
+            ],
+        )
         results["pytest"] = _run(
             "pytest", [sys.executable, "-m", "pytest", "tests/", "-q"]
         )
     results["plan_audit"] = _run(
         "plan audit", [sys.executable, "tools/plan_audit.py"]
+    )
+    results["round_lint"] = _run(
+        "rounding-protocol lint", [sys.executable, "tools/round_lint.py"]
     )
     ok = all(r["ok"] for r in results.values())
     print(
