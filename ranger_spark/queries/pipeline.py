@@ -2104,9 +2104,10 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the inverse DCT; with DCq = 8 + doc_id%8 and q0 = 16 every
     reconstructed pixel is exactly 144 + 2·(doc_id%8) — closed-form for
     the oracle, real T.81 work for the decoder. (Variable-length
-    multi-block gradient images are covered by the unit tests against an
-    independent encoder + numpy reference; chroma subsampling and
-    progressive JPEG remain the library-gated tail.)"""
+    multi-block gradient images, 4:4:4/4:2:0 color, and PROGRESSIVE
+    (SOF2) streams are covered by the unit tests against independent
+    encoders + a numpy reference (progressive landed r9); compressed
+    audio codecs and video frames remain the library-gated tail.)"""
     from ranger_spark.operators.multimodal import decode_jpeg_pixel_stats
 
     d = load(spark, sf_dir, "documents")

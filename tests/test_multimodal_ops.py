@@ -828,3 +828,281 @@ def test_warc_parse_errors():
         parse_warc_bytes(trunc)
     with _pytest.raises(ValueError, match="Content-Length"):
         parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+
+
+def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
+    """Independent test-side PROGRESSIVE (SOF2) encoder: four scans —
+    DC first (Al=1), DC refine, AC first 1..63 (Al=1), AC refine (Al=0)
+    — per-block EOB flush, point transforms per T.81 G.1 (DC arithmetic
+    shift; AC magnitude shift with sign). Validates the decoder's
+    spectral-selection + successive-approximation paths."""
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        JPEG_AC_LUM_COUNTS,
+        JPEG_AC_LUM_SYMBOLS,
+        JPEG_DC_LUM_COUNTS,
+        JPEG_DC_LUM_SYMBOLS,
+        _idct_matrix,
+        _jpeg_huff_table,
+    )
+
+    h, w = pixels.shape
+    m = _idct_matrix()
+
+    def enc_table(counts, symbols):
+        return {
+            sym: (code, ln)
+            for (ln, code), sym in _jpeg_huff_table(counts, symbols).items()
+        }
+
+    dc_enc = enc_table(JPEG_DC_LUM_COUNTS, JPEG_DC_LUM_SYMBOLS)
+    # progressive AC scans need EOBRUN-length symbols ((nbits<<4)|0) that
+    # the Annex K SEQUENTIAL table does not define — use a flat canonical
+    # table (all 256 symbols at 9 bits), valid per T.81 C.2
+    AC_PROG_COUNTS = tuple(
+        255 if ln == 9 else (1 if ln == 10 else 0) for ln in range(1, 17)
+    )
+    AC_PROG_SYMBOLS = tuple(range(256))
+    ac_enc = enc_table(AC_PROG_COUNTS, AC_PROG_SYMBOLS)
+
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    padded = np.full((by * 8, bx * 8), 0.0)
+    padded[:h, :w] = pixels.astype(np.float64)
+    blocks = []
+    for b in range(bx * by):
+        r0, c0 = (b // bx) * 8, (b % bx) * 8
+        coef = m @ (padded[r0 : r0 + 8, c0 : c0 + 8] - 128.0) @ m.T
+        blocks.append(
+            [int(round(coef[r, c] / quant[k]))
+             for k, (r, c) in enumerate(_JPEG_ZIGZAG)]
+        )
+
+    class Bits:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, code, ln):
+            self.bits.extend(
+                (code >> (ln - 1 - i)) & 1 for i in range(ln)
+            )
+
+        def put_value(self, v, t):
+            if t:
+                self.put(v if v >= 0 else v + (1 << t) - 1, t)
+
+        def bytes(self):
+            bits = list(self.bits)
+            while len(bits) % 8:
+                bits.append(1)
+            out = bytearray()
+            for i in range(0, len(bits), 8):
+                byte = int("".join(map(str, bits[i : i + 8])), 2)
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    # scan 1: DC first, Al=1 (DPCM over dc >> 1, arithmetic shift)
+    s1 = Bits()
+    pred = 0
+    for zz in blocks:
+        dcv = zz[0] >> 1
+        diff = dcv - pred
+        pred = dcv
+        t = category(diff) if diff else 0
+        s1.put(*dc_enc[t])
+        s1.put_value(diff, t)
+
+    # scan 2: DC refine (Ah=1, Al=0): the dropped bit, one per block
+    s2 = Bits()
+    for zz in blocks:
+        s2.put(zz[0] & 1, 1)
+
+    # scan 3: AC first 1..63, Al=1 (sign * (|v| >> 1)); EOB per block,
+    # or accumulated across blocks (span_eob — the libjpeg shape)
+    s3 = Bits()
+    eobrun3 = 0
+
+    def flush_eob3():
+        nonlocal eobrun3
+        if not eobrun3:
+            return
+        nbits = eobrun3.bit_length() - 1
+        s3.put(*ac_enc[nbits << 4])
+        if nbits:
+            s3.put(eobrun3 - (1 << nbits), nbits)
+        eobrun3 = 0
+
+    for zz in blocks:
+        r = 0
+        emitted = False
+        for k in range(1, 64):
+            v = zz[k]
+            t = (abs(v) >> 1) * (1 if v >= 0 else -1)
+            if t == 0:
+                r += 1
+                continue
+            flush_eob3()
+            while r > 15:
+                s3.put(*ac_enc[0xF0])
+                r -= 16
+            s = category(t)
+            s3.put(*ac_enc[(r << 4) | s])
+            s3.put_value(t, s)
+            r = 0
+            emitted = True
+        if r or not emitted:
+            eobrun3 += 1
+            if not span_eob:
+                flush_eob3()
+    flush_eob3()
+
+    # scan 4: AC refine 1..63 (Ah=1, Al=0), libjpeg encode_mcu_AC_refine;
+    # correction bits of blocks inside an EOB run stay buffered until
+    # the run flushes (span_eob)
+    s4 = Bits()
+    eobrun4, br = 0, []
+
+    def flush_eob4():
+        nonlocal eobrun4, br
+        if not (eobrun4 or br):
+            return
+        nbits = max(eobrun4.bit_length() - 1, 0)
+        s4.put(*ac_enc[nbits << 4])
+        if nbits:
+            s4.put(eobrun4 - (1 << nbits), nbits)
+        for bit in br:
+            s4.put(bit, 1)
+        eobrun4, br = 0, []
+
+    for zz in blocks:
+        absv = [abs(zz[k]) for k in range(64)]
+        eob = 0
+        for k in range(1, 64):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        block_emits = eob > 0
+        for k in range(1, 64):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            if t > 1 and k > eob:
+                br.append(t & 1)  # past the last new coef: run territory
+                continue
+            if block_emits and eobrun4:
+                flush_eob4()
+            while r > 15 and k <= eob:
+                s4.put(*ac_enc[0xF0])
+                r -= 16
+                for bit in br:
+                    s4.put(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            if eobrun4:
+                flush_eob4()
+            s4.put(*ac_enc[(r << 4) | 1])
+            s4.put(1 if zz[k] >= 0 else 0, 1)
+            for bit in br:
+                s4.put(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br or not block_emits:
+            eobrun4 += 1
+            if not span_eob:
+                flush_eob4()
+    flush_eob4()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(q) for q in quant))
+    sof = seg(
+        0xC2,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht_dc = seg(
+        0xC4, bytes([0x00]) + bytes(JPEG_DC_LUM_COUNTS) + bytes(JPEG_DC_LUM_SYMBOLS)
+    )
+    dht_ac = seg(
+        0xC4, bytes([0x10]) + bytes(AC_PROG_COUNTS) + bytes(AC_PROG_SYMBOLS)
+    )
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+        + sos(0, 0, 0, 1) + s1.bytes()
+        + sos(0, 0, 1, 0) + s2.bytes()
+        + sos(1, 63, 0, 1) + s3.bytes()
+        + sos(1, 63, 1, 0) + s4.bytes()
+        + b"\xff\xd9"
+    )
+
+
+def test_parse_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) decode must agree EXACTLY with the baseline
+    decode of the same quantized coefficients — the two entropy paths
+    share only the dequant+IDCT tail, so agreement validates every
+    progressive scan type (DC first/refine, AC first/refine)."""
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import parse_jpeg_pixels
+
+    rng = np.random.default_rng(11)
+    quant = np.array([16] * 64)
+    cases = [
+        np.full((16, 24), 137.0),                       # all-EOB blocks
+        np.tile(np.arange(24.0) * 3 + 90, (16, 1)),     # gentle gradient
+    ]
+    for trial in range(12):
+        hgt, wid = rng.integers(8, 33), rng.integers(8, 41)
+        cases.append(rng.integers(0, 256, (hgt, wid)).astype(np.float64))
+    for trial, pixels in enumerate(cases):
+        base = parse_jpeg_pixels(_encode_baseline_jpeg_gray(pixels, quant))
+        for span in (False, True):
+            prog = parse_jpeg_pixels(
+                _encode_progressive_jpeg_gray(pixels, quant, span_eob=span)
+            )
+            assert base is not None and prog is not None, f"trial {trial}"
+            assert prog == base, (
+                f"trial {trial} span={span}: {prog} != {base}"
+            )
+
+
+def test_parse_jpeg_progressive_matches_numpy_reference():
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _idct_matrix,
+        parse_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, (16, 16)).astype(np.float64)
+    quant = np.array([12] * 64)
+    got = parse_jpeg_pixels(_encode_progressive_jpeg_gray(pixels, quant))
+    assert got is not None and (got["width"], got["height"]) == (16, 16)
+    m = _idct_matrix()
+    ref = np.zeros((16, 16))
+    for b in range(4):
+        r0, c0 = (b // 2) * 8, (b % 2) * 8
+        coef = m @ (pixels[r0 : r0 + 8, c0 : c0 + 8] - 128.0) @ m.T
+        deq = np.zeros((8, 8))
+        for k, (r, c) in enumerate(_JPEG_ZIGZAG):
+            deq[r, c] = round(coef[r, c] / quant[k]) * quant[k]
+        ref[r0 : r0 + 8, c0 : c0 + 8] = m.T @ deq @ m
+    ref = np.clip(np.round(ref + 128), 0, 255)
+    assert abs(got["mean"] - ref.mean()) < 1e-9
+    assert (got["min"], got["max"]) == (int(ref.min()), int(ref.max()))
