@@ -45,6 +45,7 @@ _FRONT_R9 = (
     "dedup_minhash_lsh",
     "nations_revenue_hhi",
     "text_bm25_scores",
+    "multimodal_jpeg_pixel_stats",
     "agg_minmax_countd",
     "asof_purchase_view",
     "case_when_buckets",
@@ -151,7 +152,6 @@ _FRONT_R9 = (
     "events_funnel",
     "events_heavy_hitters",
     "events_hourly_rollup",
-    "events_rolling_wau",
 )
 
 
