@@ -257,3 +257,59 @@ def decode_h264_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, H264_META_SCHEMA)
+
+
+H264_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("byte_offset", IntegerType()),
+        StructField("nal_bytes", IntegerType()),
+        StructField("nal_md5", StringType()),
+    ]
+)
+
+
+def sample_h264_keyframes(
+    df: DataFrame, id_col: str, payload_col: str, every_nth: int = 1
+) -> DataFrame:
+    """REAL frame sampling over stream structure: one payload row fans
+    out to one row per (every_nth-th) IDR keyframe, carrying the byte
+    offset/length of its NAL unit and a content digest — the 1→N
+    extraction shape of a video pipeline, with the decode-to-pixels
+    stage (the only genuinely gated step) swappable in front of the
+    digest. Non-streams produce no rows."""
+    import hashlib
+
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(p)
+                idrs = [
+                    (off, size)
+                    for off, t, size in find_annexb_nals(data)
+                    if t == NAL_IDR
+                ]
+                for fi, (off, size) in enumerate(idrs):
+                    if fi % every_nth:
+                        continue
+                    nal = data[off : off + size]
+                    rows.append(
+                        (
+                            int(i),
+                            fi,
+                            off,
+                            size,
+                            hashlib.md5(nal).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[c.name for c in H264_FRAMES_SCHEMA.fields]
+            )
+
+    return src.mapInPandas(run, H264_FRAMES_SCHEMA)

@@ -136,3 +136,26 @@ def test_h264_operator_over_spark(spark):
     got = dict(zip(out.doc_id, out.n_keyframes))
     assert got == {0: 1, 1: 2, 2: 3, 3: 4}
     assert (out.width == 128).all()
+
+
+def test_h264_keyframe_sampling_fanout(spark):
+    """Real 1→N frame extraction: each payload fans out to its sampled
+    IDR keyframes with byte offsets + digests (the stub's shape, now
+    over real stream structure)."""
+    import hashlib
+
+    sps = _build_sps(4, 4)
+    idrs = [bytes([0x65]) + bytes([k] * 4) for k in range(5)]
+    stream = _annexb(sps, *idrs)
+    df = spark.createDataFrame(
+        [(1, bytearray(stream))], "doc_id long, payload binary"
+    )
+    from ranger_spark.operators.h264 import sample_h264_keyframes
+
+    out = sample_h264_keyframes(df, "doc_id", "payload", every_nth=2)
+    pdf = out.toPandas().sort_values("frame_index")
+    assert list(pdf.frame_index) == [0, 2, 4]
+    for _, row in pdf.iterrows():
+        nal = stream[row.byte_offset : row.byte_offset + row.nal_bytes]
+        assert nal[0] == 0x65
+        assert hashlib.md5(nal).hexdigest() == row.nal_md5
