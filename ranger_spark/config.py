@@ -192,10 +192,20 @@ def load_config(path: str) -> RangerConfig:
             catalog=_build(CatalogConfig, s.get("catalog") or {}),
             schema=_build(SchemaManagerConfig, s.get("schema") or {}),
         )
-    # the reference's own ranger-server.yml also carries a TOP-LEVEL
-    # catalog section (type/path) that wins over storage.catalog — honor
-    # the file the reference actually ships
-    if "catalog" in doc and doc["catalog"] is not None:
+    # The reference's shipped ranger-server.yml carries a TOP-LEVEL
+    # catalog section, but its Config struct (server/config/config.go:11-15)
+    # has no such field — yaml.v3 silently IGNORES it, so the reference
+    # resolves storage.catalog ('json') from that file. Match that:
+    # the top-level section is honored only as a repo extension when
+    # storage.catalog was not given at all (divergence documented here).
+    if (
+        "catalog" in doc
+        and doc["catalog"] is not None
+        and not (
+            isinstance(doc.get("storage"), dict)
+            and doc["storage"].get("catalog") is not None
+        )
+    ):
         cfg.storage.catalog = _build(CatalogConfig, doc["catalog"])
     cfg.validate()
     return cfg

@@ -1763,10 +1763,17 @@ class Engine:
         # dropping the CURRENT database would strand the session on a
         # ghost db (every later unqualified name errors confusingly) —
         # fall back to default, PostgreSQL-style
-        try:
-            if self.spark.catalog.currentDatabase() == name:
-                self.spark.catalog.setCurrentDatabase("default")
-        except Exception:
+        cur = None
+        for _ in range(2):  # one retry: transient ≠ ghost-db state
+            try:
+                cur = self.spark.catalog.currentDatabase()
+                break
+            except Exception:
+                continue
+        # reset only when the session provably sits on the dropped db,
+        # or currentDatabase() stays unreadable (the ghost-db state
+        # itself); a readable OTHER database is left untouched
+        if cur == name or cur is None:
             self.spark.catalog.setCurrentDatabase("default")
         self._schemas = {
             k: v for k, v in self._schemas.items() if not k.startswith(name + ".")

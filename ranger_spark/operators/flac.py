@@ -242,8 +242,17 @@ def parse_flac_stream(payload: bytes) -> dict | None:
         while not r.at_end() and (
             info["total"] == 0 or n_samples < info["total"]
         ):
+            if n_samples > 0 and r.bitpos + 14 > len(payload) * 8:
+                break  # partial trailing byte(s) after the last frame
             sync = r.read(14)
             if sync != 0b11111111111110:
+                if n_samples > 0:
+                    # total_samples==0 means "unknown" (RFC 9639 §8.2):
+                    # after at least one decoded frame, a sync mismatch
+                    # is end-of-stream (trailing non-frame bytes, e.g.
+                    # an ID3v1 tag), not corruption — keep what decoded
+                    # (mirrors the MP3 walker's trailing-garbage rule)
+                    break
                 return None
             r.read(1)  # reserved
             r.read(1)  # blocking strategy

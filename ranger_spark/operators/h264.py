@@ -173,10 +173,29 @@ def parse_sps(nal_payload: bytes) -> dict | None:
         return None
 
 
+def _first_mb_in_slice(payload: bytes, off: int, size: int) -> int | None:
+    """first_mb_in_slice — the FIRST ue(v) of every slice header
+    (H.264 §7.3.3). ==0 means this slice STARTS a new picture; >0 means
+    it continues the previous one. Only a few header bytes are needed,
+    so unescape a small prefix. None when unparseable."""
+    try:
+        r = _EgReader(_unescape_rbsp(payload[off + 1 : off + min(size, 16)]))
+        return r.ue()
+    except (IndexError, ValueError):
+        return None
+
+
 def h264_stream_meta(payload: bytes) -> dict | None:
     """Stream-structure metadata: NAL counts by class, the IDR
     (keyframe) index — byte offsets a frame sampler seeks to — and the
-    SPS-derived dimensions. None when no valid NAL units exist."""
+    SPS-derived dimensions. None when no valid NAL units exist.
+
+    n_frames / n_keyframes count PICTURES (access units), not slice NAL
+    units: slice NALs are grouped into pictures via first_mb_in_slice
+    (the first ue(v) of the slice header; ==0 starts a new picture), so
+    a frame coded as multiple slices counts once. keyframe_offsets
+    point at the FIRST slice of each IDR picture. An unparseable slice
+    header conservatively starts a new picture."""
     nals = find_annexb_nals(payload)
     if not nals:
         return None
@@ -190,11 +209,15 @@ def h264_stream_meta(payload: bytes) -> dict | None:
                 sps = parse_sps(payload[off + 1 : off + size])
         elif t == NAL_PPS:
             n_pps += 1
-        elif t == NAL_IDR:
-            n_idr += 1
-            idr_offsets.append(off)
-        elif t == NAL_SLICE:
-            n_slice += 1
+        elif t in (NAL_IDR, NAL_SLICE):
+            fmb = _first_mb_in_slice(payload, off, size)
+            new_pic = fmb is None or fmb == 0
+            if t == NAL_IDR:
+                if new_pic:
+                    n_idr += 1
+                    idr_offsets.append(off)
+            elif new_pic:
+                n_slice += 1
         elif t == NAL_SEI:
             n_sei += 1
     if sps is None and n_idr == 0 and n_slice == 0:
@@ -274,11 +297,13 @@ def sample_h264_keyframes(
     df: DataFrame, id_col: str, payload_col: str, every_nth: int = 1
 ) -> DataFrame:
     """REAL frame sampling over stream structure: one payload row fans
-    out to one row per (every_nth-th) IDR keyframe, carrying the byte
-    offset/length of its NAL unit and a content digest — the 1→N
-    extraction shape of a video pipeline, with the decode-to-pixels
-    stage (the only genuinely gated step) swappable in front of the
-    digest. Non-streams produce no rows."""
+    out to one row per (every_nth-th) IDR keyframe PICTURE, carrying
+    the byte offset/length of its first slice NAL and a content digest
+    — the 1→N extraction shape of a video pipeline, with the
+    decode-to-pixels stage (the only genuinely gated step) swappable in
+    front of the digest. Multi-slice IDR pictures (continuation slices
+    have first_mb_in_slice > 0) count once, anchored at the first
+    slice. Non-streams produce no rows."""
     import hashlib
 
     src = df.select(
@@ -294,6 +319,7 @@ def sample_h264_keyframes(
                     (off, size)
                     for off, t, size in find_annexb_nals(data)
                     if t == NAL_IDR
+                    and (_first_mb_in_slice(data, off, size) or 0) == 0
                 ]
                 for fi, (off, size) in enumerate(idrs):
                     if fi % every_nth:

@@ -48,7 +48,19 @@ catalog: {type: sqlite, path: data/catalog.db, auto_create: true}
     c = load_config(str(tmp_path / "r.yml"))
     assert c.log.level == "debug" and c.log.max_age == 30
     assert c.storage.data_path == "workspace"
-    # the top-level catalog section wins (as in the shipped file)
+    # yaml.v3 parity: the reference's Config struct has NO top-level
+    # catalog field, so the shipped file resolves storage.catalog (json)
+    assert c.catalog_type() == "json"
+
+
+def test_top_level_catalog_extension_when_storage_catalog_absent(tmp_path):
+    # repo extension: the top-level section applies ONLY when
+    # storage.catalog is absent (yaml.v3 would ignore it; documented)
+    (tmp_path / "e.yml").write_text(
+        "storage: {data_path: /tmp/x}\n"
+        "catalog: {type: sqlite, path: data/catalog.db}\n"
+    )
+    c = load_config(str(tmp_path / "e.yml"))
     assert c.catalog_type() == "sqlite"
     assert c.storage.catalog.path == "data/catalog.db"
 

@@ -106,7 +106,8 @@ def _subframe_lpc2(w: _BitWriter, s: list[int], bits: int,
 
 
 def _encode_flac(chans: list[list[int]], rate=44100, bits=16,
-                 subframe="verbatim", stereo=None, wasted=0) -> bytes:
+                 subframe="verbatim", stereo=None, wasted=0,
+                 total_samples=None) -> bytes:
     n = len(chans[0])
     nch = len(chans)
     # STREAMINFO
@@ -118,7 +119,7 @@ def _encode_flac(chans: list[list[int]], rate=44100, bits=16,
     si.write(rate, 20)
     si.write(nch - 1, 3)
     si.write(bits - 1, 5)
-    si.write(n, 36)
+    si.write(n if total_samples is None else total_samples, 36)
     si.align()
     body = si.bytes() + b"\x00" * 16
     meta = bytes([0x80]) + len(body).to_bytes(3, "big") + body
@@ -232,6 +233,23 @@ def test_flac_rejects_garbage():
     assert parse_flac_stream(b"\x00\x01\x02") is None
     assert parse_flac_stream(b"fLaC") is None
     assert parse_flac_stream(b"RIFF....WAVE") is None
+
+
+def test_flac_unknown_total_with_trailing_garbage():
+    """STREAMINFO total_samples=0 means 'unknown' — trailing non-frame
+    bytes (an ID3v1-style tag, or a partial byte) after the last frame
+    must end the walk, not discard the decoded frames."""
+    chans = [[100, -200, 300, -400] * 25]
+    peak, rms = _expect(chans)
+    base = _encode_flac(chans, total_samples=0)
+    for tail in (b"TAG" + b"x" * 125, b"\x00", b"\x7f\xff"):
+        got = parse_flac_stream(base + tail)
+        assert got is not None, tail
+        assert got["n_samples"] == 100
+        assert got["peak"] == peak and abs(got["rms"] - rms) < 1e-9
+    # but a first-frame sync failure is still a hard reject
+    # (fLaC magic 4 + block header 4 + STREAMINFO body 34 = 42 bytes)
+    assert parse_flac_stream(base[:42] + b"TAGjunk") is None
 
 
 def test_flac_operator_over_spark(spark):

@@ -87,12 +87,19 @@ def test_sps_dimensions_and_cropping():
     assert sps2 is not None and (sps2["width"], sps2["height"]) == (1920, 1080)
 
 
+# slice-header prefixes: first ue(v) is first_mb_in_slice.
+# 0x88 = 1000 1000 -> ue = 0 (starts a new picture);
+# 0x50 = 0101 0000 -> ue = 1 (continuation slice of the same picture)
+_NEW_PIC = bytes([0x88])
+_CONT = bytes([0x50])
+
+
 def test_stream_meta_counts_and_keyframe_index():
     sps = _build_sps(8, 6)  # 128x96
     pps = bytes([0x68, 0xCE, 0x38, 0x80])
-    idr = bytes([0x65]) + b"\x11\x22\x33"
-    p1 = bytes([0x41]) + b"\x44\x55"
-    p2 = bytes([0x41]) + b"\x66"
+    idr = bytes([0x65]) + _NEW_PIC + b"\x11\x22\x33"
+    p1 = bytes([0x41]) + _NEW_PIC + b"\x44\x55"
+    p2 = bytes([0x41]) + _NEW_PIC + b"\x66"
     stream = _annexb(sps, pps, idr, p1, p2, idr)
     meta = h264_stream_meta(stream)
     assert meta is not None
@@ -102,6 +109,21 @@ def test_stream_meta_counts_and_keyframe_index():
     # the keyframe index points at the IDR NAL header bytes
     for off in meta["keyframe_offsets"]:
         assert stream[off] == 0x65
+
+
+def test_multi_slice_pictures_count_once():
+    """A picture coded as multiple slice NALs (continuation slices have
+    first_mb_in_slice > 0) is ONE frame / ONE keyframe."""
+    sps = _build_sps(8, 6)
+    idr_a = bytes([0x65]) + _NEW_PIC + b"\x01"
+    idr_a2 = bytes([0x65]) + _CONT + b"\x02"  # same IDR picture
+    p_b = bytes([0x41]) + _NEW_PIC + b"\x03"
+    p_b2 = bytes([0x41]) + _CONT + b"\x04"  # same P picture
+    stream = _annexb(sps, idr_a, idr_a2, p_b, p_b2)
+    meta = h264_stream_meta(stream)
+    assert meta["n_keyframes"] == 1 and meta["n_frames"] == 2
+    assert len(meta["keyframe_offsets"]) == 1
+    assert stream[meta["keyframe_offsets"][0] + 1] == _NEW_PIC[0]
 
 
 def test_nal_scan_handles_3byte_start_codes_and_emulation():
@@ -125,7 +147,7 @@ def test_h264_operator_over_spark(spark):
     pps = bytes([0x68, 0xCE])
     rows = []
     for i in range(4):
-        idrs = [bytes([0x65]) + bytes([i] * 3)] * (i + 1)
+        idrs = [bytes([0x65]) + _NEW_PIC + bytes([i] * 3)] * (i + 1)
         rows.append((i, bytearray(_annexb(sps, pps, *idrs))))
     rows.append((99, bytearray(b"junk")))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -145,7 +167,7 @@ def test_h264_keyframe_sampling_fanout(spark):
     import hashlib
 
     sps = _build_sps(4, 4)
-    idrs = [bytes([0x65]) + bytes([k] * 4) for k in range(5)]
+    idrs = [bytes([0x65]) + _NEW_PIC + bytes([k] * 4) for k in range(5)]
     stream = _annexb(sps, *idrs)
     df = spark.createDataFrame(
         [(1, bytearray(stream))], "doc_id long, payload binary"

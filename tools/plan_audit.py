@@ -68,9 +68,12 @@ def audit_one(df) -> dict:
         # NOTE: under AQE the PRE-execution formatted plan never shows
         # WholeStageCodegen wrappers (they materialize per query stage at
         # run time — verified: post-execution plans carry *(n) markers
-        # and spark.sql.codegen.wholeStage=true), so this key reports
-        # whether codegen is ENABLED, not per-plan span presence.
-        "codegen": df.sparkSession.conf.get(
+        # and spark.sql.codegen.wholeStage=true). Keyed honestly as
+        # codegen_ENABLED (session conf, constant per run) so PLANAUDIT
+        # consumers don't misread it as per-plan span presence; the
+        # per-plan signal lives in plans/inspect.py (has_codegen,
+        # "codegen" explain mode) and is asserted in tests.
+        "codegen_enabled": df.sparkSession.conf.get(
             "spark.sql.codegen.wholeStage", "true"
         ) == "true",
         # the driver's canonicalizer pandas-sorts every output column;
