@@ -23,65 +23,18 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
-# round start (hash_match-only certification since r9). Round 9 front:
-# the 7 uncertified queries lead (3 r8 hash failures, now fixed +
-# re-verified at three SFs, then the 4 never-driver-tested), followed by
-# the four queries whose code/oracle changed this round
-# (events_sequence_chi2, orders_revenue_peaks, sample_dsir_scores,
-# dedup_minhash_lsh — certified green only on PRE-change code), then
-# stalest-first (r4, r5, ...). New-query development stays FROZEN until
-# §2-core staleness <= 1 round (VERDICT r8 item 2).
-_FRONT_R9 = (
-    "forecast_holt_linear",
-    "orders_seasonality_decompose",
-    "parts_abc_classification",
-    "sample_neyman_allocation",
-    "text_rake_keywords",
-    "users_bot_heuristic",
-    "users_kaplan_meier",
-    "events_sequence_chi2",
-    "orders_revenue_peaks",
-    "sample_dsir_scores",
-    "dedup_minhash_lsh",
-    "nations_revenue_hhi",
-    "text_bm25_scores",
-    "multimodal_jpeg_pixel_stats",
-    "agg_minmax_countd",
-    "asof_purchase_view",
-    "case_when_buckets",
-    "cast_ops",
-    "comma_join_sql",
-    "cube_status_priority",
-    "date_extract",
-    "distinct_proj",
-    "events_daily_unique",
-    "events_sessionization",
-    "except_nations",
-    "exists_subquery",
-    "filter_between",
-    "filter_in_list",
-    "filter_like",
-    "group_having",
-    "in_subquery",
-    "intersect_nations",
-    "json_extract_props",
-    "listagg_types_per_brand",
-    "not_exists_anti",
-    "null_handling",
-    "order_limit_offset",
-    "proj_arith_alias",
-    "proj_star_small",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "range_join_error_purchase",
-    "scalar_functions",
-    "scalar_subquery",
-    "union_all_tagged",
-    "union_distinct",
-    "window_lead_lag",
-    "ann_cosine_topk",
-    "array_ops_embeddings",
+# round start (hash_match-only certification since r9). Round 10 front:
+# the 3 newly-registered media queries lead (FLAC/H.264/MP3 — never
+# driver-certified; VERDICT r9 item 4 asked for exactly these), then
+# stalest-first (the r5 cohort: outer joins, window families, TPC-H
+# likes, simhash/ngram dedup, ...). Note the moving-window arithmetic:
+# with 239 queries and a ~50-slot window, entries certified 2+ rounds
+# ago always number >= 239 - 2*50 = 139 — that is the structural floor,
+# reached when consecutive fronts never overlap (they don't here).
+_FRONT_R10 = (
+    "multimodal_flac_audio_stats",
+    "multimodal_h264_keyframe_sample",
+    "multimodal_mp3_stream_meta",
     "contamination_check",
     "dedup_embedding_cosine",
     "dedup_exact",
@@ -152,12 +105,59 @@ _FRONT_R9 = (
     "events_funnel",
     "events_heavy_hitters",
     "events_hourly_rollup",
+    "events_rolling_wau",
+    "events_rolling_wau_sketch",
+    "json_extract_events",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_decode_bmp",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_tiff",
+    "multimodal_gif_frame_count",
+    "multimodal_mp4_metadata",
+    "multimodal_png_pixel_stats",
+    "multimodal_wav_audio_stats",
+    "pii_redact",
+    "q16_supplier_count",
+    "q22_idle_balances",
+    "quality_filter_verdict",
+    "sample_quality_weighted",
+    "sample_reservoir_per_source",
+    "source_mixture_plan",
+    "source_quality_report",
+    "text_bigram_lm_score",
+    "text_bigram_pmi",
+    "text_gopher_rules",
+    "text_length_histogram",
+    "ann_hard_negatives",
+    "ann_ivf_recall_eval",
+    "ann_pq_topk",
+    "ann_rp_lsh_topk",
+    "basket_frequent_pairs",
+    "boilerplate_line_removal",
+    "ccnet_entropy_buckets",
+    "cross_source_containment",
+    "dedup_bloom_prefilter",
+    "dedup_canonical_pick",
+    "dedup_minhash_recall_eval",
+    "embedding_covariance",
+    "embedding_drift_by_label",
+    "embedding_label_centroids",
+    "embedding_pca_projection",
+    "events_gap_fill_interpolate",
+    "events_markov_backtest",
+    "events_markov_transitions",
+    "events_salted_hot_key_agg",
+    "export_shard_plan",
+    "grouping_sets_revenue",
+    "knn_label_accuracy",
+    "multimodal_image_ahash_dedup",
 )
 
 
 def _ordered():
     reg = load_all()
-    front = [n for n in _FRONT_R9 if n in reg]
+    front = [n for n in _FRONT_R10 if n in reg]
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
 

@@ -2398,6 +2398,183 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_flac_audio_stats",
+    oracle="""
+    SELECT doc_id,
+           1 AS channels,
+           44100 AS sample_rate,
+           4 AS n_samples,
+           CAST(greatest((doc_id*3) % 20000, (doc_id*4) % 20000,
+                         (doc_id*5) % 20000, (doc_id*6) % 20000)
+                AS INTEGER) AS peak,
+           printf('%.6f', sqrt((
+               ((doc_id*3) % 20000) * ((doc_id*3) % 20000)
+             + ((doc_id*4) % 20000) * ((doc_id*4) % 20000)
+             + ((doc_id*5) % 20000) * ((doc_id*5) % 20000)
+             + ((doc_id*6) % 20000) * ((doc_id*6) % 20000)) / 4.0))
+             AS rms
+    FROM documents
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def multimodal_flac_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC lossless decode, oracle-checked end-to-end: a complete
+    single-frame FLAC stream (fLaC magic + STREAMINFO + one mono 16-bit
+    VERBATIM frame, RFC 9639 layout — byte-aligned by construction) is
+    synthesized per document as column expressions, with the 4 sample
+    values arithmetic over doc_id; operators/flac.parse_flac_stream
+    must bit-walk it back to the closed-form peak/rms. The greatest()
+    here is over INTEGERs (no DECIMAL→DOUBLE promotion hazard), and
+    rms is a sqrt of identically-derived doubles on both engines
+    (safe class, NOTES.md float protocol). Reference parity: the
+    reference stores audio as opaque blobs (this exceeds it); the
+    100-TB deployment swaps parse_flac_stream for a native codec
+    behind the same mapInPandas schema (operators/multimodal.py
+    native-codec seam note)."""
+    from ranger_spark.operators.flac import decode_flac_stats
+
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    # 4 samples in [0, 20000): sign bit clear, so 16-bit BE == 4 hex chars
+    sample_hex = F.concat(
+        *[F.lpad(F.hex((doc * (k + 3)) % 20000), 4, "0") for k in range(4)]
+    )
+    payload = F.unhex(
+        F.concat(
+            F.lit(
+                "664C6143"  # 'fLaC'
+                + "80000022"  # last-metadata-block, type 0, length 34
+                # STREAMINFO: min/max blocksize 4, min/max framesize 0,
+                # rate 44100 | channels 1 | bits 16 | total_samples 4
+                + "00040004000000000000"
+                + "0AC440F000000004"
+                + "00" * 16  # md5 (unverified)
+                # frame: sync FFF8, bs_code 6 + sr from STREAMINFO (0x60),
+                # mono/16-bit (0x08), frame#0, blocksize-1=3, CRC-8
+                + "FFF86008000300"
+                + "02"  # subframe header: VERBATIM, no wasted bits
+            ),
+            sample_hex,
+            F.lit("0000"),  # CRC-16 (unverified)
+        )
+    )
+    return decode_flac_stats(
+        d.select("doc_id", payload.alias("payload")), "doc_id", "payload"
+    )
+
+
+@register(
+    "multimodal_mp3_stream_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 3 + 2 AS INTEGER) AS frames,
+           44100 AS sample_rate,
+           'mono' AS channel_mode,
+           CAST((doc_id % 3 + 2) * 1152 AS INTEGER) AS n_samples,
+           printf('%.4f', (doc_id % 3 + 2) * 1152 / 44100.0) AS duration_s,
+           printf('%.2f', (128 + (doc_id % 3 + 1)
+                                 * (CASE WHEN doc_id % 2 = 0
+                                         THEN 128 ELSE 160 END))
+                          / CAST(doc_id % 3 + 2 AS DOUBLE)) AS mean_kbps
+    FROM documents
+    """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def multimodal_mp3_stream_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 frame-structure walk, oracle-checked: each document
+    synthesizes an MPEG-1 Layer-III stream — ID3v2 tag (exercises the
+    syncsafe skip), a 128 kbps first frame, then 1-3 more frames at
+    128 or 160 kbps by doc parity (mixed bitrate, so mean_kbps is a
+    real per-stream mean), plus trailing ID3v1-style garbage
+    (exercises the after-last-frame break). Frame lengths follow the
+    ISO 11172-3 formula (144*kbps*1000/44100: 417 / 522 bytes), which
+    operators/mpeg_audio.parse_mp3_stream must re-derive to chain the
+    walk. duration/mean are divisions of identically-derived values —
+    deterministic on both engines. PCM reconstruction (filterbank)
+    stays gated; see the native-codec seam note."""
+    from ranger_spark.operators.mpeg_audio import decode_mp3_meta
+
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    f128 = F.lit("FFFB90C0" + "00" * 413)  # 128 kbps, 44.1 kHz, mono
+    f160 = F.lit("FFFBA0C0" + "00" * 518)  # 160 kbps, 44.1 kHz, mono
+    fvar = F.when(doc % 2 == 0, f128).otherwise(f160)
+    n_extra = doc % 3 + 1  # 1..3 frames after the first
+    empty = F.lit("")
+    payload = F.unhex(
+        F.concat(
+            # ID3v2.4 header, syncsafe size 10, 10 tag bytes
+            F.lit("494433040000" + "0000000A" + "00" * 10),
+            f128,
+            fvar,
+            F.when(n_extra >= 2, fvar).otherwise(empty),
+            F.when(n_extra >= 3, fvar).otherwise(empty),
+            F.lit("544147747261696C696E67"),  # 'TAGtrailing'
+        )
+    )
+    out = decode_mp3_meta(
+        d.select("doc_id", payload.alias("payload")), "doc_id", "payload"
+    )
+    return out.withColumnRenamed("mode", "channel_mode")
+
+
+@register(
+    "multimodal_h264_keyframe_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(u AS INTEGER) AS frame_index,
+           CAST(16 + 16 * u AS INTEGER) AS byte_offset,
+           4 AS nal_bytes
+    FROM (SELECT doc_id, unnest(range(0, doc_id % 5 + 1)) AS u
+          FROM documents)
+    WHERE u % 2 = 0
+    """,
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def multimodal_h264_keyframe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL H.264 keyframe sampling (1→N fanout), oracle-checked: each
+    document synthesizes an Annex-B stream — an SPS (128×96, built
+    bit-for-bit per §7.3.2.1.1) followed by 1-5 IDR pictures, each
+    coded as TWO slice NALs (first_mb_in_slice 0 then 1) so the
+    picture-grouping logic is on the oracle path, not just unit-tested.
+    sample_h264_keyframes(every_nth=2) must emit exactly the even-
+    indexed IDR pictures anchored at their FIRST slice; offsets are
+    closed-form (start codes 4 B, SPS 8 B, NALs 4 B → picture k's
+    first slice at 16 + 16k). Pixel reconstruction (CABAC/inter) stays
+    gated; see the native-codec seam note."""
+    from ranger_spark.operators.h264 import sample_h264_keyframes
+
+    d = load(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    sc = "00000001"
+    sps = sc + "6742001E95A08364"  # profile 66, level 30, 8x6 MBs
+
+    def pic(k: int):
+        b = F.lpad(F.hex((doc + k) % 256), 2, "0")
+        return F.concat(
+            F.lit(sc + "6588"), b, F.lit("77"),  # first slice (fmb=0)
+            F.lit(sc + "6550"), b, F.lit("77"),  # continuation (fmb=1)
+        )
+
+    n = doc % 5 + 1
+    empty = F.lit("")
+    payload = F.unhex(
+        F.concat(
+            F.lit(sps),
+            pic(0),
+            *[F.when(n >= k + 1, pic(k)).otherwise(empty) for k in range(1, 5)],
+        )
+    )
+    out = sample_h264_keyframes(
+        d.select("doc_id", payload.alias("payload")),
+        "doc_id",
+        "payload",
+        every_nth=2,
+    )
+    return out.select("doc_id", "frame_index", "byte_offset", "nal_bytes")
+
+
 _GOPHER_STOPS = "['the','be','to','of','and','that','have','with']"
 
 
