@@ -1,5 +1,9 @@
 """REAL FLAC audio decode in pure Python — no media library.
 
+100-TB note: ``parse_flac_stream`` is the native-codec seam — swap it
+for a libsndfile/libFLAC binding returning the same dict inside the
+same ``mapInPandas``; see operators/multimodal.py module docstring.
+
 The compressed-audio half of the multimodal surface (the WAV/PCM
 decoder in operators/multimodal.py covers the interchange format; this
 covers the lossless COMPRESSED codec, closing most of the

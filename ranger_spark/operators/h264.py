@@ -11,6 +11,11 @@ pipeline builds first). ITU-T H.264 §7.3 / Annex B syntax, public.
 
 Reference parity note: the reference stores video as opaque blobs;
 this exceeds it the same way the MP4 box walk does.
+
+100-TB note: ``h264_stream_meta`` and the NAL walk inside
+``sample_h264_keyframes`` are the native-codec seam — swap for a
+PyAV/ffmpeg demuxer returning the same shapes inside the same
+``mapInPandas``; see operators/multimodal.py module docstring.
 """
 
 from __future__ import annotations

@@ -10,6 +10,10 @@ samples, duration, mean bitrate, channel mode (ISO/IEC 11172-3 §2.4,
 public). Together with WAV (PCM), FLAC (lossless compressed) and the
 JPEG/PNG/BMP/GIF/MP4/H.264 decoders this completes structure-level
 coverage of every major media family.
+
+100-TB note: ``parse_mp3_stream`` is the native-codec seam — swap for
+a native demuxer returning the same dict inside the same
+``mapInPandas``; see operators/multimodal.py module docstring.
 """
 
 from __future__ import annotations

@@ -2,16 +2,27 @@
 metadata, with decode / feature-extract as Arrow-batched Pandas UDFs.
 
 The Spark-side plumbing (schema, batching, partition behavior) is real and
-tested. Decoding splits in two:
+tested, and most decoding is now real byte/bit work (no media library):
+PNG/GIF/BMP/JPEG headers and pixels (incl. progressive JPEG), TIFF IFDs,
+PCM WAV, FLAC lossless frames (operators/flac.py), MP4 boxes, H.264
+stream structure + keyframe sampling (operators/h264.py), MP3 frame
+structure (operators/mpeg_audio.py), WARC records. Only lossy SAMPLE
+reconstruction (MP3 filterbank, H.264 pixel decode) stays gated behind
+`FakeDecoder.decode`.
 
-- **Image headers are decoded for real** — ``parse_image_header`` reads
-  PNG / GIF / BMP / JPEG dimensions straight from the container bytes
-  (pure Python, no PIL needed), and ``decode_image_headers`` runs it as an
-  Arrow-batched ``mapInPandas``.
-- **Pixel decode / audio / video remain stubbed** (`FakeDecoder`) because
-  no media libraries ship in this container — swap `FakeDecoder.decode`
-  for a PIL/ffmpeg call in a real deployment (it raises
-  NotImplementedError if asked for a real decode).
+**Native-codec seam (the 100-TB deployment contract).** The pure-Python
+``parse_*`` functions here and in operators/{flac,h264,mpeg_audio}.py are
+the sandbox-honest CORRECTNESS REFERENCE: exact, oracle-checked, and
+Arrow-batched at the partition level, but interpreted per-bit inside —
+at 100 TB media decode is a CPU-dominated native-codec job. The swap
+point is the per-payload function inside each ``mapInPandas`` closure,
+NEVER the operator API: replace ``parse_jpeg_pixels`` /
+``parse_flac_stream`` / ``parse_mp3_stream`` / ``h264_stream_meta`` (and
+the NAL walk inside ``sample_h264_keyframes``) with PIL/libsndfile/
+PyAV calls returning the SAME dict shapes, and the DataFrame schema,
+batch shape, partitioning, registry oracles and tests all hold
+unchanged. The pure-Python path stays as the differential-testing
+oracle for the native backend.
 
 Scale notes: `mapInPandas` streams Arrow record batches, so peak executor
 memory is one batch of payloads, not a partition; decode parallelism ==
