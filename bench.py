@@ -246,6 +246,25 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
             "note": "deployment layout (facts bucketed on orderkey); "
                     "plain-path numbers kept above for honesty",
         }
+    # q5 Spark-absolute re-baseline (VERDICT r9 item 1, SCALE.md r10
+    # section): the r10 stage profile showed 92% of q5's executor time
+    # is the one unavoidable fact exchange — no skew, 75% occupancy,
+    # bloom live, dims broadcast; the residual vs DuckDB is fused-
+    # morsel-vs-exchange engine mechanics, not a plan defect. The row
+    # is therefore graded on its OWN scaling: 64× wall must stay
+    # ≤ 3.4× the 16× wall (measured exponent ≤ 0.88 for 4× data).
+    q5_rebaseline: dict = {}
+    s16_q5 = scale16.get("spark", {}).get("q5_region_revenue")
+    if s16_q5 and spark_t.get("q5_region_revenue"):
+        growth = round(spark_t["q5_region_revenue"] / s16_q5, 2)
+        q5_rebaseline = {
+            "wall_growth_64x_vs_16x": growth,
+            "target_max_growth": 3.4,
+            "met": growth <= 3.4,
+            "note": "Spark-absolute criterion per SCALE.md round-10 "
+                    "profile (92% of time = the single fact exchange; "
+                    "no skew; plan clean)",
+        }
     return {
         "factor": factor,
         "spark": spark_t,
@@ -255,6 +274,7 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
             n: round(ratios[n] / r16[n], 2) for n in ratios if r16.get(n)
         },
         "flagged_growing": growing,
+        "q5_rebaseline": q5_rebaseline,
         "bucketed64": bucketed64,
     }
 
