@@ -94,10 +94,14 @@ INSERT_CHUNK_ROWS = 10_000
 # GZIP=4, Deflate=5, Brotli=6) so a reference client's requested codec
 # byte maps to the same meaning here. Deflate (zlib) rides the stdlib;
 # LZ4/LZ4HC are live via the pure-Python public-spec block codec
-# (sources/lz4_block.py — where the reference links the lz4 C library).
-# zstd/brotli remain capability-gated exactly like the engine's brotli
-# storage codec: a client requesting one gets the typed capability
-# rejection rather than a silently misdecoded stream.
+# (sources/lz4_block.py — where the reference links the lz4 C library),
+# and ZSTD (r10) via the pure-Python RFC 8878 frame codec
+# (sources/zstd_frame.py) — a real binding, when present, is preferred
+# by the probe; the pure codec is the always-available fallback, so
+# enum 3 carries real traffic either way. Brotli remains
+# capability-gated exactly like the engine's brotli storage codec: a
+# client requesting it gets the typed capability rejection rather than
+# a silently misdecoded stream.
 COMPRESSION_NONE = 0
 COMPRESSION_LZ4 = 1
 COMPRESSION_LZ4HC = 2
@@ -150,7 +154,12 @@ def _zstd_binding():
             ),
         )
     except ImportError:
-        return None
+        pass
+    # always-available fallback: the pure-Python RFC 8878 codec
+    # (sources/zstd_frame.py) — cap enforced DURING decode there too
+    from ranger_spark.sources import zstd_frame as _zf
+
+    return (_zf.compress, lambda b, cap: _zf.decompress(b, max(cap, 1)))
 
 
 def _brotli_binding():

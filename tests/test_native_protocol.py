@@ -509,12 +509,14 @@ def test_compressed_session_query_and_insert(server, engine):
         c.close()
 
 
-def test_lz4_sessions_live_and_zstd_capability_gated(server, engine):
+def test_lz4_zstd_sessions_live_and_brotli_capability_gated(server, engine):
     # enum numbering matches the reference SDK (pkg/sdk/client.go:51-58).
     # LZ4 (1) and LZ4HC (2) are live via the pure-Python public-spec
-    # block codec; a reference client asking for ZSTD (3) must still be
+    # block codec, and ZSTD (3) via the pure-Python RFC 8878 frame codec
+    # (r10); a reference client asking for BROTLI (6) must still be
     # rejected, not silently treated as another codec.
-    for live in (ns.COMPRESSION_LZ4, ns.COMPRESSION_LZ4HC):
+    for live in (ns.COMPRESSION_LZ4, ns.COMPRESSION_LZ4HC,
+                 ns.COMPRESSION_ZSTD):
         c = ns.NativeClient(
             "127.0.0.1", server.port, database="nat", compression=live
         )
@@ -532,13 +534,30 @@ def test_lz4_sessions_live_and_zstd_capability_gated(server, engine):
         assert gz.query("SELECT 1 + 1 AS two;")["rows"] == [("2",)]
     finally:
         gz.close()
-    for codec in (ns.COMPRESSION_ZSTD, ns.COMPRESSION_BROTLI):
-        with pytest.raises(RuntimeError) as ei:
-            ns.NativeClient(
-                "127.0.0.1", server.port, database="nat", compression=codec
-            )
-        assert "not available" in str(ei.value)
+    with pytest.raises(RuntimeError) as ei:
+        ns.NativeClient(
+            "127.0.0.1", server.port, database="nat",
+            compression=ns.COMPRESSION_BROTLI,
+        )
+    assert "not available" in str(ei.value)
     assert ns.COMPRESSION_ZSTD == 3 and ns.COMPRESSION_DEFLATE == 5
+
+
+def test_zstd_pure_codec_wire_envelope_is_rfc8878(server, engine):
+    """Without any binding, enum 3 rides sources/zstd_frame.py: the
+    envelope body is a REAL zstd frame (magic 28 B5 2F FD), it
+    compresses, round-trips, and the bomb cap is enforced during
+    decode."""
+    big = (b'{"k": "value value value", "n": 12345} ' * 200)
+    w = ns.wrap_payload(ns.COMPRESSION_ZSTD, big)
+    assert w[0] == ns.COMPRESSION_ZSTD and len(w) < len(big)
+    _, pos = ns.read_uvarint(w, 1)
+    assert w[pos : pos + 4] == bytes.fromhex("28B52FFD")  # LE 0xFD2FB528
+    assert ns.unwrap_payload(w) == big
+    # forged declared length below the true content -> rejected mid-decode
+    forged = bytes([ns.COMPRESSION_ZSTD]) + ns.write_uvarint(64) + w[pos:]
+    with pytest.raises(ValueError):
+        ns.unwrap_payload(forged)
 
 
 def test_lz4_block_codec_roundtrip_and_bounds():
@@ -811,7 +830,9 @@ def test_zstd_codec_lights_up_with_binding(server, engine, monkeypatch):
     finally:
         c.close()
 
-    # probe is per-call: removing the binding re-gates the codec
+    # probe is per-call AND binding-preferring: removing the binding
+    # drops to the pure RFC 8878 codec (r10) — the enum STAYS live and
+    # frames switch from the fake zlib container to real zstd magic
     monkeypatch.delitem(sys.modules, "zstandard")
     import builtins
 
@@ -825,4 +846,8 @@ def test_zstd_codec_lights_up_with_binding(server, engine, monkeypatch):
         return real_import(name, *a, **k)
 
     monkeypatch.setattr(builtins, "__import__", no_zstd)
-    assert ns.COMPRESSION_ZSTD not in ns.available_codecs()
+    assert ns.COMPRESSION_ZSTD in ns.available_codecs()
+    w2 = ns.wrap_payload(ns.COMPRESSION_ZSTD, big)
+    _, p2 = ns.read_uvarint(w2, 1)
+    assert w2[p2 : p2 + 4] == bytes.fromhex("28B52FFD")
+    assert ns.unwrap_payload(w2) == big
