@@ -155,8 +155,26 @@ def _zstd_binding():
         )
     except ImportError:
         pass
+    try:
+        # pyarrow ships libzstd (for parquet) — real C zstd, one-shot
+        # API; the declared length IS the allocation bound, so the
+        # bomb contract holds (raw_len is pre-capped by MAX_FRAME)
+        import pyarrow as _pa
+
+        codec = _pa.Codec("zstd")
+
+        def _d_pa(b: bytes, cap: int) -> bytes:
+            try:
+                return bytes(codec.decompress(b, decompressed_size=max(cap, 1)))
+            except Exception as e:
+                raise ValueError(f"zstd decode failed: {e}") from e
+
+        return (lambda b: bytes(codec.compress(b)), _d_pa)
+    except Exception:
+        pass
     # always-available fallback: the pure-Python RFC 8878 codec
-    # (sources/zstd_frame.py) — cap enforced DURING decode there too
+    # (sources/zstd_frame.py, libzstd-interop-verified) — cap enforced
+    # DURING decode there too
     from ranger_spark.sources import zstd_frame as _zf
 
     return (_zf.compress, lambda b, cap: _zf.decompress(b, max(cap, 1)))

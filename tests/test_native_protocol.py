@@ -543,11 +543,12 @@ def test_lz4_zstd_sessions_live_and_brotli_capability_gated(server, engine):
     assert ns.COMPRESSION_ZSTD == 3 and ns.COMPRESSION_DEFLATE == 5
 
 
-def test_zstd_pure_codec_wire_envelope_is_rfc8878(server, engine):
-    """Without any binding, enum 3 rides sources/zstd_frame.py: the
-    envelope body is a REAL zstd frame (magic 28 B5 2F FD), it
-    compresses, round-trips, and the bomb cap is enforced during
-    decode."""
+def test_zstd_wire_envelope_is_rfc8878(server, engine):
+    """Enum 3 always produces REAL zstd frames (magic 28 B5 2F FD):
+    via pyarrow's libzstd here, via sources/zstd_frame.py where no
+    binding exists (the two are interop-verified against each other in
+    test_zstd_frame.py). Compresses, round-trips, and the bomb cap is
+    enforced during decode."""
     big = (b'{"k": "value value value", "n": 12345} ' * 200)
     w = ns.wrap_payload(ns.COMPRESSION_ZSTD, big)
     assert w[0] == ns.COMPRESSION_ZSTD and len(w) < len(big)
