@@ -181,7 +181,10 @@ def _zstd_binding():
 
 
 def _brotli_binding():
-    """Runtime probe for a brotli binding (brotli / brotlicffi)."""
+    """Runtime probe for a brotli binding: brotli / brotlicffi first,
+    then pyarrow's bundled brotli (shipped for parquet) — RFC 7932
+    streams either way, so enum 6 is live wherever ANY of them exists
+    and typed-gated elsewhere."""
     for mod in ("brotli", "brotlicffi"):
         try:
             _b = __import__(mod)
@@ -205,7 +208,22 @@ def _brotli_binding():
             return (_b.compress, _d)
         except ImportError:
             continue
-    return None
+    try:
+        # pyarrow bundles brotli; the declared length is the allocation
+        # bound (raw_len pre-capped by MAX_FRAME), same as the zstd path
+        import pyarrow as _pa
+
+        codec = _pa.Codec("brotli")
+
+        def _d_pa(b: bytes, cap: int) -> bytes:
+            try:
+                return bytes(codec.decompress(b, decompressed_size=max(cap, 1)))
+            except Exception as e:
+                raise ValueError(f"brotli decode failed: {e}") from e
+
+        return (lambda b: bytes(codec.compress(b)), _d_pa)
+    except Exception:
+        return None
 
 
 def available_codecs() -> frozenset:

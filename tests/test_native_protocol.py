@@ -509,14 +509,16 @@ def test_compressed_session_query_and_insert(server, engine):
         c.close()
 
 
-def test_lz4_zstd_sessions_live_and_brotli_capability_gated(server, engine):
+def test_all_reference_sdk_codecs_live(server, engine):
     # enum numbering matches the reference SDK (pkg/sdk/client.go:51-58).
-    # LZ4 (1) and LZ4HC (2) are live via the pure-Python public-spec
-    # block codec, and ZSTD (3) via the pure-Python RFC 8878 frame codec
-    # (r10); a reference client asking for BROTLI (6) must still be
-    # rejected, not silently treated as another codec.
+    # ALL SIX compressed enums are live (r10): LZ4/LZ4HC via the
+    # pure-Python block codec, ZSTD via RFC 8878 (pure or libzstd),
+    # GZIP/DEFLATE via stdlib zlib, BROTLI via pyarrow's bundled
+    # brotli. Typed rejection still covers binding-less environments
+    # (test below).
     for live in (ns.COMPRESSION_LZ4, ns.COMPRESSION_LZ4HC,
-                 ns.COMPRESSION_ZSTD):
+                 ns.COMPRESSION_ZSTD, ns.COMPRESSION_GZIP,
+                 ns.COMPRESSION_DEFLATE, ns.COMPRESSION_BROTLI):
         c = ns.NativeClient(
             "127.0.0.1", server.port, database="nat", compression=live
         )
@@ -526,21 +528,28 @@ def test_lz4_zstd_sessions_live_and_brotli_capability_gated(server, engine):
             assert c.ping() > 0
         finally:
             c.close()
-    gz = ns.NativeClient(
-        "127.0.0.1", server.port, database="nat",
-        compression=ns.COMPRESSION_GZIP,
-    )
-    try:
-        assert gz.query("SELECT 1 + 1 AS two;")["rows"] == [("2",)]
-    finally:
-        gz.close()
-    with pytest.raises(RuntimeError) as ei:
-        ns.NativeClient(
-            "127.0.0.1", server.port, database="nat",
-            compression=ns.COMPRESSION_BROTLI,
-        )
-    assert "not available" in str(ei.value)
     assert ns.COMPRESSION_ZSTD == 3 and ns.COMPRESSION_DEFLATE == 5
+
+
+def test_brotli_typed_rejection_without_any_binding(monkeypatch):
+    """In an environment with no brotli/brotlicffi AND no pyarrow, a
+    reference client asking for BROTLI gets the typed capability
+    rejection, never a misdecoded stream."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_brotli(name, *a, **k):
+        if name in ("brotli", "brotlicffi", "pyarrow"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_brotli)
+    assert ns.COMPRESSION_BROTLI not in ns.available_codecs()
+    with pytest.raises(ValueError):
+        ns.unwrap_payload(
+            bytes([ns.COMPRESSION_BROTLI]) + ns.write_uvarint(10) + b"x" * 10
+        )
 
 
 def test_zstd_wire_envelope_is_rfc8878(server, engine):
