@@ -615,7 +615,19 @@ _MAGIC = 0xFD2FB528
 
 
 def decompress(data: bytes, max_out: int) -> bytes:
-    """Decode one zstd frame; the cap is enforced DURING decode."""
+    """Decode one zstd frame; the cap is enforced DURING decode.
+
+    Wire-safety contract: any malformed/truncated/malicious input
+    raises ValueError (never IndexError/KeyError), output allocation
+    never exceeds max_out, and decode time is bounded by the input +
+    cap sizes."""
+    try:
+        return _decompress(data, max_out)
+    except (IndexError, KeyError, OverflowError, TypeError) as e:
+        raise ValueError(f"corrupted zstd frame: {e!r}") from e
+
+
+def _decompress(data: bytes, max_out: int) -> bytes:
     if len(data) < 4 or int.from_bytes(data[:4], "little") != _MAGIC:
         raise ValueError("not a zstd frame")
     pos = 4

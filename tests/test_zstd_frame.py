@@ -332,6 +332,38 @@ def test_code_tables_are_contiguous():
         prev_end = base + (1 << extra)
 
 
+def test_corruption_fuzz_never_escapes_valueerror():
+    """The server decodes CLIENT-SUPPLIED bytes: every mutation of a
+    valid frame (and pure garbage) must raise ValueError — never
+    IndexError/KeyError — and never allocate past the cap."""
+    rng = random.Random(99)
+    base = compress(b"the quick brown fox " * 300)
+    for t in range(400):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            if len(b) <= 5:
+                break
+            op = rng.random()
+            if op < 0.4:
+                b[rng.randrange(4, len(b))] ^= 1 << rng.randrange(8)
+            elif op < 0.7:
+                del b[rng.randrange(4, len(b)) :]
+            else:
+                b[rng.randrange(4, len(b)) :] = os.urandom(rng.randrange(1, 30))
+        try:
+            out = decompress(bytes(b), max_out=20000)
+            assert len(out) <= 20000
+        except ValueError:
+            pass  # the only acceptable failure mode
+    for t in range(100):
+        junk = b"\x28\xb5\x2f\xfd" + os.urandom(rng.randrange(0, 200))
+        try:
+            out = decompress(junk, max_out=20000)
+            assert len(out) <= 20000
+        except ValueError:
+            pass
+
+
 # --------------------------- libzstd interop (ALWAYS ON — via pyarrow)
 def _libzstd():
     import pyarrow as pa
