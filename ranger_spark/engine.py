@@ -1873,9 +1873,12 @@ class Engine:
             if codec == "brotli":
                 raise RangerError(
                     VALIDATION_FAILED,
-                    "compression 'brotli' requires a codec library not "
-                    "present in this deployment (reference "
-                    "compression.go:46 supports it natively)",
+                    "compression 'brotli': Spark's JVM parquet reader "
+                    "has no brotli codec (Brotli4j absent), so a "
+                    "brotli table would be unscannable — verified by a "
+                    "direct read attempt r10; pyarrow CAN write it, so "
+                    "this gate lifts the moment the reader jar ships "
+                    "(reference compression.go:46 links it natively)",
                 )
             if codec not in self._PARQUET_CODECS:
                 raise RangerError(
@@ -1968,9 +1971,12 @@ class Engine:
             if codec == "brotli":
                 raise RangerError(
                     VALIDATION_FAILED,
-                    "compression 'brotli' requires a codec library not "
-                    "present in this deployment (reference "
-                    "compression.go:46 supports it natively)",
+                    "compression 'brotli': Spark's JVM parquet reader "
+                    "has no brotli codec (Brotli4j absent), so a "
+                    "brotli table would be unscannable — verified by a "
+                    "direct read attempt r10; pyarrow CAN write it, so "
+                    "this gate lifts the moment the reader jar ships "
+                    "(reference compression.go:46 links it natively)",
                 )
             if codec not in self._PARQUET_CODECS:
                 raise RangerError(
