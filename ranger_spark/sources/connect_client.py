@@ -1,0 +1,480 @@
+"""Pure-Python Spark Connect client — gRPC round-trip without grpcio.
+
+The container ships the Connect SERVER jar but no grpcio/protobuf, so
+the endpoint had been boot-only since r1 (NOTES.md environment-blocked
+item 2). gRPC is just HTTP/2 (RFC 9113) carrying length-prefixed
+protobuf messages (both public specs), and the Connect .proto schema
+ships INSIDE the server jar (spark-connect_2.13-4.1.2.jar
+spark/connect/*.proto) — so the whole stack is implementable from
+public material:
+
+- protobuf wire format: varint tags, length-delimited submessages —
+  only the handful of ExecutePlanRequest/Response fields are needed
+  (field numbers read from the bundled base.proto/relations.proto)
+- HTTP/2: client preface, SETTINGS exchange, HPACK-encoded HEADERS
+  (static-table references + literals, Huffman never used on the
+  encode side), DATA frames with the gRPC 5-byte message framing,
+  PING/WINDOW_UPDATE handling, and generous window replenishment so
+  multi-megabyte Arrow batches stream without stalling
+- HPACK decode: static table + dynamic-table maintenance, plain
+  literals decoded; Huffman-coded response strings (RFC 7541 §5.2 —
+  the Appendix B code table is not carried here) surface as
+  ``<huffman>`` placeholders, so trailer parsing is best-effort and
+  success is judged by the protobuf stream itself (arrow batches +
+  ResultComplete + clean END_STREAM)
+
+Result batches are Arrow IPC streams (ExecutePlanResponse.ArrowBatch
+.data) decoded with pyarrow. ``ConnectClient.sql()`` returns a
+pyarrow.Table.
+
+Reference parity note: the reference fronts its engine with three wire
+protocols; Spark Connect is the Spark-native fourth surface, and with
+this client the repo drives it end-to-end in-container (previously
+only bootable). tests/test_connect_roundtrip.py is the proof.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import uuid
+
+# ------------------------------------------------------------- protobuf
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _uvarint((field << 3) | wire)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _tag(field, 2) + _uvarint(len(payload)) + payload
+
+
+def _s(field: int, text: str) -> bytes:
+    return _ld(field, text.encode("utf-8"))
+
+
+def _read_uvarint(b: bytes, i: int) -> tuple[int, int]:
+    v = 0
+    shift = 0
+    while True:
+        c = b[i]
+        v |= (c & 0x7F) << shift
+        i += 1
+        if not c & 0x80:
+            return v, i
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint overflow")
+
+
+def pb_fields(b: bytes):
+    """Iterate (field_no, wire_type, value) over a serialized message.
+    Unknown fields are yielded too (caller skips what it doesn't know)."""
+    i = 0
+    n = len(b)
+    while i < n:
+        key, i = _read_uvarint(b, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, i = _read_uvarint(b, i)
+        elif wire == 1:
+            v = b[i : i + 8]
+            i += 8
+        elif wire == 2:
+            ln, i = _read_uvarint(b, i)
+            v = b[i : i + ln]
+            if len(v) < ln:
+                raise ValueError("truncated length-delimited field")
+            i += ln
+        elif wire == 5:
+            v = b[i : i + 4]
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, v
+
+
+# ------------------------------------------------------------------ HPACK
+# RFC 7541 Appendix A static table (the standard 61 entries)
+_STATIC = [
+    None,
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""),
+    ("access-control-allow-origin", ""), ("age", ""), ("allow", ""),
+    ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""),
+    ("content-location", ""), ("content-range", ""), ("content-type", ""),
+    ("cookie", ""), ("date", ""), ("etag", ""), ("expect", ""),
+    ("expires", ""), ("from", ""), ("host", ""), ("if-match", ""),
+    ("if-modified-since", ""), ("if-none-match", ""), ("if-range", ""),
+    ("if-unmodified-since", ""), ("last-modified", ""), ("link", ""),
+    ("location", ""), ("max-forwards", ""), ("proxy-authenticate", ""),
+    ("proxy-authorization", ""), ("range", ""), ("referer", ""),
+    ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""),
+    ("via", ""), ("www-authenticate", ""),
+]
+
+
+def _hp_int(value: int, prefix_bits: int, first_byte: int = 0) -> bytes:
+    """HPACK prefix-integer encoding (RFC 7541 §5.1)."""
+    limit = (1 << prefix_bits) - 1
+    if value < limit:
+        return bytes([first_byte | value])
+    out = bytearray([first_byte | limit])
+    value -= limit
+    while value >= 0x80:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    out.append(value)
+    return bytes(out)
+
+
+def _hp_str(s: str) -> bytes:
+    """Plain (non-Huffman) string literal."""
+    b = s.encode("utf-8")
+    return _hp_int(len(b), 7) + b
+
+
+def hpack_encode(headers: list[tuple[str, str]]) -> bytes:
+    """Encoder used for requests: fully-indexed static pairs where they
+    exist, literal-without-indexing (indexed or new name) otherwise.
+    Never Huffman, never touches the dynamic table — maximally
+    interoperable."""
+    out = bytearray()
+    by_pair = {}
+    by_name = {}
+    for i, ent in enumerate(_STATIC):
+        if ent:
+            by_pair.setdefault(ent, i)
+            by_name.setdefault(ent[0], i)
+    for name, value in headers:
+        idx = by_pair.get((name, value))
+        if idx is not None:
+            out += _hp_int(idx, 7, 0x80)  # indexed header field
+            continue
+        nidx = by_name.get(name)
+        if nidx is not None:
+            out += _hp_int(nidx, 4, 0x00)  # literal w/o indexing, indexed name
+        else:
+            out += b"\x00" + _hp_str(name)
+        out += _hp_str(value)
+    return bytes(out)
+
+
+def _hp_read_int(b: bytes, i: int, prefix_bits: int) -> tuple[int, int]:
+    limit = (1 << prefix_bits) - 1
+    v = b[i] & limit
+    i += 1
+    if v < limit:
+        return v, i
+    shift = 0
+    while True:
+        c = b[i]
+        v += (c & 0x7F) << shift
+        i += 1
+        if not c & 0x80:
+            return v, i
+        shift += 7
+
+
+def _hp_read_str(b: bytes, i: int) -> tuple[str, int]:
+    huff = bool(b[i] & 0x80)
+    ln, i = _hp_read_int(b, i, 7)
+    raw = b[i : i + ln]
+    i += ln
+    if huff:
+        # RFC 7541 Appendix B table not carried — surface a marker so
+        # callers treat the value as unknown rather than garbage
+        return "<huffman>", i
+    return raw.decode("utf-8", "replace"), i
+
+
+class HpackDecoder:
+    """Response-side decoder: static + dynamic table, plain literals."""
+
+    def __init__(self):
+        self.dynamic: list[tuple[str, str]] = []
+
+    def _entry(self, idx: int) -> tuple[str, str]:
+        if 1 <= idx < len(_STATIC):
+            return _STATIC[idx]
+        d = idx - len(_STATIC)
+        if d < len(self.dynamic):
+            return self.dynamic[d]
+        return ("<unknown>", "<unknown>")
+
+    def decode(self, b: bytes) -> list[tuple[str, str]]:
+        out = []
+        i = 0
+        while i < len(b):
+            c = b[i]
+            if c & 0x80:  # indexed
+                idx, i = _hp_read_int(b, i, 7)
+                out.append(self._entry(idx))
+            elif c & 0x40:  # literal with incremental indexing
+                idx, i = _hp_read_int(b, i, 6)
+                name = self._entry(idx)[0] if idx else None
+                if name is None:
+                    name, i = _hp_read_str(b, i)
+                value, i = _hp_read_str(b, i)
+                self.dynamic.insert(0, (name, value))
+                out.append((name, value))
+            elif c & 0x20:  # dynamic table size update
+                _, i = _hp_read_int(b, i, 5)
+            else:  # literal without indexing / never indexed
+                idx, i = _hp_read_int(b, i, 4)
+                name = self._entry(idx)[0] if idx else None
+                if name is None:
+                    name, i = _hp_read_str(b, i)
+                value, i = _hp_read_str(b, i)
+                out.append((name, value))
+        return out
+
+
+# ------------------------------------------------------------------ HTTP/2
+_PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+_F_DATA, _F_HEADERS, _F_RST, _F_SETTINGS, _F_PING, _F_GOAWAY, _F_WINUP = (
+    0, 1, 3, 4, 6, 7, 8,
+)
+
+
+class GrpcError(RuntimeError):
+    pass
+
+
+class _H2:
+    """Single-stream-at-a-time HTTP/2 client connection (h2c prior
+    knowledge — how gRPC always runs over cleartext)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 60.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.host = host
+        self.port = port
+        self.next_stream = 1
+        self.decoder = HpackDecoder()
+        self.sock.sendall(_PREFACE + self._frame(_F_SETTINGS, 0, 0, b""))
+        # open the flood gates: connection-level window for big results
+        self.sock.sendall(
+            self._frame(_F_WINUP, 0, 0, struct.pack(">I", (1 << 30)))
+        )
+        self._buf = b""
+
+    @staticmethod
+    def _frame(ftype: int, flags: int, stream: int, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(3, "big")
+            + bytes([ftype, flags])
+            + struct.pack(">I", stream & 0x7FFFFFFF)
+            + payload
+        )
+
+    def _recv_frame(self):
+        while len(self._buf) < 9:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise GrpcError("connection closed by server")
+            self._buf += chunk
+        ln = int.from_bytes(self._buf[:3], "big")
+        ftype, flags = self._buf[3], self._buf[4]
+        stream = struct.unpack(">I", self._buf[5:9])[0] & 0x7FFFFFFF
+        while len(self._buf) < 9 + ln:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise GrpcError("connection closed mid-frame")
+            self._buf += chunk
+        payload = self._buf[9 : 9 + ln]
+        self._buf = self._buf[9 + ln :]
+        return ftype, flags, stream, payload
+
+    def request(self, path: str, body: bytes):
+        """One gRPC call: returns (data_bytes, headers, trailers)."""
+        sid = self.next_stream
+        self.next_stream += 2
+        headers = hpack_encode([
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", path),
+            (":authority", f"{self.host}:{self.port}"),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ])
+        frames = self._frame(_F_HEADERS, 0x4, sid, headers)  # END_HEADERS
+        msg = b"\x00" + struct.pack(">I", len(body)) + body
+        # split DATA to respect the default 16384 max frame size
+        off = 0
+        while off < len(msg):
+            chunk = msg[off : off + 16384]
+            off += len(chunk)
+            last = off >= len(msg)
+            frames += self._frame(_F_DATA, 0x1 if last else 0, sid, chunk)
+        frames += self._frame(_F_WINUP, 0, sid, struct.pack(">I", 1 << 30))
+        self.sock.sendall(frames)
+
+        data = bytearray()
+        resp_headers: list[tuple[str, str]] = []
+        trailers: list[tuple[str, str]] = []
+        header_blocks = 0
+        while True:
+            ftype, flags, stream, payload = self._recv_frame()
+            if ftype == _F_SETTINGS:
+                if not flags & 0x1:
+                    self.sock.sendall(self._frame(_F_SETTINGS, 0x1, 0, b""))
+                continue
+            if ftype == _F_PING:
+                if not flags & 0x1:
+                    self.sock.sendall(self._frame(_F_PING, 0x1, 0, payload))
+                continue
+            if ftype in (_F_WINUP,):
+                continue
+            if ftype == _F_GOAWAY:
+                code = struct.unpack(">I", payload[4:8])[0]
+                raise GrpcError(f"GOAWAY error_code={code} "
+                                f"debug={payload[8:][:200]!r}")
+            if stream != sid:
+                continue
+            if ftype == _F_RST:
+                raise GrpcError(
+                    f"RST_STREAM code={struct.unpack('>I', payload)[0]}"
+                )
+            if ftype == _F_HEADERS:
+                # (CONTINUATION unsupported: gRPC header blocks are tiny)
+                if not flags & 0x4:
+                    raise GrpcError("unexpected CONTINUATION")
+                block = payload
+                if flags & 0x8:  # padded
+                    pad = block[0]
+                    block = block[1 : len(block) - pad]
+                if flags & 0x20:  # priority
+                    block = block[5:]
+                decoded = self.decoder.decode(block)
+                header_blocks += 1
+                if header_blocks == 1 and not flags & 0x1:
+                    resp_headers = decoded
+                else:
+                    trailers = decoded
+                if flags & 0x1:  # END_STREAM
+                    return bytes(data), resp_headers, trailers
+                continue
+            if ftype == _F_DATA:
+                body_part = payload
+                if flags & 0x8:
+                    pad = body_part[0]
+                    body_part = body_part[1 : len(body_part) - pad]
+                data += body_part
+                if len(body_part):
+                    # replenish both windows so streaming never stalls
+                    self.sock.sendall(
+                        self._frame(_F_WINUP, 0, 0,
+                                    struct.pack(">I", len(body_part)))
+                        + self._frame(_F_WINUP, 0, sid,
+                                      struct.pack(">I", len(body_part)))
+                    )
+                if flags & 0x1:
+                    return bytes(data), resp_headers, trailers
+
+    def close(self):
+        try:
+            self.sock.sendall(
+                self._frame(_F_GOAWAY, 0, 0, struct.pack(">II", 0, 0))
+            )
+        except OSError:
+            pass
+        self.sock.close()
+
+
+# --------------------------------------------------------- Connect client
+_EXECUTE_PATH = "/spark.connect.SparkConnectService/ExecutePlan"
+
+
+def _grpc_messages(data: bytes):
+    i = 0
+    while i + 5 <= len(data):
+        flag = data[i]
+        ln = struct.unpack(">I", data[i + 1 : i + 5])[0]
+        msg = data[i + 5 : i + 5 + ln]
+        if flag & 1:
+            raise GrpcError("compressed gRPC message (not negotiated)")
+        if len(msg) < ln:
+            raise GrpcError("truncated gRPC message")
+        yield msg
+        i += 5 + ln
+
+
+class ConnectClient:
+    """Minimal Spark Connect SQL client over the pure-Python gRPC stack.
+
+    ``sql(query)`` executes through the server's full Connect path
+    (parse → analyze → execute on the server's SparkSession) and
+    returns a pyarrow.Table assembled from the streamed ArrowBatch
+    responses. Field numbers follow the .proto files bundled in the
+    server jar (base.proto: ExecutePlanRequest 1/2/3/4/6,
+    ExecutePlanResponse arrow_batch=2 {row_count=1, data=2},
+    result_complete=14; relations.proto: Relation.sql=10, SQL.query=1).
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 15002,
+                 user_id: str = "ranger", timeout: float = 120.0):
+        self.host = host
+        self.port = port
+        self.user_id = user_id
+        self.timeout = timeout
+        self.session_id = str(uuid.uuid4())
+
+    def sql(self, query: str):
+        import pyarrow as pa
+
+        sql_rel = _s(1, query)                     # SQL.query
+        relation = _ld(10, sql_rel)                # Relation.sql
+        plan = _ld(1, relation)                    # Plan.root
+        req = (
+            _s(1, self.session_id)                 # session_id
+            + _ld(2, _s(1, self.user_id))          # user_context.user_id
+            + _ld(3, plan)                         # plan
+            + _s(4, "ranger_spark-pure-python")    # client_type
+            + _s(6, str(uuid.uuid4()))             # operation_id
+        )
+        conn = _H2(self.host, self.port, timeout=self.timeout)
+        try:
+            data, headers, trailers = conn.request(_EXECUTE_PATH, req)
+        finally:
+            conn.close()
+        status = dict(trailers).get("grpc-status")
+        if status not in (None, "<huffman>", "0"):
+            msg = dict(trailers).get("grpc-message", "")
+            raise GrpcError(f"grpc-status={status}: {msg}")
+        batches = []
+        complete = False
+        for msg in _grpc_messages(data):
+            for field, wire, val in pb_fields(msg):
+                if field == 2 and wire == 2:        # arrow_batch
+                    for f2, w2, v2 in pb_fields(val):
+                        if f2 == 2 and w2 == 2:     # .data (Arrow IPC)
+                            with pa.ipc.open_stream(v2) as rd:
+                                batches.extend(rd)
+                elif field == 14:                   # result_complete
+                    complete = True
+        if not complete and not batches and status in (None, "<huffman>"):
+            raise GrpcError(
+                "no arrow batches and no ResultComplete — server error "
+                f"(trailers: {trailers!r})"
+            )
+        if batches:
+            return pa.Table.from_batches(batches)
+        return pa.table({})

@@ -7,11 +7,15 @@ SparkConnectPlugin exposes the full SQL surface (and therefore every
 query/DDL path in this repo) over gRPC on port 15002 to any Connect
 client (Python/Scala/Go/JDBC-over-connect).
 
-This container ships the server jar (spark-connect_2.13) but not the
-Python client's grpcio, so tests verify the endpoint boots and listens;
-driving it end-to-end needs any standard Connect client
-(``pip install pyspark[connect]`` elsewhere, then
-``SparkSession.builder.remote("sc://host:15002")``).
+This container ships the server jar (spark-connect_2.13) but not
+grpcio — so since r10 the endpoint is driven END-TO-END by the
+pure-Python gRPC client in sources/connect_client.py (HTTP/2 + HPACK
++ protobuf wire format from the public RFCs; the Connect schema ships
+as .proto files inside the server jar). tests/test_connect_roundtrip.py
+round-trips SQL, real parquet scans, multi-batch >64 KiB Arrow
+results, and server-error propagation. A standard client
+(``SparkSession.builder.remote("sc://host:15002")``) works identically
+where pyspark[connect] is installed.
 """
 
 from __future__ import annotations
