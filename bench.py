@@ -656,6 +656,64 @@ def _graph_section(spark, registry, sf_dir: str) -> dict:
     }
 
 
+def _wire_codecs_section(sf_dir: str) -> dict:
+    """Throughput of every LIVE wire codec (r10: all six reference SDK
+    enums carry traffic) over a real payload — 1 MB of documents JSON.
+    Records MB/s and ratio per codec, plus which zstd backend the
+    probe selected (libzstd via pyarrow here; the pure RFC 8878 codec
+    where no binding exists — its number is reported separately as
+    the portable floor)."""
+    import duckdb
+
+    from ranger_spark.sources import zstd_frame
+    from ranger_spark.sources.lz4_block import compress_block, decompress_block
+    from ranger_spark.sources.native_server import (
+        COMPRESSION_ZSTD,
+        _zstd_binding,
+        unwrap_payload,
+        wrap_payload,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT to_json(t) FROM (SELECT * FROM "
+        f"parquet_scan('{sf_dir}/documents.parquet') LIMIT 2000) t"
+    ).fetchall()
+    payload = ("\n".join(r[0] for r in rows)).encode()[: 1 << 20]
+    out: dict = {"payload_mb": round(len(payload) / 1e6, 2)}
+
+    def timed(fn, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    import zlib
+
+    codecs = {
+        "deflate": (lambda: zlib.compress(payload, 6),
+                    lambda z: zlib.decompress(z)),
+        "lz4": (lambda: compress_block(payload),
+                lambda z: decompress_block(z, max_out=len(payload))),
+        "zstd_wire": (lambda: _zstd_binding()[0](payload),
+                      lambda z: _zstd_binding()[1](z, len(payload))),
+        "zstd_pure": (lambda: zstd_frame.compress(payload),
+                      lambda z: zstd_frame.decompress(z, len(payload))),
+    }
+    for name, (comp, dec) in codecs.items():
+        z = comp()
+        out[name] = {
+            "ratio": round(len(z) / len(payload), 3),
+            "compress_mb_s": round(len(payload) / 1e6 / timed(comp), 1),
+            "decompress_mb_s": round(len(payload) / 1e6 / timed(lambda: dec(z)), 1),
+        }
+    env = wrap_payload(COMPRESSION_ZSTD, payload)
+    out["envelope_round_trip_ok"] = unwrap_payload(env) == payload
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -701,6 +759,14 @@ def main() -> None:
               file=sys.stderr, flush=True)
 
     _mark("headline")
+    if os.environ.get("SPARK_GRAFT_SKIP_CODECS") != "1" and not _over_budget(
+        "wire_codecs"
+    ):
+        try:
+            result["wire_codecs"] = _wire_codecs_section(sf_dir)
+        except Exception as e:
+            result["wire_codecs"] = {"error": str(e)[:300]}
+        _mark("wire_codecs")
     if os.environ.get("SPARK_GRAFT_SKIP_ANN") != "1" and not _over_budget(
         "ann_serving"
     ):
