@@ -478,3 +478,52 @@ class ConnectClient:
         if batches:
             return pa.Table.from_batches(batches)
         return pa.table({})
+
+    # ----------------------------------------------------- AnalyzePlan
+    _ANALYZE_PATH = "/spark.connect.SparkConnectService/AnalyzePlan"
+
+    def _analyze(self, body: bytes) -> bytes:
+        req = (
+            _s(1, self.session_id)
+            + _ld(2, _s(1, self.user_id))
+            + _s(3, "ranger_spark-pure-python")
+            + body
+        )
+        conn = _H2(self.host, self.port, timeout=self.timeout)
+        try:
+            data, _headers, trailers = conn.request(self._ANALYZE_PATH, req)
+        finally:
+            conn.close()
+        status = dict(trailers).get("grpc-status")
+        if status not in (None, "<huffman>", "0"):
+            raise GrpcError(
+                f"grpc-status={status}: {dict(trailers).get('grpc-message', '')}"
+            )
+        msgs = list(_grpc_messages(data))
+        if not msgs:
+            raise GrpcError(f"empty AnalyzePlan response (trailers {trailers!r})")
+        return msgs[0]
+
+    def spark_version(self) -> str:
+        """AnalyzePlanRequest.spark_version (field 10, empty message) →
+        AnalyzePlanResponse.spark_version (field 8).version (1)."""
+        resp = self._analyze(_ld(10, b""))
+        for f, w, v in pb_fields(resp):
+            if f == 8 and w == 2:
+                for f2, w2, v2 in pb_fields(v):
+                    if f2 == 1:
+                        return v2.decode()
+        raise GrpcError("no spark_version in AnalyzePlanResponse")
+
+    def schema_tree(self, query: str) -> str:
+        """Schema of a SQL plan WITHOUT executing it:
+        AnalyzePlanRequest.tree_string (field 6 {plan=1}) →
+        AnalyzePlanResponse.tree_string (field 4).tree_string (1)."""
+        plan = _ld(1, _ld(10, _s(1, query)))  # Plan.root.sql.query
+        resp = self._analyze(_ld(6, _ld(1, plan)))
+        for f, w, v in pb_fields(resp):
+            if f == 4 and w == 2:
+                for f2, w2, v2 in pb_fields(v):
+                    if f2 == 1:
+                        return v2.decode()
+        raise GrpcError("no tree_string in AnalyzePlanResponse")

@@ -62,6 +62,13 @@ t = c.sql(
 assert t.column("cnt").to_pylist() == [1, 1]
 print("AGG_OK")
 
+# AnalyzePlan RPCs: version + schema-without-execution
+v = c.spark_version()
+assert v.startswith("4."), v
+tree = c.schema_tree("SELECT 1 AS one, 'x' AS s")
+assert "one: integer" in tree and "s: string" in tree, tree
+print("ANALYZE_OK", v)
+
 # server-side error surfaces as a client exception
 try:
     c.sql("SELECT definitely_not_a_column FROM range(1)")
@@ -85,7 +92,7 @@ def test_connect_sql_round_trips_end_to_end():
     )
     tail = out.stdout[-2000:] + out.stderr[-1500:]
     for marker in ("SIMPLE_OK", "PARQUET_OK", "LARGE_OK", "AGG_OK",
-                   "ERROR_OK", "DONE"):
+                   "ANALYZE_OK", "ERROR_OK", "DONE"):
         assert marker in out.stdout, f"missing {marker}: {tail}"
 
 
