@@ -527,3 +527,73 @@ class ConnectClient:
                     if f2 == 1:
                         return v2.decode()
         raise GrpcError("no tree_string in AnalyzePlanResponse")
+
+    # ---------------------------------------------------------- Config
+    _CONFIG_PATH = "/spark.connect.SparkConnectService/Config"
+
+    def _config(self, operation: bytes) -> dict[str, str]:
+        req = (
+            _s(1, self.session_id)
+            + _ld(2, _s(1, self.user_id))
+            + _ld(3, operation)
+            + _s(4, "ranger_spark-pure-python")
+        )
+        conn = _H2(self.host, self.port, timeout=self.timeout)
+        try:
+            data, _h, trailers = conn.request(self._CONFIG_PATH, req)
+        finally:
+            conn.close()
+        status = dict(trailers).get("grpc-status")
+        if status not in (None, "<huffman>", "0"):
+            raise GrpcError(
+                f"grpc-status={status}: {dict(trailers).get('grpc-message', '')}"
+            )
+        pairs: dict[str, str] = {}
+        for msg in _grpc_messages(data):
+            for f, w, v in pb_fields(msg):
+                if f == 2 and w == 2:  # ConfigResponse.pairs (KeyValue)
+                    kv = {f2: v2 for f2, _w2, v2 in pb_fields(v)}
+                    pairs[kv.get(1, b"").decode()] = kv.get(2, b"").decode()
+        return pairs
+
+    def set_conf(self, key: str, value: str) -> None:
+        """ConfigRequest.operation.set.pairs — session-scoped conf set
+        (the Connect analog of SparkSession.conf.set)."""
+        kv = _s(1, key) + _s(2, value)
+        self._config(_ld(1, _ld(1, kv)))  # Operation.set{pairs}
+
+    def get_conf(self, key: str) -> str | None:
+        """ConfigRequest.operation.get.keys → ConfigResponse.pairs."""
+        pairs = self._config(_ld(2, _s(1, key)))  # Operation.get{keys}
+        return pairs.get(key)
+
+    # -------------------------------------------------------- Interrupt
+    _INTERRUPT_PATH = "/spark.connect.SparkConnectService/Interrupt"
+
+    def interrupt_all(self) -> list[str]:
+        """InterruptRequest.interrupt_type = INTERRUPT_TYPE_ALL (1) —
+        cancels every running execution of this session (the Connect
+        analog of the native protocol's live query cancel / the
+        engine's KILL QUERY). Returns the interrupted operation ids."""
+        req = (
+            _s(1, self.session_id)
+            + _ld(2, _s(1, self.user_id))
+            + _s(3, "ranger_spark-pure-python")
+            + _tag(4, 0) + _uvarint(1)  # interrupt_type = ALL
+        )
+        conn = _H2(self.host, self.port, timeout=self.timeout)
+        try:
+            data, _h, trailers = conn.request(self._INTERRUPT_PATH, req)
+        finally:
+            conn.close()
+        status = dict(trailers).get("grpc-status")
+        if status not in (None, "<huffman>", "0"):
+            raise GrpcError(
+                f"grpc-status={status}: {dict(trailers).get('grpc-message', '')}"
+            )
+        ids = []
+        for msg in _grpc_messages(data):
+            for f, w, v in pb_fields(msg):
+                if f == 2 and w == 2:  # interrupted_ids
+                    ids.append(v.decode())
+        return ids

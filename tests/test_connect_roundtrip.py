@@ -69,6 +69,32 @@ tree = c.schema_tree("SELECT 1 AS one, 'x' AS s")
 assert "one: integer" in tree and "s: string" in tree, tree
 print("ANALYZE_OK", v)
 
+# Config RPC: session-scoped set/get, visible to SQL in the session
+c.set_conf("spark.sql.shuffle.partitions", "7")
+assert c.get_conf("spark.sql.shuffle.partitions") == "7"
+t = c.sql("SET spark.sql.shuffle.partitions")
+assert t.column("value").to_pylist() == ["7"], t.to_pydict()
+print("CONFIG_OK")
+
+# Interrupt RPC: cancel a running execution from another connection
+import threading
+res = {}
+def long_query():
+    try:
+        c2 = ConnectClient(port=15097)
+        c2.session_id = c.session_id
+        c2.sql("SELECT count(*) FROM range(2000000000) a, range(200) b")
+        res["done"] = "finished"
+    except GrpcError as e:
+        res["done"] = "interrupted" if "CANCELED" in str(e).upper() else str(e)[:80]
+th = threading.Thread(target=long_query); th.start()
+time.sleep(3)
+ids = c.interrupt_all()
+th.join(timeout=90)
+assert res.get("done") == "interrupted", res
+assert len(ids) >= 1, ids
+print("INTERRUPT_OK")
+
 # server-side error surfaces as a client exception
 try:
     c.sql("SELECT definitely_not_a_column FROM range(1)")
@@ -92,7 +118,8 @@ def test_connect_sql_round_trips_end_to_end():
     )
     tail = out.stdout[-2000:] + out.stderr[-1500:]
     for marker in ("SIMPLE_OK", "PARQUET_OK", "LARGE_OK", "AGG_OK",
-                   "ANALYZE_OK", "ERROR_OK", "DONE"):
+                   "ANALYZE_OK", "CONFIG_OK", "INTERRUPT_OK",
+                   "ERROR_OK", "DONE"):
         assert marker in out.stdout, f"missing {marker}: {tail}"
 
 
