@@ -95,6 +95,15 @@ assert res.get("done") == "interrupted", res
 assert len(ids) >= 1, ids
 print("INTERRUPT_OK")
 
+# the CLI's sc:// mode drives the same stack
+import subprocess
+r = subprocess.run(
+    [sys.executable, "/root/repo/tools/ranger_cli.py",
+     "--url", "sc://127.0.0.1:15097", "query", "SELECT 41 + 1 AS answer"],
+    capture_output=True, text=True, timeout=120)
+assert r.returncode == 0 and "42" in r.stdout, (r.stdout, r.stderr[-200:])
+print("CLI_OK")
+
 # server-side error surfaces as a client exception
 try:
     c.sql("SELECT definitely_not_a_column FROM range(1)")
@@ -118,7 +127,7 @@ def test_connect_sql_round_trips_end_to_end():
     )
     tail = out.stdout[-2000:] + out.stderr[-1500:]
     for marker in ("SIMPLE_OK", "PARQUET_OK", "LARGE_OK", "AGG_OK",
-                   "ANALYZE_OK", "CONFIG_OK", "INTERRUPT_OK",
+                   "ANALYZE_OK", "CONFIG_OK", "INTERRUPT_OK", "CLI_OK",
                    "ERROR_OK", "DONE"):
         assert marker in out.stdout, f"missing {marker}: {tail}"
 
