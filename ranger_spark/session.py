@@ -23,6 +23,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from ranger_spark.protoshim import ensure_protobuf
+
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -33,6 +35,11 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-ready defaults."""
+    # Must run before the JVM starts: exports PYTHONPATH so Python
+    # workers (separate processes) can import google.protobuf — real
+    # runtime when installed, the vendored shim otherwise. This is what
+    # un-gates transformWithStateInPandas in protobuf-less environments.
+    ensure_protobuf()
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
     b = (

@@ -100,21 +100,40 @@ def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
     Expects columns ``user_id`` (long) and ``value`` (double). Raises a
     clear capability error on runtimes without the API.
 
-    Environment note: the API's driver worker imports
-    ``google.protobuf`` (StateMessage proto); on runtimes without
-    protobuf (this offline container — same block as Spark Connect) the
-    query fails at initialization and the test asserts THAT documented
-    gate instead of results. ``applyInPandasWithState``
-    (``running_user_stats``) is the dependency-free stateful path.
+    Environment note: the API's Python workers import
+    ``google.protobuf`` (StateMessage proto). On runtimes without a
+    protobuf distribution, ``ranger_spark.protoshim`` activates the
+    vendored pure-Python runtime subset before the JVM starts (see
+    ranger_spark/session.py), so this operator runs END-TO-END either
+    way — the JVM StateServer (real Java protobuf) round-trips the
+    shim's bytes, making every run an interop validation. State is kept
+    in RocksDB (transformWithState needs column families; the conf flip
+    below). ``applyInPandasWithState`` (``running_user_stats``) remains
+    the protobuf-free stateful path.
     """
     if not _tws_available():  # pragma: no cover - gated by runtime
         raise NotImplementedError(
             "transformWithStateInPandas requires pyspark >= 4.0"
         )
+    from pyspark.sql import SparkSession
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    # transformWithState keeps each state variable in its own column
+    # family, which the default HDFSBackedStateStoreProvider cannot do —
+    # queries fail at first batch with STATE_STORE_MULTIPLE_COLUMN_FAMILIES.
+    # RocksDB is also the right provider at scale (off-heap, incremental
+    # snapshot upload); flipping the session conf here only affects
+    # queries STARTED afterwards, never already-running streams.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     out_schema = StructType(
         [
@@ -148,6 +167,107 @@ def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=TopK(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def value_histogram_per_key(events: DataFrame, bucket_width: float = 5.0) -> DataFrame:
+    """Streaming per-key value histogram + running moments via
+    ``transformWithStateInPandas`` with BOTH a ``ValueState`` (count /
+    sum — the scalar profile) and a ``MapState`` (bucket → count — the
+    unbounded-cardinality part a single state row can't hold). The
+    operator shape for per-entity distribution sketches: state is
+    O(keys × occupied buckets), keys hash-shard across executors, and
+    each micro-batch emits one row per (key, occupied bucket) plus the
+    scalar profile columns denormalized onto every row.
+
+    Exercises the full MapState protocol surface (getValue /
+    containsKey / updateValue / iterator) and ValueState exists / get /
+    update against the JVM StateServer — which makes it the widest
+    interop gate for the vendored protobuf runtime
+    (ranger_spark/protoshim.py) after ``topk_per_key``'s ListState.
+
+    Expects columns ``user_id`` (long) and ``value`` (double).
+    """
+    if not _tws_available():  # pragma: no cover - gated by runtime
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0"
+        )
+    from pyspark.sql import SparkSession
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # transformWithState needs column families → RocksDB provider
+        # (see topk_per_key).
+        active.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("bucket", LongType()),
+            StructField("bucket_count", LongType()),
+            StructField("total_count", LongType()),
+            StructField("total_sum", DoubleType()),
+        ]
+    )
+
+    class Hist(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._profile = handle.getValueState(
+                "profile", "cnt long, total double"
+            )
+            self._buckets = handle.getMapState(
+                "buckets", "bucket long", "cnt long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._profile.exists():
+                cnt, total = self._profile.get()
+            else:
+                cnt, total = 0, 0.0
+            touched = set()
+            for pdf in rows:
+                for v in pdf["value"]:
+                    v = float(v)
+                    cnt += 1
+                    total += v
+                    b = int(v // bucket_width)
+                    if self._buckets.containsKey((b,)):
+                        (c,) = self._buckets.getValue((b,))
+                    else:
+                        c = 0
+                    self._buckets.updateValue((b,), (c + 1,))
+                    touched.add(b)
+            self._profile.update((cnt, float(total)))
+            out = sorted(
+                (int(bk[0]), int(bc[0]))
+                for bk, bc in self._buckets.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out),
+                    "bucket": [b for b, _ in out],
+                    "bucket_count": [c for _, c in out],
+                    "total_count": [cnt] * len(out),
+                    "total_sum": [float(total)] * len(out),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Hist(),
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",

@@ -95,9 +95,10 @@ def test_topk_per_key_transform_with_state(spark):
         .start()
     )
     if not has_protobuf:
-        # transformWithStateInPandas' driver worker needs protobuf —
-        # absent in this container (same environment block as Spark
-        # Connect). Assert the documented gate fires at initialization.
+        # Unreachable since ranger_spark.protoshim: get_spark activates
+        # the vendored protobuf runtime when no real one exists, so
+        # google.protobuf always imports here. Kept for runtimes that
+        # bypass get_spark AND lack protobuf: assert the documented gate.
         try:
             q.awaitTermination(120)
             raise AssertionError("expected the protobuf capability gate")
@@ -115,3 +116,47 @@ def test_topk_per_key_transform_with_state(spark):
     assert latest[(1, 2)] == 9.0
     assert latest[(1, 3)] == 7.0
     assert latest[(2, 1)] == 8.0
+
+
+def test_value_histogram_per_key_tws(spark):
+    from ranger_spark.streaming.stateful import value_histogram_per_key
+
+    tmp = Path(tempfile.mkdtemp(prefix="tws_hist_"))
+    for b, rows in enumerate(
+        [
+            [(1, 2.0, 1), (1, 7.0, 2), (1, 3.0, 3), (2, 12.0, 4)],
+            [(1, 8.0, 5), (2, 1.0, 6), (2, 14.0, 7)],
+        ]
+    ):
+        with open(tmp / f"b{b}.json", "w") as f:
+            for u, v, t in rows:
+                f.write(json.dumps({"user_id": u, "value": v, "ts_ns": t}) + "\n")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp))
+    )
+    out = value_histogram_per_key(stream, bucket_width=5.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_hist")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("tws_hist").collect()
+    # memory sink appends per batch; keep the LAST emission per (user, bucket)
+    latest = {}
+    for r in rows:
+        latest[(r.user_id, r.bucket)] = r
+    # user 1 values 2,7,3,8 → buckets: 0 (2,3) ×2, 1 (7,8) ×2; cnt 4 sum 20
+    assert latest[(1, 0)].bucket_count == 2
+    assert latest[(1, 1)].bucket_count == 2
+    assert latest[(1, 1)].total_count == 4
+    assert latest[(1, 1)].total_sum == 20.0
+    # user 2 values 12,1,14 → bucket 2 (12,14) ×2, bucket 0 (1) ×1; cnt 3 sum 27
+    assert latest[(2, 2)].bucket_count == 2
+    assert latest[(2, 0)].bucket_count == 1
+    assert latest[(2, 0)].total_count == 3
+    assert latest[(2, 0)].total_sum == 27.0
