@@ -272,3 +272,98 @@ def value_histogram_per_key(events: DataFrame, bucket_width: float = 5.0) -> Dat
         outputMode="Update",
         timeMode="None",
     )
+
+
+def inactivity_flush_per_key(events: DataFrame, idle_ms: int = 2000) -> DataFrame:
+    """Streaming per-key session flush on inactivity via
+    ``transformWithStateInPandas`` processing-time TIMERS — the operator
+    shape for "emit the accumulated profile when a key goes quiet"
+    (session windows over open-ended activity, cache eviction, abandoned
+    -cart style triggers). Each input batch extends the key's aggregate
+    (count / sum in a ``ValueState``) and re-arms a single timer
+    ``idle_ms`` past the batch's processing time (prior timers are
+    enumerated with ``listTimers`` and deleted — exactly one live timer
+    per key). When the timer fires, ``handleExpiredTimer`` emits the
+    flushed row and clears state, so state is O(active keys).
+
+    Protocol note: this exercises the remaining timer surface of the
+    StateMessage protocol — RegisterTimer / DeleteTimer / ListTimers
+    iterators, TimerRequest.getProcessingTimer, and the expired-timer
+    sweep whose TimerInfo carries the proto3-optional key bytes — all
+    round-tripped against the JVM StateServer (see
+    ranger_spark/protoshim.py for why that doubles as an interop gate).
+
+    Expects columns ``user_id`` (long) and ``value`` (double). Output:
+    (user_id, cnt, total, flushed_at_ms) rows, one per flushed session.
+    """
+    if not _tws_available():  # pragma: no cover - gated by runtime
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0"
+        )
+    from pyspark.sql import SparkSession
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # column-families requirement — see topk_per_key
+        active.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("total", DoubleType()),
+            StructField("flushed_at_ms", LongType()),
+        ]
+    )
+
+    class Flush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._agg = handle.getValueState("agg", "cnt long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                cnt, total = self._agg.get()
+            else:
+                cnt, total = 0, 0.0
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((cnt, float(total)))
+            # single live timer per key: sweep stale ones, re-arm
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            now = timerValues.getCurrentProcessingTimeInMs()
+            self._handle.registerTimer(now + idle_ms)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._agg.exists():
+                cnt, total = self._agg.get()
+                self._agg.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "cnt": [cnt],
+                        "total": [float(total)],
+                        "flushed_at_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Flush(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -160,3 +160,52 @@ def test_value_histogram_per_key_tws(spark):
     assert latest[(2, 0)].bucket_count == 1
     assert latest[(2, 0)].total_count == 3
     assert latest[(2, 0)].total_sum == 27.0
+
+
+def test_inactivity_flush_per_key_tws(spark):
+    import time
+
+    from ranger_spark.streaming.stateful import inactivity_flush_per_key
+
+    tmp = Path(tempfile.mkdtemp(prefix="tws_flush_"))
+    with open(tmp / "b0.json", "w") as f:
+        for u, v, t in [(1, 10.0, 1), (1, 5.0, 2), (2, 1.0, 3)]:
+            f.write(json.dumps({"user_id": u, "value": v, "ts_ns": t}) + "\n")
+    stream = spark.readStream.schema(SCHEMA).json(str(tmp))
+    out = inactivity_flush_per_key(stream, idle_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_flush")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # processing-time timers fire on a LATER batch whose clock passes
+        # the deadline; late data for key 2 re-arms its timer, so key 1
+        # flushes first. Poll for the flush rows.
+        deadline = time.time() + 60
+        time.sleep(2.5)
+        with open(tmp / "b1.json", "w") as f:
+            f.write(json.dumps({"user_id": 2, "value": 4.0, "ts_ns": 9}) + "\n")
+        def totals():
+            agg = {}
+            for r in spark.table("tws_flush").collect():
+                c, t = agg.get(r.user_id, (0, 0.0))
+                agg[r.user_id] = (c + r.cnt, t + r.total)
+            return agg
+
+        agg = totals()
+        while time.time() < deadline and (
+            agg.get(1, (0, 0.0))[1] < 15.0 or agg.get(2, (0, 0.0))[1] < 5.0
+        ):
+            time.sleep(1.0)
+            agg = totals()
+    finally:
+        q.stop()
+    # every input row is flushed exactly once (state clears on flush);
+    # key 2 may flush once (late row beat the timer) or twice — the
+    # cumulative totals are timing-independent
+    assert agg[1] == (2, 15.0)
+    assert agg[2] == (2, 5.0)
+    assert all(r.flushed_at_ms > 0 for r in spark.table("tws_flush").collect())
