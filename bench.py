@@ -568,6 +568,42 @@ def _streaming_section(spark, registry, sf_dir: str) -> dict:
     base = out["drains"].get("stream_windowed_daily")
     if base:
         out["drain_events_per_sec"] = int(n_events / base)
+    # transformWithStateInPandas drain (not a registry query — streaming
+    # state isn't SQL-expressible, and the per-batch emission order is
+    # run-dependent): per-user running top-3 via typed ListState on the
+    # RocksDB provider, the Spark-4 stateful-processor path un-gated by
+    # the vendored protobuf runtime (NOTES round-10 item 12). Recorded so
+    # a regression in the shim/TWS hot path (one StateServer round-trip
+    # per state op per key per batch) shows up per round.
+    try:
+        from pyspark.sql import functions as F
+
+        from ranger_spark.queries.streaming_q import _event_stream
+        from ranger_spark.streaming.stateful import topk_per_key
+
+        for q in spark.streams.active:
+            if q.name == "bench_tws_topk":
+                q.stop()
+        src = _event_stream(spark, sf_dir).select("user_id", "value")
+        t0 = time.time()
+        q = (
+            topk_per_key(src, k=3)
+            .writeStream.format("memory")
+            .queryName("bench_tws_topk")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(600)
+        finally:
+            q.stop()
+        wall = round(time.time() - t0, 3)
+        out["drains"]["tws_topk_liststate"] = wall
+        out["tws_events_per_sec"] = int(n_events / wall)
+        spark.sql("DROP TABLE IF EXISTS bench_tws_topk")
+    except Exception as e:  # pragma: no cover - capability drift
+        out["drains"]["tws_topk_liststate"] = f"error: {str(e)[:200]}"
     return out
 
 
