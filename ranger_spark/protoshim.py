@@ -68,3 +68,55 @@ def ensure_protobuf() -> str:
     importlib.invalidate_caches()
     _state = "shim"
     return _state
+
+
+_shipped_contexts: set[int] = set()
+
+
+def ensure_protobuf_on_workers(spark) -> str:
+    """Make ``google.protobuf`` importable in Spark's PYTHON WORKERS too.
+
+    The PYTHONPATH export in :func:`ensure_protobuf` only reaches workers
+    when the JVM starts AFTER it ran (ranger_spark.session.get_spark
+    guarantees that). A session created elsewhere — the driver harness
+    builds a plain ``SparkSession`` before importing this repo — has
+    already frozen the JVM environment, so the shim is shipped the way
+    any runtime dependency is shipped to workers: zipped once and
+    ``addPyFile``-ed (workers prepend submitted pyFiles to sys.path at
+    startup). Idempotent per SparkContext. Returns the active mode.
+    """
+    mode = ensure_protobuf()
+    if mode != "shim":
+        return mode
+    sc = spark.sparkContext
+    # Python workers get their PYTHONPATH from the *UDF's* envVars
+    # (pyspark reads sc.environment live at UDF creation —
+    # _prepare_for_python_RDD), which the JVM worker factory merges into
+    # the spawned interpreter's environment. This is what reaches the
+    # transformWithState DRIVER worker (StreamingPythonRunner), which
+    # does not process submitted pyFiles. Driver-node path: fine — that
+    # worker always runs where this repo lives.
+    pp = sc.environment.get("PYTHONPATH", "")
+    if SHIM_DIR not in pp.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            SHIM_DIR + (os.pathsep + pp if pp else "")
+        )
+    key = id(sc)
+    if key in _shipped_contexts:
+        return mode
+    import zipfile
+
+    zip_path = "/tmp/ranger_protoshim_google.zip"
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".part"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(os.path.join(SHIM_DIR, "google")):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    zf.write(full, os.path.relpath(full, SHIM_DIR))
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    _shipped_contexts.add(key)
+    return mode

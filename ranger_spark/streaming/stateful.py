@@ -17,6 +17,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ranger_spark.protoshim import ensure_protobuf_on_workers
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -134,6 +136,10 @@ def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # ship the vendored protobuf runtime to Python workers when no
+        # real one exists (no-op otherwise / once shipped) — required
+        # for sessions whose JVM started before ranger_spark imported
+        ensure_protobuf_on_workers(active)
 
     out_schema = StructType(
         [
@@ -210,6 +216,10 @@ def value_histogram_per_key(events: DataFrame, bucket_width: float = 5.0) -> Dat
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # ship the vendored protobuf runtime to Python workers when no
+        # real one exists (no-op otherwise / once shipped) — required
+        # for sessions whose JVM started before ranger_spark imported
+        ensure_protobuf_on_workers(active)
 
     out_schema = StructType(
         [
@@ -314,6 +324,10 @@ def inactivity_flush_per_key(events: DataFrame, idle_ms: int = 2000) -> DataFram
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # ship the vendored protobuf runtime to Python workers when no
+        # real one exists (no-op otherwise / once shipped) — required
+        # for sessions whose JVM started before ranger_spark imported
+        ensure_protobuf_on_workers(active)
 
     out_schema = StructType(
         [
