@@ -177,3 +177,57 @@ def test_shim_is_path_scoped():
 
     assert gp.__file__.startswith(SHIM_DIR)
     assert "ranger-shim" in gp.__version__
+
+
+# ---------------------------------------------------------------------------
+# property-based round-trips (hypothesis)
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    int32s = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    blobs = st.binary(max_size=64)
+    texts = st.text(max_size=32)
+
+    @settings(max_examples=200, deadline=None)
+    @given(code=int32s, msg=texts, vals=st.lists(blobs, max_size=8), more=st.booleans())
+    def test_prop_list_get_roundtrip(code, msg, vals, more):
+        m = sm.StateResponseWithListGet(
+            statusCode=code, errorMessage=msg, value=vals, requireNextFetch=more
+        )
+        r = sm.StateResponseWithListGet()
+        r.ParseFromString(m.SerializeToString())
+        assert r.statusCode == code
+        assert r.errorMessage == msg
+        assert list(r.value) == vals
+        assert r.requireNextFetch == more
+        # serialization is canonical: re-serializing the parse is identical
+        assert r.SerializeToString() == m.SerializeToString()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        timers=st.lists(
+            st.tuples(st.one_of(st.none(), blobs), int64s), max_size=6
+        )
+    )
+    def test_prop_timer_roundtrip(timers):
+        m = sm.StateResponseWithTimer()
+        for key, ts in timers:
+            if key is None:
+                m.timer.add(timestampMs=ts)
+            else:
+                m.timer.add(key=key, timestampMs=ts)
+        r = sm.StateResponseWithTimer()
+        r.ParseFromString(m.SerializeToString())
+        got = [
+            (t.key if t.HasField("key") else None, t.timestampMs)
+            for t in r.timer
+        ]
+        assert got == timers
