@@ -30,16 +30,18 @@ from pyspark.sql import types as pst
 _CRLF = b"\r\n"
 
 
-def parse_warc_bytes(buf: bytes) -> list[dict]:
-    """Walk one WARC file's bytes; returns one dict per record with
-    rec_index, rec_type, content_length, payload_md5, header_count.
-    Raises ValueError on malformed version lines / truncated payloads —
-    a corrupt archive should fail loudly, not truncate silently."""
+def walk_warc_records(buf: bytes):
+    """Yield ``(version, headers, payload)`` per record of one WARC
+    file's bytes (headers lower-cased; payload raw bytes). Raises
+    ValueError on malformed version lines / truncated payloads — a
+    corrupt archive should fail loudly, not truncate silently. This is
+    the single walker behind both the metadata operator
+    (:func:`parse_warc_bytes`) and the first-class ``warc`` Python data
+    source (sources/warc_datasource.py)."""
     import gzip
 
     if buf[:2] == b"\x1f\x8b":  # gzip'd archive (per-record members cat)
         buf = gzip.decompress(buf)
-    out: list[dict] = []
     pos, n, idx = 0, len(buf), 0
     while pos < n:
         # tolerate inter-record padding of extra CRLFs
@@ -78,18 +80,26 @@ def parse_warc_bytes(buf: bytes) -> list[dict]:
             )
         payload = buf[pos : pos + clen]
         pos += clen
+        yield version, headers, payload
+        idx += 1
+
+
+def parse_warc_bytes(buf: bytes) -> list[dict]:
+    """Walk one WARC file's bytes; returns one dict per record with
+    rec_index, rec_type, content_length, payload_md5, header_count."""
+    out: list[dict] = []
+    for idx, (version, headers, payload) in enumerate(walk_warc_records(buf)):
         out.append(
             {
                 "rec_index": idx,
                 "version": version,
                 "rec_type": headers.get("warc-type", ""),
                 "record_id": headers.get("warc-record-id", ""),
-                "content_length": clen,
+                "content_length": len(payload),
                 "payload_md5": hashlib.md5(payload).hexdigest(),
                 "header_count": len(headers),
             }
         )
-        idx += 1
     return out
 
 

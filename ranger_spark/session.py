@@ -111,4 +111,12 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # first-class Python data sources (spark.read.format("warc"));
+    # registration is driver-side metadata — cheap and idempotent
+    try:
+        from ranger_spark.sources.warc_datasource import register_warc_source
+
+        register_warc_source(spark)
+    except Exception:  # pragma: no cover - API absent on old runtimes
+        pass
     return spark

@@ -1,0 +1,282 @@
+"""First-class ``warc`` data source (Spark 4 Python DataSource API).
+
+Makes WARC archives (ISO 28500 — the Common Crawl container, the entry
+format of every web-scale LLM corpus) a native Spark format::
+
+    spark.dataSource.register(WarcDataSource)       # or session.get_spark
+    df = spark.read.format("warc").load("/data/crawl/*.warc.gz")
+    stream = spark.readStream.format("warc").load("/landing/warc/")
+    df.write.format("warc").mode("append").save("/out/shards")
+
+versus the operator-level ``parse_warc_records`` (operators/warc.py,
+which takes payloads already in a DataFrame column). As a DataSource the
+archive walk gets Spark's full source contract:
+
+- **partitioning**: one input partition per archive file — Common Crawl
+  ships ~1 GB gzip'd segments, and per-record gzip members make the
+  file the natural split unit (same policy as Spark's own binaryFile /
+  non-splittable-codec text). A 100 TB crawl is ~100k files → ~100k
+  tasks, well past any cluster's slot count, so file granularity is not
+  a parallelism limit.
+- **filter pushdown**: ``rec_type``/``version``/``path`` equality (and
+  IN/IsNotNull) are evaluated inside the record walk before payload
+  rows are materialized — `WHERE rec_type = 'response'` (the standard
+  crawl-processing predicate: ~⅓ of records) never builds the request/
+  metadata rows. Remaining filters are returned to Spark unsupported.
+- **streaming**: a SimpleDataSourceStreamReader over the sorted file
+  listing — each micro-batch picks up newly-landed archives (offset =
+  files consumed), the landing-zone ingest shape. Replay between
+  offsets is deterministic because the listing is sorted and files are
+  immutable once landed.
+- **write**: a DataSourceWriter packing (rec_type, record_id,
+  target_uri, warc_date, payload) rows back into spec-compliant
+  ``.warc.gz`` shards, one per partition — so a cleaned corpus can be
+  re-exported in the same container it arrived in.
+
+Reference: the reference engine has no WARC support (SURVEY §2 north-star
+extension); format details from the public ISO 28500 / WARC 1.0 spec.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    In,
+    InputPartition,
+    IsNotNull,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("rec_index", IntegerType()),
+        StructField("version", StringType()),
+        StructField("rec_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_length", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+# columns a pushed equality/IN filter can prune inside the walk without
+# touching payload materialization
+_PUSHABLE = {"path", "rec_type", "version", "record_id", "target_uri"}
+
+
+def _list_warc_files(path: str) -> list[str]:
+    """Resolve a file / directory / glob option into a sorted file list."""
+    if os.path.isdir(path):
+        pats = [os.path.join(path, "*.warc"), os.path.join(path, "*.warc.gz")]
+        files = [f for p in pats for f in _glob.glob(p)]
+    else:
+        files = _glob.glob(path)
+    return sorted(f for f in files if os.path.isfile(f))
+
+
+def _record_rows(path: str, predicate) -> Iterator[tuple]:
+    from ranger_spark.operators.warc import walk_warc_records
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    for idx, (version, headers, payload) in enumerate(walk_warc_records(buf)):
+        row = (
+            path,
+            idx,
+            version,
+            headers.get("warc-type", ""),
+            headers.get("warc-record-id", ""),
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            len(payload),
+            payload,
+        )
+        if predicate(row):
+            yield row
+
+
+def _compile_pushed(pushed: list) -> "callable":
+    """Compile supported pushed filters into one row predicate.
+
+    Works on the pre-materialized tuple (column order of SCHEMA), so a
+    rejected record costs only the header walk — its payload row never
+    reaches Spark.
+    """
+    if not pushed:
+        return lambda row: True
+    idx = {f.name: i for i, f in enumerate(SCHEMA.fields)}
+    checks = []
+    for flt in pushed:
+        col = idx[flt.attribute[0]]
+        if isinstance(flt, EqualTo):
+            checks.append(lambda row, c=col, v=flt.value: row[c] == v)
+        elif isinstance(flt, In):
+            checks.append(lambda row, c=col, v=set(flt.value): row[c] in v)
+        elif isinstance(flt, IsNotNull):
+            checks.append(lambda row, c=col: row[c] is not None)
+    return lambda row: all(ch(row) for ch in checks)
+
+
+@dataclass
+class WarcFilePartition(InputPartition):
+    path: str
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warc source requires a path, e.g. "
+                             ".load('/dir-or-glob')")
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        for flt in filters:
+            if (
+                isinstance(flt, (EqualTo, In, IsNotNull))
+                and len(flt.attribute) == 1
+                and flt.attribute[0] in _PUSHABLE
+            ):
+                self._pushed.append(flt)
+            else:
+                yield flt  # unsupported → Spark re-applies it
+
+    def partitions(self):
+        files = _list_warc_files(self._path)
+        if not files:
+            raise FileNotFoundError(f"no .warc/.warc.gz files match {self._path}")
+        return [WarcFilePartition(p) for p in files]
+
+    def read(self, partition: WarcFilePartition):
+        return _record_rows(partition.path, _compile_pushed(self._pushed))
+
+
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """Landing-zone ingest: offset = count of (sorted) files consumed.
+
+    Archives are immutable once landed and listings are sorted, so
+    ``readBetweenOffsets`` replays deterministically after restart.
+    """
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("warc stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def read(self, start: dict):
+        files = _list_warc_files(self._path)
+        lo = int(start["files"])
+        rows: list[tuple] = []
+        for p in files[lo:]:
+            rows.extend(_record_rows(p, lambda row: True))
+        return iter(rows), {"files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_warc_files(self._path)
+        for p in files[int(start["files"]):int(end["files"])]:
+            yield from _record_rows(p, lambda row: True)
+
+
+@dataclass
+class WarcCommitMessage(WriterCommitMessage):
+    file: str
+    records: int
+
+
+class WarcWriter(DataSourceWriter):
+    """Pack rows back into spec-compliant gzip'd WARC shards (one file
+    per non-empty partition — the shard layout every crawl pipeline
+    expects). Input rows need (rec_type, record_id, target_uri,
+    warc_date, payload); missing ids are minted as urn:uuid."""
+
+    def __init__(self, options, schema: StructType):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("warc writer requires a path directory")
+        self._cols = [f.name for f in schema.fields]
+
+    def write(self, it: Iterator) -> WarcCommitMessage:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        name = os.path.join(self._dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz")
+        n = 0
+        chunks: list[bytes] = []
+        for row in it:
+            d = row.asDict() if hasattr(row, "asDict") else dict(zip(self._cols, row))
+            payload = bytes(d.get("payload") or b"")
+            rec_id = d.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
+            headers = [
+                ("WARC-Type", d.get("rec_type") or "resource"),
+                ("WARC-Record-ID", rec_id),
+            ]
+            if d.get("target_uri"):
+                headers.append(("WARC-Target-URI", d["target_uri"]))
+            if d.get("warc_date"):
+                headers.append(("WARC-Date", d["warc_date"]))
+            headers.append(("Content-Length", str(len(payload))))
+            head = "WARC/1.0\r\n" + "".join(
+                f"{k}: {v}\r\n" for k, v in headers
+            ) + "\r\n"
+            chunks.append(head.encode("ascii") + payload + b"\r\n\r\n")
+            n += 1
+        if n == 0:
+            return WarcCommitMessage(file="", records=0)
+        with open(name, "wb") as f:
+            # one gzip member per record (the Common Crawl layout) so a
+            # future range reader can split on member boundaries
+            for ch in chunks:
+                f.write(gzip.compress(ch))
+        return WarcCommitMessage(file=name, records=n)
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> WarcReader:
+        return WarcReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WarcWriter:
+        return WarcWriter(self.options, schema)
+
+
+def register_warc_source(spark) -> None:
+    """Idempotent registration of the ``warc`` format on a session."""
+    # pushFilters requires the (off-by-default in 4.1) Python-source
+    # pushdown flag; without it Spark refuses any reader that implements
+    # the method. Runtime SQL conf — safe to set per-session.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(WarcDataSource)
