@@ -381,3 +381,114 @@ def inactivity_flush_per_key(events: DataFrame, idle_ms: int = 2000) -> DataFram
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def eventtime_session_flush_per_key(
+    events: DataFrame, gap_ms: int = 60_000
+) -> DataFrame:
+    """Custom event-time session windows via ``transformWithStateInPandas``
+    EVENT-TIME timers: a per-key session (start/end/count/sum in a
+    ``ValueState``) extends with each event; a timer re-armed at
+    ``session_end + gap_ms`` fires when the WATERMARK passes it —
+    deterministic, data-driven expiry (unlike the processing-time flush
+    ``inactivity_flush_per_key``). The custom-operator shape exists for
+    session semantics the built-in ``session_window`` can't express —
+    here each flushed session carries its event-time bounds AND a
+    value-weighted mean only computable inside the session's state.
+
+    Protocol note: completes the timer matrix for the vendored protobuf
+    runtime — ``timeMode="EventTime"`` drives
+    ``TimerRequest.getWatermark`` (the one surface the ProcessingTime
+    operators never touch) against the JVM StateServer.
+
+    Expects a STREAMING DataFrame with columns ``user_id`` (long),
+    ``ts`` (timestamp, watermarked by the caller) and ``value``
+    (double). Output: one row per closed session
+    (user_id, session_start_ms, session_end_ms, cnt, mean_value).
+    """
+    if not _tws_available():  # pragma: no cover - gated by runtime
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0"
+        )
+    from pyspark.sql import SparkSession
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # column-families requirement — see topk_per_key
+        active.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        # ship the vendored protobuf runtime to Python workers when no
+        # real one exists (no-op otherwise / once shipped)
+        ensure_protobuf_on_workers(active)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("cnt", LongType()),
+            StructField("mean_value", DoubleType()),
+        ]
+    )
+
+    class Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms long, end_ms long, cnt long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            # rows below the watermark were already dropped by Spark;
+            # getCurrentWatermarkInMs() is the session-closing clock
+            if self._sess.exists():
+                start, end, cnt, total = self._sess.get()
+            else:
+                start, end, cnt, total = None, None, 0, 0.0
+            for pdf in rows:
+                for ts_ms, v in zip(
+                    (pdf["ts"].astype("int64") // 1_000_000),
+                    pdf["value"],
+                ):
+                    ts_ms = int(ts_ms)
+                    start = ts_ms if start is None else min(start, ts_ms)
+                    end = ts_ms if end is None else max(end, ts_ms)
+                    cnt += 1
+                    total += float(v)
+            if cnt:
+                self._sess.update((start, end, cnt, float(total)))
+                for t in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(end + gap_ms)
+            return iter([])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, end, cnt, total = self._sess.get()
+                self._sess.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start_ms": [start],
+                        "session_end_ms": [end],
+                        "cnt": [cnt],
+                        "mean_value": [total / cnt],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Sessions(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

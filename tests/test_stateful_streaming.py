@@ -209,3 +209,46 @@ def test_inactivity_flush_per_key_tws(spark):
     assert agg[1] == (2, 15.0)
     assert agg[2] == (2, 5.0)
     assert all(r.flushed_at_ms > 0 for r in spark.table("tws_flush").collect())
+
+
+def test_eventtime_session_flush_per_key_tws(spark):
+    from pyspark.sql import functions as F
+
+    from ranger_spark.streaming.stateful import eventtime_session_flush_per_key
+
+    tmp = Path(tempfile.mkdtemp(prefix="tws_etsess_"))
+    # batch 0: user 1 has a tight session at t=100..160s; user 2 at 130s
+    with open(tmp / "b0.json", "w") as f:
+        for u, v, t in [(1, 10.0, 100), (1, 20.0, 160), (2, 5.0, 130)]:
+            f.write(json.dumps({"user_id": u, "value": v, "ts_s": t}) + "\n")
+    # batch 1: a much later event (t=10000s) advances the watermark far
+    # past every session's end+gap → deterministic event-time expiry
+    with open(tmp / "b1.json", "w") as f:
+        f.write(json.dumps({"user_id": 3, "value": 1.0, "ts_s": 10_000}) + "\n")
+    schema = "user_id long, value double, ts_s long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp))
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", "value")
+    )
+    out = eventtime_session_flush_per_key(stream, gap_ms=60_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_etsess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in spark.table("tws_etsess").collect()}
+    # users 1 and 2 flushed by the watermark advance; user 3's session
+    # is still open when the drain ends (no later watermark) → absent
+    assert set(rows) == {1, 2}
+    assert rows[1].session_start_ms == 100_000
+    assert rows[1].session_end_ms == 160_000
+    assert rows[1].cnt == 2 and rows[1].mean_value == 15.0
+    assert rows[2].cnt == 1 and rows[2].mean_value == 5.0
+    assert rows[2].session_start_ms == rows[2].session_end_ms == 130_000
