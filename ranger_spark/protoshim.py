@@ -104,18 +104,27 @@ def ensure_protobuf_on_workers(spark) -> str:
     key = id(sc)
     if key in _shipped_contexts:
         return mode
+    import hashlib
     import zipfile
 
-    zip_path = "/tmp/ranger_protoshim_google.zip"
+    sources = sorted(
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(os.path.join(SHIM_DIR, "google"))
+        for fn in files
+        if fn.endswith(".py")
+    )
+    digest = hashlib.sha256()
+    for full in sources:
+        with open(full, "rb") as f:
+            digest.update(f.read())
+    # content-addressed name: a shim source change can never ship a
+    # stale cached zip (and addPyFile dedupes by file name per context)
+    zip_path = f"/tmp/ranger_protoshim_google_{digest.hexdigest()[:12]}.zip"
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".part"
+        tmp = f"{zip_path}.{os.getpid()}.part"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(os.path.join(SHIM_DIR, "google")):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    zf.write(full, os.path.relpath(full, SHIM_DIR))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, SHIM_DIR))
         os.replace(tmp, zip_path)
     sc.addPyFile(zip_path)
     _shipped_contexts.add(key)
