@@ -28,17 +28,19 @@ from ranger_spark.queries import load_all  # noqa: E402
 # driver-certified; VERDICT r9 item 4 asked for exactly these), then
 # stalest-first (the r5 cohort: outer joins, window families, TPC-H
 # likes, simhash/ngram dedup, ...). Note the moving-window arithmetic:
-# with 240 queries and a ~50-slot window, entries certified 2+ rounds
-# ago always number >= 240 - 2*50 = 140 — that is the structural floor,
+# with 241 queries and a ~50-slot window, entries certified 2+ rounds
+# ago always number >= 241 - 2*50 = 141 — that is the structural floor,
 # reached when consecutive fronts never overlap (they don't here).
 _FRONT_R10 = (
     "multimodal_flac_audio_stats",
     "multimodal_h264_keyframe_sample",
     "multimodal_mp3_stream_meta",
     # registered mid-r10 (transformWithStateInPandas un-gated by the
-    # vendored protobuf runtime — NOTES round-10 item 12); never
-    # driver-certified, so it leads with the other never-certified 3
+    # vendored protobuf runtime + the first-class warc data source —
+    # NOTES round-10 items 12-14); never driver-certified, so they
+    # lead with the other never-certified 3
     "stream_tws_value_histogram",
+    "warc_source_roundtrip",
     "contamination_check",
     "dedup_embedding_cosine",
     "dedup_exact",

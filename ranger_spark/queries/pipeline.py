@@ -6829,3 +6829,82 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count("jaccard").cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "warc_source_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+               AS content_length,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    tags=("multimodal", "warc", "datasource"),
+)
+def warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-class ``warc`` Python DataSource end-to-end UNDER THE
+    ORACLE GATE: every document is packed into gzip'd WARC shards by
+    the format's WRITER (sources/warc_datasource.py — per-record gzip
+    members, minted headers), read back by its READER (per-file
+    partitions, Arrow batches, rec_type pushdown), and the extracted
+    (uri → doc_id, byte length, payload md5) must hash-match DuckDB
+    computing the same from the source table. A framing bug on either
+    side of the container round-trip — header packing, Content-Length,
+    gzip member walk, payload slicing — fails the driver gate.
+
+    Determinism: output excludes path/rec_index (shard packing varies
+    with partitioning; the record SET does not), md5/byte-length are
+    engine-independent on UTF-8 bytes, and the shard directory is
+    content-addressed by (sf_dir, row count) with an atomic rename so
+    reruns reuse — never duplicate — the export.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ranger_spark.sources.warc_datasource import register_warc_source
+
+    # the driver gate builds its own plain SparkSession — make the
+    # format available there too (idempotent, driver-side metadata)
+    register_warc_source(spark)
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    tag = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{n}|v1".encode()).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), f"ranger_warc_rt_{tag}")
+    if not os.path.isdir(final):
+        work = tempfile.mkdtemp(prefix=f"ranger_warc_rt_{tag}_part_")
+        (
+            d.select(
+                F.lit("resource").alias("rec_type"),
+                F.concat(
+                    F.lit("<urn:ranger:doc:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(">"),
+                ).alias("record_id"),
+                F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+                    "target_uri"
+                ),
+                F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+                F.encode(F.col("text"), "utf-8").alias("payload"),
+            )
+            .repartition(4)
+            .write.format("warc")
+            .mode("append")
+            .save(work)
+        )
+        try:
+            os.rename(work, final)  # atomic: concurrent/crashed runs lose
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.read.format("warc")
+        .load(final)
+        .filter(F.col("rec_type") == "resource")  # pushed into the walk
+        .select(
+            F.expr("CAST(substring(target_uri, 7) AS BIGINT)").alias("doc_id"),
+            F.col("content_length"),
+            F.md5(F.col("payload")).alias("payload_md5"),
+        )
+    )
