@@ -49,6 +49,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     In,
@@ -307,6 +308,34 @@ class WarcWriter(DataSourceWriter):
         return WarcCommitMessage(file=name, records=n)
 
 
+class WarcStreamWriter(DataSourceStreamWriter):
+    """Streaming WARC export: each micro-batch partition becomes one
+    ``part-<batch>-<partition>-*.warc.gz`` shard (same packing as the
+    batch writer). Failed batches leave only uncommitted shards behind,
+    which ``abort`` removes — at-least-once by shard, exactly-once for
+    readers that key on (record_id) like every crawl consumer does."""
+
+    def __init__(self, options, schema: StructType):
+        self._inner = WarcWriter(options, schema)
+        self._dir = self._inner._dir
+
+    def write(self, it: Iterator) -> WarcCommitMessage:
+        return self._inner.write(it)
+
+    def commit(self, messages, batchId: int) -> None:
+        # shards are self-contained; commit is the no-op of an
+        # append-only landing zone (offsets live in the query checkpoint)
+        return None
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "file", ""):
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -323,6 +352,9 @@ class WarcDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> WarcWriter:
         return WarcWriter(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> WarcStreamWriter:
+        return WarcStreamWriter(self.options, schema)
 
 
 def register_warc_source(spark) -> None:

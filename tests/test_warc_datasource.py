@@ -141,3 +141,25 @@ def test_no_files_errors(spark):
     empty = tempfile.mkdtemp(prefix="warc_empty_")
     with pytest.raises(Exception, match="no .warc"):
         spark.read.format("warc").load(empty).collect()
+
+
+def test_stream_to_stream_warc_relay(spark, warc_dir):
+    """readStream warc → writeStream warc: the landing-zone relay shape
+    (filter a crawl while it lands, re-export in the same container)."""
+    out = tempfile.mkdtemp(prefix="warc_relay_")
+    ckpt = tempfile.mkdtemp(prefix="warc_relay_ckpt_")
+    q = (
+        spark.readStream.format("warc").load(warc_dir)
+        .filter("rec_type = 'response'")
+        .select("rec_type", "record_id", "target_uri", "warc_date", "payload")
+        .writeStream.format("warc")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.format("warc").load(out)
+    rows = back.orderBy("content_length").collect()
+    assert [r.payload for r in rows] == [b"hello", b"world!"]
+    assert all(r.rec_type == "response" for r in rows)
