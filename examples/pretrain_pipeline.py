@@ -41,7 +41,36 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 def main() -> None:
     spark = get_spark("pretrain_pipeline", cpus=8)
-    docs = load(spark, SF, "documents")
+
+    # 0. ingest from the crawl container: pack the corpus into gzip'd
+    #    WARC shards once (the layout a real crawl lands in), then read
+    #    them back through the first-class `warc` source — rec_type
+    #    pushdown, per-file partitions, Arrow batches
+    #    (sources/warc_datasource.py)
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    landing = tempfile.mkdtemp(prefix="pretrain_warc_")
+    (
+        load(spark, SF, "documents")
+        .select(
+            _F.lit("resource").alias("rec_type"),
+            _F.concat(_F.lit("<urn:doc:"), "doc_id", _F.lit(">")).alias("record_id"),
+            _F.concat(_F.lit("doc://"), "doc_id").alias("target_uri"),
+            _F.lit("").alias("warc_date"),
+            _F.encode("text", "utf-8").alias("payload"),
+        )
+        .write.format("warc").mode("append").save(landing)
+    )
+    docs = (
+        spark.read.format("warc").load(landing)
+        .filter(_F.col("rec_type") == "resource")
+        .select(
+            _F.expr("CAST(substring(target_uri, 7) AS BIGINT)").alias("doc_id"),
+            _F.decode("payload", "utf-8").alias("text"),
+        )
+    )
     n0 = docs.count()
 
     # 1. exact dedup: 16-byte digest shuffle, keep one doc per digest
