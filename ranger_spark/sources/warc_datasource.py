@@ -77,13 +77,33 @@ SCHEMA = StructType(
         StructField("target_uri", StringType()),
         StructField("warc_date", StringType()),
         StructField("content_length", LongType()),
+        StructField("http_status", IntegerType()),
         StructField("payload", BinaryType()),
     ]
 )
 
+
+def _split_http(payload: bytes):
+    """Common Crawl response records carry the raw HTTP message; split
+    status + body (``strip_http_headers`` option). Returns
+    (status | None, body) — non-HTTP payloads pass through unchanged."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, payload
+    head = payload[:sep]
+    line = head.split(b"\r\n", 1)[0]
+    parts = line.split()
+    status = None
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    return status, payload[sep + 4:]
+
 # columns a pushed equality/IN filter can prune inside the walk without
 # touching payload materialization
-_PUSHABLE = {"path", "rec_type", "version", "record_id", "target_uri"}
+_PUSHABLE = {"path", "rec_type", "version", "record_id", "target_uri",
+             "http_status"}
 
 
 def _list_warc_files(path: str) -> list[str]:
@@ -96,12 +116,15 @@ def _list_warc_files(path: str) -> list[str]:
     return sorted(f for f in files if os.path.isfile(f))
 
 
-def _record_rows(path: str, predicate) -> Iterator[tuple]:
+def _record_rows(path: str, predicate, strip_http: bool = False) -> Iterator[tuple]:
     from ranger_spark.operators.warc import walk_warc_records
 
     with open(path, "rb") as f:
         buf = f.read()
     for idx, (version, headers, payload) in enumerate(walk_warc_records(buf)):
+        status = None
+        if strip_http:
+            status, payload = _split_http(payload)
         row = (
             path,
             idx,
@@ -111,6 +134,7 @@ def _record_rows(path: str, predicate) -> Iterator[tuple]:
             headers.get("warc-target-uri", ""),
             headers.get("warc-date", ""),
             len(payload),
+            status,
             payload,
         )
         if predicate(row):
@@ -139,13 +163,14 @@ def _arrow_schema():
                 ("target_uri", pa.string()),
                 ("warc_date", pa.string()),
                 ("content_length", pa.int64()),
+                ("http_status", pa.int32()),
                 ("payload", pa.binary()),
             ]
         )
     return _ARROW_TYPES
 
 
-def _record_batches(path: str, predicate):
+def _record_batches(path: str, predicate, strip_http: bool = False):
     """Arrow-native read path: rows cross the Python→JVM boundary as
     RecordBatches (zero per-row pickling — the same reason the repo's
     operators are mapInPandas, applied to the source contract)."""
@@ -153,7 +178,7 @@ def _record_batches(path: str, predicate):
 
     schema = _arrow_schema()
     pend: list[tuple] = []
-    for row in _record_rows(path, predicate):
+    for row in _record_rows(path, predicate, strip_http):
         pend.append(row)
         if len(pend) >= _ARROW_BATCH_ROWS:
             yield pa.RecordBatch.from_arrays(
@@ -202,6 +227,9 @@ class WarcReader(DataSourceReader):
         if not self._path:
             raise ValueError("warc source requires a path, e.g. "
                              ".load('/dir-or-glob')")
+        self._strip_http = str(
+            options.get("strip_http_headers", "false")
+        ).lower() == "true"
         self._pushed: list = []
 
     def pushFilters(self, filters):
@@ -222,7 +250,9 @@ class WarcReader(DataSourceReader):
         return [WarcFilePartition(p) for p in files]
 
     def read(self, partition: WarcFilePartition):
-        return _record_batches(partition.path, _compile_pushed(self._pushed))
+        return _record_batches(
+            partition.path, _compile_pushed(self._pushed), self._strip_http
+        )
 
 
 class WarcStreamReader(SimpleDataSourceStreamReader):
@@ -236,6 +266,9 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("warc stream requires a path")
+        self._strip_http = str(
+            options.get("strip_http_headers", "false")
+        ).lower() == "true"
 
     def initialOffset(self) -> dict:
         return {"files": 0}
@@ -245,13 +278,13 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         lo = int(start["files"])
         rows: list[tuple] = []
         for p in files[lo:]:
-            rows.extend(_record_rows(p, lambda row: True))
+            rows.extend(_record_rows(p, lambda row: True, self._strip_http))
         return iter(rows), {"files": len(files)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = _list_warc_files(self._path)
         for p in files[int(start["files"]):int(end["files"])]:
-            yield from _record_rows(p, lambda row: True)
+            yield from _record_rows(p, lambda row: True, self._strip_http)
 
 
 @dataclass

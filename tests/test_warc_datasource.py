@@ -163,3 +163,68 @@ def test_stream_to_stream_warc_relay(spark, warc_dir):
     rows = back.orderBy("content_length").collect()
     assert [r.payload for r in rows] == [b"hello", b"world!"]
     assert all(r.rec_type == "response" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# property-based: build→walk round-trip over random archives
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _recs = st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata", "resource"]),
+            st.binary(max_size=200),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(recs=_recs, gz=st.booleans())
+    def test_prop_walk_roundtrip(recs, gz):
+        from ranger_spark.operators.warc import walk_warc_records
+
+        buf = b"".join(_rec(t, p) for t, p in recs)
+        if gz:
+            buf = gzip.compress(buf)
+        got = [
+            (h.get("warc-type"), p) for _v, h, p in walk_warc_records(buf)
+        ]
+        assert got == recs
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_strip_http_headers_option(spark):
+    tmp = tempfile.mkdtemp(prefix="warc_http_")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+    )
+    with open(os.path.join(tmp, "c.warc"), "wb") as f:
+        f.write(_rec("response", http, "http://x/h") + _rec("resource", b"raw"))
+    df = (
+        spark.read.format("warc")
+        .option("strip_http_headers", "true")
+        .load(tmp)
+        .orderBy("rec_index")
+    )
+    rows = df.collect()
+    assert rows[0].http_status == 200
+    assert rows[0].payload == b"<html>hi</html>"
+    assert rows[0].content_length == len(b"<html>hi</html>")
+    # non-HTTP payloads pass through with null status
+    assert rows[1].http_status is None and rows[1].payload == b"raw"
+    # status is pushable: 200-only filter prunes inside the walk
+    ok = (
+        spark.read.format("warc")
+        .option("strip_http_headers", "true")
+        .load(tmp)
+        .filter("http_status = 200")
+        .collect()
+    )
+    assert len(ok) == 1 and ok[0].target_uri == "http://x/h"
+    # without the option the raw HTTP bytes are untouched
+    raw = spark.read.format("warc").load(tmp).orderBy("rec_index").collect()
+    assert raw[0].payload == http and raw[0].http_status is None
