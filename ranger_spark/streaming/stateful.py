@@ -91,6 +91,32 @@ def _tws_available() -> bool:
         return False
 
 
+def _prepare_tws_session() -> None:
+    """Session prep shared by every transformWithState operator:
+
+    - transformWithState keeps each state variable in its own column
+      family, which the default HDFSBackedStateStoreProvider cannot do
+      (queries fail at first batch with
+      STATE_STORE_MULTIPLE_COLUMN_FAMILIES). RocksDB is also the right
+      provider at scale (off-heap, incremental snapshot upload).
+      Flipping the session conf only affects queries STARTED afterwards.
+    - ships the vendored protobuf runtime to Python workers when no real
+      one exists (no-op otherwise / once shipped) — required for
+      sessions whose JVM started before ranger_spark imported.
+    """
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is None:
+        return
+    active.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ensure_protobuf_on_workers(active)
+
+
 def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
     """Streaming per-key running top-k values via Spark 4's
     ``transformWithStateInPandas`` — typed ListState instead of the
@@ -117,29 +143,12 @@ def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
         raise NotImplementedError(
             "transformWithStateInPandas requires pyspark >= 4.0"
         )
-    from pyspark.sql import SparkSession
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    # transformWithState keeps each state variable in its own column
-    # family, which the default HDFSBackedStateStoreProvider cannot do —
-    # queries fail at first batch with STATE_STORE_MULTIPLE_COLUMN_FAMILIES.
-    # RocksDB is also the right provider at scale (off-heap, incremental
-    # snapshot upload); flipping the session conf here only affects
-    # queries STARTED afterwards, never already-running streams.
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        # ship the vendored protobuf runtime to Python workers when no
-        # real one exists (no-op otherwise / once shipped) — required
-        # for sessions whose JVM started before ranger_spark imported
-        ensure_protobuf_on_workers(active)
+    _prepare_tws_session()
 
     out_schema = StructType(
         [
@@ -201,25 +210,12 @@ def value_histogram_per_key(events: DataFrame, bucket_width: float = 5.0) -> Dat
         raise NotImplementedError(
             "transformWithStateInPandas requires pyspark >= 4.0"
         )
-    from pyspark.sql import SparkSession
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        # transformWithState needs column families → RocksDB provider
-        # (see topk_per_key).
-        active.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        # ship the vendored protobuf runtime to Python workers when no
-        # real one exists (no-op otherwise / once shipped) — required
-        # for sessions whose JVM started before ranger_spark imported
-        ensure_protobuf_on_workers(active)
+    _prepare_tws_session()
 
     out_schema = StructType(
         [
@@ -310,24 +306,12 @@ def inactivity_flush_per_key(events: DataFrame, idle_ms: int = 2000) -> DataFram
         raise NotImplementedError(
             "transformWithStateInPandas requires pyspark >= 4.0"
         )
-    from pyspark.sql import SparkSession
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        # column-families requirement — see topk_per_key
-        active.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        # ship the vendored protobuf runtime to Python workers when no
-        # real one exists (no-op otherwise / once shipped) — required
-        # for sessions whose JVM started before ranger_spark imported
-        ensure_protobuf_on_workers(active)
+    _prepare_tws_session()
 
     out_schema = StructType(
         [
@@ -410,23 +394,12 @@ def eventtime_session_flush_per_key(
         raise NotImplementedError(
             "transformWithStateInPandas requires pyspark >= 4.0"
         )
-    from pyspark.sql import SparkSession
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        # column-families requirement — see topk_per_key
-        active.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        # ship the vendored protobuf runtime to Python workers when no
-        # real one exists (no-op otherwise / once shipped)
-        ensure_protobuf_on_workers(active)
+    _prepare_tws_session()
 
     out_schema = StructType(
         [
