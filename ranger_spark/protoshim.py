@@ -49,13 +49,14 @@ def ensure_protobuf() -> str:
         spec = importlib.util.find_spec("google.protobuf")
     except (ImportError, ModuleNotFoundError):
         spec = None
-    if spec is not None and SHIM_DIR not in (spec.submodule_search_locations or [""])[0]:
-        _state = "real"
-        return _state
     if spec is not None:
-        # the shim itself is already active (e.g. a worker process whose
-        # PYTHONPATH the driver exported)
-        _state = "shim"
+        locations = list(spec.submodule_search_locations or [])
+        if any(SHIM_DIR in loc for loc in locations):
+            # the shim itself is already active (e.g. a worker process
+            # whose PYTHONPATH the driver exported)
+            _state = "shim"
+        else:
+            _state = "real"
         return _state
     if SHIM_DIR not in sys.path:
         sys.path.insert(0, SHIM_DIR)

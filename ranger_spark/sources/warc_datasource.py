@@ -276,6 +276,12 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         files = _list_warc_files(self._path)
         lo = int(start["files"])
+        # materialized list, not a generator: pyspark pickles the batch
+        # into its prefetch cache for offset replay, so the rows must be
+        # picklable. This is the documented cost of the Simple reader —
+        # a deep first backlog should bound it by starting the query
+        # from a later checkpoint or pre-draining with the BATCH reader
+        # (per-file partitions), then streaming from the current offset.
         rows: list[tuple] = []
         for p in files[lo:]:
             rows.extend(_record_rows(p, lambda row: True, self._strip_http))
@@ -309,35 +315,39 @@ class WarcWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        os.makedirs(self._dir, exist_ok=True)
         name = os.path.join(self._dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz")
         n = 0
-        chunks: list[bytes] = []
-        for row in it:
-            d = row.asDict() if hasattr(row, "asDict") else dict(zip(self._cols, row))
-            payload = bytes(d.get("payload") or b"")
-            rec_id = d.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
-            headers = [
-                ("WARC-Type", d.get("rec_type") or "resource"),
-                ("WARC-Record-ID", rec_id),
-            ]
-            if d.get("target_uri"):
-                headers.append(("WARC-Target-URI", d["target_uri"]))
-            if d.get("warc_date"):
-                headers.append(("WARC-Date", d["warc_date"]))
-            headers.append(("Content-Length", str(len(payload))))
-            head = "WARC/1.0\r\n" + "".join(
-                f"{k}: {v}\r\n" for k, v in headers
-            ) + "\r\n"
-            chunks.append(head.encode("ascii") + payload + b"\r\n\r\n")
-            n += 1
+        f = None
+        try:
+            for row in it:
+                d = row.asDict() if hasattr(row, "asDict") else dict(zip(self._cols, row))
+                payload = bytes(d.get("payload") or b"")
+                rec_id = d.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
+                headers = [
+                    ("WARC-Type", d.get("rec_type") or "resource"),
+                    ("WARC-Record-ID", rec_id),
+                ]
+                if d.get("target_uri"):
+                    headers.append(("WARC-Target-URI", d["target_uri"]))
+                if d.get("warc_date"):
+                    headers.append(("WARC-Date", d["warc_date"]))
+                headers.append(("Content-Length", str(len(payload))))
+                head = "WARC/1.0\r\n" + "".join(
+                    f"{k}: {v}\r\n" for k, v in headers
+                ) + "\r\n"
+                if f is None:  # lazy: empty partitions create no shard
+                    os.makedirs(self._dir, exist_ok=True)
+                    f = open(name, "wb")
+                # one gzip member per record (the Common Crawl layout) so
+                # a future range reader can split on member boundaries;
+                # streamed out as produced — the shard never sits in RAM
+                f.write(gzip.compress(head.encode("ascii") + payload + b"\r\n\r\n"))
+                n += 1
+        finally:
+            if f is not None:
+                f.close()
         if n == 0:
             return WarcCommitMessage(file="", records=0)
-        with open(name, "wb") as f:
-            # one gzip member per record (the Common Crawl layout) so a
-            # future range reader can split on member boundaries
-            for ch in chunks:
-                f.write(gzip.compress(ch))
         return WarcCommitMessage(file=name, records=n)
 
 
