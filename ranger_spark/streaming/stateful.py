@@ -117,13 +117,22 @@ def _prepare_tws_session() -> None:
     ensure_protobuf_on_workers(active)
 
 
-def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
+def topk_per_key(
+    events: DataFrame, k: int = 3, initial: DataFrame | None = None
+) -> DataFrame:
     """Streaming per-key running top-k values via Spark 4's
     ``transformWithStateInPandas`` — typed ListState instead of the
     single-row tuple state of ``applyInPandasWithState``, the operator
     shape for per-entity leaderboards / best-k retrieval caches. Emits
     the updated top-k rows (key, rank, value) every micro-batch. State
     is O(keys × k); keys hash-shard across executors.
+
+    ``initial`` (optional) warm-starts the state from a BATCH
+    DataFrame with the same (user_id, value) columns — e.g. the
+    historical leaderboard computed offline — via the API's
+    ``initialState`` / ``handleInitialState`` path: each key's initial
+    rows seed its ListState in the first micro-batch, before any
+    stream input for that key.
 
     Expects columns ``user_id`` (long) and ``value`` (double). Raises a
     clear capability error on runtimes without the API.
@@ -163,6 +172,12 @@ def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._top = handle.getListState("top", state_schema)
 
+        def handleInitialState(self, key, initialState, timerValues):
+            vals = sorted(
+                (float(v) for v in initialState["value"]), reverse=True
+            )[:k]
+            self._top.put([(v,) for v in vals])
+
         def handleInputRows(self, key, rows, timerValues):
             vals = [float(r) for (r,) in self._top.get()]
             for pdf in rows:
@@ -185,6 +200,7 @@ def topk_per_key(events: DataFrame, k: int = 3) -> DataFrame:
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
+        initialState=initial.groupBy("user_id") if initial is not None else None,
     )
 
 

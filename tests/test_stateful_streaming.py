@@ -252,3 +252,38 @@ def test_eventtime_session_flush_per_key_tws(spark):
     assert rows[1].cnt == 2 and rows[1].mean_value == 15.0
     assert rows[2].cnt == 1 and rows[2].mean_value == 5.0
     assert rows[2].session_start_ms == rows[2].session_end_ms == 130_000
+
+
+def test_topk_initial_state_warm_start(spark):
+    from ranger_spark.streaming.stateful import topk_per_key
+
+    tmp = Path(tempfile.mkdtemp(prefix="tws_init_"))
+    with open(tmp / "b0.json", "w") as f:
+        for u, v, t in [(1, 10.0, 1), (1, 60.0, 2), (3, 2.0, 3)]:
+            f.write(json.dumps({"user_id": u, "value": v, "ts_ns": t}) + "\n")
+    stream = spark.readStream.schema(SCHEMA).json(str(tmp))
+    # offline leaderboard: user 1 historically saw 100 and 50; user 2
+    # exists ONLY in the initial state (no stream input)
+    initial = spark.createDataFrame(
+        [(1, 100.0), (1, 50.0), (2, 7.0)], "user_id long, value double"
+    )
+    out = topk_per_key(stream, k=3, initial=initial)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_init")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = {}
+    for r in spark.table("tws_init").collect():
+        latest[(r.user_id, r.rank)] = r.value
+    # user 1: initial [100, 50] merged with stream [10, 60] → 100, 60, 50
+    assert latest[(1, 1)] == 100.0
+    assert latest[(1, 2)] == 60.0
+    assert latest[(1, 3)] == 50.0
+    # user 3 has no initial state: stream-only
+    assert latest[(3, 1)] == 2.0
+    # user 2 emits nothing in Update mode (state seeded, no input) but
+    # its seeded state must not corrupt others — covered by the above
