@@ -481,3 +481,72 @@ def eventtime_session_flush_per_key(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def rolling_total_with_ttl(events: DataFrame, ttl_ms: int = 30_000) -> DataFrame:
+    """Per-key rolling (count, sum) in a TTL'd ``ValueState``: state the
+    key hasn't refreshed within ``ttl_ms`` of processing time is expired
+    by the store itself — the operator shape for decaying per-entity
+    counters (rate limiting, freshness-bounded feature caches) where
+    forgetting is a STORE property instead of timer bookkeeping
+    (contrast ``inactivity_flush_per_key``, which needs explicit timers
+    because it must EMIT on expiry; TTL forgets silently).
+
+    Protocol note: exercises the StateMessage ``TTLConfig`` submessage
+    (state-variable creation carries the duration), completing the
+    vendored protobuf runtime's surface coverage against the JVM
+    StateServer.
+
+    Expects columns ``user_id`` (long) and ``value`` (double). Emits
+    (user_id, cnt, total) per key per batch — totals restart from zero
+    for keys whose state aged out between batches.
+    """
+    if not _tws_available():  # pragma: no cover - gated by runtime
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _prepare_tws_session()
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    class Rolling(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "cnt long, total double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                cnt, total = self._agg.get()
+            else:
+                cnt, total = 0, 0.0
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((cnt, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "cnt": [cnt], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # TTL ages against the batch's processing-time clock — with
+    # timeMode="None" there is no clock and state never expires
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Rolling(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

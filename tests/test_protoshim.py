@@ -231,3 +231,27 @@ if HAVE_HYP:
             for t in r.timer
         ]
         assert got == timers
+
+
+def test_lazy_submessage_mutation_adopts_into_parent():
+    """The generated-code pattern `parent.sub.field = x` must lazily
+    place the vivified submessage into the parent (pyspark's
+    get_value_state sets TTLConfig exactly this way — r10 session-2
+    found the shim dropping it silently, so TTL state never expired)."""
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "agg"
+    cmd.ttl.durationMs = 60000
+    r = sm.StateCallCommand()
+    r.ParseFromString(cmd.SerializeToString())
+    assert r.HasField("ttl") and r.ttl.durationMs == 60000
+    # two levels deep through a oneof
+    req = sm.StateRequest()
+    req.statefulProcessorCall.setHandleState.state = sm.CLOSED
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+    rt = sm.StateRequest()
+    rt.ParseFromString(req.SerializeToString())
+    assert rt.statefulProcessorCall.setHandleState.state == sm.CLOSED
+    # repeated add on a vivified child adopts too
+    t = sm.StateResponseWithTimer()
+    t.timer.add(timestampMs=5)
+    assert t.SerializeToString() != b""

@@ -287,3 +287,46 @@ def test_topk_initial_state_warm_start(spark):
     assert latest[(3, 1)] == 2.0
     # user 2 emits nothing in Update mode (state seeded, no input) but
     # its seeded state must not corrupt others — covered by the above
+
+
+def test_rolling_total_with_ttl_expires(spark):
+    import time
+
+    from ranger_spark.streaming.stateful import rolling_total_with_ttl
+
+    tmp = Path(tempfile.mkdtemp(prefix="tws_ttl_"))
+    with open(tmp / "b0.json", "w") as f:
+        for u, v, t in [(1, 10.0, 1), (1, 5.0, 2)]:
+            f.write(json.dumps({"user_id": u, "value": v, "ts_ns": t}) + "\n")
+    stream = spark.readStream.schema(SCHEMA).json(str(tmp))
+    out = rolling_total_with_ttl(stream, ttl_ms=2000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_ttl")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline and not rows:
+            rows = spark.table("tws_ttl").collect()
+            time.sleep(0.5)
+        assert rows and rows[0].cnt == 2 and rows[0].total == 15.0
+        # let the state age past its TTL (measured from the update we
+        # just OBSERVED, so >= 4s > 2s has provably elapsed on arrival)
+        time.sleep(4.0)
+        with open(tmp / "b1.json", "w") as f:
+            f.write(json.dumps({"user_id": 1, "value": 1.0, "ts_ns": 9}) + "\n")
+        final = None
+        while time.time() < deadline and final is None:
+            for r in spark.table("tws_ttl").collect():
+                if r.total == 1.0 or r.total == 16.0:
+                    final = r
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # TTL'd state must have been forgotten: the second batch restarts
+    # the counter instead of accumulating to (3, 16.0)
+    assert final is not None and final.cnt == 1 and final.total == 1.0
