@@ -54,7 +54,7 @@ def walk_warc_records(buf: bytes):
             raise ValueError(
                 f"record {idx}: expected WARC/ version line at byte {pos}"
             )
-        version = buf[pos:eol].decode("ascii", "replace")
+        version = buf[pos:eol].decode("utf-8", "replace")
         pos = eol + 2
         headers: dict[str, str] = {}
         while True:
@@ -66,8 +66,9 @@ def walk_warc_records(buf: bytes):
             if not line:
                 break  # blank line → payload follows
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("ascii", "replace").lower()] = (
-                v.strip().decode("ascii", "replace")
+            # WARC 1.0 header fields are UTF-8 (ISO 28500)
+            headers[k.strip().decode("utf-8", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
             )
         try:
             clen = int(headers["content-length"])

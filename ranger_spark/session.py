@@ -112,11 +112,15 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     # first-class Python data sources (spark.read.format("warc"));
-    # registration is driver-side metadata — cheap and idempotent
+    # registration is driver-side metadata — cheap and idempotent.
+    # Only the absence of the DataSource API (old runtimes: no
+    # pyspark.sql.datasource module / no spark.dataSource attribute) is
+    # tolerated; real registration failures must surface here, not as a
+    # later DATA_SOURCE_NOT_FOUND.
     try:
         from ranger_spark.sources.warc_datasource import register_warc_source
 
         register_warc_source(spark)
-    except Exception:  # pragma: no cover - API absent on old runtimes
+    except (ImportError, AttributeError):  # pragma: no cover - old runtimes
         pass
     return spark

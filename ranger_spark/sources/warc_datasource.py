@@ -23,15 +23,19 @@ archive walk gets Spark's full source contract:
   rows are materialized — `WHERE rec_type = 'response'` (the standard
   crawl-processing predicate: ~⅓ of records) never builds the request/
   metadata rows. Remaining filters are returned to Spark unsupported.
-- **streaming**: a SimpleDataSourceStreamReader over the sorted file
-  listing — each micro-batch picks up newly-landed archives (offset =
-  files consumed), the landing-zone ingest shape. Replay between
-  offsets is deterministic because the listing is sorted and files are
-  immutable once landed.
+- **streaming**: a SimpleDataSourceStreamReader over the landing-zone
+  listing — each micro-batch picks up newly-landed archives. The
+  offset carries the consumed file NAMES (a count over a sorted
+  listing would skip a late file sorting before consumed names and
+  duplicate the displaced tail); archives are immutable once landed,
+  so between-offset replay is deterministic.
 - **write**: a DataSourceWriter packing (rec_type, record_id,
   target_uri, warc_date, payload) rows back into spec-compliant
   ``.warc.gz`` shards, one per partition — so a cleaned corpus can be
-  re-exported in the same container it arrived in.
+  re-exported in the same container it arrived in. Shards stream to an
+  ``.inprogress`` temp invisible to the reader and publish by rename;
+  job abort removes already-published shards, so a failed write leaves
+  the directory as it found it.
 
 Reference: the reference engine has no WARC support (SURVEY §2 north-star
 extension); format details from the public ISO 28500 / WARC 1.0 spec.
@@ -256,10 +260,14 @@ class WarcReader(DataSourceReader):
 
 
 class WarcStreamReader(SimpleDataSourceStreamReader):
-    """Landing-zone ingest: offset = count of (sorted) files consumed.
-
-    Archives are immutable once landed and listings are sorted, so
-    ``readBetweenOffsets`` replays deterministically after restart.
+    """Landing-zone ingest: the offset carries the NAMES of consumed
+    files, not a count — a count over a sorted listing silently skips a
+    late-landing file that sorts before already-consumed names and
+    re-reads the displaced tail. Archives are immutable once landed, so
+    ``readBetweenOffsets`` (replay = exactly the names in ``end`` minus
+    ``start``) is deterministic after restart. The name list grows with
+    the landing zone; checkpoints hold it on the driver — bounded in
+    practice by retention/compaction of the zone itself.
     """
 
     def __init__(self, options):
@@ -271,26 +279,28 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         ).lower() == "true"
 
     def initialOffset(self) -> dict:
-        return {"files": 0}
+        return {"seen": []}
 
     def read(self, start: dict):
+        seen = set(start["seen"])
         files = _list_warc_files(self._path)
-        lo = int(start["files"])
+        new = [p for p in files if os.path.basename(p) not in seen]
         # materialized list, not a generator: pyspark pickles the batch
         # into its prefetch cache for offset replay, so the rows must be
-        # picklable. This is the documented cost of the Simple reader —
-        # a deep first backlog should bound it by starting the query
-        # from a later checkpoint or pre-draining with the BATCH reader
-        # (per-file partitions), then streaming from the current offset.
+        # picklable. A deep first backlog should be pre-drained with the
+        # BATCH reader (per-file partitions), then streamed from the
+        # current offset.
         rows: list[tuple] = []
-        for p in files[lo:]:
+        for p in new:
             rows.extend(_record_rows(p, lambda row: True, self._strip_http))
-        return iter(rows), {"files": len(files)}
+        end = {"seen": sorted(seen | {os.path.basename(p) for p in new})}
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = _list_warc_files(self._path)
-        for p in files[int(start["files"]):int(end["files"])]:
-            yield from _record_rows(p, lambda row: True, self._strip_http)
+        want = set(end["seen"]) - set(start["seen"])
+        for p in _list_warc_files(self._path):
+            if os.path.basename(p) in want:
+                yield from _record_rows(p, lambda row: True, self._strip_http)
 
 
 @dataclass
@@ -316,6 +326,7 @@ class WarcWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         name = os.path.join(self._dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz")
+        part = name + ".inprogress"  # invisible to the reader's listing
         n = 0
         f = None
         try:
@@ -337,18 +348,36 @@ class WarcWriter(DataSourceWriter):
                 ) + "\r\n"
                 if f is None:  # lazy: empty partitions create no shard
                     os.makedirs(self._dir, exist_ok=True)
-                    f = open(name, "wb")
+                    f = open(part, "wb")
                 # one gzip member per record (the Common Crawl layout) so
                 # a future range reader can split on member boundaries;
                 # streamed out as produced — the shard never sits in RAM
-                f.write(gzip.compress(head.encode("ascii") + payload + b"\r\n\r\n"))
+                f.write(gzip.compress(head.encode("utf-8") + payload + b"\r\n\r\n"))
                 n += 1
         finally:
             if f is not None:
                 f.close()
         if n == 0:
             return WarcCommitMessage(file="", records=0)
+        # atomic publish: a task that died mid-write leaves only an
+        # .inprogress file the reader never lists; retries use a fresh
+        # uuid name, so no truncated shard can poison later reads
+        os.rename(part, name)
         return WarcCommitMessage(file=name, records=n)
+
+    def commit(self, messages) -> None:
+        return None
+
+    def abort(self, messages) -> None:
+        # job-level rollback: remove shards that SUCCEEDED tasks already
+        # published, so a failed job leaves the directory as it found it
+        # (failed tasks only ever left invisible .inprogress temps)
+        for m in messages:
+            if m is not None and getattr(m, "file", ""):
+                try:
+                    os.remove(m.file)
+                except OSError:
+                    pass
 
 
 class WarcStreamWriter(DataSourceStreamWriter):

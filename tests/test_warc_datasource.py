@@ -228,3 +228,77 @@ def test_strip_http_headers_option(spark):
     # without the option the raw HTTP bytes are untouched
     raw = spark.read.format("warc").load(tmp).orderBy("rec_index").collect()
     assert raw[0].payload == http and raw[0].http_status is None
+
+
+def test_non_ascii_headers_round_trip(spark):
+    """WARC 1.0 headers are UTF-8 (ISO 28500) — non-ASCII IRIs are
+    routine in crawl data and must survive writer→reader unmangled."""
+    out = tempfile.mkdtemp(prefix="warc_utf8_")
+    uri = "http://example.com/café/日本語"
+    df = spark.createDataFrame(
+        [("resource", "<urn:doc:é1>", uri, "", b"payload")],
+        "rec_type string, record_id string, target_uri string, "
+        "warc_date string, payload binary",
+    )
+    df.write.format("warc").mode("append").save(out)
+    back = spark.read.format("warc").load(out).collect()
+    assert len(back) == 1
+    assert back[0].target_uri == uri
+    assert back[0].record_id == "<urn:doc:é1>"
+    assert back[0].payload == b"payload"
+
+
+def test_streaming_offset_tracks_names_not_count(spark):
+    """A late-landing file that sorts BEFORE consumed names must still
+    be read exactly once (name-set offsets; a count-based offset would
+    skip it and duplicate the displaced tail)."""
+    tmp = tempfile.mkdtemp(prefix="warc_late_")
+    with open(os.path.join(tmp, "m.warc"), "wb") as f:
+        f.write(_rec("response", b"mid"))
+    q = (
+        spark.readStream.format("warc").load(tmp)
+        .writeStream.format("memory").queryName("warc_late_t")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("warc_late_t").count() < 1:
+            time.sleep(0.5)
+        # lands AFTER m.warc was consumed but sorts BEFORE it
+        with open(os.path.join(tmp, "a.warc"), "wb") as f:
+            f.write(_rec("response", b"early-name"))
+        while time.time() < deadline and spark.table("warc_late_t").count() < 2:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table("warc_late_t").collect()
+    payloads = sorted(r.payload for r in rows)
+    assert payloads == [b"early-name", b"mid"], payloads
+
+
+def test_failed_write_leaves_no_readable_shard(spark, warc_dir):
+    """A task that dies mid-write must not leave a truncated *.warc.gz
+    the reader would choke on: shards stream to an .inprogress temp and
+    publish by rename only on success."""
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="warc_fail_")
+    src = (
+        spark.read.format("warc").load(warc_dir)
+        .select(
+            "rec_type", "record_id", "target_uri", "warc_date",
+            # blow up inside the writer's input iterator on one row
+            F.when(F.col("content_length") > 5, F.col("payload"))
+            .otherwise(F.raise_error("boom"))
+            .alias("payload"),
+        )
+    )
+    try:
+        src.write.format("warc").mode("append").save(out)
+        raise AssertionError("expected the job to fail")
+    except Exception as e:
+        assert "boom" in str(e)
+    # no half-written shard is visible to the reader's listing
+    visible = [f for f in os.listdir(out) if f.endswith((".warc", ".warc.gz"))]
+    assert visible == [], visible
