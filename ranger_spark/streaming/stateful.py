@@ -522,6 +522,12 @@ def rolling_total_with_ttl(events: DataFrame, ttl_ms: int = 30_000) -> DataFrame
 
     class Rolling(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # schema-evolution hygiene: drop the pre-TTL variable name a
+            # prior operator version persisted under (state variables
+            # don't rename in place — the migration pattern is delete-
+            # old + create-new). Also the one StateMessage call path
+            # (StatefulProcessorCall.deleteIfExists) nothing else drives.
+            handle.deleteIfExists("agg_v1")
             self._agg = handle.getValueState(
                 "agg", "cnt long, total double", ttlDurationMs=ttl_ms
             )
