@@ -759,6 +759,94 @@ def _wire_codecs_section(sf_dir: str) -> dict:
     return out
 
 
+def _warc_source_section(spark, sf_dir: str) -> dict:
+    """First-class warc source throughput (NOTES round-10 item 14): a
+    synthetic crawl is packed ONCE per sf (documents replicated into
+    per-record-gzip shards via the format's writer, HTTP-wrapped
+    payloads, cached next to the replicas), then measured three ways:
+    full scan, rec_type pushdown (the standard response-only predicate
+    — rejected records cost only the header walk), and pushdown +
+    strip_http_headers (body extraction inside the walk). Records/s is
+    the honest unit; the 100 TB shape is the same walk fanned out one
+    file per task."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ranger_spark.tables import load
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchcache",
+        f"warc_{tag}",
+    )
+    if not os.path.isdir(out):
+        work = out + ".build"
+        shutil.rmtree(work, ignore_errors=True)
+        docs = load(spark, sf_dir, "documents")
+        # 8 replicas, ~3 record types: responses carry an HTTP envelope
+        rep = docs.crossJoin(spark.range(8).withColumnRenamed("id", "rep"))
+        (
+            rep.select(
+                F.element_at(
+                    F.array(F.lit("response"), F.lit("request"),
+                            F.lit("metadata")),
+                    (F.col("doc_id") % 3 + 1).cast("int"),
+                ).alias("rec_type"),
+                F.concat(F.lit("<urn:doc:"), "doc_id", F.lit("-"),
+                         "rep", F.lit(">")).alias("record_id"),
+                F.concat(F.lit("doc://"), "doc_id").alias("target_uri"),
+                F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+                F.encode(
+                    F.concat(
+                        F.lit("HTTP/1.1 200 OK\r\n"
+                              "Content-Type: text/plain\r\n\r\n"),
+                        F.col("text"),
+                    ),
+                    "utf-8",
+                ).alias("payload"),
+            )
+            .repartition(16)
+            .write.format("warc").mode("append").save(work)
+        )
+        os.rename(work, out)
+    shard_bytes = sum(
+        os.path.getsize(os.path.join(out, f)) for f in os.listdir(out)
+    )
+    res: dict = {"shard_mb": round(shard_bytes / 1e6, 1)}
+
+    def timed(df):
+        # one warm pass (plan compile + page cache), then the steady pass
+        df.count()
+        t0 = time.time()
+        n = df.count()
+        return n, time.time() - t0
+
+    full = spark.read.format("warc").load(out)
+    n_all, t_all = timed(full)
+    resp = spark.read.format("warc").load(out).filter("rec_type = 'response'")
+    n_resp, t_resp = timed(resp)
+    body = (
+        spark.read.format("warc")
+        .option("strip_http_headers", "true")
+        .load(out)
+        .filter("rec_type = 'response' AND http_status = 200")
+    )
+    n_body, t_body = timed(body)
+    res.update(
+        {
+            "records": n_all,
+            "full_scan_s": round(t_all, 3),
+            "full_scan_rec_s": int(n_all / t_all),
+            "pushdown_response_s": round(t_resp, 3),
+            "pushdown_rows": n_resp,
+            "strip_http_s": round(t_body, 3),
+            "strip_http_rows": n_body,
+        }
+    )
+    return res
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -903,6 +991,14 @@ def main() -> None:
         except Exception as e:
             result["mv_refresh"] = {"error": str(e)[:300]}
         _mark("mv_refresh")
+    if os.environ.get("SPARK_GRAFT_SKIP_WARC") != "1" and not _over_budget(
+        "warc_source"
+    ):
+        try:
+            result["warc_source"] = _warc_source_section(spark, sf_dir)
+        except Exception as e:
+            result["warc_source"] = {"error": str(e)[:300]}
+        _mark("warc_source")
     # Full record (scale16/bucketed/scale64 sections) goes to a sidecar
     # file plus a non-final stdout line; the LAST stdout line is the
     # compact contract record only, so a tail-capture parser always gets
