@@ -260,14 +260,17 @@ class WarcReader(DataSourceReader):
 
 
 class WarcStreamReader(SimpleDataSourceStreamReader):
-    """Landing-zone ingest: the offset carries the NAMES of consumed
-    files, not a count — a count over a sorted listing silently skips a
-    late-landing file that sorts before already-consumed names and
-    re-reads the displaced tail. Archives are immutable once landed, so
-    ``readBetweenOffsets`` (replay = exactly the names in ``end`` minus
-    ``start``) is deterministic after restart. The name list grows with
-    the landing zone; checkpoints hold it on the driver — bounded in
-    practice by retention/compaction of the zone itself.
+    """Landing-zone ingest: the offset carries the full PATHS of
+    consumed files, not a count — a count over a sorted listing
+    silently skips a late-landing file that sorts before already-
+    consumed names and re-reads the displaced tail (and basenames alone
+    would collide across directories under a glob). Archives are
+    immutable once landed, so ``readBetweenOffsets`` (replay = exactly
+    the paths in ``end`` minus ``start``) is deterministic after
+    restart. Paths that retention/compaction removed from the zone are
+    pruned from the offset, bounding it by the LIVE zone size — with
+    the documented consequence that re-creating a deleted file under
+    the same path re-ingests it (landing zones use unique names).
     """
 
     def __init__(self, options):
@@ -281,10 +284,19 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seen": []}
 
+    def _seen(self, start: dict, files: list[str]) -> set[str]:
+        if "seen" in start:
+            return set(start["seen"])
+        if "files" in start:
+            # migrate the earlier count-based offset format: first n
+            # files of the sorted listing were consumed
+            return set(files[: int(start["files"])])
+        raise ValueError(f"unrecognized warc stream offset: {start!r}")
+
     def read(self, start: dict):
-        seen = set(start["seen"])
         files = _list_warc_files(self._path)
-        new = [p for p in files if os.path.basename(p) not in seen]
+        seen = self._seen(start, files)
+        new = [p for p in files if p not in seen]
         # materialized list, not a generator: pyspark pickles the batch
         # into its prefetch cache for offset replay, so the rows must be
         # picklable. A deep first backlog should be pre-drained with the
@@ -293,13 +305,15 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         for p in new:
             rows.extend(_record_rows(p, lambda row: True, self._strip_http))
-        end = {"seen": sorted(seen | {os.path.basename(p) for p in new})}
-        return iter(rows), end
+        # prune names the zone no longer holds (retention/compaction)
+        live_seen = (seen & set(files)) | set(new)
+        return iter(rows), {"seen": sorted(live_seen)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        want = set(end["seen"]) - set(start["seen"])
-        for p in _list_warc_files(self._path):
-            if os.path.basename(p) in want:
+        files = _list_warc_files(self._path)
+        want = set(end.get("seen", files)) - self._seen(start, files)
+        for p in files:
+            if p in want:
                 yield from _record_rows(p, lambda row: True, self._strip_http)
 
 
@@ -354,6 +368,17 @@ class WarcWriter(DataSourceWriter):
                 # streamed out as produced — the shard never sits in RAM
                 f.write(gzip.compress(head.encode("utf-8") + payload + b"\r\n\r\n"))
                 n += 1
+        except BaseException:
+            # failed task: remove the temp so retries don't accumulate
+            # .inprogress litter (they use fresh uuid names anyway)
+            if f is not None:
+                f.close()
+                f = None
+                try:
+                    os.remove(part)
+                except OSError:
+                    pass
+            raise
         finally:
             if f is not None:
                 f.close()

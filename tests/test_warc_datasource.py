@@ -302,3 +302,29 @@ def test_failed_write_leaves_no_readable_shard(spark, warc_dir):
     # no half-written shard is visible to the reader's listing
     visible = [f for f in os.listdir(out) if f.endswith((".warc", ".warc.gz"))]
     assert visible == [], visible
+
+
+def test_offset_migration_and_pruning(spark):
+    """The stream reader must accept the earlier count-based offset
+    format ({'files': n} → first n sorted paths consumed) and must
+    prune deleted files from the name-set offset so checkpoints stay
+    bounded by the live zone."""
+    from ranger_spark.sources.warc_datasource import WarcStreamReader
+
+    tmp = tempfile.mkdtemp(prefix="warc_mig_")
+    for nm, payload in [("a.warc", b"one"), ("b.warc", b"two")]:
+        with open(os.path.join(tmp, nm), "wb") as f:
+            f.write(_rec("response", payload))
+    r = WarcStreamReader({"path": tmp})
+    # legacy offset: first file already consumed
+    rows, end = r.read({"files": 1})
+    assert [t[-1] for t in rows] == [b"two"]
+    assert [os.path.basename(p) for p in end["seen"]] == ["a.warc", "b.warc"]
+    # retention removes a.warc → next offset prunes it
+    os.remove(os.path.join(tmp, "a.warc"))
+    rows2, end2 = r.read(end)
+    assert list(rows2) == []
+    assert [os.path.basename(p) for p in end2["seen"]] == ["b.warc"]
+    # replay between offsets reads exactly the delta
+    replay = list(r.readBetweenOffsets({"seen": []}, end2))
+    assert [t[-1] for t in replay] == [b"two"]
