@@ -323,6 +323,29 @@ class WarcCommitMessage(WriterCommitMessage):
     records: int
 
 
+def pack_warc_record(d: dict) -> bytes:
+    """Pack one row dict into a spec-framed WARC 1.0 record (CRLF
+    framing, UTF-8 headers, Content-Length = payload byte count,
+    record id minted when absent). Pure function so the writer's
+    framing is property-testable against walk_warc_records without a
+    Spark task context."""
+    payload = bytes(d.get("payload") or b"")
+    rec_id = d.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
+    headers = [
+        ("WARC-Type", d.get("rec_type") or "resource"),
+        ("WARC-Record-ID", rec_id),
+    ]
+    if d.get("target_uri"):
+        headers.append(("WARC-Target-URI", d["target_uri"]))
+    if d.get("warc_date"):
+        headers.append(("WARC-Date", d["warc_date"]))
+    headers.append(("Content-Length", str(len(payload))))
+    head = "WARC/1.0\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in headers
+    ) + "\r\n"
+    return head.encode("utf-8") + payload + b"\r\n\r\n"
+
+
 class WarcWriter(DataSourceWriter):
     """Pack rows back into spec-compliant gzip'd WARC shards (one file
     per non-empty partition — the shard layout every crawl pipeline
@@ -346,27 +369,13 @@ class WarcWriter(DataSourceWriter):
         try:
             for row in it:
                 d = row.asDict() if hasattr(row, "asDict") else dict(zip(self._cols, row))
-                payload = bytes(d.get("payload") or b"")
-                rec_id = d.get("record_id") or f"<urn:uuid:{uuid.uuid4()}>"
-                headers = [
-                    ("WARC-Type", d.get("rec_type") or "resource"),
-                    ("WARC-Record-ID", rec_id),
-                ]
-                if d.get("target_uri"):
-                    headers.append(("WARC-Target-URI", d["target_uri"]))
-                if d.get("warc_date"):
-                    headers.append(("WARC-Date", d["warc_date"]))
-                headers.append(("Content-Length", str(len(payload))))
-                head = "WARC/1.0\r\n" + "".join(
-                    f"{k}: {v}\r\n" for k, v in headers
-                ) + "\r\n"
                 if f is None:  # lazy: empty partitions create no shard
                     os.makedirs(self._dir, exist_ok=True)
                     f = open(part, "wb")
                 # one gzip member per record (the Common Crawl layout) so
                 # a future range reader can split on member boundaries;
                 # streamed out as produced — the shard never sits in RAM
-                f.write(gzip.compress(head.encode("utf-8") + payload + b"\r\n\r\n"))
+                f.write(gzip.compress(pack_warc_record(d)))
                 n += 1
         except BaseException:
             # failed task: remove the temp so retries don't accumulate

@@ -328,3 +328,53 @@ def test_offset_migration_and_pruning(spark):
     # replay between offsets reads exactly the delta
     replay = list(r.readBetweenOffsets({"seen": []}, end2))
     assert [t[-1] for t in replay] == [b"two"]
+
+
+# ---------------------------------------------------------------------------
+# property-based: the writer's packer vs the reader's walker
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _uri_text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        max_size=24,
+    ).map(lambda s: s.replace("\r", "").replace("\n", "").strip())
+
+    _row = st.fixed_dictionaries(
+        {
+            "rec_type": st.sampled_from(
+                ["response", "request", "resource", "metadata", ""]
+            ),
+            "record_id": _uri_text,
+            "target_uri": _uri_text,
+            "warc_date": st.sampled_from(["", "2024-01-01T00:00:00Z"]),
+            "payload": st.binary(max_size=300),
+        }
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(rows=st.lists(_row, min_size=1, max_size=8), gz=st.booleans())
+    def test_prop_pack_then_walk(rows, gz):
+        import gzip as _gzip
+
+        from ranger_spark.operators.warc import walk_warc_records
+        from ranger_spark.sources.warc_datasource import pack_warc_record
+
+        buf = b"".join(pack_warc_record(d) for d in rows)
+        if gz:
+            buf = _gzip.compress(buf)
+        got = list(walk_warc_records(buf))
+        assert len(got) == len(rows)
+        for (version, headers, payload), d in zip(got, rows):
+            assert version == "WARC/1.0"
+            assert payload == d["payload"]
+            assert headers["warc-type"] == (d["rec_type"] or "resource")
+            if d["target_uri"]:
+                assert headers["warc-target-uri"] == d["target_uri"]
+            if d["record_id"]:
+                assert headers["warc-record-id"] == d["record_id"]
+            assert int(headers["content-length"]) == len(d["payload"])
+except ImportError:  # pragma: no cover
+    pass
