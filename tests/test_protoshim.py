@@ -255,3 +255,120 @@ def test_lazy_submessage_mutation_adopts_into_parent():
     t = sm.StateResponseWithTimer()
     t.timer.add(timestampMs=5)
     assert t.SerializeToString() != b""
+
+
+# ---------------------------------------------------------------------------
+# r10 session-2 high-effort review regressions (lazy-child identity,
+# link invalidation, adoption coverage, ranges, DecodeError contract,
+# packed canonical encoding)
+# ---------------------------------------------------------------------------
+def test_lazy_child_reads_alias_one_instance():
+    m = sm.MapStateCall()
+    s1 = m.updateValue
+    s2 = m.updateValue
+    assert s1 is s2
+    s1.userKey = b"KEY"
+    s2.value = b"VAL"
+    r = sm.MapStateCall()
+    r.ParseFromString(m.SerializeToString())
+    assert r.updateValue.userKey == b"KEY"
+    assert r.updateValue.value == b"VAL"
+
+
+def test_stale_lazy_child_cannot_clobber_after_clear_or_parse():
+    m = sm.StateRequest()
+    stale = m.statefulProcessorCall          # vivified, unadopted
+    src = sm.StateRequest(
+        stateVariableRequest=sm.StateVariableRequest(
+            valueStateCall=sm.ValueStateCall(stateName="v")
+        )
+    )
+    m.ParseFromString(src.SerializeToString())
+    stale.setHandleState.state = sm.CREATED  # must NOT touch m anymore
+    assert m.WhichOneof("method") == "stateVariableRequest"
+    assert m.stateVariableRequest.valueStateCall.stateName == "v"
+
+
+def test_repeated_merge_adopts_lazy_parent():
+    call = sm.ListStateCall()
+    put = sm.ListStatePut(value=[b"x"])
+    call.listStatePut.MergeFromString(put.SerializeToString())
+    assert call.WhichOneof("method") == "listStatePut"
+    r = sm.ListStateCall()
+    r.ParseFromString(call.SerializeToString())
+    assert list(r.listStatePut.value) == [b"x"]
+    # container add on a vivified child adopts too
+    t = sm.StateResponseWithTimer()
+    # (timer is a direct repeated field; the adoption path for a
+    # repeated field inside a lazy child:)
+    req = sm.StateRequest()
+    req.statefulProcessorCall.getListState.stateName = "s"
+    assert req.WhichOneof("method") == "statefulProcessorCall"
+
+
+def test_copyfrom_establishes_presence_even_when_empty():
+    m = sm.StateRequest()
+    m.implicitGroupingKeyRequest.CopyFrom(sm.ImplicitGroupingKeyRequest())
+    assert m.WhichOneof("method") == "implicitGroupingKeyRequest"
+    assert m.SerializeToString() != b""
+
+
+def test_int_range_validation():
+    with pytest.raises(ValueError):
+        sm.StateRequest(version=2**33)       # int32 field
+    with pytest.raises(ValueError):
+        sm.StateResponse(statusCode=2**31)   # one past int32 max
+    q = sm.StateRequest()
+    with pytest.raises(ValueError):
+        q.version = -(2**31) - 1
+    # boundaries are accepted and round-trip
+    ok = sm.StateResponse(statusCode=-(2**31))
+    r = sm.StateResponse()
+    r.ParseFromString(ok.SerializeToString())
+    assert r.statusCode == -(2**31)
+
+
+def test_container_mutators_coerce_and_track():
+    m = sm.StateResponseWithListGet(value=[b"a", b"b"])
+    m.value[0] = b"A"
+    m.value.insert(1, b"mid")
+    m.value += [b"tail"]
+    with pytest.raises(TypeError):
+        m.value[0] = 123
+    with pytest.raises(TypeError):
+        m.value.insert(0, "not-bytes")
+    r = sm.StateResponseWithListGet()
+    r.ParseFromString(m.SerializeToString())
+    assert list(r.value) == [b"A", b"mid", b"b", b"tail"]
+
+
+def test_truncated_input_raises_decode_error():
+    from google.protobuf.message import DecodeError
+
+    with pytest.raises(DecodeError):
+        sm.StateRequest().ParseFromString(b"\x08\xff")  # truncated varint
+    with pytest.raises(DecodeError):
+        # field 3 (value, bytes) claims 5 bytes but carries 1
+        sm.StateResponse().ParseFromString(b"\x1a\x05x")
+
+
+@pytest.mark.skipif(MODE != "shim", reason="shim-only internals")
+def test_packed_primitives_serialize_canonically():
+    # proto3 canonical: repeated primitives pack into one LD block —
+    # pin against the encoding-spec example [3, 270, 86942] on a
+    # synthetic repeated-int32 descriptor
+    from google.protobuf import _runtime as rt
+
+    desc = rt.Descriptor("P", "P", None)
+    fd = rt.FieldDescriptor("xs", 4, rt.TYPE_INT32, rt.LABEL_REPEATED)
+    fd.containing_type = desc
+    desc.fields.append(fd)
+    desc.fields_by_name["xs"] = fd
+    desc.fields_by_number[4] = fd
+    cls = rt.make_message_class(desc, __name__)
+    m = cls()
+    m.xs.extend([3, 270, 86942])
+    assert m.SerializeToString() == bytes.fromhex("2206038e029ea705")
+    r = cls()
+    r.ParseFromString(m.SerializeToString())
+    assert list(r.xs) == [3, 270, 86942]
