@@ -6908,3 +6908,91 @@ def warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("payload")).alias("payload_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction (the WARC → corpus missing link; VERDICT
+# r10 next-round #1): C4-style boilerplate removal as a map-only JVM
+# column expression — operators/html_extract.py
+# ---------------------------------------------------------------------------
+# The corpus is synthetic word-salad, so the page chrome is injected
+# identically around each doc's text (the pii_redact synthesis pattern):
+# script/style/title/nav/click-bait/footer are boilerplate the extractor
+# must DROP (each targeting one filter rule: wholesale subtree removal,
+# the min-words rule, the terminal-punctuation rule, and — for the nav,
+# which passes both of those — the link-density rule), while the h1, the
+# body paragraph, and an entity-laden paragraph must SURVIVE with
+# entities decoded. The oracle computes the expected extraction in
+# closed form from the original text — it never parses HTML, so the two
+# engines cannot share a bug.
+_HTML_MID = (
+    '</title><script type="text/javascript">var x = "<p>not content</p>";'
+    "</script><style>p{margin:0}</style></head><body>"
+    '<nav><a href="/browse">Browse all categories now.</a> '
+    '<a href="/more">More links here too.</a></nav>'
+    "<h1>Report "
+)
+_HTML_TAIL = (
+    "<p>Costs &amp; savings exceed expectations, see &lt;budget&gt; "
+    "notes.</p><p>Click here</p>"
+    '<div class="footer">&copy; 2026 Example Corp</div></body></html>'
+)
+_HTML_KEPT_TAIL = "Costs & savings exceed expectations, see <budget> notes."
+
+
+@register(
+    "html_extract_text",
+    oracle=f"""
+    WITH exp AS (
+      SELECT doc_id,
+             'Report ' || CAST(doc_id AS VARCHAR) || ' overview.' || chr(10)
+               || text || '.' || chr(10)
+               || '{_HTML_KEPT_TAIL}' AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(3 AS INTEGER) AS n_lines_kept,
+           CAST(7 AS INTEGER) AS n_lines_visible,
+           CAST(length(x) AS INTEGER) AS extract_len,
+           md5(x) AS extracted_fp
+    FROM exp
+    """,
+    tags=("text", "html", "boilerplate", "warc"),
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (C4/jusText-style boilerplate
+    removal): tag walk + entity decode + per-line content filter
+    (min-words, terminal punctuation, anchor-text link density), all
+    built-in column expressions — map-only, whole-stage codegen, zero
+    shuffles, zero Python. The 100-TB shape: each task strips its own
+    WARC payloads in place."""
+    from ranger_spark.operators.html_extract import (
+        html_main_content_lines,
+        html_visible_text,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        id_s,
+        F.lit(_HTML_MID),
+        id_s,
+        F.lit(" overview.</h1><p>"),
+        F.col("text"),
+        F.lit(".</p>"),
+        F.lit(_HTML_TAIL),
+    )
+    d = d.select("doc_id", page.alias("h"))
+    d = d.select(
+        "doc_id",
+        html_main_content_lines("h").alias("kept"),
+        html_visible_text("h").alias("vis"),
+    )
+    return d.select(
+        "doc_id",
+        F.size("kept").cast("int").alias("n_lines_kept"),
+        F.size(F.split("vis", "\n")).cast("int").alias("n_lines_visible"),
+        F.length(F.array_join("kept", "\n")).cast("int").alias("extract_len"),
+        F.md5(F.array_join("kept", "\n")).alias("extracted_fp"),
+    )
