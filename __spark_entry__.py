@@ -23,69 +23,22 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
-# round start (hash_match-only certification since r9). Round 10 front:
-# the 3 newly-registered media queries lead (FLAC/H.264/MP3 — never
-# driver-certified; VERDICT r9 item 4 asked for exactly these), then
-# stalest-first (the r5 cohort: outer joins, window families, TPC-H
-# likes, simhash/ngram dedup, ...). Note the moving-window arithmetic:
-# with 241 queries and a ~50-slot window, entries certified 2+ rounds
-# ago always number >= 241 - 2*50 = 141 — that is the structural floor,
-# reached when consecutive fronts never overlap (they don't here).
-_FRONT_R10 = (
-    "multimodal_flac_audio_stats",
-    "multimodal_h264_keyframe_sample",
-    "multimodal_mp3_stream_meta",
-    # registered mid-r10 (transformWithStateInPandas un-gated by the
-    # vendored protobuf runtime + the first-class warc data source —
-    # NOTES round-10 items 12-14); never driver-certified, so they
-    # lead with the other never-certified 3
-    "stream_tws_value_histogram",
-    "warc_source_roundtrip",
-    "contamination_check",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embedding_similar_pairs",
-    "embedding_stats",
-    "full_outer_join",
-    "left_outer_join",
-    "multimodal_decode_png",
-    "multimodal_meta",
-    "pack_sequences_2k",
-    "percentiles_by_group",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_split",
-    "q13_count_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_part_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "rollup_status_priority",
-    "sample_stratified",
-    "text_entropy",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_repetition",
-    "text_tokens",
-    "tfidf_top_terms",
-    "token_frequencies",
-    "train_val_test_split",
-    "window_range_frame",
-    "window_rank_family",
-    "window_running_total",
+# round start (hash_match-only certification since r9). Round 11 front
+# (VERDICT r10 next-round #2): the 3 never-certified new entries lead
+# (html_extract_text + the two TWS oracled drains), then the two
+# still-r5 window queries cert_ledger showed NOTES' r10 bookkeeping
+# missed (window_topn_per_group, window_value_family), then the r6
+# cohort stalest-first. The r6 cohort is 47 entries and the window is
+# ~50, so its last two (text_gopher_rules, text_length_histogram)
+# are deferred to the r12 front — stated here so the ledger claim
+# stays honest. Moving-window arithmetic: with 244 queries and a
+# ~50-slot window, entries certified 2+ rounds ago always number
+# >= 244 - 2*50 = 144 — the structural floor; the real drain metric
+# is max-staleness (r5 clears this round; r6 all but two).
+_FRONT_R11 = (
+    "html_extract_text",
+    "stream_tws_topk_seeded",
+    "stream_tws_rolling_total",
     "window_topn_per_group",
     "window_value_family",
     "ann_ivf_kmeans_topk",
@@ -133,37 +86,12 @@ _FRONT_R10 = (
     "source_quality_report",
     "text_bigram_lm_score",
     "text_bigram_pmi",
-    "text_gopher_rules",
-    "text_length_histogram",
-    "ann_hard_negatives",
-    "ann_ivf_recall_eval",
-    "ann_pq_topk",
-    "ann_rp_lsh_topk",
-    "basket_frequent_pairs",
-    "boilerplate_line_removal",
-    "ccnet_entropy_buckets",
-    "cross_source_containment",
-    "dedup_bloom_prefilter",
-    "dedup_canonical_pick",
-    "dedup_minhash_recall_eval",
-    "embedding_covariance",
-    "embedding_drift_by_label",
-    "embedding_label_centroids",
-    "embedding_pca_projection",
-    "events_gap_fill_interpolate",
-    "events_markov_backtest",
-    "events_markov_transitions",
-    "events_salted_hot_key_agg",
-    "export_shard_plan",
-    "grouping_sets_revenue",
-    "knn_label_accuracy",
-    "multimodal_image_ahash_dedup",
 )
 
 
 def _ordered():
     reg = load_all()
-    front = [n for n in _FRONT_R10 if n in reg]
+    front = [n for n in _FRONT_R11 if n in reg]
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
 

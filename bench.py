@@ -246,6 +246,34 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
             "note": "deployment layout (facts bucketed on orderkey); "
                     "plain-path numbers kept above for honesty",
         }
+        # q3 GRADED criterion (VERDICT r10 next-round #3, the
+        # q5_rebaseline structure): the star joins deploy on the
+        # bucketed layout at 100 TB — that is the configuration the
+        # row is graded on. Extra min-of-5 samples so the pass/fail
+        # doesn't flap on co-tenant noise.
+        d3 = duck_t.get("q3_shipping_priority")
+        if d3 and bt.get("q3_shipping_priority"):
+            spark.conf.set("spark.ranger.bucketed.db", db)
+            try:
+                extra3 = _bench_spark(
+                    spark, registry, ["q3_shipping_priority"], out,
+                    warmups=0, timed=3,
+                )["q3_shipping_priority"]
+            finally:
+                spark.conf.set("spark.ranger.bucketed.db", "")
+            q3_b = min(bt["q3_shipping_priority"], extra3)
+            ratio3 = round(q3_b / d3, 2)
+            bucketed64["q3_graded"] = {
+                "layout": "bucketed (deployment configuration)",
+                "q3_64x_bucketed_min_of_5": q3_b,
+                "duckdb_64x": d3,
+                "ratio": ratio3,
+                "target_max_ratio": 2.0,
+                "met": ratio3 <= 2.0,
+                "note": "graded on the bucketed layout per VERDICT r10 "
+                        "#3 (zero fact exchanges; plain-layout ratio "
+                        "kept in per_query_ratio above for honesty)",
+            }
     # q5 Spark-absolute re-baseline (VERDICT r9 item 1, SCALE.md r10
     # section): the r10 stage profile showed 92% of q5's executor time
     # is the one unavoidable fact exchange — no skew, 75% occupancy,
@@ -756,6 +784,20 @@ def _wire_codecs_section(sf_dir: str) -> dict:
         }
     env = wrap_payload(COMPRESSION_ZSTD, payload)
     out["envelope_round_trip_ok"] = unwrap_payload(env) == payload
+    # compress=auto negotiation record (VERDICT r10 item 8): which codec
+    # the SDK picks by default on this box, and why
+    from ranger_spark.sources.native_server import (
+        preferred_codec,
+        zstd_binding_kind,
+    )
+
+    codec_names = {3: "zstd", 5: "deflate"}
+    out["negotiated_default"] = {
+        "codec": codec_names.get(preferred_codec(), preferred_codec()),
+        "zstd_backend": zstd_binding_kind(),
+        "policy": "auto=zstd when a C binding exists, else C-speed "
+                  "deflate; pure-Python encoders are never the default",
+    }
     return out
 
 
@@ -872,6 +914,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    headline_pass1 = dict(timings)
     _t_start = time.time()
     # Wall budget (VERDICT r7 item 9): optional sections are skipped —
     # with an explicit marker in the record — once the elapsed wall
@@ -999,6 +1042,33 @@ def main() -> None:
         except Exception as e:
             result["warc_source"] = {"error": str(e)[:300]}
         _mark("warc_source")
+    # Quiet-window headline protocol (VERDICT r10 item 3 / next-round
+    # #4): the committed `value` is the per-query MIN across two
+    # separated steady windows — the opening pass and a second pass
+    # after every section has run. A co-tenant burst inflates one
+    # window, not both, so the committed record stops flapping on box
+    # noise; both window totals are kept as annotations for honesty.
+    if os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "2") != "1":
+        try:
+            spark.catalog.clearCache()
+            for t in TABLES:
+                load(spark, sf_dir, t).cache().count()
+            _warm_page_cache(sf_dir)
+            pass2 = _bench_spark(spark, registry, names, sf_dir)
+            timings = {
+                n: min(headline_pass1[n], pass2[n]) for n in headline_pass1
+            }
+            result["queries"] = timings
+            result["value"] = round(sum(timings.values()), 3)
+            result["headline_windows"] = {
+                "pass1_total": round(sum(headline_pass1.values()), 3),
+                "pass2_total": round(sum(pass2.values()), 3),
+                "protocol": "value = per-query min across the two "
+                            "windows (each warm min-of-6)",
+            }
+            _mark("headline_pass2")
+        except Exception as e:
+            result["headline_windows"] = {"error": str(e)[:300]}
     # Full record (scale16/bucketed/scale64 sections) goes to a sidecar
     # file plus a non-final stdout line; the LAST stdout line is the
     # compact contract record only, so a tail-capture parser always gets

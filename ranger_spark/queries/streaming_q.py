@@ -511,3 +511,179 @@ def stream_tws_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_sum").cast("long").alias("total_cents"),
         )
     )
+
+
+_TWS_TOPK_SINK = "stream_tws_topk_seeded_sink"
+
+
+@register(
+    "stream_tws_topk_seeded",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+        FROM events
+        UNION ALL
+        SELECT user_id, ((user_id * 37) % 5000 + 1) * 100 AS c
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    r AS (
+        SELECT user_id, c,
+               row_number() OVER (PARTITION BY user_id ORDER BY c DESC)
+                   AS rnk
+        FROM cents
+    )
+    SELECT user_id, CAST(rnk AS BIGINT) AS rnk, c AS value_cents
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("streaming", "stateful", "tws", "events"),
+)
+def stream_tws_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` ListState + INITIAL-STATE warm
+    start under the oracle gate (VERDICT r10 item 6): per-user running
+    top-3 values over a real readStream drain, with each key's state
+    seeded from a batch DataFrame via ``handleInitialState`` — the
+    offline-leaderboard-warm-start shape. The seed is synthesized
+    deterministically from the user id (one extra "historical" value
+    per user), so the oracle is simply top-3 over events ∪ seeds.
+
+    Determinism protocol (the stream_tws_value_histogram pattern):
+    integer CENTS ride as doubles (exact adds), and the rank-r value of
+    a growing multiset is non-decreasing — so max(value) per (user,
+    rank) across all Update-mode emissions IS the final leaderboard,
+    independent of micro-batch boundaries.
+    """
+    from ranger_spark.streaming.stateful import topk_per_key
+
+    for q in spark.streams.active:
+        if q.name == _TWS_TOPK_SINK:
+            q.stop()
+    src = _event_stream(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").cast("double").alias("value"),
+    )
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") * 37) % 5000 + 1).cast("double").alias("value"),
+        )
+        .withColumn("value", F.col("value") * 100)
+    )
+    out = topk_per_key(src, k=3, initial=seeds)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_TWS_TOPK_SINK)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return (
+        spark.table(_TWS_TOPK_SINK)
+        .groupBy("user_id", F.col("rank").alias("rnk"))
+        .agg(F.max("value").cast("long").alias("value_cents"))
+        .select("user_id", "rnk", "value_cents")
+    )
+
+
+def _await_quiescent(q, max_wall: float = 240.0) -> None:
+    """Drain an availableNow query that cannot self-terminate: under
+    ``timeMode="ProcessingTime"`` with TTL'd state, Spark keeps
+    scheduling zero-input maintenance batches ("No new data but
+    cleaning up state", ~2 s each, observed unbounded — they would run
+    until the TTL actually expires). Output rows only come from
+    handleInputRows, so the sink is COMPLETE once the file source is
+    exhausted; stop at the first completed zero-input batch with no
+    data available instead of burning minutes of cleanup batches."""
+    import time as _time
+
+    t0 = _time.time()
+    while q.isActive and _time.time() - t0 < max_wall:
+        q.awaitTermination(2)
+        p = q.lastProgress
+        st = q.status
+        if (
+            p is not None
+            and p.get("numInputRows", 1) == 0
+            and not st.get("isDataAvailable", True)
+        ):
+            break
+    if q.isActive:
+        q.stop()
+
+
+_TWS_TTL_SINK = "stream_tws_rolling_total_sink"
+
+
+@register(
+    "stream_tws_rolling_total",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "tws", "ttl", "events"),
+)
+def stream_tws_rolling_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL'd ``ValueState`` under the oracle gate (VERDICT r10 item 6):
+    per-user rolling (count, sum-of-cents) in a state variable created
+    WITH a TTLConfig — every driver round round-trips the TTL creation
+    path (plus ``deleteIfExists`` schema hygiene in init) against the
+    JVM StateServer. The TTL is set to one hour: far beyond any drain's
+    processing time, so no state ages out mid-run and the final
+    emission per key equals the batch GROUP BY the oracle computes
+    (the TTL *expiry* behavior itself is pinned by
+    tests/test_stateful_streaming.py with a short TTL and a forced
+    inter-batch sleep — wall-clock expiry can't be driver-oracled
+    deterministically).
+
+    Determinism protocol: integer cents as doubles (exact adds); cnt
+    strictly increases per emission, so the max-cnt emission per key is
+    the final state regardless of micro-batch boundaries.
+    """
+    from pyspark.sql import Window
+
+    from ranger_spark.streaming.stateful import rolling_total_with_ttl
+
+    for q in spark.streams.active:
+        if q.name == _TWS_TTL_SINK:
+            q.stop()
+    src = _event_stream(spark, sf_dir).select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").cast("double").alias("value"),
+    )
+    out = rolling_total_with_ttl(src, ttl_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_TWS_TTL_SINK)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # NOT awaitTermination: TTL + ProcessingTime availableNow
+        # queries never self-terminate (see _await_quiescent)
+        _await_quiescent(q, 240.0)
+    finally:
+        if q.isActive:
+            q.stop()
+    w = Window.partitionBy("user_id")
+    return (
+        spark.table(_TWS_TTL_SINK)
+        .withColumn("__max_cnt", F.max("cnt").over(w))
+        .filter(F.col("cnt") == F.col("__max_cnt"))
+        .select(
+            "user_id",
+            "cnt",
+            F.col("total").cast("long").alias("total_cents"),
+        )
+    )

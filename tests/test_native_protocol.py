@@ -861,3 +861,47 @@ def test_zstd_codec_lights_up_with_binding(server, engine, monkeypatch):
     _, p2 = ns.read_uvarint(w2, 1)
     assert w2[p2 : p2 + 4] == bytes.fromhex("28B52FFD")
     assert ns.unwrap_payload(w2) == big
+
+
+def test_auto_codec_negotiation_prefers_c_speed(server):
+    """compress=auto (VERDICT r10 item 8): the SDK default picks zstd
+    when a C-speed binding exists (pyarrow ships libzstd here) and
+    NEVER a pure-Python encoder; explicit codecs stay honored."""
+    # this box: pyarrow's libzstd → zstd is the negotiated default
+    assert ns.zstd_binding_kind() in ("stdlib", "zstandard", "pyarrow")
+    assert ns.preferred_codec() == ns.COMPRESSION_ZSTD
+    c = ns.NativeClient.from_dsn(
+        f"ranger://127.0.0.1:{server.port}/nat?compress=auto"
+    )
+    try:
+        assert c._codec == ns.COMPRESSION_ZSTD
+        r = c.query("SELECT repeat('z', 5000) AS big;")
+        assert r["rows"][0][0] == "z" * 5000
+    finally:
+        c.close()
+    # constructor accepts the string form too
+    c2 = ns.NativeClient(
+        "127.0.0.1", server.port, database="nat", compression="auto"
+    )
+    try:
+        assert c2._codec == ns.COMPRESSION_ZSTD
+    finally:
+        c2.close()
+
+
+def test_auto_codec_falls_back_to_deflate_without_c_zstd(monkeypatch):
+    """Without any C zstd binding, auto negotiates DEFLATE (zlib's C hot
+    loop) — the pure-Python zstd/lz4 encoders are interop paths, not
+    wire defaults."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_zstd(name, *a, **k):
+        if name in ("compression", "zstandard", "pyarrow"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_zstd)
+    assert ns.zstd_binding_kind() == "pure"
+    assert ns.preferred_codec() == ns.COMPRESSION_DEFLATE
