@@ -1,0 +1,83 @@
+"""URL canonicalization and URL-level dedup — the first dedup pass of
+every web-corpus pipeline (Common Crawl processing dedups by canonical
+URL before any content hashing: re-crawls and tracking-parameter
+variants of the same page are by far the cheapest duplicates to drop).
+
+Pure built-in column expressions (regexp + split/filter/sort +
+concat) — map-only JVM work; the only shuffle in ``dedup_by_url`` is
+the one hash-aggregate on the canonical form. At 100 TB this runs
+inside the WARC scan stage and the aggregate shuffles 8-byte digests.
+
+Canonicalization rules (the conservative, public set every crawler
+applies — c.f. RFC 3986 §6 syntax-based normalization plus the
+tracking-param strip):
+  * scheme and host lowercased; ``https`` folded to ``http`` (optional,
+    on by default: corpus identity, not fetch semantics)
+  * leading ``www.`` dropped; default ports (``:80``/``:443``) dropped
+  * fragment dropped
+  * tracking params removed (``utm_*``, ``gclid``, ``fbclid``,
+    ``ref``, ``mc_cid``, ``mc_eid``), remaining query params sorted
+    byte-wise so param order never splits a group
+  * trailing ``/`` dropped from non-root paths; empty path → ``/``
+  * an empty residual query drops its ``?``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)="
+
+
+def canonicalize_url(col: Column | str, fold_https: bool = True) -> Column:
+    """Canonical corpus identity of a URL (see module docstring) as a
+    composable Column expression. Non-http(s) inputs pass through with
+    only whitespace trimmed — identity for them is the raw string."""
+    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    is_http = u.rlike(r"(?i)^https?://")
+    # split once: scheme, authority, path, query, fragment
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    if fold_https:
+        scheme = F.lit("http")
+    rest = F.regexp_replace(u, r"(?i)^https?://", "")
+    frag_free = F.regexp_replace(rest, r"#.*$", "")
+    authority = F.lower(F.regexp_extract(frag_free, r"^([^/?]*)", 1))
+    authority = F.regexp_replace(authority, r"^www\.", "")
+    authority = F.regexp_replace(authority, r":(80|443)$", "")
+    path = F.regexp_extract(frag_free, r"^[^/?]*([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(frag_free, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qcanon = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), authority, path, qcanon)
+    return F.when(is_http, canon).otherwise(u)
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str, id_col: str, fold_https: bool = True
+) -> DataFrame:
+    """URL-level dedup groups: one row per canonical URL with the keeper
+    (min id), the duplicate count, and the canonical form. The shuffle
+    key is the md5 of the canonical URL — 16 bytes per row regardless
+    of URL length, the same digest-shuffle shape as exact text dedup
+    (operators/dedup.py:39)."""
+    canon = canonicalize_url(F.col(url_col), fold_https=fold_https)
+    return (
+        df.select(F.col(id_col), canon.alias("canonical_url"))
+        .groupBy(F.md5("canonical_url").alias("url_fp"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.first("canonical_url").alias("canonical_url"),
+        )
+    )

@@ -6996,3 +6996,66 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.array_join("kept", "\n")).cast("int").alias("extract_len"),
         F.md5(F.array_join("kept", "\n")).alias("extracted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup (the FIRST dedup pass of a web-corpus pipeline —
+# re-crawls and tracking-param variants are the cheapest duplicates):
+# operators/urls.py
+# ---------------------------------------------------------------------------
+_URL_CANON_SQL = (
+    "'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/doc/' "
+    "|| CAST(doc_id AS VARCHAR) || '?a=1&b=2'"
+)
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    SELECT md5({_URL_CANON_SQL}) AS url_fp,
+           doc_id * 3 AS keeper_id,
+           CAST(3 AS BIGINT) AS dup_count,
+           {_URL_CANON_SQL} AS canonical_url
+    FROM documents
+    """,
+    tags=("dedup", "url", "warc"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup groups: three synthesized
+    crawl variants per document (mixed scheme/case/www/default-port/
+    trailing-slash/param-order/tracking-params/fragment) must collapse
+    to ONE canonical identity per page. The canonicalizer is pure
+    column expressions (map-only); the dedup shuffles 16-byte digests.
+    The oracle states the expected canonical form in closed form — it
+    never canonicalizes, so the engines cannot share a bug."""
+    from ranger_spark.operators.urls import dedup_by_url
+
+    d = load(spark, sf_dir, "documents")
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"))
+    did = F.col("doc_id").cast("string")
+    v0 = F.concat(
+        F.lit("http://"), site, F.lit(".example.com/doc/"), did,
+        F.lit("?a=1&b=2"),
+    )
+    v1 = F.concat(
+        F.lit("HTTPS://WWW."), F.upper(site), F.lit(".Example.COM/doc/"),
+        did, F.lit("/?b=2&utm_source=feed&a=1#sec"),
+    )
+    v2 = F.concat(
+        F.lit("http://"), site, F.lit(".example.com:80/doc/"), did,
+        F.lit("?b=2&a=1"),
+    )
+    variants = d.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("v"), v0.alias("url")),
+                F.struct(F.lit(1).alias("v"), v1.alias("url")),
+                F.struct(F.lit(2).alias("v"), v2.alias("url")),
+            )
+        ).alias("x"),
+    ).select(
+        (F.col("doc_id") * 3 + F.col("x.v")).alias("row_id"),
+        F.col("x.url").alias("url"),
+    )
+    return dedup_by_url(variants, "url", "row_id")

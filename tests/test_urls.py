@@ -1,0 +1,103 @@
+"""URL canonicalization (operators/urls.py): each normalization rule,
+pass-through for non-http schemes, and the digest-shuffle dedup shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ranger_spark.operators.urls import canonicalize_url, dedup_by_url
+
+
+def _canon(spark, url: str, **kw) -> str:
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(canonicalize_url("u", **kw).alias("c")).collect()[0].c
+
+
+def test_full_variant_stack_collapses(spark):
+    assert _canon(
+        spark, "HTTPS://WWW.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag"
+    ) == "http://example.com/Path?a=1&b=2"
+
+
+def test_scheme_and_host_lowered_path_case_kept(spark):
+    assert _canon(spark, "HTTP://EXAMPLE.com/CaseSensitive") == (
+        "http://example.com/CaseSensitive"
+    )
+
+
+def test_https_fold_optional(spark):
+    assert _canon(spark, "https://example.com/x", fold_https=False) == (
+        "https://example.com/x"
+    )
+    assert _canon(spark, "HTTPS://example.com/x", fold_https=False) == (
+        "https://example.com/x"
+    )
+
+
+def test_default_ports_dropped_custom_kept(spark):
+    assert _canon(spark, "http://example.com:80/x") == "http://example.com/x"
+    assert _canon(spark, "https://example.com:443/x") == "http://example.com/x"
+    assert _canon(spark, "http://example.com:8080/x") == (
+        "http://example.com:8080/x"
+    )
+
+
+def test_empty_path_becomes_root(spark):
+    assert _canon(spark, "http://example.com") == "http://example.com/"
+    assert _canon(spark, "http://example.com?a=1") == "http://example.com/?a=1"
+
+
+def test_trailing_slash_dropped_root_kept(spark):
+    assert _canon(spark, "http://example.com/a/b/") == "http://example.com/a/b"
+    assert _canon(spark, "http://example.com/") == "http://example.com/"
+
+
+def test_tracking_params_stripped_rest_sorted(spark):
+    assert _canon(
+        spark, "http://e.com/p?z=9&utm_campaign=c&a=1&fbclid=f&gclid=g&ref=r"
+    ) == "http://e.com/p?a=1&z=9"
+
+
+def test_all_params_tracking_drops_question_mark(spark):
+    assert _canon(spark, "http://e.com/p?utm_source=x") == "http://e.com/p"
+
+
+def test_fragment_dropped(spark):
+    assert _canon(spark, "http://e.com/p#section-2") == "http://e.com/p"
+
+
+def test_non_http_passes_through(spark):
+    assert _canon(spark, "ftp://Example.com/X") == "ftp://Example.com/X"
+    assert _canon(spark, "  mailto:a@b.c ") == "mailto:a@b.c"
+
+
+def test_dedup_by_url_groups_and_keeper(spark):
+    rows = [
+        (1, "http://example.com/a?x=1&y=2"),
+        (2, "HTTPS://WWW.example.com/a/?y=2&x=1&utm_source=s"),
+        (3, "http://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r.canonical_url: r for r in dedup_by_url(df, "url", "id").collect()
+    }
+    assert len(out) == 2
+    g = out["http://example.com/a?x=1&y=2"]
+    assert g.keeper_id == 1 and g.dup_count == 2
+
+
+def test_plan_map_only_single_digest_shuffle(spark):
+    df = spark.range(10).select(
+        F.col("id"),
+        F.concat(F.lit("http://e.com/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+    )
+    plan = (
+        dedup_by_url(df, "url", "id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "Python" not in plan
