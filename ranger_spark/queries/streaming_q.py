@@ -687,3 +687,171 @@ def stream_tws_rolling_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").cast("long").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time timers under the oracle gate: deterministic wave batching
+# ---------------------------------------------------------------------------
+_SESS_T0 = 1_700_000_000  # epoch s, wave base
+_SESS_DELTA = 3_600  # inter-wave spacing (s) >> gap, so flushes are forced
+_SESS_GAP_MS = 60_000
+
+
+def _tws_session_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Content-addressed landing zone of 9 single-parquet 'wave' files
+    that make the event-time session query DETERMINISTIC under
+    ``maxFilesPerTrigger=1`` (one file = one micro-batch, mtime-ordered):
+
+      slot 0/3/6 — real events, wave = (cents % 3) * 3, event time
+        T0 + wave·Δ + cents%10 (all of a user's wave-w rows arrive in
+        micro-batch w, so the session content is batch-independent);
+      slots 1,2,4,5 — sentinel rows (user −1) at T0 + slot·Δ: two
+        watermark advances between real waves, so the PREVIOUS wave's
+        timer (end+gap) provably expires before the next wave's input
+        arrives (the watermark lags one batch — a single sentinel would
+        leave fire-vs-merge dependent on Spark's within-batch ordering
+        of expired timers and input rows);
+      slots 7,8 — far-future sentinels (T0 + 10Δ / 11Δ) that flush the
+        last real wave without relying on a trailing no-data batch.
+
+    The oracle is then a plain GROUP BY (user, wave) over the same
+    closed-form synthesis. Built once per (sf_dir, rowcount), published
+    atomically (the warc_source_roundtrip pattern)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ranger_spark.tables import load
+
+    d = load(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    pdf = d.toPandas()
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{len(pdf)}|v1".encode()
+    ).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), f"ranger_tws_sess_{tag}")
+    if os.path.isdir(final):
+        return final
+    work = tempfile.mkdtemp(prefix=f"ranger_tws_sess_{tag}_part_")
+    pdf["wave"] = (pdf["cents"] % 3) * 3
+    pdf["ts_us"] = (
+        _SESS_T0 + pdf["wave"] * _SESS_DELTA + pdf["cents"] % 10
+    ) * 1_000_000
+    sentinel_ts = {1: 1, 2: 2, 4: 4, 5: 5, 7: 10, 8: 11}
+    for slot in range(9):
+        if slot in (0, 3, 6):
+            part = pdf[pdf["wave"] == slot]
+            t = pa.table(
+                {
+                    "user_id": pa.array(part["user_id"], pa.int64()),
+                    "value": pa.array(
+                        part["cents"].astype("float64"), pa.float64()
+                    ),
+                    "ts_us": pa.array(part["ts_us"], pa.int64()),
+                }
+            )
+        else:
+            ts = (_SESS_T0 + sentinel_ts[slot] * _SESS_DELTA) * 1_000_000
+            t = pa.table(
+                {
+                    "user_id": pa.array([-1], pa.int64()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "ts_us": pa.array([ts], pa.int64()),
+                }
+            )
+        path = os.path.join(work, f"slot{slot}.parquet")
+        pq.write_table(t, path)
+        os.utime(path, (1_700_000_000 + slot, 1_700_000_000 + slot))
+    try:
+        os.rename(work, final)  # atomic: concurrent/crashed runs lose
+    except OSError:
+        shutil.rmtree(work, ignore_errors=True)
+    return final
+
+
+_TWS_SESS_SINK = "stream_tws_session_flush_sink"
+
+
+@register(
+    "stream_tws_session_flush",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, (cents % 3) * 3 AS wave,
+               ({_SESS_T0} + ((cents % 3) * 3) * {_SESS_DELTA}
+                + (cents % 10)) * 1000 AS ts_ms,
+               cents
+        FROM c
+    )
+    SELECT user_id,
+           min(ts_ms) AS session_start_ms,
+           max(ts_ms) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS mean_cents
+    FROM s GROUP BY user_id, wave
+    """,
+    tags=("streaming", "stateful", "tws", "timers", "events"),
+)
+def stream_tws_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME timers under the oracle gate — the last
+    transformWithState surface without a driver-certified query
+    (VERDICT r10 item 6): custom session windows whose flushes are
+    driven by ``registerTimer``/``handleExpiredTimer`` against the
+    WATERMARK (TimerRequest.getWatermark on the wire, the path
+    ProcessingTime operators never touch).
+
+    Determinism protocol: the landing zone (see _tws_session_landing)
+    pins micro-batch boundaries with one file per trigger — each user's
+    wave-w events all arrive in batch w, and two sentinel watermark
+    advances separate consecutive waves so each wave's timer provably
+    fires before the next wave's input. Every session's content, and
+    therefore every emission, is then a closed-form function of the
+    events table — the plain GROUP BY (user, wave) the oracle runs.
+    Cents-as-doubles keep sums exact; the mean is rounded to 6dp on
+    both sides (repo invariant)."""
+    landing = _tws_session_landing(spark, sf_dir)
+    from ranger_spark.streaming.stateful import eventtime_session_flush_per_key
+
+    for q in spark.streams.active:
+        if q.name == _TWS_SESS_SINK:
+            q.stop()
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", "value")
+    )
+    out = eventtime_session_flush_per_key(stream, gap_ms=_SESS_GAP_MS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_TWS_SESS_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_quiescent(q, 240.0)
+    finally:
+        if q.isActive:
+            q.stop()
+    return (
+        spark.table(_TWS_SESS_SINK)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "session_start_ms",
+            "session_end_ms",
+            "cnt",
+            F.round(F.col("mean_value"), 6).alias("mean_cents"),
+        )
+    )
