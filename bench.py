@@ -632,6 +632,18 @@ def _streaming_section(spark, registry, sf_dir: str) -> dict:
         spark.sql("DROP TABLE IF EXISTS bench_tws_topk")
     except Exception as e:  # pragma: no cover - capability drift
         out["drains"]["tws_topk_liststate"] = f"error: {str(e)[:200]}"
+    # event-time-timer drain (r11): the oracled session-flush query —
+    # 9 pinned micro-batches through registerTimer/handleExpiredTimer
+    # on the RocksDB provider, so a regression in the watermark/timer
+    # wire path shows up per round
+    try:
+        t0 = time.time()
+        n = registry["stream_tws_session_flush"].builder(spark, sf_dir).count()
+        wall = round(time.time() - t0, 3)
+        out["drains"]["tws_eventtime_sessions"] = wall
+        out["tws_sessions_flushed"] = n
+    except Exception as e:  # pragma: no cover - capability drift
+        out["drains"]["tws_eventtime_sessions"] = f"error: {str(e)[:200]}"
     return out
 
 
