@@ -1060,7 +1060,9 @@ def main() -> None:
     # after every section has run. A co-tenant burst inflates one
     # window, not both, so the committed record stops flapping on box
     # noise; both window totals are kept as annotations for honesty.
-    if os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "2") != "1":
+    if os.environ.get(
+        "SPARK_GRAFT_HEADLINE_PASSES", "2"
+    ) != "1" and not _over_budget("headline_windows"):
         try:
             spark.catalog.clearCache()
             for t in TABLES:

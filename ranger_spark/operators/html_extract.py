@@ -124,6 +124,24 @@ def html_main_content_lines(
     )
 
 
+def html_scored_lines(
+    col: Column | str,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    max_link_density: float = 0.5,
+) -> Column:
+    """``array<struct<t: clean line, k: keep flag>>`` over the visible
+    lines — ONE tag walk serving both the visible-text and main-content
+    views. Callers needing both should alias this once and derive from
+    the alias: Catalyst does not CSE repeated expression chains (same
+    non-CSE note as operators/text.quality_metrics' ``toks``), so
+    composing ``html_main_content_lines`` + ``html_visible_text`` on
+    the raw column runs the ~13-pass regex chain twice per row."""
+    return _scored_lines(
+        col, min_words, require_terminal_punct, max_link_density
+    )
+
+
 def _visible_lines(col: Column | str) -> Column:
     """Lines of visible text with anchor spans sentinel-marked and
     per-line whitespace collapsed (sentinels still present)."""
@@ -143,6 +161,18 @@ def _visible_lines(col: Column | str) -> Column:
 
 
 def _kept_lines(
+    col: Column | str,
+    min_words: int,
+    require_terminal_punct: bool,
+    max_link_density: float,
+) -> Column:
+    scored = _scored_lines(
+        col, min_words, require_terminal_punct, max_link_density
+    )
+    return F.transform(F.filter(scored, lambda s: s["k"]), lambda s: s["t"])
+
+
+def _scored_lines(
     col: Column | str,
     min_words: int,
     require_terminal_punct: bool,
@@ -170,5 +200,4 @@ def _kept_lines(
             keep = keep & clean.rlike(_TERMINAL_PUNCT_RE)
         return F.struct(clean.alias("t"), keep.alias("k"))
 
-    scored = F.transform(lines, score)
-    return F.transform(F.filter(scored, lambda s: s["k"]), lambda s: s["t"])
+    return F.transform(lines, score)

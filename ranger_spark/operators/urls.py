@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TRACKING_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)="
+# case-insensitive: ad/mail platforms emit param names in varying case
+# (UTM_Source=, Fbclid=) and a case-sensitive miss would split the dedup
+# group this pass exists to collapse; values stay case-significant
+_TRACKING_RE = r"^(?i:utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)="
 
 
 def canonicalize_url(col: Column | str, fold_https: bool = True) -> Column:

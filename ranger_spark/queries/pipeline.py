@@ -6966,10 +6966,7 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in column expressions — map-only, whole-stage codegen, zero
     shuffles, zero Python. The 100-TB shape: each task strips its own
     WARC payloads in place."""
-    from ranger_spark.operators.html_extract import (
-        html_main_content_lines,
-        html_visible_text,
-    )
+    from ranger_spark.operators.html_extract import html_scored_lines
 
     d = load(spark, sf_dir, "documents")
     id_s = F.col("doc_id").cast("string")
@@ -6984,15 +6981,23 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HTML_TAIL),
     )
     d = d.select("doc_id", page.alias("h"))
+    # ONE tag walk (html_scored_lines), both views derived from the
+    # alias — composing main-content + visible-text on the raw column
+    # would run the regex chain twice per row (Catalyst doesn't CSE it)
+    d = d.select("doc_id", html_scored_lines("h").alias("s"))
     d = d.select(
         "doc_id",
-        html_main_content_lines("h").alias("kept"),
-        html_visible_text("h").alias("vis"),
+        F.transform(
+            F.filter("s", lambda x: x["k"]), lambda x: x["t"]
+        ).alias("kept"),
+        F.filter(
+            F.transform("s", lambda x: x["t"]), lambda t: t != F.lit("")
+        ).alias("vis"),
     )
     return d.select(
         "doc_id",
         F.size("kept").cast("int").alias("n_lines_kept"),
-        F.size(F.split("vis", "\n")).cast("int").alias("n_lines_visible"),
+        F.size("vis").cast("int").alias("n_lines_visible"),
         F.length(F.array_join("kept", "\n")).cast("int").alias("extract_len"),
         F.md5(F.array_join("kept", "\n")).alias("extracted_fp"),
     )

@@ -561,8 +561,13 @@ def stream_tws_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") * 100, 0).cast("long").cast("double").alias("value"),
     )
+    from ranger_spark.tables import load as _load
+
+    # through tables.load, NOT raw spark.read.parquet: events.parquet is
+    # TIMESTAMP(NANOS) and load() owns the nanosAsLong legacy conf — a
+    # raw read only works if something else set it first
     seeds = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        _load(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
         .select(
@@ -730,13 +735,16 @@ def _tws_session_landing(spark: SparkSession, sf_dir: str) -> str:
     d = load(spark, sf_dir, "events").select(
         "user_id", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
     )
-    pdf = d.toPandas()
+    # tag from count() only — the full-table driver collect happens
+    # exclusively on the build branch, never on a cache hit (this runs
+    # per certification AND per bench round)
     tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{len(pdf)}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{d.count()}|v1".encode()
     ).hexdigest()[:16]
     final = os.path.join(tempfile.gettempdir(), f"ranger_tws_sess_{tag}")
     if os.path.isdir(final):
         return final
+    pdf = d.toPandas()
     work = tempfile.mkdtemp(prefix=f"ranger_tws_sess_{tag}_part_")
     pdf["wave"] = (pdf["cents"] % 3) * 3
     pdf["ts_us"] = (

@@ -122,30 +122,13 @@ _COMPRESS_MIN_BYTES = 64  # tiny frames aren't worth a deflate round trip
 
 
 def zstd_binding_kind() -> str:
-    """Which zstd implementation ``_zstd_binding`` would return — probe
-    order mirrors it exactly: ``stdlib`` (compression.zstd, 3.14+) →
-    ``zstandard`` → ``pyarrow`` (bundled libzstd) → ``pure`` (the
-    RFC 8878 Python codec). Everything but ``pure`` is C speed."""
-    try:
-        from compression import zstd  # noqa: F401  (Python 3.14+)
-
-        return "stdlib"
-    except ImportError:
-        pass
-    try:
-        import zstandard  # noqa: F401
-
-        return "zstandard"
-    except ImportError:
-        pass
-    try:
-        import pyarrow as _pa
-
-        _pa.Codec("zstd")
-        return "pyarrow"
-    except Exception:
-        pass
-    return "pure"
+    """Which zstd implementation ``_zstd_binding`` returns: ``stdlib``
+    (compression.zstd, 3.14+) → ``zstandard`` → ``pyarrow`` (bundled
+    libzstd) → ``pure`` (the RFC 8878 Python codec). Derived from the
+    SAME probe (``_zstd_binding_tagged``), so the kind can never drift
+    from the codec actually used on the wire. Everything but ``pure``
+    is C speed."""
+    return _zstd_binding_tagged()[0]
 
 
 def preferred_codec() -> int:
@@ -161,11 +144,19 @@ def preferred_codec() -> int:
 
 
 def _zstd_binding():
-    """Runtime probe for a zstd binding: stdlib ``compression.zstd``
-    (Python 3.14+) first, then the ``zstandard`` package. Returns
-    (compress, decompress_with_cap) or None — the enum lights up when a
-    binding is present and stays typed-gated otherwise
-    (pkg/sdk/client.go:51-58 parity, VERDICT r7 item 8)."""
+    """(compress, decompress_with_cap) of the selected zstd
+    implementation — the codec half of ``_zstd_binding_tagged``."""
+    return _zstd_binding_tagged()[1:]
+
+
+def _zstd_binding_tagged():
+    """THE zstd probe (single source of truth — ``_zstd_binding`` and
+    ``zstd_binding_kind``/``preferred_codec`` all derive from it, so
+    negotiation can never advertise a speed the wire path won't use):
+    stdlib ``compression.zstd`` (Python 3.14+) → ``zstandard`` →
+    pyarrow's bundled libzstd → the pure-Python RFC 8878 codec. Returns
+    (kind, compress, decompress_with_cap)
+    (pkg/sdk/client.go:51-58 parity, VERDICT r7 item 8 / r10 item 8)."""
     try:
         from compression import zstd as _z  # Python 3.14+
 
@@ -179,13 +170,14 @@ def _zstd_binding():
                 raise ValueError("decompressed length exceeds declared cap")
             return out
 
-        return (lambda b: _z.compress(b, 3), _d_std)
+        return ("stdlib", lambda b: _z.compress(b, 3), _d_std)
     except ImportError:
         pass
     try:
         import zstandard as _z
 
         return (
+            "zstandard",
             lambda b: _z.ZstdCompressor(level=3).compress(b),
             # max_output_size enforces the bomb cap DURING decode
             lambda b, cap: _z.ZstdDecompressor().decompress(
@@ -208,7 +200,7 @@ def _zstd_binding():
             except Exception as e:
                 raise ValueError(f"zstd decode failed: {e}") from e
 
-        return (lambda b: bytes(codec.compress(b)), _d_pa)
+        return ("pyarrow", lambda b: bytes(codec.compress(b)), _d_pa)
     except Exception:
         pass
     # always-available fallback: the pure-Python RFC 8878 codec
@@ -216,7 +208,9 @@ def _zstd_binding():
     # DURING decode there too
     from ranger_spark.sources import zstd_frame as _zf
 
-    return (_zf.compress, lambda b, cap: _zf.decompress(b, max(cap, 1)))
+    return (
+        "pure", _zf.compress, lambda b, cap: _zf.decompress(b, max(cap, 1))
+    )
 
 
 def _brotli_binding():
@@ -1375,32 +1369,36 @@ class NativeClient:
         # SDK's compress DSN parameter, same numbering
         # (pkg/sdk/client.go:51-58); "zlib" accepted as a deflate alias
         o = parse_dsn(dsn)
-        names = {
-            "none": COMPRESSION_NONE, "lz4": COMPRESSION_LZ4,
-            "lz4hc": COMPRESSION_LZ4HC, "zstd": COMPRESSION_ZSTD,
-            "gzip": COMPRESSION_GZIP, "deflate": COMPRESSION_DEFLATE,
-            "zlib": COMPRESSION_DEFLATE, "br": COMPRESSION_BROTLI,
-        }
-        comp = o["settings"].get("compress", "none").lower()
-        if comp == "auto":
-            # throughput-ranked negotiation (VERDICT r10 item 8): zstd
-            # when a C binding exists, else C-speed zlib — see
-            # preferred_codec()
-            codec = preferred_codec()
-        elif comp in names:
-            codec = names[comp]
-        else:
-            raise ValueError(f"unknown compress codec {comp!r}")
+        # name resolution (incl. compress=auto → preferred_codec, the
+        # VERDICT r10 item 8 throughput-ranked negotiation) lives in
+        # __init__ so the constructor and the DSN accept the same set
         return cls(
             o["host"], o["port"], database=o["database"], user=o["user"],
-            password=o["password"], compression=codec,
+            password=o["password"],
+            compression=o["settings"].get("compress", "none"),
         )
+
+    _CODEC_NAMES = {
+        "none": COMPRESSION_NONE, "lz4": COMPRESSION_LZ4,
+        "lz4hc": COMPRESSION_LZ4HC, "zstd": COMPRESSION_ZSTD,
+        "gzip": COMPRESSION_GZIP, "deflate": COMPRESSION_DEFLATE,
+        "zlib": COMPRESSION_DEFLATE, "br": COMPRESSION_BROTLI,
+    }
 
     def __init__(self, host: str, port: int, database: str = "",
                  user: str = "", password: str = "",
                  compression: int | str = COMPRESSION_NONE):
-        if compression == "auto":
-            compression = preferred_codec()
+        # string codecs resolve BEFORE the socket opens — an unknown
+        # name must raise here, not TypeError deep in the hello packer
+        # with a leaked connection
+        if isinstance(compression, str):
+            name = compression.lower()
+            if name == "auto":
+                compression = preferred_codec()
+            elif name in self._CODEC_NAMES:
+                compression = self._CODEC_NAMES[name]
+            else:
+                raise ValueError(f"unknown compress codec {compression!r}")
         self.database = database
         self._codec = COMPRESSION_NONE  # negotiation completes after hello
         self.sock = socket.create_connection((host, port), timeout=60)

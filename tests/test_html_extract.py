@@ -247,3 +247,47 @@ class TestWarcToCorpusChain:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestScoredLines:
+    def test_scored_lines_single_walk_derivations_match(self, spark):
+        """html_scored_lines is the one-tag-walk base: main-content and
+        visible-text derived from its alias must equal the direct
+        operators (r11 review finding: composing both on the raw column
+        ran the regex chain twice — Catalyst does not CSE it)."""
+        from ranger_spark.operators.html_extract import html_scored_lines
+
+        h = (
+            "<title>Doc 1</title><nav><a href='/'>Home page link.</a>"
+            "</nav><p>Kept prose line stays here.</p><p>short</p>"
+        )
+        df = spark.createDataFrame([(h,)], "h string").select(
+            html_scored_lines("h").alias("s"),
+            html_main_content("h").alias("direct_main"),
+            html_visible_text("h").alias("direct_vis"),
+        )
+        row = df.select(
+            F.array_join(
+                F.transform(
+                    F.filter("s", lambda x: x["k"]), lambda x: x["t"]
+                ),
+                "\n",
+            ).alias("m"),
+            F.array_join(
+                F.filter(
+                    F.transform("s", lambda x: x["t"]),
+                    lambda t: t != F.lit(""),
+                ),
+                "\n",
+            ).alias("v"),
+            "direct_main",
+            "direct_vis",
+        ).collect()[0]
+        assert row.m == row.direct_main == "Kept prose line stays here."
+        assert row.v == row.direct_vis
+        assert row.v.splitlines() == [
+            "Doc 1",
+            "Home page link.",
+            "Kept prose line stays here.",
+            "short",
+        ]

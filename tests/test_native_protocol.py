@@ -905,3 +905,20 @@ def test_auto_codec_falls_back_to_deflate_without_c_zstd(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_zstd)
     assert ns.zstd_binding_kind() == "pure"
     assert ns.preferred_codec() == ns.COMPRESSION_DEFLATE
+
+
+def test_constructor_accepts_codec_names_and_rejects_unknown(server):
+    """String codecs resolve before the socket opens (r11 review
+    finding: an unmapped string used to crash in the hello packer with
+    a leaked connection)."""
+    c = ns.NativeClient(
+        "127.0.0.1", server.port, database="nat", compression="deflate"
+    )
+    try:
+        assert c._codec == ns.COMPRESSION_DEFLATE
+        assert c.query("SELECT 1 AS one;")["rows"][0][0] in (1, "1")
+    finally:
+        c.close()
+    with pytest.raises(ValueError, match="unknown compress codec"):
+        # port 1: resolution must fail BEFORE any connection attempt
+        ns.NativeClient("127.0.0.1", 1, compression="bogus")

@@ -101,3 +101,11 @@ def test_plan_map_only_single_digest_shuffle(spark):
     )
     assert plan.count("Exchange") <= 1
     assert "Python" not in plan
+
+
+def test_tracking_params_stripped_case_insensitive(spark):
+    # ad/mail platforms emit UTM_Source= / Fbclid= — a case-sensitive
+    # miss would split the dedup group (r11 review finding)
+    assert _canon(
+        spark, "http://e.com/p?UTM_SOURCE=feed&a=1&Fbclid=F&GCLID=g"
+    ) == "http://e.com/p?a=1"
