@@ -24,24 +24,25 @@ from ranger_spark.queries import load_all  # noqa: E402
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
 # round start (hash_match-only certification since r9). Round 11 front
-# (VERDICT r10 next-round #2): the 5 never-certified new entries lead
+# (VERDICT r10 next-round #2): the 6 never-certified new entries lead
 # (html_extract_text, url_canonical_dedup + the two TWS drains), then the two
 # still-r5 window queries cert_ledger showed NOTES' r10 bookkeeping
 # missed (window_topn_per_group, window_value_family), then the r6
 # cohort stalest-first. The r6 cohort is 47 entries and the window is
-# ~50, so its last four (text_bigram_lm_score, text_bigram_pmi,
-# text_gopher_rules, text_length_histogram) are deferred to the r12
-# front — stated here so the ledger claim
-# stays honest. Moving-window arithmetic: with 246 queries and a
+# ~50, so its last five (text_bigram_lm_score, text_bigram_pmi,
+# text_gopher_rules, text_length_histogram, source_quality_report)
+# are deferred to the r12 front — stated here so the ledger claim
+# stays honest. Moving-window arithmetic: with 247 queries and a
 # ~50-slot window, entries certified 2+ rounds ago always number
-# >= 246 - 2*50 = 146 — the structural floor; the real drain metric
-# is max-staleness (r5 clears this round; r6 all but four).
+# >= 247 - 2*50 = 147 — the structural floor; the real drain metric
+# is max-staleness (r5 clears this round; r6 all but five).
 _FRONT_R11 = (
     "html_extract_text",
     "stream_tws_topk_seeded",
     "stream_tws_rolling_total",
     "url_canonical_dedup",
     "stream_tws_session_flush",
+    "warc_html_extract_roundtrip",
     "window_topn_per_group",
     "window_value_family",
     "ann_ivf_kmeans_topk",
@@ -86,7 +87,6 @@ _FRONT_R11 = (
     "sample_quality_weighted",
     "sample_reservoir_per_source",
     "source_mixture_plan",
-    "source_quality_report",
 )
 
 

@@ -7064,3 +7064,100 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.url").alias("url"),
     )
     return dedup_by_url(variants, "url", "row_id")
+
+
+@register(
+    "warc_html_extract_roundtrip",
+    oracle=f"""
+    WITH exp AS (
+      SELECT doc_id,
+             'Report ' || CAST(doc_id AS VARCHAR) || ' overview.' || chr(10)
+               || text || '.' || chr(10)
+               || '{_HTML_KEPT_TAIL}' AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(x) AS INTEGER) AS extract_len,
+           md5(x) AS extracted_fp
+    FROM exp
+    """,
+    tags=("multimodal", "warc", "html", "datasource"),
+)
+def warc_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE web-corpus front half under the driver gate: documents
+    are packed as WARC `response` records (real HTTP response headers +
+    the html_extract_text page chrome), written with the warc writer,
+    read back through the warc DataSource (rec_type + http_status
+    pushdown inside the record walk, strip_http_headers peeling the
+    HTTP envelope), and boilerplate-stripped by html_main_content — the
+    driver certifies the INTEGRATION (writer ↔ reader ↔ extractor) per
+    round, not just each stage. Oracle: the same closed-form expected
+    text as html_extract_text — nothing downstream of `documents` is
+    shared between the engines."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ranger_spark.operators.html_extract import html_main_content
+    from ranger_spark.sources.warc_datasource import register_warc_source
+
+    register_warc_source(spark)
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{n}|html_v1".encode()
+    ).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), f"ranger_warc_html_{tag}")
+    if not os.path.isdir(final):
+        work = tempfile.mkdtemp(prefix=f"ranger_warc_html_{tag}_part_")
+        id_s = F.col("doc_id").cast("string")
+        page = F.concat(
+            F.lit(
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                "charset=utf-8\r\n\r\n<html><head><title>Doc "
+            ),
+            id_s,
+            F.lit(_HTML_MID),
+            id_s,
+            F.lit(" overview.</h1><p>"),
+            F.col("text"),
+            F.lit(".</p>"),
+            F.lit(_HTML_TAIL),
+        )
+        (
+            d.select(
+                F.lit("response").alias("rec_type"),
+                F.concat(
+                    F.lit("<urn:ranger:page:"), id_s, F.lit(">")
+                ).alias("record_id"),
+                F.concat(F.lit("doc://"), id_s).alias("target_uri"),
+                F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+                F.encode(page, "utf-8").alias("payload"),
+            )
+            .repartition(4)
+            .write.format("warc")
+            .mode("append")
+            .save(work)
+        )
+        try:
+            os.rename(work, final)  # atomic: concurrent/crashed runs lose
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
+    return (
+        spark.read.format("warc")
+        .option("strip_http_headers", "true")
+        .load(final)
+        .filter(
+            (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+        )  # both pushed into the record walk
+        .select(
+            F.expr("CAST(substring(target_uri, 7) AS BIGINT)").alias("doc_id"),
+            html_main_content(F.decode(F.col("payload"), "utf-8")).alias("x"),
+        )
+        .select(
+            "doc_id",
+            F.length("x").cast("int").alias("extract_len"),
+            F.md5("x").alias("extracted_fp"),
+        )
+    )
