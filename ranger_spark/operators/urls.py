@@ -13,6 +13,8 @@ applies — c.f. RFC 3986 §6 syntax-based normalization plus the
 tracking-param strip):
   * scheme and host lowercased; ``https`` folded to ``http`` (optional,
     on by default: corpus identity, not fetch semantics)
+  * userinfo (``user:pass@``) dropped — credentials are fetch state,
+    never page identity (and case-folding them would be wrong)
   * leading ``www.`` dropped; default ports (``:80``/``:443``) dropped
   * fragment dropped
   * tracking params removed (``utm_*``, ``gclid``, ``fbclid``,
@@ -45,7 +47,10 @@ def canonicalize_url(col: Column | str, fold_https: bool = True) -> Column:
         scheme = F.lit("http")
     rest = F.regexp_replace(u, r"(?i)^https?://", "")
     frag_free = F.regexp_replace(rest, r"#.*$", "")
-    authority = F.lower(F.regexp_extract(frag_free, r"^([^/?]*)", 1))
+    authority = F.regexp_extract(frag_free, r"^([^/?]*)", 1)
+    # userinfo first (before lowercasing — credentials are
+    # case-significant and must not leak into the canonical form)
+    authority = F.lower(F.regexp_replace(authority, r"^[^@]*@", ""))
     authority = F.regexp_replace(authority, r"^www\.", "")
     authority = F.regexp_replace(authority, r":(80|443)$", "")
     path = F.regexp_extract(frag_free, r"^[^/?]*([^?]*)", 1)
