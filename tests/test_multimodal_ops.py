@@ -1132,3 +1132,166 @@ def test_native_codec_probe():
         "behind the parse_* seam (operators/multimodal.py docstring) and "
         "add the differential test against the pure-Python decoders"
     )
+
+
+class TestVectorizedDecodeDifferential:
+    """r11: the PNG/WAV/BMP inner loops were numpy-vectorized (the
+    100-TB CPU-economics lever VERDICT r10 named for the pure-Python
+    media paths). These tests pin EXACT equivalence against scalar
+    reference implementations of the public specs on randomized
+    payloads — the vectorization must be bit-for-bit, not approximate."""
+
+    @staticmethod
+    def _scalar_unfilter(raw, height, stride, channels):
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        prev = bytes(stride)
+        out = []
+        rp = 0
+        for _y in range(height):
+            ftype = raw[rp]
+            rp += 1
+            line = bytearray(raw[rp : rp + stride])
+            rp += stride
+            if ftype == 1:
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    c = prev[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
+            out.append(bytes(line))
+            prev = bytes(line)
+        return b"".join(out)
+
+    def test_png_unfilter_matches_scalar_all_filters(self):
+        import random
+
+        from ranger_spark.operators.multimodal import _png_unfilter
+
+        rng = random.Random(1107)
+        for channels in (1, 3, 4):
+            for _ in range(8):
+                width = rng.randint(1, 23)
+                height = rng.randint(1, 17)
+                stride = width * channels
+                raw = bytearray()
+                for _y in range(height):
+                    raw.append(rng.randint(0, 4))  # every filter type
+                    raw.extend(
+                        rng.randint(0, 255) for _ in range(stride)
+                    )
+                raw = bytes(raw)
+                got = _png_unfilter(raw, height, stride, channels)
+                assert got is not None
+                assert got.tobytes() == self._scalar_unfilter(
+                    raw, height, stride, channels
+                )
+
+    def test_png_unfilter_rejects_undefined_filter(self):
+        from ranger_spark.operators.multimodal import _png_unfilter
+
+        assert _png_unfilter(bytes([7, 1, 2, 3]), 1, 3, 3) is None
+
+    def test_wav_stats_match_scalar(self):
+        import random
+        import struct
+
+        from ranger_spark.operators.multimodal import parse_wav_pcm
+
+        rng = random.Random(42)
+        samples = [rng.randint(-32768, 32767) for _ in range(5000)]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        body = (
+            b"fmt \x10\x00\x00\x00" + struct.pack(
+                "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+            ) + b"data" + struct.pack("<I", len(data)) + data
+        )
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        got = parse_wav_pcm(payload)
+        sq = sum(s * s for s in samples)
+        assert got["n_samples"] == len(samples)
+        assert got["peak"] == max(abs(s) for s in samples)
+        assert got["rms"] == (sq / len(samples)) ** 0.5  # bit-exact
+
+    def test_silence_profile_matches_scalar(self):
+        import random
+        import struct
+
+        from ranger_spark.operators.multimodal import wav_silence_profile
+
+        rng = random.Random(7)
+        # bursty: long silent stretches with speech islands
+        samples = []
+        for _ in range(60):
+            if rng.random() < 0.5:
+                samples.extend([rng.randint(-9, 9)] * rng.randint(1, 40))
+            else:
+                samples.extend(
+                    rng.randint(-30000, 30000) for _ in range(rng.randint(1, 25))
+                )
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        body = (
+            b"fmt \x10\x00\x00\x00" + struct.pack(
+                "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+            ) + b"data" + struct.pack("<I", len(data)) + data
+        )
+        payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+        got = wav_silence_profile(payload, threshold=16)
+        # scalar reference
+        silent = [abs(s) < 16 for s in samples]
+        runs = longest = cur = 0
+        for s in silent:
+            if s:
+                cur += 1
+                runs += cur == 1
+                longest = max(longest, cur)
+            else:
+                cur = 0
+        assert got["n_silent"] == sum(silent)
+        assert got["n_silence_runs"] == runs
+        assert got["longest_run"] == longest
+        assert got["speech_ratio"] == round(
+            (len(samples) - sum(silent)) / len(samples), 6
+        )
+
+    def test_bmp_means_match_scalar(self):
+        import random
+        import struct
+
+        from ranger_spark.operators.multimodal import parse_bmp_pixels
+
+        rng = random.Random(3)
+        width, height = 13, 9  # odd width → nonzero row padding
+        row_size = (width * 3 + 3) & ~3
+        pix = bytes(rng.randint(0, 255) for _ in range(row_size * height))
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                          len(pix), 0, 0, 0, 0)
+        )
+        got = parse_bmp_pixels(header + pix)
+        sums = [0, 0, 0]
+        for y in range(height):
+            base = y * row_size
+            for x in range(width):
+                o = base + x * 3
+                for c in range(3):
+                    sums[c] += pix[o + c]
+        n = width * height
+        assert got["mean_b"] == sums[0] / n
+        assert got["mean_g"] == sums[1] / n
+        assert got["mean_r"] == sums[2] / n
