@@ -33,11 +33,15 @@ boilerplate scoring):
 
 Known regex-parser limits (documented, standard for this technique): a
 ``</script>`` inside a JS string literal ends the script block early; an
-anchor spanning block boundaries loses its sentinel pairing on the far
-lines (density under-counts there). Both are the accepted trade-off of
-the non-DOM, single-pass approach every large-scale pipeline uses —
-a real DOM parse per document is exactly the per-row Python this
-operator exists to avoid.
+anchor with NO closing ``</a>`` at all never gets sentinels (the bare
+``<a …>`` is stripped as a plain tag, so its text scores as prose — a
+DOM parser's auto-close recovery is the per-row Python this operator
+exists to avoid); lines strictly INSIDE an anchor that spans 3+ blocks
+carry no sentinel and under-count. Dangling sentinels on the lines
+where a cross-block anchor opens/closes DO count: the density score
+treats an unpaired ``\\x01`` as anchored-to-end-of-line and an unpaired
+``\\x02`` as anchored-from-start-of-line, so a nav block of multi-line
+anchors can't pass the density filter on a technicality.
 
 Reference parity note: gear6io/ranger has no HTML processing at all —
 this module is part of the LLM-training-data extension surface (brief:
@@ -182,13 +186,33 @@ def _scored_lines(
 
     def score(l: Column) -> Column:
         clean = F.regexp_replace(l, f"[{_SA}{_SB}]", "")
-        anchor_len = F.length(
+        paired_len = F.length(
             F.array_join(
                 F.regexp_extract_all(
                     l, F.lit(f"{_SA}([^{_SA}{_SB}]*){_SB}"), F.lit(1)
                 ),
                 "",
             )
+        )
+        # dangling sentinels from cross-block anchors: an unpaired open
+        # anchors to end-of-line, an unpaired close from start-of-line
+        # (module docstring "Known regex-parser limits"). Work on the
+        # residual with paired spans removed so paired text isn't
+        # re-counted; cap at the clean length for pathological nesting.
+        residual = F.regexp_replace(l, f"{_SA}[^{_SA}{_SB}]*{_SB}", "")
+        open_tail = F.regexp_replace(
+            F.regexp_extract(residual, f"{_SA}(.*)$", 1),
+            f"[{_SA}{_SB}]",
+            "",
+        )
+        close_head = F.regexp_replace(
+            F.regexp_extract(residual, f"^(.*){_SB}", 1),
+            f"[{_SA}{_SB}]",
+            "",
+        )
+        anchor_len = F.least(
+            paired_len + F.length(open_tail) + F.length(close_head),
+            F.length(clean),
         )
         density = anchor_len / F.greatest(F.length(clean), F.lit(1))
         keep = (

@@ -31,14 +31,37 @@ from pyspark.sql import functions as F
 
 # case-insensitive: ad/mail platforms emit param names in varying case
 # (UTM_Source=, Fbclid=) and a case-sensitive miss would split the dedup
-# group this pass exists to collapse; values stay case-significant
-_TRACKING_RE = r"^(?i:utm_[a-z0-9_]*|gclid|fbclid|ref|mc_cid|mc_eid)="
+# group this pass exists to collapse; values stay case-significant.
+# NOTE: bare ``ref`` is in the default set because it is overwhelmingly a
+# referral tag on the open web, but some sites route content through it —
+# pass ``strip_params`` excluding it when ``ref`` carries page identity.
+DEFAULT_STRIP_PARAMS = (
+    "utm_[a-z0-9_]*",
+    "gclid",
+    "fbclid",
+    "ref",
+    "mc_cid",
+    "mc_eid",
+)
 
 
-def canonicalize_url(col: Column | str, fold_https: bool = True) -> Column:
+def _strip_regex(strip_params: tuple[str, ...] | list[str]) -> str:
+    return r"^(?i:" + "|".join(strip_params) + r")="
+
+
+def canonicalize_url(
+    col: Column | str,
+    fold_https: bool = True,
+    strip_params: tuple[str, ...] | list[str] = DEFAULT_STRIP_PARAMS,
+) -> Column:
     """Canonical corpus identity of a URL (see module docstring) as a
     composable Column expression. Non-http(s) inputs pass through with
-    only whitespace trimmed — identity for them is the raw string."""
+    only whitespace trimmed — identity for them is the raw string.
+
+    ``strip_params`` is the tracking-parameter name list (each entry a
+    case-insensitive regex fragment matched against the full param
+    name); defaults to ``DEFAULT_STRIP_PARAMS``. An empty list keeps
+    every query parameter."""
     u = F.trim(F.col(col) if isinstance(col, str) else col)
     is_http = u.rlike(r"(?i)^https?://")
     # split once: scheme, authority, path, query, fragment
@@ -58,12 +81,12 @@ def canonicalize_url(col: Column | str, fold_https: bool = True) -> Column:
         F.regexp_replace(path, r"(.)/$", "$1")
     )
     query = F.regexp_extract(frag_free, r"\?(.*)$", 1)
-    kept = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != F.lit("")) & ~p.rlike(_TRACKING_RE),
-        )
-    )
+    if strip_params:
+        tracking_re = _strip_regex(strip_params)
+        keep = lambda p: (p != F.lit("")) & ~p.rlike(tracking_re)  # noqa: E731
+    else:
+        keep = lambda p: p != F.lit("")  # noqa: E731
+    kept = F.array_sort(F.filter(F.split(query, "&"), keep))
     qcanon = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
@@ -72,14 +95,21 @@ def canonicalize_url(col: Column | str, fold_https: bool = True) -> Column:
 
 
 def dedup_by_url(
-    df: DataFrame, url_col: str, id_col: str, fold_https: bool = True
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    fold_https: bool = True,
+    strip_params: tuple[str, ...] | list[str] = DEFAULT_STRIP_PARAMS,
 ) -> DataFrame:
     """URL-level dedup groups: one row per canonical URL with the keeper
     (min id), the duplicate count, and the canonical form. The shuffle
     key is the md5 of the canonical URL — 16 bytes per row regardless
     of URL length, the same digest-shuffle shape as exact text dedup
-    (operators/dedup.py:39)."""
-    canon = canonicalize_url(F.col(url_col), fold_https=fold_https)
+    (operators/dedup.py:39). ``strip_params`` is forwarded to
+    :func:`canonicalize_url`."""
+    canon = canonicalize_url(
+        F.col(url_col), fold_https=fold_https, strip_params=strip_params
+    )
     return (
         df.select(F.col(id_col), canon.alias("canonical_url"))
         .groupBy(F.md5("canonical_url").alias("url_fp"))

@@ -605,10 +605,17 @@ def _await_quiescent(q, max_wall: float = 240.0) -> None:
     until the TTL actually expires). Output rows only come from
     handleInputRows, so the sink is COMPLETE once the file source is
     exhausted; stop at the first completed zero-input batch with no
-    data available instead of burning minutes of cleanup batches."""
+    data available instead of burning minutes of cleanup batches.
+
+    Two CONSECUTIVE quiescent observations are required before stopping:
+    the file source can transiently report ``isDataAvailable=false``
+    between discovery cycles mid-drain, and stopping on a single
+    observation would truncate emissions and flake the oracle gate."""
     import time as _time
 
     t0 = _time.time()
+    quiescent_streak = 0
+    last_batch = -1
     while q.isActive and _time.time() - t0 < max_wall:
         q.awaitTermination(2)
         p = q.lastProgress
@@ -618,7 +625,15 @@ def _await_quiescent(q, max_wall: float = 240.0) -> None:
             and p.get("numInputRows", 1) == 0
             and not st.get("isDataAvailable", True)
         ):
-            break
+            # only count distinct completed batches toward the streak —
+            # the same lastProgress observed twice is one observation
+            if p.get("batchId", -1) != last_batch:
+                quiescent_streak += 1
+                last_batch = p.get("batchId", -1)
+            if quiescent_streak >= 2:
+                break
+        else:
+            quiescent_streak = 0
     if q.isActive:
         q.stop()
 

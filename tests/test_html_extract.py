@@ -291,3 +291,27 @@ class TestScoredLines:
             "Kept prose line stays here.",
             "short",
         ]
+
+
+class TestCrossBlockAnchorDensity:
+    # r11 advice: dangling sentinels from an anchor spanning a block
+    # boundary must still count toward link density on the open/close
+    # lines — nav chrome built from multi-line anchors can't slip past
+    # the density filter on a pairing technicality
+    def test_cross_block_anchor_counts_on_both_lines(self, spark):
+        h = (
+            "<p><a href='/a'>Browse all categories here"
+            "<p>and even more listing pages now.</a></p>"
+            "<p>Real prose stays in the corpus because it is not a link.</p>"
+        )
+        assert _extract(spark, h) == (
+            "Real prose stays in the corpus because it is not a link."
+        )
+
+    def test_unclosed_anchor_documented_limit(self, spark):
+        # no </a> at all -> the bare <a> is stripped as a plain tag and
+        # the text scores as prose (documented regex-parser limit)
+        h = "<p><a href='/x'>Navigation words that look like prose here.</p>"
+        assert _extract(spark, h) == (
+            "Navigation words that look like prose here."
+        )

@@ -330,3 +330,60 @@ def test_rolling_total_with_ttl_expires(spark):
     # TTL'd state must have been forgotten: the second batch restarts
     # the counter instead of accumulating to (3, 16.0)
     assert final is not None and final.cnt == 1 and final.total == 1.0
+
+
+class _FakeDrainQuery:
+    """Scripted StreamingQuery stand-in for _await_quiescent: each entry
+    is (numInputRows, isDataAvailable, batchId)."""
+
+    def __init__(self, script):
+        self._script = list(script)
+        self._i = -1
+        self.stopped = False
+
+    @property
+    def isActive(self):
+        return not self.stopped
+
+    def awaitTermination(self, _timeout):
+        if self._i < len(self._script) - 1:
+            self._i += 1
+
+    @property
+    def lastProgress(self):
+        if self._i < 0:
+            return None
+        rows, _avail, batch = self._script[self._i]
+        return {"numInputRows": rows, "batchId": batch}
+
+    @property
+    def status(self):
+        if self._i < 0:
+            return {"isDataAvailable": True}
+        return {"isDataAvailable": self._script[self._i][1]}
+
+    def stop(self):
+        self.stopped = True
+
+
+def test_await_quiescent_requires_two_distinct_quiescent_batches():
+    # r11 advice: a single transient isDataAvailable=false between file
+    # discovery cycles must NOT stop the drain — data arriving after it
+    # resets the streak, and only two DISTINCT completed zero-input
+    # batches end the wait
+    from ranger_spark.queries.streaming_q import _await_quiescent
+
+    q = _FakeDrainQuery(
+        [
+            (10, True, 0),
+            (0, False, 1),   # transient quiescence (one observation)
+            (5, True, 2),    # late data: streak must reset
+            (0, False, 3),
+            (0, False, 3),   # same batch seen twice: still one observation
+            (0, False, 4),   # second distinct quiescent batch -> stop
+            (7, True, 5),    # must never be reached
+        ]
+    )
+    _await_quiescent(q, max_wall=30.0)
+    assert q.stopped
+    assert q._i == 5, "drain should stop on the 2nd distinct quiescent batch"

@@ -124,3 +124,24 @@ def test_ipv6_hosts_and_ports(spark):
     assert _canon(spark, "http://[2001:DB8::1]/x") == "http://[2001:db8::1]/x"
     assert _canon(spark, "http://[::1]:80/x") == "http://[::1]/x"
     assert _canon(spark, "http://[::1]:8080/x") == "http://[::1]:8080/x"
+
+
+def test_strip_params_is_configurable(spark):
+    # 'ref' can carry content identity on some sites (r11 advice):
+    # excluding it from the strip list must preserve it, and an empty
+    # list must keep every param (sorted); default still strips it
+    no_ref = tuple(
+        p
+        for p in __import__(
+            "ranger_spark.operators.urls", fromlist=["DEFAULT_STRIP_PARAMS"]
+        ).DEFAULT_STRIP_PARAMS
+        if p != "ref"
+    )
+    u = "http://e.com/p?ref=chapter-2&utm_source=x&b=1"
+    assert _canon(spark, u) == "http://e.com/p?b=1"
+    assert _canon(spark, u, strip_params=no_ref) == (
+        "http://e.com/p?b=1&ref=chapter-2"
+    )
+    assert _canon(spark, u, strip_params=()) == (
+        "http://e.com/p?b=1&ref=chapter-2&utm_source=x"
+    )
