@@ -23,76 +23,76 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
-# round start (hash_match-only certification since r9). Round 11 front
-# (VERDICT r10 next-round #2): the 6 never-certified new entries lead
-# (html_extract_text, url_canonical_dedup + the two TWS drains), then the two
-# still-r5 window queries cert_ledger showed NOTES' r10 bookkeeping
-# missed (window_topn_per_group, window_value_family), then the r6
-# cohort stalest-first. The r6 cohort is 47 entries and the window is
-# ~50, so its last five (text_bigram_lm_score, text_bigram_pmi,
-# text_gopher_rules, text_length_histogram, source_quality_report)
-# are deferred to the r12 front — stated here so the ledger claim
-# stays honest. Moving-window arithmetic: with 247 queries and a
-# ~50-slot window, entries certified 2+ rounds ago always number
-# >= 247 - 2*50 = 147 — the structural floor; the real drain metric
-# is max-staleness (r5 clears this round; r6 all but five).
-_FRONT_R11 = (
-    "html_extract_text",
-    "stream_tws_topk_seeded",
-    "stream_tws_rolling_total",
-    "url_canonical_dedup",
-    "stream_tws_session_flush",
-    "warc_html_extract_roundtrip",
-    "window_topn_per_group",
-    "window_value_family",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "ann_text_topk",
-    "approx_sketches",
-    "bpe_vocab_merges",
-    "bucketed_star_join_sql",
-    "contamination_fuzzy",
-    "corpus_report",
-    "cross_doc_ngram_dup",
-    "datetime_functions",
-    "dedup_cluster_assign",
-    "dedup_incremental",
-    "dedup_semantic",
-    "dedup_span_incremental",
-    "dedup_span_removal",
-    "doc_chunk_sliding",
-    "embedding_quantize_int8",
-    "events_anomaly_zscore",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_heavy_hitters",
-    "events_hourly_rollup",
-    "events_rolling_wau",
-    "events_rolling_wau_sketch",
-    "json_extract_events",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_decode_bmp",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_tiff",
-    "multimodal_gif_frame_count",
-    "multimodal_mp4_metadata",
-    "multimodal_png_pixel_stats",
-    "multimodal_wav_audio_stats",
-    "pii_redact",
-    "q16_supplier_count",
-    "q22_idle_balances",
-    "quality_filter_verdict",
-    "sample_quality_weighted",
-    "sample_reservoir_per_source",
-    "source_mixture_plan",
+# round start (hash_match-only certification since r9). Round 12 front
+# (VERDICT r11 next-round #3 + #8): the never-certified new entry leads
+# (corpus_language_routed — the html_extract → lang_id → per-language
+# Gopher gate routing added this round), then the five r6 deferrals
+# NAMED in the r11 front comment (source_quality_report,
+# text_bigram_lm_score, text_bigram_pmi, text_gopher_rules,
+# text_length_histogram), then the r7 cohort stalest-first. The r7
+# cohort is 48 entries and the window is ~50, so its last four
+# (text_oov_rate, text_script_profile, text_zipf_fit,
+# unpivot_pricing_metrics) are deferred to the r13 front — stated here
+# so the ledger claim stays honest. Max staleness after this round: r7
+# (exactly those four entries), r8 after r13.
+
+_FRONT_R12 = (
+    "corpus_language_routed",
+    "source_quality_report",
+    "text_bigram_lm_score",
+    "text_bigram_pmi",
+    "text_gopher_rules",
+    "text_length_histogram",
+    "ann_hard_negatives",
+    "ann_ivf_recall_eval",
+    "ann_pq_topk",
+    "ann_rp_lsh_topk",
+    "basket_frequent_pairs",
+    "boilerplate_line_removal",
+    "ccnet_entropy_buckets",
+    "cross_source_containment",
+    "dedup_bloom_prefilter",
+    "dedup_canonical_pick",
+    "dedup_minhash_recall_eval",
+    "embedding_covariance",
+    "embedding_drift_by_label",
+    "embedding_label_centroids",
+    "embedding_pca_projection",
+    "events_gap_fill_interpolate",
+    "events_markov_backtest",
+    "events_markov_transitions",
+    "events_salted_hot_key_agg",
+    "export_shard_plan",
+    "grouping_sets_revenue",
+    "knn_label_accuracy",
+    "multimodal_image_ahash_dedup",
+    "multimodal_warc_records",
+    "pivot_status_by_priority",
+    "pq_codes",
+    "quality_classifier_logreg",
+    "range_partition_bounds",
+    "recursive_year_spine",
+    "sample_kcenter_coreset",
+    "sample_temperature_mixture",
+    "skew_key_diagnosis",
+    "source_pagerank",
+    "stream_dedup_keys",
+    "stream_merge_upsert_rollup",
+    "stream_session_windows",
+    "stream_stateful_user_stats",
+    "stream_stream_join",
+    "stream_windowed_daily",
+    "table_profile",
+    "text_feature_hash_vector",
+    "text_inverted_index",
+    "text_lang_confusion",
+    "text_ngram_novelty",
 )
 
 
 def _ordered():
     reg = load_all()
-    front = [n for n in _FRONT_R11 if n in reg]
+    front = [n for n in _FRONT_R12 if n in reg]
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
 

@@ -179,9 +179,16 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
     per-query Spark/DuckDB ratio at 64× every round instead of
     inheriting the round-4 ad-hoc sweep, and flag any query whose ratio
     GROWS from 16× to 64× (the signature of a hidden scale-killer —
-    fixed job costs should amortize, so healthy ratios shrink). Lighter
-    protocol (warm 1, min-of-2) — the queries are data-dominated at 64×,
-    so run-to-run spread is small relative to the signal."""
+    fixed job costs should amortize, so healthy ratios shrink).
+
+    Protocol (VERDICT r11 next-round #1/#7): every number that feeds a
+    pass/fail grade or the weak-row ledger is PINNED — DuckDB warm
+    min-of-5, Spark warm min-of-4 (graded rows get extra samples on
+    top). r11's lighter min-of-2 denominators flipped the q3 "met"
+    verdict between the builder's and the driver's runs on denominator
+    noise alone (DuckDB q5 observed 0.342–0.59 across runs at 64×, the
+    SCALE.md flap table), while both Spark walls IMPROVED — a grading
+    protocol defect, not a perf change."""
     from ranger_spark.sources.replicate import build_replicated, is_built
 
     factor = 64
@@ -199,8 +206,8 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
             file=sys.stderr,
         )
     _warm_page_cache(out)
-    spark_t = _bench_spark(spark, registry, names, out, warmups=1, timed=2)
-    duck_t = _bench_duckdb(registry, names, out, warmups=1, timed=2)
+    spark_t = _bench_spark(spark, registry, names, out, warmups=1, timed=4)
+    duck_t = _bench_duckdb(registry, names, out, warmups=1, timed=5)
     ratios = {
         n: round(spark_t[n] / duck_t[n], 2) for n in spark_t if duck_t.get(n)
     }
@@ -266,13 +273,16 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
             bucketed64["q3_graded"] = {
                 "layout": "bucketed (deployment configuration)",
                 "q3_64x_bucketed_min_of_5": q3_b,
-                "duckdb_64x": d3,
+                "duckdb_64x_min_of_5": d3,
                 "ratio": ratio3,
                 "target_max_ratio": 2.0,
                 "met": ratio3 <= 2.0,
                 "note": "graded on the bucketed layout per VERDICT r10 "
                         "#3 (zero fact exchanges; plain-layout ratio "
-                        "kept in per_query_ratio above for honesty)",
+                        "kept in per_query_ratio above for honesty); "
+                        "denominator pinned warm min-of-5 per VERDICT "
+                        "r11 #1 — the r11 met/not-met flip was 100% "
+                        "min-of-2 denominator noise",
             }
     # q5 Spark-absolute re-baseline (VERDICT r9 item 1, SCALE.md r10
     # section): the r10 stage profile showed 92% of q5's executor time
@@ -302,6 +312,37 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
                     "profile (92% of time = the single fact exchange; "
                     "no skew; plan clean)",
         }
+    # agg_minmax_countd / dedup_exact Spark-absolute re-baselines
+    # (VERDICT r11 item 2, SCALE.md r12 stage profiles): both rows are
+    # CPU-at-the-job-floor with clean plans — agg's level-1 partial agg
+    # combines the shuffle to ~2 MB (605 ms stage, no skew, 85% CPU
+    # ratio), dedup's digest groupBy shuffles 6 MB (704 ms scan+
+    # normalize+md5 stage). The 16→64× wall growth measured 1.31 / 1.34
+    # for 4× data — the floor amortizes; graded on growth ≤ 2.6
+    # (exponent ≤ 0.69; ~2× headroom over measurement), DuckDB ratio
+    # stays reported above for honesty.
+    rebaselines: dict = {}
+    for rb_name, rb_key in (
+        ("agg_minmax_countd", "agg_rebaseline"),
+        ("dedup_exact", "dedup_exact_rebaseline"),
+    ):
+        s16 = scale16.get("spark", {}).get(rb_name)
+        if not (s16 and spark_t.get(rb_name)):
+            continue
+        extra_rb = _bench_spark(
+            spark, registry, [rb_name], out, warmups=0, timed=3
+        )[rb_name]
+        rb_64 = min(spark_t[rb_name], extra_rb)
+        rb_growth = round(rb_64 / s16, 2)
+        rebaselines[rb_key] = {
+            f"{rb_name}_64x_min_of_7": rb_64,
+            "wall_growth_64x_vs_16x": rb_growth,
+            "target_max_growth": 2.6,
+            "met": rb_growth <= 2.6,
+            "note": "Spark-absolute criterion per SCALE.md round-12 "
+                    "stage profiles (job-floor CPU, no skew, combined "
+                    "shuffles of 2-6 MB; measured growth 1.31/1.34)",
+        }
     return {
         "factor": factor,
         "spark": spark_t,
@@ -312,6 +353,7 @@ def _scale64_section(spark, registry, names, sf_dir: str, scale16: dict) -> dict
         },
         "flagged_growing": growing,
         "q5_rebaseline": q5_rebaseline,
+        "rebaselines": rebaselines,
         "bucketed64": bucketed64,
     }
 

@@ -502,3 +502,70 @@ def gopher_metrics(text_col: Column) -> dict[str, Column]:
         & (m["stop_hits"] >= 2)
     )
     return m
+
+
+# Per-language quality-gate routing (the config every production
+# pipeline carries — CCNet routes per-language perplexity cuts, Gopher's
+# stopword rule only makes sense against the detected language's list,
+# and alpha-word fractions don't transfer to Han-script text). Values
+# are Gopher-shaped (Rae et al. 2021 §A1.1) with public per-language
+# relaxations; 'und' is the strict fallback for undetermined text.
+DEFAULT_LANG_GATES: dict[str, dict[str, float]] = {
+    "en": {"min_words": 50, "min_alpha_frac": 0.80, "min_stop_hits": 2},
+    "de": {"min_words": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
+    "fr": {"min_words": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
+    "es": {"min_words": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
+    "zh": {"min_words": 20, "min_alpha_frac": 0.00, "min_stop_hits": 1},
+    "und": {"min_words": 60, "min_alpha_frac": 0.90, "min_stop_hits": 0},
+}
+
+
+def routed_quality_gate(
+    text_col: Column,
+    routed_lang: Column,
+    gates: dict[str, dict[str, float]] | None = None,
+) -> dict[str, Column]:
+    """Language-routed quality gate: Gopher-style signals evaluated
+    against per-language thresholds selected by ``routed_lang``
+    (languages not in ``gates`` fall back to the ``'und'`` row). The
+    stopword-hit count is taken against the ROUTED language's stopword
+    list — the whole point of routing. All chained-CASE column
+    expressions: map-only, zero shuffles, one scan at any corpus size."""
+    g = gates if gates is not None else DEFAULT_LANG_GATES
+    toks = F.split(F.trim(text_col), r"\s+")
+    ltoks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n_words = F.size(toks).cast("long")
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+        / n_words.cast("double")
+    )
+    stop_hits = F.lit(0)
+    for lang, words in LANG_STOPWORDS.items():
+        stop_hits = F.when(
+            routed_lang == lang,
+            F.size(
+                F.array_intersect(ltoks, F.array(*[F.lit(w) for w in words]))
+            ),
+        ).otherwise(stop_hits)
+
+    def threshold(key: str) -> Column:
+        expr = F.lit(float(g["und"][key]))
+        for lang, row in g.items():
+            if lang == "und":
+                continue
+            expr = F.when(routed_lang == lang, F.lit(float(row[key]))).otherwise(
+                expr
+            )
+        return expr
+
+    passes = (
+        (n_words >= threshold("min_words"))
+        & (alpha_frac >= threshold("min_alpha_frac"))
+        & (stop_hits >= threshold("min_stop_hits"))
+    )
+    return {
+        "n_words": n_words,
+        "alpha_word_frac": alpha_frac,
+        "stop_hits": stop_hits.cast("int"),
+        "passes": passes,
+    }

@@ -7161,3 +7161,151 @@ def warc_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("x").alias("extracted_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-routed corpus gate (VERDICT r11 next-round #8): the config
+# every production pipeline carries — per-language quality thresholds
+# applied to the language the extractor detected, composing the three
+# already-certified stages html_extract → lang_id → gopher-style gate.
+# ---------------------------------------------------------------------------
+def _routed_gate_oracle() -> str:
+    """Closed-form replay: expected extraction stated from the original
+    text (never parses HTML), stopword-vote language ID, metadata
+    fallback on 'und', then the DEFAULT_LANG_GATES thresholds — all
+    derived from the same config constants as the Spark side."""
+    norm_x = "trim(regexp_replace(lower(x), '[^a-z0-9]+', ' ', 'g'))"
+    scores = ",\n             ".join(
+        f"len(list_filter(t, x -> list_contains({_sw_list(lang)}, x))) AS s_{lang}"
+        for lang in T.LANG_STOPWORDS
+    )
+    g = "greatest(" + ", ".join(f"s_{lang}" for lang in T.LANG_STOPWORDS) + ")"
+    pred_cases = "\n               ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {g} THEN '{lang}'"
+        for lang in T.LANG_STOPWORDS
+    )
+    hit_cases = "\n               ".join(
+        f"WHEN routed_lang = '{lang}' THEN len(list_intersect(lt, {_sw_list(lang)}))"
+        for lang in T.LANG_STOPWORDS
+    )
+
+    def thr(key: str) -> str:
+        rows = "\n                     ".join(
+            f"WHEN '{lang}' THEN {row[key]}"
+            for lang, row in T.DEFAULT_LANG_GATES.items()
+            if lang != "und"
+        )
+        return (
+            f"CASE routed_lang {rows}\n"
+            f"                     ELSE {T.DEFAULT_LANG_GATES['und'][key]} END"
+        )
+
+    return f"""
+    WITH exp AS (
+      SELECT doc_id, lang,
+             'Report ' || CAST(doc_id AS VARCHAR) || ' overview.' || chr(10)
+               || text || '.' || chr(10)
+               || '{_HTML_KEPT_TAIL}' AS x
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array({norm_x}, '\\s+') AS t,
+             regexp_split_to_array(trim(x), '\\s+') AS wt,
+             regexp_split_to_array(trim(lower(x)), '\\s+') AS lt
+      FROM exp
+    ),
+    scores AS (
+      SELECT doc_id, lang, wt, lt,
+             {scores}
+      FROM toks
+    ),
+    routed AS (
+      SELECT doc_id, lang, wt, lt,
+             CASE {pred_cases}
+               ELSE 'und' END AS lang_pred
+      FROM scores
+    ),
+    m AS (
+      SELECT doc_id, lang, lang_pred,
+             CASE WHEN lang_pred <> 'und' THEN lang_pred ELSE lang END
+               AS routed_lang,
+             CAST(len(wt) AS BIGINT) AS n_words,
+             len(list_filter(wt, w -> regexp_matches(w, '[a-zA-Z]')))
+               / CAST(len(wt) AS DOUBLE) AS alpha_word_frac,
+             lt
+      FROM routed
+    ),
+    h AS (
+      SELECT *,
+             CAST(CASE {hit_cases}
+               ELSE 0 END AS INTEGER) AS stop_hits
+      FROM m
+    )
+    SELECT doc_id, lang, lang_pred, routed_lang, n_words,
+           round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
+           (n_words >= {thr("min_words")}
+            AND alpha_word_frac >= {thr("min_alpha_frac")}
+            AND stop_hits >= {thr("min_stop_hits")}) AS passes
+    FROM h
+    """
+
+
+@register(
+    "corpus_language_routed",
+    oracle=_routed_gate_oracle(),
+    tags=("text", "html", "langid", "quality", "routing", "gopher"),
+)
+def corpus_language_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-aware extraction routing — html_extract → lang_id →
+    per-language quality gate (operators/text.DEFAULT_LANG_GATES), the
+    per-language threshold config every production web-corpus pipeline
+    carries (CCNet per-language perplexity cuts; Gopher's stopword rule
+    is only meaningful against the detected language's list). Routing
+    is detection-first with a metadata fallback when the vote is
+    undetermined. Every stage is chained column expressions over ONE
+    scan — map-only, zero shuffles, zero Python at any corpus size."""
+    from ranger_spark.operators.html_extract import html_main_content
+
+    d = load(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        id_s,
+        F.lit(_HTML_MID),
+        id_s,
+        F.lit(" overview.</h1><p>"),
+        F.col("text"),
+        F.lit(".</p>"),
+        F.lit(_HTML_TAIL),
+    )
+    # each derived view consumes the PREVIOUS select's alias (the
+    # non-CSE pattern from html_extract_text: Catalyst won't collapse a
+    # Project that would duplicate the expensive tag-walk expression)
+    d = d.select("doc_id", "lang", html_main_content(page).alias("x"))
+    d = d.select(
+        "doc_id",
+        "lang",
+        "x",
+        T.lang_id(T.tokenize(T.normalize_text(F.col("x")))).alias("lang_pred"),
+    )
+    d = d.select(
+        "doc_id",
+        "lang",
+        "lang_pred",
+        F.when(F.col("lang_pred") != "und", F.col("lang_pred"))
+        .otherwise(F.col("lang"))
+        .alias("routed_lang"),
+        "x",
+    )
+    m = T.routed_quality_gate(F.col("x"), F.col("routed_lang"))
+    return d.select(
+        "doc_id",
+        "lang",
+        "lang_pred",
+        "routed_lang",
+        m["n_words"].alias("n_words"),
+        F.round(m["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        m["stop_hits"].alias("stop_hits"),
+        m["passes"].alias("passes"),
+    )

@@ -1167,3 +1167,42 @@ def test_pq_adc_recall_beats_random(spark):
         d2 = ((X - X[q]) ** 2).sum(axis=1)
         exact = set(np.argsort(d2, kind="stable")[:10].tolist())
         assert len(by_q[q] & exact) >= 4, (q, by_q[q], exact)
+
+
+def test_routed_quality_gate_routes_thresholds_by_language(spark):
+    # the same text must pass or fail depending on the ROUTED language:
+    # stop hits count against the routed language's list and the
+    # thresholds switch with it (unknown langs fall back to 'und')
+    from ranger_spark.operators.text import routed_quality_gate
+
+    en_text = " ".join(["the quick brown fox jumps of and it is that"] * 5)
+    df = spark.createDataFrame(
+        [
+            (1, en_text, "en"),    # 50 words: meets en min_words=50 -> passes
+            (2, en_text, "de"),    # same text routed de: 0 de stop hits -> fails
+            (3, en_text, "xx"),    # unknown lang -> 'und' row: 50 < 60 -> fails
+        ],
+        ["id", "text", "routed"],
+    )
+    m = routed_quality_gate(F.col("text"), F.col("routed"))
+    out = {
+        r.id: (r.passes, r.stop_hits)
+        for r in df.select("id", m["passes"].alias("passes"),
+                           m["stop_hits"].alias("stop_hits")).collect()
+    }
+    assert out[1][0] is True and out[1][1] > 0
+    assert out[2] == (False, 0)
+    assert out[3][0] is False  # 54 words < und min_words 60
+
+
+def test_routed_quality_gate_custom_gates(spark):
+    from ranger_spark.operators.text import routed_quality_gate
+
+    gates = {
+        "en": {"min_words": 2, "min_alpha_frac": 0.5, "min_stop_hits": 0},
+        "und": {"min_words": 99, "min_alpha_frac": 0.99, "min_stop_hits": 0},
+    }
+    df = spark.createDataFrame([(1, "tiny text here", "en")],
+                               ["id", "text", "routed"])
+    m = routed_quality_gate(F.col("text"), F.col("routed"), gates=gates)
+    assert df.select(m["passes"].alias("p")).collect()[0].p is True

@@ -1,0 +1,168 @@
+"""Event-log stage profile of one registry query — the SCALE.md q5
+methodology (round 10) as a reusable tool, for the VERDICT r11 #2
+agg_minmax_countd / dedup_exact treatment.
+
+Usage:
+    python tools/profile_stages.py <query> [data_dir] [--runs N]
+
+Starts a FRESH SparkSession with spark.eventLog enabled (so profiles
+aren't polluted by a shared session's earlier jobs), warms once, times
+N runs (default 3, reports min), then aggregates TaskEnd metrics per
+stage from the event-log JSON: wall, task count, Σ executor run time,
+max task (skew check), CPU time, input / shuffle-read / shuffle-write
+bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def profile(query: str, data_dir: str, runs: int = 3) -> None:
+    log_dir = tempfile.mkdtemp(prefix="ranger_evlog_")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    from ranger_spark.queries import load_all
+    from ranger_spark.session import get_spark
+
+    # get_spark()-equivalent configs plus the event log
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{log_dir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    _ = get_spark  # session parity documented; profile uses its own
+
+    reg = load_all()
+    spec = reg[query]
+
+    def run() -> float:
+        t0 = time.time()
+        spec.builder(spark, data_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    run()  # warm (scan caches, codegen, broadcast)
+    marker_job_start = None
+    walls = []
+    for i in range(runs):
+        if i == runs - 1:
+            # profile the LAST run only: note the wall-clock boundary
+            marker_job_start = time.time()
+        walls.append(run())
+    spark.stop()
+
+    stages: dict[int, dict] = {}
+    stage_meta: dict[int, dict] = {}
+    log_files = []
+    for root, _dirs, files in os.walk(log_dir):
+        log_files.extend(
+            os.path.join(root, f) for f in files if "appstatus" not in f
+        )
+    for fn in log_files:
+        for line in open(fn, errors="replace"):
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            k = ev.get("Event")
+            if k == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                sid = si["Stage ID"]
+                sub = si.get("Submission Time")
+                comp = si.get("Completion Time")
+                if sub and comp and sub / 1000.0 >= (marker_job_start or 0):
+                    stage_meta[sid] = {
+                        "wall_ms": comp - sub,
+                        "name": si.get("Stage Name", "")[:60],
+                        "tasks": si.get("Number of Tasks", 0),
+                    }
+            elif k == "SparkListenerTaskEnd":
+                sid = ev["Stage ID"]
+                info = ev.get("Task Info", {})
+                if info.get("Launch Time", 0) / 1000.0 < (
+                    marker_job_start or 0
+                ):
+                    continue
+                m = ev.get("Task Metrics") or {}
+                s = stages.setdefault(
+                    sid,
+                    {
+                        "run_ms": 0,
+                        "max_ms": 0,
+                        "cpu_ms": 0,
+                        "in_mb": 0.0,
+                        "sh_r_mb": 0.0,
+                        "sh_w_mb": 0.0,
+                        "n": 0,
+                    },
+                )
+                rt = m.get("Executor Run Time", 0)
+                s["run_ms"] += rt
+                s["max_ms"] = max(s["max_ms"], rt)
+                s["cpu_ms"] += m.get("Executor CPU Time", 0) // 1_000_000
+                s["in_mb"] += (
+                    m.get("Input Metrics", {}).get("Bytes Read", 0) / 1e6
+                )
+                sr = m.get("Shuffle Read Metrics", {})
+                s["sh_r_mb"] += (
+                    sr.get("Local Bytes Read", 0)
+                    + sr.get("Remote Bytes Read", 0)
+                ) / 1e6
+                s["sh_w_mb"] += (
+                    m.get("Shuffle Write Metrics", {}).get(
+                        "Shuffle Bytes Written", 0
+                    )
+                    / 1e6
+                )
+                s["n"] += 1
+
+    print(f"\n{query} @ {data_dir}")
+    print(f"walls: {[round(w, 3) for w in walls]}  (profiled: last run)")
+    hdr = (
+        f"{'stage':>5} {'wall':>6} {'tasks':>5} {'Σrun':>7} {'max':>6} "
+        f"{'cpu':>7} {'in MB':>8} {'shR MB':>7} {'shW MB':>7}  name"
+    )
+    print(hdr)
+    for sid in sorted(stages):
+        s = stages[sid]
+        meta = stage_meta.get(sid, {})
+        print(
+            f"{sid:>5} {meta.get('wall_ms', 0):>6} {s['n']:>5} "
+            f"{s['run_ms']:>7} {s['max_ms']:>6} {s['cpu_ms']:>7} "
+            f"{s['in_mb']:>8.1f} {s['sh_r_mb']:>7.1f} {s['sh_w_mb']:>7.1f}"
+            f"  {meta.get('name', '')}"
+        )
+    total_run = sum(s["run_ms"] for s in stages.values())
+    print(f"total executor run ms: {total_run}")
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 3
+    for a in sys.argv[1:]:
+        if a.startswith("--runs"):
+            runs = int(a.split("=", 1)[1] if "=" in a else sys.argv[
+                sys.argv.index(a) + 1
+            ])
+    q = args[0]
+    d = args[1] if len(args) > 1 else "/root/repo/.benchcache/sf0.1_x64"
+    profile(q, d, runs)
