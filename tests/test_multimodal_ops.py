@@ -1295,3 +1295,38 @@ class TestVectorizedDecodeDifferential:
         assert got["mean_b"] == sums[0] / n
         assert got["mean_g"] == sums[1] / n
         assert got["mean_r"] == sums[2] / n
+
+    def test_jpeg_idct_plane_matches_scalar(self):
+        # r12: the JPEG dequant + inverse-zigzag + IDCT tail became one
+        # batched matmul over the whole coefficient store; must be
+        # bit-for-bit equal to the per-block scalar form on random
+        # progressive-range coefficients
+        import numpy as np
+
+        from ranger_spark.operators.multimodal import (
+            _JPEG_ZIGZAG,
+            _idct_matrix,
+            _idct_plane,
+        )
+
+        rng = np.random.default_rng(42)
+        m = _idct_matrix()
+        zz_r = np.array([r for r, _ in _JPEG_ZIGZAG])
+        zz_c = np.array([c for _, c in _JPEG_ZIGZAG])
+        for nby, nbx in ((1, 1), (3, 5), (8, 8)):
+            store = rng.integers(
+                -2048, 2048, size=(nby, nbx, 64), dtype=np.int64
+            )
+            q = rng.integers(1, 255, size=64, dtype=np.int64)
+
+            ref = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+            for byi in range(nby):
+                for bxi in range(nbx):
+                    deq = np.zeros((8, 8), dtype=np.float64)
+                    deq[zz_r, zz_c] = store[byi, bxi] * q
+                    ref[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
+                        m.T @ deq @ m
+                    )
+            got = _idct_plane(store, q, m, zz_r, zz_c)
+            assert got.dtype == ref.dtype and got.shape == ref.shape
+            assert np.array_equal(got, ref), "batched IDCT must be exact"
