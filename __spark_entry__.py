@@ -24,20 +24,24 @@ from ranger_spark.queries import load_all  # noqa: E402
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
 # round start (hash_match-only certification since r9). Round 12 front
-# (VERDICT r11 next-round #3 + #8): the never-certified new entry leads
-# (corpus_language_routed — the html_extract → lang_id → per-language
-# Gopher gate routing added this round), then the five r6 deferrals
-# NAMED in the r11 front comment (source_quality_report,
-# text_bigram_lm_score, text_bigram_pmi, text_gopher_rules,
-# text_length_histogram), then the r7 cohort stalest-first. The r7
-# cohort is 48 entries and the window is ~50, so its last four
-# (text_oov_rate, text_script_profile, text_zipf_fit,
+# (VERDICT r11 next-round #3 + #8): the three never-certified new
+# entries lead (corpus_language_routed — the html_extract → lang_id →
+# per-language Gopher gate routing; url_host_blocklist — the broadcast
+# domain-blocklist filter; corpus_dedup_cascade — per-stage dedup
+# survival accounting), then the five r6 deferrals NAMED in the r11
+# front comment (source_quality_report, text_bigram_lm_score,
+# text_bigram_pmi, text_gopher_rules, text_length_histogram), then the
+# r7 cohort stalest-first. The r7 cohort is 48 entries and the window
+# is ~50, so its last six (text_lang_confusion, text_ngram_novelty,
+# text_oov_rate, text_script_profile, text_zipf_fit,
 # unpivot_pricing_metrics) are deferred to the r13 front — stated here
 # so the ledger claim stays honest. Max staleness after this round: r7
-# (exactly those four entries), r8 after r13.
+# (exactly those six entries), r8 after r13.
 
 _FRONT_R12 = (
     "corpus_language_routed",
+    "url_host_blocklist",
+    "corpus_dedup_cascade",
     "source_quality_report",
     "text_bigram_lm_score",
     "text_bigram_pmi",
@@ -85,8 +89,6 @@ _FRONT_R12 = (
     "table_profile",
     "text_feature_hash_vector",
     "text_inverted_index",
-    "text_lang_confusion",
-    "text_ngram_novelty",
 )
 
 

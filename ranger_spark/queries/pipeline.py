@@ -7309,3 +7309,160 @@ def corpus_language_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["stop_hits"].alias("stop_hits"),
         m["passes"].alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filter + dedup cascade — two more first-class steps
+# of the production web-corpus front half (r12): every large pipeline
+# drops blocklisted domains BEFORE any content processing (cheapest
+# possible filter), and runs its dedup passes as a CASCADE
+# (URL-level → exact text → near-dup), accounting survival per stage.
+# ---------------------------------------------------------------------------
+_BLOCKED_SITES = ("site7", "site13", "site21")  # tiny dim — broadcast side
+
+
+@register(
+    "url_host_blocklist",
+    oracle=f"""
+    SELECT doc_id,
+           'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+           ('site' || CAST(doc_id % 50 AS VARCHAR)) IN
+             {str(tuple(_BLOCKED_SITES))} AS blocked
+    FROM documents
+    """,
+    tags=("url", "filter", "blocklist", "warc"),
+)
+def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering — canonicalize the crawl URL, extract
+    the host, and mark rows whose host sits on a blocklist. The
+    blocklist is a true DataFrame joined with an explicit broadcast
+    hint (left join + flag), because at production scale it is a
+    maintained table (thousands of rows), not a literal: the plan shape
+    a 100-TB run needs is scan → project → BroadcastHashJoin, zero
+    full-table exchanges. Oracle states the expected host and verdict
+    in closed form."""
+    from ranger_spark.operators.urls import canonicalize_url
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.site"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.com:443/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=crawl"),
+    )
+    host = F.regexp_extract(
+        canonicalize_url(url), r"^[a-z]+://([^/]+)", 1
+    )
+    blocklist = spark.createDataFrame(
+        [(f"{s}.example.com",) for s in _BLOCKED_SITES], ["host"]
+    ).withColumn("__blocked", F.lit(True))
+    return (
+        d.select("doc_id", host.alias("host"))
+        .join(F.broadcast(blocklist), "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.coalesce(F.col("__blocked"), F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+@register(
+    "corpus_dedup_cascade",
+    # stage 1 is pure closed-form survival arithmetic; stage 2 takes its
+    # group structure from the REAL text column (sf0.1 carries 8
+    # cross-doc duplicate texts, so "one group per doc" would be wrong
+    # there) — DuckDB computes its own md5-normalized groups, never
+    # running the Spark operator
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS c, sum(doc_id) AS s FROM documents),
+    g AS (
+      SELECT count(*) AS dt, sum(k) AS ks
+      FROM (SELECT min(doc_id) AS k FROM documents GROUP BY md5({_NORM}))
+    )
+    SELECT * FROM (
+      SELECT 'url_dedup' AS stage,
+             CAST(3 * c AS BIGINT) AS rows_in,
+             CAST(2 * c AS BIGINT) AS rows_out,
+             CAST(2 * s + 2000000000 * c AS BIGINT) AS keeper_id_sum
+      FROM n
+      UNION ALL
+      SELECT 'exact_dedup' AS stage,
+             CAST(2 * c AS BIGINT) AS rows_in,
+             CAST(dt AS BIGINT) AS rows_out,
+             CAST(ks AS BIGINT) AS keeper_id_sum
+      FROM n, g
+    ) ORDER BY stage
+    """,
+    tags=("dedup", "url", "cascade", "warc"),
+)
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CASCADE with per-stage survival accounting — the order
+    every production pipeline runs: URL-level dedup first (collapses
+    mirrors of the same canonical URL — cheapest key), exact text
+    dedup second (collapses re-crawls whose URL changed but whose
+    content didn't). The corpus is synthesized the way a real crawl
+    looks: each document appears as the original, a MIRROR (same
+    canonical URL modulo tracking params/scheme — dropped at stage 1)
+    and a RECRAWL (different URL path, identical text — dropped at
+    stage 2). Stage outputs are semi-join keeps against the group
+    tables, so each stage shuffles only digests; the report is two
+    rows. Oracle is the closed-form survival arithmetic — it never
+    runs a dedup, so the engines cannot share a bug."""
+    from ranger_spark.operators.dedup import exact_dedup_groups
+    from ranger_spark.operators.urls import dedup_by_url
+
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("http://site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/doc/"), did,
+    )
+    mirror = F.concat(
+        F.lit("HTTPS://www.site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/doc/"), did, F.lit("?utm_medium=mirror"),
+    )
+    recrawl = F.concat(
+        F.lit("http://site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/rearchived/"), did,
+    )
+    crawl = d.select(
+        F.col("doc_id"),
+        F.col("text"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), base.alias("url")),
+                F.struct(F.lit(1).alias("k"), mirror.alias("url")),
+                F.struct(F.lit(2).alias("k"), recrawl.alias("url")),
+            )
+        ).alias("v"),
+    ).select(
+        (F.col("doc_id") + F.col("v.k") * 1_000_000_000).alias("row_id"),
+        F.col("v.url").alias("url"),
+        "text",
+    )
+    # each stage's survival report comes from its GROUP table alone
+    # (rows_in = Σ dup_count, rows_out = group count, keeper sum over
+    # keepers) — no second pass over the data; the only row-level join
+    # is the one semi-join producing stage-2's input, keyed on row_id
+    def survival(groups: DataFrame, stage: str) -> DataFrame:
+        return groups.agg(
+            F.sum("dup_count").alias("rows_in"),
+            F.count(F.lit(1)).alias("rows_out"),
+            F.sum("keeper_id").alias("keeper_id_sum"),
+        ).select(
+            F.lit(stage).alias("stage"), "rows_in", "rows_out",
+            "keeper_id_sum",
+        )
+
+    url_groups = dedup_by_url(crawl, "url", "row_id")
+    s1 = crawl.join(
+        url_groups.select(F.col("keeper_id").alias("row_id")),
+        "row_id",
+        "left_semi",
+    )
+    text_groups = exact_dedup_groups(s1, "row_id", "text")
+    return survival(url_groups, "url_dedup").unionAll(
+        survival(text_groups, "exact_dedup")
+    ).orderBy("stage")
