@@ -510,43 +510,87 @@ def gopher_metrics(text_col: Column) -> dict[str, Column]:
 # and alpha-word fractions don't transfer to Han-script text). Values
 # are Gopher-shaped (Rae et al. 2021 §A1.1) with public per-language
 # relaxations; 'und' is the strict fallback for undetermined text.
-DEFAULT_LANG_GATES: dict[str, dict[str, float]] = {
-    "en": {"min_words": 50, "min_alpha_frac": 0.80, "min_stop_hits": 2},
-    "de": {"min_words": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
-    "fr": {"min_words": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
-    "es": {"min_words": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
-    "zh": {"min_words": 20, "min_alpha_frac": 0.00, "min_stop_hits": 1},
-    "und": {"min_words": 60, "min_alpha_frac": 0.90, "min_stop_hits": 0},
+# ``unit: "chars"`` switches the length signal from whitespace words to
+# characters AND the stopword-hit count from exact-token intersection
+# to substring containment — whitespace tokenization yields ~1 "word"
+# for unsegmented Han text and can never hit a single-character
+# stopword list, so a word-based zh row would be unsatisfiable for
+# genuine Chinese (r12 review finding).
+DEFAULT_LANG_GATES: dict[str, dict[str, object]] = {
+    "en": {"min_units": 50, "min_alpha_frac": 0.80, "min_stop_hits": 2},
+    "de": {"min_units": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
+    "fr": {"min_units": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
+    "es": {"min_units": 45, "min_alpha_frac": 0.75, "min_stop_hits": 1},
+    "zh": {
+        "min_units": 20,
+        "min_alpha_frac": 0.00,
+        "min_stop_hits": 1,
+        "unit": "chars",
+    },
+    "und": {"min_units": 60, "min_alpha_frac": 0.90, "min_stop_hits": 0},
 }
 
 
 def routed_quality_gate(
     text_col: Column,
     routed_lang: Column,
-    gates: dict[str, dict[str, float]] | None = None,
+    gates: dict[str, dict[str, object]] | None = None,
+    toks: Column | None = None,
+    ltoks: Column | None = None,
 ) -> dict[str, Column]:
     """Language-routed quality gate: Gopher-style signals evaluated
     against per-language thresholds selected by ``routed_lang``
-    (languages not in ``gates`` fall back to the ``'und'`` row). The
+    (languages not in ``gates`` fall back to the ``'und'`` row, which
+    is synthesized from ``DEFAULT_LANG_GATES`` when absent). The
     stopword-hit count is taken against the ROUTED language's stopword
-    list — the whole point of routing. All chained-CASE column
-    expressions: map-only, zero shuffles, one scan at any corpus size."""
+    list — the whole point of routing; rows with ``unit: "chars"``
+    count characters instead of whitespace words and stopword hits by
+    substring containment (see ``DEFAULT_LANG_GATES``). All
+    chained-CASE column expressions: map-only, zero shuffles, one scan
+    at any corpus size.
+
+    Pass pre-materialized ``toks`` / ``ltoks`` ARRAY COLUMNS from a
+    prior select when composing with other per-row work — Catalyst does
+    not CSE repeated split() chains (the quality_metrics convention),
+    so letting this function re-derive them embeds the tokenization
+    once per output column."""
     g = gates if gates is not None else DEFAULT_LANG_GATES
-    toks = F.split(F.trim(text_col), r"\s+")
-    ltoks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    if "und" not in g:
+        g = {**g, "und": DEFAULT_LANG_GATES["und"]}
+    if toks is None:
+        toks = F.split(F.trim(text_col), r"\s+")
+    if ltoks is None:
+        ltoks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    char_langs = {
+        lang for lang, row in g.items() if row.get("unit") == "chars"
+    }
     n_words = F.size(toks).cast("long")
+    n_units = n_words
+    for lang in sorted(char_langs):
+        n_units = F.when(
+            routed_lang == lang, F.length(text_col).cast("long")
+        ).otherwise(n_units)
     alpha_frac = (
         F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
         / n_words.cast("double")
     )
     stop_hits = F.lit(0)
     for lang, words in LANG_STOPWORDS.items():
-        stop_hits = F.when(
-            routed_lang == lang,
-            F.size(
+        if lang in char_langs:
+            # distinct stopwords PRESENT (containment), mirroring
+            # array_intersect's distinct semantics for word languages
+            hits = sum(
+                (
+                    F.when(F.contains(text_col, F.lit(w)), 1).otherwise(0)
+                    for w in words
+                ),
+                start=F.lit(0),
+            )
+        else:
+            hits = F.size(
                 F.array_intersect(ltoks, F.array(*[F.lit(w) for w in words]))
-            ),
-        ).otherwise(stop_hits)
+            )
+        stop_hits = F.when(routed_lang == lang, hits).otherwise(stop_hits)
 
     def threshold(key: str) -> Column:
         expr = F.lit(float(g["und"][key]))
@@ -559,12 +603,12 @@ def routed_quality_gate(
         return expr
 
     passes = (
-        (n_words >= threshold("min_words"))
+        (n_units >= threshold("min_units"))
         & (alpha_frac >= threshold("min_alpha_frac"))
         & (stop_hits >= threshold("min_stop_hits"))
     )
     return {
-        "n_words": n_words,
+        "n_units": n_units,
         "alpha_word_frac": alpha_frac,
         "stop_hits": stop_hits.cast("int"),
         "passes": passes,

@@ -7184,9 +7184,28 @@ def _routed_gate_oracle() -> str:
         f"WHEN s_{lang} > 0 AND s_{lang} = {g} THEN '{lang}'"
         for lang in T.LANG_STOPWORDS
     )
+    def hit_expr(lang: str) -> str:
+        # char-unit languages count distinct stopwords PRESENT
+        # (containment) — exact-token intersect can never hit a
+        # single-character Han stopword after whitespace tokenization
+        if T.DEFAULT_LANG_GATES.get(lang, {}).get("unit") == "chars":
+            return " + ".join(
+                f"CAST(contains(x, '{w}') AS INTEGER)"
+                for w in T.LANG_STOPWORDS[lang]
+            )
+        return f"len(list_intersect(lt, {_sw_list(lang)}))"
+
     hit_cases = "\n               ".join(
-        f"WHEN routed_lang = '{lang}' THEN len(list_intersect(lt, {_sw_list(lang)}))"
+        f"WHEN routed_lang = '{lang}' THEN {hit_expr(lang)}"
         for lang in T.LANG_STOPWORDS
+    )
+    char_langs = sorted(
+        lang
+        for lang, row in T.DEFAULT_LANG_GATES.items()
+        if row.get("unit") == "chars"
+    )
+    unit_cases = "\n               ".join(
+        f"WHEN routed_lang = '{lang}' THEN length(x)" for lang in char_langs
     )
 
     def thr(key: str) -> str:
@@ -7209,25 +7228,25 @@ def _routed_gate_oracle() -> str:
       FROM documents
     ),
     toks AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, x,
              regexp_split_to_array({norm_x}, '\\s+') AS t,
              regexp_split_to_array(trim(x), '\\s+') AS wt,
              regexp_split_to_array(trim(lower(x)), '\\s+') AS lt
       FROM exp
     ),
     scores AS (
-      SELECT doc_id, lang, wt, lt,
+      SELECT doc_id, lang, x, wt, lt,
              {scores}
       FROM toks
     ),
     routed AS (
-      SELECT doc_id, lang, wt, lt,
+      SELECT doc_id, lang, x, wt, lt,
              CASE {pred_cases}
                ELSE 'und' END AS lang_pred
       FROM scores
     ),
     m AS (
-      SELECT doc_id, lang, lang_pred,
+      SELECT doc_id, lang, lang_pred, x,
              CASE WHEN lang_pred <> 'und' THEN lang_pred ELSE lang END
                AS routed_lang,
              CAST(len(wt) AS BIGINT) AS n_words,
@@ -7238,13 +7257,15 @@ def _routed_gate_oracle() -> str:
     ),
     h AS (
       SELECT *,
+             CAST(CASE {unit_cases}
+               ELSE n_words END AS BIGINT) AS n_units,
              CAST(CASE {hit_cases}
                ELSE 0 END AS INTEGER) AS stop_hits
       FROM m
     )
-    SELECT doc_id, lang, lang_pred, routed_lang, n_words,
+    SELECT doc_id, lang, lang_pred, routed_lang, n_units,
            round(alpha_word_frac, 6) AS alpha_word_frac, stop_hits,
-           (n_words >= {thr("min_words")}
+           (n_units >= {thr("min_units")}
             AND alpha_word_frac >= {thr("min_alpha_frac")}
             AND stop_hits >= {thr("min_stop_hits")}) AS passes
     FROM h
@@ -7297,14 +7318,24 @@ def corpus_language_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("lang"))
         .alias("routed_lang"),
         "x",
+        # materialize the token arrays ONCE (the no-CSE convention:
+        # letting the gate re-derive them embeds the split() per
+        # output column — r12 review finding)
+        F.split(F.trim("x"), r"\s+").alias("__wt"),
+        F.split(F.trim(F.lower("x")), r"\s+").alias("__lt"),
     )
-    m = T.routed_quality_gate(F.col("x"), F.col("routed_lang"))
+    m = T.routed_quality_gate(
+        F.col("x"),
+        F.col("routed_lang"),
+        toks=F.col("__wt"),
+        ltoks=F.col("__lt"),
+    )
     return d.select(
         "doc_id",
         "lang",
         "lang_pred",
         "routed_lang",
-        m["n_words"].alias("n_words"),
+        m["n_units"].alias("n_units"),
         F.round(m["alpha_word_frac"], 6).alias("alpha_word_frac"),
         m["stop_hits"].alias("stop_hits"),
         m["passes"].alias("passes"),
@@ -7385,13 +7416,13 @@ def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'url_dedup' AS stage,
              CAST(3 * c AS BIGINT) AS rows_in,
              CAST(2 * c AS BIGINT) AS rows_out,
-             CAST(2 * s + 2000000000 * c AS BIGINT) AS keeper_id_sum
+             CAST(6 * s + 2 * c AS BIGINT) AS keeper_id_sum
       FROM n
       UNION ALL
       SELECT 'exact_dedup' AS stage,
              CAST(2 * c AS BIGINT) AS rows_in,
              CAST(dt AS BIGINT) AS rows_out,
-             CAST(ks AS BIGINT) AS keeper_id_sum
+             CAST(3 * ks AS BIGINT) AS keeper_id_sum
       FROM n, g
     ) ORDER BY stage
     """,
@@ -7438,7 +7469,11 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("v"),
     ).select(
-        (F.col("doc_id") + F.col("v.k") * 1_000_000_000).alias("row_id"),
+        # collision-proof synthetic key: doc_id*3 + k stays unique for
+        # ANY doc_id range (the key-shifted bench replicas carry
+        # doc_ids past 1e9, where an additive +k*1e9 scheme collides
+        # across documents — r12 review finding)
+        (F.col("doc_id") * 3 + F.col("v.k")).alias("row_id"),
         F.col("v.url").alias("url"),
         "text",
     )

@@ -357,12 +357,22 @@ class WarcWriter(DataSourceWriter):
         if not self._dir:
             raise ValueError("warc writer requires a path directory")
         self._cols = [f.name for f in schema.fields]
+        # minted ONCE on the driver and pickled to every task: shards of
+        # this job are identifiable by name, so a job-level abort can
+        # sweep them even when a killed task published its shard but
+        # died before its commit message reached the driver (observed
+        # race under load, r12) — without touching earlier jobs' shards
+        # in the same append directory
+        self._job_tag = uuid.uuid4().hex[:8]
 
     def write(self, it: Iterator) -> WarcCommitMessage:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        name = os.path.join(self._dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.warc.gz")
+        name = os.path.join(
+            self._dir,
+            f"part-{pid:05d}-{self._job_tag}-{uuid.uuid4().hex[:8]}.warc.gz",
+        )
         part = name + ".inprogress"  # invisible to the reader's listing
         n = 0
         f = None
@@ -412,6 +422,20 @@ class WarcWriter(DataSourceWriter):
                     os.remove(m.file)
                 except OSError:
                     pass
+        # belt-and-braces for the publish/kill race: a task killed by
+        # the job abort may have renamed its shard but died before its
+        # commit message reached the driver, so it appears as None in
+        # `messages` — sweep every file carrying this job's tag
+        # (committed-batch shards of OTHER jobs never match the tag)
+        import glob
+
+        for path in glob.glob(
+            os.path.join(self._dir, f"part-*-{self._job_tag}-*")
+        ):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
 
 
 class WarcStreamWriter(DataSourceStreamWriter):

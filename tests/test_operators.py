@@ -1178,7 +1178,7 @@ def test_routed_quality_gate_routes_thresholds_by_language(spark):
     en_text = " ".join(["the quick brown fox jumps of and it is that"] * 5)
     df = spark.createDataFrame(
         [
-            (1, en_text, "en"),    # 50 words: meets en min_words=50 -> passes
+            (1, en_text, "en"),    # 50 words: meets en min_units=50 -> passes
             (2, en_text, "de"),    # same text routed de: 0 de stop hits -> fails
             (3, en_text, "xx"),    # unknown lang -> 'und' row: 50 < 60 -> fails
         ],
@@ -1192,17 +1192,46 @@ def test_routed_quality_gate_routes_thresholds_by_language(spark):
     }
     assert out[1][0] is True and out[1][1] > 0
     assert out[2] == (False, 0)
-    assert out[3][0] is False  # 54 words < und min_words 60
+    assert out[3][0] is False  # 50 words < und min_units 60
 
 
 def test_routed_quality_gate_custom_gates(spark):
     from ranger_spark.operators.text import routed_quality_gate
 
     gates = {
-        "en": {"min_words": 2, "min_alpha_frac": 0.5, "min_stop_hits": 0},
-        "und": {"min_words": 99, "min_alpha_frac": 0.99, "min_stop_hits": 0},
-    }
-    df = spark.createDataFrame([(1, "tiny text here", "en")],
-                               ["id", "text", "routed"])
+        "en": {"min_units": 2, "min_alpha_frac": 0.5, "min_stop_hits": 0},
+    }  # no 'und' row: must fall back to DEFAULT_LANG_GATES['und']
+    df = spark.createDataFrame(
+        [(1, "tiny text here", "en"), (2, "tiny text here", "xx")],
+        ["id", "text", "routed"],
+    )
     m = routed_quality_gate(F.col("text"), F.col("routed"), gates=gates)
-    assert df.select(m["passes"].alias("p")).collect()[0].p is True
+    out = {r.id: r.p for r in df.select("id", m["passes"].alias("p")).collect()}
+    assert out[1] is True
+    assert out[2] is False  # routed to the synthesized strict 'und' row
+
+
+def test_routed_quality_gate_char_unit_language(spark):
+    # r12 review finding: a word-based zh row is unsatisfiable for real
+    # unsegmented Chinese (whitespace tokenization ~1 "word", exact-token
+    # intersect never hits single-char stopwords). unit="chars" rows
+    # count characters and stopword hits by containment.
+    from ranger_spark.operators.text import routed_quality_gate
+
+    zh_text = "我们在这里有一个关于数据处理的很长的中文文档" * 2  # 44 chars, has 的/在/有/我
+    df = spark.createDataFrame(
+        [(1, zh_text, "zh"), (2, "short", "zh")],
+        ["id", "text", "routed"],
+    )
+    m = routed_quality_gate(F.col("text"), F.col("routed"))
+    out = {
+        r.id: (r.p, r.n, r.h)
+        for r in df.select(
+            "id",
+            m["passes"].alias("p"),
+            m["n_units"].alias("n"),
+            m["stop_hits"].alias("h"),
+        ).collect()
+    }
+    assert out[1][0] is True and out[1][1] >= 40 and out[1][2] >= 3
+    assert out[2][0] is False  # 5 chars < zh min_units 20

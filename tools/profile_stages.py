@@ -156,13 +156,23 @@ def profile(query: str, data_dir: str, runs: int = 3) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     runs = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--runs"):
-            runs = int(a.split("=", 1)[1] if "=" in a else sys.argv[
-                sys.argv.index(a) + 1
-            ])
+            if "=" in a:
+                runs = int(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    sys.exit("--runs requires a value")
+                runs = int(argv[i + 1])
+                i += 1  # consume the value — it is NOT a positional
+        else:
+            args.append(a)
+        i += 1
     q = args[0]
     d = args[1] if len(args) > 1 else "/root/repo/.benchcache/sf0.1_x64"
     profile(q, d, runs)
