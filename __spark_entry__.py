@@ -31,17 +31,22 @@ from ranger_spark.queries import load_all  # noqa: E402
 # survival accounting), then the five r6 deferrals NAMED in the r11
 # front comment (source_quality_report, text_bigram_lm_score,
 # text_bigram_pmi, text_gopher_rules, text_length_histogram), then the
-# r7 cohort stalest-first. The r7 cohort is 48 entries and the window
-# is ~50, so its last six (text_lang_confusion, text_ngram_novelty,
-# text_oov_rate, text_script_profile, text_zipf_fit,
-# unpivot_pricing_metrics) are deferred to the r13 front — stated here
-# so the ledger claim stays honest. Max staleness after this round: r7
-# (exactly those six entries), r8 after r13.
+# r7 cohort stalest-first. orders_ar1_autoregression is in the window
+# out of staleness order because the round CHANGED its protocol (exact
+# integer-cents monthly sums + 2dp intercept after the repeated-sf0.1
+# sweeps caught a rounding-boundary flap) — changed queries re-certify
+# the same round. The r7 cohort is 48 entries and the window is ~50,
+# so its last seven (text_inverted_index, text_lang_confusion,
+# text_ngram_novelty, text_oov_rate, text_script_profile,
+# text_zipf_fit, unpivot_pricing_metrics) are deferred to the r13
+# front — stated here so the ledger claim stays honest. Max staleness
+# after this round: r7 (exactly those seven entries), r8 after r13.
 
 _FRONT_R12 = (
     "corpus_language_routed",
     "url_host_blocklist",
     "corpus_dedup_cascade",
+    "orders_ar1_autoregression",
     "source_quality_report",
     "text_bigram_lm_score",
     "text_bigram_pmi",
@@ -88,7 +93,6 @@ _FRONT_R12 = (
     "stream_windowed_daily",
     "table_profile",
     "text_feature_hash_vector",
-    "text_inverted_index",
 )
 
 

@@ -3518,7 +3518,8 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT o_orderpriority AS pri,
              date_trunc('month', o_orderdate) AS mon,
-             round(sum(o_totalprice), 2) AS rev
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100 AS rev
       FROM orders GROUP BY 1, 2
     ),
     lagged AS (
@@ -3529,7 +3530,7 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pri,
            CAST(count(*) AS BIGINT) AS n_obs,
            round(regr_slope(rev, prev), 6) AS phi,
-           round(regr_intercept(rev, prev), 6) AS intercept,
+           round(regr_intercept(rev, prev), 2) AS intercept,
            round(regr_r2(rev, prev), 6) AS r2
     FROM lagged WHERE prev IS NOT NULL
     GROUP BY pri
@@ -3542,24 +3543,39 @@ def orders_ar1_autoregression(spark: SparkSession, sf_dir: str) -> DataFrame:
     φ comes straight from the regr_slope aggregate over the lagged
     series (one lag window on the O(months) post-aggregate table, then
     a 3-statistic regression aggregate; both stages priority-keyed).
-    Monthly revenues snap to the 2dp grid before the regression so both
-    engines fit identical points (the text_zipf_fit precedent)."""
+    Monthly revenues are summed in EXACT INTEGER CENTS (the streaming
+    integer-cents protocol) — round(sum(double), 2) is run-
+    nondeterministic at sf0.1 magnitudes (monthly sums ~1e8, double ulp
+    ~0.015: summation order can flip a cent and shift the 6dp
+    regression stats; caught by the r12 full-registry sf0.1 sweep), so
+    both engines fit identical, order-independent points."""
     monthly = (
         load(spark, sf_dir, "orders")
         .groupBy(
             F.col("o_orderpriority").alias("pri"),
             F.date_trunc("month", "o_orderdate").alias("mon"),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("double")
+                / 100
+            ).alias("rev")
+        )
     )
     w = Window.partitionBy("pri").orderBy("mon")
     lagged = monthly.withColumn("prev", F.lag("rev").over(w)).where(
         F.col("prev").isNotNull()
     )
+    # phi and r2 are O(1) — 6dp is 7 significant digits, cross-engine
+    # safe; the intercept is a REVENUE-scale value (~1e8) where 6dp
+    # would demand 15 significant digits of float agreement — engines
+    # differ in the last ulp of regr_intercept, so it rounds to cents
+    # (caught flapping in the r12 repeated-sf0.1 sweeps)
     return lagged.groupBy("pri").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         F.round(F.regr_slope("rev", "prev"), 6).alias("phi"),
-        F.round(F.regr_intercept("rev", "prev"), 6).alias("intercept"),
+        F.round(F.regr_intercept("rev", "prev"), 2).alias("intercept"),
         F.round(F.regr_r2("rev", "prev"), 6).alias("r2"),
     )
 
