@@ -35,18 +35,23 @@ from ranger_spark.queries import load_all  # noqa: E402
 # out of staleness order because the round CHANGED its protocol (exact
 # integer-cents monthly sums + 2dp intercept after the repeated-sf0.1
 # sweeps caught a rounding-boundary flap) — changed queries re-certify
-# the same round. The r7 cohort is 48 entries and the window is ~50,
+# the same round; conformal_price_interval likewise (same flap class,
+# fixed proactively + a round_lint rule). The r7 cohort is 48 entries and the window is ~50,
 # so its last seven (text_inverted_index, text_lang_confusion,
 # text_ngram_novelty, text_oov_rate, text_script_profile,
 # text_zipf_fit, unpivot_pricing_metrics) are deferred to the r13
-# front — stated here so the ledger claim stays honest. Max staleness
-# after this round: r7 (exactly those seven entries), r8 after r13.
+# front — stated here so the ledger claim stays honest (joined by
+# text_feature_hash_vector, displaced when conformal_price_interval's
+# coefficients were re-gridded to cents and had to re-certify). Max
+# staleness after this round: r7 (exactly those eight entries), r8
+# after r13.
 
 _FRONT_R12 = (
     "corpus_language_routed",
     "url_host_blocklist",
     "corpus_dedup_cascade",
     "orders_ar1_autoregression",
+    "conformal_price_interval",
     "source_quality_report",
     "text_bigram_lm_score",
     "text_bigram_pmi",
@@ -92,7 +97,6 @@ _FRONT_R12 = (
     "stream_stream_join",
     "stream_windowed_daily",
     "table_profile",
-    "text_feature_hash_vector",
 )
 
 

@@ -6538,8 +6538,8 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     fit AS (
-      SELECT round(regr_slope(y, x), 6) AS b,
-             round(regr_intercept(y, x), 6) AS a
+      SELECT round(regr_slope(y, x), 2) AS b,
+             round(regr_intercept(y, x), 2) AS a
       FROM base WHERE fold < 3
     ),
     calib AS (
@@ -6578,8 +6578,9 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution-free uncertainty wrapper every production model ships
     with. Scale shape: regression + residual quantile are one aggregate
     and one order-statistic window over a SINGLE scan each; coverage is
-    a filtered count. The exact order statistic (6dp residual grid,
-    orderkey/linenumber tiebreak) replays identically in SQL."""
+    a filtered count. The exact order statistic (6dp residual grid over
+    cents-gridded coefficients, orderkey/linenumber tiebreak) replays
+    identically in SQL."""
     from pyspark.sql import Window
 
     base = load(spark, sf_dir, "lineitem").select(
@@ -6588,9 +6589,14 @@ def conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("double").alias("x"),
         (F.col("l_orderkey") % 5).alias("fold"),
     )
+    # a/b are PRICE-scale (intercept ~1e4, slope ~1e3): 6dp would demand
+    # 10-11 significant digits of cross-engine agreement on a parallel
+    # float aggregate over millions of rows — the ar1 flap class (NOTES
+    # r12 #10) — so the coefficients grid to cents; every downstream
+    # residual is per-row arithmetic on the gridded a/b, deterministic
     fit = base.where(F.col("fold") < 3).agg(
-        F.round(F.regr_slope("y", "x"), 6).alias("b"),
-        F.round(F.regr_intercept("y", "x"), 6).alias("a"),
+        F.round(F.regr_slope("y", "x"), 2).alias("b"),
+        F.round(F.regr_intercept("y", "x"), 2).alias("a"),
     )
     res = F.round(
         F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 6

@@ -59,3 +59,17 @@ def test_accepts_single_column_snap():
     # grid == scale: the round IS the snap (o_totalprice is 2dp money)
     src = 'm = df.agg(F.round(F.sum("o_totalprice"), 2).alias("t"))'
     assert lint_source(src, "x.py") == []
+
+
+def test_flags_overprecise_intercept_both_sides():
+    # r12 rule: intercepts are y-scale (money here) — 6dp demands 10-15
+    # significant digits of cross-engine float agreement (the ar1 flap)
+    from tools.round_lint import lint_oracle, lint_source
+
+    src = 'f = b.agg(F.round(F.regr_intercept("y", "x"), 6).alias("a"))'
+    assert any("regr_intercept" in f for f in lint_source(src, "x.py"))
+    sql = "SELECT round(regr_intercept(y, x), 6) AS a FROM t"
+    assert any("regr_intercept" in f for f in lint_oracle(sql, "q"))
+    # cents grid is the convention — clean
+    assert lint_source(src.replace(", 6)", ", 2)"), "x.py") == []
+    assert lint_oracle(sql.replace(", 6)", ", 2)"), "q") == []

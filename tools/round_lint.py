@@ -99,6 +99,21 @@ def lint_source(src: str, path: str) -> list[str]:
                 f"{path}: round(sum(<product>),{k}) — use the "
                 "money_round2 grid-snap convention (core_sql.py)"
             )
+    # r12 rule (the ar1/conformal flap class): a regression INTERCEPT
+    # inherits y's scale — in this repo y is money-scale wherever an
+    # intercept is emitted, so rounding it finer than cents demands
+    # 10-15 significant digits of cross-engine agreement on a parallel
+    # float aggregate. Slopes/r2 are dimensionless here and stay 6dp.
+    for m in re.finditer(r"F\.round\(\s*F\.regr_intercept\(", flat):
+        arg_open = m.end() - 1
+        args = _matched(flat, arg_open)
+        after = flat[arg_open + len(args) + 2 :]
+        mk = re.match(r"\s*,\s*(\d+)\s*\)", after)
+        if mk and int(mk.group(1)) > 2:
+            flags.append(
+                f"{path}: round(regr_intercept(·),{mk.group(1)}) — "
+                "intercepts are y-scale; grid to cents (NOTES r12 #10)"
+            )
     return flags
 
 
@@ -152,6 +167,16 @@ def lint_oracle(sql: str, name: str) -> list[str]:
             flags.append(
                 f"oracle[{name}]: round(sum(<product>),{k}) — use the "
                 "decimal grid-snap form"
+            )
+    for m in re.finditer(r"round\(\s*regr_intercept\(", flat):
+        arg_open = m.end() - 1
+        args = _matched(flat, arg_open)
+        after = flat[arg_open + len(args) + 2 :]
+        mk = re.match(r"\s*,\s*(\d+)\s*\)", after)
+        if mk and int(mk.group(1)) > 2:
+            flags.append(
+                f"oracle[{name}]: round(regr_intercept(·),{mk.group(1)})"
+                " — intercepts are y-scale; grid to cents (NOTES r12 #10)"
             )
     return flags
 
