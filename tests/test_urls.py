@@ -145,3 +145,22 @@ def test_strip_params_is_configurable(spark):
     assert _canon(spark, u, strip_params=()) == (
         "http://e.com/p?b=1&ref=chapter-2&utm_source=x"
     )
+
+
+def test_dedup_by_url_forwards_strip_params(spark):
+    # with 'ref' stripped (default) the two rows are one group; with a
+    # list excluding 'ref' they stay distinct pages
+    from ranger_spark.operators.urls import DEFAULT_STRIP_PARAMS, dedup_by_url
+
+    df = spark.createDataFrame(
+        [(1, "http://e.com/p?ref=a"), (2, "http://e.com/p?ref=b")],
+        ["id", "url"],
+    )
+    assert dedup_by_url(df, "url", "id").count() == 1
+    no_ref = tuple(p for p in DEFAULT_STRIP_PARAMS if p != "ref")
+    out = dedup_by_url(df, "url", "id", strip_params=no_ref)
+    assert out.count() == 2
+    assert sorted(r.canonical_url for r in out.collect()) == [
+        "http://e.com/p?ref=a",
+        "http://e.com/p?ref=b",
+    ]
