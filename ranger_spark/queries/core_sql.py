@@ -59,7 +59,7 @@ def money_round2(sum_col, grid: int):
            CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE)                    AS sum_disc_price,
            CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS DECIMAL(38,6)), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 4)                                            AS avg_qty,
-           round(avg(l_extendedprice), 4)                                       AS avg_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*) / 100.0, 4) AS avg_price,
            round(avg(l_discount), 6)                                            AS avg_disc,
            count(*)                                                             AS count_order
     FROM lineitem
@@ -80,7 +80,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_round2(F.sum(_net()), 4).alias("sum_disc_price"),
         money_round2(F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 6).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        # avg of a money column on the exact cents grid (r13, round_lint
+        # revenue-scale rule): the parallel DOUBLE sum of ~38k-scale
+        # prices would need 9 significant digits of cross-engine
+        # agreement at 4dp; summing exact integer cents instead makes
+        # the aggregate order-independent, and the single division of
+        # two identical integers is deterministic on both engines.
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            / F.count(F.lit(1))
+            / 100.0,
+            4,
+        ).alias("avg_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )

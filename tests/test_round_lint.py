@@ -73,3 +73,35 @@ def test_flags_overprecise_intercept_both_sides():
     # cents grid is the convention — clean
     assert lint_source(src.replace(", 6)", ", 2)"), "x.py") == []
     assert lint_oracle(sql.replace(", 6)", ", 2)"), "q") == []
+
+
+def test_flags_fine_rounding_of_revenue_scale_agg_both_sides():
+    # the r13 registry-wide rule (VERDICT r12 #2): sum/avg over a
+    # money-scale column rounded finer than cents is magnitude-blind —
+    # 9-15 significant digits of cross-engine float agreement.
+    from round_lint import lint_oracle
+
+    src = 'F.round(F.avg("l_extendedprice"), 4).alias("avg_price")'
+    assert any("revenue-scale" in f for f in lint_source(src, "x.py"))
+    sql = "SELECT round(avg(l_extendedprice), 4) AS p FROM lineitem"
+    assert any("revenue-scale" in f for f in lint_oracle(sql, "t"))
+
+
+def test_accepts_cents_grid_and_coarse_revenue_rounding():
+    from round_lint import lint_oracle
+
+    # exact integer-cents summand: order-independent, any output scale ok
+    src = (
+        'F.round(F.sum(F.round(F.col("l_extendedprice") * 100)'
+        '.cast("bigint")) / F.count(F.lit(1)) / 100.0, 4)'
+    )
+    assert lint_source(src, "x.py") == []
+    sql = (
+        "SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT))"
+        " / count(*) / 100.0, 4) AS p FROM lineitem"
+    )
+    assert lint_oracle(sql, "t") == []
+    # ≤2dp on the raw agg is the cents grid itself
+    assert lint_source('F.round(F.avg("o_totalprice"), 2)', "x.py") == []
+    # dimensionless O(1) columns keep their 6dp
+    assert lint_source('F.round(F.avg("l_discount"), 6)', "x.py") == []

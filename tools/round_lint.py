@@ -63,6 +63,15 @@ def _outer_scale(after_sum: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+# Columns (and derived-expression name fragments) whose values are
+# money-scale in this schema: any sum/avg over them is O(1e4)+ at sf0.1
+# and grows with SF, so sub-cent rounding is magnitude-blind.
+_REVENUE_COLS = (
+    r"(extendedprice|totalprice|supplycost|retailprice|acctbal|"
+    r"revenue|price)"
+)
+
+
 def lint_source(src: str, path: str) -> list[str]:
     flat = _strip(src)
     flags: list[str] = []
@@ -99,6 +108,38 @@ def lint_source(src: str, path: str) -> list[str]:
                 f"{path}: round(sum(<product>),{k}) — use the "
                 "money_round2 grid-snap convention (core_sql.py)"
             )
+    # r13 rule (VERDICT r12 next-round #2, closing the
+    # magnitude-vs-precision class registry-wide): ANY rounding finer
+    # than cents applied to a sum/avg over a revenue-scale column. At
+    # sf0.1 these aggregates are O(1e4)-O(1e10); k>2 demands 9-15
+    # significant digits of cross-engine agreement on an
+    # order-dependent parallel double sum — the exact flap class that
+    # bit orders_ar1 and conformal in r12. Exempt: summands already on
+    # an exact grid (a bigint/decimal cents cast makes the aggregate
+    # order-independent; the remaining division/round is a single
+    # deterministic scalar op).
+    for m in re.finditer(r"F\.round\(\s*F\.(sum|avg|mean)\(", flat):
+        agg = m.group(1)
+        sum_open = m.end() - 1
+        summand = _matched(flat, sum_open)
+        after = flat[sum_open + len(summand) + 2 :]
+        k = _outer_scale(after)
+        if k is None or k <= 2:
+            continue
+        if not re.search(_REVENUE_COLS, summand, re.IGNORECASE):
+            continue
+        if re.search(r"\.cast\(\s*[\"'](bigint|long|decimal)", summand):
+            continue  # exact-grid summand: order-independent
+        ctx = flat[max(0, m.start() - 80) : m.start()]
+        if "F.round(" in ctx and re.search(
+            r"\.cast\(\s*[\"']decimal", flat[m.start() : m.start() + 600]
+        ):
+            continue  # money_round2 decimal-snap form
+        flags.append(
+            f"{path}: round({agg}(<revenue-scale>),{k}) — money "
+            "aggregates grid to cents: sum exact integer cents "
+            "(cast bigint) or round to ≤2dp (VERDICT r12 #2)"
+        )
     # r12 rule (the ar1/conformal flap class): a regression INTERCEPT
     # inherits y's scale — in this repo y is money-scale wherever an
     # intercept is emitted, so rounding it finer than cents demands
@@ -168,6 +209,26 @@ def lint_oracle(sql: str, name: str) -> list[str]:
                 f"oracle[{name}]: round(sum(<product>),{k}) — use the "
                 "decimal grid-snap form"
             )
+    # r13 revenue-scale rule, oracle side (mirrors lint_source).
+    for m in re.finditer(r"round\(\s*(sum|avg|mean)\(", flat):
+        agg = m.group(1)
+        sum_open = m.end() - 1
+        summand = _matched(flat, sum_open)
+        after = flat[sum_open + len(summand) + 2 :]
+        mk = re.match(r"\s*(?:over\s*\([^)]*\)\s*)?,\s*(\d+)\s*\)", after)
+        if not mk or int(mk.group(1)) <= 2:
+            continue
+        if not re.search(_REVENUE_COLS, summand):
+            continue
+        if re.search(r"as\s+(bigint|hugeint|decimal)|::(bigint|hugeint|decimal)", summand):
+            continue  # exact-grid summand
+        ctx = flat[max(0, m.start() - 60) : m.start()]
+        if "cast(round(" in ctx:
+            continue  # decimal-snap form
+        flags.append(
+            f"oracle[{name}]: round({agg}(<revenue-scale>),{mk.group(1)})"
+            " — money aggregates grid to cents (VERDICT r12 #2)"
+        )
     for m in re.finditer(r"round\(\s*regr_intercept\(", flat):
         arg_open = m.end() - 1
         args = _matched(flat, arg_open)
