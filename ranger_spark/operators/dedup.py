@@ -317,6 +317,70 @@ def minhash_lsh_dedup(
     return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
 
 
+def lsh_neardup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Group table (keeper_id, dup_count) for the shingle-set IDENTITY
+    class — documents whose distinct k-word shingle sets are equal
+    (Jaccard exactly 1.0: reorderings, repetitions, re-paginations of
+    the same content) — discovered via the PRODUCTION LSH path:
+    minhash → bands → candidate pairs → exact-Jaccard verify.
+
+    Threshold 1.0 is the one operating point with two structural
+    guarantees that make this a single-pass group assignment:
+
+    * candidacy is COMPLETE, not probabilistic — identical shingle-hash
+      sets give identical minhash signatures, so every band collides
+      and no true pair can be missed by the banding;
+    * the verified relation is an EQUIVALENCE (set equality is
+      transitive), so each member's verified neighbors are exactly its
+      whole group and keeper = min(own id, min neighbor id) needs no
+      iterative connected components.
+
+    Sub-1.0 thresholds (true fuzzy near-dup) are served by
+    :func:`minhash_lsh_dedup` + the recall harness
+    (queries/pipeline.py dedup_minhash_recall_eval).
+
+    Scale shape: identical to :func:`minhash_lsh_dedup` (digest/band
+    shuffles only) plus one id-keyed aggregation of the pair list and
+    one left join back to the id column — all keyed on 8-byte ids.
+    """
+    pairs = minhash_lsh_dedup(
+        df,
+        id_col,
+        text_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=1.0,
+        collapse_exact=False,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("__id"), F.col("id_b").alias("__nb")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("__id"), F.col("id_a").alias("__nb"))
+    )
+    keeper = sym.groupBy("__id").agg(F.min("__nb").alias("__mn"))
+    mem = (
+        df.select(F.col(id_col))
+        .join(keeper, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            F.col(id_col),
+            F.least(
+                F.col(id_col), F.coalesce(F.col("__mn"), F.col(id_col))
+            ).alias("keeper_id"),
+        )
+    )
+    return mem.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental MinHash dedup over snapshots (the 100 TB ingest pattern)
 # ---------------------------------------------------------------------------

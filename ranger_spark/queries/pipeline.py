@@ -7407,86 +7407,154 @@ def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_dedup_cascade",
-    # stage 1 is pure closed-form survival arithmetic; stage 2 takes its
-    # group structure from the REAL text column (sf0.1 carries 8
+    # stage 1 is pure closed-form survival arithmetic; stages 2-3 take
+    # their group structure from the REAL text column (sf0.1 carries 8
     # cross-doc duplicate texts, so "one group per doc" would be wrong
-    # there) — DuckDB computes its own md5-normalized groups, never
-    # running the Spark operator
-    oracle=f"""
-    WITH n AS (SELECT count(*) AS c, sum(doc_id) AS s FROM documents),
-    g AS (
-      SELECT count(*) AS dt, sum(k) AS ks
-      FROM (SELECT min(doc_id) AS k FROM documents GROUP BY md5({_NORM}))
+    # there) — DuckDB computes its own groups from text transforms
+    # (md5-normalized text for stage 2; the sorted distinct
+    # shingle-hash fingerprint for stage 3) and NEVER runs a dedup: no
+    # minhash, no bands, no candidate pairs, no pairwise join — a bug
+    # anywhere in the Spark LSH path (banding, candidacy, verify,
+    # keeper assignment) surfaces as a mismatch.
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    n AS (SELECT count(*) AS c, sum(doc_id) AS s FROM d),
+    v AS (
+      SELECT doc_id * 5     AS row_id, 1 AS live, text AS raw FROM d
+      UNION ALL SELECT doc_id * 5 + 1, 0, text FROM d
+      UNION ALL SELECT doc_id * 5 + 2, 1, text FROM d
+      UNION ALL SELECT doc_id * 5 + 3, 1, text || ' ' || text FROM d
+      UNION ALL SELECT doc_id * 5 + 4, 1,
+                       text || ' ' || text || ' ' || text FROM d
+    ),
+    s1 AS (
+      SELECT row_id,
+             trim(regexp_replace(lower(raw), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM v WHERE live = 1
+    ),
+    g2 AS (
+      SELECT min(row_id) AS keeper, count(*) AS cnt, min(norm) AS norm
+      FROM s1 GROUP BY md5(norm)
+    ),
+    toks AS (
+      SELECT keeper, regexp_split_to_array(norm, '\\s+') AS t FROM g2
+    ),
+    sh AS (
+      SELECT DISTINCT keeper,
+             CAST(('0x' || substr(md5(concat_ws(' ', t[i], t[i+1])), 1, 8))
+                  AS BIGINT) AS sh_hash
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i
+      ) g
+    ),
+    fps AS (
+      SELECT keeper,
+             md5(string_agg(CAST(sh_hash AS VARCHAR), ',' ORDER BY sh_hash))
+               AS sfp
+      FROM sh GROUP BY keeper
+    ),
+    g3 AS (
+      SELECT min(keeper) AS keeper, count(*) AS cnt FROM fps GROUP BY sfp
     )
     SELECT * FROM (
       SELECT 'url_dedup' AS stage,
-             CAST(3 * c AS BIGINT) AS rows_in,
-             CAST(2 * c AS BIGINT) AS rows_out,
-             CAST(6 * s + 2 * c AS BIGINT) AS keeper_id_sum
+             CAST(5 * c AS BIGINT) AS rows_in,
+             CAST(4 * c AS BIGINT) AS rows_out,
+             CAST(20 * s + 9 * c AS BIGINT) AS keeper_id_sum
       FROM n
       UNION ALL
       SELECT 'exact_dedup' AS stage,
-             CAST(2 * c AS BIGINT) AS rows_in,
-             CAST(dt AS BIGINT) AS rows_out,
-             CAST(3 * ks AS BIGINT) AS keeper_id_sum
-      FROM n, g
+             CAST(sum(cnt) AS BIGINT) AS rows_in,
+             CAST(count(*) AS BIGINT) AS rows_out,
+             CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+      FROM g2
+      UNION ALL
+      SELECT 'near_dedup' AS stage,
+             CAST(sum(cnt) AS BIGINT) AS rows_in,
+             CAST(count(*) AS BIGINT) AS rows_out,
+             CAST(sum(keeper) AS BIGINT) AS keeper_id_sum
+      FROM g3
     ) ORDER BY stage
     """,
-    tags=("dedup", "url", "cascade", "warc"),
+    tags=("dedup", "url", "cascade", "warc", "lsh"),
 )
 def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup CASCADE with per-stage survival accounting — the order
-    every production pipeline runs: URL-level dedup first (collapses
+    every production pipeline runs (SURVEY §7 north-star;
+    examples/warc_to_corpus.py): URL-level dedup first (collapses
     mirrors of the same canonical URL — cheapest key), exact text
     dedup second (collapses re-crawls whose URL changed but whose
-    content didn't). The corpus is synthesized the way a real crawl
-    looks: each document appears as the original, a MIRROR (same
-    canonical URL modulo tracking params/scheme — dropped at stage 1)
-    and a RECRAWL (different URL path, identical text — dropped at
-    stage 2). Stage outputs are semi-join keeps against the group
-    tables, so each stage shuffles only digests; the report is two
-    rows. Oracle is the closed-form survival arithmetic — it never
-    runs a dedup, so the engines cannot share a bug."""
-    from ranger_spark.operators.dedup import exact_dedup_groups
+    content didn't), near-dup third (collapses re-publications whose
+    exact bytes changed but whose shingle content didn't, via the
+    production MinHash→LSH-bands→candidates→verify path). The corpus
+    is synthesized the way a real crawl looks: each document appears
+    as the original, a MIRROR (same canonical URL modulo tracking
+    params/scheme — dropped at stage 1), a RECRAWL (different URL
+    path, identical text — dropped at stage 2), and two RE-PAGINATIONS
+    (the content repeated twice and three times — a template/
+    pagination bug shape: different exact text, identical bigram
+    shingle SET, so both are dropped at stage 3, where the doubled and
+    tripled copies are guaranteed LSH candidates because identical
+    shingle sets give identical minhash signatures in every band).
+    Stage outputs are semi-join keeps against the group tables, so
+    each stage shuffles only digests; the report is three rows. Oracle
+    is closed-form survival arithmetic for stage 1 and independent
+    group derivations for stages 2-3 (md5-normalized-text groups;
+    sorted-shingle-hash-set fingerprint groups) — it never runs a
+    dedup, so the engines cannot share a bug."""
+    from ranger_spark.operators.dedup import (
+        exact_dedup_groups,
+        lsh_neardup_groups,
+    )
     from ranger_spark.operators.urls import dedup_by_url
 
     d = load(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
+    site = (F.col("doc_id") % 50).cast("string")
     base = F.concat(
-        F.lit("http://site"), (F.col("doc_id") % 50).cast("string"),
-        F.lit(".example.com/doc/"), did,
+        F.lit("http://site"), site, F.lit(".example.com/doc/"), did,
     )
     mirror = F.concat(
-        F.lit("HTTPS://www.site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit("HTTPS://www.site"), site,
         F.lit(".example.com/doc/"), did, F.lit("?utm_medium=mirror"),
     )
     recrawl = F.concat(
-        F.lit("http://site"), (F.col("doc_id") % 50).cast("string"),
-        F.lit(".example.com/rearchived/"), did,
+        F.lit("http://site"), site, F.lit(".example.com/rearchived/"), did,
     )
+    page2x = F.concat(
+        F.lit("http://site"), site, F.lit(".example.com/page2x/"), did,
+    )
+    page3x = F.concat(
+        F.lit("http://site"), site, F.lit(".example.com/page3x/"), did,
+    )
+    t = F.col("text")
+    text2x = F.concat(t, F.lit(" "), t)
+    text3x = F.concat(t, F.lit(" "), t, F.lit(" "), t)
     crawl = d.select(
         F.col("doc_id"),
-        F.col("text"),
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("k"), base.alias("url")),
-                F.struct(F.lit(1).alias("k"), mirror.alias("url")),
-                F.struct(F.lit(2).alias("k"), recrawl.alias("url")),
+                F.struct(F.lit(0).alias("k"), base.alias("url"), t.alias("text")),
+                F.struct(F.lit(1).alias("k"), mirror.alias("url"), t.alias("text")),
+                F.struct(F.lit(2).alias("k"), recrawl.alias("url"), t.alias("text")),
+                F.struct(F.lit(3).alias("k"), page2x.alias("url"), text2x.alias("text")),
+                F.struct(F.lit(4).alias("k"), page3x.alias("url"), text3x.alias("text")),
             )
         ).alias("v"),
     ).select(
-        # collision-proof synthetic key: doc_id*3 + k stays unique for
+        # collision-proof synthetic key: doc_id*5 + k stays unique for
         # ANY doc_id range (the key-shifted bench replicas carry
         # doc_ids past 1e9, where an additive +k*1e9 scheme collides
         # across documents — r12 review finding)
-        (F.col("doc_id") * 3 + F.col("v.k")).alias("row_id"),
+        (F.col("doc_id") * 5 + F.col("v.k")).alias("row_id"),
         F.col("v.url").alias("url"),
-        "text",
+        F.col("v.text").alias("text"),
     )
     # each stage's survival report comes from its GROUP table alone
     # (rows_in = Σ dup_count, rows_out = group count, keeper sum over
-    # keepers) — no second pass over the data; the only row-level join
-    # is the one semi-join producing stage-2's input, keyed on row_id
+    # keepers) — no second pass over the data; the only row-level
+    # joins are the semi-joins producing the next stage's input, keyed
+    # on row_id
     def survival(groups: DataFrame, stage: str) -> DataFrame:
         return groups.agg(
             F.sum("dup_count").alias("rows_in"),
@@ -7504,6 +7572,15 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     text_groups = exact_dedup_groups(s1, "row_id", "text")
-    return survival(url_groups, "url_dedup").unionAll(
-        survival(text_groups, "exact_dedup")
-    ).orderBy("stage")
+    s2 = s1.join(
+        text_groups.select(F.col("keeper_id").alias("row_id")),
+        "row_id",
+        "left_semi",
+    )
+    near_groups = lsh_neardup_groups(s2, "row_id", "text")
+    return (
+        survival(url_groups, "url_dedup")
+        .unionAll(survival(text_groups, "exact_dedup"))
+        .unionAll(survival(near_groups, "near_dedup"))
+        .orderBy("stage")
+    )

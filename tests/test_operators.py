@@ -41,6 +41,31 @@ def test_minhash_identical_docs_collide(spark):
     assert collapsed == []
 
 
+def test_lsh_neardup_groups_shingle_set_identity(spark):
+    """Threshold-1.0 LSH groups = shingle-set identity classes: the
+    doubled/tripled re-paginations of one text collapse (identical
+    bigram sets, guaranteed candidates), a reordering with a different
+    bigram set stays separate, and singletons keep themselves."""
+    from ranger_spark.operators.dedup import lsh_neardup_groups
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (10, base),
+        (11, base + " " + base),                # superset: + junction bigram
+        (12, base + " " + base + " " + base),   # same set as 11
+        (13, "zeta epsilon delta gamma beta alpha"),  # reversed: new bigrams
+        (14, "totally different content entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = {
+        r.keeper_id: r.dup_count
+        for r in lsh_neardup_groups(df, "doc_id", "text").collect()
+    }
+    # 11+12 share the set {base bigrams + (zeta,alpha)}; 10 lacks the
+    # junction bigram so it stays out; 13/14 are singletons
+    assert groups == {10: 1, 11: 2, 13: 1, 14: 1}
+
+
 def test_simhash_close_for_similar(spark):
     from ranger_spark.operators.dedup import hamming32, simhash_signatures
 
