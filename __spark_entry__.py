@@ -23,86 +23,80 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
-# round start (hash_match-only certification since r9). Round 12 front
-# (VERDICT r11 next-round #3 + #8): the three never-certified new
-# entries lead (corpus_language_routed — the html_extract → lang_id →
-# per-language Gopher gate routing; url_host_blocklist — the broadcast
-# domain-blocklist filter; corpus_dedup_cascade — per-stage dedup
-# survival accounting), then the five r6 deferrals NAMED in the r11
-# front comment (source_quality_report, text_bigram_lm_score,
-# text_bigram_pmi, text_gopher_rules, text_length_histogram), then the
-# r7 cohort stalest-first. orders_ar1_autoregression is in the window
-# out of staleness order because the round CHANGED its protocol (exact
-# integer-cents monthly sums + 2dp intercept after the repeated-sf0.1
-# sweeps caught a rounding-boundary flap) — changed queries re-certify
-# the same round; conformal_price_interval likewise (same flap class,
-# fixed proactively + a round_lint rule). The r7 cohort is 48 entries and the window is ~50,
-# so its last seven (text_inverted_index, text_lang_confusion,
-# text_ngram_novelty, text_oov_rate, text_script_profile,
-# text_zipf_fit, unpivot_pricing_metrics) are deferred to the r13
-# front — stated here so the ledger claim stays honest (joined by
-# text_feature_hash_vector, displaced when conformal_price_interval's
-# coefficients were re-gridded to cents and had to re-certify). Max
-# staleness after this round: r7 (exactly those eight entries), r8
-# after r13.
+# round start (hash_match-only certification since r9). Round 13 front
+# (VERDICT r12 next-round #1): the eight NAMED r7 deferrals lead
+# (text_feature_hash_vector, text_inverted_index, text_lang_confusion,
+# text_ngram_novelty, text_oov_rate, text_script_profile, text_zipf_fit,
+# unpivot_pricing_metrics — cert_ledger and the judge's own recount
+# agree on eight), then the two queries this round CHANGED, which must
+# re-certify the same round: q1_pricing_summary (avg_price re-gridded
+# to exact integer cents under the new registry-wide revenue-scale
+# round_lint rule — VERDICT r12 #2) and corpus_dedup_cascade (extended
+# to stage 3: LSH near-dup with survival accounting — VERDICT r12 #4),
+# then the r8 cohort stalest-first. The r8 cohort is 42 entries and
+# only 40 slots remain, so its last two alphabetically
+# (recs_item_item_cf, retrieval_rrf_fusion) are deferred to the r14
+# front — stated here so the ledger claim stays honest. Max staleness
+# after this round: r8 (exactly those two entries plus the rest of the
+# r9 cohort's turn coming at r14).
 
-_FRONT_R12 = (
-    "corpus_language_routed",
-    "url_host_blocklist",
+_FRONT_R13 = (
+    "text_feature_hash_vector",
+    "text_inverted_index",
+    "text_lang_confusion",
+    "text_ngram_novelty",
+    "text_oov_rate",
+    "text_script_profile",
+    "text_zipf_fit",
+    "unpivot_pricing_metrics",
+    "q1_pricing_summary",
     "corpus_dedup_cascade",
-    "orders_ar1_autoregression",
-    "conformal_price_interval",
-    "source_quality_report",
-    "text_bigram_lm_score",
-    "text_bigram_pmi",
-    "text_gopher_rules",
-    "text_length_histogram",
-    "ann_hard_negatives",
-    "ann_ivf_recall_eval",
-    "ann_pq_topk",
-    "ann_rp_lsh_topk",
-    "basket_frequent_pairs",
-    "boilerplate_line_removal",
-    "ccnet_entropy_buckets",
-    "cross_source_containment",
-    "dedup_bloom_prefilter",
-    "dedup_canonical_pick",
-    "dedup_minhash_recall_eval",
-    "embedding_covariance",
-    "embedding_drift_by_label",
-    "embedding_label_centroids",
-    "embedding_pca_projection",
-    "events_gap_fill_interpolate",
-    "events_markov_backtest",
-    "events_markov_transitions",
-    "events_salted_hot_key_agg",
-    "export_shard_plan",
-    "grouping_sets_revenue",
-    "knn_label_accuracy",
-    "multimodal_image_ahash_dedup",
-    "multimodal_warc_records",
-    "pivot_status_by_priority",
-    "pq_codes",
-    "quality_classifier_logreg",
-    "range_partition_bounds",
-    "recursive_year_spine",
-    "sample_kcenter_coreset",
-    "sample_temperature_mixture",
-    "skew_key_diagnosis",
-    "source_pagerank",
-    "stream_dedup_keys",
-    "stream_merge_upsert_rollup",
-    "stream_session_windows",
-    "stream_stateful_user_stats",
-    "stream_stream_join",
-    "stream_windowed_daily",
-    "table_profile",
+    "ann_mmr_rerank",
+    "ann_truncated_dim_recall",
+    "approx_percentile_check",
+    "cohort_ltv_curve",
+    "copurchase_bfs_hops",
+    "copurchase_kcore",
+    "copurchase_triangles",
+    "curriculum_phase_plan",
+    "customer_gini_revenue",
+    "customer_order_interarrival",
+    "customer_pareto_share",
+    "customer_rfm_scores",
+    "customers_k_anonymity",
+    "dedup_edit_distance",
+    "dedup_threshold_sweep",
+    "embedding_outlier_knn",
+    "events_anomaly_mad",
+    "events_attribution_credit",
+    "events_cuped_adjustment",
+    "events_dau_mau_stickiness",
+    "events_ewma_daily",
+    "events_kmv_set_ops",
+    "events_lateness_profile",
+    "events_markov_stationary",
+    "events_path_trigrams",
+    "events_pattern_match",
+    "events_power_analysis",
+    "events_psi_drift",
+    "events_welch_ttest",
+    "forecast_seasonal_naive",
+    "graph_label_propagation",
+    "lineitem_weighted_median_price",
+    "multimodal_image_entropy",
+    "multimodal_wav_silence",
+    "nb_lang_classifier",
+    "orders_benford_audit",
+    "orders_cusum_changepoint",
+    "orders_price_histogram",
+    "orders_running_backlog",
+    "parts_pareto_skyline",
 )
 
 
 def _ordered():
     reg = load_all()
-    front = [n for n in _FRONT_R12 if n in reg]
+    front = [n for n in _FRONT_R13 if n in reg]
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
 
