@@ -856,10 +856,16 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
     'min','max'} ('mean'/'min'/'max' are over the first channel;
     'means' has one entry per channel), or None for undecodable
     payloads. Supported layouts: grayscale, 4:4:4, and 4:2:0 (luma 2×2
-    + chroma 1×1, replication upsample). Restart intervals and the
-    arithmetic/lossless/hierarchical modes remain gated (None).
-    (VERDICT r2 item 5 tail: with progressive landed r9, the remaining
-    gated media are compressed audio codecs and video frames.)"""
+    + chroma 1×1, replication upsample). Restart intervals (DRI/RSTn,
+    T.81 E.2.4/F.2.1.3.1) are decoded since r13: at each interval
+    boundary the reader byte-aligns, validates the RSTn modulo-8
+    sequence, and resets the DC predictors and EOB run — restart
+    segments are also the one intra-image parallelism seam T.81
+    offers, which is what a native codec exploits at 100-TB scale (see
+    SCALE.md r13 walk measurement). The arithmetic/lossless/
+    hierarchical modes remain gated (None). (VERDICT r2 item 5 tail:
+    with progressive landed r9, the remaining gated media are
+    compressed audio codecs and video frames.)"""
     try:
         if payload[:2] != b"\xff\xd8":
             return None
@@ -874,6 +880,7 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
         maxh = maxv = 1
         mcux = mcuy = 0
         saw_scan = False
+        restart_interval = 0
 
         def comp_blocks(ci: int) -> tuple[int, int]:
             # NON-interleaved scan geometry (T.81 A.2.2): the component's
@@ -908,6 +915,35 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
             preds = [0] * len(comps)  # DC predictors reset per scan
             eobrun = 0
             p1, m1 = 1 << al, -1 << al
+            rst_next = 0
+
+            def restart() -> None:
+                """T.81 E.2.4: at an interval boundary, discard the
+                partial byte, consume the RSTn marker (validating the
+                modulo-8 sequence), and reset the DC predictors and
+                the progressive EOB run."""
+                nonlocal eobrun, rst_next
+                reader.nbits = 0  # byte-align: drop pad bits
+                p = reader.pos
+                while (
+                    p + 1 < len(payload)
+                    and payload[p] == 0xFF
+                    and payload[p + 1] == 0xFF
+                ):
+                    p += 1  # optional fill bytes before the marker
+                if (
+                    p + 1 >= len(payload)
+                    or payload[p] != 0xFF
+                    or (payload[p + 1] & 0xF8) != 0xD0
+                ):
+                    raise ValueError("missing restart marker")
+                if (payload[p + 1] & 7) != rst_next:
+                    raise ValueError("restart marker out of sequence")
+                rst_next = (rst_next + 1) & 7
+                reader.pos = p + 2
+                for i in range(len(preds)):
+                    preds[i] = 0
+                eobrun = 0
 
             def dc_first(ci: int, zz: "np.ndarray") -> None:
                 t = reader.read_symbol(huff[(0, sel[ci][0])])
@@ -1016,6 +1052,7 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
                 # interleaved: MCU order, h×v blocks per component
                 if scomps != list(range(len(comps))):
                     raise ValueError("interleaved scan must cover SOF order")
+                n_mcu = mcuy * mcux
                 for my in range(mcuy):
                     for mx in range(mcux):
                         for ci in scomps:
@@ -1031,9 +1068,19 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
                                         dc_first(ci, zz)
                                     else:
                                         dc_refine(zz)
+                        done = my * mcux + mx + 1
+                        if (
+                            restart_interval
+                            and done < n_mcu
+                            and done % restart_interval == 0
+                        ):
+                            restart()
             else:
                 ci = scomps[0]
                 nby, nbx = comp_blocks(ci)
+                # non-interleaved: the restart interval counts DATA
+                # UNITS of this component's own block grid (T.81 A.2.2)
+                n_du = nby * nbx
                 for byi in range(nby):
                     for bxi in range(nbx):
                         zz = coef_store[ci][byi, bxi]
@@ -1045,6 +1092,13 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
                             ac_first(ci, zz)
                         else:
                             ac_refine(ci, zz)
+                        done = byi * nbx + bxi + 1
+                        if (
+                            restart_interval
+                            and done < n_du
+                            and done % restart_interval == 0
+                        ):
+                            restart()
             # align to the next marker (skip pad bits + 0xFF fill bytes)
             p = reader.pos
             while p + 1 < len(payload) and (
@@ -1124,9 +1178,8 @@ def parse_jpeg_pixels(payload: bytes) -> dict | None:
                         counts, syms
                     )
                     s += 17 + n
-            elif marker == 0xDD:  # DRI: restart intervals gated
-                if int.from_bytes(seg[:2], "big") != 0:
-                    return None
+            elif marker == 0xDD:  # DRI: restart interval (MCUs/data units)
+                restart_interval = int.from_bytes(seg[:2], "big")
             elif marker == 0xDA:  # SOS
                 if coef_store is None or not huff:
                     return None

@@ -480,11 +480,15 @@ def test_parse_jpeg_pixels_rejects_bad_payloads():
     assert parse_jpeg_pixels(payload[:-4]) is None
 
 
-def _encode_baseline_jpeg_444(rgb, quant):
+def _encode_baseline_jpeg_444(rgb, quant, restart_interval=0):
     """3-component 4:4:4 encoder (JFIF RGB->YCbCr), both chroma
     components sharing the luminance huffman tables and quant table —
     legal per T.81, and it exercises the decoder's per-component
-    selectors and DC predictors."""
+    selectors and DC predictors. With ``restart_interval`` > 0 a DRI
+    segment is emitted and the entropy stream is split at every
+    interval boundary (byte-aligned with 1-padding, RSTn modulo-8
+    sequence, DC predictors reset) per T.81 E.2.4 — the r13 decoder
+    restart-support differential fixture."""
     import numpy as np
 
     from ranger_spark.operators.multimodal import (
@@ -530,8 +534,30 @@ def _encode_baseline_jpeg_444(rgb, quant):
         p = np.full((by * 8, bx * 8), 0.0)
         p[:h, :w] = chan
         planes.append(p)
+    entropy = bytearray()
+
+    def flush_bits():
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = int("".join(map(str, bits[i : i + 8])), 2)
+            entropy.append(byte)
+            if byte == 0xFF:
+                entropy.append(0x00)
+        bits.clear()
+
     preds = [0, 0, 0]
+    rst_cnt = 0
     for blk in range(bx * by):
+        if (
+            restart_interval
+            and blk
+            and blk % restart_interval == 0
+        ):
+            flush_bits()
+            entropy += bytes([0xFF, 0xD0 + (rst_cnt & 7)])
+            rst_cnt += 1
+            preds = [0, 0, 0]
         r0, c0 = (blk // bx) * 8, (blk % bx) * 8
         for ci, plane in enumerate(planes):
             block = plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0
@@ -560,18 +586,16 @@ def _encode_baseline_jpeg_444(rgb, quant):
                 run = 0
             if run:
                 put(ac_enc[0x00][0], ac_enc[0x00][1])
-    while len(bits) % 8:
-        bits.append(1)
-    entropy = bytearray()
-    for i in range(0, len(bits), 8):
-        byte = int("".join(map(str, bits[i : i + 8])), 2)
-        entropy.append(byte)
-        if byte == 0xFF:
-            entropy.append(0x00)
+    flush_bits()
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(q) for q in quant))
     sof_comps = b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3))
     sof = seg(
@@ -587,7 +611,8 @@ def _encode_baseline_jpeg_444(rgb, quant):
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes(entropy) + b"\xff\xd9"
+        b"\xff\xd8" + dri + dqt + sof + dht_dc + dht_ac + sos
+        + bytes(entropy) + b"\xff\xd9"
     )
 
 
@@ -1330,3 +1355,53 @@ class TestVectorizedDecodeDifferential:
             got = _idct_plane(store, q, m, zz_r, zz_c)
             assert got.dtype == ref.dtype and got.shape == ref.shape
             assert np.array_equal(got, ref), "batched IDCT must be exact"
+
+
+def test_parse_jpeg_restart_intervals_match_plain():
+    """r13 DRI/RSTn support (T.81 E.2.4): the same image encoded with
+    restart intervals must decode bit-identically to the plain
+    encoding — same quant grid, same coefficients, so every output
+    stat matches exactly. The gradient makes DC predictors differ
+    across MCUs, so a missed predictor reset would shift whole blocks;
+    ri=7 does not divide the 64-MCU grid evenly and produces 9
+    restarts, crossing the RSTn modulo-8 wraparound."""
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import parse_jpeg_pixels
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(40, 216, (8, 8, 3))
+    rgb = np.kron(base, np.ones((8, 8, 1))).astype(np.float64)  # 64x64
+    quant = np.array([16] * 64)
+    plain = parse_jpeg_pixels(_encode_baseline_jpeg_444(rgb, quant))
+    for ri in (1, 7, 8, 64):
+        with_rst = parse_jpeg_pixels(
+            _encode_baseline_jpeg_444(rgb, quant, restart_interval=ri)
+        )
+        assert with_rst is not None, f"ri={ri} failed to decode"
+        assert with_rst == plain, f"ri={ri} diverged"
+
+
+def test_parse_jpeg_restart_sequence_violations_rejected():
+    """A stream whose RSTn sequence is corrupted (wrong modulo index,
+    or marker replaced by entropy bytes) must return None, not decode
+    garbage."""
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import parse_jpeg_pixels
+
+    rng = np.random.default_rng(6)
+    base = rng.integers(40, 216, (4, 4, 3))
+    rgb = np.kron(base, np.ones((8, 8, 1))).astype(np.float64)  # 32x32
+    quant = np.array([16] * 64)
+    good = _encode_baseline_jpeg_444(rgb, quant, restart_interval=4)
+    assert parse_jpeg_pixels(good) is not None
+    # find the first RST marker (0xFF 0xD0) in the entropy stream and
+    # break its modulo index
+    i = good.index(b"\xff\xd0")
+    wrong_seq = good[:i] + b"\xff\xd3" + good[i + 2 :]
+    assert parse_jpeg_pixels(wrong_seq) is None
+    # excise the marker entirely: the decoder expects one at the
+    # boundary and must refuse
+    missing = good[:i] + good[i + 2 :]
+    assert parse_jpeg_pixels(missing) is None
