@@ -855,12 +855,18 @@ def test_warc_parse_errors():
         parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
 
 
-def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
+def _encode_progressive_jpeg_gray(
+    pixels, quant, span_eob=False, restart_interval=0
+):
     """Independent test-side PROGRESSIVE (SOF2) encoder: four scans —
     DC first (Al=1), DC refine, AC first 1..63 (Al=1), AC refine (Al=0)
     — per-block EOB flush, point transforms per T.81 G.1 (DC arithmetic
     shift; AC magnitude shift with sign). Validates the decoder's
-    spectral-selection + successive-approximation paths."""
+    spectral-selection + successive-approximation paths. With
+    ``restart_interval`` > 0, every scan is split at each interval
+    boundary (EOB runs flushed, byte-aligned, RSTn modulo-8 restarting
+    at D0 per scan, DC predictor reset) — the r13 progressive restart
+    differential fixture."""
     import numpy as np
 
     from ranger_spark.operators.multimodal import (
@@ -907,6 +913,8 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
     class Bits:
         def __init__(self):
             self.bits = []
+            self.out = bytearray()
+            self.rst = 0
 
         def put(self, code, ln):
             self.bits.extend(
@@ -917,17 +925,25 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
             if t:
                 self.put(v if v >= 0 else v + (1 << t) - 1, t)
 
-        def bytes(self):
-            bits = list(self.bits)
-            while len(bits) % 8:
-                bits.append(1)
-            out = bytearray()
-            for i in range(0, len(bits), 8):
-                byte = int("".join(map(str, bits[i : i + 8])), 2)
-                out.append(byte)
+        def _drain(self):
+            while len(self.bits) % 8:
+                self.bits.append(1)
+            for i in range(0, len(self.bits), 8):
+                byte = int("".join(map(str, self.bits[i : i + 8])), 2)
+                self.out.append(byte)
                 if byte == 0xFF:
-                    out.append(0x00)
-            return bytes(out)
+                    self.out.append(0x00)
+            self.bits = []
+
+        def restart(self):
+            # T.81 E.2.4: byte-align with 1-padding, emit RSTn
+            self._drain()
+            self.out += bytes([0xFF, 0xD0 + (self.rst & 7)])
+            self.rst += 1
+
+        def bytes(self):
+            self._drain()
+            return bytes(self.out)
 
     def category(v):
         return int(abs(v)).bit_length()
@@ -935,7 +951,10 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
     # scan 1: DC first, Al=1 (DPCM over dc >> 1, arithmetic shift)
     s1 = Bits()
     pred = 0
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            s1.restart()
+            pred = 0
         dcv = zz[0] >> 1
         diff = dcv - pred
         pred = dcv
@@ -945,7 +964,9 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
 
     # scan 2: DC refine (Ah=1, Al=0): the dropped bit, one per block
     s2 = Bits()
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            s2.restart()
         s2.put(zz[0] & 1, 1)
 
     # scan 3: AC first 1..63, Al=1 (sign * (|v| >> 1)); EOB per block,
@@ -963,7 +984,10 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
             s3.put(eobrun3 - (1 << nbits), nbits)
         eobrun3 = 0
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob3()
+            s3.restart()
         r = 0
         emitted = False
         for k in range(1, 64):
@@ -1005,7 +1029,10 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
             s4.put(bit, 1)
         eobrun4, br = 0, []
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            flush_eob4()
+            s4.restart()
         absv = [abs(zz[k]) for k in range(64)]
         eob = 0
         for k in range(1, 64):
@@ -1049,6 +1076,11 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
     def seg(marker, body):
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(q) for q in quant))
     sof = seg(
         0xC2,
@@ -1066,7 +1098,7 @@ def _encode_progressive_jpeg_gray(pixels, quant, span_eob=False):
         return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
 
     return (
-        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+        b"\xff\xd8" + dri + dqt + sof + dht_dc + dht_ac
         + sos(0, 0, 0, 1) + s1.bytes()
         + sos(0, 0, 1, 0) + s2.bytes()
         + sos(1, 63, 0, 1) + s3.bytes()
@@ -1405,3 +1437,32 @@ def test_parse_jpeg_restart_sequence_violations_rejected():
     # boundary and must refuse
     missing = good[:i] + good[i + 2 :]
     assert parse_jpeg_pixels(missing) is None
+
+
+def test_parse_jpeg_progressive_restart_matches_plain():
+    """Progressive restart path (r13): every scan type (DC first/refine,
+    AC first with EOB runs, AC refine with buffered correction bits)
+    split at restart boundaries must decode identically to the
+    unrestarted progressive stream — the boundary resets the DC
+    predictor AND the EOB run, so both span_eob regimes are exercised
+    with an interval that does not divide the block count."""
+    import numpy as np
+
+    from ranger_spark.operators.multimodal import parse_jpeg_pixels
+
+    rng = np.random.default_rng(13)
+    quant = np.array([16] * 64)
+    base = rng.integers(30, 226, (6, 6))
+    pixels = np.kron(base, np.ones((8, 8))).astype(np.float64)  # 48x48
+    for span_eob in (False, True):
+        plain = parse_jpeg_pixels(
+            _encode_progressive_jpeg_gray(pixels, quant, span_eob=span_eob)
+        )
+        assert plain is not None
+        for ri in (1, 5, 36):
+            with_rst = parse_jpeg_pixels(
+                _encode_progressive_jpeg_gray(
+                    pixels, quant, span_eob=span_eob, restart_interval=ri
+                )
+            )
+            assert with_rst == plain, f"span_eob={span_eob} ri={ri}"
