@@ -33,12 +33,16 @@ from ranger_spark.queries import load_all  # noqa: E402
 # to exact integer cents under the new registry-wide revenue-scale
 # round_lint rule — VERDICT r12 #2) and corpus_dedup_cascade (extended
 # to stage 3: LSH near-dup with survival accounting — VERDICT r12 #4),
-# then the r8 cohort stalest-first. The r8 cohort is 42 entries and
-# only 40 slots remain, so its last two alphabetically
-# (recs_item_item_cf, retrieval_rrf_fusion) are deferred to the r14
-# front — stated here so the ledger claim stays honest. Max staleness
-# after this round: r8 (exactly those two entries plus the rest of the
-# r9 cohort's turn coming at r14).
+# and q14_promo_share (ratio re-gridded to exact 4dp-grid integer
+# sums after the rewritten balanced-parse lint caught it — the round's
+# structured self-review found the first lint cut missed
+# manual-average/ratio shapes), then the r8 cohort stalest-first. The
+# r8 cohort is 42 entries and only 39 slots remain, so its last three
+# alphabetically (parts_pareto_skyline, recs_item_item_cf,
+# retrieval_rrf_fusion) are deferred to the r14 front — stated here so
+# the ledger claim stays honest. Max staleness after this round: r8
+# (exactly those three entries plus the rest of the r9 cohort's turn
+# coming at r14).
 
 _FRONT_R13 = (
     "text_feature_hash_vector",
@@ -51,6 +55,7 @@ _FRONT_R13 = (
     "unpivot_pricing_metrics",
     "q1_pricing_summary",
     "corpus_dedup_cascade",
+    "q14_promo_share",
     "ann_mmr_rerank",
     "ann_truncated_dim_recall",
     "approx_percentile_check",
@@ -90,7 +95,6 @@ _FRONT_R13 = (
     "orders_cusum_changepoint",
     "orders_price_histogram",
     "orders_running_backlog",
-    "parts_pareto_skyline",
 )
 
 

@@ -359,7 +359,14 @@ def lsh_neardup_groups(
         bands=bands,
         threshold=1.0,
         collapse_exact=False,
-    )
+        # minhash_lsh_dedup's threshold gate is round(j, 6) >= t, which
+        # at t=1.0 would admit j >= 0.9999995 — possible for documents
+        # with >= 2M distinct shingles differing in one — and such pairs
+        # are neither complete under banding nor transitive, voiding
+        # both guarantees above. Pin the IDENTITY class exactly: n_a =
+        # n_b = n_inter makes the quotient exactly 1.0 (r13 review
+        # finding).
+    ).filter(F.col("jaccard") == F.lit(1.0))
     sym = pairs.select(
         F.col("id_a").alias("__id"), F.col("id_b").alias("__nb")
     ).unionAll(

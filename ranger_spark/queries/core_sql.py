@@ -59,7 +59,8 @@ def money_round2(sum_col, grid: int):
            CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE)                    AS sum_disc_price,
            CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS DECIMAL(38,6)), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 4)                                            AS avg_qty,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*) / 100.0, 4) AS avg_price,
+           CAST((200 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + count(*))
+                // (2 * count(*)) AS BIGINT) / 10000.0                          AS avg_price,
            round(avg(l_discount), 6)                                            AS avg_disc,
            count(*)                                                             AS count_order
     FROM lineitem
@@ -74,26 +75,51 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        money_round2(F.sum(_net()), 4).alias("sum_disc_price"),
-        money_round2(F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 6).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        # avg of a money column on the exact cents grid (r13, round_lint
-        # revenue-scale rule): the parallel DOUBLE sum of ~38k-scale
-        # prices would need 9 significant digits of cross-engine
-        # agreement at 4dp; summing exact integer cents instead makes
-        # the aggregate order-independent, and the single division of
-        # two identical integers is deterministic on both engines.
-        F.round(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
-            / F.count(F.lit(1))
-            / 100.0,
-            4,
-        ).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            money_round2(F.sum(_net()), 4).alias("sum_disc_price"),
+            money_round2(
+                F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 6
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            # avg of a money column on the exact cents grid (r13,
+            # round_lint revenue-scale rule): the parallel DOUBLE sum of
+            # ~38k-scale prices would need 9 significant digits of
+            # cross-engine agreement at 4dp, so sum exact integer cents
+            # instead (order-independent).
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("__cents"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            # 4dp half-up average computed ENTIRELY in integers —
+            # (200·s + c) div (2c) = round_half_up(10⁴·s/(100·c)) — then
+            # ONE division by 10000.0 of the same integer on both
+            # engines: no round() of a double quotient anywhere, so the
+            # representational-tie class (shortest-repr HALF_UP vs
+            # scaled C rounding on a value near the half grid) cannot
+            # occur (r13 review finding).
+            (
+                F.expr(
+                    "(200 * __cents + count_order) div (2 * count_order)"
+                )
+                / 10000.0
+            ).alias("avg_price"),
+            "avg_disc",
+            "count_order",
+        )
     )
 
 

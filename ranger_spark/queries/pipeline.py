@@ -7416,7 +7416,7 @@ def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash, no bands, no candidate pairs, no pairwise join — a bug
     # anywhere in the Spark LSH path (banding, candidacy, verify,
     # keeper assignment) surfaces as a mismatch.
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT doc_id, text FROM documents),
     n AS (SELECT count(*) AS c, sum(doc_id) AS s FROM d),
     v AS (
@@ -7429,7 +7429,7 @@ def url_host_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s1 AS (
       SELECT row_id,
-             trim(regexp_replace(lower(raw), '[^a-z0-9]+', ' ', 'g')) AS norm
+             {_NORM.replace("lower(text)", "lower(raw)")} AS norm
       FROM v WHERE live = 1
     ),
     g2 AS (
@@ -7577,7 +7577,9 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_id",
         "left_semi",
     )
-    near_groups = lsh_neardup_groups(s2, "row_id", "text")
+    # shingle_k pinned explicitly: the oracle's fingerprint CTE derives
+    # BIGRAM sets, so the operator must not drift with a default change
+    near_groups = lsh_neardup_groups(s2, "row_id", "text", shingle_k=2)
     return (
         survival(url_groups, "url_dedup")
         .unionAll(survival(text_groups, "exact_dedup"))

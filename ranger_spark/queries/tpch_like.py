@@ -154,12 +154,20 @@ def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_promo_share",
+    # r13 revenue-scale lint conversion: the numerator/denominator are
+    # summed as EXACT integers on the 4dp grid the price×(1−disc)
+    # product lives on (round(net·10⁴) per row is within one ulp of its
+    # integer on both engines), so the sums are order-independent; the
+    # remaining 100·p/t division and 4dp round act on bit-identical
+    # inputs on both engines. Exact up to sums < 2⁵³ (sf0.1 ≈ 6e13 —
+    # nine orders of margin).
     oracle="""
     SELECT round(
              100.0 * sum(CASE WHEN p_type = 'ECONOMY'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+                              THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                              ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)),
+             4) AS promo_share
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -174,12 +182,15 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = load(spark, sf_dir, "part")
-    promo = F.when(F.col("p_type") == "ECONOMY", _net()).otherwise(F.lit(0.0))
+    net4 = F.round(_net() * 10000).cast("bigint")
+    promo4 = F.when(F.col("p_type") == "ECONOMY", net4).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                F.lit(100.0) * F.sum(promo) / F.sum(_net()), 4
+                F.lit(100.0) * F.sum(promo4) / F.sum(net4), 4
             ).alias("promo_share")
         )
     )

@@ -105,3 +105,42 @@ def test_accepts_cents_grid_and_coarse_revenue_rounding():
     assert lint_source('F.round(F.avg("o_totalprice"), 2)', "x.py") == []
     # dimensionless O(1) columns keep their 6dp
     assert lint_source('F.round(F.avg("l_discount"), 6)', "x.py") == []
+
+
+def test_flags_manual_average_and_exemption_actually_fires():
+    """r13 review finding: the revenue-scale rule must catch the
+    rounded expression by balanced parse — a manual sum/count average
+    is the same flap shape as round(avg(x), k) — and the exact-grid
+    exemption must be what passes the cents form (removing only the
+    cast must flip the verdict)."""
+    from round_lint import lint_oracle
+
+    manual = 'F.round(F.sum(F.col("l_extendedprice")) / F.count(F.lit(1)) / 100.0, 4)'
+    assert any("revenue-scale" in f for f in lint_source(manual, "x.py"))
+    manual_sql = "SELECT round(sum(l_extendedprice) / count(*) / 100.0, 4) AS p FROM lineitem"
+    assert any("revenue-scale" in f for f in lint_oracle(manual_sql, "t"))
+    # identical shape + cents cast: clean — the exemption, not a parse
+    # miss, is what distinguishes them
+    cents = (
+        'F.round(F.sum(F.round(F.col("l_extendedprice") * 100)'
+        '.cast("bigint")) / F.count(F.lit(1)) / 100.0, 4)'
+    )
+    assert lint_source(cents, "x.py") == []
+    cents_sql = (
+        "SELECT round(sum(CAST(round(l_extendedprice*100) AS BIGINT))"
+        " / count(*) / 100.0, 4) AS p FROM lineitem"
+    )
+    assert lint_oracle(cents_sql, "t") == []
+    # ratio of money sums (the q14 shape) flags until both sums are
+    # exact-grid
+    ratio_sql = (
+        "SELECT round(100.0 * sum(a_price) / sum(l_extendedprice), 4)"
+        " AS share FROM lineitem"
+    )
+    assert any("revenue-scale" in f for f in lint_oracle(ratio_sql, "t"))
+    # money_round2 decimal-snap form stays exempt
+    snap_sql = (
+        "SELECT CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4)"
+        " AS DECIMAL(38,4)), 2) AS DOUBLE) AS r FROM lineitem"
+    )
+    assert lint_oracle(snap_sql, "t") == []

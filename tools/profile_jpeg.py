@@ -16,13 +16,15 @@ Usage: python tools/profile_jpeg.py [reps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import ranger_spark.operators.multimodal as mm  # noqa: E402
 from test_multimodal_ops import _encode_baseline_jpeg_444  # noqa: E402

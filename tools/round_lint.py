@@ -72,6 +72,59 @@ _REVENUE_COLS = (
 )
 
 
+def _top_level_split(args: str) -> list[str]:
+    """Split a balanced argument span at top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in args:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _revenue_scale_flags(flat, round_pat, agg_pat, cast_pat, label):
+    """Shared engine for the r13 revenue-scale rule: for every
+    round(<expr>, k) (balanced parse), flag when k > 2 and <expr>
+    contains a sum/avg/mean whose summand references a revenue column
+    without an exact-grid cast."""
+    out = []
+    for m in re.finditer(round_pat, flat):
+        args = _matched(flat, m.end() - 1)
+        # decimal-snap form (money_round2): round(sum, grid) is
+        # immediately re-snapped in DECIMAL — the documented tie-proof
+        # convention, not a flap site
+        tail = flat[m.end() - 1 + len(args) + 2 :]
+        if re.match(
+            r"\s*(as\s+decimal|\.cast\(\s*[\"']decimal)", tail, re.IGNORECASE
+        ):
+            continue
+        parts = _top_level_split(args)
+        if len(parts) < 2:
+            continue
+        km = re.fullmatch(r"\s*(\d+)\s*", parts[-1])
+        if not km or int(km.group(1)) <= 2:
+            continue
+        k = int(km.group(1))
+        expr = ",".join(parts[:-1])
+        for am in re.finditer(agg_pat, expr):
+            agg = am.group(1)
+            summand = _matched(expr, am.end() - 1)
+            if not re.search(_REVENUE_COLS, summand, re.IGNORECASE):
+                continue
+            if re.search(cast_pat, summand, re.IGNORECASE):
+                continue  # exact-grid summand: order-independent
+            out.append(label(agg, k))
+            break
+    return out
+
+
 def lint_source(src: str, path: str) -> list[str]:
     flat = _strip(src)
     flags: list[str] = []
@@ -110,36 +163,28 @@ def lint_source(src: str, path: str) -> list[str]:
             )
     # r13 rule (VERDICT r12 next-round #2, closing the
     # magnitude-vs-precision class registry-wide): ANY rounding finer
-    # than cents applied to a sum/avg over a revenue-scale column. At
-    # sf0.1 these aggregates are O(1e4)-O(1e10); k>2 demands 9-15
-    # significant digits of cross-engine agreement on an
-    # order-dependent parallel double sum — the exact flap class that
-    # bit orders_ar1 and conformal in r12. Exempt: summands already on
-    # an exact grid (a bigint/decimal cents cast makes the aggregate
-    # order-independent; the remaining division/round is a single
-    # deterministic scalar op).
-    for m in re.finditer(r"F\.round\(\s*F\.(sum|avg|mean)\(", flat):
-        agg = m.group(1)
-        sum_open = m.end() - 1
-        summand = _matched(flat, sum_open)
-        after = flat[sum_open + len(summand) + 2 :]
-        k = _outer_scale(after)
-        if k is None or k <= 2:
-            continue
-        if not re.search(_REVENUE_COLS, summand, re.IGNORECASE):
-            continue
-        if re.search(r"\.cast\(\s*[\"'](bigint|long|decimal)", summand):
-            continue  # exact-grid summand: order-independent
-        ctx = flat[max(0, m.start() - 80) : m.start()]
-        if "F.round(" in ctx and re.search(
-            r"\.cast\(\s*[\"']decimal", flat[m.start() : m.start() + 600]
-        ):
-            continue  # money_round2 decimal-snap form
-        flags.append(
-            f"{path}: round({agg}(<revenue-scale>),{k}) — money "
-            "aggregates grid to cents: sum exact integer cents "
+    # than cents whose rounded EXPRESSION contains a sum/avg over a
+    # revenue-scale column. At sf0.1 these aggregates are
+    # O(1e4)-O(1e10); k>2 demands 9-15 significant digits of
+    # cross-engine agreement on an order-dependent parallel double sum
+    # — the exact flap class that bit orders_ar1 and conformal in r12.
+    # The rounded expression is extracted by BALANCED parse of the full
+    # F.round(...) argument list (top-level comma split), so
+    # manual-average shapes like round(sum(x)/count(*), 4) are caught,
+    # not just round(agg(x), k) (r13 review finding). Exempt: summands
+    # already on an exact grid (a bigint/decimal cents cast makes the
+    # aggregate order-independent).
+    flags += _revenue_scale_flags(
+        flat,
+        round_pat=r"F\.round\(",
+        agg_pat=r"F\.(sum|avg|mean)\(",
+        cast_pat=r"\.cast\(\s*[\"'](bigint|long|decimal)",
+        label=lambda agg, k: (
+            f"{path}: round(<expr with {agg}(<revenue-scale>)>,{k}) — "
+            "money aggregates grid to cents: sum exact integer cents "
             "(cast bigint) or round to ≤2dp (VERDICT r12 #2)"
-        )
+        ),
+    )
     # r12 rule (the ar1/conformal flap class): a regression INTERCEPT
     # inherits y's scale — in this repo y is money-scale wherever an
     # intercept is emitted, so rounding it finer than cents demands
@@ -209,26 +254,18 @@ def lint_oracle(sql: str, name: str) -> list[str]:
                 f"oracle[{name}]: round(sum(<product>),{k}) — use the "
                 "decimal grid-snap form"
             )
-    # r13 revenue-scale rule, oracle side (mirrors lint_source).
-    for m in re.finditer(r"round\(\s*(sum|avg|mean)\(", flat):
-        agg = m.group(1)
-        sum_open = m.end() - 1
-        summand = _matched(flat, sum_open)
-        after = flat[sum_open + len(summand) + 2 :]
-        mk = re.match(r"\s*(?:over\s*\([^)]*\)\s*)?,\s*(\d+)\s*\)", after)
-        if not mk or int(mk.group(1)) <= 2:
-            continue
-        if not re.search(_REVENUE_COLS, summand):
-            continue
-        if re.search(r"as\s+(bigint|hugeint|decimal)|::(bigint|hugeint|decimal)", summand):
-            continue  # exact-grid summand
-        ctx = flat[max(0, m.start() - 60) : m.start()]
-        if "cast(round(" in ctx:
-            continue  # decimal-snap form
-        flags.append(
-            f"oracle[{name}]: round({agg}(<revenue-scale>),{mk.group(1)})"
-            " — money aggregates grid to cents (VERDICT r12 #2)"
-        )
+    # r13 revenue-scale rule, oracle side (mirrors lint_source; same
+    # balanced-parse engine, so manual-average shapes are caught too).
+    flags += _revenue_scale_flags(
+        flat,
+        round_pat=r"(?<![a-z_])round\(",
+        agg_pat=r"(?<![a-z_])(sum|avg|mean)\(",
+        cast_pat=r"as\s+(bigint|hugeint|decimal)|::(bigint|hugeint|decimal)",
+        label=lambda agg, k: (
+            f"oracle[{name}]: round(<expr with {agg}(<revenue-scale>)>,"
+            f"{k}) — money aggregates grid to cents (VERDICT r12 #2)"
+        ),
+    )
     for m in re.finditer(r"round\(\s*regr_intercept\(", flat):
         arg_open = m.end() - 1
         args = _matched(flat, arg_open)
