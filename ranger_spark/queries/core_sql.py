@@ -55,11 +55,11 @@ def money_round2(sum_col, grid: int):
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                            AS sum_qty,
-           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0      AS sum_base_price,
            CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2) AS DOUBLE)                    AS sum_disc_price,
            CAST(round(CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS DECIMAL(38,6)), 2) AS DOUBLE)      AS sum_charge,
            round(avg(l_quantity), 4)                                            AS avg_qty,
-           CAST((200 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + count(*))
+           CAST((200 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) + count(*))
                 // (2 * count(*)) AS BIGINT) / 10000.0                          AS avg_price,
            round(avg(l_discount), 6)                                            AS avg_disc,
            count(*)                                                             AS count_order
@@ -79,20 +79,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # the ONE price aggregate: exact integer cents (r13,
+            # round_lint revenue-scale rule). The parallel DOUBLE sum of
+            # ~38k-scale prices would need 9 significant digits of
+            # cross-engine agreement at avg_price's 4dp, so sum exact
+            # cents instead (order-independent); sum_base_price and
+            # avg_price are both derived from it below, so the cents
+            # protocol costs no extra aggregate vs the r12 plan.
+            # floor(x·100 + 0.5), not round(x·100): Spark's Round on
+            # DOUBLE allocates a BigDecimal per row (measured +40% on
+            # the 64× q1 aggregate); floor stays in codegen arithmetic
+            # and yields the same exact integer — the product is within
+            # ~1e-8 of its integer, never near the .5 boundary.
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+            ).alias("__cents"),
             money_round2(F.sum(_net()), 4).alias("sum_disc_price"),
             money_round2(
                 F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 6
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            # avg of a money column on the exact cents grid (r13,
-            # round_lint revenue-scale rule): the parallel DOUBLE sum of
-            # ~38k-scale prices would need 9 significant digits of
-            # cross-engine agreement at 4dp, so sum exact integer cents
-            # instead (order-independent).
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("bigint")
-            ).alias("__cents"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -100,7 +107,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "l_linestatus",
             "sum_qty",
-            "sum_base_price",
+            # cents/100.0 is bit-identical to the old round(sum(d), 2):
+            # the true sum lives ON the 2dp grid, and both forms produce
+            # the double nearest that grid decimal
+            (F.col("__cents") / 100.0).alias("sum_base_price"),
             "sum_disc_price",
             "sum_charge",
             "avg_qty",

@@ -156,17 +156,18 @@ def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_share",
     # r13 revenue-scale lint conversion: the numerator/denominator are
     # summed as EXACT integers on the 4dp grid the price×(1−disc)
-    # product lives on (round(net·10⁴) per row is within one ulp of its
-    # integer on both engines), so the sums are order-independent; the
-    # remaining 100·p/t division and 4dp round act on bit-identical
-    # inputs on both engines. Exact up to sums < 2⁵³ (sf0.1 ≈ 6e13 —
-    # nine orders of margin).
+    # product lives on (floor(net·10⁴ + 0.5) per row — within ~1e-8 of
+    # its integer on both engines, and codegen-friendly where Spark's
+    # Round on DOUBLE allocates a BigDecimal per row), so the sums are
+    # order-independent; the remaining 100·p/t division and 4dp round
+    # act on bit-identical inputs on both engines. Exact up to sums
+    # < 2⁵³ (sf0.1 ≈ 6e13 — nine orders of margin).
     oracle="""
     SELECT round(
              100.0 * sum(CASE WHEN p_type = 'ECONOMY'
-                              THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                              THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
                               ELSE 0 END)
-             / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)),
+             / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)),
              4) AS promo_share
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -182,7 +183,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = load(spark, sf_dir, "part")
-    net4 = F.round(_net() * 10000).cast("bigint")
+    net4 = F.floor(_net() * 10000 + F.lit(0.5)).cast("bigint")
     promo4 = F.when(F.col("p_type") == "ECONOMY", net4).otherwise(
         F.lit(0).cast("bigint")
     )
