@@ -37,14 +37,20 @@ from ranger_spark.queries import load_all  # noqa: E402
 # sums after the rewritten balanced-parse lint caught it — the round's
 # structured self-review found the first lint cut missed
 # manual-average/ratio shapes), then the r8 cohort stalest-first. The
-# r8 cohort is 42 entries and only 39 slots remain, so its last three
-# alphabetically (parts_pareto_skyline, recs_item_item_cf,
+# ONE never-certified entry leads the whole front:
+# warc_corpus_pipeline_report (new this round — the SURVEY §7
+# north-star chain end-to-end under the oracle gate: WARC write/read →
+# blocklist → URL dedup → exact dedup → token gate → LSH near-dup,
+# one survival row per stage). The r8 cohort is 42 entries and only 38
+# slots remain, so its last four alphabetically
+# (orders_running_backlog, parts_pareto_skyline, recs_item_item_cf,
 # retrieval_rrf_fusion) are deferred to the r14 front — stated here so
 # the ledger claim stays honest. Max staleness after this round: r8
-# (exactly those three entries plus the rest of the r9 cohort's turn
+# (exactly those four entries plus the rest of the r9 cohort's turn
 # coming at r14).
 
 _FRONT_R13 = (
+    "warc_corpus_pipeline_report",
     "text_feature_hash_vector",
     "text_inverted_index",
     "text_lang_confusion",
@@ -94,7 +100,6 @@ _FRONT_R13 = (
     "orders_benford_audit",
     "orders_cusum_changepoint",
     "orders_price_histogram",
-    "orders_running_backlog",
 )
 
 

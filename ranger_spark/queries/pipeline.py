@@ -7586,3 +7586,238 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(survival(near_groups, "near_dedup"))
         .orderBy("stage")
     )
+
+
+_GATE_MIN_TOKENS = 40  # healthy split at every SF (≈66% of originals pass)
+
+
+@register(
+    "warc_corpus_pipeline_report",
+    # every stage's expected survival is derived from the documents
+    # table by independent means (closed-form arithmetic for the
+    # synthesis-determined stages; group tables over text transforms
+    # for the data-determined ones — never a dedup, never a WARC
+    # parse): a bug in the WARC writer/reader framing, the blocklist
+    # join, either dedup pass, the token gate, or the LSH path all
+    # surface as a mismatch in some stage's row.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    v AS (
+      SELECT doc_id * 5     AS row_id, 1 AS live, doc_id % 50 AS site,
+             text AS raw FROM d
+      UNION ALL SELECT doc_id * 5 + 1, 0, doc_id % 50, text FROM d
+      UNION ALL SELECT doc_id * 5 + 2, 1, doc_id % 50, text FROM d
+      UNION ALL SELECT doc_id * 5 + 3, 1, doc_id % 50,
+                       text || ' ' || text FROM d
+      UNION ALL SELECT doc_id * 5 + 4, 1, doc_id % 50,
+                       text || ' ' || text || ' ' || text FROM d
+    ),
+    kept AS (SELECT * FROM v WHERE site NOT IN (7, 13, 21)),
+    s1 AS (
+      SELECT row_id, {_NORM.replace("lower(text)", "lower(raw)")} AS norm
+      FROM kept WHERE live = 1
+    ),
+    g2 AS (
+      SELECT min(row_id) AS keeper, count(*) AS cnt, min(norm) AS norm
+      FROM s1 GROUP BY md5(norm)
+    ),
+    gated AS (
+      SELECT keeper, norm FROM g2
+      WHERE len(regexp_split_to_array(norm, '\\s+')) >= {_GATE_MIN_TOKENS}
+    ),
+    toks AS (
+      SELECT keeper, regexp_split_to_array(norm, '\\s+') AS t FROM gated
+    ),
+    sh AS (
+      SELECT DISTINCT keeper,
+             CAST(('0x' || substr(md5(concat_ws(' ', t[i], t[i+1])), 1, 8))
+                  AS BIGINT) AS sh_hash
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i
+      ) g
+    ),
+    fps AS (
+      SELECT keeper,
+             md5(string_agg(CAST(sh_hash AS VARCHAR), ',' ORDER BY sh_hash))
+               AS sfp
+      FROM sh GROUP BY keeper
+    ),
+    n AS (SELECT count(*) AS c FROM d),
+    nk AS (SELECT count(*) AS ck FROM d WHERE doc_id % 50 NOT IN (7, 13, 21))
+    SELECT * FROM (
+      SELECT '1_blocklist' AS stage,
+             CAST(5 * c AS BIGINT) AS rows_in,
+             CAST(5 * ck AS BIGINT) AS rows_out
+      FROM n, nk
+      UNION ALL
+      SELECT '2_url_dedup', CAST(5 * ck AS BIGINT), CAST(4 * ck AS BIGINT)
+      FROM nk
+      UNION ALL
+      SELECT '3_exact_dedup', CAST(sum(cnt) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM g2
+      UNION ALL
+      SELECT '4_quality_gate', CAST(count(*) AS BIGINT),
+             CAST((SELECT count(*) FROM gated) AS BIGINT)
+      FROM g2
+      UNION ALL
+      SELECT '5_near_dedup', CAST((SELECT count(*) FROM gated) AS BIGINT),
+             CAST(count(DISTINCT sfp) AS BIGINT)
+      FROM fps
+    ) ORDER BY stage
+    """,
+    tags=("warc", "datasource", "blocklist", "dedup", "cascade", "gate",
+          "pipeline"),
+)
+def warc_corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §7 north-star chain END-TO-END under the oracle gate:
+    crawl → WARC (the format's own WRITER packs the synthesized
+    5-variant crawl into gzip'd shards; its READER walks them back out
+    — the same first-class DataSource as warc_source_roundtrip) →
+    domain-blocklist filter (broadcast dim on the canonical host) →
+    URL-level dedup → exact-text dedup → token-count quality gate →
+    LSH near-dup — the production stage order of
+    examples/warc_to_corpus.py — reported as one survival row per
+    stage. Every stage runs its REAL operator on rows that round-
+    tripped through actual WARC bytes; the oracle recomputes each
+    stage's survival from the source table alone. Filter stages report
+    from ONE pass (count + conditional sum); group stages report from
+    their group table alone; the only row-level joins are the
+    semi-join keeps between stages, keyed on row_id. At 100 TB the
+    synthesis is replaced by real archives on object storage and the
+    report is the pipeline's run ledger — the numbers an operator
+    watches to catch a stage suddenly dropping everything."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ranger_spark.operators.dedup import (
+        exact_dedup_groups,
+        lsh_neardup_groups,
+    )
+    from ranger_spark.operators.text import normalize_text, token_count
+    from ranger_spark.operators.urls import canonicalize_url, dedup_by_url
+    from ranger_spark.sources.warc_datasource import register_warc_source
+
+    register_warc_source(spark)
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    site = (F.col("doc_id") % 50).cast("string")
+    t = F.col("text")
+    variants = [
+        (0, F.concat(F.lit("http://site"), site,
+                     F.lit(".example.com/doc/"), did), t),
+        (1, F.concat(F.lit("HTTPS://www.site"), site,
+                     F.lit(".example.com/doc/"), did,
+                     F.lit("?utm_medium=mirror")), t),
+        (2, F.concat(F.lit("http://site"), site,
+                     F.lit(".example.com/rearchived/"), did), t),
+        (3, F.concat(F.lit("http://site"), site,
+                     F.lit(".example.com/page2x/"), did),
+         F.concat(t, F.lit(" "), t)),
+        (4, F.concat(F.lit("http://site"), site,
+                     F.lit(".example.com/page3x/"), did),
+         F.concat(t, F.lit(" "), t, F.lit(" "), t)),
+    ]
+    crawl = d.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(k).alias("k"), url.alias("url"),
+                         txt.alias("text"))
+                for k, url, txt in variants
+            ])
+        ).alias("v"),
+        F.col("doc_id"),
+    ).select(
+        (F.col("doc_id") * 5 + F.col("v.k")).alias("row_id"),
+        F.col("v.url").alias("url"),
+        F.col("v.text").alias("text"),
+    )
+    n = d.count()
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{n}|crawl-v1".encode()
+    ).hexdigest()[:16]
+    final = os.path.join(tempfile.gettempdir(), f"ranger_warc_crawl_{tag}")
+    if not os.path.isdir(final):
+        work = tempfile.mkdtemp(prefix=f"ranger_warc_crawl_{tag}_part_")
+        (
+            crawl.select(
+                F.lit("resource").alias("rec_type"),
+                F.concat(
+                    F.lit("<urn:ranger:crawl:"),
+                    F.col("row_id").cast("string"),
+                    F.lit(">"),
+                ).alias("record_id"),
+                F.col("url").alias("target_uri"),
+                F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+                F.encode(F.col("text"), "utf-8").alias("payload"),
+            )
+            .repartition(4)
+            .write.format("warc")
+            .mode("append")
+            .save(work)
+        )
+        try:
+            os.rename(work, final)  # atomic: concurrent/crashed runs lose
+        except OSError:
+            shutil.rmtree(work, ignore_errors=True)
+    parsed = (
+        spark.read.format("warc")
+        .load(final)
+        .filter(F.col("rec_type") == "resource")
+        .select(
+            F.regexp_extract(F.col("record_id"), r":(\d+)>$", 1)
+            .cast("bigint")
+            .alias("row_id"),
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), "utf-8").alias("text"),
+        )
+    )
+    host = F.regexp_extract(
+        canonicalize_url(F.col("url")), r"^[a-z]+://([^/]+)", 1
+    )
+    blocklist = spark.createDataFrame(
+        [(f"{s}.example.com",) for s in _BLOCKED_SITES], ["host"]
+    ).withColumn("__blocked", F.lit(True))
+    flagged = (
+        parsed.withColumn("host", host)
+        .join(F.broadcast(blocklist), "host", "left")
+        .withColumn("blocked", F.coalesce(F.col("__blocked"), F.lit(False)))
+    )
+    s0 = flagged.filter(~F.col("blocked")).select("row_id", "url", "text")
+    url_groups = dedup_by_url(s0, "url", "row_id")
+    s1 = s0.join(
+        url_groups.select(F.col("keeper_id").alias("row_id")),
+        "row_id", "left_semi",
+    )
+    text_groups = exact_dedup_groups(s1, "row_id", "text")
+    s2 = s1.join(
+        text_groups.select(F.col("keeper_id").alias("row_id")),
+        "row_id", "left_semi",
+    )
+    gate = token_count(normalize_text(F.col("text"))) >= _GATE_MIN_TOKENS
+    s3 = s2.filter(gate)
+    near_groups = lsh_neardup_groups(s3, "row_id", "text", shingle_k=2)
+
+    def filter_row(stage: str, df: DataFrame, keep) -> DataFrame:
+        # ONE pass: total count + conditional survivor count
+        return df.agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(keep.cast("long")).alias("rows_out"),
+        ).select(F.lit(stage).alias("stage"), "rows_in", "rows_out")
+
+    def group_row(stage: str, groups: DataFrame) -> DataFrame:
+        return groups.agg(
+            F.sum("dup_count").alias("rows_in"),
+            F.count(F.lit(1)).alias("rows_out"),
+        ).select(F.lit(stage).alias("stage"), "rows_in", "rows_out")
+
+    return (
+        filter_row("1_blocklist", flagged, ~F.col("blocked"))
+        .unionAll(group_row("2_url_dedup", url_groups))
+        .unionAll(group_row("3_exact_dedup", text_groups))
+        .unionAll(filter_row("4_quality_gate", s2, gate))
+        .unionAll(group_row("5_near_dedup", near_groups))
+        .orderBy("stage")
+    )
