@@ -37,20 +37,24 @@ from ranger_spark.queries import load_all  # noqa: E402
 # sums after the rewritten balanced-parse lint caught it — the round's
 # structured self-review found the first lint cut missed
 # manual-average/ratio shapes), then the r8 cohort stalest-first. The
-# ONE never-certified entry leads the whole front:
+# TWO never-certified entries lead the whole front:
 # warc_corpus_pipeline_report (new this round — the SURVEY §7
 # north-star chain end-to-end under the oracle gate: WARC write/read →
 # blocklist → URL dedup → exact dedup → token gate → LSH near-dup,
-# one survival row per stage). The r8 cohort is 42 entries and only 38
-# slots remain, so its last four alphabetically
-# (orders_running_backlog, parts_pareto_skyline, recs_item_item_cf,
-# retrieval_rrf_fusion) are deferred to the r14 front — stated here so
-# the ledger claim stays honest. Max staleness after this round: r8
-# (exactly those four entries plus the rest of the r9 cohort's turn
-# coming at r14).
+# one survival row per stage) and stream_neardup_fingerprint (new —
+# streaming near-dup dedup at ingest: dropDuplicatesWithinWatermark on
+# the map-only shingle-set fingerprint of operators/dedup.py — the
+# streaming counterpart of the cascade's stage 3). The r8 cohort is 42
+# entries and only 37 slots remain, so its last five alphabetically
+# (orders_price_histogram, orders_running_backlog,
+# parts_pareto_skyline, recs_item_item_cf, retrieval_rrf_fusion) are
+# deferred to the r14 front — stated here so the ledger claim stays
+# honest. Max staleness after this round: r8 (exactly those five
+# entries plus the rest of the r9 cohort's turn coming at r14).
 
 _FRONT_R13 = (
     "warc_corpus_pipeline_report",
+    "stream_neardup_fingerprint",
     "text_feature_hash_vector",
     "text_inverted_index",
     "text_lang_confusion",
@@ -99,7 +103,6 @@ _FRONT_R13 = (
     "nb_lang_classifier",
     "orders_benford_audit",
     "orders_cusum_changepoint",
-    "orders_price_histogram",
 )
 
 

@@ -317,6 +317,43 @@ def minhash_lsh_dedup(
     return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
 
 
+def shingle_set_hashes(text_col: Column, k: int = 2) -> Column:
+    """Sorted distinct k-word shingle-hash array of a text column as a
+    PURE map-only expression (normalize → tokenize → shingle →
+    base_hash32 → distinct → sort) — no shuffle, no Python."""
+    toks = tokenize(normalize_text(text_col))
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(word_shingles(toks, k), base_hash32)
+        )
+    )
+
+
+def shingle_set_fingerprint(text_col: Column, k: int = 2) -> Column:
+    """128-bit fingerprint of the distinct k-word shingle SET — the
+    map-only key for the shingle-set IDENTITY dedup class (reorderings,
+    repetitions, re-paginations of the same content; Jaccard exactly
+    1.0). Two texts share the fingerprint iff they share the hash set,
+    so a plain groupBy/dropDuplicates on this column performs the same
+    collapse :func:`lsh_neardup_groups` discovers via the LSH
+    machinery (which the cascade keeps under the oracle gate as the
+    production candidate path); this expression is the zero-shuffle
+    fast path for the known class, and — being a single stateless
+    column — the key a STREAMING ingest dedups on
+    (queries/streaming_q.stream_neardup_fingerprint). Cross-engine
+    deterministic: md5 over the comma-joined ascending hash list,
+    identical in DuckDB as md5(string_agg(h, ',' ORDER BY h))."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                shingle_set_hashes(text_col, k),
+                lambda x: x.cast("string"),
+            ),
+        )
+    )
+
+
 def lsh_neardup_groups(
     df: DataFrame,
     id_col: str,

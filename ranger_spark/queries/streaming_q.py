@@ -878,3 +878,127 @@ def stream_tws_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mean_value"), 6).alias("mean_cents"),
         )
     )
+
+
+_NEARDUP_SINK = "stream_neardup_fingerprint_sink"
+
+
+@register(
+    "stream_neardup_fingerprint",
+    # keys-only semantics (the stream_dedup_keys convention): every
+    # member of a shingle-set identity group carries the SAME
+    # (fingerprint, set size), so survivor choice is moot and the
+    # oracle is a plain DISTINCT over per-row fingerprints it derives
+    # itself — string_agg over the ascending hash list mirrors the
+    # expression's array_sort + concat_ws exactly.
+    oracle="""
+    WITH v AS (
+      SELECT doc_id * 2     AS row_id, text AS raw FROM documents
+      UNION ALL SELECT doc_id * 2 + 1, text || ' ' || text FROM documents
+    ),
+    s AS (
+      SELECT row_id,
+             trim(regexp_replace(lower(raw), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM v
+    ),
+    toks AS (
+      SELECT row_id, regexp_split_to_array(norm, '\s+') AS t FROM s
+    ),
+    sh AS (
+      SELECT DISTINCT row_id,
+             CAST(('0x' || substr(md5(concat_ws(' ', t[i], t[i+1])), 1, 8))
+                  AS BIGINT) AS h
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i
+      ) g
+    ),
+    fp AS (
+      SELECT row_id,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sfp,
+             CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY row_id
+    )
+    SELECT DISTINCT sfp, n_shingles FROM fp
+    """,
+    tags=("streaming", "dedup", "lsh", "documents"),
+)
+def stream_neardup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup dedup at ingest — the streaming counterpart of
+    the batch cascade's stage 3 (operators/dedup.lsh_neardup_groups):
+    each arriving document is keyed by its shingle-set FINGERPRINT
+    (operators/dedup.shingle_set_fingerprint — a pure map-only column,
+    so the stream stays stateless until the dedup operator), and
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    identity class (reorderings, repetitions, re-paginations of the
+    same content — Jaccard exactly 1.0). The feed doubles every
+    document with a re-paginated copy (text twice — different exact
+    bytes, identical bigram set), which an exact-fingerprint ingest
+    dedup (streaming/ingest.py's md5-of-normalized-text __fp) would
+    MISS; this key collapses them at the door. State at 100 TB: one
+    16-byte fingerprint per identity class inside the watermark
+    horizon — the same bound as exactly-once key dedup, evicted as
+    event time advances. Synthetic event times span < 1 day inside a
+    2-day watermark, so no duplicate can outlive the horizon and the
+    drain is deterministic."""
+    for q in spark.streams.active:
+        if q.name == _NEARDUP_SINK:
+            q.stop()
+    from ranger_spark.operators.dedup import shingle_set_hashes
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    t = F.col("text")
+    feed = src.select(
+        F.explode(
+            F.array(
+                F.struct((F.col("doc_id") * 2).alias("row_id"), t.alias("text")),
+                F.struct(
+                    (F.col("doc_id") * 2 + 1).alias("row_id"),
+                    F.concat(t, F.lit(" "), t).alias("text"),
+                ),
+            )
+        ).alias("v")
+    ).select(
+        F.col("v.row_id").alias("row_id"),
+        F.col("v.text").alias("text"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.col("v.row_id"), F.lit(86000))
+        ).alias("ts"),
+    )
+    # materialize the hash array ONCE (Catalyst does not CSE through
+    # higher-order-function lambdas — the standing no-CSE convention)
+    keyed = (
+        feed.withColumn("__shs", shingle_set_hashes(F.col("text")))
+        .withColumn(
+            "sfp",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.col("__shs"), lambda x: x.cast("string")
+                    ),
+                )
+            ),
+        )
+        .withColumn("n_shingles", F.size("__shs").cast("bigint"))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["sfp"])
+        .select("sfp", "n_shingles")
+    )
+    q = (
+        keyed.writeStream.format("memory")
+        .queryName(_NEARDUP_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(_NEARDUP_SINK).select("sfp", "n_shingles")

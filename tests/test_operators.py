@@ -66,6 +66,39 @@ def test_lsh_neardup_groups_shingle_set_identity(spark):
     assert groups == {10: 1, 11: 2, 13: 1, 14: 1}
 
 
+def test_shingle_set_fingerprint_matches_lsh_identity_groups(spark):
+    """The map-only fingerprint keys EXACTLY the identity classes the
+    LSH path discovers: grouping by the expression reproduces
+    lsh_neardup_groups' partition on the same corpus, and the
+    fingerprint is insensitive to repetition but sensitive to any set
+    change."""
+    from ranger_spark.operators.dedup import (
+        lsh_neardup_groups,
+        shingle_set_fingerprint,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (10, base),
+        (11, base + " " + base),
+        (12, base + " " + base + " " + base),
+        (13, "zeta epsilon delta gamma beta alpha"),
+        (14, "totally different content entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    by_fp = (
+        df.select("doc_id", shingle_set_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+    fp_groups = {r.keeper_id: r.dup_count for r in by_fp.collect()}
+    lsh_groups = {
+        r.keeper_id: r.dup_count
+        for r in lsh_neardup_groups(df, "doc_id", "text").collect()
+    }
+    assert fp_groups == lsh_groups == {10: 1, 11: 2, 13: 1, 14: 1}
+
+
 def test_simhash_close_for_similar(spark):
     from ranger_spark.operators.dedup import hamming32, simhash_signatures
 
