@@ -891,7 +891,7 @@ _NEARDUP_SINK = "stream_neardup_fingerprint_sink"
     # oracle is a plain DISTINCT over per-row fingerprints it derives
     # itself — string_agg over the ascending hash list mirrors the
     # expression's array_sort + concat_ws exactly.
-    oracle="""
+    oracle=r"""
     WITH v AS (
       SELECT doc_id * 2     AS row_id, text AS raw FROM documents
       UNION ALL SELECT doc_id * 2 + 1, text || ' ' || text FROM documents
