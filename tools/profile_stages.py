@@ -24,7 +24,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def profile(query: str, data_dir: str, runs: int = 3) -> None:
+def profile(
+    query: str, data_dir: str, runs: int = 3, bucketed_db: str | None = None
+) -> None:
     log_dir = tempfile.mkdtemp(prefix="ranger_evlog_")
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     from pyspark.sql import SparkSession
@@ -52,6 +54,17 @@ def profile(query: str, data_dir: str, runs: int = 3) -> None:
 
     reg = load_all()
     spec = reg[query]
+    if bucketed_db:
+        # profile the DEPLOYMENT layout (r14, VERDICT r13 #3): register
+        # the bucketed copy of the facts and route the query through it
+        # exactly as bench.py's bucketed sections do
+        from ranger_spark.sources.bucketing import ensure_bucketed_layout
+
+        ensure_bucketed_layout(
+            spark, data_dir, bucketed_db,
+            buckets=int(os.environ.get("SPARK_GRAFT_BUCKETS", "32")),
+        )
+        spark.conf.set("spark.ranger.bucketed.db", bucketed_db)
 
     def run() -> float:
         t0 = time.time()
@@ -159,6 +172,7 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     args: list[str] = []
     runs = 3
+    bucketed_db = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -170,9 +184,17 @@ if __name__ == "__main__":
                     sys.exit("--runs requires a value")
                 runs = int(argv[i + 1])
                 i += 1  # consume the value — it is NOT a positional
+        elif a.startswith("--bucketed-db"):
+            if "=" in a:
+                bucketed_db = a.split("=", 1)[1]
+            else:
+                if i + 1 >= len(argv):
+                    sys.exit("--bucketed-db requires a value")
+                bucketed_db = argv[i + 1]
+                i += 1
         else:
             args.append(a)
         i += 1
     q = args[0]
     d = args[1] if len(args) > 1 else "/root/repo/.benchcache/sf0.1_x64"
-    profile(q, d, runs)
+    profile(q, d, runs, bucketed_db)
