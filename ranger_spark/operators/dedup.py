@@ -226,9 +226,22 @@ def minhash_lsh_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     collapse_exact: bool = True,
+    jaccard_on_hash_sets: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: exact-collapse → shingle → minhash → LSH
     bands → candidate pairs → exact-Jaccard verify → pairs ≥ threshold.
+
+    ``jaccard_on_hash_sets`` (r14, ADVICE r13 #3) computes the verify
+    set sizes from the distinct 32-bit HASH set instead of the distinct
+    shingle-string count. The two differ only when two distinct
+    shingles of one doc collide in base_hash32 (~C(n_shingles,2)/2³²
+    per doc — grows with corpus size), but the identity operating point
+    (threshold 1.0) must use the hash-set definition: the fingerprint
+    column, the streaming dedup key, and the cascade/WARC oracles all
+    collapse on the hash SET, and a string-count denominator would push
+    a set-identical pair's Jaccard below 1.0 exactly when such a
+    collision occurs. Sub-1.0 callers keep the certified string-count
+    definition (their oracles count the same string-distinct rows).
 
     ``collapse_exact`` runs exact dedup FIRST and minhashes only one
     representative (min id) per distinct normalized text. This is the
@@ -298,6 +311,11 @@ def minhash_lsh_dedup(
         F.col("__shs").alias("__shs_b"),
         F.col("n_sh").alias("n_b"),
     )
+    if jaccard_on_hash_sets:
+        n_a = F.size(F.array_distinct("__shs_a"))
+        n_b = F.size(F.array_distinct("__shs_b"))
+    else:
+        n_a, n_b = F.col("n_a"), F.col("n_b")
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -307,8 +325,8 @@ def minhash_lsh_dedup(
             (
                 F.size(F.array_intersect("__shs_a", "__shs_b"))
                 / (
-                    F.col("n_a")
-                    + F.col("n_b")
+                    n_a
+                    + n_b
                     - F.size(F.array_intersect("__shs_a", "__shs_b"))
                 ).cast("double")
             ).alias("jaccard"),
@@ -396,13 +414,20 @@ def lsh_neardup_groups(
         bands=bands,
         threshold=1.0,
         collapse_exact=False,
+        # identity test on the hash SET (r14, ADVICE r13 #3): the
+        # fingerprint / streaming key / oracles all collapse on the
+        # distinct hash set, so the verify denominator must too — a
+        # string-count denominator drops a set-identical pair below
+        # 1.0 whenever two distinct shingles of one doc collide in
+        # base_hash32.
+        jaccard_on_hash_sets=True,
         # minhash_lsh_dedup's threshold gate is round(j, 6) >= t, which
         # at t=1.0 would admit j >= 0.9999995 — possible for documents
         # with >= 2M distinct shingles differing in one — and such pairs
         # are neither complete under banding nor transitive, voiding
         # both guarantees above. Pin the IDENTITY class exactly: n_a =
-        # n_b = n_inter makes the quotient exactly 1.0 (r13 review
-        # finding).
+        # n_b = n_inter (hash-set sizes) makes the quotient exactly 1.0
+        # (r13 review finding).
     ).filter(F.col("jaccard") == F.lit(1.0))
     sym = pairs.select(
         F.col("id_a").alias("__id"), F.col("id_b").alias("__nb")

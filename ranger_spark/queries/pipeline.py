@@ -25,6 +25,27 @@ _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _TOKS = f"regexp_split_to_array({_NORM}, '\\s+')"
 
 
+def _content_cache_tag(d: DataFrame, sf_dir: str, variant: str) -> str:
+    """Tag for /tmp-cached derived WARC shards (r14, ADVICE r13 #2): an
+    order-independent CONTENT digest (sum of per-row crc32 over text and
+    doc_id) joins the path/count key, so regenerating the dataset in
+    place with the same doc count but different text cannot serve stale
+    shards; the uid de-shares the fixed /tmp name between users. One
+    cheap two-column scan per cold cache."""
+    import hashlib
+    import os
+
+    row = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("text"))).alias("csum"),
+        F.sum(F.crc32(F.col("doc_id").cast("string"))).alias("ksum"),
+    ).collect()[0]
+    return hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|{row['n']}|{row['csum']}|"
+        f"{row['ksum']}|{os.getuid()}|{variant}".encode()
+    ).hexdigest()[:16]
+
+
 def _hash64_sql(expr: str, seed) -> str:
     return f"CAST(('0x' || substr(md5('{seed}:' || {expr}), 1, 15)) AS BIGINT)"
 
@@ -6865,7 +6886,6 @@ def warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-addressed by (sf_dir, row count) with an atomic rename so
     reruns reuse — never duplicate — the export.
     """
-    import hashlib
     import os
     import shutil
     import tempfile
@@ -6876,8 +6896,7 @@ def warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # format available there too (idempotent, driver-side metadata)
     register_warc_source(spark)
     d = load(spark, sf_dir, "documents")
-    n = d.count()
-    tag = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{n}|v1".encode()).hexdigest()[:16]
+    tag = _content_cache_tag(d, sf_dir, "v1")
     final = os.path.join(tempfile.gettempdir(), f"ranger_warc_rt_{tag}")
     if not os.path.isdir(final):
         work = tempfile.mkdtemp(prefix=f"ranger_warc_rt_{tag}_part_")
@@ -7100,7 +7119,6 @@ def warc_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, not just each stage. Oracle: the same closed-form expected
     text as html_extract_text — nothing downstream of `documents` is
     shared between the engines."""
-    import hashlib
     import os
     import shutil
     import tempfile
@@ -7110,10 +7128,7 @@ def warc_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_warc_source(spark)
     d = load(spark, sf_dir, "documents")
-    n = d.count()
-    tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n}|html_v1".encode()
-    ).hexdigest()[:16]
+    tag = _content_cache_tag(d, sf_dir, "html_v1")
     final = os.path.join(tempfile.gettempdir(), f"ranger_warc_html_{tag}")
     if not os.path.isdir(final):
         work = tempfile.mkdtemp(prefix=f"ranger_warc_html_{tag}_part_")
@@ -7687,7 +7702,6 @@ def warc_corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesis is replaced by real archives on object storage and the
     report is the pipeline's run ledger — the numbers an operator
     watches to catch a stage suddenly dropping everything."""
-    import hashlib
     import os
     import shutil
     import tempfile
@@ -7734,10 +7748,7 @@ def warc_corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.url").alias("url"),
         F.col("v.text").alias("text"),
     )
-    n = d.count()
-    tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|{n}|crawl-v1".encode()
-    ).hexdigest()[:16]
+    tag = _content_cache_tag(d, sf_dir, "crawl-v1")
     final = os.path.join(tempfile.gettempdir(), f"ranger_warc_crawl_{tag}")
     if not os.path.isdir(final):
         work = tempfile.mkdtemp(prefix=f"ranger_warc_crawl_{tag}_part_")

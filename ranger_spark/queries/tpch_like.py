@@ -162,13 +162,20 @@ def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-independent; the remaining 100·p/t division and 4dp round
     # act on bit-identical inputs on both engines. Exact up to sums
     # < 2⁵³ (sf0.1 ≈ 6e13 — nine orders of margin).
+    # r14 (ADVICE r13 #1): the last double-quotient round is gone — the
+    # 4dp share is computed ENTIRELY in integers, q1's avg_price idiom:
+    # (2·10⁶·P + T) div (2T) = round_half_up(10⁶·(100P/T)/100) =
+    # round_half_up(10⁴ · percent-share), then ONE division by 10⁴ of
+    # the same integer on both engines. 2·10⁶·P overflows int64 at
+    # sf0.1 (P ≈ 10¹³ on the 4dp grid), so the widening is explicit:
+    # DECIMAL(38,0) on Spark, HUGEINT on DuckDB — both exact.
     oracle="""
-    SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+    SELECT CAST((2000000 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
                               THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
-                              ELSE 0 END)
-             / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)),
-             4) AS promo_share
+                              ELSE 0 END) AS HUGEINT)
+                 + sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)))
+                // (2 * CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS HUGEINT))
+            AS BIGINT) / 10000.0 AS promo_share
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -189,9 +196,14 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            F.round(
-                F.lit(100.0) * F.sum(promo4) / F.sum(net4), 4
+        .agg(F.sum(promo4).alias("__p"), F.sum(net4).alias("__t"))
+        .select(
+            (
+                F.expr(
+                    "CAST((2000000 * CAST(__p AS DECIMAL(38,0)) + __t) "
+                    "div (2 * CAST(__t AS DECIMAL(38,0))) AS BIGINT)"
+                )
+                / 10000.0
             ).alias("promo_share")
         )
     )
