@@ -23,92 +23,92 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
-# round start (hash_match-only certification since r9). Round 13 front
-# (VERDICT r12 next-round #1): the eight NAMED r7 deferrals lead
-# (text_feature_hash_vector, text_inverted_index, text_lang_confusion,
-# text_ngram_novelty, text_oov_rate, text_script_profile, text_zipf_fit,
-# unpivot_pricing_metrics — cert_ledger and the judge's own recount
-# agree on eight), then the two queries this round CHANGED, which must
-# re-certify the same round: q1_pricing_summary (avg_price re-gridded
-# to exact integer cents under the new registry-wide revenue-scale
-# round_lint rule — VERDICT r12 #2) and corpus_dedup_cascade (extended
-# to stage 3: LSH near-dup with survival accounting — VERDICT r12 #4),
-# and q14_promo_share (ratio re-gridded to exact 4dp-grid integer
-# sums after the rewritten balanced-parse lint caught it — the round's
-# structured self-review found the first lint cut missed
-# manual-average/ratio shapes), then the r8 cohort stalest-first. The
-# TWO never-certified entries lead the whole front:
-# warc_corpus_pipeline_report (new this round — the SURVEY §7
-# north-star chain end-to-end under the oracle gate: WARC write/read →
-# blocklist → URL dedup → exact dedup → token gate → LSH near-dup,
-# one survival row per stage) and stream_neardup_fingerprint (new —
-# streaming near-dup dedup at ingest: dropDuplicatesWithinWatermark on
-# the map-only shingle-set fingerprint of operators/dedup.py — the
-# streaming counterpart of the cascade's stage 3). The r8 cohort is 42
-# entries and only 37 slots remain, so its last five alphabetically
-# (orders_price_histogram, orders_running_backlog,
-# parts_pareto_skyline, recs_item_item_cf, retrieval_rrf_fusion) are
-# deferred to the r14 front — stated here so the ledger claim stays
-# honest. Max staleness after this round: r8 (exactly those five
-# entries plus the rest of the r9 cohort's turn coming at r14).
+# round start (hash_match-only certification since r9). Round 14 front
+# (VERDICT r13 next-round #1): the ONE never-certified entry leads —
+# stream_corpus_gate (new this round, VERDICT r13 #5: the full ingest
+# door as one stream — blocklist → URL dedup vs the ingested catalog →
+# token gate → near-dup fingerprint dedup; map-only + broadcast gates,
+# one dedup state store) — then the five queries this round CHANGED,
+# which must re-certify the same round: q14_promo_share (the 4dp share
+# is now computed entirely in integers, q1's idiom — ADVICE r13 #1),
+# corpus_dedup_cascade and warc_corpus_pipeline_report (the LSH
+# identity gate now measures Jaccard on the distinct HASH set, matching
+# the fingerprint/oracle definition — ADVICE r13 #3; the WARC crawl
+# cache is also content-keyed now — ADVICE r13 #2),
+# warc_source_roundtrip and warc_html_extract_roundtrip (content-keyed
+# caches, same ADVICE item). Then the five NAMED r8 deferrals owed from
+# r13 (orders_price_histogram, orders_running_backlog,
+# parts_pareto_skyline, recs_item_item_cf, retrieval_rrf_fusion), then
+# the r9 cohort stalest-first — leading with its two members that also
+# CHANGED this round: q3_shipping_priority (gained the conf-gated
+# pre-joined-projection deployment path, default plan unchanged) and
+# dedup_minhash_lsh (verify step gained the hash-set size mode, default
+# off — certified string-count definition untouched). The r9 cohort is
+# 49 entries and only 37 slots remain after the leads, so its last TEN
+# alphabetically (sample_neyman_allocation, scalar_functions,
+# scalar_subquery, text_bm25_scores, text_rake_keywords,
+# union_all_tagged, union_distinct, users_bot_heuristic,
+# users_kaplan_meier, window_lead_lag) are deferred to the r15 front —
+# stated here so the ledger claim stays honest. Max staleness after
+# this round: r9 (exactly those ten entries).
 
-_FRONT_R13 = (
-    "warc_corpus_pipeline_report",
-    "stream_neardup_fingerprint",
-    "text_feature_hash_vector",
-    "text_inverted_index",
-    "text_lang_confusion",
-    "text_ngram_novelty",
-    "text_oov_rate",
-    "text_script_profile",
-    "text_zipf_fit",
-    "unpivot_pricing_metrics",
-    "q1_pricing_summary",
-    "corpus_dedup_cascade",
+_FRONT_R14 = (
+    "stream_corpus_gate",
     "q14_promo_share",
-    "ann_mmr_rerank",
-    "ann_truncated_dim_recall",
-    "approx_percentile_check",
-    "cohort_ltv_curve",
-    "copurchase_bfs_hops",
-    "copurchase_kcore",
-    "copurchase_triangles",
-    "curriculum_phase_plan",
-    "customer_gini_revenue",
-    "customer_order_interarrival",
-    "customer_pareto_share",
-    "customer_rfm_scores",
-    "customers_k_anonymity",
-    "dedup_edit_distance",
-    "dedup_threshold_sweep",
-    "embedding_outlier_knn",
-    "events_anomaly_mad",
-    "events_attribution_credit",
-    "events_cuped_adjustment",
-    "events_dau_mau_stickiness",
-    "events_ewma_daily",
-    "events_kmv_set_ops",
-    "events_lateness_profile",
-    "events_markov_stationary",
-    "events_path_trigrams",
-    "events_pattern_match",
-    "events_power_analysis",
-    "events_psi_drift",
-    "events_welch_ttest",
-    "forecast_seasonal_naive",
-    "graph_label_propagation",
-    "lineitem_weighted_median_price",
-    "multimodal_image_entropy",
-    "multimodal_wav_silence",
-    "nb_lang_classifier",
-    "orders_benford_audit",
-    "orders_cusum_changepoint",
+    "corpus_dedup_cascade",
+    "warc_corpus_pipeline_report",
+    "warc_source_roundtrip",
+    "warc_html_extract_roundtrip",
+    "orders_price_histogram",
+    "orders_running_backlog",
+    "parts_pareto_skyline",
+    "recs_item_item_cf",
+    "retrieval_rrf_fusion",
+    "q3_shipping_priority",
+    "dedup_minhash_lsh",
+    "agg_minmax_countd",
+    "ann_cosine_topk",
+    "array_ops_embeddings",
+    "asof_purchase_view",
+    "case_when_buckets",
+    "cast_ops",
+    "comma_join_sql",
+    "cube_status_priority",
+    "date_extract",
+    "distinct_proj",
+    "events_daily_unique",
+    "events_sequence_chi2",
+    "events_sessionization",
+    "except_nations",
+    "exists_subquery",
+    "filter_between",
+    "filter_in_list",
+    "filter_like",
+    "forecast_holt_linear",
+    "group_having",
+    "in_subquery",
+    "intersect_nations",
+    "json_extract_props",
+    "listagg_types_per_brand",
+    "multimodal_jpeg_pixel_stats",
+    "nations_revenue_hhi",
+    "not_exists_anti",
+    "null_handling",
+    "order_limit_offset",
+    "orders_revenue_peaks",
+    "orders_seasonality_decompose",
+    "parts_abc_classification",
+    "proj_arith_alias",
+    "proj_star_small",
+    "q5_region_revenue",
+    "range_join_error_purchase",
+    "sample_dsir_scores",
 )
 
 
 def _ordered():
     reg = load_all()
-    front = [n for n in _FRONT_R13 if n in reg]
+    front = [n for n in _FRONT_R14 if n in reg]
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
 

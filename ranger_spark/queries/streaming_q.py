@@ -1002,3 +1002,212 @@ def stream_neardup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(_NEARDUP_SINK).select("sfp", "n_shingles")
+
+
+_CORPUS_GATE_SINK = "stream_corpus_gate_sink"
+
+
+@register(
+    "stream_corpus_gate",
+    # Full corpus gate at the ingest door (VERDICT r13 #5): blocklist →
+    # URL dedup vs the ingested catalog → token gate → near-dup
+    # fingerprint dedup, ONE stream. Output is keys-only (the
+    # stream_neardup_fingerprint convention): every member of an
+    # identity class carries the same (sfp, n_shingles), so survivor
+    # choice is moot and the result set is arrival-order-independent.
+    # The oracle derives every stage in CLOSED FORM (blocklist and
+    # catalog membership from doc_id arithmetic, the gate from its own
+    # token split, fingerprints from its own shingle hashing) and never
+    # canonicalizes a URL or runs a dedup — a bug in the Spark
+    # canonicalizer, either anti-join, the gate, or the dedup key
+    # surfaces as a set mismatch.
+    oracle=r"""
+    WITH d AS (SELECT doc_id, text FROM documents),
+    v AS (
+      SELECT doc_id, 0 AS k, doc_id * 5     AS row_id, text AS raw FROM d
+      UNION ALL SELECT doc_id, 1, doc_id * 5 + 1, text FROM d
+      UNION ALL SELECT doc_id, 2, doc_id * 5 + 2, text FROM d
+      UNION ALL SELECT doc_id, 3, doc_id * 5 + 3,
+                       text || ' ' || text FROM d
+      UNION ALL SELECT doc_id, 4, doc_id * 5 + 4,
+                       text || ' ' || text || ' ' || text FROM d
+    ),
+    live AS (
+      SELECT row_id, raw FROM v
+      WHERE ('site' || CAST(doc_id % 50 AS VARCHAR))
+              NOT IN ('site7', 'site13', 'site21')
+        AND NOT (doc_id % 11 = 5)
+        AND NOT (doc_id % 7 = 3 AND k IN (0, 1))
+    ),
+    s AS (
+      SELECT row_id,
+             trim(regexp_replace(lower(raw), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM live
+    ),
+    toks AS (
+      SELECT row_id, regexp_split_to_array(norm, '\s+') AS t FROM s
+    ),
+    gated AS (SELECT row_id, t FROM toks WHERE len(t) >= 40),
+    sh AS (
+      SELECT DISTINCT row_id,
+             CAST(('0x' || substr(md5(concat_ws(' ', t[i], t[i+1])), 1, 8))
+                  AS BIGINT) AS h
+      FROM gated, LATERAL (
+        SELECT unnest(generate_series(1, greatest(1, len(t) - 1))) AS i
+      ) g
+    ),
+    fp AS (
+      SELECT row_id,
+             md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sfp,
+             CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY row_id
+    )
+    SELECT DISTINCT sfp, n_shingles FROM fp
+    """,
+    tags=("streaming", "dedup", "url", "blocklist", "quality", "documents"),
+)
+def stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ingest door as one stream (VERDICT r13 #5 — the
+    reference gates writes on its ingest path, storage.go:500-528; this
+    chain certifies the corpus-build gates at that point):
+
+    1. **Domain blocklist** — host from the REAL URL canonicalizer
+       (operators/urls.py), broadcast LEFT ANTI against the blocklist
+       table. Map-only.
+    2. **URL dedup vs the ingested catalog** — canonical URL anti-joined
+       against the catalog of already-ingested URLs (a maintained table
+       in production; here the closed-form subset: every variant URL of
+       ``doc_id % 11 == 5`` docs, and the primary/mirror canonical URL
+       of ``doc_id % 7 == 3`` docs — so some classes vanish entirely
+       and others survive only through their re-archived/re-paginated
+       variants). Broadcast, map-only: intra-stream URL duplicates need
+       no URL state because the fingerprint store downstream subsumes
+       them (same canonical URL in this feed ⇒ same text ⇒ same
+       fingerprint).
+    3. **Token quality gate** — ``token_count(normalize_text) >= 40``
+       (the batch chain's _GATE_MIN_TOKENS). Map-only, per variant: a
+       class whose original is short can still enter through a
+       re-paginated variant — same fingerprint semantics as batch.
+    4. **Near-dup fingerprint dedup** — ``dropDuplicatesWithinWatermark``
+       on the shingle-set fingerprint: the ONE state store (16 bytes
+       per identity class inside the watermark horizon, evicted as
+       event time advances).
+
+    Plan shape at 100 TB: scan → map exprs → two BroadcastHashJoin
+    anti-joins → filter → one dedup state store. Zero shuffles before
+    the state store; no driver collection. Synthetic event times span
+    < 1 day inside a 2-day watermark, so the availableNow drain is
+    deterministic."""
+    for q in spark.streams.active:
+        if q.name == _CORPUS_GATE_SINK:
+            q.stop()
+    from ranger_spark.operators.dedup import shingle_set_hashes
+    from ranger_spark.operators.text import normalize_text, token_count
+    from ranger_spark.operators.urls import canonicalize_url
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    site = (F.col("doc_id") % 50).cast("string")
+    did = F.col("doc_id").cast("string")
+    t = F.col("text")
+
+    def variants(df):
+        vs = [
+            (0, F.concat(F.lit("http://site"), site,
+                         F.lit(".example.com/doc/"), did), t),
+            (1, F.concat(F.lit("HTTPS://www.site"), site,
+                         F.lit(".example.com/doc/"), did,
+                         F.lit("?utm_medium=mirror")), t),
+            (2, F.concat(F.lit("http://site"), site,
+                         F.lit(".example.com/rearchived/"), did), t),
+            (3, F.concat(F.lit("http://site"), site,
+                         F.lit(".example.com/page2x/"), did),
+             F.concat(t, F.lit(" "), t)),
+            (4, F.concat(F.lit("http://site"), site,
+                         F.lit(".example.com/page3x/"), did),
+             F.concat(t, F.lit(" "), t, F.lit(" "), t)),
+        ]
+        return df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(k).alias("k"), url.alias("url"),
+                             txt.alias("text"))
+                    for k, url, txt in vs
+                ])
+            ).alias("v"),
+            F.col("doc_id"),
+        ).select(
+            (F.col("doc_id") * 5 + F.col("v.k")).alias("row_id"),
+            F.col("doc_id"),
+            F.col("v.k").alias("k"),
+            F.col("v.url").alias("url"),
+            F.col("v.text").alias("text"),
+        )
+
+    feed = variants(src).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.pmod(F.col("row_id"), F.lit(86000))
+        ),
+    )
+    # static sides (batch reads — the maintained tables of a deployment)
+    blocklist = spark.createDataFrame(
+        [("site7.example.com",), ("site13.example.com",),
+         ("site21.example.com",)],
+        ["host"],
+    )
+    docs_b = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cat_all = variants(docs_b.filter(F.col("doc_id") % 11 == 5)).select(
+        canonicalize_url(F.col("url")).alias("curl")
+    )
+    cat_primary = variants(
+        docs_b.filter((F.col("doc_id") % 7 == 3))
+    ).filter(F.col("k") == 0).select(
+        canonicalize_url(F.col("url")).alias("curl")
+    )
+    catalog = cat_all.unionAll(cat_primary).distinct()
+
+    curl = canonicalize_url(F.col("url"))
+    host = F.regexp_extract(curl, r"^[a-z]+://([^/]+)", 1)
+    gated = (
+        feed.withColumn("curl", curl)
+        .withColumn("host", host)
+        .join(F.broadcast(blocklist), "host", "left_anti")
+        .join(F.broadcast(catalog), "curl", "left_anti")
+        .filter(token_count(normalize_text(F.col("text"))) >= 40)
+    )
+    keyed = (
+        gated.withColumn("__shs", shingle_set_hashes(F.col("text")))
+        .withColumn(
+            "sfp",
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.col("__shs"), lambda x: x.cast("string")
+                    ),
+                )
+            ),
+        )
+        .withColumn("n_shingles", F.size("__shs").cast("bigint"))
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["sfp"])
+        .select("sfp", "n_shingles")
+    )
+    q = (
+        keyed.writeStream.format("memory")
+        .queryName(_CORPUS_GATE_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(_CORPUS_GATE_SINK).select("sfp", "n_shingles")
