@@ -156,12 +156,17 @@ def remove_dup_spans(
     base = df.select(F.col(id_col), toks.alias("__toks"))
     if collapse_exact:
         keyed = base.withColumn("__fp", F.md5(F.array_join("__toks", " ")))
+        # Group on the token array itself: the first(array) buffer of
+        # the md5-keyed form is var-length, which forces SortAggregate
+        # (sorts on both sides of the collapse exchange). An array key
+        # keeps the count() buffer primitive (HashAggregate) and
+        # shuffles the same bytes — the array traveled as the first()
+        # buffer before, as the key now. __fp is derived after the
+        # aggregation for the fan-out join below.
         d = (
-            keyed.groupBy("__fp")
-            .agg(
-                F.first("__toks").alias("__toks"),
-                F.count(F.lit(1)).alias("__mult"),
-            )
+            base.groupBy("__toks")
+            .agg(F.count(F.lit(1)).alias("__mult"))
+            .withColumn("__fp", F.md5(F.array_join("__toks", " ")))
             .withColumn("__n", F.size("__toks"))
         )
         key = "__fp"

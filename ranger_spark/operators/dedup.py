@@ -269,10 +269,16 @@ def minhash_lsh_dedup(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
     )
     if collapse_exact:
-        base = base.groupBy(F.md5("__norm").alias("__fp")).agg(
-            F.min(id_col).alias(id_col),
-            F.first("__norm").alias("__norm"),
-        )
+        # Group on __norm ITSELF, not md5(__norm)+first(__norm): the
+        # first(string) buffer is var-length, which disqualifies
+        # HashAggregate and forces SortAggregate — two full sorts of the
+        # document text around the collapse exchange. Keying on the text
+        # keeps a primitive min() buffer (HashAggregate, no sorts) and
+        # shuffles the same bytes: the text traveled either way (as the
+        # first() buffer before, as the key now), minus the 16-byte
+        # digest. Groups are identical (md5 is injective on these keys
+        # modulo collisions, which would have been a silent bug anyway).
+        base = base.groupBy("__norm").agg(F.min(id_col).alias(id_col))
     else:
         # no collapse shuffle to spread the rows — rebalance before the
         # explode so a single-file source doesn't serialize shingling
@@ -484,15 +490,18 @@ def build_minhash_store(
     base = df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
     )
-    # (fp, keeper): the keeper id rides along so an ingest batch can
-    # report an arriving exact copy as a pair against its stored keeper
-    fps = base.groupBy(F.md5("__norm").alias("fp")).agg(
-        F.min(id_col).alias("keeper_id")
+    # ONE collapse aggregation serves both outputs (was two separate
+    # groupBys over the same base — two shuffles of the same rows), and
+    # it groups on __norm itself so the min() buffer stays primitive
+    # (HashAggregate; the md5+first(__norm) form fell back to
+    # SortAggregate — see minhash_lsh_dedup). fp is derived map-side
+    # AFTER the aggregation; (fp, keeper) rides along so an ingest batch
+    # can report an arriving exact copy against its stored keeper.
+    groups = base.groupBy("__norm").agg(F.min(id_col).alias(id_col))
+    fps = groups.select(
+        F.md5("__norm").alias("fp"), F.col(id_col).alias("keeper_id")
     )
-    reps = base.groupBy(F.md5("__norm").alias("__fp")).agg(
-        F.min(id_col).alias(id_col),
-        F.first("__norm").alias("__norm"),
-    )
+    reps = groups
     sh = (
         reps.select(F.col(id_col), tokenize(F.col("__norm")).alias("__toks"))
         .select(
@@ -551,9 +560,13 @@ def incremental_minhash_dedup(
     new_base = new_df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
     )
-    new_groups = new_base.groupBy(F.md5("__norm").alias("fp")).agg(
-        F.min(id_col).alias(id_col),
-        F.first("__norm").alias("__norm"),
+    # norm-keyed collapse (HashAggregate — the md5-keyed first(__norm)
+    # form paid a SortAggregate; see minhash_lsh_dedup), fp derived
+    # map-side after the aggregation for the store probe below
+    new_groups = (
+        new_base.groupBy("__norm")
+        .agg(F.min(id_col).alias(id_col))
+        .select(F.md5("__norm").alias("fp"), F.col(id_col), F.col("__norm"))
     )
     # a batch doc whose exact text already exists in the corpus IS a
     # duplicate the caller must see: report it as a jaccard-1.0 pair

@@ -110,12 +110,23 @@ def dedup_by_url(
     canon = canonicalize_url(
         F.col(url_col), fold_https=fold_https, strip_params=strip_params
     )
+    # Group on the canonical URL itself: the first(canonical_url)
+    # buffer of the md5-keyed form is var-length, which forces
+    # SortAggregate (a sort on each side of the exchange). Keying on
+    # the string keeps primitive min/count buffers (HashAggregate) and
+    # shuffles the same bytes — the URL traveled as the first() buffer
+    # before, as the key now. url_fp is derived after the aggregation.
     return (
         df.select(F.col(id_col), canon.alias("canonical_url"))
-        .groupBy(F.md5("canonical_url").alias("url_fp"))
+        .groupBy("canonical_url")
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("dup_count"),
-            F.first("canonical_url").alias("canonical_url"),
+        )
+        .select(
+            F.md5("canonical_url").alias("url_fp"),
+            "keeper_id",
+            "dup_count",
+            "canonical_url",
         )
     )

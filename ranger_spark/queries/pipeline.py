@@ -4785,10 +4785,12 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     base = d.select("doc_id", T.normalize_text(F.col("text")).alias("__norm"))
+    # norm-keyed collapse (HashAggregate; the md5+first(__norm) form
+    # fell back to SortAggregate — see operators/dedup.minhash_lsh_dedup)
     reps = (
-        base.groupBy(F.md5("__norm").alias("__fp"))
-        .agg(F.min("doc_id").alias("doc_id"), F.first("__norm").alias("text"))
-        .select("doc_id", "text")
+        base.groupBy("__norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.col("__norm").alias("text"))
     )
     sh = shingle_df(reps, "doc_id", "text", 2)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
