@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ranger_spark.tables import as_view
 from ranger_spark.operators.text import (
     fingerprint,
     hash64,
@@ -78,6 +79,13 @@ def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
         (rng.randrange(1, 2**31 - 1), rng.randrange(0, 2**32))
         for _ in range(num_hashes)
     ]
+
+
+# SQL-string twin of base_hash32 for the single-parse spark.sql builders
+# (r14): {c} is the input column/expression. Tests that need a colliding
+# hash monkeypatch THIS template (the Column function below is not on the
+# sql-built path).
+BASE_HASH32_SQL = "cast(conv(substring(md5({c}), 1, 8), 16, 10) as bigint)"
 
 
 def base_hash32(col: Column) -> Column:
@@ -265,9 +273,18 @@ def minhash_lsh_dedup(
     128-bit digest or the doc id, never on raw text."""
     from pyspark import StorageLevel
 
-    base = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
-    )
+    spark = df.sparkSession
+    in_v = as_view(df)
+    params = _affine_params(num_hashes)
+    # Two single-parse spark.sql segments instead of ~20 chained
+    # DataFrame ops (r14, guide §7.3): each Dataset-returning op pays a
+    # py4j round-trip plus an eager re-analysis of the growing plan —
+    # measured 354 ms of driver-side build time per invocation for this
+    # builder, the largest single chunk of the heaviest headline query.
+    # The optimized plan is byte-identical (verified, plans/r14); all
+    # expression trees below mirror the old Column forms exactly
+    # (element_at(__toks, i + 0), D-suffixed double literals, the
+    # count(1)/size() denominators).
     if collapse_exact:
         # Group on __norm ITSELF, not md5(__norm)+first(__norm): the
         # first(string) buffer is var-length, which disqualifies
@@ -278,67 +295,98 @@ def minhash_lsh_dedup(
         # first() buffer before, as the key now), minus the 16-byte
         # digest. Groups are identical (md5 is injective on these keys
         # modulo collisions, which would have been a silent bug anyway).
-        base = base.groupBy("__norm").agg(F.min(id_col).alias(id_col))
+        base_sql = f"""
+          SELECT __norm, min({id_col}) AS {id_col}
+          FROM (SELECT {id_col},
+                       trim(regexp_replace(lower({text_col}),
+                            '[^a-z0-9]+', ' ')) AS __norm
+                FROM {in_v})
+          GROUP BY __norm
+        """
     else:
         # no collapse shuffle to spread the rows — rebalance before the
         # explode so a single-file source doesn't serialize shingling
-        base = base.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-        )
-    toks = base.select(F.col(id_col), tokenize(F.col("__norm")).alias("__toks"))
-    sh = toks.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col("__toks"), shingle_k)).alias("shingle"),
-    ).select(id_col, base_hash32(F.col("shingle")).alias("sh_hash"))
-    params = _affine_params(num_hashes)
-    doc = (
-        sh.groupBy(id_col)
-        .agg(
-            F.collect_list("sh_hash").alias("__shs"),
-            F.count(F.lit(1)).alias("n_sh"),
-            *[
-                F.min(
-                    (F.lit(a) * F.col("sh_hash") + F.lit(b)) % F.lit(MINHASH_PRIME)
-                ).alias(f"mh_{i}")
-                for i, (a, b) in enumerate(params)
-            ],
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        np = df.sparkSession.sparkContext.defaultParallelism
+        base_sql = f"""
+          SELECT /*+ REPARTITION({np}, {id_col}) */ {id_col},
+                 trim(regexp_replace(lower({text_col}),
+                      '[^a-z0-9]+', ' ')) AS __norm
+          FROM {in_v}
+        """
+    shingle_terms = ", ".join(
+        f"element_at(__toks, i + {j})" for j in range(shingle_k)
     )
-    bands_df = lsh_bands(doc, id_col, num_hashes, bands)
-    cands = lsh_candidate_pairs(bands_df, id_col)
-    a = doc.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__shs").alias("__shs_a"),
-        F.col("n_sh").alias("n_a"),
+    mins = ",\n                 ".join(
+        f"min(({a} * sh_hash + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
     )
-    b = doc.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__shs").alias("__shs_b"),
-        F.col("n_sh").alias("n_b"),
+    hash_sql = BASE_HASH32_SQL.format(c="shingle")
+    doc = spark.sql(
+        f"""
+        SELECT {id_col}, collect_list(sh_hash) AS __shs,
+               count(1) AS n_sh,
+               {mins}
+        FROM (
+          SELECT {id_col},
+                 {hash_sql} AS sh_hash
+          FROM (
+            SELECT {id_col},
+                   explode(array_distinct(transform(
+                     sequence(1, greatest(1, size(__toks) - {shingle_k - 1})),
+                     i -> concat_ws(' ', {shingle_terms})))) AS shingle
+            FROM (
+              SELECT {id_col}, split(trim(__norm), '\\\\s+') AS __toks
+              FROM ({base_sql})
+            )
+          )
+        )
+        GROUP BY {id_col}
+        """
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    doc_v = as_view(doc)
+    r = num_hashes // bands
+    band_structs = ",\n                   ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS band_key)".format(
+            b=b, cols=", ".join(f"mh_{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
     )
     if jaccard_on_hash_sets:
-        n_a = F.size(F.array_distinct("__shs_a"))
-        n_b = F.size(F.array_distinct("__shs_b"))
+        n_a, n_b = "size(array_distinct(__shs_a))", "size(array_distinct(__shs_b))"
     else:
-        n_a, n_b = F.col("n_a"), F.col("n_b")
-    verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("__shs_a", "__shs_b"))
-                / (
-                    n_a
-                    + n_b
-                    - F.size(F.array_intersect("__shs_a", "__shs_b"))
-                ).cast("double")
-            ).alias("jaccard"),
+        n_a, n_b = "n_a", "n_b"
+    return spark.sql(
+        f"""
+        WITH bands AS (
+          SELECT {id_col}, bk.band AS band, bk.band_key AS band_key
+          FROM (SELECT {id_col},
+                       explode(array({band_structs})) AS bk
+                FROM {doc_v})
+        ),
+        cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b
+            FROM (SELECT {id_col} AS id_a, band, band_key FROM bands) a
+            JOIN (SELECT {id_col} AS id_b, band, band_key FROM bands) b
+              ON a.band = b.band AND a.band_key = b.band_key
+            WHERE id_a < id_b
+          )
         )
+        SELECT * FROM (
+          SELECT id_a, id_b,
+                 size(array_intersect(__shs_a, __shs_b))
+                   / cast({n_a} + {n_b}
+                          - size(array_intersect(__shs_a, __shs_b))
+                     as double) AS jaccard
+          FROM cand
+          JOIN (SELECT {id_col} AS id_a, __shs AS __shs_a, n_sh AS n_a
+                FROM {doc_v}) USING (id_a)
+          JOIN (SELECT {id_col} AS id_b, __shs AS __shs_b, n_sh AS n_b
+                FROM {doc_v}) USING (id_b)
+        )
+        WHERE round(jaccard, 6) >= {threshold}D
+        """
     )
-    return verified.filter(F.round(F.col("jaccard"), 6) >= threshold)
 
 
 def shingle_set_hashes(text_col: Column, k: int = 2) -> Column:

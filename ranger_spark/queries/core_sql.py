@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ranger_spark.queries import register
-from ranger_spark.tables import load
+from ranger_spark.tables import load, view
 
 
 def _net(price="l_extendedprice", disc="l_discount"):
@@ -71,65 +71,56 @@ def money_round2(sum_col, grid: int):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report: multi-aggregate groupBy with arithmetic
-    aggregate args (reference aggregate grammar parser.go:5801-5874)."""
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-    )
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            # the ONE price aggregate: exact integer cents (r13,
-            # round_lint revenue-scale rule). The parallel DOUBLE sum of
-            # ~38k-scale prices would need 9 significant digits of
-            # cross-engine agreement at avg_price's 4dp, so sum exact
-            # cents instead (order-independent); sum_base_price and
-            # avg_price are both derived from it below, so the cents
-            # protocol costs no extra aggregate vs the r12 plan.
-            # floor(x·100 + 0.5), not round(x·100): Spark's Round on
-            # DOUBLE allocates a BigDecimal per row (measured +40% on
-            # the 64× q1 aggregate); floor stays in codegen arithmetic
-            # and yields the same exact integer — the product is within
-            # ~1e-8 of its integer, never near the .5 boundary.
-            F.sum(
-                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-                .cast("bigint")
-            ).alias("__cents"),
-            money_round2(F.sum(_net()), 4).alias("sum_disc_price"),
-            money_round2(
-                F.sum(_net() * (F.lit(1.0) + F.col("l_tax"))), 6
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+    aggregate args (reference aggregate grammar parser.go:5801-5874).
+
+    One parameterized spark.sql call instead of the chained DataFrame
+    form (r14, guide §7.3): each Dataset-returning op pays a py4j
+    round-trip plus an eager re-analysis of the whole plan — measured
+    112 ms of driver-side build time per invocation for this builder
+    vs 33 ms for the single-parse form. The optimized plan is
+    byte-identical (verified, plans/r14). Semantics notes preserved
+    from the DataFrame form:
+
+    - the ONE price aggregate: exact integer cents (r13, round_lint
+      revenue-scale rule); sum_base_price and avg_price both derive
+      from __cents in the OUTER select, so the cents protocol costs no
+      extra aggregate. floor(x·100 + 0.5D), not round(x·100): Spark's
+      Round on DOUBLE allocates a BigDecimal per row (measured +40% on
+      the 64× q1 aggregate). The subquery split keeps __cents
+      aggregated once — a flat SELECT would inline it twice.
+    - avg_price: 4dp half-up average computed ENTIRELY in integers —
+      (200·s + c) div (2c) — then ONE division by 10000.0D on both
+      engines, so the representational-tie class cannot occur (r13).
+    - literals carry the D suffix: SQL `0.5` would parse as DECIMAL
+      and change the expression tree the oracle hash was pinned on."""
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum_qty,
+               __cents / 100.0D AS sum_base_price,
+               sum_disc_price, sum_charge, avg_qty,
+               ((200 * __cents + count_order) div (2 * count_order))
+                 / 10000.0D AS avg_price,
+               avg_disc, count_order
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 sum(cast(floor(l_extendedprice * 100 + 0.5D) as bigint))
+                   AS __cents,
+                 cast(round(cast(round(sum(l_extendedprice
+                     * (1.0D - l_discount)), 4) as decimal(38,4)), 2)
+                   as double) AS sum_disc_price,
+                 cast(round(cast(round(sum((l_extendedprice
+                     * (1.0D - l_discount)) * (1.0D + l_tax)), 6)
+                   as decimal(38,6)), 2) as double) AS sum_charge,
+                 round(avg(l_quantity), 4) AS avg_qty,
+                 round(avg(l_discount), 6) AS avg_disc,
+                 count(1) AS count_order
+          FROM %s
+          WHERE l_shipdate <= timestamp'1998-09-02'
+          GROUP BY l_returnflag, l_linestatus
         )
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "sum_qty",
-            # cents/100.0 is bit-identical to the old round(sum(d), 2):
-            # the true sum lives ON the 2dp grid, and both forms produce
-            # the double nearest that grid decimal
-            (F.col("__cents") / 100.0).alias("sum_base_price"),
-            "sum_disc_price",
-            "sum_charge",
-            "avg_qty",
-            # 4dp half-up average computed ENTIRELY in integers —
-            # (200·s + c) div (2c) = round_half_up(10⁴·s/(100·c)) — then
-            # ONE division by 10000.0 of the same integer on both
-            # engines: no round() of a double quotient anywhere, so the
-            # representational-tie class (shortest-repr HALF_UP vs
-            # scaled C rounding on a value near the half grid) cannot
-            # occur (r13 review finding).
-            (
-                F.expr(
-                    "(200 * __cents + count_order) div (2 * count_order)"
-                )
-                / 10000.0
-            ).alias("avg_price"),
-            "avg_disc",
-            "count_order",
-        )
+        """
+        % view(spark, sf_dir, "lineitem")
     )
 
 
@@ -159,7 +150,29 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Comma-join + WHERE equi-join semantics (parser.go:4824-4897) as
     explicit DataFrame joins; top-k with unique tiebreak."""
-    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # Single-parse spark.sql forms (r14, guide §7.3): the chained
+    # DataFrame build paid ~81 ms of py4j + per-op re-analysis per
+    # invocation; each branch below is one parse + one analysis with a
+    # byte-identical optimized plan (verified, plans/r14). Notes kept:
+    # the formatted date (not raw timestamp) avoids a datetime64[us] vs
+    # [ns] dtype mismatch against the oracle; ORDER BY carries the
+    # unique l_orderkey tiebreak.
+    _q3_tail = """
+        SELECT l_orderkey, revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+               o_orderpriority
+        FROM (
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 cast(round(cast(round(sum(l_extendedprice
+                     * (1.0D - l_discount)), 4) as decimal(38,4)), 2)
+                   as double) AS revenue
+          FROM (%s) j
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+    _cust_f = "c_mktsegment = 'BUILDING'"
     pj_dir = spark.conf.get("spark.ranger.prejoined.dir", "")
     if pj_dir:
         # deployment layout v3 (r14, VERDICT r13 #3): a maintained
@@ -168,58 +181,45 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the fact-fact join into a scan; only the small segment probe
         # joins at read time. Same rows, same result — verified against
         # the base-table plan in tests/test_prejoined.py.
-        joined = (
-            spark.read.parquet(pj_dir)
-            .filter(
-                (F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
-                & (F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
-            )
-            .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        return spark.sql(
+            _q3_tail
+            % f"""
+            SELECT p.* FROM {{pj}} p
+            JOIN (SELECT * FROM {view(spark, sf_dir, "customer")}
+                  WHERE {_cust_f}) c
+              ON c_custkey = o_custkey
+            WHERE o_orderdate < timestamp'1998-06-01'
+              AND l_shipdate  > timestamp'1998-06-01'
+            """,
+            pj=spark.read.parquet(pj_dir),
         )
-        return (
-            joined
-            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(money_round2(F.sum(_net()), 4).alias("revenue"))
-            .select(
-                "l_orderkey",
-                "revenue",
-                F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-                "o_orderpriority",
-            )
-            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-            .limit(10)
-        )
-    orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
-    )
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
-    )
     if spark.conf.get("spark.ranger.bucketed.db", ""):
         # co-located fact-fact join first (zero Exchange on both sides),
         # then one shuffle of the joined stream by custkey
-        joined = orders.join(
-            li, F.col("l_orderkey") == F.col("o_orderkey")
-        ).join(cust, F.col("c_custkey") == F.col("o_custkey"))
-    else:
-        joined = cust.join(
-            orders, F.col("c_custkey") == F.col("o_custkey")
-        ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-    return (
-        joined
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(money_round2(F.sum(_net()), 4).alias("revenue"))
-        .select(
-            "l_orderkey",
-            "revenue",
-            # formatted date, not raw timestamp: Spark materializes
-            # timestamps as datetime64[us], DuckDB as [ns] — a strict
-            # dtype compare would flag identical values
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            "o_orderpriority",
+        return spark.sql(
+            _q3_tail
+            % f"""
+            SELECT * FROM {view(spark, sf_dir, "orders")} o
+            JOIN {view(spark, sf_dir, "lineitem")} l
+              ON l_orderkey = o_orderkey
+            JOIN (SELECT * FROM {view(spark, sf_dir, "customer")}
+                  WHERE {_cust_f}) c
+              ON c_custkey = o_custkey
+            WHERE o_orderdate < timestamp'1998-06-01'
+              AND l_shipdate  > timestamp'1998-06-01'
+            """
         )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
+    return spark.sql(
+        _q3_tail
+        % f"""
+        SELECT * FROM (SELECT * FROM {view(spark, sf_dir, "customer")}
+                       WHERE {_cust_f}) c
+        JOIN {view(spark, sf_dir, "orders")} o ON c_custkey = o_custkey
+        JOIN {view(spark, sf_dir, "lineitem")} l
+          ON l_orderkey = o_orderkey
+        WHERE o_orderdate < timestamp'1998-06-01'
+          AND l_shipdate  > timestamp'1998-06-01'
+        """
     )
 
 
@@ -255,31 +255,44 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ranger_spark.operators.fastpath import plan_size_bytes
 
     cust = load(spark, sf_dir, "customer")
-    if plan_size_bytes(cust.select("c_custkey", "c_nationkey")) <= (64 << 20):
-        cust = F.broadcast(cust)
-    orders = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem")
+    bcast_cust = plan_size_bytes(
+        cust.select("c_custkey", "c_nationkey")
+    ) <= (64 << 20)
     # supplier⋈nation⋈region prejoined into ONE broadcast dimension:
     # supplier count is fixed per SF tier (64k rows at the 64× bench) and
     # nation/region are constants, so the snowflake collapses to a single
     # replicated dim — one broadcast build job instead of three, and the
     # fact stream passes one BHJ instead of three (r8: −0.2-0.3 s at 64×;
     # the standard star-schema denormalize-the-dims move at any scale).
-    supp_dim = F.broadcast(
-        load(spark, sf_dir, "supplier")
-        .join(
-            load(spark, sf_dir, "nation"),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            load(spark, sf_dir, "region"),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("s_suppkey", "s_nationkey", "n_name")
-    )
+    # Both segments are single-parse spark.sql (r14, guide §7.3: the
+    # chained form paid ~88 ms of per-op build/analysis per invocation);
+    # the F.broadcast() wraps survive as plan hints on the {params} and
+    # the optimized plan is byte-identical (verified, plans/r14).
+    _supp_dim_sql = f"""(
+            SELECT s_suppkey, s_nationkey, n_name
+            FROM {view(spark, sf_dir, "supplier")}
+            JOIN {view(spark, sf_dir, "nation")} ON s_nationkey = n_nationkey
+            JOIN {view(spark, sf_dir, "region")} ON n_regionkey = r_regionkey
+          ) sd"""
+    # BROADCAST(sd) replicates the prejoined snowflake dim exactly as the
+    # old F.broadcast() wrap did; BROADCAST(c) engages only under the
+    # plan-size guard above and must sit INSIDE the join subquery (a
+    # hint only resolves aliases of its own query block).
+    _c_hint = "/*+ BROADCAST(c) */" if bcast_cust else ""
+    _q5_fmt = """
+        SELECT /*+ BROADCAST(sd) */ n_name,
+               cast(round(cast(round(sum(l_extendedprice
+                   * (1.0D - l_discount)), 4) as decimal(38,4)), 2)
+                 as double) AS revenue
+        FROM (%s) j JOIN %s
+          ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        GROUP BY n_name
+    """
+    _date_range = """o_orderdate >= timestamp'1996-01-01'
+              AND o_orderdate <  timestamp'1998-01-01'"""
+    cust_v = view(spark, sf_dir, "customer")
+    orders_v = view(spark, sf_dir, "orders")
+    li_v = view(spark, sf_dir, "lineitem")
     if spark.conf.get("spark.ranger.bucketed.db", ""):
         # bucketed layout: lineitem⋈orders are co-located on the order
         # key, so joining the two FACT tables first runs with zero
@@ -287,21 +300,20 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at scale (VERDICT r4 item 2). With customer broadcast (above)
         # the joined fact stream then reaches the final aggregate without
         # ANY repartitioning.
-        facts = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        joined = facts.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        joined_sql = f"""
+            SELECT {_c_hint} * FROM {orders_v} o
+            JOIN {li_v}   l ON l_orderkey = o_orderkey
+            JOIN {cust_v} c ON c_custkey  = o_custkey
+            WHERE {_date_range}
+            """
     else:
-        joined = cust.join(
-            orders, F.col("c_custkey") == F.col("o_custkey")
-        ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-    return (
-        joined.join(
-            supp_dim,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .groupBy("n_name")
-        .agg(money_round2(F.sum(_net()), 4).alias("revenue"))
-    )
+        joined_sql = f"""
+            SELECT {_c_hint} * FROM {cust_v} c
+            JOIN {orders_v} o ON c_custkey  = o_custkey
+            JOIN {li_v}     l ON l_orderkey = o_orderkey
+            WHERE {_date_range}
+            """
+    return spark.sql(_q5_fmt % (joined_sql, _supp_dim_sql))
 
 
 # ---------------------------------------------------------------------------
@@ -446,12 +458,16 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "semijoin"),
 )
 def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN (subquery) (parser.go:4675-4688) as a left-semi join."""
-    cust = load(spark, sf_dir, "customer")
-    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return cust.join(
-        big, cust["c_custkey"] == big["o_custkey"], "left_semi"
-    ).select("c_custkey", "c_name")
+    """IN (subquery) (parser.go:4675-4688) as a left-semi join.
+    Single-parse spark.sql form (r14, guide §7.3); plan identical."""
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name
+        FROM {view(spark, sf_dir, "customer")} LEFT SEMI JOIN
+             {view(spark, sf_dir, "orders")}
+          ON c_custkey = o_custkey AND o_totalprice > 400000
+        """
+    )
 
 
 @register(

@@ -130,3 +130,56 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the spark.sql query paths)."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def as_view(df: DataFrame) -> str:
+    """Register ``df`` under a fresh temp-view name and return the name,
+    WITHOUT ever dropping it.
+
+    This is the safe way to reference an arbitrary DataFrame from a
+    single-parse ``spark.sql`` string. Passing the DataFrame as a
+    ``{param}`` instead is a trap: pyspark's SQLStringFormatter drops its
+    temp view after parsing, and ``dropTempView`` UNCACHES any cached
+    plan that matches the view — so a ``{param}`` pointing at a
+    persisted intermediate (or at a base table the bench has cached)
+    silently destroys that cache and every later query recomputes/
+    rescans (r14 finding: the first sql-form minhash build did exactly
+    this — the persisted doc table inlined 4× uncached). The leaked
+    catalog entry is a few KB of analyzed plan; callers that build many
+    DataFrames per session leak one entry per build, which is
+    deliberate and bounded by session lifetime."""
+    import uuid
+
+    name = f"__rs_v_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Stable temp-view name for :func:`load`'s DataFrame, registered once
+    per (session, sf_dir, table, bucketed-layout) and cached.
+
+    Single-parse spark.sql builders (r14, guide §7.3) reference tables by
+    these names instead of passing DataFrame params: each `{df}` param in
+    a parameterized ``spark.sql`` costs a createOrReplaceTempView +
+    dropTempView py4j round-trip PER CALL (pyspark's SQLStringFormatter),
+    which re-adds the driver chatter the sql form exists to remove. The
+    name encodes sf_dir and the bucketed-db conf so a session that
+    switches data directories (bench: sf0.1 → 16×/64× replicas) or flips
+    the bucketed layout never resolves a stale view."""
+    import hashlib
+
+    bdb = spark.conf.get("spark.ranger.bucketed.db", "")
+    tag = hashlib.md5(f"{sf_dir}|{bdb}".encode()).hexdigest()[:8]
+    vname = f"__rs_{name}_{tag}"
+    try:
+        cache = _PLAN_CACHE.setdefault(spark, {})
+    except TypeError:
+        cache = None
+    key = ("__view__", sf_dir, name, bdb)
+    if cache is not None and key in cache:
+        return vname
+    load(spark, sf_dir, name).createOrReplaceTempView(vname)
+    if cache is not None:
+        cache[key] = vname
+    return vname

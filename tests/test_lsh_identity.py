@@ -15,6 +15,12 @@ def _colliding_hash(col):
     return (F.abs(F.hash(col)) % 4).cast("long")
 
 
+# SQL twin of _colliding_hash: minhash_lsh_dedup builds its shingle-hash
+# stage as one spark.sql parse (r14), so the collision seam to patch is
+# the BASE_HASH32_SQL template, not the Column function.
+_COLLIDING_HASH_SQL = "cast(abs(hash({c})) % 4 as bigint)"
+
+
 def test_identity_pair_survives_intra_doc_hash_collision(spark, monkeypatch):
     # two docs with the SAME shingle-string set (re-ordered repetition:
     # same bigram multiset) — the identity class the fingerprint/oracle
@@ -27,6 +33,7 @@ def test_identity_pair_survives_intra_doc_hash_collision(spark, monkeypatch):
         ["doc_id", "text"],
     )
     monkeypatch.setattr(dedup, "base_hash32", _colliding_hash)
+    monkeypatch.setattr(dedup, "BASE_HASH32_SQL", _COLLIDING_HASH_SQL)
 
     pairs_fixed = dedup.minhash_lsh_dedup(
         df, "doc_id", "text",
