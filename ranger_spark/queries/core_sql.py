@@ -31,6 +31,13 @@ def _net(price="l_extendedprice", disc="l_discount"):
     return F.col(price) * (F.lit(1.0) - F.col(disc))
 
 
+# SQL-string twin of money_round2 for the single-parse spark.sql
+# builders (r14): {e} is the aggregate expression, {g} the grid.
+MONEY_ROUND2_SQL = (
+    "cast(round(cast(round({e}, {g}) as decimal(38,{g})), 2) as double)"
+)
+
+
 def money_round2(sum_col, grid: int):
     """Tie-proof 2dp rounding of a money sum whose true value lives on
     the ``grid``-decimal grid (e.g. price×(1−disc) → 4dp): snap the

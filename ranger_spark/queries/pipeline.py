@@ -17,7 +17,7 @@ from ranger_spark.operators import dedup as D
 from ranger_spark.operators import similarity as S
 from ranger_spark.operators import text as T
 from ranger_spark.queries import register
-from ranger_spark.tables import load
+from ranger_spark.tables import load, view
 
 # Shared SQL fragments for the oracles -------------------------------------
 
@@ -468,12 +468,30 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-scoring signals (length/punct/stopword ratios)."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "text", T.tokenize(T.normalize_text(F.col("text"))).alias("__toks")
+    """Quality-scoring signals (length/punct/stopword ratios).
+    Single-parse spark.sql mirroring T.quality_metrics exactly (r14,
+    guide §7.3; the token array is materialized in the subquery so the
+    HOF expressions share it — Catalyst does not CSE through lambdas)."""
+    sw = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               cast(length(text) as bigint) AS n_chars_m,
+               cast(size(__toks) as bigint) AS n_tokens,
+               (length(text) - (size(__toks) - 1)) / size(__toks)
+                 AS mean_word_len,
+               length(regexp_replace(text, '[a-z0-9 ]', ''))
+                 / cast(length(text) as double) AS punct_ratio,
+               size(filter(__toks, t -> t IN ({sw})))
+                 / cast(size(__toks) as double) AS stopword_ratio
+        FROM (
+          SELECT doc_id, text,
+                 split(trim(trim(regexp_replace(lower(text),
+                      '[^a-z0-9]+', ' '))), '\\\\s+') AS __toks
+          FROM {view(spark, sf_dir, "documents")}
+        )
+        """
     )
-    m = T.quality_metrics(F.col("text"), toks=F.col("__toks"))
-    return d.select("doc_id", *[c.alias(n) for n, c in m.items()])
 
 
 def _lang_oracle() -> str:

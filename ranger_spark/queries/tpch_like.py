@@ -10,8 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ranger_spark.queries import register
-from ranger_spark.queries.core_sql import money_round2
-from ranger_spark.tables import load
+from ranger_spark.queries.core_sql import MONEY_ROUND2_SQL, money_round2
+from ranger_spark.tables import load, view
 
 
 def _net():
@@ -33,21 +33,21 @@ def _net():
 )
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight multi-predicate scan → global agg (fully
-    pushed-down scan, zero shuffle beyond the final 1-row combine)."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.03, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            money_round2(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+    pushed-down scan, zero shuffle beyond the final 1-row combine).
+    Single-parse spark.sql (r14, guide §7.3 — Dataset ops cost
+    ~13-30 ms of driver analysis EACH on this box); plan identical,
+    double literals D-suffixed (bare 0.03 parses as DECIMAL)."""
+    return spark.sql(
+        f"""
+        SELECT {MONEY_ROUND2_SQL.format(
+            e="sum(l_extendedprice * l_discount)", g=4)} AS revenue,
+               count(1) AS cnt
+        FROM {view(spark, sf_dir, "lineitem")}
+        WHERE l_shipdate >= timestamp'1997-01-01'
+          AND l_shipdate <  timestamp'1998-01-01'
+          AND l_discount BETWEEN 0.03D AND 0.07D
+          AND l_quantity < 24
+        """
     )
 
 
@@ -68,20 +68,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS with a cross-table predicate →
     semi-join on (orderkey) with the l_shipdate > o_orderdate condition."""
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        o.join(
-            li,
-            (li["l_orderkey"] == o["o_orderkey"])
-            & (li["l_shipdate"] > o["o_orderdate"]),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, count(1) AS order_count
+        FROM (SELECT * FROM {view(spark, sf_dir, "orders")}
+              WHERE o_orderdate >= timestamp'1997-01-01'
+                AND o_orderdate <  timestamp'1997-07-01') o
+        LEFT SEMI JOIN {view(spark, sf_dir, "lineitem")} l
+          ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+        GROUP BY o_orderpriority
+        """
     )
 
 
@@ -105,22 +101,30 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue ranking; nation broadcast."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    rev = MONEY_ROUND2_SQL.format(
+        e="sum(l_extendedprice * (1.0D - l_discount))", g=4
     )
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(money_round2(F.sum(_net()), 4).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        FROM (
+          SELECT /*+ BROADCAST(n) */ c_custkey, c_name, c_acctbal, n_name,
+                 {rev} AS revenue
+          FROM {view(spark, sf_dir, "customer")} c
+          JOIN (SELECT * FROM {view(spark, sf_dir, "orders")}
+                WHERE o_orderdate >= timestamp'1997-01-01'
+                  AND o_orderdate <  timestamp'1998-01-01') o
+            ON c_custkey = o_custkey
+          JOIN (SELECT * FROM {view(spark, sf_dir, "lineitem")}
+                WHERE l_returnflag = 'R') l
+            ON l_orderkey = o_orderkey
+          JOIN {view(spark, sf_dir, "nation")} n
+            ON c_nationkey = n_nationkey
+          GROUP BY c_custkey, c_name, c_acctbal, n_name
+        )
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """
     )
 
 
@@ -140,15 +144,16 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional-sum pivot on priority class."""
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .groupBy("o_orderstatus")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
-        )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               sum(CASE WHEN {hi} THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN NOT ({hi}) THEN 1 ELSE 0 END) AS low_line_count
+        FROM {view(spark, sf_dir, "orders")}
+        WHERE o_orderdate >= timestamp'1996-01-01'
+        GROUP BY o_orderstatus
+        """
     )
 
 
@@ -185,27 +190,24 @@ def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: ratio of conditional to total revenue."""
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    p = load(spark, sf_dir, "part")
-    net4 = F.floor(_net() * 10000 + F.lit(0.5)).cast("bigint")
-    promo4 = F.when(F.col("p_type") == "ECONOMY", net4).otherwise(
-        F.lit(0).cast("bigint")
-    )
-    return (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.sum(promo4).alias("__p"), F.sum(net4).alias("__t"))
-        .select(
-            (
-                F.expr(
-                    "CAST((2000000 * CAST(__p AS DECIMAL(38,0)) + __t) "
-                    "div (2 * CAST(__t AS DECIMAL(38,0))) AS BIGINT)"
-                )
-                / 10000.0
-            ).alias("promo_share")
+    net4 = ("cast(floor((l_extendedprice * (1.0D - l_discount)) * 10000"
+            " + 0.5D) as bigint)")
+    return spark.sql(
+        f"""
+        SELECT CAST((2000000 * CAST(__p AS DECIMAL(38,0)) + __t)
+                    div (2 * CAST(__t AS DECIMAL(38,0))) AS BIGINT)
+                 / 10000.0D AS promo_share
+        FROM (
+          SELECT sum(CASE WHEN p_type = 'ECONOMY' THEN {net4}
+                          ELSE cast(0 as bigint) END) AS __p,
+                 sum({net4}) AS __t
+          FROM (SELECT * FROM {view(spark, sf_dir, "lineitem")}
+                WHERE l_shipdate >= timestamp'1997-01-01'
+                  AND l_shipdate <  timestamp'1997-04-01') l
+          JOIN {view(spark, sf_dir, "part")} p
+            ON l_partkey = p_partkey
         )
+        """
     )
 
 
@@ -229,35 +231,38 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: IN (grouped HAVING subquery) → semi-join against
     the pre-aggregated order quantities."""
-    li = load(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__q"))
-        .filter(F.col("__q") > 150)
-        .select("l_orderkey")
-    )
-    o = load(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
-    )
-    c = load(spark, sf_dir, "customer")
+    li_v = view(spark, sf_dir, "lineitem")
+    o_v = view(spark, sf_dir, "orders")
+    c_v = view(spark, sf_dir, "customer")
+    o_semi = f"""
+          SELECT oo.* FROM {o_v} oo
+          LEFT SEMI JOIN (SELECT l_orderkey
+                          FROM (SELECT l_orderkey,
+                                       sum(l_quantity) AS __q
+                                FROM {li_v} GROUP BY l_orderkey)
+                          WHERE __q > 150) b
+            ON oo.o_orderkey = b.l_orderkey"""
     if spark.conf.get("spark.ranger.bucketed.db", ""):
         # bucketed layout: the HAVING aggregation, the semi-join, and the
         # orders⋈lineitem join are ALL keyed on the bucket column — the
         # whole fact pipeline runs exchange-free; only the final customer
         # join moves data (by custkey)
-        joined = o.join(li, F.col("o_orderkey") == li["l_orderkey"]).join(
-            c, F.col("c_custkey") == F.col("o_custkey")
-        )
+        joined = f"""({o_semi}) o
+          JOIN {li_v} l ON o.o_orderkey = l.l_orderkey
+          JOIN {c_v} c ON c_custkey = o_custkey"""
     else:
-        joined = c.join(o, F.col("c_custkey") == F.col("o_custkey")).join(
-            li, F.col("o_orderkey") == li["l_orderkey"]
-        )
-    return (
-        joined
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(20)
+        joined = f"""{c_v} c
+          JOIN ({o_semi}) o ON c_custkey = o_custkey
+          JOIN {li_v} l ON o.o_orderkey = l.l_orderkey"""
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM {joined}
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+        """
     )
 
 
@@ -281,32 +286,22 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/qty triples
     evaluated post-join (Catalyst extracts the common l_partkey=p_partkey
     equi-condition; the OR residual stays a join filter)."""
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part")
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#1")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 21)
-        )
-        | (
-            (F.col("p_brand") == "Brand#2")
-            & F.col("p_size").between(10, 30)
-            & F.col("l_quantity").between(10, 30)
-        )
-        | (
-            (F.col("p_brand") == "Brand#3")
-            & F.col("p_size").between(20, 50)
-            & F.col("l_quantity").between(20, 40)
-        )
+    rev = MONEY_ROUND2_SQL.format(
+        e="sum(l_extendedprice * (1.0D - l_discount))", g=4
     )
-    return (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .filter(cond)
-        .agg(
-            money_round2(F.sum(_net()), 4).alias("revenue"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+    return spark.sql(
+        f"""
+        SELECT {rev} AS revenue, count(1) AS cnt
+        FROM {view(spark, sf_dir, "lineitem")} l
+        JOIN {view(spark, sf_dir, "part")} p
+          ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 40)
+        """
     )
 
 
@@ -331,33 +326,29 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation shipping volume (two aliases of the
     same broadcast dim, inequality residual on the pair)."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    n_v = view(spark, sf_dir, "nation")
+    vol = MONEY_ROUND2_SQL.format(
+        e="sum(l_extendedprice * (1.0D - l_discount))", g=4
     )
-    s = load(spark, sf_dir, "supplier")
-    nat = load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 4)
-    n1 = F.broadcast(nat.select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
-    ))
-    n2 = F.broadcast(nat.select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
-    ))
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
-        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
-        .filter(F.col("n1_key") != F.col("n2_key"))
-        .groupBy(
-            "cust_nation",
-            "supp_nation",
-            F.year("l_shipdate").alias("l_year"),
-        )
-        .agg(money_round2(F.sum(_net()), 4).alias("volume"))
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(n1), BROADCAST(n2) */
+               cust_nation, supp_nation, year(l_shipdate) AS l_year,
+               {vol} AS volume
+        FROM {view(spark, sf_dir, "customer")} c
+        JOIN {view(spark, sf_dir, "orders")} o ON c_custkey = o_custkey
+        JOIN (SELECT * FROM {view(spark, sf_dir, "lineitem")}
+              WHERE l_shipdate >= timestamp'1997-01-01'
+                AND l_shipdate <  timestamp'1999-01-01') l
+          ON o_orderkey = l_orderkey
+        JOIN {view(spark, sf_dir, "supplier")} s ON l_suppkey = s_suppkey
+        JOIN (SELECT n_nationkey AS n1_key, n_name AS cust_nation
+              FROM {n_v} WHERE n_nationkey < 4) n1 ON c_nationkey = n1_key
+        JOIN (SELECT n_nationkey AS n2_key, n_name AS supp_nation
+              FROM {n_v} WHERE n_nationkey < 4) n2 ON s_nationkey = n2_key
+        WHERE NOT (n1_key = n2_key)
+        GROUP BY cust_nation, supp_nation, year(l_shipdate)
+        """
     )
 
 
@@ -379,16 +370,19 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: customer order-count histogram (left join with a
     filtered join condition, double aggregation)."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "1-URGENT"
-    )
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
+    return spark.sql(
+        f"""
+        SELECT c_count, count(1) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM {view(spark, sf_dir, "customer")} c
+          LEFT OUTER JOIN (SELECT * FROM {view(spark, sf_dir, "orders")}
+                           WHERE NOT (o_orderpriority = '1-URGENT')) o
+            ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        """
     )
 
 
@@ -413,20 +407,24 @@ def q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
     derived aggregate reused twice (revenue table + its max)."""
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    rev = MONEY_ROUND2_SQL.format(
+        e="sum(l_extendedprice * (1.0D - l_discount))", g=4
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        money_round2(F.sum(_net()), 4).alias("total_revenue")
-    )
-    max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
-    s = load(spark, sf_dir, "supplier")
-    return (
-        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .crossJoin(F.broadcast(max_rev))
-        .filter(F.col("total_revenue") == F.col("__max"))
-        .select("s_suppkey", "s_name", "total_revenue")
+    revenue_sql = f"""
+          SELECT l_suppkey AS supplier_no, {rev} AS total_revenue
+          FROM {view(spark, sf_dir, "lineitem")}
+          WHERE l_shipdate >= timestamp'1997-01-01'
+            AND l_shipdate <  timestamp'1997-04-01'
+          GROUP BY l_suppkey"""
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(m) */ s_suppkey, s_name, total_revenue
+        FROM {view(spark, sf_dir, "supplier")} s
+        JOIN ({revenue_sql}) r ON s_suppkey = supplier_no
+        CROSS JOIN (SELECT max(total_revenue) AS __max
+                    FROM ({revenue_sql})) m
+        WHERE total_revenue = __max
+        """
     )
 
 
@@ -448,18 +446,20 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average threshold →
     decorrelated into a pre-aggregated per-part threshold join (the plan
     Catalyst itself produces for the correlated SQL)."""
-    li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
-    )
-    return (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(
-            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly")
-        )
+    li_v = view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT round(sum(l_extendedprice) / 7.0D, 2) AS avg_yearly
+        FROM {li_v} l
+        JOIN (SELECT * FROM {view(spark, sf_dir, "part")}
+              WHERE p_brand = 'Brand#1') p
+          ON l_partkey = p_partkey
+        JOIN (SELECT l_partkey AS t_partkey,
+                     0.5D * avg(l_quantity) AS half_avg_qty
+              FROM {li_v} GROUP BY l_partkey) t
+          ON l_partkey = t_partkey
+        WHERE l_quantity < half_avg_qty
+        """
     )
 
 
@@ -479,20 +479,22 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold + anti-join (customers
     above average balance with no large order)."""
-    c = load(spark, sf_dir, "customer")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("__avg")
-    )
-    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
-    return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("__avg"))
-        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
-        )
+    c_v = view(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, count(1) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM (
+          SELECT /*+ BROADCAST(a) */ c.* FROM {c_v} c
+          CROSS JOIN (SELECT avg(c_acctbal) AS __avg FROM {c_v}
+                      WHERE c_acctbal > 0) a
+          WHERE c_acctbal > __avg
+        ) cc
+        LEFT ANTI JOIN (SELECT * FROM {view(spark, sf_dir, "orders")}
+                        WHERE o_totalprice > 300000) o
+          ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
     )
 
 
@@ -528,47 +530,39 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise identical across engines and the equality join is exact.
     At scale: cost table is a map-side-combined agg over lineitem; the
     per-part min is a second small agg; region/nation dims broadcast."""
-    li = load(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    r = F.broadcast(
-        load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    )
-    s_eu = (
-        load(spark, sf_dir, "supplier")
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-    )
-    eu_cost = cost.join(s_eu, F.col("l_suppkey") == F.col("s_suppkey"))
-    p = load(spark, sf_dir, "part").filter(
-        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
-    )
     # per-part min as a WINDOW over the single eu_cost pass (the
     # agg+self-join decorrelation computed the lineitem cost aggregate
     # twice — 1.03 s → 0.6 s at sf0.1); the part filter joins FIRST,
     # shrinking the window input without changing any per-part min
     # (the filter is on part attributes, never on offers)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_partkey")
-    return (
-        eu_cost.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .withColumn("m_cost", F.min("unit_cost").over(w))
-        .filter(F.col("unit_cost") == F.col("m_cost"))
-        .select(
-            "s_acctbal",
-            "s_name",
-            "n_name",
-            "p_partkey",
-            "p_brand",
-            F.col("unit_cost").alias("min_cost"),
+    return spark.sql(
+        f"""
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               unit_cost AS min_cost
+        FROM (
+          SELECT /*+ BROADCAST(n), BROADCAST(r), BROADCAST(p) */
+                 s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost,
+                 min(unit_cost) OVER (PARTITION BY l_partkey) AS m_cost
+          FROM (SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM {view(spark, sf_dir, "lineitem")}
+                GROUP BY l_partkey, l_suppkey) cost
+          JOIN {view(spark, sf_dir, "supplier")} s
+            ON l_suppkey = s_suppkey
+          JOIN {view(spark, sf_dir, "nation")} n
+            ON s_nationkey = n_nationkey
+          JOIN (SELECT * FROM {view(spark, sf_dir, "region")}
+                WHERE r_name = 'EUROPE') r
+            ON n_regionkey = r_regionkey
+          JOIN (SELECT * FROM {view(spark, sf_dir, "part")}
+                WHERE p_size BETWEEN 10 AND 20
+                  AND p_type = 'STANDARD') p
+            ON l_partkey = p_partkey
         )
-        .orderBy(
-            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
-        )
-        .limit(20)
+        WHERE unit_cost = m_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 20
+        """
     )
 
 
@@ -600,41 +594,32 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     roles (customer side, supplier side) broadcast; the fact-side joins
     shuffle on their keys. Share rounded to 6dp (sum order differs across
     engines only in the last ulps)."""
-    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
-    )
-    c = load(spark, sf_dir, "customer")
-    s = load(spark, sf_dir, "supplier")
-    nat = load(spark, sf_dir, "nation")
-    r = F.broadcast(
-        load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    )
-    n1 = F.broadcast(
-        nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey"))
-    )
-    n2 = F.broadcast(
-        nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name"))
-    )
-    vol = _net()
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
-        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_7", vol).otherwise(0.0))
-                / F.sum(vol),
-                6,
-            ).alias("mkt_share")
-        )
+    n_v = view(spark, sf_dir, "nation")
+    vol = "(l_extendedprice * (1.0D - l_discount))"
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p), BROADCAST(r), BROADCAST(n1),
+                   BROADCAST(n2) */
+               cast(year(o_orderdate) as int) AS o_year,
+               round(sum(CASE WHEN n_name = 'NATION_7' THEN {vol}
+                              ELSE 0.0D END) / sum({vol}), 6) AS mkt_share
+        FROM {view(spark, sf_dir, "lineitem")} l
+        JOIN (SELECT * FROM {view(spark, sf_dir, "part")}
+              WHERE p_type = 'ECONOMY') p ON l_partkey = p_partkey
+        JOIN (SELECT * FROM {view(spark, sf_dir, "orders")}
+              WHERE o_orderdate >= timestamp'1996-01-01'
+                AND o_orderdate <= timestamp'1997-12-31') o
+          ON l_orderkey = o_orderkey
+        JOIN {view(spark, sf_dir, "customer")} c ON o_custkey = c_custkey
+        JOIN (SELECT n_nationkey AS n1_key, n_regionkey FROM {n_v}) n1
+          ON c_nationkey = n1_key
+        JOIN (SELECT * FROM {view(spark, sf_dir, "region")}
+              WHERE r_name = 'ASIA') r ON n_regionkey = r_regionkey
+        JOIN {view(spark, sf_dir, "supplier")} s ON l_suppkey = s_suppkey
+        JOIN (SELECT n_nationkey AS n2_key, n_name FROM {n_v}) n2
+          ON s_nationkey = n2_key
+        GROUP BY cast(year(o_orderdate) as int)
+        """
     )
 
 
@@ -661,23 +646,23 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 4dp decimal (2dp × 2dp products), so it is integer-scaled ×10⁴
     and summed as longs — the group sums are exact in both engines and no
     boundary-sensitive final rounding is needed."""
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    s = load(spark, sf_dir, "supplier")
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    profit = _net() - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
-    profit4 = F.round(profit * 10000, 0).cast("long")
-    return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
-        )
-        .agg((F.sum(profit4) / F.lit(10000.0)).alias("sum_profit"))
+    profit4 = ("cast(round(((l_extendedprice * (1.0D - l_discount))"
+               " - (0.1D * p_retailprice) * l_quantity) * 10000, 0)"
+               " as bigint)")
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p), BROADCAST(n) */
+               n_name AS nation,
+               cast(year(o_orderdate) as int) AS o_year,
+               sum({profit4}) / 10000.0D AS sum_profit
+        FROM {view(spark, sf_dir, "lineitem")} l
+        JOIN (SELECT * FROM {view(spark, sf_dir, "part")}
+              WHERE p_name LIKE '%widget%') p ON l_partkey = p_partkey
+        JOIN {view(spark, sf_dir, "orders")} o ON l_orderkey = o_orderkey
+        JOIN {view(spark, sf_dir, "supplier")} s ON l_suppkey = s_suppkey
+        JOIN {view(spark, sf_dir, "nation")} n ON s_nationkey = n_nationkey
+        GROUP BY n_name, cast(year(o_orderdate) as int)
+        """
     )
 
 
@@ -702,32 +687,28 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global total — grouped agg compared against a scalar subquery over
     the same agg. The per-part value table is computed once and reused for
     both sides (broadcast 1-row threshold, no second scan)."""
-    li = load(spark, sf_dir, "lineitem")
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    r = F.broadcast(
-        load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    )
-    s_eu = (
-        load(spark, sf_dir, "supplier")
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey")
-    )
-    v = (
-        li.join(s_eu, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum(_net()).alias("val"))
-    )
-    thresh = v.agg((F.lit(0.001) * F.sum("val")).alias("__thresh"))
-    return (
-        v.crossJoin(F.broadcast(thresh))
-        .filter(F.col("val") > F.col("__thresh"))
-        .select(
-            F.col("l_partkey").alias("partkey"),
-            F.round("val", 2).alias("part_value"),
-        )
-        .orderBy(F.col("part_value").desc(), "partkey")
-        .limit(50)
+    v_sql = f"""
+          SELECT /*+ BROADCAST(n), BROADCAST(r) */
+                 l_partkey, sum(l_extendedprice * (1.0D - l_discount)) AS val
+          FROM {view(spark, sf_dir, "lineitem")} l
+          JOIN (SELECT s_suppkey, s_nationkey
+                FROM {view(spark, sf_dir, "supplier")}) s
+            ON l_suppkey = s_suppkey
+          JOIN {view(spark, sf_dir, "nation")} n ON s_nationkey = n_nationkey
+          JOIN (SELECT * FROM {view(spark, sf_dir, "region")}
+                WHERE r_name = 'EUROPE') r ON n_regionkey = r_regionkey
+          GROUP BY l_partkey"""
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(t) */ l_partkey AS partkey,
+               round(val, 2) AS part_value
+        FROM ({v_sql}) v
+        CROSS JOIN (SELECT 0.001D * sum(val) AS __thresh
+                    FROM ({v_sql})) t
+        WHERE val > __thresh
+        ORDER BY part_value DESC, partkey
+        LIMIT 50
+        """
     )
 
 
@@ -750,22 +731,26 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per part attribute triple,
     excluding a supplier blacklist (NOT IN → left anti join; the part↔
     supplier relation again derived from lineitem)."""
-    p = load(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#1")
-        & (F.col("p_type") != "PROMO")
-        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
-    )
-    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
-        "s_suppkey"
-    )
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
-        .limit(40)
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(p) */ p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (
+          SELECT /*+ BROADCAST(bad) */ l.* FROM
+          {view(spark, sf_dir, "lineitem")} l
+          LEFT ANTI JOIN (SELECT s_suppkey
+                          FROM {view(spark, sf_dir, "supplier")}
+                          WHERE s_acctbal < 0) bad
+            ON l_suppkey = bad.s_suppkey
+        ) l
+        JOIN (SELECT * FROM {view(spark, sf_dir, "part")}
+              WHERE NOT (p_brand = 'Brand#1') AND NOT (p_type = 'PROMO')
+                AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)) p
+          ON l_partkey = p_partkey
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 40
+        """
     )
 
 
@@ -792,31 +777,31 @@ def q20_part_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-name family in a year — nested IN chain decorrelated to
     semi-join → grouped HAVING → semi-join. l_quantity is integral-valued,
     so the HAVING sum is exact across engines."""
-    parts = (
-        load(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("large%"))
-        .select("p_partkey")
-    )
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    big = (
-        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").alias("__qty"))
-        .filter(F.col("__qty") > 100)
-        .select("l_suppkey")
-    )
-    n = F.broadcast(
-        load(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
-    )
-    return (
-        load(spark, sf_dir, "supplier")
-        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_name", "n_name")
-        .orderBy("s_name")
+    big_sql = f"""
+          SELECT l_suppkey FROM (
+            SELECT l_suppkey, sum(l_quantity) AS __qty
+            FROM (
+              SELECT /*+ BROADCAST(pk) */ ll.* FROM
+              (SELECT * FROM {view(spark, sf_dir, "lineitem")}
+               WHERE l_shipdate >= timestamp'1997-01-01'
+                 AND l_shipdate <  timestamp'1998-01-01') ll
+              LEFT SEMI JOIN (SELECT p_partkey
+                              FROM {view(spark, sf_dir, "part")}
+                              WHERE p_name LIKE 'large%') pk
+                ON l_partkey = pk.p_partkey
+            )
+            GROUP BY l_suppkey
+          ) WHERE __qty > 100"""
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(n) */ s_name, n_name
+        FROM {view(spark, sf_dir, "supplier")} s
+        LEFT SEMI JOIN ({big_sql}) b ON s_suppkey = b.l_suppkey
+        JOIN (SELECT * FROM {view(spark, sf_dir, "nation")}
+              WHERE n_regionkey < 3) n
+          ON s_nationkey = n_nationkey
+        ORDER BY s_name
+        """
     )
 
 
@@ -851,41 +836,34 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct late suppliers) — a single extra shuffle on orderkey instead
     of two correlated scans; the filter keeps lines whose order has ≥2
     suppliers and exactly one late supplier (necessarily l1's)."""
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    li = load(spark, sf_dir, "lineitem")
-    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     # per-order distinct/late-distinct supplier counts as WINDOW
     # collect_sets over ONE orderkey exchange — the agg+join-back form
     # re-computed the lineitem⋈orders lineage twice (0.80→0.55 s at
     # sf0.1); set sizes are bounded by suppliers-per-order, tiny
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_orderkey")
-    lo2 = (
-        lo.withColumn(
-            "__n_supp", F.size(F.collect_set("l_suppkey").over(w))
-        )
-        .withColumn(
-            "__n_late",
-            F.size(
-                F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
-            ),
-        )
-    )
-    n = F.broadcast(
-        load(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
-    )
-    s = load(spark, sf_dir, "supplier")
-    return (
-        lo2.filter(late)
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
-        .limit(20)
+    late = "l_shipdate > o_orderdate + INTERVAL 60 DAYS"
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(n) */ s_name, count(1) AS numwait
+        FROM (
+          SELECT *,
+                 size(collect_set(l_suppkey)
+                      OVER (PARTITION BY l_orderkey)) AS __n_supp,
+                 size(collect_set(CASE WHEN {late} THEN l_suppkey END)
+                      OVER (PARTITION BY l_orderkey)) AS __n_late
+          FROM {view(spark, sf_dir, "lineitem")} l
+          JOIN (SELECT * FROM {view(spark, sf_dir, "orders")}
+                WHERE o_orderstatus = 'F') o
+            ON l_orderkey = o_orderkey
+        ) lo
+        JOIN {view(spark, sf_dir, "supplier")} s ON l_suppkey = s_suppkey
+        JOIN (SELECT * FROM {view(spark, sf_dir, "nation")}
+              WHERE n_nationkey < 13) n
+          ON s_nationkey = n_nationkey
+        WHERE ({late}) AND __n_supp >= 2 AND __n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
     )
 
 
