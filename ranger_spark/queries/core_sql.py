@@ -288,8 +288,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     _c_hint = "/*+ BROADCAST(c) */" if bcast_cust else ""
     _q5_fmt = """
         SELECT /*+ BROADCAST(sd) */ n_name,
-               cast(round(cast(round(sum(l_extendedprice
-                   * (1.0D - l_discount)), 4) as decimal(38,4)), 2)
+               cast(round(cast(round(sum(__net), 4) as decimal(38,4)), 2)
                  as double) AS revenue
         FROM (%s) j JOIN %s
           ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -299,7 +298,23 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND o_orderdate <  timestamp'1998-01-01'"""
     cust_v = view(spark, sf_dir, "customer")
     orders_v = view(spark, sf_dir, "orders")
-    li_v = view(spark, sf_dir, "lineitem")
+    # Project the revenue term BEFORE the fact exchange (guide §2.3:
+    # shuffle fewer bytes): the orderkey shuffle of lineitem is 92% of
+    # this query at 64× (r10 profile), and shipping the single __net
+    # double instead of (l_extendedprice, l_discount) cuts its payload
+    # [l_orderkey, l_suppkey, price, disc] 32 → 24 B/row. Identical
+    # result: the per-row multiset of net values is unchanged (inner
+    # equi-joins neither create nor null rows), so the grid-snapped sum
+    # is byte-equal (verified: collected rows identical at 64×).
+    # Measured (interleaved A/B at 64×, warm, 5 runs each): min 2.45 →
+    # 2.40 s, mean 2.80 → 2.74 — ~2%, within window noise here because
+    # the saved bytes are one column of one shuffle; the saving is
+    # structural and grows with the fact shuffle's share of the query.
+    # Bucketed plan keeps 0 fact exchanges (the projection passes
+    # l_orderkey through untouched; plain 3 / bucketed 1 re-verified).
+    li_sql = f"""(SELECT l_orderkey, l_suppkey,
+                     l_extendedprice * (1.0D - l_discount) AS __net
+              FROM {view(spark, sf_dir, "lineitem")})"""
     if spark.conf.get("spark.ranger.bucketed.db", ""):
         # bucketed layout: lineitem⋈orders are co-located on the order
         # key, so joining the two FACT tables first runs with zero
@@ -309,7 +324,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ANY repartitioning.
         joined_sql = f"""
             SELECT {_c_hint} * FROM {orders_v} o
-            JOIN {li_v}   l ON l_orderkey = o_orderkey
+            JOIN {li_sql} l ON l_orderkey = o_orderkey
             JOIN {cust_v} c ON c_custkey  = o_custkey
             WHERE {_date_range}
             """
@@ -317,7 +332,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined_sql = f"""
             SELECT {_c_hint} * FROM {cust_v} c
             JOIN {orders_v} o ON c_custkey  = o_custkey
-            JOIN {li_v}     l ON l_orderkey = o_orderkey
+            JOIN {li_sql}   l ON l_orderkey = o_orderkey
             WHERE {_date_range}
             """
     return spark.sql(_q5_fmt % (joined_sql, _supp_dim_sql))
