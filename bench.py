@@ -338,17 +338,54 @@ def _scale64_section(
             t0 = time.time()
             pj_dir = ensure_prejoined_fact(spark, out)
             pj_build_s = round(time.time() - t0, 1)
+            # Apples-to-apples denominator (VERDICT r14 #2, declared in
+            # NOTES r15 #1 before any r15 run): DuckDB reads the SAME
+            # pre-joined projection the Spark numerator scans, so the
+            # ratio compares the two engines on one deployment layout
+            # instead of an MV-serving read vs a cold base-table join.
+            # The 2.0 target is unchanged; the base-table denominator
+            # from the bucketed A/B window stays reported.
+            _con.execute(
+                "CREATE OR REPLACE VIEW prejoined AS "
+                f"SELECT * FROM read_parquet('{pj_dir}/*.parquet')"
+            )
+            _oracle3_pj = """
+            SELECT l_orderkey,
+                   CAST(round(CAST(round(sum(l_extendedprice
+                       * (1 - l_discount)), 4) AS DECIMAL(38,4)), 2)
+                     AS DOUBLE) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   o_orderpriority
+            FROM prejoined p JOIN customer c ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate  > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+            """
+            # layout-equivalence gate: the projection-rooted oracle must
+            # return byte-identical rows to the base-table oracle before
+            # its timing can stand in as the denominator
+            assert (
+                _con.execute(_oracle3_pj).fetchall()
+                == _con.execute(_oracle3).fetchall()
+            ), "prejoined DuckDB view diverges from base-table oracle"
+
+            def _d_run_pj():
+                _con.execute(_oracle3_pj).fetchall()
+
             spark.conf.set("spark.ranger.prejoined.dir", pj_dir)
             try:
                 _s_run()  # warm
-                _d_run()  # warm
+                _d_run_pj()  # warm
                 s_pj, d_pj = float("inf"), float("inf")
                 for _ in range(6):
                     t0 = time.time()
                     _s_run()
                     s_pj = min(s_pj, time.time() - t0)
                     t0 = time.time()
-                    _d_run()
+                    _d_run_pj()
                     d_pj = min(d_pj, time.time() - t0)
             finally:
                 spark.conf.set("spark.ranger.prejoined.dir", "")
@@ -359,7 +396,7 @@ def _scale64_section(
                 "layout": "pre-joined fact projection "
                           "(deployment layout v3, sources/prejoined.py)",
                 "q3_64x_prejoined_interleaved_min_of_6": s_pj,
-                "duckdb_64x_interleaved_min_of_6": d_pj,
+                "duckdb_64x_prejoined_interleaved_min_of_6": d_pj,
                 "projection_build_s": pj_build_s,
                 "ratio": ratio3,
                 "target_max_ratio": 2.0,
@@ -376,11 +413,15 @@ def _scale64_section(
                     },
                 },
                 "note": "graded on the pre-joined projection per "
-                        "VERDICT r13 #3; numerator/denominator from one "
-                        "same-box interleaved A/B window (r14 NOTES "
-                        "declaration #3) so the verdict cannot flip on "
-                        "cross-box denominator drift; bucketed and "
-                        "block-protocol numbers kept for honesty",
+                        "VERDICT r13 #3; BOTH engines read that "
+                        "projection since r15 (VERDICT r14 #2, NOTES "
+                        "r15 declaration #1 — DuckDB view gated on "
+                        "byte-identical rows vs the base-table oracle); "
+                        "numerator/denominator from one same-box "
+                        "interleaved A/B window so the verdict cannot "
+                        "flip on cross-box denominator drift; bucketed "
+                        "and block-protocol base-table numbers kept "
+                        "for honesty",
             }
             # q3 Spark-absolute criterion on the SAME deployment layout
             # (r12): with pinned denominators the honest steady ratio is
@@ -607,7 +648,10 @@ def _bucketed_section(spark, registry, replica_dir: str, scale: dict) -> dict:
     )
     eng_fact_ex = num_exchanges(efact)
     register_views(spark, replica_dir)  # dims for the SQL text
-    eng = Engine(spark)
+    # result_cache off: the timed loop below must execute the query every
+    # iteration, not re-serve a memoized QueryResult (VERDICT r14 #1 —
+    # same gaming class as the retired fastpath result-plan cache)
+    eng = Engine(spark, result_cache=False)
     # ANALYZE through the ENGINE statement (VERDICT r7 item 5): real row
     # counts + key NDVs into the catalog for the engine-path q5 run; the
     # engine drops timestamp_ntz columns itself (Spark CBO MatchError)
@@ -1119,6 +1163,12 @@ def _warc_source_section(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    # Honest-timing guard (VERDICT r14 #1): the fastpath's driver-side
+    # pruned-scan cache must not serve the timed loops — with this set,
+    # every timed iteration of a fastpath query re-reads the parquet and
+    # recomputes the aggregate (the result-plan memo itself was deleted
+    # from operators/fastpath.py the same round).
+    os.environ["RANGER_FASTPATH_NO_CACHE"] = "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -1317,6 +1367,26 @@ def main() -> None:
                             "attribution evidence only",
             }
             _mark("headline_duckdb")
+            # Uncached co-report (VERDICT r14 "What's wrong" #1, r15):
+            # the headline protocol caches base tables in memory before
+            # timing (disclosed; the DuckDB arm likewise runs warm with
+            # its object cache). This additive row times the same
+            # queries with NO InMemoryRelations — every iteration scans
+            # parquet (OS page cache warm, same as the DuckDB arm) — so
+            # the record itself shows what the warm-cache protocol is
+            # worth. No criterion attached.
+            spark.catalog.clearCache()
+            uncached = _bench_spark(
+                spark, registry, names, sf_dir, warmups=1, timed=3
+            )
+            result["headline_uncached"] = {
+                "queries": uncached,
+                "total": round(sum(uncached.values()), 3),
+                "protocol": "no df.cache() of base tables; warm-1 "
+                            "min-of-3; OS page cache warm (same as the "
+                            "DuckDB arm); informational only",
+            }
+            _mark("headline_uncached")
         except Exception as e:
             result["headline_windows"] = {"error": str(e)[:300]}
     # Full record (scale16/bucketed/scale64 sections) goes to a sidecar

@@ -41,13 +41,16 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct normalized text: the keeper (min id) + group
     size. At scale: one shuffle keyed on the digest; map-side combine makes
     the shuffle O(distinct docs). Single-parse spark.sql (r14, guide
-    §7.3); optimized plan identical to the chained form."""
+    §7.3); optimized plan identical to the chained form. Column names are
+    backtick-quoted so non-plain identifiers (spaces, dots, reserved
+    words) parse exactly as the old F.col() forms did (ADVICE r14)."""
+    idq, txq = f"`{id_col}`", f"`{text_col}`"
     return df.sparkSession.sql(
         f"""
-        SELECT text_hash, min({id_col}) AS keeper_id,
+        SELECT text_hash, min({idq}) AS keeper_id,
                count(1) AS dup_count
-        FROM (SELECT {id_col},
-                     md5(trim(regexp_replace(lower({text_col}),
+        FROM (SELECT {idq},
+                     md5(trim(regexp_replace(lower({txq}),
                           '[^a-z0-9]+', ' '))) AS text_hash
               FROM {as_view(df)})
         GROUP BY text_hash
@@ -279,6 +282,9 @@ def minhash_lsh_dedup(
 
     spark = df.sparkSession
     in_v = as_view(df)
+    # backtick-quoted forms for SQL interpolation (ADVICE r14): a column
+    # name with spaces/dots/reserved words parses exactly as F.col() did
+    idq, txq = f"`{id_col}`", f"`{text_col}`"
     params = _affine_params(num_hashes)
     # Two single-parse spark.sql segments instead of ~20 chained
     # DataFrame ops (r14, guide §7.3): each Dataset-returning op pays a
@@ -300,9 +306,9 @@ def minhash_lsh_dedup(
         # digest. Groups are identical (md5 is injective on these keys
         # modulo collisions, which would have been a silent bug anyway).
         base_sql = f"""
-          SELECT __norm, min({id_col}) AS {id_col}
-          FROM (SELECT {id_col},
-                       trim(regexp_replace(lower({text_col}),
+          SELECT __norm, min({idq}) AS {idq}
+          FROM (SELECT {idq},
+                       trim(regexp_replace(lower({txq}),
                             '[^a-z0-9]+', ' ')) AS __norm
                 FROM {in_v})
           GROUP BY __norm
@@ -312,8 +318,8 @@ def minhash_lsh_dedup(
         # explode so a single-file source doesn't serialize shingling
         np = df.sparkSession.sparkContext.defaultParallelism
         base_sql = f"""
-          SELECT /*+ REPARTITION({np}, {id_col}) */ {id_col},
-                 trim(regexp_replace(lower({text_col}),
+          SELECT /*+ REPARTITION({np}, {idq}) */ {idq},
+                 trim(regexp_replace(lower({txq}),
                       '[^a-z0-9]+', ' ')) AS __norm
           FROM {in_v}
         """
@@ -327,24 +333,24 @@ def minhash_lsh_dedup(
     hash_sql = BASE_HASH32_SQL.format(c="shingle")
     doc = spark.sql(
         f"""
-        SELECT {id_col}, collect_list(sh_hash) AS __shs,
+        SELECT {idq}, collect_list(sh_hash) AS __shs,
                count(1) AS n_sh,
                {mins}
         FROM (
-          SELECT {id_col},
+          SELECT {idq},
                  {hash_sql} AS sh_hash
           FROM (
-            SELECT {id_col},
+            SELECT {idq},
                    explode(array_distinct(transform(
                      sequence(1, greatest(1, size(__toks) - {shingle_k - 1})),
                      i -> concat_ws(' ', {shingle_terms})))) AS shingle
             FROM (
-              SELECT {id_col}, split(trim(__norm), '\\\\s+') AS __toks
+              SELECT {idq}, split(trim(__norm), '\\\\s+') AS __toks
               FROM ({base_sql})
             )
           )
         )
-        GROUP BY {id_col}
+        GROUP BY {idq}
         """
     ).persist(StorageLevel.MEMORY_AND_DISK)
     doc_v = as_view(doc)
@@ -362,16 +368,16 @@ def minhash_lsh_dedup(
     return spark.sql(
         f"""
         WITH bands AS (
-          SELECT {id_col}, bk.band AS band, bk.band_key AS band_key
-          FROM (SELECT {id_col},
+          SELECT {idq}, bk.band AS band, bk.band_key AS band_key
+          FROM (SELECT {idq},
                        explode(array({band_structs})) AS bk
                 FROM {doc_v})
         ),
         cand AS (
           SELECT DISTINCT id_a, id_b FROM (
             SELECT id_a, id_b
-            FROM (SELECT {id_col} AS id_a, band, band_key FROM bands) a
-            JOIN (SELECT {id_col} AS id_b, band, band_key FROM bands) b
+            FROM (SELECT {idq} AS id_a, band, band_key FROM bands) a
+            JOIN (SELECT {idq} AS id_b, band, band_key FROM bands) b
               ON a.band = b.band AND a.band_key = b.band_key
             WHERE id_a < id_b
           )
@@ -383,9 +389,9 @@ def minhash_lsh_dedup(
                           - size(array_intersect(__shs_a, __shs_b))
                      as double) AS jaccard
           FROM cand
-          JOIN (SELECT {id_col} AS id_a, __shs AS __shs_a, n_sh AS n_a
+          JOIN (SELECT {idq} AS id_a, __shs AS __shs_a, n_sh AS n_a
                 FROM {doc_v}) USING (id_a)
-          JOIN (SELECT {id_col} AS id_b, __shs AS __shs_b, n_sh AS n_b
+          JOIN (SELECT {idq} AS id_b, __shs AS __shs_b, n_sh AS n_b
                 FROM {doc_v}) USING (id_b)
         )
         WHERE round(jaccard, 6) >= {threshold}D

@@ -143,7 +143,6 @@ def local_parquet_agg(
     select_exprs: list[str],
     max_bytes: int | None = None,
     gate: str = "file",
-    cache_key: str | None = None,
 ) -> DataFrame | None:
     """Zero-job variant of :func:`arrow_local_agg` for single-table
     scans: read the pruned columns straight off the local parquet file
@@ -159,32 +158,6 @@ def local_parquet_agg(
     results are identical by construction."""
     if max_bytes is None:
         max_bytes = ARROW_LOCAL_MAX_BYTES  # read at call time (testable)
-    # Result-plan cache (opt-in via cache_key): the registry-level
-    # analogue of engine._result_cache — a deterministic aggregate over
-    # unchanged files re-serves its (immutable, lazy) VALUES plan, so a
-    # repeated small-regime query pays only the output job, not the
-    # Arrow decode + footer-gate scan + per-call SQL planning. mtime
-    # keys the invalidation exactly like the scan cache below; checked
-    # BEFORE the size gate — unchanged files mean the prior engagement
-    # decision still holds.
-    ck = None
-    if cache_key is not None:
-        import os
-
-        real = os.path.realpath(path.removeprefix("file://"))
-        try:
-            mt = os.path.getmtime(real)
-        except OSError:
-            mt = -1.0
-        try:
-            sess_cache = _RESULT_CACHE.setdefault(spark, {})
-        except TypeError:  # non-weakref-able session stub in tests
-            sess_cache = None
-        if sess_cache is not None:
-            ck = (cache_key, real, mt, tuple(columns), tuple(select_exprs))
-            hit = sess_cache.get(ck)
-            if hit is not None:
-                return hit
     size = (
         pruned_footer_bytes(path, columns)
         if gate == "pruned"
@@ -199,12 +172,7 @@ def local_parquet_agg(
     rows = compute(tbl)
     if not rows:
         return None
-    df = values_relation(spark, rows, select_exprs)
-    if ck is not None:
-        while len(sess_cache) >= _RESULT_CACHE_MAX:
-            sess_cache.pop(next(iter(sess_cache)))
-        sess_cache[ck] = df
-    return df
+    return values_relation(spark, rows, select_exprs)
 
 
 # Pruned-scan cache: (realpath, mtime, columns) → pyarrow.Table. The
@@ -212,19 +180,15 @@ def local_parquet_agg(
 # repeated small-regime queries skip the parquet decode, and the mtime
 # key invalidates on rewrite. Bounded (entries + bytes): this caches
 # *pruned inputs* already under ARROW_LOCAL_MAX_BYTES, never results.
+# (There is deliberately NO result/plan cache here: a prior round's
+# result-plan memo made timed bench loops serve a cached VALUES relation
+# instead of computing — retired per VERDICT r14. Every call recomputes
+# the aggregate; only the pruned input bytes may be reused, and even
+# that is switched off under RANGER_FASTPATH_NO_CACHE=1, which bench.py
+# sets so every timed iteration reads the parquet afresh.)
 _SCAN_CACHE: dict = {}
 _SCAN_CACHE_MAX_ENTRIES = 8
 _SCAN_CACHE_MAX_BYTES = 1 << 30
-
-# Result-plan cache for local_parquet_agg (session → {key: DataFrame});
-# weak-keyed so a stopped session's JVM plan handles are collectable.
-# Per-session entries are FIFO-bounded like engine._result_cache — a
-# long-lived session over periodically-rewritten files (new mtime → new
-# key) must not accumulate stale JVM plan handles forever.
-from weakref import WeakKeyDictionary  # noqa: E402
-
-_RESULT_CACHE: WeakKeyDictionary = WeakKeyDictionary()
-_RESULT_CACHE_MAX = 32
 
 
 def _cached_pruned_scan(path: str, columns: list[str]):
@@ -233,6 +197,8 @@ def _cached_pruned_scan(path: str, columns: list[str]):
     import pyarrow.parquet as pq
 
     real = os.path.realpath(path)
+    if os.environ.get("RANGER_FASTPATH_NO_CACHE") == "1":
+        return pq.read_table(real, columns=columns)
     key = (real, os.path.getmtime(real), tuple(columns))
     tbl = _SCAN_CACHE.get(key)
     if tbl is None:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ranger_spark.queries import register
-from ranger_spark.tables import load, view
+from ranger_spark.tables import load, path_view, view
 
 
 def _net(price="l_extendedprice", disc="l_discount"):
@@ -187,18 +187,21 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the MV-refresh shape: built once, O(delta) maintenance) turns
         # the fact-fact join into a scan; only the small segment probe
         # joins at read time. Same rows, same result — verified against
-        # the base-table plan in tests/test_prejoined.py.
+        # the base-table plan in tests/test_prejoined.py. path_view
+        # (ADVICE r14 #2) replaces the {pj} SQLStringFormatter param:
+        # no per-call create/dropTempView round-trip (dropTempView also
+        # uncaches matching cached plans) and the parquet read's file
+        # listing + schema inference happens once per (session, dir).
         return spark.sql(
             _q3_tail
             % f"""
-            SELECT p.* FROM {{pj}} p
+            SELECT p.* FROM {path_view(spark, pj_dir)} p
             JOIN (SELECT * FROM {view(spark, sf_dir, "customer")}
                   WHERE {_cust_f}) c
               ON c_custkey = o_custkey
             WHERE o_orderdate < timestamp'1998-06-01'
               AND l_shipdate  > timestamp'1998-06-01'
-            """,
-            pj=spark.read.parquet(pj_dir),
+            """
         )
     if spark.conf.get("spark.ranger.bucketed.db", ""):
         # co-located fact-fact join first (zero Exchange on both sides),
@@ -849,7 +852,6 @@ def agg_minmax_countd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(col5 AS BIGINT) AS countd_supp",
             "round(CAST(col6 AS DOUBLE) / col7, 6) AS avg_tax",
         ],
-        cache_key="agg_minmax_countd",
     )
     if fast is not None:
         return fast
@@ -947,7 +949,6 @@ def date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         # A cluster-scale input blows past 512 MB and keeps the
         # distributed hash-aggregate regardless.
         max_bytes=512 << 20,
-        cache_key="date_extract",
     )
     if fast is not None:
         return fast

@@ -133,8 +133,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def as_view(df: DataFrame) -> str:
-    """Register ``df`` under a fresh temp-view name and return the name,
-    WITHOUT ever dropping it.
+    """Register ``df`` under a semanticHash-derived temp-view name and
+    return the name, WITHOUT ever dropping it.
 
     This is the safe way to reference an arbitrary DataFrame from a
     single-parse ``spark.sql`` string. Passing the DataFrame as a
@@ -144,13 +144,26 @@ def as_view(df: DataFrame) -> str:
     persisted intermediate (or at a base table the bench has cached)
     silently destroys that cache and every later query recomputes/
     rescans (r14 finding: the first sql-form minhash build did exactly
-    this — the persisted doc table inlined 4× uncached). The leaked
-    catalog entry is a few KB of analyzed plan; callers that build many
-    DataFrames per session leak one entry per build, which is
-    deliberate and bounded by session lifetime."""
-    import uuid
+    this — the persisted doc table inlined 4× uncached).
 
-    name = f"__rs_v_{uuid.uuid4().hex[:12]}"
+    Catalog growth (ADVICE r14 #1): the name is derived from the plan's
+    ``semanticHash``, so repeated builds over the same input reuse ONE
+    catalog entry instead of leaking a uuid-named view per call; the
+    catalog holds at most one entry per distinct plan built in the
+    session. Re-registration is a no-op cache-wise: Spark's
+    CreateViewCommand only uncaches a replaced temp view when the new
+    plan is NOT sameResult as the old, so re-registering an identical
+    plan never touches the cache, and a (astronomically unlikely)
+    semanticHash collision merely re-points the name — each caller
+    registers immediately before the ``spark.sql`` that parses it, so
+    the analyzed consumer plan is already bound by then."""
+    try:
+        tag = f"{df.semanticHash() & 0xFFFFFFFF:08x}"
+    except Exception:  # non-JVM stub sessions in tests
+        import uuid
+
+        tag = uuid.uuid4().hex[:12]
+    name = f"__rs_v_{tag}"
     df.createOrReplaceTempView(name)
     return name
 
@@ -178,8 +191,44 @@ def view(spark: SparkSession, sf_dir: str, name: str) -> str:
         cache = None
     key = ("__view__", sf_dir, name, bdb)
     if cache is not None and key in cache:
-        return vname
+        # the cache is a hint (ADVICE r14 #4): an externally-dropped
+        # __rs_* view (test cleanup, catalog reset) must re-register
+        # instead of failing the consumer with TABLE_OR_VIEW_NOT_FOUND
+        try:
+            if spark.catalog.tableExists(vname):
+                return vname
+        except Exception:
+            return vname  # stub sessions: keep the old fast path
     load(spark, sf_dir, name).createOrReplaceTempView(vname)
+    if cache is not None:
+        cache[key] = vname
+    return vname
+
+
+def path_view(spark: SparkSession, path: str) -> str:
+    """Stable temp-view name over ``spark.read.parquet(path)``,
+    registered once per (session, path) — the {param}-free way for a
+    single-parse builder to reference an arbitrary parquet directory
+    (ADVICE r14 #2: the q3 prejoined branch previously paid a
+    createOrReplaceTempView + dropTempView py4j round-trip per call via
+    the SQLStringFormatter {pj} param, plus a fresh file-listing/schema-
+    inference spark.read.parquet per invocation)."""
+    import hashlib
+
+    tag = hashlib.md5(path.encode()).hexdigest()[:10]
+    vname = f"__rs_p_{tag}"
+    try:
+        cache = _PLAN_CACHE.setdefault(spark, {})
+    except TypeError:
+        cache = None
+    key = ("__path_view__", path)
+    if cache is not None and key in cache:
+        try:
+            if spark.catalog.tableExists(vname):
+                return vname
+        except Exception:
+            return vname
+    spark.read.parquet(path).createOrReplaceTempView(vname)
     if cache is not None:
         cache[key] = vname
     return vname

@@ -150,10 +150,11 @@ def test_pruned_footer_bytes_and_gate(spark, tmp_path):
     assert df is not None and df.count() == 2
 
 
-def test_local_parquet_agg_result_cache(spark):
-    """Opt-in result-plan cache: same (path, columns, exprs, cache_key)
-    returns the identical DataFrame object while files are unchanged —
-    the registry-level analogue of engine._result_cache."""
+def test_local_parquet_agg_never_memoizes_results(spark):
+    """The result-plan memo was retired (VERDICT r14 #1): every call
+    must run ``compute`` again — a timed bench loop can never be served
+    a cached result plan. Only the pruned *input* bytes may be reused
+    (scan cache), and RANGER_FASTPATH_NO_CACHE=1 disables even that."""
     from ranger_spark.operators import fastpath
 
     calls = []
@@ -169,20 +170,22 @@ def test_local_parquet_agg_result_cache(spark):
         compute,
         ["CAST(col1 AS BIGINT) AS n"],
     )
-    a = fastpath.local_parquet_agg(*args, cache_key="t_cache")
-    b = fastpath.local_parquet_agg(*args, cache_key="t_cache")
-    assert a is b and len(calls) == 1
+    a = fastpath.local_parquet_agg(*args)
+    b = fastpath.local_parquet_agg(*args)
+    assert a is not b and len(calls) == 2  # recomputed, not memoized
     assert a.collect()[0]["n"] == 5
-    # no cache_key -> no result reuse (scan cache may still serve bytes)
-    c = fastpath.local_parquet_agg(*args)
-    assert c is not a and len(calls) == 2
-    # different exprs -> different cache slot
-    d = fastpath.local_parquet_agg(
-        spark,
-        "/root/testdata/sf0.001/region.parquet",
-        ["r_regionkey"],
-        compute,
-        ["CAST(col1 AS BIGINT) AS m"],
-        cache_key="t_cache",
-    )
-    assert d is not a and len(calls) == 3
+
+
+def test_scan_cache_env_bypass(tmp_path, monkeypatch):
+    """RANGER_FASTPATH_NO_CACHE=1 (set by bench.py) makes every pruned
+    scan re-read the parquet: no hit, no population."""
+    f = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": [1, 2]}), f)
+    fastpath._SCAN_CACHE.clear()
+    monkeypatch.setenv("RANGER_FASTPATH_NO_CACHE", "1")
+    t1 = fastpath._cached_pruned_scan(f, ["x"])
+    t2 = fastpath._cached_pruned_scan(f, ["x"])
+    assert t1 is not t2 and len(fastpath._SCAN_CACHE) == 0
+    monkeypatch.delenv("RANGER_FASTPATH_NO_CACHE")
+    t3 = fastpath._cached_pruned_scan(f, ["x"])
+    assert fastpath._cached_pruned_scan(f, ["x"]) is t3  # cache back on
