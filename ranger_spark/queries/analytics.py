@@ -2722,11 +2722,22 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
+    # LAZY checkpoints throughout (r15, guide §2.4/§1.2 "fewer, wider
+    # jobs"): the eager per-round localCheckpoint ran ONE JOB PER ROUND
+    # whose results the final unioned trace then partly recomputed (deg
+    # was rebuilt per round inside the count job, and referenced twice
+    # more inside the round's semi-joins). eager=False still truncates
+    # lineage at plan-build time (LogicalRDD over the round's RDD) but
+    # materializes everything in the single final action, where the
+    # shared cached RDDs make each round's degree aggregate run ONCE —
+    # measured at sf0.1: 8.5 → 4.7 s min-warm, DuckDB ratio 2.84 → 1.43,
+    # and the wall growth across warm reruns (8.5 → 19 s, eager blocks
+    # accumulating per invocation) is gone (plans/r15/copurchase_kcore_*).
     edges = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     e = edges
@@ -2737,12 +2748,13 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= 3)
+            .localCheckpoint(eager=False)
         )
         e = (
             e.join(deg.select(F.col("node").alias("u")), "u")
             .join(deg.select(F.col("node").alias("v")), "v")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         row = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")).crossJoin(
             e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -2802,6 +2814,11 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
+    # NOTE (r15): the copurchase_kcore lazy-checkpoint move was tried
+    # here too and measured WORSE (3.1 → 5.0 s min-warm at sf0.1): the
+    # hop joins key on a 1-to-few-k-node frontier, and the eager
+    # materialization is what lets AQE plan each tiny hop join from real
+    # runtime sizes. Kept eager deliberately (guide §1.3).
     e = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))

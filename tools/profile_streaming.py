@@ -35,23 +35,36 @@ DRAINS = [
 ]
 
 _CAPTURED: dict[tuple, dict] = {}
+_HANDLES: list = []
 
 
 def _install_progress_hook() -> None:
-    import pyspark.sql.streaming.query as sq
+    """Record every started query handle; progress is harvested AFTER the
+    builder returns (an availableNow drain terminates on its own, so the
+    builders' ``if q.isActive: q.stop()`` never fires a stop-time hook —
+    the r15 first cut patched stop and captured nothing)."""
+    import pyspark.sql.streaming.readwriter as rw
 
-    orig_stop = sq.StreamingQuery.stop
+    orig_start = rw.DataStreamWriter.start
 
-    def stop(self):  # noqa: ANN001
+    def start(self, *a, **kw):  # noqa: ANN001
+        q = orig_start(self, *a, **kw)
+        _HANDLES.append(q)
+        return q
+
+    rw.DataStreamWriter.start = start
+
+
+def _harvest() -> None:
+    for q in _HANDLES:
         try:
-            for p in self.recentProgress:
-                d = json.loads(p.json())
+            for p in q.recentProgress:
+                j = p.json() if callable(p.json) else p.json
+                d = json.loads(j)
                 _CAPTURED[(d.get("id"), d.get("batchId"))] = d
-        except Exception:
-            pass
-        return orig_stop(self)
-
-    sq.StreamingQuery.stop = stop
+        except Exception as e:  # noqa: BLE001
+            print(f"harvest error: {e}", file=sys.stderr)
+    _HANDLES.clear()
 
 
 def _progress_summary(progresses: list[dict]) -> dict:
@@ -117,6 +130,7 @@ def main() -> None:
         df = registry[name].builder(spark, sf_dir)
         n = df.count()
         wall = round(time.time() - t0, 3)
+        _harvest()
         out[name] = {
             "wall_s": wall,
             "result_rows": n,
