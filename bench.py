@@ -873,20 +873,28 @@ def _streaming_section(spark, registry, sf_dir: str) -> dict:
         for q in spark.streams.active:
             if q.name == "bench_tws_topk":
                 q.stop()
+        from ranger_spark.streaming.runtime import drain_scope, source_size
+
         src = _event_stream(spark, sf_dir).select("user_id", "value")
         t0 = time.time()
-        q = (
-            topk_per_key(src, k=3)
-            .writeStream.format("memory")
-            .queryName("bench_tws_topk")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(600)
-        finally:
-            q.stop()
+        with drain_scope(
+            spark,
+            source_size(os.path.join(sf_dir, "events.parquet")),
+            "benchtopk",
+        ) as ckpt:
+            q = (
+                topk_per_key(src, k=3)
+                .writeStream.format("memory")
+                .queryName("bench_tws_topk")
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(600)
+            finally:
+                q.stop()
         wall = round(time.time() - t0, 3)
         out["drains"]["tws_topk_liststate"] = wall
         out["tws_events_per_sec"] = int(n_events / wall)

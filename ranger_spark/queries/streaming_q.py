@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 
 from ranger_spark.queries import register
 from ranger_spark.streaming.ingest import windowed_counts
+from ranger_spark.streaming.runtime import drain_scope, source_size
 from ranger_spark.tables import _normalize_events_ts
+
+
+def _events_bytes(sf_dir: str) -> int:
+    import os as _os
+
+    return source_size(_os.path.join(sf_dir, "events.parquet"))
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,18 +83,24 @@ def stream_windowed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 day",
         keys=("event_type",),
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    # drain_scope (r15, streaming/runtime.py): state-sized shuffle
+    # partitions + tmpfs checkpoint — the per-batch floor levers the
+    # r15 profile isolated (state-store commit fsyncs + per-partition
+    # fixed cost). Same pattern on every bounded drain below.
+    with drain_scope(spark, _events_bytes(sf_dir), "windowed") as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(_SINK).select(
         F.col("window_start").cast("timestamp_ntz").alias("day"),
         "event_type",
@@ -145,18 +158,20 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "4 hours").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SESS_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "sessions") as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SESS_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(_SESS_SINK).select(
         "user_id",
         F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
@@ -198,18 +213,20 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type", "day"])
         .select("user_id", "event_type", "day")
     )
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(_DEDUP_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "dedupkeys") as ckpt:
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(_DEDUP_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(_DEDUP_SINK).select(
         "user_id", "event_type", F.col("day").cast("timestamp_ntz").alias("day")
     )
@@ -267,18 +284,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts < v_ts + interval 1 hour"
         ),
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(_SSJOIN_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "ssjoin") as ckpt:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(_SSJOIN_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(_SSJOIN_SINK)
 
 
@@ -318,18 +337,20 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) * F.lit(1000)).alias("ts_ns"),
     )
     out = running_user_stats(src)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_STATEFUL_SINK)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "userstats", floor=8) as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_STATEFUL_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc())
     return (
         spark.table(_STATEFUL_SINK)
@@ -372,7 +393,6 @@ def stream_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark; each MERGE rewrites only matched-group files of the
     (small) rollup table, not the event history."""
     import hashlib
-    import tempfile
 
     from ranger_spark.engine import Engine
 
@@ -414,18 +434,19 @@ def stream_merge_upsert_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "VALUES (s.hr, s.event_type, s.cnt, s.sum_value);"
         )
 
-    q = (
-        agg.writeStream.foreachBatch(commit)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strmrg_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "strmrg") as ckpt:
+        q = (
+            agg.writeStream.foreachBatch(commit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(f"{db}.rollup").select(
         F.col("hr").cast("timestamp_ntz").alias("hr"),
         "event_type",
@@ -486,18 +507,20 @@ def stream_tws_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").cast("double").alias("value"),
     )
     out = value_histogram_per_key(src, bucket_width=1000.0)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_TWS_HIST_SINK)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "twshist", floor=8) as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_TWS_HIST_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     w = Window.partitionBy("user_id")
     return (
         spark.table(_TWS_HIST_SINK)
@@ -577,18 +600,20 @@ def stream_tws_topk_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.col("value") * 100)
     )
     out = topk_per_key(src, k=3, initial=seeds)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_TWS_TOPK_SINK)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "twstopk", floor=8) as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_TWS_TOPK_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return (
         spark.table(_TWS_TOPK_SINK)
         .groupBy("user_id", F.col("rank").alias("rnk"))
@@ -682,20 +707,22 @@ def stream_tws_rolling_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").cast("double").alias("value"),
     )
     out = rolling_total_with_ttl(src, ttl_ms=3_600_000)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_TWS_TTL_SINK)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # NOT awaitTermination: TTL + ProcessingTime availableNow
-        # queries never self-terminate (see _await_quiescent)
-        _await_quiescent(q, 240.0)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, _events_bytes(sf_dir), "twsttl", floor=8) as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_TWS_TTL_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # NOT awaitTermination: TTL + ProcessingTime availableNow
+            # queries never self-terminate (see _await_quiescent)
+            _await_quiescent(q, 240.0)
+        finally:
+            if q.isActive:
+                q.stop()
     w = Window.partitionBy("user_id")
     return (
         spark.table(_TWS_TTL_SINK)
@@ -855,18 +882,20 @@ def stream_tws_session_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "value")
     )
     out = eventtime_session_flush_per_key(stream, gap_ms=_SESS_GAP_MS)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_TWS_SESS_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        _await_quiescent(q, 240.0)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(spark, source_size(landing), "twssess", floor=8) as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_TWS_SESS_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            _await_quiescent(q, 240.0)
+        finally:
+            if q.isActive:
+                q.stop()
     return (
         spark.table(_TWS_SESS_SINK)
         .filter(F.col("user_id") >= 0)
@@ -969,6 +998,16 @@ def stream_neardup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1704067200) + F.pmod(F.col("v.row_id"), F.lit(86000))
         ).alias("ts"),
     )
+    # guide §2.5 input skew (r15): the source is ONE parquet file, so
+    # without this the whole shingle/md5 chain below ran in the single
+    # scan task (measured 62 s of 69 s wall at sf0.1). Hash-repartition
+    # on the unique row_id spreads the map work across the executors;
+    # the shuffle moves the raw text once, far cheaper than serializing
+    # the compute. At cluster scale a many-file source already
+    # parallelizes the scan and this exchange coalesces under AQE.
+    feed = feed.repartition(
+        spark.sparkContext.defaultParallelism, F.col("row_id")
+    )
     # materialize the hash array ONCE (Catalyst does not CSE through
     # higher-order-function lambdas — the standing no-CSE convention)
     keyed = (
@@ -989,18 +1028,24 @@ def stream_neardup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["sfp"])
         .select("sfp", "n_shingles")
     )
-    q = (
-        keyed.writeStream.format("memory")
-        .queryName(_NEARDUP_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(
+        spark,
+        source_size(f"{sf_dir}/documents.parquet"),
+        "neardup",
+    ) as ckpt:
+        q = (
+            keyed.writeStream.format("memory")
+            .queryName(_NEARDUP_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(_NEARDUP_SINK).select("sfp", "n_shingles")
 
 
@@ -1154,6 +1199,15 @@ def stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1704067200) + F.pmod(F.col("row_id"), F.lit(86000))
         ),
     )
+    # guide §2.5 input skew (r15, same move as stream_neardup_
+    # fingerprint): the single-parquet source put the whole
+    # canonicalize → gate → shingle/md5 chain in ONE scan task
+    # (measured 165 s of 169 s wall at sf0.1). Deterministic hash
+    # repartition on the unique row_id parallelizes the map chain;
+    # the raw text moves once.
+    feed = feed.repartition(
+        spark.sparkContext.defaultParallelism, F.col("row_id")
+    )
     # static sides (batch reads — the maintained tables of a deployment)
     blocklist = spark.createDataFrame(
         [("site7.example.com",), ("site13.example.com",),
@@ -1198,16 +1252,22 @@ def stream_corpus_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["sfp"])
         .select("sfp", "n_shingles")
     )
-    q = (
-        keyed.writeStream.format("memory")
-        .queryName(_CORPUS_GATE_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(240)
-    finally:
-        if q.isActive:
-            q.stop()
+    with drain_scope(
+        spark,
+        source_size(f"{sf_dir}/documents.parquet"),
+        "corpusgate",
+    ) as ckpt:
+        q = (
+            keyed.writeStream.format("memory")
+            .queryName(_CORPUS_GATE_SINK)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(240)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.table(_CORPUS_GATE_SINK).select("sfp", "n_shingles")

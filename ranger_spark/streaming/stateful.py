@@ -114,6 +114,18 @@ def _prepare_tws_session() -> None:
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # Changelog checkpointing (r15): commit uploads the batch's write
+    # delta instead of a full RocksDB snapshot per store per batch —
+    # the r15 drain profile measured snapshot-style commits at 1.8-4.5 s
+    # per partition-commit on KB-scale state (commitTimeMs, tools/
+    # profile_streaming.py). Snapshots still happen, asynchronously, at
+    # the maintenance cadence. Format-only: results and state semantics
+    # are unchanged.
+    active.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true",
+    )
     ensure_protobuf_on_workers(active)
 
 
@@ -253,23 +265,35 @@ def value_histogram_per_key(events: DataFrame, bucket_width: float = 5.0) -> Dat
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # r15 (guide §4.2/§4.5 at the StateServer shim boundary):
+            # the row loop paid containsKey+getValue+updateValue — three
+            # socket round-trips — PER ROW. Aggregate each batch in
+            # pandas first (integer-valued doubles: the vectorized sum
+            # and floor-div are bit-identical to the row loop), then
+            # touch each OCCUPIED bucket once. Round-trips drop from
+            # 3×rows to 3×distinct-buckets per key per batch; the
+            # protocol gate still drives every MapState surface
+            # (containsKey / getValue / updateValue / iterator).
             if self._profile.exists():
                 cnt, total = self._profile.get()
             else:
                 cnt, total = 0, 0.0
-            touched = set()
+            batch_counts: dict[int, int] = {}
             for pdf in rows:
-                for v in pdf["value"]:
-                    v = float(v)
-                    cnt += 1
-                    total += v
-                    b = int(v // bucket_width)
-                    if self._buckets.containsKey((b,)):
-                        (c,) = self._buckets.getValue((b,))
-                    else:
-                        c = 0
-                    self._buckets.updateValue((b,), (c + 1,))
-                    touched.add(b)
+                if not len(pdf):
+                    continue
+                v = pdf["value"].astype("float64")
+                cnt += len(v)
+                total += float(v.sum())
+                for b, c in (v // bucket_width).astype("int64").value_counts().items():
+                    b = int(b)
+                    batch_counts[b] = batch_counts.get(b, 0) + int(c)
+            for b, c in batch_counts.items():
+                if self._buckets.containsKey((b,)):
+                    (old,) = self._buckets.getValue((b,))
+                else:
+                    old = 0
+                self._buckets.updateValue((b,), (old + c,))
             self._profile.update((cnt, float(total)))
             out = sorted(
                 (int(bk[0]), int(bc[0]))
@@ -428,39 +452,56 @@ def eventtime_session_flush_per_key(
     )
 
     class Sessions(StatefulProcessor):
+        # r15 hot-path notes (guide §4.2/§4.5 applied to the StateServer
+        # shim boundary — every state op is one synchronous socket
+        # round-trip through the protobuf runtime):
+        # - per-batch vectorized min/max/count/sum instead of the
+        #   row-at-a-time Python loop (sums are integer-valued doubles
+        #   ≪ 2^53, so the pandas sum is bit-identical to the row loop);
+        # - the armed timer's expiry rides IN the value state, so
+        #   re-arming is get→deleteTimer(prev)→registerTimer instead of
+        #   a listTimers iterator sweep, and get() doubles as the
+        #   exists() probe (None ⇔ absent) — 5-6 round-trips per key per
+        #   batch down to 3-4. listTimers coverage for the protocol gate
+        #   lives in inactivity_flush_per_key, which is unchanged.
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._sess = handle.getValueState(
-                "sess", "start_ms long, end_ms long, cnt long, total double"
+                "sess",
+                "start_ms long, end_ms long, cnt long, total double, "
+                "timer_ms long",
             )
 
         def handleInputRows(self, key, rows, timerValues):
             # rows below the watermark were already dropped by Spark;
             # getCurrentWatermarkInMs() is the session-closing clock
-            if self._sess.exists():
-                start, end, cnt, total = self._sess.get()
+            cur = self._sess.get()
+            if cur is None:
+                start, end, cnt, total, timer = None, None, 0, 0.0, None
             else:
-                start, end, cnt, total = None, None, 0, 0.0
+                start, end, cnt, total, timer = cur
             for pdf in rows:
-                for ts_ms, v in zip(
-                    (pdf["ts"].astype("int64") // 1_000_000),
-                    pdf["value"],
-                ):
-                    ts_ms = int(ts_ms)
-                    start = ts_ms if start is None else min(start, ts_ms)
-                    end = ts_ms if end is None else max(end, ts_ms)
-                    cnt += 1
-                    total += float(v)
+                if not len(pdf):
+                    continue
+                ts_ms = pdf["ts"].astype("int64") // 1_000_000
+                lo, hi = int(ts_ms.min()), int(ts_ms.max())
+                start = lo if start is None else min(start, lo)
+                end = hi if end is None else max(end, hi)
+                cnt += len(pdf)
+                total += float(pdf["value"].sum())
             if cnt:
-                self._sess.update((start, end, cnt, float(total)))
-                for t in list(self._handle.listTimers()):
-                    self._handle.deleteTimer(t)
-                self._handle.registerTimer(end + gap_ms)
+                new_timer = end + gap_ms
+                if timer != new_timer:
+                    if timer is not None:
+                        self._handle.deleteTimer(timer)
+                    self._handle.registerTimer(new_timer)
+                self._sess.update((start, end, cnt, float(total), new_timer))
             return iter([])
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._sess.exists():
-                start, end, cnt, total = self._sess.get()
+            cur = self._sess.get()
+            if cur is not None:
+                start, end, cnt, total, _timer = cur
                 self._sess.clear()
                 yield pd.DataFrame(
                     {
@@ -533,10 +574,11 @@ def rolling_total_with_ttl(events: DataFrame, ttl_ms: int = 30_000) -> DataFrame
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            if self._agg.exists():
-                cnt, total = self._agg.get()
-            else:
-                cnt, total = 0, 0.0
+            # get() doubles as the exists() probe (None ⇔ absent) — one
+            # StateServer round-trip per key per batch instead of two
+            # (r15, guide §4.5 at the shim boundary)
+            cur = self._agg.get()
+            cnt, total = cur if cur is not None else (0, 0.0)
             for pdf in rows:
                 cnt += len(pdf)
                 total += float(pdf["value"].sum())

@@ -340,3 +340,50 @@ def test_stream_merge_upsert_is_snapshot_committed(spark):
         f"SELECT count(*) AS n FROM strmrg_{tag}.rollup;"
     ).rows
     assert live == [(n,)]
+
+
+# ---------------------------------------------------------------------------
+# streaming/runtime.py (r15): drain_scope / state_partitions contracts
+# ---------------------------------------------------------------------------
+
+
+def test_state_partitions_resolution_order(spark, monkeypatch):
+    from ranger_spark.streaming.runtime import state_partitions
+
+    monkeypatch.delenv("RANGER_STREAM_STATE_PARTITIONS", raising=False)
+    # derived: one partition per 64 MB, floored
+    assert state_partitions(spark, 0) == 4
+    assert state_partitions(spark, 0, floor=8) == 8
+    assert state_partitions(spark, 300 << 20) == 5
+    # env overrides derived
+    monkeypatch.setenv("RANGER_STREAM_STATE_PARTITIONS", "13")
+    assert state_partitions(spark, 300 << 20) == 13
+    # conf overrides env
+    spark.conf.set("spark.ranger.stream.statePartitions", "7")
+    try:
+        assert state_partitions(spark, 300 << 20) == 7
+    finally:
+        spark.conf.unset("spark.ranger.stream.statePartitions")
+
+
+def test_drain_scope_restores_conf_and_removes_checkpoint(spark):
+    import os
+
+    from ranger_spark.streaming.runtime import drain_scope
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with drain_scope(spark, 0, "t_scope") as ckpt:
+        assert os.path.isdir(ckpt)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert not os.path.exists(ckpt)
+
+
+def test_drain_scope_restores_on_error(spark):
+    from ranger_spark.streaming.runtime import drain_scope
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with drain_scope(spark, 0, "t_scope_err"):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
