@@ -34,23 +34,23 @@ def profile(
     from ranger_spark.queries import load_all
     from ranger_spark.session import get_spark
 
-    # get_spark()-equivalent configs plus the event log
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", f"file://{log_dir}")
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", "16g")
-        .getOrCreate()
+    # REAL session parity (r15): the previous hand-rolled builder
+    # omitted session.py's bloom-filter thresholds / SHJ preference /
+    # broadcast threshold, so profiles ran a DIFFERENT plan than the
+    # product path (q5@64x: 38.4M rows crossed the fact exchange with
+    # no bloom pruning vs 11.7M in the real session). Route through
+    # get_spark and add only the event log on top.
+    _ = SparkSession  # retained for the module's import surface
+    spark = get_spark(
+        "ranger_stage_profile",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{log_dir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+        },
     )
-    _ = get_spark  # session parity documented; profile uses its own
 
     reg = load_all()
     spec = reg[query]
