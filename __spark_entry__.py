@@ -23,92 +23,79 @@ from ranger_spark.queries import load_all  # noqa: E402
 # round. Rotation policy: put the queries with the STALEST (or no) driver
 # certification at the front each round — computed from the full
 # CORRECTNESS_r* ledger by `python tools/cert_ledger.py --front 120` at
-# round start (hash_match-only certification since r9). Round 14 front
-# (VERDICT r13 next-round #1): the ONE never-certified entry leads —
-# stream_corpus_gate (new this round, VERDICT r13 #5: the full ingest
-# door as one stream — blocklist → URL dedup vs the ingested catalog →
-# token gate → near-dup fingerprint dedup; map-only + broadcast gates,
-# one dedup state store) — then the five queries this round CHANGED,
-# which must re-certify the same round: q14_promo_share (the 4dp share
-# is now computed entirely in integers, q1's idiom — ADVICE r13 #1),
-# corpus_dedup_cascade and warc_corpus_pipeline_report (the LSH
-# identity gate now measures Jaccard on the distinct HASH set, matching
-# the fingerprint/oracle definition — ADVICE r13 #3; the WARC crawl
-# cache is also content-keyed now — ADVICE r13 #2),
-# warc_source_roundtrip and warc_html_extract_roundtrip (content-keyed
-# caches, same ADVICE item). Then the five NAMED r8 deferrals owed from
-# r13 (orders_price_histogram, orders_running_backlog,
-# parts_pareto_skyline, recs_item_item_cf, retrieval_rrf_fusion), then
-# the r9 cohort stalest-first — leading with its two members that also
-# CHANGED this round: q3_shipping_priority (gained the conf-gated
-# pre-joined-projection deployment path, default plan unchanged) and
-# dedup_minhash_lsh (verify step gained the hash-set size mode, default
-# off — certified string-count definition untouched). The r9 cohort is
-# 49 entries and only 37 slots remain after the leads, so its last TEN
-# alphabetically (sample_neyman_allocation, scalar_functions,
-# scalar_subquery, text_bm25_scores, text_rake_keywords,
-# union_all_tagged, union_distinct, users_bot_heuristic,
-# users_kaplan_meier, window_lead_lag) are deferred to the r15 front —
-# stated here so the ledger claim stays honest. Max staleness after
-# this round: r9 (exactly those ten entries).
-
-_FRONT_R14 = (
+# round start (hash_match-only certification since r9). Earlier fronts'
+# rationales live in git history (r14: 17bd917^).
+#
+# r15 front: the round's TOUCHED queries lead (copurchase_kcore gained
+# lazy per-round checkpoints; every streaming drain gained drain_scope /
+# the TWS hot-path cuts; copurchase_bfs_hops was measured A/B and kept
+# byte-identical but leads too since its round was re-opened), then the
+# TEN r9-cohort entries the r14 front explicitly deferred
+# (sample_neyman_allocation … window_lead_lag — the ledger's stalest),
+# then the r10 cohort alphabetically as far as the remaining slots
+# reach (through q20_part_promo_suppliers; the rest of r10 —
+# q21_waiting_suppliers, q2/q4/q6..q9, rollup_status_priority,
+# sample_stratified, the text family, tfidf_top_terms,
+# token_frequencies, train_val_test_split, window_range_frame,
+# window_rank_family — defers to the r16 front, stated here so the
+# ledger claim stays honest). Max staleness after this round: r10.
+_FRONT_R15 = (
+    "copurchase_kcore",
+    "copurchase_bfs_hops",
+    "stream_windowed_daily",
+    "stream_session_windows",
+    "stream_dedup_keys",
+    "stream_stream_join",
+    "stream_stateful_user_stats",
+    "stream_merge_upsert_rollup",
+    "stream_tws_value_histogram",
+    "stream_tws_topk_seeded",
+    "stream_tws_rolling_total",
+    "stream_tws_session_flush",
+    "stream_neardup_fingerprint",
     "stream_corpus_gate",
-    "q14_promo_share",
-    "corpus_dedup_cascade",
-    "warc_corpus_pipeline_report",
-    "warc_source_roundtrip",
-    "warc_html_extract_roundtrip",
-    "orders_price_histogram",
-    "orders_running_backlog",
-    "parts_pareto_skyline",
-    "recs_item_item_cf",
-    "retrieval_rrf_fusion",
-    "q3_shipping_priority",
-    "dedup_minhash_lsh",
-    "agg_minmax_countd",
-    "ann_cosine_topk",
-    "array_ops_embeddings",
-    "asof_purchase_view",
-    "case_when_buckets",
-    "cast_ops",
-    "comma_join_sql",
-    "cube_status_priority",
-    "date_extract",
-    "distinct_proj",
-    "events_daily_unique",
-    "events_sequence_chi2",
-    "events_sessionization",
-    "except_nations",
-    "exists_subquery",
-    "filter_between",
-    "filter_in_list",
-    "filter_like",
-    "forecast_holt_linear",
-    "group_having",
-    "in_subquery",
-    "intersect_nations",
-    "json_extract_props",
-    "listagg_types_per_brand",
-    "multimodal_jpeg_pixel_stats",
-    "nations_revenue_hhi",
-    "not_exists_anti",
-    "null_handling",
-    "order_limit_offset",
-    "orders_revenue_peaks",
-    "orders_seasonality_decompose",
-    "parts_abc_classification",
-    "proj_arith_alias",
-    "proj_star_small",
-    "q5_region_revenue",
-    "range_join_error_purchase",
-    "sample_dsir_scores",
+    "sample_neyman_allocation",
+    "scalar_functions",
+    "scalar_subquery",
+    "text_bm25_scores",
+    "text_rake_keywords",
+    "union_all_tagged",
+    "union_distinct",
+    "users_bot_heuristic",
+    "users_kaplan_meier",
+    "window_lead_lag",
+    "contamination_check",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embedding_similar_pairs",
+    "embedding_stats",
+    "full_outer_join",
+    "left_outer_join",
+    "multimodal_decode_png",
+    "multimodal_flac_audio_stats",
+    "multimodal_h264_keyframe_sample",
+    "multimodal_meta",
+    "multimodal_mp3_stream_meta",
+    "pack_sequences_2k",
+    "percentiles_by_group",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_split",
+    "q13_count_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_part_promo_suppliers",
 )
 
 
 def _ordered():
     reg = load_all()
-    front = [n for n in _FRONT_R14 if n in reg]
+    front = [n for n in _FRONT_R15 if n in reg]
     rest = [n for n in reg if n not in front]
     return {n: reg[n] for n in front + rest}
 
